@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Dev-only mimic of the driver's DuckDB correctness gate.
+
+usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<query>/ parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json against views over <sfDir>/*.parquet, sorts
+columns by name and rows by all columns, and compares values exactly.
+NOT part of the shipped library (the Scala engine never imports this).
+"""
+import duckdb, json, math, sys
+
+TABLES = ["events", "lineitem", "orders", "customer", "supplier", "part",
+          "nation", "region", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=lambda t: tuple(repr(x) for x in t)), [cols[i] for i in order]
+
+
+def eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = 0
+    failures = []
+    for name in sorted(oracle):
+        try:
+            got_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got_rel.description]
+            got_rows, got_cols_s = canon(got_rel.fetchall(), got_cols)
+            exp_rel = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rows, exp_cols_s = canon(exp_rel.fetchall(), exp_cols)
+        except Exception as e:
+            failures.append((name, f"ERROR {e}"))
+            continue
+        if got_cols_s != exp_cols_s:
+            failures.append((name, f"schema: spark={got_cols_s} oracle={exp_cols_s}"))
+            continue
+        if len(got_rows) != len(exp_rows):
+            failures.append((name, f"rowcount: spark={len(got_rows)} oracle={len(exp_rows)}"))
+            continue
+        bad = None
+        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+            if not all(eq(a, b) for a, b in zip(g, e)):
+                bad = (i, g, e)
+                break
+        if bad:
+            failures.append((name, f"value mismatch at sorted-row {bad[0]}:\n  spark : {bad[1]}\n  oracle: {bad[2]}\n  cols  : {got_cols_s}"))
+        else:
+            n_ok += 1
+            print(f"OK   {name} ({len(got_rows)} rows)")
+    for name, msg in failures:
+        print(f"FAIL {name}: {msg}")
+    print(f"== {n_ok}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

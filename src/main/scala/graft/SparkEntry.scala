@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries and their DuckDB oracles live in per-family [[QueryPack]]s
+  * under graft.queries; this object is just the aggregated registry.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val packs: Seq[QueryPack] = Seq(CoreQueries)
+
+  /** Flagship: the full window-features -> risk-score pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.defs("q08_risk_score")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.defs).toMap
+
+  /** DuckDB-equivalent SQL per query key (driver correctness gate). */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracle).toMap
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.ops.{CoreFeatures => F, Trailing}
+import graft.scoring.Risk
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Core per-entity trailing-window features (SURVEY §2.3 A1–A14) and the
+  * end-to-end risk pipeline (A32–A34), with DuckDB oracles.
+  *
+  * Oracle frames mirror [[graft.ops.Trailing]]: strict (t-W, t] as
+  * `RANGE BETWEEN W*1e6-1 PRECEDING AND CURRENT ROW` over `epoch_us(ts)`.
+  */
+object CoreQueries extends QueryPack {
+
+  private def win(alias: String, micros: Long): String =
+    s"$alias AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN ${micros - 1} PRECEDING AND CURRENT ROW)"
+
+  private val W = Map(
+    "w60s" -> 60000000L, "w5m" -> 300000000L, "w10m" -> 600000000L,
+    "w1h" -> 3600000000L, "w24h" -> 86400000000L, "w7d" -> 604800000000L)
+
+  private def windowClause(names: String*): String =
+    "WINDOW " + names.map(n => win(n, W(n))).mkString(", ")
+
+  override val defs: Map[String, Q] = Map(
+    "q01_txn_counts" -> { (s, dir) =>
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        F.txnCount(w, 60).as("txn_count_60s"),
+        F.txnCount(w, 300).as("txn_count_5m"),
+        F.txnCount(w, 3600).as("txn_count_1h"))
+    },
+    "q02_amount_sums" -> { (s, dir) =>
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        r6(F.amountSum(col("amount"), w, 60)).as("txn_amount_sum_60s"),
+        r6(F.amountSum(col("amount"), w, 300)).as("txn_amount_sum_5m"),
+        r6(F.amountSum(col("amount"), w, 3600)).as("txn_amount_sum_1h"))
+    },
+    "q03_amount_stats" -> { (s, dir) =>
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        r6(F.amountAvg(col("amount"), w, 3600)).as("avg_txn_amount_1h"),
+        r6(F.amountMax(col("amount"), w, 3600)).as("max_txn_amount_1h"),
+        r6(F.amountMin(col("amount"), w, 3600)).as("min_txn_amount_1h"))
+    },
+    "q04_amount_std" -> { (s, dir) =>
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        r6(F.amountStdPop(col("amount"), w, 3600)).as("amount_deviation_score_1h"))
+    },
+    "q05_unique_counts" -> { (s, dir) =>
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        F.distinctOver(col("ip_address"), w, 3600).as("unique_ips_1h"),
+        F.distinctOver(col("merchant_id"), w, 3600).as("unique_merchants_1h"))
+    },
+    "q06_velocity" -> { (s, dir) =>
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        r6(F.velocity(w, 3600)).as("velocity_score_1h"))
+    },
+    "q07_calendar_counts" -> { (s, dir) =>
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      val ts = col("event_timestamp")
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        F.condCount(F.isNight(ts), w, 86400).as("night_txn_count_24h"),
+        F.condCount(F.isWeekend(ts), w, 604800).as("weekend_txn_count_7d"),
+        r6(F.condRatio(F.isBusinessHours(ts), w, 86400)).as("business_hours_ratio_24h"))
+    },
+    "q08_risk_score" -> { (s, dir) =>
+      val feats = F.customerFeatures(Tables.transactions(s, dir))
+      Risk.scored(feats, col("amount")).select(
+        col("transaction_id"), col("customer_id"),
+        r6(col("risk_score")).as("risk_score"), col("risk_level"))
+    })
+
+  override val oracle: Map[String, String] = Map(
+    "q01_txn_counts" ->
+      s"""SELECT event_id AS transaction_id, user_id AS customer_id,
+  count(*) OVER w60s AS txn_count_60s,
+  count(*) OVER w5m AS txn_count_5m,
+  count(*) OVER w1h AS txn_count_1h
+FROM events ${windowClause("w60s", "w5m", "w1h")}""",
+    "q02_amount_sums" ->
+      s"""SELECT event_id AS transaction_id, user_id AS customer_id,
+  round(sum(value) OVER w60s, 6) AS txn_amount_sum_60s,
+  round(sum(value) OVER w5m, 6) AS txn_amount_sum_5m,
+  round(sum(value) OVER w1h, 6) AS txn_amount_sum_1h
+FROM events ${windowClause("w60s", "w5m", "w1h")}""",
+    "q03_amount_stats" ->
+      s"""SELECT event_id AS transaction_id, user_id AS customer_id,
+  round(avg(value) OVER w1h, 6) AS avg_txn_amount_1h,
+  round(max(value) OVER w1h, 6) AS max_txn_amount_1h,
+  round(min(value) OVER w1h, 6) AS min_txn_amount_1h
+FROM events ${windowClause("w1h")}""",
+    "q04_amount_std" ->
+      s"""SELECT event_id AS transaction_id, user_id AS customer_id,
+  round(coalesce(stddev_pop(value) OVER w1h, 0.0), 6) AS amount_deviation_score_1h
+FROM events ${windowClause("w1h")}""",
+    "q05_unique_counts" ->
+      s"""SELECT event_id AS transaction_id, user_id AS customer_id,
+  count(DISTINCT props->>'$$.k') OVER w1h AS unique_ips_1h,
+  count(DISTINCT event_type) OVER w1h AS unique_merchants_1h
+FROM events ${windowClause("w1h")}""",
+    "q06_velocity" ->
+      s"""SELECT event_id AS transaction_id, user_id AS customer_id,
+  round((count(*) OVER w1h) / 60.0, 6) AS velocity_score_1h
+FROM events ${windowClause("w1h")}""",
+    "q07_calendar_counts" ->
+      s"""SELECT event_id AS transaction_id, user_id AS customer_id,
+  sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
+  sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
+  round(avg(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1.0 ELSE 0.0 END) OVER w24h, 6) AS business_hours_ratio_24h
+FROM events ${windowClause("w24h", "w7d")}""",
+    "q08_risk_score" -> {
+      // mirror of graft.scoring.Risk over the windowed features
+      val norm = Risk.model.map { case (f, wgt, n) =>
+        s"least($f / $n, 1.0) * $wgt"
+      }.mkString(" + ")
+      s"""WITH f AS (
+  SELECT event_id AS transaction_id, user_id AS customer_id, value AS amount,
+    sum(value) OVER w60s AS txn_amount_sum_60s,
+    sum(value) OVER w5m AS txn_amount_sum_5m,
+    sum(value) OVER w1h AS txn_amount_sum_1h,
+    count(*) OVER w60s AS txn_count_60s,
+    count(*) OVER w5m AS txn_count_5m,
+    count(*) OVER w10m AS txn_count_10m,
+    count(*) OVER w1h AS txn_count_1h,
+    count(DISTINCT props->>'$$.k') OVER w1h AS unique_ips_1h,
+    count(DISTINCT event_type) OVER w1h AS unique_merchants_1h,
+    (count(*) OVER w1h) / 60.0 AS velocity_score_1h,
+    coalesce(stddev_pop(value) OVER w1h, 0.0) AS amount_deviation_score_1h,
+    sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
+    sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
+    avg(value) OVER w1h AS avg_txn_amount_1h
+  FROM events ${windowClause("w60s", "w5m", "w10m", "w1h", "w24h", "w7d")}
+), scored AS (
+  SELECT transaction_id, customer_id,
+    least(greatest(($norm)
+      + (CASE WHEN amount > 10000 THEN 0.3 WHEN amount > 5000 THEN 0.15 ELSE 0.0 END)
+      + (CASE WHEN unique_ips_1h > 3 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN velocity_score_1h > 1.5 THEN 0.2 ELSE 0.0 END)
+      + (CASE WHEN amount_deviation_score_1h > 3000 THEN 0.15 ELSE 0.0 END)
+      + (CASE WHEN night_txn_count_24h > 3 THEN 0.1 ELSE 0.0 END), 0.0), 1.0) AS s
+  FROM f
+)
+SELECT transaction_id, customer_id, round(s, 6) AS risk_score,
+  CASE WHEN s <= 0.3 THEN 'LOW' WHEN s <= 0.6 THEN 'MEDIUM' ELSE 'HIGH' END AS risk_level
+FROM scored"""
+    })
+}

@@ -1,0 +1,52 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver TESTDATA star schema (see TESTDATA.md) and the
+  * canonical "transaction" view the feature engine operates on.
+  *
+  * The reference engine's event record (reference
+  * `offline_data/generate_sample_data.py:65-75`) maps onto the driver's
+  * `events` table as: `user_id` -> customer key, `event_type` -> merchant
+  * key, `value` -> amount, `props.$.k` -> ip-like attribute, `ts` ->
+  * event_timestamp.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively; read nanos as long and truncate to a microsecond timestamp
+    * (integer DIV — a double division would lose precision above 2^53 ns).
+    * DuckDB performs the same ns->us truncation when it reads the file, so
+    * oracle comparisons stay exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Canonical transaction view: the AML engine's event schema expressed
+    * over the driver's `events` table. Column pruning still reaches the
+    * parquet scan because these are pure projections.
+    */
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id").as("transaction_id"),
+      col("ts").as("event_timestamp"),
+      col("user_id").as("customer_id"),
+      col("event_type").as("merchant_id"),
+      col("value").as("amount"),
+      get_json_object(col("props"), "$.k").as("ip_address"))
+}
