@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-entity behavioral profile vs. the population (SURVEY A26–A30;
+  * reference `feature_engineering/advanced_features.py:237-313`).
+  *
+  * Population statistics are a 1-row aggregate broadcast against the
+  * per-entity aggregates (J4), so the whole family is two scans + one
+  * broadcast join — no shuffle of the big side beyond the entity groupBy.
+  * The percentile (A27) is scipy `percentileofscore(kind='rank')`:
+  * `(#strictly-below + #at-or-below) / (2n)` of the entity mean within
+  * ALL amounts — computed with a broadcast range-condition join of the
+  * (small) per-entity means against the event table; at 100 TB the same
+  * API swaps in a t-digest sketch.
+  */
+object Behavioral {
+
+  /** zscore, percentile, cv, skewness, kurtosis, merchant diversity per key. */
+  def profile(df: DataFrame, key: Column, amount: Column, merchant: Column): DataFrame = {
+    val z = lit(0.0)
+    def nz(c: Column): Column = coalesce(nanvl(c, z), z)
+
+    val per = df.groupBy(key.as("k")).agg(
+      avg(amount).as("cust_avg"),
+      stddev_pop(amount).as("cust_std"),
+      count(lit(1)).as("n"),
+      // scipy skew/kurtosis with default bias=True == population g1 / excess g2,
+      // which is exactly Spark's skewness()/kurtosis(); 0.0 below 3 samples
+      // (`advanced_features.py:266-271`).
+      when(count(lit(1)) >= 3, nz(skewness(amount))).otherwise(0.0).as("behavioral_amount_skewness"),
+      when(count(lit(1)) >= 3, nz(kurtosis(amount))).otherwise(0.0).as("behavioral_amount_kurtosis"),
+      (countDistinct(merchant).cast("double") / count(lit(1))).as("behavioral_merchant_diversity"))
+
+    val pop = df.agg(
+      avg(amount).as("pop_avg"),
+      stddev_pop(amount).as("pop_std"),
+      count(lit(1)).as("pop_n"))
+
+    // percentile-of-score: count strict/weak positions of each entity mean
+    // within the full amount population.
+    val means = per.select(col("k"), col("cust_avg"))
+    val ranks = df.select(amount.as("a"))
+      .crossJoin(broadcast(means))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("a") < col("cust_avg"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("a") <= col("cust_avg"), 1L).otherwise(0L)).as("n_le"))
+
+    per.join(broadcast(ranks), "k")
+      .crossJoin(broadcast(pop))
+      .select(
+        col("k"),
+        when(col("pop_std") > 0, (col("cust_avg") - col("pop_avg")) / col("pop_std"))
+          .otherwise(0.0).as("behavioral_amount_zscore"),
+        ((col("n_lt") + col("n_le")) / (lit(2.0) * col("pop_n")))
+          .as("behavioral_amount_percentile"),
+        when(col("cust_avg") > 0, nz(col("cust_std")) / col("cust_avg"))
+          .otherwise(0.0).as("behavioral_amount_cv"),
+        col("behavioral_amount_skewness"),
+        col("behavioral_amount_kurtosis"),
+        col("behavioral_merchant_diversity"))
+  }
+}

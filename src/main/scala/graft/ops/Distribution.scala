@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-shape aggregates the reference computes per entity —
+  * Gini, Shannon entropy, HHI, diversity (SURVEY A15, A16, A21, A22, A30).
+  *
+  * All are expressed as two-phase relational aggregations (window +
+  * groupBy on the SAME key), so Catalyst plans ONE hash-partition
+  * exchange on the entity key and reuses it — no per-group UDAF, no
+  * collect_list blow-up, scales linearly at 100 TB.
+  */
+object Distribution {
+
+  /** Gini coefficient of `value` per `key` (reference
+    * `flink_job/real_time_processor.py:213-228`): over ascending-sorted
+    * x with 1-based rank i, `2*Σ i*x_i / (n*Σx) − (n+1)/n`;
+    * 0.0 when n<=1 or Σx<=0. `tie` makes rank assignment deterministic
+    * (ties contribute the same sum either way, but the plan stays
+    * reproducible).
+    */
+  def gini(df: DataFrame, key: Column, value: Column, tie: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(value.asc, tie.asc)
+    df.select(key.as("k"), value.as("x"), row_number().over(w).cast("double").as("i"))
+      .groupBy(col("k"))
+      .agg(
+        when(count(lit(1)) > 1 && sum(col("x")) > 0,
+          lit(2.0) * sum(col("i") * col("x")) / (count(lit(1)) * sum(col("x")))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1)))
+          .otherwise(0.0).as("gini"))
+  }
+
+  /** Shannon entropy (log2) of the `bucket` histogram per `key`
+    * (reference `advanced_features.py:197-208`): 0.0 when the entity has
+    * <=1 distinct bucket.
+    */
+  def entropy(df: DataFrame, key: Column, bucket: Column, out: String): DataFrame = {
+    val counts = df.groupBy(key.as("k"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
+    val total = sum(col("cnt")).over(Window.partitionBy(col("k")))
+    counts.select(col("k"), col("cnt"), total.as("tot"))
+      .groupBy(col("k"))
+      .agg(
+        when(count(lit(1)) <= 1, 0.0)
+          .otherwise(-sum(col("cnt") / col("tot") * log2(col("cnt") / col("tot"))))
+          .as(out))
+  }
+
+  /** Herfindahl–Hirschman index of `bucket` shares per `key`
+    * (reference `advanced_features.py:307-311`): Σ (count_b/total)^2.
+    */
+  def hhi(df: DataFrame, key: Column, bucket: Column, out: String): DataFrame = {
+    val counts = df.groupBy(key.as("k"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
+    val total = sum(col("cnt")).over(Window.partitionBy(col("k")))
+    counts.select(col("k"), col("cnt"), total.as("tot"))
+      .groupBy(col("k"))
+      .agg(sum(pow(col("cnt") / col("tot"), 2.0)).as(out))
+  }
+
+  /** max bucket count / total (reference `advanced_features.py:133`). */
+  def peakRatio(df: DataFrame, key: Column, bucket: Column, out: String): DataFrame = {
+    val counts = df.groupBy(key.as("k"), bucket.as("b")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("k"))
+      .agg((max(col("cnt")).cast("double") / sum(col("cnt"))).as(out))
+  }
+}
