@@ -1,0 +1,62 @@
+package graft.feedback
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-quality / drift statistics as pure DataFrame aggregations
+  * (SURVEY A35–A37; reference `feedback/feedback_system.py:166-229`).
+  * No UDFs: AUC is the Mann–Whitney rank statistic, KS is an ECDF
+  * comparison — both one global sort / window pass.
+  */
+object Drift {
+
+  /** ROC AUC of `score` against binary `label` via the rank-sum identity
+    * AUC = (Σ midrank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), with mid-ranks for score
+    * ties (exactly sklearn `roc_auc_score`). Null when either class is
+    * absent.
+    */
+  def auc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val w = Window.orderBy(col("s"))
+    val tied = Window.partitionBy(col("s"))
+    val ranked = df.select(label.cast("int").as("y"), score.as("s"))
+      .select(col("y"),
+        (rank().over(w) + (count(lit(1)).over(tied) - 1) / 2.0).as("midrank"))
+    ranked.agg(
+      ((sum(when(col("y") === 1, col("midrank"))) -
+        sum(col("y")) * (sum(col("y")) + 1) / 2.0) /
+        (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
+  }
+
+  /** Binary-prediction accuracy (A37): mean(pred == actual). */
+  def accuracy(predicted: Column, actual: Column): Column =
+    avg(when(predicted === actual, 1.0).otherwise(0.0))
+
+  /** Two-sample Kolmogorov–Smirnov statistic between `value` of rows where
+    * `inFirst` and the rest: D = max over observed values of
+    * |ECDF₁ − ECDF₂|, plus the asymptotic α=0.05 decision
+    * (drift when D > 1.358·sqrt((n₁+n₂)/(n₁·n₂))).
+    * One groupBy(value) + one ordered window — a single global sort that
+    * at scale can be replaced by a t-digest sketch.
+    */
+  def ks(df: DataFrame, value: Column, inFirst: Column): DataFrame = {
+    val perValue = df
+      .select(value.as("v"), when(inFirst, 1).otherwise(2).as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue.select(
+      sum(col("c1")).over(w).as("cc1"),
+      sum(col("c2")).over(w).as("cc2"))
+    val tot = perValue.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        max(abs(col("cc1").cast("double") / col("n1") -
+          col("cc2").cast("double") / col("n2"))).as("d"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("d").as("ks_stat"),
+        (col("d") > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2"))))
+          .as("drift_detected"))
+  }
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.feedback.Drift
+import graft.online.Snapshot
+import graft.ops.{CoreFeatures => F, GraphOps, Trailing}
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph features, serving joins, snapshot store, tumbling rollup, top-k,
+  * drift statistics, and general relational coverage (SURVEY §2.4–2.6,
+  * A35–A38, J1–J5).
+  */
+object RelationalQueries extends QueryPack {
+
+  private val w1hSql =
+    "WINDOW w1h AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)"
+
+  /** Shared snapshot CTE (latest 1h-feature row per customer). */
+  private val snapCte =
+    s"""f AS (
+  SELECT event_id, user_id, ts,
+    count(*) OVER w1h AS txn_count_1h,
+    sum(value) OVER w1h AS txn_amount_sum_1h,
+    count(DISTINCT event_type) OVER w1h AS unique_merchants_1h
+  FROM events $w1hSql),
+snap AS (
+  SELECT * FROM (
+    SELECT f.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+  WHERE rn = 1)"""
+
+  private def snapshotDf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+    val feats = Tables.transactions(s, dir).select(
+      col("transaction_id"), col("customer_id"), col("event_timestamp"),
+      F.txnCount(w, 3600).as("txn_count_1h"),
+      F.amountSum(col("amount"), w, 3600).as("txn_amount_sum_1h"),
+      F.distinctOver(col("merchant_id"), w, 3600).as("unique_merchants_1h"))
+    Snapshot.latest(feats, col("customer_id"), col("event_timestamp"), col("transaction_id"))
+  }
+
+  override val defs: Map[String, Q] = Map(
+    "q15_graph_edges" -> { (s, dir) =>
+      GraphOps.customerMerchantEdges(Tables.transactions(s, dir))
+        .select(col("customer_id"), col("merchant_id"),
+          r6(col("weight")).as("weight"), col("cnt"))
+    },
+    "q16_graph_degree" -> { (s, dir) =>
+      GraphOps.degreeFeatures(Tables.transactions(s, dir))
+        .select(col("customer_id"),
+          r6(col("graph_degree_centrality")).as("graph_degree_centrality"),
+          col("graph_direct_connections"),
+          r6(col("graph_total_weight")).as("graph_total_weight"),
+          col("graph_ip_diversity"))
+    },
+    "q17_graph_clustering" -> { (s, dir) =>
+      GraphOps.clusteringCoefficient(Tables.transactions(s, dir))
+        .select(col("customer_id"),
+          r6(col("graph_clustering_coefficient")).as("graph_clustering_coefficient"))
+    },
+    "q18_merchant_features" -> { (s, dir) =>
+      F.merchantFeatures(Tables.transactions(s, dir)).select(
+        col("transaction_id"), col("merchant_id"),
+        col("merchant_txn_count_1h"),
+        r6(col("merchant_txn_amount_sum_1h")).as("merchant_txn_amount_sum_1h"),
+        r6(col("merchant_avg_txn_amount_1h")).as("merchant_avg_txn_amount_1h"),
+        col("merchant_unique_customers_1h"))
+    },
+    "q19_snapshot" -> { (s, dir) =>
+      snapshotDf(s, dir).select(
+        col("customer_id"), col("transaction_id").as("last_event_id"),
+        col("txn_count_1h"),
+        r6(col("txn_amount_sum_1h")).as("txn_amount_sum_1h"),
+        col("unique_merchants_1h"))
+    },
+    "q20_feature_lookup" -> { (s, dir) =>
+      val requests = Tables.customer(s, dir).select(col("c_custkey").as("customer_id"))
+      val snap = snapshotDf(s, dir).select(
+        col("customer_id"), col("transaction_id").as("last_event_id"),
+        col("txn_count_1h"), col("txn_amount_sum_1h"), col("unique_merchants_1h"))
+      Snapshot.lookup(requests, snap, "customer_id", Map(
+          "txn_count_1h" -> lit(0L),
+          "txn_amount_sum_1h" -> lit(0.0),
+          "unique_merchants_1h" -> lit(0L)))
+        .select(col("customer_id"),
+          col("txn_count_1h"),
+          r6(col("txn_amount_sum_1h")).as("txn_amount_sum_1h"),
+          col("unique_merchants_1h"),
+          col("last_event_id").isNotNull.as("found"))
+    },
+    "q21_tumbling_10min" -> { (s, dir) =>
+      Tables.transactions(s, dir)
+        .groupBy(window(col("event_timestamp"), "10 minutes").getField("start").as("bucket_start"))
+        .agg(count(lit(1)).as("txn_count"),
+          r6(sum(col("amount"))).as("amount_sum"),
+          r6(avg(col("amount"))).as("amount_avg"))
+    },
+    "q22_topk_customers" -> { (s, dir) =>
+      Tables.transactions(s, dir)
+        .groupBy(col("customer_id"))
+        .agg(sum(col("amount")).as("total_amount"), count(lit(1)).as("txn_count"))
+        .orderBy(col("total_amount").desc, col("customer_id").asc)
+        .limit(5)
+        .select(col("customer_id"), r6(col("total_amount")).as("total_amount"), col("txn_count"))
+    },
+    "q23_label_metrics" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val aucDf = Drift.auc(ev, col("event_type") === "error", col("value"))
+      val accDf = ev.agg(
+        Drift.accuracy(ev.col("value") > 100.0, col("event_type") === "error").as("accuracy"))
+      aucDf.crossJoin(accDf).select(r6(col("auc")).as("auc"), r6(col("accuracy")).as("accuracy"))
+    },
+    "q24_ks_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      Drift.ks(ev, col("value"), col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .select(r6(col("ks_stat")).as("ks_stat"), col("drift_detected"))
+    },
+    "q25_lineitem_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          r6(avg(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+    "q26_segment_revenue" -> { (s, dir) =>
+      val c = broadcast(Tables.customer(s, dir))
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    },
+    "q27_value_counts" -> { (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    })
+
+  override val oracle: Map[String, String] = Map(
+    "q15_graph_edges" ->
+      """SELECT user_id AS customer_id, event_type AS merchant_id,
+  round(sum(value), 6) AS weight, count(*) AS cnt
+FROM events GROUP BY 1, 2""",
+    "q16_graph_degree" ->
+      """WITH per AS (
+  SELECT user_id, count(DISTINCT event_type) AS dc, sum(value) AS tw,
+    count(DISTINCT props->>'$.k') AS ipd
+  FROM events GROUP BY 1),
+n AS (SELECT (count(DISTINCT user_id) + count(DISTINCT event_type)) AS n_nodes FROM events)
+SELECT user_id AS customer_id,
+  round(dc::DOUBLE/(n_nodes - 1), 6) AS graph_degree_centrality,
+  dc::DOUBLE AS graph_direct_connections,
+  round(tw, 6) AS graph_total_weight,
+  ipd::DOUBLE AS graph_ip_diversity
+FROM per CROSS JOIN n""",
+    "q17_graph_clustering" ->
+      """WITH e0 AS (SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events),
+adj AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src AS v, count(*) AS deg FROM adj GROUP BY 1),
+wed AS (SELECT a.src AS v, a.dst AS n1, b.dst AS n2
+        FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst),
+tri AS (SELECT v, count(*) AS tri FROM wed JOIN adj e ON wed.n1 = e.src AND wed.n2 = e.dst GROUP BY v)
+SELECT CAST(replace(deg.v, 'c:', '') AS BIGINT) AS customer_id,
+  round(CASE WHEN deg >= 2 THEN 2.0*coalesce(tri, 0)/(deg*(deg - 1)) ELSE 0.0 END, 6) AS graph_clustering_coefficient
+FROM deg LEFT JOIN tri ON deg.v = tri.v WHERE deg.v LIKE 'c:%'""",
+    "q18_merchant_features" ->
+      """SELECT event_id AS transaction_id, event_type AS merchant_id,
+  count(*) OVER w1h AS merchant_txn_count_1h,
+  round(sum(value) OVER w1h, 6) AS merchant_txn_amount_sum_1h,
+  round(avg(value) OVER w1h, 6) AS merchant_avg_txn_amount_1h,
+  count(DISTINCT user_id) OVER w1h AS merchant_unique_customers_1h
+FROM events
+WINDOW w1h AS (PARTITION BY event_type ORDER BY epoch_us(ts) RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""",
+    "q19_snapshot" ->
+      s"""WITH $snapCte
+SELECT user_id AS customer_id, event_id AS last_event_id, txn_count_1h,
+  round(txn_amount_sum_1h, 6) AS txn_amount_sum_1h, unique_merchants_1h
+FROM snap""",
+    "q20_feature_lookup" ->
+      s"""WITH $snapCte
+SELECT c.c_custkey AS customer_id,
+  coalesce(s.txn_count_1h, 0) AS txn_count_1h,
+  round(coalesce(s.txn_amount_sum_1h, 0.0), 6) AS txn_amount_sum_1h,
+  coalesce(s.unique_merchants_1h, 0) AS unique_merchants_1h,
+  s.event_id IS NOT NULL AS found
+FROM customer c LEFT JOIN snap s ON c.c_custkey = s.user_id""",
+    "q21_tumbling_10min" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+  count(*) AS txn_count,
+  round(sum(value), 6) AS amount_sum,
+  round(avg(value), 6) AS amount_avg
+FROM events GROUP BY 1""",
+    "q22_topk_customers" ->
+      """SELECT user_id AS customer_id, round(sum(value), 6) AS total_amount, count(*) AS txn_count
+FROM events GROUP BY 1
+ORDER BY sum(value) DESC, user_id ASC LIMIT 5""",
+    "q23_label_metrics" ->
+      """WITH s AS (SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y, value AS sc FROM events),
+r AS (SELECT y, rank() OVER (ORDER BY sc) + (count(*) OVER (PARTITION BY sc) - 1)/2.0 AS midrank FROM s),
+a AS (SELECT (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+        / (sum(y)*(count(*) - sum(y))) AS auc FROM r),
+acc AS (SELECT avg(CASE WHEN (value > 100.0) = (event_type = 'error') THEN 1.0 ELSE 0.0 END) AS accuracy FROM events)
+SELECT round(a.auc, 6) AS auc, round(acc.accuracy, 6) AS accuracy FROM a CROSS JOIN acc""",
+    "q24_ks_drift" ->
+      """WITH s AS (SELECT value AS v,
+    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS g FROM events),
+pv AS (SELECT v, sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+              sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2 FROM s GROUP BY v),
+cum AS (SELECT
+    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
+    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2 FROM pv),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv)
+SELECT round(max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2)), 6) AS ks_stat,
+  max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2)) > 1.358*sqrt((max(n1) + max(n2))::DOUBLE/(max(n1)*max(n2))) AS drift_detected
+FROM cum CROSS JOIN tot""",
+    "q25_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice*(1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem GROUP BY 1, 2""",
+    "q26_segment_revenue" ->
+      """SELECT c_mktsegment,
+  round(sum(l_extendedprice*(1 - l_discount)), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1""",
+    "q27_value_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")
+}
