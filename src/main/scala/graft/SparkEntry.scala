@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * under graft.queries; this object is just the aggregated registry.
   */
 object SparkEntry {
-  private val packs: Seq[QueryPack] = Seq(CoreQueries, ProfileQueries, RelationalQueries)
+  private val packs: Seq[QueryPack] =
+    Seq(CoreQueries, ProfileQueries, RelationalQueries, ScaleQueries)
 
   /** Flagship: the full window-features -> risk-score pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.scale.{Dedup, Similarity, TextOps}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents`/`embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search,
+  * and text analysis. Oracle SQL for the hash-based ops is generated from
+  * the same constants as the Scala implementation.
+  */
+object ScaleQueries extends QueryPack {
+
+  /** Shared shingle CTEs (word 3-grams, lowercase, distinct per doc). */
+  private val shingleCte =
+    """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i FROM tok))"""
+
+  private val sigSelect: String = {
+    val cols = Dedup.perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*hm + $b) % ${Dedup.P})::BIGINT AS mh$i"
+    }.mkString(",\n    ")
+    s"""h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::UBIGINT % ${Dedup.P} AS hm FROM sh0),
+sig AS (SELECT doc_id,
+    $cols
+  FROM h GROUP BY doc_id)"""
+  }
+
+  override val defs: Map[String, Q] = Map(
+    "q28_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    "q29_text_stats" -> { (s, dir) =>
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.nTokens(t).as("n_tokens"),
+        TextOps.nBpeishTokens(t).as("n_bpeish_tokens"),
+        r6(TextOps.punctRatio(t)).as("punct_ratio"),
+        r6(TextOps.digitRatio(t)).as("digit_ratio"),
+        r6(TextOps.stopwordRatio(t)).as("stopword_ratio"),
+        r6(TextOps.avgTokenLen(t)).as("avg_token_len"),
+        r6(TextOps.qualityScore(t)).as("quality_score"))
+    },
+    "q30_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.predictedLang(col("text")).as("predicted_lang"),
+        col("lang"),
+        (TextOps.predictedLang(col("text")) === col("lang")).as("correct"))
+    },
+    "q31_jaccard_topk" -> { (s, dir) =>
+      Dedup.jaccardTopK(Tables.documents(s, dir), col("doc_id"), col("text"),
+          n = 3, dfCut = 50, k = 20)
+        .select(col("doc1"), col("doc2"), col("inter"), r6(col("jaccard")).as("jaccard"))
+    },
+    "q32_minhash_signatures" -> { (s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), col("doc_id"), col("text"), n = 3)
+    },
+    "q33_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), n = 3)
+        .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
+    },
+    "q34_simhash" -> { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    "q35_ann_cosine" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), k = 10)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+          r6(col("cos")).as("cos"))
+    })
+
+  override val oracle: Map[String, String] = Map(
+    "q28_dedup_exact" ->
+      """SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents""",
+    "q29_text_stats" ->
+      """WITH b AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish_tokens,
+    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) AS digit_ratio,
+    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio,
+    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS avg_token_len
+  FROM documents)
+SELECT doc_id, n_tokens, n_bpeish_tokens,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(digit_ratio, 6) AS digit_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(avg_token_len, 6) AS avg_token_len,
+  round(0.25*least(n_tokens/50.0, 1.0) + 0.25*(1.0 - least(punct_ratio*10.0, 1.0))
+    + 0.25*least(stopword_ratio*10.0, 1.0) + 0.25*least(avg_token_len/5.0, 1.0), 6) AS quality_score
+FROM b""",
+    "q30_lang_id" -> {
+      val counts = TextOps.langMarkers.map { case (l, pat) =>
+        s"len(regexp_extract_all(lower(text), '$pat')) AS c_$l"
+      }.mkString(",\n    ")
+      s"""WITH c AS (
+  SELECT doc_id, lang,
+    $counts
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN c_zh > greatest(c_en, c_de, c_fr, c_es) THEN 'zh'
+       WHEN c_es > greatest(c_en, c_de, c_fr) THEN 'es'
+       WHEN c_fr > greatest(c_en, c_de) THEN 'fr'
+       WHEN c_de > c_en THEN 'de'
+       ELSE 'en' END AS predicted_lang,
+  lang,
+  (CASE WHEN c_zh > greatest(c_en, c_de, c_fr, c_es) THEN 'zh'
+       WHEN c_es > greatest(c_en, c_de, c_fr) THEN 'es'
+       WHEN c_fr > greatest(c_en, c_de) THEN 'fr'
+       WHEN c_de > c_en THEN 'de'
+       ELSE 'en' END) = lang AS correct
+FROM c"""
+    },
+    "q31_jaccard_topk" ->
+      s"""WITH $shingleCte,
+rare AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh0 GROUP BY 1) WHERE df <= 50),
+kept AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc1, doc2, inter,
+  round(inter::DOUBLE/(s1.sz + s2.sz - inter), 6) AS jaccard
+FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+ORDER BY inter::DOUBLE/(s1.sz + s2.sz - inter) DESC, doc1 ASC, doc2 ASC LIMIT 20""",
+    "q32_minhash_signatures" ->
+      s"""WITH $shingleCte,
+$sigSelect
+SELECT * FROM sig""",
+    "q33_minhash_pairs" -> {
+      val bandRows = Dedup.bands.zipWithIndex.map { case (rows, bi) =>
+        s"SELECT doc_id, $bi AS band, concat_ws('_', ${rows.map(r => s"mh$r").mkString(", ")}) AS key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleCte,
+$sigSelect,
+bk AS (
+  $bandRows),
+cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
+          FROM cand c JOIN sh0 a ON a.doc_id = c.doc1 JOIN sh0 b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+          GROUP BY 1, 2)
+SELECT i.doc1, i.doc2, round(i.inter::DOUBLE/(s1.sz + s2.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id"""
+    },
+    "q34_simhash" -> {
+      val sums = (0 until 32).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fp = (0 until 32).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM t),
+s AS (SELECT doc_id,
+    $sums
+  FROM h GROUP BY doc_id)
+SELECT doc_id, ($fp)::BIGINT AS simhash FROM s"""
+    },
+    "q35_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+r AS (SELECT query_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT query_id, nbr_id, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")
+}

@@ -1,0 +1,142 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash),
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Hashes are md5-derived so every stage is reproducible in ANSI SQL
+  * (the DuckDB oracle builds the same integers from the same hex) — no
+  * engine-private hash functions in the contract. At 100 TB the shapes
+  * stay shuffle-friendly: shingling is a narrow flatMap, signatures are
+  * one groupBy(doc), LSH banding turns all-pairs similarity into
+  * equality joins on band keys.
+  */
+object Dedup {
+
+  /** 60-bit integer from the first 15 hex chars of md5(s). */
+  def md5Long(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit integer from the first 8 hex chars of md5(s). */
+  def md5Int(s: Column): Column = conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Exact duplicate grouping: canonical id = min doc id per content hash. */
+  def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = Window.partitionBy(md5(text))
+    docs.select(id.as("doc_id"),
+      min(id).over(w).as("canonical_id"),
+      count(lit(1)).over(w).as("dup_count"),
+      TextOps.fingerprint(text).as("fingerprint"))
+  }
+
+  /** Distinct lowercase word `n`-gram shingles per doc: (doc_id, shingle).
+    * Docs with fewer than n tokens contribute no shingles.
+    */
+  def shingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    docs.select(id.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= n, sequence(lit(1), size(col("toks")) - (n - 1)))
+          .otherwise(array().cast("array<int>")).as("idx"), col("toks"))
+      .select(col("doc_id"), explode(col("idx")).as("i"), col("toks"))
+      .select(col("doc_id"), array_join(slice(col("toks"), col("i"), lit(n)), " ").as("shingle"))
+      .distinct()
+  }
+
+  /** Top-k most similar doc pairs by exact shingle-set Jaccard.
+    * Shingles present in more than `dfCut` docs are dropped before pairing
+    * (the standard document-frequency cut that bounds the inverted-index
+    * join against quadratic hub blowup); set sizes are counted AFTER the
+    * cut, so jaccard is over retained shingles.
+    */
+  def jaccardTopK(docs: DataFrame, id: Column, text: Column, n: Int,
+                  dfCut: Int, k: Int): DataFrame = {
+    val sh = shingles(docs, id, text, n)
+    val rare = sh.groupBy(col("shingle")).agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") <= dfCut).select(col("shingle"))
+    val kept = sh.join(rare, "shingle")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+      .select(col("doc1"), col("doc2"), col("inter"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc1").asc, col("doc2").asc)
+      .limit(k)
+  }
+
+  /** MinHash permutation constants: (a_i, b_i) for
+    * h_i(x) = (a_i * (x mod P) + b_i) mod P. P prime > 2^32; a < 2^29 keeps
+    * a*(x mod P) < 2^62 — no 64-bit overflow in either engine.
+    */
+  val P: Long = 4294967311L
+  val numPerms = 16
+  val perms: Seq[(Long, Long)] = (1 to numPerms).map { i =>
+    val a = (2654435761L * i) % 536870909L
+    val b = (40503L * (i + 7)) % P
+    (if (a == 0) 1L else a, b)
+  }
+  /** 4 bands x 4 rows over the 16 minhashes. */
+  val bands: Seq[Seq[Int]] = (0 until 4).map(b => (0 until 4).map(r => b * 4 + r))
+
+  /** 16 minhash values per doc over word-`n`-gram shingles. */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val sh = shingles(docs, id, text, n)
+      .select(col("doc_id"), (md5Long(col("shingle")) % P).as("hm"))
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hm") + lit(b)) % P).as(s"mh$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs (equal signature in any band) with their exact
+    * shingle Jaccard — the scale path for near-dup detection: equality
+    * joins on band keys instead of all-pairs.
+    */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val sig = minhashSignatures(docs, id, text, n)
+    val bandKeys = bands.zipWithIndex.map { case (rows, bi) =>
+      sig.select(col("doc_id"), lit(bi).as("band"),
+        concat_ws("_", rows.map(r => col(s"mh$r")): _*).as("key"))
+    }.reduce(_ union _)
+    val cand = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    val sh = shingles(docs, id, text, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
+      .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("shingle", "shingle2"), "doc2")
+      .where(col("shingle") === col("shingle2"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+      .select(col("doc1"), col("doc2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over tokens (with multiplicity): bit j of the
+    * fingerprint is set iff Σ_tokens (bit_j(md5_32(token)) ? +1 : −1) > 0.
+    */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+        explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0))).as("tok"))
+      .select(col("doc_id"), md5Int(col("tok")).as("h"))
+    val sums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val fp = (0 until 32).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * Everything is closed-form `Column` expressions (regex + arithmetic) so
+  * the whole family stays inside whole-stage codegen — a narrow map over
+  * the corpus, embarrassingly parallel at 100 TB.
+  *
+  * Regex semantics are deliberately restricted to constructs with
+  * identical behavior in Java regex (Spark) and RE2 (DuckDB oracle):
+  * ASCII classes, disjoint alternations, \b on ASCII.
+  */
+object TextOps {
+
+  /** Whitespace-normalized lowercase form used for fingerprinting. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 16-hex-char (64-bit) content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column =
+    substring(md5(normalized(text)), 1, 16)
+
+  def nTokens(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("long")
+
+  /** BPE-ish subword-count estimate: alpha runs, digit runs, and isolated
+    * symbols — the shape of a byte-pair pre-tokenizer.
+    */
+  def nBpeishTokens(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+
+  private def countMatches(text: Column, klass: String): Column =
+    (length(text) - length(regexp_replace(text, klass, ""))).cast("double")
+
+  def punctRatio(text: Column): Column =
+    countMatches(text, "[.,;:!?]") / length(text)
+
+  def digitRatio(text: Column): Column =
+    countMatches(text, "[0-9]") / length(text)
+
+  val stopwordPattern = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+
+  def stopwordRatio(text: Column): Column =
+    regexp_count(lower(text), lit(stopwordPattern)).cast("double") /
+      greatest(nTokens(text), lit(1L))
+
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(nTokens(text), lit(1L))
+
+  /** Composite quality heuristic in [0,1]: length, punctuation sanity,
+    * stopword density (natural-language-ness), token shape. The exact
+    * blend is this engine's own definition (the reference has no text
+    * pipeline); it is deterministic and oracle-encoded.
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.25) * least(nTokens(text) / lit(50.0), lit(1.0)) +
+      lit(0.25) * (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) +
+      lit(0.25) * least(stopwordRatio(text) * 10.0, lit(1.0)) +
+      lit(0.25) * least(avgTokenLen(text) / lit(5.0), lit(1.0))
+
+  /** Marker-word language scores. Deterministic preference order on ties:
+    * en > de > fr > es > zh.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|was|that)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|est|pas|une)\\b",
+    "es" -> "\\b(el|los|las|y|es|una|por)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, pat) => l -> regexp_count(lower(text), lit(pat)).cast("long") }
+
+  /** Highest-scoring language with the fixed preference order. */
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (l, s)) =>
+        (greatest(bestScore, s), when(s > bestScore, l).otherwise(bestLang))
+    }._2
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.scale.{Dedup, Similarity, TextOps}
+import graft.tables.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("simhash: identical texts get identical fingerprints; disjoint texts differ") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words about spark engines here")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("minhash LSH recovers the high-jaccard near-dup pairs") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardTopK(docs, col("doc_id"), col("text"), 3, 50, 20)
+      .where(col("jaccard") >= 0.9)
+      .select(col("doc1"), col("doc2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Dedup.minhashPairs(docs, col("doc_id"), col("text"), 3)
+      .select(col("doc1"), col("doc2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+  }
+
+  test("LSH cosine top-k: returned cosines are exact; recall is nonzero") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, 10)
+      .select(col("query_id"), col("nbr_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 10, planes = 2, dim = 64)
+      .select(col("query_id"), col("nbr_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"lsh recall@10 = $recall")
+    assert(recall >= 0.05)
+  }
+
+  test("text ops: token counts and quality bounds") {
+    val docs = Seq((1L, "The cat and the dog. 42 foo!")).toDF("doc_id", "text")
+    val r = docs.select(
+      TextOps.nTokens(col("text")).as("nt"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.fingerprint(col("text")).as("fp")).head()
+    assert(r.getLong(0) == 7)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    assert(r.getString(2).length == 16)
+  }
+}
