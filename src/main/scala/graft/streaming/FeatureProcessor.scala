@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+import java.time.{Instant, ZoneOffset}
+
+/** Streaming input event (the reference's transaction record mapped onto
+  * the engine's canonical columns).
+  */
+case class StreamTxn(customer_id: Long, ts_micros: Long, amount: Double,
+                     merchant_id: String, ip_address: String)
+
+/** One emitted feature vector per input event — the reference job-1 view
+  * (`flink_job/aml_stream_processor.py:130-201`) plus the declared 24h/7d
+  * windows (`feature_repo/definitions.py:65-79`).
+  */
+case class StreamFeatures(
+    customer_id: Long, ts_micros: Long, amount: Double,
+    txn_amount_sum_60s: Double, txn_amount_sum_5m: Double, txn_amount_sum_1h: Double,
+    txn_count_60s: Long, txn_count_5m: Long, txn_count_10m: Long, txn_count_1h: Long,
+    unique_ips_1h: Long, unique_merchants_1h: Long,
+    velocity_score_1h: Double, amount_deviation_score_1h: Double,
+    night_txn_count_24h: Long, weekend_txn_count_7d: Long,
+    avg_txn_amount_1h: Double, max_txn_amount_1h: Double)
+
+/** Per-event trailing-window features with keyed list state — the one
+  * operator Structured Streaming lacks natively (SURVEY §2.9): tumbling/
+  * sliding windows emit per window close; the reference emits a feature
+  * vector per EVENT over that key's trailing (t-W, t] history.
+  *
+  * `transformWithState` (Spark 4 StatefulProcessor, RocksDB-backed):
+  * ListState holds the key's events inside the longest window (7 d);
+  * each incoming event appends, computes every window over the in-frame
+  * slice, emits one row, and the state is pruned to the newest event's
+  * 7-day horizon. State is O(events in 7 d) per key, pruning is O(expired).
+  *
+  * Contract (asserted in StreamingSpec): for watermark-conformant input,
+  * the emitted rows EQUAL the batch `CoreFeatures.customerFeatures`
+  * result on the same events — the batch range-frame operator is the
+  * correctness oracle for this processor.
+  */
+class CustomerFeatureProcessor extends StatefulProcessor[Long, StreamTxn, StreamFeatures] {
+  import CustomerFeatureProcessor._
+
+  @transient private var history: ListState[StreamTxn] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    history = getHandle.getListState[StreamTxn]("history", Encoders.product[StreamTxn], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamTxn],
+                               timerValues: TimerValues): Iterator[StreamFeatures] = {
+    val incoming = rows.toArray.sortBy(_.ts_micros)
+    if (incoming.isEmpty) return Iterator.empty
+    val all = (history.get().toArray ++ incoming).sortBy(_.ts_micros)
+    // features for each NEW event over the full merged history
+    val out = incoming.iterator.map(e => features(e, all))
+    // prune relative to the newest event; computed rows above already hold
+    // the history they needed, so pruning after the fact is safe
+    val cutoff = all.last.ts_micros - MaxWindowMicros
+    val keep = all.filter(_.ts_micros > cutoff)
+    history.clear()
+    history.appendList(keep)
+    out
+  }
+}
+
+object CustomerFeatureProcessor {
+  val MaxWindowMicros: Long = 7L * 86400 * 1000000
+
+  private def inWindow(all: Array[StreamTxn], t: Long, secs: Long): Array[StreamTxn] =
+    all.filter(x => x.ts_micros <= t && x.ts_micros > t - secs * 1000000L)
+
+  private def hourOf(micros: Long): Int =
+    Instant.ofEpochSecond(micros / 1000000).atZone(ZoneOffset.UTC).getHour
+
+  private def isWeekend(micros: Long): Boolean = {
+    val d = Instant.ofEpochSecond(micros / 1000000).atZone(ZoneOffset.UTC).getDayOfWeek
+    d.getValue >= 6 // ISO Sat=6 Sun=7 == Python weekday()>=5
+  }
+
+  private def isNight(micros: Long): Boolean = {
+    val h = hourOf(micros); h < 6 || h > 22
+  }
+
+  /** Exactly the batch window semantics: strict (t-W, t], population
+    * stddev, distinct over the raw in-frame events.
+    */
+  def features(e: StreamTxn, all: Array[StreamTxn]): StreamFeatures = {
+    val t = e.ts_micros
+    val w60 = inWindow(all, t, 60)
+    val w5m = inWindow(all, t, 300)
+    val w10m = inWindow(all, t, 600)
+    val w1h = inWindow(all, t, 3600)
+    val w24h = inWindow(all, t, 86400)
+    val w7d = inWindow(all, t, 604800)
+    val amts1h = w1h.map(_.amount)
+    val mean1h = amts1h.sum / amts1h.length
+    val std1h =
+      if (amts1h.length <= 1) 0.0
+      else math.sqrt(amts1h.map(a => (a - mean1h) * (a - mean1h)).sum / amts1h.length)
+    StreamFeatures(
+      customer_id = e.customer_id, ts_micros = t, amount = e.amount,
+      txn_amount_sum_60s = w60.map(_.amount).sum,
+      txn_amount_sum_5m = w5m.map(_.amount).sum,
+      txn_amount_sum_1h = amts1h.sum,
+      txn_count_60s = w60.length, txn_count_5m = w5m.length,
+      txn_count_10m = w10m.length, txn_count_1h = w1h.length,
+      unique_ips_1h = w1h.map(_.ip_address).distinct.length,
+      unique_merchants_1h = w1h.map(_.merchant_id).distinct.length,
+      velocity_score_1h = w1h.length / 60.0,
+      amount_deviation_score_1h = std1h,
+      night_txn_count_24h = w24h.count(x => isNight(x.ts_micros)),
+      weekend_txn_count_7d = w7d.count(x => isWeekend(x.ts_micros)),
+      avg_txn_amount_1h = mean1h,
+      max_txn_amount_1h = amts1h.max)
+  }
+}
+
+object StreamingFeatures {
+  /** Wire the processor onto a stream of events. The session must use the
+    * RocksDB state store provider (transformWithState requirement).
+    */
+  def customerFeatures(events: Dataset[StreamTxn]): Dataset[StreamFeatures] = {
+    implicit val enc: Encoder[StreamFeatures] = Encoders.product[StreamFeatures]
+    events.groupByKey(_.customer_id)(Encoders.scalaLong)
+      .transformWithState(new CustomerFeatureProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}

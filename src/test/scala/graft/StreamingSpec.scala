@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.CoreFeatures
+import graft.streaming.{StreamTxn, StreamingFeatures}
+import graft.tables.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming processor's contract: equals the batch range-frame
+  * operator on the same events (SURVEY §2.9).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .getOrCreate()
+
+  test("transformWithState features == batch window features (two ordered micro-batches)") {
+    import spark.implicits._
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+
+    val split = tx.map(_.ts_micros).apply(tx.length / 2)
+    val (b1, b2) = tx.partition(_.ts_micros <= split)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.customerFeatures(input.toDS())
+      .writeStream.format("memory").queryName("feat").outputMode("append").start()
+    try {
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("feat")
+      .select(col("customer_id"), col("ts_micros"), round(col("txn_amount_sum_1h"), 6).as("s1h"),
+        col("txn_count_60s"), col("txn_count_1h"), col("unique_ips_1h"),
+        col("unique_merchants_1h"), round(col("amount_deviation_score_1h"), 6).as("std1h"),
+        col("night_txn_count_24h"), col("weekend_txn_count_7d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+
+    val batch = CoreFeatures.customerFeatures(Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        round(col("txn_amount_sum_1h"), 6).as("s1h"),
+        col("txn_count_60s"), col("txn_count_1h"), col("unique_ips_1h"),
+        col("unique_merchants_1h"), round(col("amount_deviation_score_1h"), 6).as("std1h"),
+        col("night_txn_count_24h"), col("weekend_txn_count_7d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+
+    assert(streamed.size == batch.size, s"row counts: ${streamed.size} vs ${batch.size}")
+    val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+  }
+}
