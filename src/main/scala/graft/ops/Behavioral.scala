@@ -38,15 +38,27 @@ object Behavioral {
       stddev_pop(amount).as("pop_std"),
       count(lit(1)).as("pop_n"))
 
-    // percentile-of-score: count strict/weak positions of each entity mean
-    // within the full amount population.
-    val means = per.select(col("k"), col("cust_avg"))
-    val ranks = df.select(amount.as("a"))
-      .crossJoin(broadcast(means))
-      .groupBy(col("k"))
-      .agg(
-        sum(when(col("a") < col("cust_avg"), 1L).otherwise(0L)).as("n_lt"),
-        sum(when(col("a") <= col("cust_avg"), 1L).otherwise(0L)).as("n_le"))
+    // percentile-of-score: strict/weak rank of each entity mean within the
+    // full amount population. NOT a cross join (that's O(N·K)): union-tag
+    // the means into the population and read both counts off running sums
+    // in two orderings — ties resolved by the tag so "events at the same
+    // value" land before the mean for n_le and after it for n_lt.
+    // O(N log N); at 100 TB the same counts come from a range-partitioned
+    // sort or a quantile sketch behind this API.
+    val popVals = df.select(amount.as("v"), lit(1L).as("cnt"), lit(0).as("tag"),
+      lit(null).cast(per.schema("k").dataType).as("k"))
+    val meanVals = per.select(col("cust_avg").as("v"), lit(0L).as("cnt"), lit(1).as("tag"), col("k"))
+    val u = popVals.unionByName(meanVals)
+    val wLe = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc, col("tag").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val wLt = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").asc, col("tag").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val ranks = u.select(col("k"),
+        sum(col("cnt")).over(wLe).as("n_le"),
+        sum(col("cnt")).over(wLt).as("n_lt"))
+      .where(col("k").isNotNull)
 
     per.join(broadcast(ranks), "k")
       .crossJoin(broadcast(pop))

@@ -53,18 +53,21 @@ object Dedup {
     */
   def jaccardTopK(docs: DataFrame, id: Column, text: Column, n: Int,
                   dfCut: Int, k: Int): DataFrame = {
+    // df-cut and set sizes as count-windows folded into one plan (no
+    // aggregate+join round trips): shuffle by shingle, shuffle by doc,
+    // then the inverted-index self-join carries the sizes along so the
+    // pair aggregation needs no further joins.
     val sh = shingles(docs, id, text, n)
-    val rare = sh.groupBy(col("shingle")).agg(countDistinct(col("doc_id")).as("df"))
-      .where(col("df") <= dfCut).select(col("shingle"))
-    val kept = sh.join(rare, "shingle")
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = kept.as("a").join(kept.as("b"),
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .where(col("df") <= dfCut)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
-      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
       .select(col("doc1"), col("doc2"), col("inter"),
         (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc1").asc, col("doc2").asc)
@@ -86,13 +89,15 @@ object Dedup {
   val bands: Seq[Seq[Int]] = (0 until 4).map(b => (0 until 4).map(r => b * 4 + r))
 
   /** 16 minhash values per doc over word-`n`-gram shingles. */
-  def minhashSignatures(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val sh = shingles(docs, id, text, n)
-      .select(col("doc_id"), (md5Long(col("shingle")) % P).as("hm"))
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    minhashSignaturesFrom(shingles(docs, id, text, n))
+
+  private[scale] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), (md5Long(col("shingle")) % P).as("hm"))
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hm") + lit(b)) % P).as(s"mh$i")
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs (equal signature in any band) with their exact
@@ -100,7 +105,8 @@ object Dedup {
     * joins on band keys instead of all-pairs.
     */
   def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val sig = minhashSignatures(docs, id, text, n)
+    val shCached = shingles(docs, id, text, n)
+    val sig = minhashSignaturesFrom(shCached)
     val bandKeys = bands.zipWithIndex.map { case (rows, bi) =>
       sig.select(col("doc_id"), lit(bi).as("band"),
         concat_ws("_", rows.map(r => col(s"mh$r")): _*).as("key"))
@@ -110,7 +116,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    val sh = shingles(docs, id, text, n)
+    val sh = shCached
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     cand
       .join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
