@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.ops.{Clustering, CoreFeatures => F}
+import graft.scale.Multimodal
+import graft.scoring.Risk
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Explanations, per-group DBSCAN, and the multimodal binary pipeline
+  * (SURVEY W6, A31, plus the training-pipeline media path).
+  */
+object ServingQueries extends QueryPack {
+
+  override val defs: Map[String, Q] = Map(
+    "q39_explanations" -> { (s, dir) =>
+      F.customerFeatures(Tables.transactions(s, dir))
+        .select(col("transaction_id"), col("customer_id"),
+          Risk.explanation.as("explanation"))
+    },
+    // no oracleSql (rows-only): DBSCAN's connected components aren't
+    // SQL-expressible; exactness pinned by ClusteringSpec's hand fixture.
+    "q41_dbscan" -> { (s, dir) =>
+      Clustering.dbscanFeatures(Tables.transactions(s, dir))
+        .select(col("customer_id"),
+          r6(col("behavioral_outlier_ratio")).as("behavioral_outlier_ratio"),
+          col("behavioral_n_clusters"))
+    },
+    "q40_multimodal" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaTable(Tables.documents(s, dir))
+      val exprFeats = media.select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        md5(col("media")).as("media_md5"),
+        md5(substring(col("media"), 1, 64)).as("thumb_md5"))
+      val decoded = Multimodal.extractFeatures(
+        media.select(col("doc_id"), col("media"), col("meta.format").as("format"))
+          .as[Multimodal.MediaRow])
+      exprFeats.join(decoded.toDF(), "doc_id")
+        .select(col("doc_id"), col("n_bytes"), col("media_md5"), col("thumb_md5"),
+          r6(col("byte_mean")).as("byte_mean"), col("byte_max").cast("long").as("byte_max"),
+          col("n_frames"))
+    })
+
+  override val oracle: Map[String, String] = Map(
+    "q39_explanations" -> {
+      val entries = Risk.model.map { case (f, wgt, norm) =>
+        s"{'c': -least($f / $norm, 1.0) * $wgt, 'n': '$f'}"
+      }.mkString(",\n      ")
+      val w = Map("w60s" -> 60000000L, "w5m" -> 300000000L, "w10m" -> 600000000L,
+        "w1h" -> 3600000000L, "w24h" -> 86400000000L, "w7d" -> 604800000000L)
+        .map { case (a, m) =>
+          s"$a AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN ${m - 1} PRECEDING AND CURRENT ROW)"
+        }.mkString(", ")
+      s"""WITH f AS (
+  SELECT event_id AS transaction_id, user_id AS customer_id,
+    sum(value) OVER w60s AS txn_amount_sum_60s,
+    sum(value) OVER w5m AS txn_amount_sum_5m,
+    sum(value) OVER w1h AS txn_amount_sum_1h,
+    count(*) OVER w60s AS txn_count_60s,
+    count(*) OVER w5m AS txn_count_5m,
+    count(*) OVER w10m AS txn_count_10m,
+    count(*) OVER w1h AS txn_count_1h,
+    count(DISTINCT props->>'$$.k') OVER w1h AS unique_ips_1h,
+    count(DISTINCT event_type) OVER w1h AS unique_merchants_1h,
+    (count(*) OVER w1h) / 60.0 AS velocity_score_1h,
+    coalesce(stddev_pop(value) OVER w1h, 0.0) AS amount_deviation_score_1h,
+    sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
+    sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
+    avg(value) OVER w1h AS avg_txn_amount_1h
+  FROM events WINDOW $w)
+SELECT transaction_id, customer_id,
+  list_transform(
+    list_filter(
+      list_sort([
+      $entries])[1:3],
+      x -> x.c < -0.05),
+    x -> x.n) AS explanation
+FROM f"""
+    },
+    "q40_multimodal" ->
+      """WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+st AS (SELECT doc_id, avg(unicode(c)) AS byte_mean, max(unicode(c)) AS byte_max FROM ch GROUP BY doc_id)
+SELECT d.doc_id,
+  octet_length(encode(d.text)) AS n_bytes,
+  md5(d.text) AS media_md5,
+  md5(substr(d.text, 1, 64)) AS thumb_md5,
+  round(st.byte_mean, 6) AS byte_mean,
+  st.byte_max::BIGINT AS byte_max,
+  (octet_length(encode(d.text)) + 255) // 256 AS n_frames
+FROM documents d JOIN st USING (doc_id)""")
+}

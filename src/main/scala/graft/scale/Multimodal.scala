@@ -1,0 +1,56 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media as opaque `binary` with typed metadata
+  * (the training-pipeline pattern for image/audio/video at 100 TB —
+  * bytes stay columnar in parquet, decode happens batched in tasks).
+  *
+  * The decode step itself is a DETERMINISTIC STUB (this container ships
+  * no codecs): `decodeBatch` stands in for an image/audio decoder but the
+  * Spark-side plumbing — binary schema, metadata struct, mapPartitions
+  * batch shape, per-task iteration — is the real production shape
+  * (the Scala analogue of a `mapInPandas` decode).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
+  case class MediaFeatures(doc_id: Long, byte_mean: Double, byte_max: Int, n_frames: Long)
+
+  /** Media table derived deterministically from the documents corpus:
+    * utf-8 bytes as the opaque payload + a metadata struct.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("media"),
+      struct(
+        lit("fake/raw").as("format"),
+        octet_length(encode(col("text"), "utf-8")).as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  /** Batched "decode + feature extract": one pass per partition, decoding
+    * each payload once. STUB decoder: byte statistics + 256-byte frame
+    * count stand in for pixel/sample features.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.media
+        var sum = 0L; var mx = 0
+        var i = 0
+        while (i < b.length) {
+          val v = b(i) & 0xff
+          sum += v; if (v > mx) mx = v
+          i += 1
+        }
+        MediaFeatures(r.doc_id,
+          if (b.length == 0) 0.0 else sum.toDouble / b.length,
+          mx,
+          (b.length + 255) / 256)
+      }
+    }
+  }
+}

@@ -49,6 +49,22 @@ object Risk {
   def level(score: Column): Column =
     when(score <= 0.3, "LOW").when(score <= 0.6, "MEDIUM").otherwise("HIGH")
 
+  /** Top-3 explanation factors (reference `api/main.py:211-241`): feature
+    * names of the 3 largest weight contributions, kept only above the 0.05
+    * significance floor. One array expression — sort/slice/filter all stay
+    * in codegen. Ties (equal contributions) break by feature name; the
+    * reference inherits Python dict order instead, so the tie rule here is
+    * the engine's canonical choice, mirrored in the oracle.
+    */
+  def explanation: Column = {
+    val entries = model.map { case (f, wgt, norm) =>
+      struct((-least(col(f).cast("double") / lit(norm), lit(1.0)) * lit(wgt)).as("c"),
+        lit(f).as("n"))
+    }
+    val top3 = slice(array_sort(array(entries: _*)), 1, 3)
+    transform(filter(top3, x => x.getField("c") < -0.05), x => x.getField("n"))
+  }
+
   /** Attach risk_score + risk_level to a feature frame. */
   def scored(features: DataFrame, amount: Column): DataFrame = {
     val s = score(amount)
