@@ -25,6 +25,20 @@ object ServingQueries extends QueryPack {
           r6(col("behavioral_outlier_ratio")).as("behavioral_outlier_ratio"),
           col("behavioral_n_clusters"))
     },
+    "q42_percentiles" -> { (s, dir) =>
+      // W10: p50/p95/p99 summary per group. Exact `percentile` (linear
+      // interpolation — same convention as DuckDB quantile_cont); the
+      // 100 TB path swaps in percentile_approx behind the same shape.
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("p"),
+          count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+          r6(col("p").getItem(0)).as("p50"),
+          r6(col("p").getItem(1)).as("p95"),
+          r6(col("p").getItem(2)).as("p99"),
+          col("cnt"))
+    },
     "q40_multimodal" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaTable(Tables.documents(s, dir))
@@ -78,6 +92,13 @@ SELECT transaction_id, customer_id,
     x -> x.n) AS explanation
 FROM f"""
     },
+    "q42_percentiles" ->
+      """SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  round(quantile_cont(value, 0.99), 6) AS p99,
+  count(*) AS cnt
+FROM events GROUP BY event_type""",
     "q40_multimodal" ->
       """WITH ch AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),

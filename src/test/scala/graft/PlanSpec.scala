@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.{CoreQueries, PipelineQueries, RelationalQueries}
+import graft.tables.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB posture is a property of
+  * the PLAN, not the output: filters/projections must reach the parquet
+  * scan, small dims must broadcast, and a multi-window feature view must
+  * cost exactly one exchange on the entity key.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE reports the FINAL plan incl. codegen
+    // AQE's toString appends the pre-execution plan after "== Initial
+    // Plan ==" — keep only the final executed tree
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("filter and column pruning reach the parquet scan") {
+    val p = plan(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(col("l_extendedprice") > 1000.0))
+    assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice,1000.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), p)
+  }
+
+  test("72-feature view costs exactly one exchange (all windows share the sort)") {
+    val p = plan(PipelineQueries.defs("q37_full_features")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("risk pipeline costs one exchange and stays in whole-stage codegen") {
+    val p = plan(CoreQueries.defs("q08_risk_score")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    assert(p.contains("*("), p) // "*(n)" operator prefix == whole-stage codegen stage
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan(RelationalQueries.defs("q26_segment_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("feature lookup join broadcasts the snapshot side") {
+    val p = plan(RelationalQueries.defs("q20_feature_lookup")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"), p)
+  }
+}
