@@ -28,6 +28,42 @@ object Drift {
         (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
   }
 
+  /** Windowed AUC drift (A35; reference `feedback_system.py:166-202`):
+    * AUC over the trailing 7 days vs the 7 days before, relative to the
+    * data's max timestamp. Drift when recent AUC degrades by more than
+    * 0.05, guarded by the reference's minimum sample sizes (50 total /
+    * 20 recent / 20 prior). Mid-rank AUC per period via one
+    * period-partitioned window.
+    */
+  def aucDriftWindowed(df: DataFrame, label: Column, score: Column, ts: Column): DataFrame = {
+    val bounds = df.agg(max(unix_micros(ts)).as("max_tm"))
+    val week = 7L * 86400 * 1000000
+    val tagged = df.select(label.cast("int").as("y"), score.as("s"), unix_micros(ts).as("tm"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(col("tm") > col("max_tm") - week, "recent")
+          .when(col("tm") > col("max_tm") - 2 * week, "prior"))
+      .where(col("period").isNotNull)
+    val w = Window.partitionBy(col("period")).orderBy(col("s"))
+    val tied = Window.partitionBy(col("period"), col("s"))
+    val ranked = tagged.select(col("period"), col("y"),
+      (rank().over(w) + (count(lit(1)).over(tied) - 1) / 2.0).as("midrank"))
+    val perPeriod = ranked.groupBy(col("period")).agg(
+      ((sum(when(col("y") === 1, col("midrank"))) -
+        sum(col("y")) * (sum(col("y")) + 1) / 2.0) /
+        (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"),
+      count(lit(1)).as("n"))
+    val r = perPeriod.where(col("period") === "recent")
+      .select(col("auc").as("auc_recent"), col("n").as("n_recent"))
+    val p = perPeriod.where(col("period") === "prior")
+      .select(col("auc").as("auc_prior"), col("n").as("n_prior"))
+    r.crossJoin(p).select(
+      col("auc_recent"), col("auc_prior"), col("n_recent"), col("n_prior"),
+      (col("auc_prior") - col("auc_recent")).as("degradation"),
+      (col("n_recent") + col("n_prior") >= 50 && col("n_recent") >= 20 && col("n_prior") >= 20 &&
+        col("auc_prior") - col("auc_recent") > 0.05).as("drift_detected"))
+  }
+
   /** Binary-prediction accuracy (A37): mean(pred == actual). */
   def accuracy(predicted: Column, actual: Column): Column =
     avg(when(predicted === actual, 1.0).otherwise(0.0))

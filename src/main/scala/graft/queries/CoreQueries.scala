@@ -55,11 +55,15 @@ object CoreQueries extends QueryPack {
         r6(F.amountStdPop(col("amount"), w, 3600)).as("amount_deviation_score_1h"))
     },
     "q05_unique_counts" -> { (s, dir) =>
+      // native TypedImperativeAggregate (graft.functions.ExactDistinct)
+      // instead of the size(collect_set) workaround — same values, no
+      // per-row array materialization
+      graft.functions.GraftFunctions.register(s)
       val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
       Tables.transactions(s, dir).select(
         col("transaction_id"), col("customer_id"),
-        F.distinctOver(col("ip_address"), w, 3600).as("unique_ips_1h"),
-        F.distinctOver(col("merchant_id"), w, 3600).as("unique_merchants_1h"))
+        expr("exact_distinct(ip_address)").over(Trailing.lastSeconds(w, 3600)).as("unique_ips_1h"),
+        expr("exact_distinct(merchant_id)").over(Trailing.lastSeconds(w, 3600)).as("unique_merchants_1h"))
     },
     "q06_velocity" -> { (s, dir) =>
       val w = Trailing.spec(col("customer_id"), col("event_timestamp"))

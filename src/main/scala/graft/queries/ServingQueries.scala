@@ -25,6 +25,16 @@ object ServingQueries extends QueryPack {
           r6(col("behavioral_outlier_ratio")).as("behavioral_outlier_ratio"),
           col("behavioral_n_clusters"))
     },
+    "q43_auc_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.feedback.Drift.aucDriftWindowed(ev,
+          col("event_type") === "error", col("value"), col("ts"))
+        .select(r6(col("auc_recent")).as("auc_recent"),
+          r6(col("auc_prior")).as("auc_prior"),
+          col("n_recent"), col("n_prior"),
+          r6(col("degradation")).as("degradation"),
+          col("drift_detected"))
+    },
     "q42_percentiles" -> { (s, dir) =>
       // W10: p50/p95/p99 summary per group. Exact `percentile` (linear
       // interpolation — same convention as DuckDB quantile_cont); the
@@ -92,6 +102,28 @@ SELECT transaction_id, customer_id,
     x -> x.n) AS explanation
 FROM f"""
     },
+    "q43_auc_drift" ->
+      """WITH b AS (SELECT max(epoch_us(ts)) AS max_tm FROM events),
+t AS (
+  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y, value AS s,
+    CASE WHEN epoch_us(ts) > max_tm - 604800000000 THEN 'recent'
+         WHEN epoch_us(ts) > max_tm - 1209600000000 THEN 'prior' END AS period
+  FROM events CROSS JOIN b),
+tt AS (SELECT * FROM t WHERE period IS NOT NULL),
+r AS (SELECT period, y,
+    rank() OVER (PARTITION BY period ORDER BY s) + (count(*) OVER (PARTITION BY period, s) - 1)/2.0 AS midrank
+  FROM tt),
+pp AS (SELECT period,
+    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+      / (sum(y)*(count(*) - sum(y))) AS auc,
+    count(*) AS n
+  FROM r GROUP BY period)
+SELECT round(rec.auc, 6) AS auc_recent, round(pri.auc, 6) AS auc_prior,
+  rec.n AS n_recent, pri.n AS n_prior,
+  round(pri.auc - rec.auc, 6) AS degradation,
+  (rec.n + pri.n >= 50 AND rec.n >= 20 AND pri.n >= 20 AND pri.auc - rec.auc > 0.05) AS drift_detected
+FROM (SELECT * FROM pp WHERE period = 'recent') rec
+CROSS JOIN (SELECT * FROM pp WHERE period = 'prior') pri""",
     "q42_percentiles" ->
       """SELECT event_type,
   round(quantile_cont(value, 0.5), 6) AS p50,
