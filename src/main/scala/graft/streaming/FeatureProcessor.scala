@@ -116,6 +116,42 @@ object CustomerFeatureProcessor {
   }
 }
 
+/** Merchant-entity view (SURVEY A9/A10): the same trailing-window state
+  * machine keyed by merchant — the reference's keyed fan-out consumes one
+  * stream under two keys (`aml_stream_processor.py:363-370`).
+  */
+case class MerchantFeatures(
+    merchant_id: String, ts_micros: Long,
+    merchant_txn_count_1h: Long, merchant_txn_amount_sum_1h: Double,
+    merchant_avg_txn_amount_1h: Double, merchant_unique_customers_1h: Long)
+
+class MerchantFeatureProcessor extends StatefulProcessor[String, StreamTxn, MerchantFeatures] {
+  @transient private var history: ListState[StreamTxn] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    history = getHandle.getListState[StreamTxn]("mhistory", Encoders.product[StreamTxn], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[StreamTxn],
+                               timerValues: TimerValues): Iterator[MerchantFeatures] = {
+    val incoming = rows.toArray.sortBy(_.ts_micros)
+    if (incoming.isEmpty) return Iterator.empty
+    val all = (history.get().toArray ++ incoming).sortBy(_.ts_micros)
+    val out = incoming.iterator.map { e =>
+      val t = e.ts_micros
+      val w1h = all.filter(x => x.ts_micros <= t && x.ts_micros > t - 3600000000L)
+      MerchantFeatures(key, t,
+        w1h.length,
+        w1h.map(_.amount).sum,
+        w1h.map(_.amount).sum / w1h.length,
+        w1h.map(_.customer_id).distinct.length)
+    }
+    val cutoff = all.last.ts_micros - 3600000000L
+    history.clear()
+    history.appendList(all.filter(_.ts_micros > cutoff))
+    out
+  }
+}
+
 object StreamingFeatures {
   /** Wire the processor onto a stream of events. The session must use the
     * RocksDB state store provider (transformWithState requirement).
@@ -124,6 +160,16 @@ object StreamingFeatures {
     implicit val enc: Encoder[StreamFeatures] = Encoders.product[StreamFeatures]
     events.groupByKey(_.customer_id)(Encoders.scalaLong)
       .transformWithState(new CustomerFeatureProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Keyed fan-out: the same source keyed by merchant (runs as a second
+    * streaming query off one input, like the reference's dual key_by).
+    */
+  def merchantFeatures(events: Dataset[StreamTxn]): Dataset[MerchantFeatures] = {
+    implicit val enc: Encoder[MerchantFeatures] = Encoders.product[MerchantFeatures]
+    events.groupByKey(_.merchant_id)(Encoders.STRING)
+      .transformWithState(new MerchantFeatureProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 }

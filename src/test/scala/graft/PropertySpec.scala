@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Distribution
+import graft.streaming.{CustomerFeatureProcessor, StreamTxn}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5.2): the streaming per-event computation is
+  * checked against Spark's batch range-frame windows on RANDOM event
+  * sequences, and the distribution aggregates respect their mathematical
+  * bounds.
+  */
+class PropertySpec extends AnyFunSuite {
+  /** deterministic scalacheck sampling (scalatestplus bridge not on the
+    * offline classpath) */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.apply(Gen.Parameters.default, Seed(42L + i)).get)
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val txnGen: Gen[StreamTxn] = for {
+    cust <- Gen.choose(1L, 3L)
+    ts <- Gen.choose(0L, 7200L * 1000000) // 2 h span, microsecond ts
+    amount <- Gen.choose(1, 100000).map(_ / 100.0)
+    merch <- Gen.oneOf("m1", "m2", "m3")
+    ip <- Gen.oneOf("a", "b", "c", "d")
+  } yield StreamTxn(cust, ts, amount, merch, ip)
+
+  test("per-event feature math == batch range-frame windows on random sequences") {
+    samples(Gen.listOfN(60, txnGen), 20).foreach { txns =>
+      {
+        val sorted = txns.sortBy(t => (t.ts_micros, t.amount)).toArray
+        // streaming-processor math, all events known (single batch)
+        val perKey = sorted.groupBy(_.customer_id)
+        val streamed = sorted.map { e =>
+          val f = CustomerFeatureProcessor.features(e, perKey(e.customer_id))
+          ((f.customer_id, f.ts_micros, f.amount),
+            (f.txn_count_1h, math.round(f.txn_amount_sum_1h * 1e6), f.unique_ips_1h))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        // batch windows
+        val w = graft.ops.Trailing.spec(col("customer_id"), timestamp_micros(col("ts_micros")))
+        val batch = sorted.toSeq.toDF()
+          .select(col("customer_id"), col("ts_micros"), col("amount"),
+            graft.ops.CoreFeatures.txnCount(w, 3600).as("c"),
+            graft.ops.CoreFeatures.amountSum(col("amount"), w, 3600).as("s"),
+            graft.ops.CoreFeatures.distinctOver(col("ip_address"), w, 3600).as("u"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getDouble(2)),
+            (r.getLong(3), math.round(r.getDouble(4) * 1e6), r.getLong(5))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        assert(streamed == batch)
+      }
+    }
+  }
+
+  test("gini in [0,1), entropy <= log2(buckets), hhi in (0,1]") {
+    samples(Gen.listOfN(40, txnGen), 10).foreach { txns =>
+      {
+        val df = txns.toDF()
+        val g = Distribution.gini(df, col("customer_id"), col("amount"), col("ts_micros"))
+          .collect().map(_.getDouble(1))
+        assert(g.forall(x => x >= 0.0 && x < 1.0), g.mkString(","))
+        val e = Distribution.entropy(df, col("customer_id"), col("merchant_id"), "e")
+          .collect().map(_.getDouble(1))
+        assert(e.forall(x => x >= 0.0 && x <= math.log(3) / math.log(2) + 1e-9), e.mkString(","))
+        val h = Distribution.hhi(df, col("customer_id"), col("merchant_id"), "h")
+          .collect().map(_.getDouble(1))
+        assert(h.forall(x => x > 0.0 && x <= 1.0 + 1e-9), h.mkString(","))
+      }
+    }
+  }
+}

@@ -59,4 +59,33 @@ class StreamingSpec extends AnyFunSuite {
     val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => (k, v, streamed.get(k)) }
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
   }
+
+  test("keyed fan-out: merchant view off the same source == batch merchant windows") {
+    import spark.implicits._
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[graft.streaming.StreamTxn].collect().sortBy(_.ts_micros)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.streaming.StreamTxn]
+    val query = StreamingFeatures.merchantFeatures(input.toDS())
+      .writeStream.format("memory").queryName("mfeat").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("mfeat")
+      .select(col("merchant_id"), col("ts_micros"), col("merchant_txn_count_1h"),
+        round(col("merchant_txn_amount_sum_1h"), 6).as("s"), col("merchant_unique_customers_1h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+
+    val batch = CoreFeatures.merchantFeatures(Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("merchant_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("merchant_txn_count_1h"), round(col("merchant_txn_amount_sum_1h"), 6).as("s"),
+        col("merchant_unique_customers_1h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+
+    assert(streamed == batch)
+  }
 }
