@@ -65,6 +65,10 @@ sig AS (SELECT doc_id,
     "q34_simhash" -> { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
+    "q44_embedding_dups" -> { (s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), tau = 0.5)
+        .select(col("id1"), col("id2"), r6(col("cos")).as("cos"))
+    },
     "q35_ann_cosine" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), k = 10)
@@ -167,6 +171,15 @@ s AS (SELECT doc_id,
   FROM h GROUP BY doc_id)
 SELECT doc_id, ($fp)::BIGINT AS simhash FROM s"""
     },
+    "q44_embedding_dups" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+  round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+    / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
+    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+    / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
+    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) >= 0.5""",
     "q35_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 s AS (SELECT q.query_id, e.vec_id AS nbr_id,

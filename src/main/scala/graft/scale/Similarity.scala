@@ -40,6 +40,71 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine >= tau.
+    * Exact all-pairs here (the oracle-checkable baseline); at corpus
+    * scale the LSH/IVF buckets below prune the candidate set first.
+    */
+  def cosineDupPairs(corpus: DataFrame, tau: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = corpus.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("cos"))
+      .where(col("cos") >= tau)
+  }
+
+  /** IVF (inverted-file) index: deterministic coarse quantizer — seed
+    * centroids are the `k` lowest-id vectors refined by `iters` Lloyd
+    * steps (elementwise means via posexplode/groupBy — no driver math),
+    * then each vector is assigned to its nearest centroid. Search probes
+    * the `nprobe` nearest centroid lists per query with exact cosine.
+    */
+  def ivfAssign(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").cast("array<double>").as("ce"))
+    (0 until iters).foreach { _ =>
+      val assigned = assign(corpus, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("ce"))
+    }
+    (assign(corpus, centroids), centroids)
+  }
+
+  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(zip_with(col("embedding"), col("ce"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)), lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF-probed approximate top-k (recall vs [[cosineTopK]] is asserted
+    * in tests).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val (assigned, centroids) = ivfAssign(corpus, nlist, iters)
+    val qd2 = aggregate(zip_with(col("qe"), col("ce"),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)), lit(0.0), (a, v) => a + v)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("cid"), qd2.as("d2"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("nbr_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature: bit p is the sign of the projection
     * onto plane p, whose components are deterministic pseudo-randoms in
     * [-1,1) derived from md5(p:dim) — reproducible anywhere, no RNG state.

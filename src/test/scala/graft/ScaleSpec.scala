@@ -53,6 +53,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.05)
   }
 
+  test("IVF top-k: deterministic, decent recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, 10)
+      .select(col("query_id"), col("nbr_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nlist = 8, nprobe = 3)
+      .select(col("query_id"), col("nbr_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = Similarity.ivfTopK(emb, queries, 10, nlist = 8, nprobe = 3)
+      .select(col("query_id"), col("nbr_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == ivf2, "IVF search must be deterministic")
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(s"ivf recall@10 (nprobe=3/8) = $recall")
+    assert(recall >= 0.2)
+  }
+
   test("text ops: token counts and quality bounds") {
     val docs = Seq((1L, "The cat and the dog. 42 foo!")).toDF("doc_id", "text")
     val r = docs.select(
