@@ -47,9 +47,18 @@ object FeatureViews {
     Kind("weekend_txn_ratio_%s", double = true),
     Kind("business_hours_ratio_%s", double = true))
 
-  /** Spark column for (kind, window length) over the canonical spec. */
-  def column(kind: Kind, w: WindowSpec, secs: Long): Column = {
+  /** Spark column for (kind, window length) over the canonical spec.
+    * `exact = false` swaps sketch-based twins in where they exist
+    * (SURVEY §7.4 #6: HLL distincts) — the 100 TB configuration; the
+    * exact form is the oracle-checked default.
+    */
+  def column(kind: Kind, w: WindowSpec, secs: Long, exact: Boolean = true): Column = {
     val ts = col("event_timestamp")
+    if (!exact) kind.name match {
+      case "unique_merchants_%s" => return CoreFeatures.approxDistinctOver(col("merchant_id"), w, secs)
+      case "unique_ips_%s" => return CoreFeatures.approxDistinctOver(col("ip_address"), w, secs)
+      case _ => ()
+    }
     kind.name match {
       case "txn_count_%s" => CoreFeatures.txnCount(w, secs)
       case "txn_amount_sum_%s" => CoreFeatures.amountSum(col("amount"), w, secs)

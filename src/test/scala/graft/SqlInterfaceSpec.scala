@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.schema.FeatureViews
+import graft.ops.Trailing
+import graft.tables.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine is also reachable through plain `spark.sql` — temp views +
+  * registered native functions — and the approx FeatureView configuration
+  * tracks the exact one.
+  */
+class SqlInterfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("spark.sql over temp views with the native aggregate matches the DataFrame API") {
+    GraftFunctions.register(spark)
+    Tables.transactions(spark, "/root/testdata/sf0.001").createOrReplaceTempView("tx")
+    val sql = spark.sql(
+      """SELECT transaction_id,
+        |  count(*) OVER (PARTITION BY customer_id ORDER BY unix_micros(event_timestamp)
+        |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS c1h,
+        |  exact_distinct(merchant_id) OVER (PARTITION BY customer_id ORDER BY unix_micros(event_timestamp)
+        |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS u1h
+        |FROM tx""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+    val api = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("transaction_id"),
+        graft.ops.CoreFeatures.txnCount(w, 3600).as("c1h"),
+        graft.ops.CoreFeatures.distinctOver(col("merchant_id"), w, 3600).as("u1h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sql == api)
+  }
+
+  test("approx FeatureView config tracks exact within HLL tolerance") {
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+    val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+    val kind = FeatureViews.kinds.find(_.name == "unique_ips_%s").get
+    val cmp = tx.select(
+        FeatureViews.column(kind, w, 86400).cast("double").as("exact"),
+        FeatureViews.column(kind, w, 86400, exact = false).cast("double").as("approx"))
+      .collect()
+    // HLL deviates more on small cardinalities; bound by max(5 absolute, 20%)
+    assert(cmp.forall { r =>
+      math.abs(r.getDouble(0) - r.getDouble(1)) <= math.max(5.0, 0.2 * r.getDouble(0))
+    })
+  }
+}
