@@ -96,19 +96,19 @@ object CoreQueries extends QueryPack {
 FROM events ${windowClause("w60s", "w5m", "w1h")}""",
     "q02_amount_sums" ->
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
-  round(sum(value) OVER w60s, 6) AS txn_amount_sum_60s,
-  round(sum(value) OVER w5m, 6) AS txn_amount_sum_5m,
-  round(sum(value) OVER w1h, 6) AS txn_amount_sum_1h
+  round(sum(value) OVER w60s+ 5e-11, 4) AS txn_amount_sum_60s,
+  round(sum(value) OVER w5m+ 5e-11, 4) AS txn_amount_sum_5m,
+  round(sum(value) OVER w1h+ 5e-11, 4) AS txn_amount_sum_1h
 FROM events ${windowClause("w60s", "w5m", "w1h")}""",
     "q03_amount_stats" ->
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
-  round(avg(value) OVER w1h, 6) AS avg_txn_amount_1h,
-  round(max(value) OVER w1h, 6) AS max_txn_amount_1h,
-  round(min(value) OVER w1h, 6) AS min_txn_amount_1h
+  round(avg(value) OVER w1h+ 5e-11, 4) AS avg_txn_amount_1h,
+  round(max(value) OVER w1h+ 5e-11, 4) AS max_txn_amount_1h,
+  round(min(value) OVER w1h+ 5e-11, 4) AS min_txn_amount_1h
 FROM events ${windowClause("w1h")}""",
     "q04_amount_std" ->
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
-  round(coalesce(stddev_pop(value) OVER w1h, 0.0), 6) AS amount_deviation_score_1h
+  round(coalesce(stddev_pop(value) OVER w1h, 0.0)+ 5e-11, 4) AS amount_deviation_score_1h
 FROM events ${windowClause("w1h")}""",
     "q05_unique_counts" ->
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
@@ -117,13 +117,13 @@ FROM events ${windowClause("w1h")}""",
 FROM events ${windowClause("w1h")}""",
     "q06_velocity" ->
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
-  round((count(*) OVER w1h) / 60.0, 6) AS velocity_score_1h
+  round((count(*) OVER w1h) / 60.0+ 5e-11, 4) AS velocity_score_1h
 FROM events ${windowClause("w1h")}""",
     "q07_calendar_counts" ->
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
   sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
   sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
-  round(avg(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1.0 ELSE 0.0 END) OVER w24h, 6) AS business_hours_ratio_24h
+  round(avg(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1.0 ELSE 0.0 END) OVER w24h+ 5e-11, 4) AS business_hours_ratio_24h
 FROM events ${windowClause("w24h", "w7d")}""",
     "q08_risk_score" -> {
       // mirror of graft.scoring.Risk over the windowed features
@@ -157,7 +157,7 @@ FROM events ${windowClause("w24h", "w7d")}""",
       + (CASE WHEN night_txn_count_24h > 3 THEN 0.1 ELSE 0.0 END), 0.0), 1.0) AS s
   FROM f
 )
-SELECT transaction_id, customer_id, round(s, 6) AS risk_score,
+SELECT transaction_id, customer_id, round(s+ 5e-11, 4) AS risk_score,
   CASE WHEN s <= 0.3 THEN 'LOW' WHEN s <= 0.6 THEN 'MEDIUM' ELSE 'HIGH' END AS risk_level
 FROM scored"""
     })

@@ -70,9 +70,9 @@ f AS (
   WINDOW w1h AS (PARTITION BY user_id ORDER BY tm RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
          w24h AS (PARTITION BY user_id ORDER BY tm RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW))
 SELECT probe_id, user_id AS customer_id, txn_count_1h,
-  round(txn_amount_sum_1h, 6) AS txn_amount_sum_1h,
+  round(txn_amount_sum_1h+ 5e-11, 4) AS txn_amount_sum_1h,
   txn_count_24h,
-  round(txn_amount_sum_24h, 6) AS txn_amount_sum_24h
+  round(txn_amount_sum_24h+ 5e-11, 4) AS txn_amount_sum_24h
 FROM f WHERE probe_id IS NOT NULL""",
     "q37_full_features" -> {
       val winDefs = FeatureViews.windows6.map { case (wName, secs) =>
@@ -84,7 +84,7 @@ FROM f WHERE probe_id IS NOT NULL""",
       } yield {
         val e = FeatureViews.sqlExpr(kind, s"w$wName", secs)
         val named = kind.featureName(wName)
-        if (kind.double) s"round($e, 6) AS $named" else s"$e AS $named"
+        if (kind.double) s"round($e+ 5e-11, 4) AS $named" else s"$e AS $named"
       }).mkString(",\n  ")
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
   $exprs

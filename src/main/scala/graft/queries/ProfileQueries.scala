@@ -74,7 +74,7 @@ object ProfileQueries extends QueryPack {
 SELECT user_id AS customer_id,
   round(CASE WHEN count(*) > 1 AND sum(value) > 0
     THEN 2.0*sum(i*value)/(count(*)*sum(value)) - (count(*)+1.0)/count(*)
-    ELSE 0.0 END, 6) AS amount_gini
+    ELSE 0.0 END+ 5e-11, 4) AS amount_gini
 FROM r GROUP BY user_id""",
     "q10_entropy" ->
       """WITH hh AS (SELECT user_id, hour(ts) AS b, count(*) AS cnt FROM events GROUP BY 1, 2),
@@ -89,15 +89,15 @@ de AS (SELECT user_id, CASE WHEN count(*) <= 1 THEN 0.0
          ELSE -sum(cnt/tot*log2(cnt/tot)) END AS dow_e
        FROM dt GROUP BY user_id)
 SELECT he.user_id AS customer_id,
-  round(he.hour_e, 6) AS temporal_hour_entropy,
-  round(de.dow_e, 6) AS temporal_dow_entropy,
-  round(he.peak, 6) AS temporal_peak_hour_ratio
+  round(he.hour_e+ 5e-11, 4) AS temporal_hour_entropy,
+  round(de.dow_e+ 5e-11, 4) AS temporal_dow_entropy,
+  round(he.peak+ 5e-11, 4) AS temporal_peak_hour_ratio
 FROM he JOIN de USING (user_id)""",
     "q11_hhi" ->
       """WITH m AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
 t AS (SELECT user_id, cnt, sum(cnt) OVER (PARTITION BY user_id) AS tot FROM m)
 SELECT user_id AS customer_id,
-  round(sum(pow(cnt/tot, 2.0)), 6) AS behavioral_merchant_hhi
+  round(sum(pow(cnt/tot, 2.0))+ 5e-11, 4) AS behavioral_merchant_hhi
 FROM t GROUP BY user_id""",
     "q12_interarrival" ->
       """WITH d AS (
@@ -105,12 +105,12 @@ FROM t GROUP BY user_id""",
     (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) / 1e6 AS diff
   FROM events)
 SELECT user_id AS customer_id,
-  round(coalesce(avg(diff), 0.0), 6) AS temporal_avg_interval,
-  round(coalesce(stddev_samp(diff), 0.0), 6) AS temporal_std_interval,
-  round(coalesce(min(diff), 0.0), 6) AS temporal_min_interval,
-  round(coalesce(max(diff), 0.0), 6) AS temporal_max_interval,
-  round(CASE WHEN avg(diff) > 0 THEN coalesce(stddev_samp(diff), 0.0)/avg(diff) ELSE 0.0 END, 6) AS temporal_regularity,
-  round(coalesce(avg(CASE WHEN diff < 300 THEN 1.0 ELSE 0.0 END), 0.0), 6) AS temporal_burst_ratio
+  round(coalesce(avg(diff), 0.0)+ 5e-11, 4) AS temporal_avg_interval,
+  round(coalesce(stddev_samp(diff), 0.0)+ 5e-11, 4) AS temporal_std_interval,
+  round(coalesce(min(diff), 0.0)+ 5e-11, 4) AS temporal_min_interval,
+  round(coalesce(max(diff), 0.0)+ 5e-11, 4) AS temporal_max_interval,
+  round(CASE WHEN avg(diff) > 0 THEN coalesce(stddev_samp(diff), 0.0)/avg(diff) ELSE 0.0 END+ 5e-11, 4) AS temporal_regularity,
+  round(coalesce(avg(CASE WHEN diff < 300 THEN 1.0 ELSE 0.0 END), 0.0)+ 5e-11, 4) AS temporal_burst_ratio
 FROM d GROUP BY user_id""",
     "q13_trends" ->
       """WITH i AS (
@@ -131,10 +131,10 @@ f AS (
     CASE WHEN count(*) >= 3 THEN coalesce(abs(corr(x, cnt)), 0.0) ELSE 0.0 END AS freq_strength
   FROM di GROUP BY user_id)
 SELECT a.user_id AS customer_id,
-  round(a.amt_trend, 6) AS temporal_amount_trend,
-  round(a.amt_strength, 6) AS temporal_amount_trend_strength,
-  round(f.freq_trend, 6) AS temporal_frequency_trend,
-  round(f.freq_strength, 6) AS temporal_frequency_trend_strength
+  round(a.amt_trend+ 5e-11, 4) AS temporal_amount_trend,
+  round(a.amt_strength+ 5e-11, 4) AS temporal_amount_trend_strength,
+  round(f.freq_trend+ 5e-11, 4) AS temporal_frequency_trend,
+  round(f.freq_strength+ 5e-11, 4) AS temporal_frequency_trend_strength
 FROM a JOIN f USING (user_id)""",
     "q14_behavioral" ->
       """WITH per AS (
@@ -153,11 +153,11 @@ pct AS (
     sum(CASE WHEN e.value <= p.mu THEN 1 ELSE 0 END) AS n_le
   FROM events e CROSS JOIN per p GROUP BY p.user_id)
 SELECT per.user_id AS customer_id,
-  round(CASE WHEN pop.pop_std > 0 THEN (per.mu - pop.pop_avg)/pop.pop_std ELSE 0.0 END, 6) AS behavioral_amount_zscore,
-  round((pct.n_lt + pct.n_le)/(2.0*pop.pop_n), 6) AS behavioral_amount_percentile,
-  round(CASE WHEN per.mu > 0 THEN coalesce(per.sd, 0.0)/per.mu ELSE 0.0 END, 6) AS behavioral_amount_cv,
-  round(CASE WHEN per.n >= 3 AND m.m2 > 0 THEN m.m3/pow(m.m2, 1.5) ELSE 0.0 END, 6) AS behavioral_amount_skewness,
-  round(CASE WHEN per.n >= 3 AND m.m2 > 0 THEN m.m4/pow(m.m2, 2) - 3.0 ELSE 0.0 END, 6) AS behavioral_amount_kurtosis,
-  round(m.diversity, 6) AS behavioral_merchant_diversity
+  round(CASE WHEN pop.pop_std > 0 THEN (per.mu - pop.pop_avg)/pop.pop_std ELSE 0.0 END+ 5e-11, 4) AS behavioral_amount_zscore,
+  round((pct.n_lt + pct.n_le)/(2.0*pop.pop_n)+ 5e-11, 4) AS behavioral_amount_percentile,
+  round(CASE WHEN per.mu > 0 THEN coalesce(per.sd, 0.0)/per.mu ELSE 0.0 END+ 5e-11, 4) AS behavioral_amount_cv,
+  round(CASE WHEN per.n >= 3 AND m.m2 > 0 THEN m.m3/pow(m.m2, 1.5) ELSE 0.0 END+ 5e-11, 4) AS behavioral_amount_skewness,
+  round(CASE WHEN per.n >= 3 AND m.m2 > 0 THEN m.m4/pow(m.m2, 2) - 3.0 ELSE 0.0 END+ 5e-11, 4) AS behavioral_amount_kurtosis,
+  round(m.diversity+ 5e-11, 4) AS behavioral_merchant_diversity
 FROM per JOIN m USING (user_id) JOIN pct USING (user_id) CROSS JOIN pop""")
 }

