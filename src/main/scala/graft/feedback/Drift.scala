@@ -92,7 +92,22 @@ object Drift {
           col("cc2").cast("double") / col("n2"))).as("d"),
         max(col("n1")).as("n1"), max(col("n2")).as("n2"))
       .select(col("d").as("ks_stat"),
+        ksPvalue(col("d"), col("n1"), col("n2")).as("ks_pvalue"),
         (col("d") > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2"))))
           .as("drift_detected"))
+  }
+
+  /** Asymptotic two-sample KS p-value (Kolmogorov distribution tail):
+    * p = 2 Σ_{k>=1} (-1)^{k-1} exp(-2 k² λ²), λ = D·sqrt(n1·n2/(n1+n2)) —
+    * the same closed form scipy uses for large samples
+    * (`feedback_system.py:204-229` checks p < 0.05). 100 terms as a pure
+    * column expression; clamped to [0,1].
+    */
+  def ksPvalue(d: Column, n1: Column, n2: Column): Column = {
+    val lam = d * sqrt(n1.cast("double") * n2 / (n1 + n2))
+    val series = (1 to 100).map { k =>
+      lit(2.0 * (if (k % 2 == 1) 1 else -1)) * exp(lit(-2.0 * k * k) * lam * lam)
+    }.reduce(_ + _)
+    least(greatest(series, lit(0.0)), lit(1.0))
   }
 }

@@ -113,7 +113,8 @@ snap AS (
     "q24_ks_drift" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       Drift.ks(ev, col("value"), col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
-        .select(r6(col("ks_stat")).as("ks_stat"), col("drift_detected"))
+        .select(r6(col("ks_stat")).as("ks_stat"),
+          r6(col("ks_pvalue")).as("ks_pvalue"), col("drift_detected"))
     },
     "q25_lineitem_agg" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -204,17 +205,23 @@ a AS (SELECT (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
 acc AS (SELECT avg(CASE WHEN (value > 100.0) = (event_type = 'error') THEN 1.0 ELSE 0.0 END) AS accuracy FROM events)
 SELECT round(a.auc+ 5e-11, 4) AS auc, round(acc.accuracy+ 5e-11, 4) AS accuracy FROM a CROSS JOIN acc""",
     "q24_ks_drift" ->
-      """WITH s AS (SELECT value AS v,
+      ("""WITH s AS (SELECT value AS v,
     CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS g FROM events),
 pv AS (SELECT v, sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
               sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2 FROM s GROUP BY v),
 cum AS (SELECT
     sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc1,
     sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc2 FROM pv),
-tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv)
-SELECT round(max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2))+ 5e-11, 4) AS ks_stat,
-  max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2)) > 1.358*sqrt((max(n1) + max(n2))::DOUBLE/(max(n1)*max(n2))) AS drift_detected
-FROM cum CROSS JOIN tot""",
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pv),
+agg AS (SELECT max(abs(cc1::DOUBLE/n1 - cc2::DOUBLE/n2)) AS d, max(n1) AS n1, max(n2) AS n2
+        FROM cum CROSS JOIN tot),
+lamt AS (SELECT d, n1, n2, d*sqrt(n1::DOUBLE*n2/(n1 + n2)) AS lam FROM agg)
+SELECT round(d + 5e-11, 4) AS ks_stat,
+  round(least(greatest(""" + (1 to 100).map { k =>
+        s"(${2.0 * (if (k % 2 == 1) 1 else -1)})*exp((${-2.0 * k * k})*lam*lam)"
+      }.mkString(" + ") + """, 0.0), 1.0) + 5e-11, 4) AS ks_pvalue,
+  d > 1.358*sqrt((n1 + n2)::DOUBLE/(n1*n2)) AS drift_detected
+FROM lamt"""),
     "q25_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity)+ 1e-4, 2) AS sum_qty,

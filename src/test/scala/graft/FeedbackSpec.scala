@@ -1,0 +1,44 @@
+package graft
+
+import graft.feedback.{Drift, FeedbackStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class FeedbackSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("feedback lifecycle: simulate -> persist -> date filter -> accuracy/retrain") {
+    val dir = Files.createTempDirectory("graft_fb").toString
+    val fb = FeedbackStore.simulated(spark, 2000)
+    FeedbackStore.writeTable(fb, s"$dir/feedback")
+    val loaded = spark.read.parquet(s"$dir/feedback")
+    assert(loaded.count() == 2000)
+    val recent = FeedbackStore.recent(loaded,
+      java.sql.Timestamp.valueOf("2024-01-31 00:00:00"), 7)
+    assert(recent.count() > 0 && recent.count() < 2000)
+    val r = FeedbackStore.retrainRecommended(loaded).head()
+    // 85% agreement by construction -> accuracy ~0.85, no retrain panic
+    assert(math.abs(r.getDouble(0) - 0.85) < 0.05, r.toString)
+    FeedbackStore.appendMetricsJson(
+      loaded.agg(count(lit(1)).as("n"), avg(col("predicted_score")).as("mean_score")),
+      s"$dir/metrics")
+    assert(spark.read.json(s"$dir/metrics").count() == 1)
+  }
+
+  test("ks p-value: tiny D on same distribution ~1, huge D ~0") {
+    import spark.implicits._
+    val r = Seq((0.01, 5000L, 5000L), (0.5, 5000L, 5000L))
+      .toDF("d", "n1", "n2")
+      .select(Drift.ksPvalue(col("d"), col("n1"), col("n2")).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) > 0.95)
+    assert(r(1) < 1e-6)
+  }
+}
