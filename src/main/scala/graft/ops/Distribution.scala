@@ -58,6 +58,36 @@ object Distribution {
       .agg(sum(pow(col("cnt") / col("tot"), 2.0)).as(out))
   }
 
+  /** Per-event trailing-window Gini (the A15 WINDOW form,
+    * `real_time_processor.py:213-228`): sorted-array accumulation as
+    * higher-order array expressions over the frame — v1 of SURVEY §2.8's
+    * plan (v2 at 100 TB: TypedImperativeAggregate with a merge buffer).
+    */
+  def giniOver(amount: Column, w: org.apache.spark.sql.expressions.WindowSpec, secs: Long): Column = {
+    val arr = sort_array(collect_list(amount).over(Trailing.lastSeconds(w, secs)))
+    val n = size(arr)
+    val s = aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val ix = aggregate(
+      zip_with(arr, sequence(lit(1), n), (v, i) => i.cast("double") * v),
+      lit(0.0), (acc, x) => acc + x)
+    when(n > 1 && s > 0,
+      lit(2.0) * ix / (n * s) - (n + lit(1.0)) / n).otherwise(0.0)
+  }
+
+  /** Per-event trailing-window HHI (A16 window form): bucket shares from
+    * the frame's collected values via array_distinct + filter counts.
+    */
+  def hhiOver(bucket: Column, w: org.apache.spark.sql.expressions.WindowSpec, secs: Long): Column = {
+    val arr = collect_list(bucket).over(Trailing.lastSeconds(w, secs))
+    val n = size(arr).cast("double")
+    aggregate(
+      transform(array_distinct(arr), m => {
+        val c = size(filter(arr, x => x === m)).cast("double")
+        (c / n) * (c / n)
+      }),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   /** max bucket count / total (reference `advanced_features.py:133`). */
   def peakRatio(df: DataFrame, key: Column, bucket: Column, out: String): DataFrame = {
     val counts = df.groupBy(key.as("k"), bucket.as("b")).agg(count(lit(1)).as("cnt"))

@@ -53,6 +53,13 @@ object ProfileQueries extends QueryPack {
           r6(col("temporal_frequency_trend")).as("temporal_frequency_trend"),
           r6(col("temporal_frequency_trend_strength")).as("temporal_frequency_trend_strength"))
     },
+    "q45_window_gini_hhi" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir)
+      val w = graft.ops.Trailing.spec(col("customer_id"), col("event_timestamp"))
+      tx.select(col("transaction_id"), col("customer_id"),
+        r6(Distribution.giniOver(col("amount"), w, 604800L)).as("amount_gini_7d"),
+        r6(Distribution.hhiOver(col("merchant_id"), w, 604800L)).as("merchant_hhi_7d"))
+    },
     "q14_behavioral" -> { (s, dir) =>
       val tx = Tables.transactions(s, dir)
       Behavioral.profile(tx, col("customer_id"), col("amount"), col("merchant_id"))
@@ -136,6 +143,28 @@ SELECT a.user_id AS customer_id,
   round(f.freq_trend+ 5e-11, 4) AS temporal_frequency_trend,
   round(f.freq_strength+ 5e-11, 4) AS temporal_frequency_trend_strength
 FROM a JOIN f USING (user_id)""",
+    "q45_window_gini_hhi" ->
+      """WITH j AS (
+  SELECT e1.event_id, e1.user_id, e2.value AS v, e2.event_type AS m
+  FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+    AND epoch_us(e2.ts) <= epoch_us(e1.ts)
+    AND epoch_us(e2.ts) > epoch_us(e1.ts) - 604800000000),
+r AS (SELECT event_id, v,
+    row_number() OVER (PARTITION BY event_id ORDER BY v) AS i,
+    count(*) OVER (PARTITION BY event_id) AS n,
+    sum(v) OVER (PARTITION BY event_id) AS s
+  FROM j),
+g AS (SELECT event_id,
+    CASE WHEN max(n) > 1 AND max(s) > 0
+      THEN 2.0*sum(i*v)/(max(n)*max(s)) - (max(n)+1.0)/max(n) ELSE 0.0 END AS gini
+  FROM r GROUP BY event_id),
+mc AS (SELECT event_id, m, count(*) AS cnt FROM j GROUP BY 1, 2),
+mt AS (SELECT event_id, cnt, sum(cnt) OVER (PARTITION BY event_id) AS tot FROM mc),
+h AS (SELECT event_id, sum((cnt::DOUBLE/tot)*(cnt::DOUBLE/tot)) AS hhi FROM mt GROUP BY event_id)
+SELECT e.event_id AS transaction_id, e.user_id AS customer_id,
+  round(g.gini + 5e-11, 4) AS amount_gini_7d,
+  round(h.hhi + 5e-11, 4) AS merchant_hhi_7d
+FROM events e JOIN g ON e.event_id = g.event_id JOIN h ON e.event_id = h.event_id""",
     "q14_behavioral" ->
       """WITH per AS (
   SELECT user_id, avg(value) AS mu, stddev_pop(value) AS sd, count(*) AS n FROM events GROUP BY 1),

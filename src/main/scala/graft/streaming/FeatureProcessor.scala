@@ -116,6 +116,55 @@ object CustomerFeatureProcessor {
   }
 }
 
+/** Timestamp-typed stream event — the event-time pipeline's wire format
+  * (watermarks need a TimestampType column).
+  */
+case class StreamTxnTs(customer_id: Long, event_time: java.sql.Timestamp,
+                       amount: Double, merchant_id: String, ip_address: String)
+
+/** Event-time variant (SURVEY §2.9): watermark-driven. The reference
+  * DECLARES event time but assigns processing-time timestamps
+  * (`aml_stream_processor.py:353-355`) — here the semantics are done
+  * right: rows later than the watermark never reach the processor (the
+  * reference's try/except drop, made principled), and a per-key
+  * event-time timer clears state for keys idle past the longest window —
+  * cleanup is O(expired keys), not O(live state).
+  */
+class CustomerFeatureProcessorEventTime
+    extends StatefulProcessor[Long, StreamTxnTs, StreamFeatures] {
+  import CustomerFeatureProcessor._
+
+  @transient private var history: ListState[StreamTxn] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    history = getHandle.getListState[StreamTxn]("history", Encoders.product[StreamTxn], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamTxnTs],
+                               timerValues: TimerValues): Iterator[StreamFeatures] = {
+    val incoming = rows.map(r => StreamTxn(r.customer_id,
+        r.event_time.getTime * 1000 + (r.event_time.getNanos / 1000) % 1000,
+        r.amount, r.merchant_id, r.ip_address))
+      .toArray.sortBy(_.ts_micros)
+    if (incoming.isEmpty) return Iterator.empty
+    val all = (history.get().toArray ++ incoming).sortBy(_.ts_micros)
+    val out = incoming.iterator.map(e => features(e, all))
+    val cutoff = all.last.ts_micros - MaxWindowMicros
+    history.clear()
+    history.appendList(all.filter(_.ts_micros > cutoff))
+    // re-arm the idle-key cleanup timer one max-window past the newest event
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(all.last.ts_micros / 1000 + MaxWindowMicros / 1000 + 1000)
+    out
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[StreamFeatures] = {
+    // watermark passed newest-event + max-window: nothing can be in range
+    history.clear()
+    Iterator.empty
+  }
+}
+
 /** Merchant-entity view (SURVEY A9/A10): the same trailing-window state
   * machine keyed by merchant — the reference's keyed fan-out consumes one
   * stream under two keys (`aml_stream_processor.py:363-370`).
@@ -161,6 +210,18 @@ object StreamingFeatures {
     events.groupByKey(_.customer_id)(Encoders.scalaLong)
       .transformWithState(new CustomerFeatureProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Event-time pipeline: watermark bounds lateness; timers clean idle
+    * keys (TimeMode.EventTime).
+    */
+  def customerFeaturesEventTime(events: Dataset[StreamTxnTs],
+                                delay: String): Dataset[StreamFeatures] = {
+    implicit val enc: Encoder[StreamFeatures] = Encoders.product[StreamFeatures]
+    events.withWatermark("event_time", delay)
+      .groupByKey(_.customer_id)(Encoders.scalaLong)
+      .transformWithState(new CustomerFeatureProcessorEventTime,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Keyed fan-out: the same source keyed by merchant (runs as a second

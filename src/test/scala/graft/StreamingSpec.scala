@@ -60,6 +60,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
   }
 
+  test("event-time mode: watermark drops late rows, on-time rows match batch") {
+    import spark.implicits._
+    import graft.streaming.StreamTxnTs
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      StreamTxnTs(1L, ts("2024-01-10 12:00:00"), 100.0, "m1", "ip1"),
+      StreamTxnTs(1L, ts("2024-01-10 12:30:00"), 200.0, "m1", "ip1"))
+    // watermark after b1 = 12:30 - 10s; this row is far older -> dropped
+    val late = StreamTxnTs(1L, ts("2024-01-10 11:00:00"), 999.0, "m1", "ip1")
+    val onTime = StreamTxnTs(1L, ts("2024-01-10 12:31:00"), 50.0, "m1", "ip2")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxnTs]
+    val query = StreamingFeatures.customerFeaturesEventTime(input.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("etfeat").outputMode("append").start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(Seq(late, onTime)); query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.table("etfeat")
+      .select(col("ts_micros"), col("amount"), col("txn_count_1h"), col("unique_ips_1h"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(!out.exists(_._2 == 999.0), s"late row must be dropped: $out")
+    // on-time row sees both b1 events in its 1h window
+    assert(out.contains((unixMicros("2024-01-10 12:31:00"), 50.0, 3L, 2L)), out.toString)
+  }
+
+  private def unixMicros(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000
+
   test("keyed fan-out: merchant view off the same source == batch merchant windows") {
     import spark.implicits._
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
