@@ -70,9 +70,74 @@ case class ExactDistinct(
   override def prettyName: String = "exact_distinct"
 }
 
+/** Gini coefficient as a native aggregate (SURVEY §2.8 "v2" path for
+  * A15): the higher-order-expression form materializes a sorted array
+  * per output row; this buffer accumulates raw doubles, merges across
+  * partitions, and sorts once at eval — legal in groupBy and in window
+  * frames. Formula per `real_time_processor.py:213-228`.
+  */
+case class GiniAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[Double]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Double] = mutable.ArrayBuffer.empty
+
+  override def update(buf: mutable.ArrayBuffer[Double], input: InternalRow): mutable.ArrayBuffer[Double] = {
+    val v = child.eval(input)
+    if (v != null) buf += v.asInstanceOf[Number].doubleValue()
+    buf
+  }
+
+  override def merge(b1: mutable.ArrayBuffer[Double], b2: mutable.ArrayBuffer[Double]): mutable.ArrayBuffer[Double] =
+    b1 ++= b2
+
+  override def eval(buf: mutable.ArrayBuffer[Double]): Any = {
+    val n = buf.length
+    if (n <= 1) return 0.0
+    val sorted = buf.toArray
+    java.util.Arrays.sort(sorted)
+    var s = 0.0
+    var ix = 0.0
+    var i = 0
+    while (i < n) { s += sorted(i); ix += (i + 1) * sorted(i); i += 1 }
+    if (s <= 0) 0.0 else 2.0 * ix / (n * s) - (n + 1.0) / n
+  }
+
+  override def serialize(buf: mutable.ArrayBuffer[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new mutable.ArrayBuffer[Double](n)
+    var i = 0
+    while (i < n) { buf += bb.getDouble(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(offset: Int): GiniAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): GiniAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): GiniAgg =
+    copy(child = newChild)
+  override def prettyName: String = "gini_agg"
+}
+
 object GraftFunctions {
   /** Register the engine's native functions into a session; idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "exact_distinct", exprs => ExactDistinct(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gini_agg", exprs => GiniAgg(exprs.head), "scala_udf")
+  }
 }

@@ -29,4 +29,21 @@ class FunctionsSpec extends AnyFunSuite {
         countDistinct(col("merchant_id")).as("builtin"))
     assert(agg.where(col("native") =!= col("builtin")).count() == 0)
   }
+
+  test("gini_agg native aggregate equals the relational and HOF forms") {
+    GraftFunctions.register(spark)
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+    // groupBy form vs Distribution.gini
+    val native = tx.groupBy(col("customer_id").as("k"))
+      .agg(expr("gini_agg(amount)").as("g"))
+    val relational = graft.ops.Distribution.gini(tx, col("customer_id"), col("amount"), col("transaction_id"))
+    assert(native.join(relational, "k")
+      .where(abs(col("g") - col("gini")) > 1e-12).count() == 0)
+    // window-frame form vs the HOF expression
+    val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+    val both = tx.select(
+      expr("gini_agg(amount)").over(Trailing.lastSeconds(w, 604800)).as("native"),
+      graft.ops.Distribution.giniOver(col("amount"), w, 604800).as("hof"))
+    assert(both.where(abs(col("native") - col("hof")) > 1e-12).count() == 0)
+  }
 }
