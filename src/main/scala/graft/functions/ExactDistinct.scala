@@ -139,5 +139,9 @@ object GraftFunctions {
       "exact_distinct", exprs => ExactDistinct(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gini_agg", exprs => GiniAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "entropy_agg", exprs => EntropyAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hhi_agg", exprs => HhiAgg(exprs.head), "scala_udf")
   }
 }

@@ -46,4 +46,23 @@ class FunctionsSpec extends AnyFunSuite {
       graft.ops.Distribution.giniOver(col("amount"), w, 604800).as("hof"))
     assert(both.where(abs(col("native") - col("hof")) > 1e-12).count() == 0)
   }
+
+  test("entropy_agg / hhi_agg histogram aggregates equal the relational forms") {
+    GraftFunctions.register(spark)
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+    val native = tx.groupBy(col("customer_id").as("k"))
+      .agg(expr("entropy_agg(hour(event_timestamp))").as("e"),
+        expr("hhi_agg(merchant_id)").as("h"))
+    val relE = graft.ops.Distribution.entropy(tx, col("customer_id"), hour(col("event_timestamp")), "re")
+    val relH = graft.ops.Distribution.hhi(tx, col("customer_id"), col("merchant_id"), "rh")
+    val joined = native.join(relE, "k").join(relH, "k")
+    assert(joined.where(abs(col("e") - col("re")) > 1e-9 || abs(col("h") - col("rh")) > 1e-9)
+      .count() == 0)
+    // and inside a window frame (the two-level-groupBy form can't do this)
+    val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+    val winH = tx.select(
+      expr("hhi_agg(merchant_id)").over(Trailing.lastSeconds(w, 604800)).as("native"),
+      graft.ops.Distribution.hhiOver(col("merchant_id"), w, 604800).as("hof"))
+    assert(winH.where(abs(col("native") - col("hof")) > 1e-9).count() == 0)
+  }
 }
