@@ -54,11 +54,16 @@ object ProfileQueries extends QueryPack {
           r6(col("temporal_frequency_trend_strength")).as("temporal_frequency_trend_strength"))
     },
     "q45_window_gini_hhi" -> { (s, dir) =>
+      // native buffer aggregates (FunctionsSpec proves them equal to the
+      // HOF forms) — the HOF versions materialize+sort an array per row
+      // and were ~4x slower at sf0.1
+      graft.functions.GraftFunctions.register(s)
       val tx = Tables.transactions(s, dir)
       val w = graft.ops.Trailing.spec(col("customer_id"), col("event_timestamp"))
+      val frame = graft.ops.Trailing.lastSeconds(w, 604800L)
       tx.select(col("transaction_id"), col("customer_id"),
-        r6(Distribution.giniOver(col("amount"), w, 604800L)).as("amount_gini_7d"),
-        r6(Distribution.hhiOver(col("merchant_id"), w, 604800L)).as("merchant_hhi_7d"))
+        r6(expr("gini_agg(amount)").over(frame)).as("amount_gini_7d"),
+        r6(expr("hhi_agg(merchant_id)").over(frame)).as("merchant_hhi_7d"))
     },
     "q14_behavioral" -> { (s, dir) =>
       val tx = Tables.transactions(s, dir)

@@ -137,6 +137,17 @@ snap AS (
     },
     "q27_value_counts" -> { (s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    },
+    "q46_semi_anti" -> { (s, dir) =>
+      // semi/anti joins (SURVEY §2.5 note): customers with vs without
+      // orders — EXISTS / NOT EXISTS as left_semi / left_anti
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(true).as("has_orders"))
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(false).as("has_orders"))
+      withOrders.unionByName(without)
     })
 
   override val oracle: Map[String, String] = Map(
@@ -237,5 +248,8 @@ FROM lineitem GROUP BY 1, 2""",
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1""",
     "q27_value_counts" ->
-      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1",
+    "q46_semi_anti" ->
+      """SELECT c_custkey, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+FROM customer""")
 }

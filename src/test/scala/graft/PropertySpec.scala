@@ -62,6 +62,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("the ACTUAL transformWithState operator == batch windows on random sequences") {
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    samples(Gen.listOfN(80, txnGen), 3).foreach { txns =>
+      val sorted = txns.sortBy(_.ts_micros).toIndexedSeq
+      // split on a timestamp boundary: RANGE frames include peers, so
+      // same-ts events must not straddle micro-batches
+      val splitTs = sorted(sorted.length / 2).ts_micros
+      val (b1, b2) = sorted.partition(_.ts_micros <= splitTs)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamTxn]
+      val qname = s"prop_${math.abs(txns.hashCode)}"
+      val query = graft.streaming.StreamingFeatures.customerFeatures(input.toDS())
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try {
+        input.addData(b1); query.processAllAvailable()
+        input.addData(b2); query.processAllAvailable()
+      } finally query.stop()
+      val streamed = spark.table(qname)
+        .select(col("customer_id"), col("ts_micros"), col("amount"),
+          col("txn_count_1h"), round(col("txn_amount_sum_1h"), 6).as("s"), col("unique_ips_1h"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) -> (r.getLong(3), r.getDouble(4), r.getLong(5)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      val w = graft.ops.Trailing.spec(col("customer_id"), timestamp_micros(col("ts_micros")))
+      val batch = sorted.toDF()
+        .select(col("customer_id"), col("ts_micros"), col("amount"),
+          graft.ops.CoreFeatures.txnCount(w, 3600).as("c"),
+          round(graft.ops.CoreFeatures.amountSum(col("amount"), w, 3600), 6).as("s"),
+          graft.ops.CoreFeatures.distinctOver(col("ip_address"), w, 3600).as("u"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) -> (r.getLong(3), r.getDouble(4), r.getLong(5)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      assert(streamed == batch)
+    }
+  }
+
   test("gini in [0,1), entropy <= log2(buckets), hhi in (0,1]") {
     samples(Gen.listOfN(40, txnGen), 10).foreach { txns =>
       {
