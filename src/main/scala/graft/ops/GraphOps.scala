@@ -62,6 +62,38 @@ object GraphOps {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** Fraud-ring communities: connected components of the bipartite
+    * customer–merchant graph via GraphX (the AML use of "who transacts
+    * through the same counterparties"). Vertex ids are assigned by a
+    * deterministic sort+index so component labels are stable run to run.
+    * Output: customer -> (component_id, component_size in customers).
+    */
+  def communities(tx: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = tx.sparkSession
+    import spark.implicits._
+    val edges = symmetricEdges(tx).where(col("src") < col("dst"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().orderBy(col("node"))
+      .rdd.map(_.getString(0)).zipWithIndex()
+    val idOf = nodes.collectAsMap()
+    val idOfB = spark.sparkContext.broadcast(idOf)
+    val edgeRdd = edges.select(col("src"), col("dst")).rdd.map { r =>
+      Edge(idOfB.value(r.getString(0)), idOfB.value(r.getString(1)), 1)
+    }
+    val graph = Graph.fromEdges(edgeRdd, defaultValue = 0)
+    val cc = graph.connectedComponents().vertices // (vid, componentId=min vid)
+    val names = nodes.map(_.swap) // (vid, node)
+    val labeled = names.join(cc).map { case (_, (node, comp)) => (node, comp) }
+    val customers = labeled.filter(_._1.startsWith("c:"))
+      .map { case (node, comp) => (node.stripPrefix("c:").toLong, comp) }
+    val sizes = customers.map { case (_, comp) => (comp, 1L) }.reduceByKey(_ + _)
+    customers.map { case (cid, comp) => (comp, cid) }.join(sizes)
+      .map { case (comp, (cid, size)) => (cid, comp, size) }
+      .toDF("customer_id", "component_id", "component_size")
+  }
+
   /** Local clustering coefficient per customer (G6): triangles through the
     * node / wedges deg*(deg-1)/2; 0.0 when deg < 2. Computed with
     * neighbor-pair self-joins — on a bipartite graph this is provably 0

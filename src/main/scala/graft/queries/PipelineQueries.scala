@@ -29,6 +29,12 @@ object PipelineQueries extends QueryPack {
           col("txn_count_24h"),
           r6(col("txn_amount_sum_24h")).as("txn_amount_sum_24h"))
     },
+    // no oracleSql (rows-only): connected components aren't SQL-expressible;
+    // exactness pinned by GraphSpec's two-component fixture.
+    "q49_communities" -> { (s, dir) =>
+      graft.ops.GraphOps.communities(Tables.transactions(s, dir))
+        .select(col("customer_id"), col("component_id"), col("component_size"))
+    },
     // no oracleSql: Brandes/closeness aren't SQL-expressible — the driver
     // records a rows-only check; exactness is pinned by CentralitySpec's
     // hand-computed graph.

@@ -138,6 +138,23 @@ snap AS (
     "q27_value_counts" -> { (s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     },
+    "q47_session_windows" -> { (s, dir) =>
+      // session windows (30-min inactivity gap) — the windowing style the
+      // reference lacks; batch form here, streaming via the same
+      // session_window in groupBy
+      Tables.transactions(s, dir)
+        .groupBy(col("customer_id"),
+          session_window(col("event_timestamp"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("txn_count"), r6(sum(col("amount"))).as("amount_sum"))
+        .select(col("customer_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("txn_count"), col("amount_sum"))
+    },
+    "q48_sliding_windows" -> { (s, dir) =>
+      // hopping windows: 1h length / 15m slide, epoch-aligned
+      Tables.transactions(s, dir)
+        .groupBy(window(col("event_timestamp"), "1 hour", "15 minutes").getField("start").as("window_start"))
+        .agg(count(lit(1)).as("txn_count"), r6(sum(col("amount"))).as("amount_sum"))
+    },
     "q46_semi_anti" -> { (s, dir) =>
       // semi/anti joins (SURVEY §2.5 note): customers with vs without
       // orders — EXISTS / NOT EXISTS as left_semi / left_anti
@@ -251,5 +268,32 @@ GROUP BY 1""",
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1",
     "q46_semi_anti" ->
       """SELECT c_custkey, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
-FROM customer""")
+FROM customer""",
+    "q47_session_windows" ->
+      """WITH o AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o)
+SELECT user_id AS customer_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS txn_count,
+  round(sum(value) + 5e-11, 4) AS amount_sum
+FROM s GROUP BY user_id, sid""",
+    "q48_sliding_windows" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS k),
+w AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start, value
+  FROM events CROSS JOIN k
+  WHERE time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' > ts - INTERVAL '1 hour')
+SELECT window_start, count(*) AS txn_count,
+  round(sum(value) + 5e-11, 4) AS amount_sum
+FROM w GROUP BY 1""")
 }
