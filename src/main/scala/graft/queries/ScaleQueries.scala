@@ -65,6 +65,10 @@ sig AS (SELECT doc_id,
     "q34_simhash" -> { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
+    "q50_tfidf" -> { (s, dir) =>
+      TextOps.tfidfTopK(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+        .select(col("doc_id"), col("term"), col("rank"), r6(col("tfidf")).as("tfidf"))
+    },
     "q44_embedding_dups" -> { (s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), tau = 0.5)
         .select(col("id1"), col("id2"), r6(col("cos")).as("cos"))
@@ -171,6 +175,21 @@ s AS (SELECT doc_id,
   FROM h GROUP BY doc_id)
 SELECT doc_id, ($fp)::BIGINT AS simhash FROM s"""
     },
+    "q50_tfidf" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    tf.tfc::DOUBLE / dl.len * (ln((1 + n.n)::DOUBLE / (1 + dfr.df)) + 1.0) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, rank, round(tfidf + 5e-11, 4) AS tfidf FROM r WHERE rank <= 3""",
     "q44_embedding_dups" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
   round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))

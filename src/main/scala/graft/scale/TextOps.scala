@@ -62,6 +62,29 @@ object TextOps {
       lit(0.25) * least(stopwordRatio(text) * 10.0, lit(1.0)) +
       lit(0.25) * least(avgTokenLen(text) / lit(5.0), lit(1.0))
 
+  /** Top-k terms per document by TF-IDF (smooth idf, sklearn convention:
+    * tf/len · (ln((1+N)/(1+df)) + 1)). Two groupBys + one broadcast of the
+    * (small) document-frequency table; ties broken by term. Scale note:
+    * df is a term-keyed aggregation — skew-safe; the per-doc top-k is one
+    * window over the doc key.
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(id.as("doc_id"),
+      explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tfc"))
+    val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(id).agg(count(lit(1)).as("n"))
+    val scored = tf.join(docLen, "doc_id").join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tfc").cast("double") / col("len") *
+          (log((lit(1L) + col("n")).cast("double") / (lit(1L) + col("df"))) + 1.0)).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
+
   /** Marker-word language scores. Deterministic preference order on ties:
     * en > de > fr > es > zh.
     */
