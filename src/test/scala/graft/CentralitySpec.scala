@@ -30,4 +30,16 @@ class CentralitySpec extends AnyFunSuite {
     assert(math.abs(got(2L)._1 - 4.0 / 7.0) < 1e-9)
     assert(math.abs(got(2L)._2 - 0.5) < 1e-9)
   }
+
+  test("landmark sampling path (100 TB posture) runs and underestimates exact betweenness") {
+    val tx = graft.tables.Tables.transactions(spark, "/root/testdata/sf0.001")
+    val exact = Centrality.customerCentralities(tx)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sampled = Centrality.customerCentralities(tx, sampleSources = Some(20))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sampled.nonEmpty)
+    // per-source contributions are non-negative, so a source subset can
+    // only underestimate
+    sampled.foreach { case (k, b) => assert(b <= exact.getOrElse(k, 0.0) + 1e-12) }
+  }
 }
