@@ -48,11 +48,23 @@ def main(sfdir, outdir):
             exp_rel = con.execute(oracle[name])
             exp_cols = [d[0] for d in exp_rel.description]
             exp_rows, exp_cols_s = canon(exp_rel.fetchall(), exp_cols)
+            # mimic the driver's pandas-dtype strictness (int64 vs float64
+            # hash-mismatch even when Python == says equal, e.g. HUGEINT sums)
+            # kind, not width: the driver hashes int32==int64 fine, but
+            # int-vs-float (or bool-vs-int) renders differently and fails
+            got_dt = {c: t.kind for c, t in
+                      con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df().dtypes.items()}
+            exp_dt = {c: t.kind for c, t in con.execute(oracle[name]).df().dtypes.items()}
         except Exception as e:
             failures.append((name, f"ERROR {e}"))
             continue
         if got_cols_s != exp_cols_s:
             failures.append((name, f"schema: spark={got_cols_s} oracle={exp_cols_s}"))
+            continue
+        dt_bad = [(c, got_dt.get(c), exp_dt.get(c)) for c in got_cols_s
+                  if got_dt.get(c) != exp_dt.get(c)]
+        if dt_bad:
+            failures.append((name, f"dtype: {dt_bad} (spark vs oracle)"))
             continue
         if len(got_rows) != len(exp_rows):
             failures.append((name, f"rowcount: spark={len(got_rows)} oracle={len(exp_rows)}"))

@@ -18,17 +18,20 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     // noop sink forces full computation of every output column;
     // a bare .count() would let Catalyst prune the feature projections.
+    // a failed query records -1 (sentinel) so consumers of the JSON line
+    // can't mistake a crash for a fast run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

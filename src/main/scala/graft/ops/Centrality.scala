@@ -36,6 +36,9 @@ object Centrality {
     val nodes = edgeRows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
     val idx = nodes.zipWithIndex.toMap
     val n = nodes.length
+    if (n == 0)
+      return spark.emptyDataset[(Long, Double, Double)]
+        .toDF("customer_id", "graph_closeness_centrality", "graph_betweenness_centrality")
     val adjBuild = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
     edgeRows.foreach { r => adjBuild(idx(r.getString(0))) += idx(r.getString(1)) }
     val adj = adjBuild.map(_.toArray)
@@ -45,7 +48,7 @@ object Centrality {
     val sources = sampleSources.map(k => allSources.take(k)).getOrElse(allSources)
 
     // per-source task: (closeness of source) + (betweenness contributions)
-    val perSource = spark.sparkContext.parallelize(sources, math.min(sources.size, 64))
+    val perSource = spark.sparkContext.parallelize(sources, math.max(1, math.min(sources.size, 64)))
       .map { s =>
         val a = adjB.value
         val nn = a.length

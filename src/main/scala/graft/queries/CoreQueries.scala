@@ -121,8 +121,8 @@ FROM events ${windowClause("w1h")}""",
 FROM events ${windowClause("w1h")}""",
     "q07_calendar_counts" ->
       s"""SELECT event_id AS transaction_id, user_id AS customer_id,
-  sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
-  sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
+  count(*) FILTER (WHERE hour(ts) < 6 OR hour(ts) > 22) OVER w24h AS night_txn_count_24h,
+  count(*) FILTER (WHERE isodow(ts) >= 6) OVER w7d AS weekend_txn_count_7d,
   round(avg(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1.0 ELSE 0.0 END) OVER w24h+ 5e-11, 4) AS business_hours_ratio_24h
 FROM events ${windowClause("w24h", "w7d")}""",
     "q08_risk_score" -> {

@@ -13,9 +13,11 @@ object ServingQueries extends QueryPack {
 
   override val defs: Map[String, Q] = Map(
     "q39_explanations" -> { (s, dir) =>
+      // scalar (comma-joined) so the driver's sort+hash compare can handle
+      // the column — arrays are unhashable on the oracle side
       F.customerFeatures(Tables.transactions(s, dir))
         .select(col("transaction_id"), col("customer_id"),
-          Risk.explanation.as("explanation"))
+          array_join(Risk.explanation, ",").as("explanation"))
     },
     // no oracleSql (rows-only): DBSCAN's connected components aren't
     // SQL-expressible; exactness pinned by ClusteringSpec's hand fixture.
@@ -94,12 +96,12 @@ object ServingQueries extends QueryPack {
     avg(value) OVER w1h AS avg_txn_amount_1h
   FROM events WINDOW $w)
 SELECT transaction_id, customer_id,
-  list_transform(
+  coalesce(array_to_string(list_transform(
     list_filter(
       list_sort([
       $entries])[1:3],
       x -> x.c < -0.05),
-    x -> x.n) AS explanation
+    x -> x.n), ','), '') AS explanation
 FROM f"""
     },
     "q43_auc_drift" ->
