@@ -29,15 +29,14 @@ object PipelineQueries extends QueryPack {
           col("txn_count_24h"),
           r6(col("txn_amount_sum_24h")).as("txn_amount_sum_24h"))
     },
-    // no oracleSql (rows-only): connected components aren't SQL-expressible;
-    // exactness pinned by GraphSpec's two-component fixture.
+    // oracle: recursive-CTE reachability (GraphOracles.communitiesSql)
     "q49_communities" -> { (s, dir) =>
       graft.ops.GraphOps.communities(Tables.transactions(s, dir))
         .select(col("customer_id"), col("component_id"), col("component_size"))
     },
-    // no oracleSql: Brandes/closeness aren't SQL-expressible — the driver
-    // records a rows-only check; exactness is pinned by CentralitySpec's
-    // hand-computed graph.
+    // oracle: bounded-BFS distances + layer-unrolled Brandes
+    // (GraphOracles.centralitiesSql); CentralitySpec pins the algorithm
+    // on a hand-computed graph independently.
     "q38_centralities" -> { (s, dir) =>
       graft.ops.Centrality.customerCentralities(Tables.transactions(s, dir))
         .select(col("customer_id"),
@@ -59,6 +58,8 @@ object PipelineQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q49_communities" -> GraphOracles.communitiesSql,
+    "q38_centralities" -> GraphOracles.centralitiesSql(),
     "q36_pit_training" ->
       """WITH probes AS (
   SELECT event_id AS probe_id, user_id, epoch_us(ts) + 1800000000 AS tm FROM events WHERE event_id % 10 = 0),

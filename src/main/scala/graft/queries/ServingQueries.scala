@@ -19,8 +19,9 @@ object ServingQueries extends QueryPack {
         .select(col("transaction_id"), col("customer_id"),
           array_join(Risk.explanation, ",").as("explanation"))
     },
-    // no oracleSql (rows-only): DBSCAN's connected components aren't
-    // SQL-expressible; exactness pinned by ClusteringSpec's hand fixture.
+    // oracle: eps-graph components via recursive CTE
+    // (GraphOracles.dbscanSql); ClusteringSpec pins sklearn parity on a
+    // hand fixture independently.
     "q41_dbscan" -> { (s, dir) =>
       Clustering.dbscanFeatures(Tables.transactions(s, dir))
         .select(col("customer_id"),
@@ -69,6 +70,7 @@ object ServingQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q41_dbscan" -> GraphOracles.dbscanSql,
     "q39_explanations" -> {
       val entries = Risk.model.map { case (f, wgt, norm) =>
         s"{'c': -least($f / $norm, 1.0) * $wgt, 'n': '$f'}"

@@ -3,6 +3,7 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact (hash),
   * n-gram Jaccard, MinHash+LSH, SimHash.
@@ -58,11 +59,14 @@ object Dedup {
     // then the inverted-index self-join carries the sizes along so the
     // pair aggregation needs no further joins.
     val sh = shingles(docs, id, text, n)
+    // persisted: both sides of the inverted-index self-join read `kept`,
+    // so tokenize+distinct+two count-windows run once instead of twice
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .where(col("df") <= dfCut)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("shingle"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
@@ -105,24 +109,32 @@ object Dedup {
     * joins on band keys instead of all-pairs.
     */
   def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val shCached = shingles(docs, id, text, n)
-    val sig = minhashSignaturesFrom(shCached)
-    val bandKeys = bands.zipWithIndex.map { case (rows, bi) =>
-      sig.select(col("doc_id"), lit(bi).as("band"),
-        concat_ws("_", rows.map(r => col(s"mh$r")): _*).as("key"))
-    }.reduce(_ union _)
+    // the shingle table feeds four consumers (signatures, both intersection
+    // probes, sizes) and the signature table feeds both sides of the band
+    // self-join — persist both so tokenization+distinct run once, not 12x
+    // (at 100 TB this is the standard materialize-the-shingle-table step)
+    val sh = shingles(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    // one pass over sig: band index via posexplode instead of a 4-way union
+    val bandCols = bands.map(rows => concat_ws("_", rows.map(r => col(s"mh$r")): _*))
+    val bandKeys = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
     val cand = bandKeys.as("x").join(bandKeys.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-    val sh = shCached
+    // intersection via composite-key equi-join (doc AND shingle) so no
+    // per-pair shingle cross product materializes; AQE broadcasts the
+    // small sides at test SF while the same plan stays shuffle-safe at scale
+    val probe = sh.join(cand, col("doc_id") === col("doc1"))
+      .select(col("doc1"), col("doc2"), col("shingle"))
+    val inter = probe.as("p").join(sh.as("s2"),
+        col("s2.doc_id") === col("p.doc2") && col("s2.shingle") === col("p.shingle"))
+      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    cand
-      .join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
-      .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("shingle", "shingle2"), "doc2")
-      .where(col("shingle") === col("shingle2"))
-      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+    inter
       .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
       .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
       .select(col("doc1"), col("doc2"),
