@@ -29,6 +29,22 @@ object PipelineQueries extends QueryPack {
           col("txn_count_24h"),
           r6(col("txn_amount_sum_24h")).as("txn_amount_sum_24h"))
     },
+    "q51_asof_join" -> { (s, dir) =>
+      // row-returning as-of join: each probe (30 min before every 7th
+      // event) picks up the customer's latest event at-or-before it;
+      // probes before a customer's first event stay unmatched
+      val ev = Tables.events(s, dir)
+      val events = ev.select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("tm"), col("value"), col("event_id"))
+      val probes = ev.where(col("event_id") % 7 === 0)
+        .select(col("event_id").as("probe_id"), col("user_id").as("key"),
+          (unix_micros(col("ts")) - lit(1800000000L)).as("tm"))
+      graft.ops.AsOf.lastEventAsOf(events, probes, Seq("value", "event_id"))
+        .select(col("probe_id"), col("key").as("customer_id"),
+          coalesce(col("event_id"), lit(-1L)).as("matched_event_id"),
+          r6(coalesce(col("value"), lit(0.0))).as("last_value"),
+          col("event_id").isNotNull.as("matched"))
+    },
     // oracle: recursive-CTE reachability (GraphOracles.communitiesSql)
     "q49_communities" -> { (s, dir) =>
       graft.ops.GraphOps.communities(Tables.transactions(s, dir))
@@ -58,6 +74,16 @@ object PipelineQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q51_asof_join" ->
+      """WITH probes AS (
+  SELECT event_id AS probe_id, user_id, epoch_us(ts) - 1800000000 AS tm
+  FROM events WHERE event_id % 7 = 0),
+e AS (SELECT user_id, epoch_us(ts) AS tm, value, event_id FROM events)
+SELECT p.probe_id, p.user_id AS customer_id,
+  coalesce(e.event_id, -1) AS matched_event_id,
+  round(coalesce(e.value, 0.0) + 5e-11, 4) AS last_value,
+  e.event_id IS NOT NULL AS matched
+FROM probes p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.tm >= e.tm""",
     "q49_communities" -> GraphOracles.communitiesSql,
     "q38_centralities" -> GraphOracles.centralitiesSql(),
     "q36_pit_training" ->

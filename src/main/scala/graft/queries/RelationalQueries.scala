@@ -5,6 +5,7 @@ import graft.online.Snapshot
 import graft.ops.{CoreFeatures => F, GraphOps, Trailing}
 import graft.tables.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph features, serving joins, snapshot store, tumbling rollup, top-k,
@@ -155,6 +156,36 @@ snap AS (
         .groupBy(window(col("event_timestamp"), "1 hour", "15 minutes").getField("start").as("window_start"))
         .agg(count(lit(1)).as("txn_count"), r6(sum(col("amount"))).as("amount_sum"))
     },
+    "q52_rollup" -> { (s, dir) =>
+      // hierarchical aggregation (ROLLUP + grouping_id) — subtotal levels
+      // in one pass instead of three unioned aggregations
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("gid"), col("sum_price"), col("cnt"))
+    },
+    "q53_rank_windows" -> { (s, dir) =>
+      // ranking/navigation window family over one deterministic total
+      // order (amount desc, id) — all frames share a single sort
+      val w = Window.partitionBy(col("customer_id"))
+        .orderBy(col("amount").desc, col("transaction_id"))
+      Tables.transactions(s, dir).select(
+        col("transaction_id"), col("customer_id"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cdist"),
+        r6(coalesce(lag(col("amount"), 1).over(w), lit(0.0))).as("prev_amount"),
+        r6(coalesce(lead(col("amount"), 1).over(w), lit(0.0))).as("next_amount"),
+        r6(first(col("amount")).over(w)).as("top_amount"))
+    },
     "q46_semi_anti" -> { (s, dir) =>
       // semi/anti joins (SURVEY §2.5 note): customers with vs without
       // orders — EXISTS / NOT EXISTS as left_semi / left_anti
@@ -269,6 +300,26 @@ GROUP BY 1""",
     "q46_semi_anti" ->
       """SELECT c_custkey, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
 FROM customer""",
+    "q52_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+  GROUPING(l_returnflag, l_linestatus) AS gid,
+  round(sum(l_extendedprice) + 1e-4, 2) AS sum_price,
+  count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q53_rank_windows" ->
+      """SELECT event_id AS transaction_id, user_id AS customer_id,
+  row_number() OVER w AS rn,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w + 5e-11, 4) AS pct_rank,
+  round(cume_dist() OVER w + 5e-11, 4) AS cdist,
+  round(coalesce(lag(value, 1) OVER w, 0.0) + 5e-11, 4) AS prev_amount,
+  round(coalesce(lead(value, 1) OVER w, 0.0) + 5e-11, 4) AS next_amount,
+  round(first_value(value) OVER w + 5e-11, 4) AS top_amount
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""",
     "q47_session_windows" ->
       """WITH o AS (
   SELECT user_id, event_id, ts, value,
