@@ -60,12 +60,15 @@ object Dedup {
     // pair aggregation needs no further joins.
     val sh = shingles(docs, id, text, n)
     // persisted: both sides of the inverted-index self-join read `kept`,
-    // so tokenize+distinct+two count-windows run once instead of twice
+    // so tokenize+distinct+two count-windows run once instead of twice;
+    // the final repartition leaves the cache hash-partitioned by shingle,
+    // so the self-join reads it exchange-free on both sides
     val kept = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .where(col("df") <= dfCut)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("shingle"), col("sz"))
+      .repartition(col("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
