@@ -53,7 +53,7 @@ class CustomerFeatureProcessor extends StatefulProcessor[Long, StreamTxn, Stream
     if (incoming.isEmpty) return Iterator.empty
     val all = (history.get().toArray ++ incoming).sortBy(_.ts_micros)
     // features for each NEW event over the full merged history
-    val out = incoming.iterator.map(e => features(e, all))
+    val out = featuresBatch(incoming, all)
     // prune relative to the newest event; computed rows above already hold
     // the history they needed, so pruning after the fact is safe
     val cutoff = all.last.ts_micros - MaxWindowMicros
@@ -69,6 +69,84 @@ object CustomerFeatureProcessor {
 
   private def inWindow(all: Array[StreamTxn], t: Long, secs: Long): Array[StreamTxn] =
     all.filter(x => x.ts_micros <= t && x.ts_micros > t - secs * 1000000L)
+
+  /** First index i with ts(i) > t (upper bound on the sorted array) —
+    * frame (t-W, t] is then the index range [ub(t-W), ub(t)).
+    */
+  private def ub(ts: Array[Long], t: Long): Int = {
+    var lo = 0; var hi = ts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ts(mid) <= t) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Per-batch feature computation. Window membership is resolved with
+    * binary search on the sorted history (O(log n) per frame, not an
+    * O(n) filter scan per event), and the long-window integer counts
+    * (night 24h / weekend 7d) come from prefix sums — O(1) per event.
+    * Float aggregates still accumulate left-to-right over the exact frame
+    * slice, so results stay bit-equal to the batch range-frame operator
+    * (the O(state)-per-event rescan was the reference's own anti-pattern,
+    * SURVEY §4.1).
+    */
+  def featuresBatch(incoming: Array[StreamTxn], all: Array[StreamTxn]): Iterator[StreamFeatures] = {
+    val n = all.length
+    val ts = new Array[Long](n)
+    val nightPre = new Array[Int](n + 1)
+    val weekendPre = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) {
+      val t = all(i).ts_micros
+      ts(i) = t
+      nightPre(i + 1) = nightPre(i) + (if (isNight(t)) 1 else 0)
+      weekendPre(i + 1) = weekendPre(i) + (if (isWeekend(t)) 1 else 0)
+      i += 1
+    }
+    incoming.iterator.map { e =>
+      val t = e.ts_micros
+      val hi = ub(ts, t)
+      def lo(secs: Long): Int = ub(ts, t - secs * 1000000L)
+      val lo60 = lo(60); val lo5m = lo(300); val lo10m = lo(600)
+      val lo1h = lo(3600); val lo24h = lo(86400); val lo7d = lo(604800)
+      // 1h frame slice: float sums/max and distincts accumulate in frame
+      // order, matching the batch operator's evaluation exactly
+      var sum1h = 0.0; var max1h = Double.NegativeInfinity
+      val ips = new scala.collection.mutable.HashSet[String]
+      val merchants = new scala.collection.mutable.HashSet[String]
+      var j = lo1h
+      while (j < hi) {
+        val x = all(j)
+        sum1h += x.amount
+        if (x.amount > max1h) max1h = x.amount
+        ips += x.ip_address; merchants += x.merchant_id
+        j += 1
+      }
+      val n1h = hi - lo1h
+      val mean1h = sum1h / n1h
+      var sq = 0.0
+      j = lo1h
+      while (j < hi) { val d = all(j).amount - mean1h; sq += d * d; j += 1 }
+      val std1h = if (n1h <= 1) 0.0 else math.sqrt(sq / n1h)
+      var sum60 = 0.0; j = lo60
+      while (j < hi) { sum60 += all(j).amount; j += 1 }
+      var sum5m = 0.0; j = lo5m
+      while (j < hi) { sum5m += all(j).amount; j += 1 }
+      StreamFeatures(
+        customer_id = e.customer_id, ts_micros = t, amount = e.amount,
+        txn_amount_sum_60s = sum60, txn_amount_sum_5m = sum5m, txn_amount_sum_1h = sum1h,
+        txn_count_60s = hi - lo60, txn_count_5m = hi - lo5m,
+        txn_count_10m = hi - lo10m, txn_count_1h = n1h,
+        unique_ips_1h = ips.size, unique_merchants_1h = merchants.size,
+        velocity_score_1h = n1h / 60.0,
+        amount_deviation_score_1h = std1h,
+        night_txn_count_24h = nightPre(hi) - nightPre(lo24h),
+        weekend_txn_count_7d = weekendPre(hi) - weekendPre(lo7d),
+        avg_txn_amount_1h = mean1h,
+        max_txn_amount_1h = max1h)
+    }
+  }
 
   private def hourOf(micros: Long): Int =
     Instant.ofEpochSecond(micros / 1000000).atZone(ZoneOffset.UTC).getHour
@@ -147,7 +225,7 @@ class CustomerFeatureProcessorEventTime
       .toArray.sortBy(_.ts_micros)
     if (incoming.isEmpty) return Iterator.empty
     val all = (history.get().toArray ++ incoming).sortBy(_.ts_micros)
-    val out = incoming.iterator.map(e => features(e, all))
+    val out = featuresBatch(incoming, all)
     val cutoff = all.last.ts_micros - MaxWindowMicros
     history.clear()
     history.appendList(all.filter(_.ts_micros > cutoff))

@@ -62,6 +62,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-sum/binary-search batch path == per-event feature math on random sequences") {
+    samples(Gen.listOfN(60, txnGen), 20).foreach { txns =>
+      val sorted = txns.sortBy(_.ts_micros).toArray
+      sorted.groupBy(_.customer_id).foreach { case (_, evs) =>
+        val fast = CustomerFeatureProcessor.featuresBatch(evs, evs).toSeq
+        val slow = evs.toSeq.map(e => CustomerFeatureProcessor.features(e, evs))
+        assert(fast == slow) // bit-exact, including the float aggregates
+      }
+    }
+  }
+
   test("the ACTUAL transformWithState operator == batch windows on random sequences") {
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
