@@ -156,6 +156,20 @@ snap AS (
         .groupBy(window(col("event_timestamp"), "1 hour", "15 minutes").getField("start").as("window_start"))
         .agg(count(lit(1)).as("txn_count"), r6(sum(col("amount"))).as("amount_sum"))
     },
+    "q54_skew_salted" -> { (s, dir) =>
+      // two-phase salted aggregation under the correctness gate: the
+      // salted plan must produce exactly what a direct GROUP BY produces
+      // (hot-key mitigation for large-state aggregates, SURVEY §7.4 #6)
+      val tx = Tables.transactions(s, dir)
+      graft.ops.Skew.saltedAgg(tx, col("customer_id"),
+          col("transaction_id"), buckets = 16)(
+          Seq(count(lit(1)).as("c"),
+            collect_set(col("merchant_id")).as("ms")),
+          Seq(sum(col("c")).as("txn_count"),
+            size(array_distinct(flatten(collect_list(col("ms"))))).cast("long")
+              .as("distinct_merchants")))
+        .select(col("k").as("customer_id"), col("txn_count"), col("distinct_merchants"))
+    },
     "q52_rollup" -> { (s, dir) =>
       // hierarchical aggregation (ROLLUP + grouping_id) — subtotal levels
       // in one pass instead of three unioned aggregations
@@ -300,6 +314,10 @@ GROUP BY 1""",
     "q46_semi_anti" ->
       """SELECT c_custkey, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
 FROM customer""",
+    "q54_skew_salted" ->
+      """SELECT user_id AS customer_id, count(*) AS txn_count,
+  count(DISTINCT event_type) AS distinct_merchants
+FROM events GROUP BY 1""",
     "q52_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
   coalesce(l_linestatus, 'ALL') AS l_linestatus,
