@@ -143,5 +143,11 @@ object GraftFunctions {
       "entropy_agg", exprs => EntropyAgg(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hhi_agg", exprs => HhiAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_norm", exprs => ArrayNorm(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_sqdist", exprs => ArraySqDist(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -7,21 +7,24 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Brute-force exact top-k is the correctness baseline: broadcast the
-  * (small) query set, compute cosine with higher-order array expressions
-  * (zip_with + aggregate — codegen'd, no UDF), take per-query top-k with
-  * one window. The scale path buckets the corpus with random-hyperplane
-  * LSH so the per-query scan touches only colliding buckets.
+  * (small) query set, compute cosine with the native codegen'd vector
+  * kernels ([[graft.functions.ArrayDot]] — a fused primitive loop, vs the
+  * interpreted per-element lambdas of `aggregate(zip_with(...))`), take
+  * per-query top-k with one window. The scale path buckets the corpus
+  * with random-hyperplane LSH so the per-query scan touches only
+  * colliding buckets.
   */
 object Similarity {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  import graft.functions.{ArrayDot, ArrayNorm, ArraySqDist}
 
-  /** dot(a,b) accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a,b) accumulated left-to-right in double (codegen'd kernel). */
+  def dot(a: Column, b: Column): Column = column(ArrayDot(expression(a), expression(b)))
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = column(ArrayNorm(expression(a)))
+
+  /** Σ(aᵢ−bᵢ)² — IVF assignment metric. */
+  def sqDist(a: Column, b: Column): Column = column(ArraySqDist(expression(a), expression(b)))
 
   /** Divisions kept left-associated (dot/|a|/|b|) so the oracle SQL can
     * reproduce bit-identical doubles.
@@ -108,8 +111,7 @@ object Similarity {
   }
 
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val d2 = aggregate(zip_with(col("embedding"), col("ce"),
-      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)), lit(0.0), (a, v) => a + v)
+    val d2 = sqDist(col("embedding"), col("ce"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
     corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
@@ -123,8 +125,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
     val (assigned, centroids) = ivfAssign(corpus, nlist, iters)
-    val qd2 = aggregate(zip_with(col("qe"), col("ce"),
-      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)), lit(0.0), (a, v) => a + v)
+    val qd2 = sqDist(col("qe"), col("ce"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid").asc)
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroids))

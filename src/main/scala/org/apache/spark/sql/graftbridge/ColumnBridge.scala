@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal `private[sql]` bridge: Spark 4 backs `Column` by ColumnNode
+  * (Connect unification) and hid the Expression<->Column conversions
+  * behind `org.apache.spark.sql.classic.ExpressionUtils`. Extensions that
+  * ship custom Catalyst `Expression`s (our codegen'd vector kernels) still
+  * need the conversion, so this one-file package-in-`org.apache.spark.sql`
+  * re-exports it — the standard technique for Spark-4 extension libraries
+  * (same accessibility trick GraphFrames/Delta use for classic-only APIs).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
