@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: `--conf spark.sql.extensions=
+  * graft.GraftExtensions` (or `builder.withExtensions(new
+  * GraftExtensions)`) injects the engine's native functions into every
+  * session built from that config — the idiomatic deployment surface for
+  * a Spark-native library (no imperative `register(spark)` call needed,
+  * works from pure-SQL clients too).
+  *
+  * `GraftFunctions.register` stays as the imperative twin for sessions
+  * the caller didn't construct.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, doc, builder) triples shared by the extension injector
+    * and [[GraftFunctions.register]].
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("exact_distinct"),
+      info("exact_distinct", "exact_distinct(col) - exact distinct count, legal in window frames"),
+      (es: Seq[Expression]) => ExactDistinct(es.head)),
+    (FunctionIdentifier("gini_agg"),
+      info("gini_agg", "gini_agg(x) - Gini coefficient of the group's values"),
+      (es: Seq[Expression]) => GiniAgg(es.head)),
+    (FunctionIdentifier("entropy_agg"),
+      info("entropy_agg", "entropy_agg(x) - Shannon entropy (log2) of the value histogram"),
+      (es: Seq[Expression]) => EntropyAgg(es.head)),
+    (FunctionIdentifier("hhi_agg"),
+      info("hhi_agg", "hhi_agg(x) - Herfindahl-Hirschman index of the value histogram"),
+      (es: Seq[Expression]) => HhiAgg(es.head)),
+    (FunctionIdentifier("array_dot"),
+      info("array_dot", "array_dot(a, b) - dot product of two float/double vectors"),
+      (es: Seq[Expression]) => ArrayDot(es(0), es(1))),
+    (FunctionIdentifier("array_norm"),
+      info("array_norm", "array_norm(a) - L2 norm of a float/double vector"),
+      (es: Seq[Expression]) => ArrayNorm(es.head)),
+    (FunctionIdentifier("array_sqdist"),
+      info("array_sqdist", "array_sqdist(a, b) - squared euclidean distance of two vectors"),
+      (es: Seq[Expression]) => ArraySqDist(es(0), es(1))))
+}

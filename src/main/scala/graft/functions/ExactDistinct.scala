@@ -85,8 +85,11 @@ case class GiniAgg(
   override def createAggregationBuffer(): mutable.ArrayBuffer[Double] = mutable.ArrayBuffer.empty
 
   override def update(buf: mutable.ArrayBuffer[Double], input: InternalRow): mutable.ArrayBuffer[Double] = {
-    val v = child.eval(input)
-    if (v != null) buf += v.asInstanceOf[Number].doubleValue()
+    child.eval(input) match {
+      case null => ()
+      case d: org.apache.spark.sql.types.Decimal => buf += d.toDouble
+      case n: Number => buf += n.doubleValue()
+    }
     buf
   }
 
@@ -133,21 +136,12 @@ case class GiniAgg(
 }
 
 object GraftFunctions {
-  /** Register the engine's native functions into a session; idempotent. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "exact_distinct", exprs => ExactDistinct(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gini_agg", exprs => GiniAgg(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "entropy_agg", exprs => EntropyAgg(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hhi_agg", exprs => HhiAgg(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_norm", exprs => ArrayNorm(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_sqdist", exprs => ArraySqDist(exprs(0), exprs(1)), "scala_udf")
-  }
+  /** Imperative twin of [[graft.GraftExtensions]]: registers the same
+    * function table into an already-built session; idempotent.
+    */
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "scala_udf")
+    }
 }
