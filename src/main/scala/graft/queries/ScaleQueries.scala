@@ -78,6 +78,10 @@ sig AS (SELECT doc_id,
       Similarity.cosineTopK(emb, emb.where(col("vec_id") < 10), k = 10)
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
           r6(col("cos")).as("cos"))
+    },
+    "q55_winnowing" -> { (s, dir) =>
+      TextOps.winnowFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"),
+        k = 8, w = 4)
     })
 
   override val oracle: Map[String, String] = Map(
@@ -199,6 +203,18 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
     / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
     / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) >= 0.5""",
+    "q55_winnowing" ->
+      """WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+g AS (
+  SELECT doc_id, i, ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 8 + 2)) AS i FROM nrm WHERE length(t) >= 8)),
+m AS (
+  SELECT doc_id, i,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+    max(i) OVER (PARTITION BY doc_id) AS maxi
+  FROM g)
+SELECT DISTINCT doc_id, fp FROM m WHERE i <= maxi - 3""",
     "q35_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 s AS (SELECT q.query_id, e.vec_id AS nbr_id,

@@ -78,4 +78,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
     assert(r.getString(2).length == 16)
   }
+
+  test("winnowing: shared substrings >= t chars share a fingerprint; short docs emit none") {
+    val k = 8; val w = 4 // guarantee threshold t = w + k - 1 = 11
+    val common = "a very distinctive shared passage of text"
+    val docs = Seq(
+      (1L, s"first document begins here. $common. and then ends."),
+      (2L, s"totally other opening words! $common! closing differently."),
+      (3L, "unrelated content with no overlap whatsoever in this doc"),
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, col("doc_id"), col("text"), k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert(!fps.contains(4L))
+    // density: winnowing keeps roughly 2/(w+1) of gram positions, far
+    // fewer than the full gram count
+    assert(fps(3L).size < 56 - k + 1)
+  }
 }
