@@ -40,12 +40,18 @@ object CoreFeatures {
     coalesce(stddev_pop(amount).over(lastSeconds(w, secs)), lit(0.0))
 
   /** Exact distinct count over the trailing frame (A7/A8).
-    * `countDistinct` is unsupported in window frames, so
-    * `size(collect_set(...))`; the scale path swaps in
-    * `approx_count_distinct` via [[approxDistinctOver]].
+    * `countDistinct` is unsupported in window frames; the engine's native
+    * [[graft.functions.ExactDistinct]] aggregate IS legal there and emits
+    * only the cardinality — unlike the `size(collect_set(...))` fallback,
+    * which materializes a deduped array per OUTPUT ROW before taking its
+    * size. The scale path swaps in `approx_count_distinct` via
+    * [[approxDistinctOver]].
     */
-  def distinctOver(c: Column, w: WindowSpec, secs: Long): Column =
-    size(collect_set(c).over(lastSeconds(w, secs))).cast("long")
+  def distinctOver(c: Column, w: WindowSpec, secs: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.ExactDistinct(ColumnBridge.expression(c))
+      .toAggregateExpression()).over(lastSeconds(w, secs))
+  }
 
   /** HLL-sketched distinct for the 100 TB path (not oracle-exact). */
   def approxDistinctOver(c: Column, w: WindowSpec, secs: Long): Column =
