@@ -279,6 +279,49 @@ class MerchantFeatureProcessor extends StatefulProcessor[String, StreamTxn, Merc
   }
 }
 
+/** Streaming graph-degree view (SURVEY G10, reference
+  * `real_time_processor.py:314-332`): per customer, the count of distinct
+  * merchant / IP edge keys seen so far, emitted per event.
+  *
+  * The reference SCANS its whole MapState per event
+  * (`key.startswith("cm:{cust}:")`) — O(state). Here the edge set lives
+  * in MapState (edge key -> first-seen micros) and the degrees in
+  * ValueState counters bumped only when `containsKey` misses, so each
+  * event costs O(1) state lookups regardless of a hub customer's degree.
+  */
+case class GraphDegrees(customer_id: Long, ts_micros: Long,
+                        graph_merchant_degree: Long, graph_ip_degree: Long,
+                        graph_total_degree: Long)
+
+class GraphDegreeProcessor extends StatefulProcessor[Long, StreamTxn, GraphDegrees] {
+  @transient private var edges: MapState[String, Long] = _
+  @transient private var merchantDeg: ValueState[Long] = _
+  @transient private var ipDeg: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    edges = getHandle.getMapState[String, Long]("edges",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    merchantDeg = getHandle.getValueState[Long]("mdeg", Encoders.scalaLong, TTLConfig.NONE)
+    ipDeg = getHandle.getValueState[Long]("ideg", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamTxn],
+                               timerValues: TimerValues): Iterator[GraphDegrees] = {
+    var m = if (merchantDeg.exists()) merchantDeg.get() else 0L
+    var i = if (ipDeg.exists()) ipDeg.get() else 0L
+    val out = rows.toArray.sortBy(_.ts_micros).iterator.map { e =>
+      val mk = "m:" + e.merchant_id
+      val ik = "i:" + e.ip_address
+      if (!edges.containsKey(mk)) { edges.updateValue(mk, e.ts_micros); m += 1 }
+      if (!edges.containsKey(ik)) { edges.updateValue(ik, e.ts_micros); i += 1 }
+      GraphDegrees(key, e.ts_micros, m, i, m + i)
+    }.toArray
+    merchantDeg.update(m)
+    ipDeg.update(i)
+    out.iterator
+  }
+}
+
 object StreamingFeatures {
   /** Wire the processor onto a stream of events. The session must use the
     * RocksDB state store provider (transformWithState requirement).
@@ -309,6 +352,14 @@ object StreamingFeatures {
     implicit val enc: Encoder[MerchantFeatures] = Encoders.product[MerchantFeatures]
     events.groupByKey(_.merchant_id)(Encoders.STRING)
       .transformWithState(new MerchantFeatureProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Third fan-out: per-customer streaming graph degrees (G10). */
+  def graphDegrees(events: Dataset[StreamTxn]): Dataset[GraphDegrees] = {
+    implicit val enc: Encoder[GraphDegrees] = Encoders.product[GraphDegrees]
+    events.groupByKey(_.customer_id)(Encoders.scalaLong)
+      .transformWithState(new GraphDegreeProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 }

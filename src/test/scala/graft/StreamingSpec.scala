@@ -118,4 +118,41 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch)
   }
+
+  test("graph-degree processor == batch running prefix-distinct counts, O(1) per event") {
+    import spark.implicits._
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[graft.streaming.StreamTxn].collect().sortBy(_.ts_micros)
+    val split = tx.map(_.ts_micros).apply(tx.length / 2)
+    val (b1, b2) = tx.partition(_.ts_micros <= split)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.streaming.StreamTxn]
+    val query = StreamingFeatures.graphDegrees(input.toDS())
+      .writeStream.format("memory").queryName("gdeg").outputMode("append").start()
+    try {
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("gdeg")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // batch oracle: per-customer running distinct counts over the
+    // time-ordered history (scala fold per key)
+    val expected = tx.groupBy(_.customer_id).iterator.flatMap { case (cid, es) =>
+      val sorted = es.sortBy(_.ts_micros)
+      val ms = scala.collection.mutable.HashSet.empty[String]
+      val is = scala.collection.mutable.HashSet.empty[String]
+      sorted.map { e =>
+        ms += e.merchant_id; is += e.ip_address
+        (cid, e.ts_micros) -> (ms.size.toLong, is.size.toLong, (ms.size + is.size).toLong)
+      }
+    }.toMap
+
+    assert(streamed == expected)
+  }
 }
