@@ -82,7 +82,20 @@ sig AS (SELECT doc_id,
     "q55_winnowing" -> { (s, dir) =>
       TextOps.winnowFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"),
         k = 8, w = 4)
+    },
+    "q56_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 10,
+          planes = lshPlanes, dim = lshDim)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+          r6(col("cos")).as("cos"))
     })
+
+  /** LSH config for q56; the oracle embeds the identical md5-derived
+    * hyperplane coefficients as SQL literals.
+    */
+  private val lshPlanes = 8
+  private val lshDim = 64
 
   override val oracle: Map[String, String] = Map(
     "q28_dedup_exact" ->
@@ -203,6 +216,27 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
     / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
     / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) >= 0.5""",
+    "q56_ann_lsh" -> {
+      // identical md5-derived hyperplane coefficients as SQL literals
+      // (Double.toString is shortest-round-trip, so DuckDB parses back
+      // the same binary double and every projection sum is bit-equal)
+      val bucket = (0 until 8).map { p =>
+        val proj = (0 until 64).map { d =>
+          s"embedding[${d + 1}]::DOUBLE * ${Similarity.planeCoef(p, d)}"
+        }.mkString(" + ")
+        s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, embedding, ($bucket)::BIGINT AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM c WHERE vec_id < 10),
+s AS (SELECT q.query_id, c.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(c.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(c.embedding) AS y))) AS cos
+      FROM c JOIN q USING (bucket) WHERE c.vec_id != q.query_id),
+r AS (SELECT query_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10"""
+    },
     "q55_winnowing" ->
       """WITH nrm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),

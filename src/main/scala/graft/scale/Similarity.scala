@@ -148,12 +148,20 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Plane `p`'s component along dimension `d`: a deterministic
+    * pseudo-random double in [-1,1) from md5(p:d) — the same literal is
+    * embedded in the DuckDB oracle, so signatures are reproducible
+    * engine-independently.
+    */
+  def planeCoef(p: Int, d: Int): Double = {
+    val u = java.lang.Long.parseLong(md5Hex(s"$p:$d").substring(0, 15), 16)
+    (u.toDouble / (1L << 60).toDouble) * 2.0 - 1.0
+  }
+
   def lshSignature(emb: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = (0 until dim).map { d =>
-        val u = java.lang.Long.parseLong(md5Hex(s"$p:$d").substring(0, 15), 16)
-        val coef = (u.toDouble / (1L << 60).toDouble) * 2.0 - 1.0
-        element_at(emb, d + 1).cast("double") * lit(coef)
+        element_at(emb, d + 1).cast("double") * lit(planeCoef(p, d))
       }.reduce(_ + _)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }

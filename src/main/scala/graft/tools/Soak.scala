@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.ops.CoreFeatures
+import graft.scale.Dedup
+import graft.tables.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak: replicate the sf0.1 inputs k-fold in-plan (shifted keys ->
+  * k-fold key cardinality at the same per-key history; unshifted ->
+  * k-fold per-key frame length, the hot-key stress) and time the heavy
+  * operators. Verifies the plans SCALE — linear-ish wall-clock, no
+  * collect/driver blowups — which the tiny driver SFs cannot show.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val rep = spark.range(k).select(col("id").as("rep"))
+    val tx = Tables.transactions(spark, dir)
+
+    // k-fold key cardinality, same per-key history profile
+    val wide = tx.crossJoin(rep)
+      .withColumn("customer_id", col("customer_id") + col("rep") * 1000000L)
+      .withColumn("transaction_id", col("transaction_id") + col("rep") * 1000000000L)
+      .drop("rep")
+    time(s"features-${k}x-keys")(
+      CoreFeatures.customerFeatures(wide).write.format("noop").mode("overwrite").save())
+
+    // same keys, k-fold per-key history (hot-key stress for the per-key
+    // sort volume; replicas sit a year apart so frame LENGTHS are
+    // unchanged — only the partition each key must sort grows k-fold)
+    val deep = tx.crossJoin(rep)
+      .withColumn("event_timestamp",
+        col("event_timestamp") - (col("rep") * 31536000L).cast("interval second"))
+      .drop("rep")
+    time(s"features-${k}x-depth")(
+      CoreFeatures.customerFeatures(deep).write.format("noop").mode("overwrite").save())
+
+    val docs = Tables.documents(spark, dir).crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L).drop("rep")
+    time(s"minhash-pairs-${k}x")(
+      Dedup.minhashPairs(docs, col("doc_id"), col("text"), n = 3)
+        .write.format("noop").mode("overwrite").save())
+
+    spark.stop()
+  }
+}

@@ -10,9 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("config-injected extensions expose all native functions to SQL") {
-    // force a FRESH session build so the extensions config is honored
-    // (getOrCreate would silently return a suite-shared session);
-    // the underlying SparkContext is reused, so this is cheap.
+    // spark.sql.extensions is a STATIC conf resolved from the
+    // SparkContext's SparkConf at context creation — a context built by
+    // an earlier suite (without it) would silently drop the extension, so
+    // stop any live context and build fresh. Later suites getOrCreate a
+    // new session off the replacement context transparently.
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
