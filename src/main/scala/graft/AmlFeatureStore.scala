@@ -1,0 +1,81 @@
+package graft
+
+import graft.online.Snapshot
+import graft.ops.CoreFeatures
+import graft.pit.PointInTime
+import graft.scoring.Risk
+import graft.streaming.{StreamFeatures, StreamTxn, StreamingFeatures}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The library's front door: every workflow a user of the reference runs
+  * today, as one facade over the engine's operators —
+  *
+  *   - offline feature backfill        (reference notebook / Feast materialize)
+  *   - online snapshot with TTL        (Flink -> Redis hash, EXPIRE 86400)
+  *   - point lookup + cold-start       (`api/main.py:327-363` HGETALL/defaults)
+  *   - risk scoring + explanations     (`api/main.py` /predict)
+  *   - point-in-time training sets     (`advanced_features.py:403-432`)
+  *   - streaming per-event features    (`flink_job/aml_stream_processor.py`)
+  *
+  * Every method returns a lazy DataFrame/Dataset — callers compose and
+  * Catalyst plans the whole pipeline as one job.
+  */
+class AmlFeatureStore(spark: SparkSession) {
+
+  // SQL clients of this session get the native functions too
+  graft.functions.GraftFunctions.register(spark)
+
+  /** Per-event trailing-window customer features (the A1–A14 view).
+    * Input: the canonical transaction frame (`Tables.transactions`).
+    */
+  def customerFeatures(tx: DataFrame): DataFrame = CoreFeatures.customerFeatures(tx)
+
+  /** Merchant-entity view (A9/A10). */
+  def merchantFeatures(tx: DataFrame): DataFrame = CoreFeatures.merchantFeatures(tx)
+
+  /** Online store: latest feature row per customer within `ttlSeconds` of
+    * `now` — the relational form of the reference's Redis hash + EXPIRE.
+    */
+  def customerSnapshot(features: DataFrame, now: Column,
+                       ttlSeconds: Long = 86400): DataFrame =
+    Snapshot.withTtl(
+      Snapshot.latest(features, col("customer_id"), col("event_timestamp"),
+        col("transaction_id")),
+      col("event_timestamp"), now, ttlSeconds)
+
+  /** Cold-start default vector: every model feature zero (`api/main.py:343-363`). */
+  private val coldStart: Map[String, Column] =
+    Risk.model.map { case (f, _, _) => f -> lit(0.0) }.toMap
+
+  /** The /predict surface: requests (request_id, customer_id, amount) are
+    * looked up against the snapshot (broadcast when small), zero-defaulted
+    * on cold start, scored, classified, and explained — one narrow plan,
+    * no per-request round trips.
+    */
+  def predict(requests: DataFrame, snapshot: DataFrame): DataFrame = {
+    // keep only (customer_id, feature columns): the snapshot's event-level
+    // amount/merchant columns would collide with the request's
+    val feats = Snapshot.lookup(
+      requests,
+      snapshot.drop("transaction_id", "merchant_id", "event_timestamp", "amount"),
+      "customer_id", coldStart)
+    val s = Risk.score(col("amount"))
+    feats.select(col("request_id"), col("customer_id"), col("amount"),
+      s.as("risk_score"), Risk.level(s).as("risk_level"),
+      Risk.explanation.as("explanation"))
+  }
+
+  /** Point-in-time training features for decoupled label rows (J2):
+    * leakage-free by construction (union-tag, single shuffle).
+    */
+  def trainingSet(events: DataFrame, probes: DataFrame,
+                  windows: Seq[(String, Long)]): DataFrame =
+    PointInTime.asOfFeatures(events, probes, windows)
+
+  /** Streaming twin of [[customerFeatures]]: one feature row per input
+    * event via transformWithState (requires the RocksDB state store).
+    */
+  def streamingCustomerFeatures(events: Dataset[StreamTxn]): Dataset[StreamFeatures] =
+    StreamingFeatures.customerFeatures(events)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.tables.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end through the facade: backfill -> snapshot -> predict, the
+  * exact workflow a reference user runs against the HTTP API, as one
+  * composed lazy plan.
+  */
+class FacadeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("backfill -> snapshot -> predict round trip with cold-start defaults") {
+    import spark.implicits._
+    val store = new AmlFeatureStore(spark)
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+
+    val feats = store.customerFeatures(tx)
+    val asOf = tx.agg(max(col("event_timestamp"))).head.getTimestamp(0)
+    val snap = store.customerSnapshot(feats, lit(asOf), ttlSeconds = 30L * 86400)
+
+    // one known customer + one unknown (cold start)
+    val knownId = tx.select("customer_id").head.getLong(0)
+    val requests = Seq(
+      (1L, knownId, 12000.0),    // boost: amount > 10000
+      (2L, -1L, 100.0)           // cold start: base score 0
+    ).toDF("request_id", "customer_id", "amount")
+
+    val out = store.predict(requests, snap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getString(4), r.getSeq[String](5))).toMap
+
+    val (knownScore, knownLevel, _) = out(1L)
+    assert(knownScore >= 0.3 && knownScore <= 1.0) // >= the 0.3 amount boost
+    assert(Seq("LOW", "MEDIUM", "HIGH").contains(knownLevel))
+
+    val (coldScore, coldLevel, coldExpl) = out(2L)
+    assert(coldScore == 0.0 && coldLevel == "LOW" && coldExpl.isEmpty)
+  }
+
+  test("snapshot TTL expires stale customers back to cold start") {
+    import spark.implicits._
+    val store = new AmlFeatureStore(spark)
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+    val feats = store.customerFeatures(tx)
+    // "now" far in the future: every snapshot row is older than the TTL
+    val farFuture = lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00"))
+    val snap = store.customerSnapshot(feats, farFuture, ttlSeconds = 86400)
+    assert(snap.count() == 0)
+    val requests = Seq((1L, tx.select("customer_id").head.getLong(0), 100.0))
+      .toDF("request_id", "customer_id", "amount")
+    val r = store.predict(requests, snap).head
+    assert(r.getDouble(3) == 0.0) // cold-start path
+  }
+}
