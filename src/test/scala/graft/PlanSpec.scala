@@ -58,4 +58,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(RelationalQueries.defs("q20_feature_lookup")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"), p)
   }
+
+  test("window distincts use the native aggregate, not per-row collect_set arrays") {
+    val p = plan(PipelineQueries.defs("q37_full_features")(spark, sf))
+    assert(p.contains("exact_distinct"), p)
+    assert(!p.contains("collect_set"), p)
+  }
+
+  test("winnowing costs one exchange for the doc window plus the distinct") {
+    val p = plan(graft.queries.ScaleQueries.defs("q55_winnowing")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
 }
