@@ -80,8 +80,13 @@ sig AS (SELECT doc_id,
           r6(col("cos")).as("cos"))
     },
     "q55_winnowing" -> { (s, dir) =>
-      TextOps.winnowFingerprints(Tables.documents(s, dir), col("doc_id"), col("text"),
-        k = 8, w = 4)
+      // the kernel map is CPU-bound and the corpus file is one input
+      // split — spread the rows first (standard small-input/expensive-map
+      // repartition; at real corpus scale the input splits already give
+      // this parallelism and the repartition collapses to a no-op cost)
+      TextOps.winnowFingerprints(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        col("doc_id"), col("text"), k = 8, w = 4)
     },
     "q56_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)

@@ -92,34 +92,21 @@ object TextOps {
     * any shared substring of length >= w + k - 1 contributes a shared
     * fingerprint, at ~2/(w+1) the density of full k-gram hashing.
     *
-    * Plan shape: narrow posexplode (no shuffle), one rows-frame window
-    * min partitioned by doc (single exchange on doc_id), distinct — at
-    * 100 TB the doc partition is the natural parallel unit and no
-    * partition exceeds one doc's gram count.
+    * Plan shape: winnowing is per-document local, so the whole operator is
+    * a NARROW map — the native [[graft.functions.WinnowFingerprints]]
+    * kernel (one JVM call per doc: k-gram md5s + monotonic-deque sliding
+    * min, O(n) amortized) followed by one explode. Zero exchanges at any
+    * scale: the doc is the parallel unit, no shuffle, no window sort.
     *
     * Docs whose normalized form has fewer than w + k - 1 chars have no
     * complete window and contribute no fingerprints (same in the oracle).
     */
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
                          k: Int, w: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val norm = normalized(text)
-    val nGrams = length(norm) - (k - 1)
-    val grams = docs
-      .select(id.as("doc_id"), norm.as("t"),
-        when(nGrams >= 1, sequence(lit(1), nGrams))
-          .otherwise(array().cast("array<int>")).as("idx"))
-      .select(col("doc_id"), explode(col("idx")).as("i"), col("t"))
-      .select(col("doc_id"), col("i"),
-        Dedup.md5Int(col("t").substr(col("i"), lit(k))).as("h"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    grams
-      .select(col("doc_id"), col("i"),
-        min(col("h")).over(byDoc.rowsBetween(0, w - 1)).as("fp"),
-        max(col("i")).over(byDoc.rowsBetween(Long.MinValue, Long.MaxValue)).as("maxi"))
-      .where(col("i") <= col("maxi") - (w - 1))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fps = ColumnBridge.column(graft.functions.WinnowFingerprints(
+      ColumnBridge.expression(normalized(text)), k, w))
+    docs.select(id.as("doc_id"), explode(fps).as("fp"))
   }
 
   /** Marker-word language scores. Deterministic preference order on ties:

@@ -65,9 +65,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_set"), p)
   }
 
-  test("winnowing costs one exchange for the doc window plus the distinct") {
+  test("winnowing operator is narrow — only the compute-spreading repartition shuffles") {
     val p = plan(graft.queries.ScaleQueries.defs("q55_winnowing")(spark, sf))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the explicit repartition, got $exchanges:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"no key shuffle expected:\n$p")
+    // the kernel itself adds none: no window sort either
+    assert(!p.contains("WindowExec"), p)
   }
 }
