@@ -34,16 +34,20 @@ object Dedup {
 
   /** Distinct lowercase word `n`-gram shingles per doc: (doc_id, shingle).
     * Docs with fewer than n tokens contribute no shingles.
+    *
+    * Dedup happens INSIDE the row (`array_distinct` before the explode):
+    * a shingle can only repeat within its own document, so the global
+    * `.distinct()` exchange the naive form pays is pure waste — this form
+    * is a narrow map at any scale.
     */
   def shingles(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val grams = when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => array_join(slice(col("toks"), i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
     docs.select(id.as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= n, sequence(lit(1), size(col("toks")) - (n - 1)))
-          .otherwise(array().cast("array<int>")).as("idx"), col("toks"))
-      .select(col("doc_id"), explode(col("idx")).as("i"), col("toks"))
-      .select(col("doc_id"), array_join(slice(col("toks"), col("i"), lit(n)), " ").as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Top-k most similar doc pairs by exact shingle-set Jaccard.
@@ -54,27 +58,27 @@ object Dedup {
     */
   def jaccardTopK(docs: DataFrame, id: Column, text: Column, n: Int,
                   dfCut: Int, k: Int): DataFrame = {
-    // df-cut and set sizes as count-windows folded into one plan (no
-    // aggregate+join round trips): shuffle by shingle, shuffle by doc,
-    // then the inverted-index self-join carries the sizes along so the
-    // pair aggregation needs no further joins.
-    val sh = shingles(docs, id, text, n)
-    // persisted: both sides of the inverted-index self-join read `kept`,
-    // so tokenize+distinct+two count-windows run once instead of twice;
-    // the final repartition leaves the cache hash-partitioned by shingle,
-    // so the self-join reads it exchange-free on both sides
-    val kept = sh
+    // ONE exchange builds the whole inverted index: narrow shingling,
+    // repartition by shingle, df-cut as a count-window that REUSES that
+    // partitioning (local sort only, no second exchange). Persisted
+    // because both sides of the self-join read it — and they read it
+    // exchange-free, already hash-partitioned on the join key.
+    val kept = shingles(docs, id, text, n)
+      .repartition(col("shingle"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .where(col("df") <= dfCut)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("shingle"), col("sz"))
-      .repartition(col("shingle"))
+      .select(col("doc_id"), col("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // post-cut set sizes: tiny (one row per doc) — joined onto the
+    // AGGREGATED pair table, so AQE broadcasts them at test SF while the
+    // same plan stays a shuffle join at corpus scale
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
       .select(col("doc1"), col("doc2"), col("inter"),
         (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc1").asc, col("doc2").asc)
