@@ -94,6 +94,10 @@ sig AS (SELECT doc_id,
           planes = lshPlanes, dim = lshDim)
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
           r6(col("cos")).as("cos"))
+    },
+    "q57_neardup_groups" -> { (s, dir) =>
+      Dedup.neardupGroups(Tables.documents(s, dir), col("doc_id"), col("text"),
+        n = 3, tau = 0.5)
     })
 
   /** LSH config for q56; the oracle embeds the identical md5-derived
@@ -101,6 +105,25 @@ sig AS (SELECT doc_id,
     */
   private val lshPlanes = 8
   private val lshDim = 64
+
+  /** Shared CTE stack reproducing [[Dedup.minhashPairs]]: band keys ->
+    * candidate pairs -> shingle intersections (+ per-doc set sizes).
+    */
+  private val minhashPairsCtes: String = {
+    val bandRows = Dedup.bands.zipWithIndex.map { case (rows, bi) =>
+      s"SELECT doc_id, $bi AS band, concat_ws('_', ${rows.map(r => s"mh$r").mkString(", ")}) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCte,
+$sigSelect,
+bk AS (
+  $bandRows),
+cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
+          FROM cand c JOIN sh0 a ON a.doc_id = c.doc1 JOIN sh0 b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+          GROUP BY 1, 2)"""
+  }
 
   override val oracle: Map[String, String] = Map(
     "q28_dedup_exact" ->
@@ -166,23 +189,25 @@ ORDER BY inter::DOUBLE/(s1.sz + s2.sz - inter) DESC, doc1 ASC, doc2 ASC LIMIT 20
       s"""WITH $shingleCte,
 $sigSelect
 SELECT * FROM sig""",
-    "q33_minhash_pairs" -> {
-      val bandRows = Dedup.bands.zipWithIndex.map { case (rows, bi) =>
-        s"SELECT doc_id, $bi AS band, concat_ws('_', ${rows.map(r => s"mh$r").mkString(", ")}) AS key FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $shingleCte,
-$sigSelect,
-bk AS (
-  $bandRows),
-cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
-inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
-          FROM cand c JOIN sh0 a ON a.doc_id = c.doc1 JOIN sh0 b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
-          GROUP BY 1, 2)
+    "q33_minhash_pairs" ->
+      s"""WITH $minhashPairsCtes
 SELECT i.doc1, i.doc2, round(i.inter::DOUBLE/(s1.sz + s2.sz - i.inter)+ 5e-11, 4) AS jaccard
-FROM inter i JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id"""
-    },
+FROM inter i JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id""",
+    "q57_neardup_groups" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+jac AS MATERIALIZED (
+  SELECT i.doc1, i.doc2
+  FROM inter i JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id
+  WHERE i.inter::DOUBLE/(s1.sz + s2.sz - i.inter) >= 0.5),
+edges AS MATERIALIZED (
+  SELECT doc1 AS a, doc2 AS b FROM jac UNION SELECT doc2, doc1 FROM jac),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT src AS doc_id, min(node) AS canonical_id FROM reach GROUP BY src),
+gs AS (SELECT canonical_id, count(*) AS group_size FROM comp GROUP BY 1)
+SELECT c.doc_id, c.canonical_id, g.group_size FROM comp c JOIN gs g USING (canonical_id)""",
     "q34_simhash" -> {
       val sums = (0 until 32).map { j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"

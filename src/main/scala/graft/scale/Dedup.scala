@@ -148,6 +148,30 @@ object Dedup {
         (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
   }
 
+  /** The dedup ACTION: near-duplicate groups. LSH candidate pairs above
+    * `tau` form an edge set; groups are its connected components (GraphX;
+    * label = min vertex id = the canonical doc); docs with no near-dup
+    * stay their own canonical. This is the standard corpus-dedup shape at
+    * scale: pair discovery is LSH-bounded, the component step touches only
+    * the (sparse) pair graph, never all docs squared.
+    */
+  def neardupGroups(docs: DataFrame, id: Column, text: Column, n: Int,
+                    tau: Double): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minhashPairs(docs, id, text, n).where(col("jaccard") >= tau)
+    val edgeRdd = pairs.select(col("doc1"), col("doc2")).as[(Long, Long)].rdd
+      .map { case (a, b) => Edge(a, b, 1) }
+    val cc = Graph.fromEdges(edgeRdd, 0).connectedComponents()
+      .vertices.toDF("doc_id", "component")
+    docs.select(id.as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
+  }
+
   /** 32-bit SimHash over tokens (with multiplicity): bit j of the
     * fingerprint is set iff Σ_tokens (bit_j(md5_32(token)) ? +1 : −1) > 0.
     */
