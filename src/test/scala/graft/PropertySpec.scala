@@ -126,4 +126,21 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("winnow kernel == naive per-window minimum on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 5; val w = 3
+    def md5Int(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val strGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'e') ++ Seq(' ', '\u4e8c'))).map(_.mkString))
+    samples(strGen, 200).foreach { s0 =>
+      val out = graft.functions.WinnowKernel.compute(UTF8String.fromString(s0), k, w)
+      val grams = s0.sliding(k).filter(_.length == k).map(md5Int).toArray
+      val expected = grams.sliding(w).filter(_.length == w).map(_.min).toSet
+      assert(out.toLongArray().toSet == expected, s"text=[$s0]")
+    }
+  }
 }

@@ -79,6 +79,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getString(2).length == 16)
   }
 
+  test("neardup groups: transitive near-dups share one canonical doc; others stay singleton") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " extra"),                       // near-dup of 10
+      (12L, base.replace("quick", "swift")),        // near-dup of 10/11
+      (13L, "completely unrelated text about spark catalyst plans and codegen stages")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.neardupGroups(docs, col("doc_id"), col("text"), n = 3, tau = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups(10L) == (10L, 3L))
+    assert(groups(11L) == (10L, 3L))
+    assert(groups(12L) == (10L, 3L))
+    assert(groups(13L) == (13L, 1L))
+  }
+
   test("winnowing: shared substrings >= t chars share a fingerprint; short docs emit none") {
     val k = 8; val w = 4 // guarantee threshold t = w + k - 1 = 11
     val common = "a very distinctive shared passage of text"
