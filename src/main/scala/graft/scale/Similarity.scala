@@ -168,6 +168,22 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** LSH-bucketed near-duplicate PAIR mining — the scale twin of
+    * [[cosineDupPairs]]: only vectors sharing a bucket are compared, so
+    * the all-pairs O(n²) scan becomes an equality join on the signature.
+    * High-cosine pairs land in the same bucket with probability
+    * (1 - θ/π)^planes; recall vs the exact kernel is asserted in tests.
+    */
+  def lshDupPairs(corpus: DataFrame, tau: Double, planes: Int, dim: Int): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), planes, dim).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .where(col("cos") >= tau)
+  }
+
   /** Bucketed approximate top-k: candidates share the query's LSH bucket;
     * exact cosine within the bucket. Recall vs [[cosineTopK]] is asserted
     * in tests.

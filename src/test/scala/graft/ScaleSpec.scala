@@ -79,6 +79,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getString(2).length == 16)
   }
 
+  test("LSH dup-pair mining: returned pairs are exact-cosine-correct, recall nonzero") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineDupPairs(emb, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshDupPairs(emb, tau = 0.3, planes = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty && exact.nonEmpty)
+    // every LSH pair is a true pair with the identical cosine
+    lsh.foreach { case (k, c) => assert(math.abs(exact(k) - c) < 1e-12, k.toString) }
+    // collision bound for cos>=0.3 (θ<=72.5°): (1-θ/π)^4 ≈ 0.13 — assert
+    // comfortably below, well above zero
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.05, s"recall $recall")
+  }
+
   test("neardup groups: transitive near-dups share one canonical doc; others stay singleton") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
