@@ -160,10 +160,11 @@ object Similarity {
 
   def lshSignature(emb: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") * lit(planeCoef(p, d))
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
+      // plane as a literal array through the ArrayDot kernel: same
+      // left-to-right accumulation as an unrolled sum (oracle-bit-equal),
+      // but 8 tight loops instead of a 512-node expression tree
+      val plane = array((0 until dim).map(d => lit(planeCoef(p, d))): _*)
+      when(dot(emb, plane) > 0, lit(1L << p)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
