@@ -119,6 +119,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery: a restarted query resumes state and matches batch") {
+    import spark.implicits._
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[graft.streaming.StreamTxn].collect().sortBy(_.ts_micros)
+    val split = tx.map(_.ts_micros).apply(tx.length / 2)
+    val (b1, b2) = tx.partition(_.ts_micros <= split)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+
+    // the memory sink is not fault-tolerant (refuses checkpoint recovery);
+    // the parquet file sink is — both runs append to one directory
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.streaming.StreamTxn]
+    input.addData(b1.toIndexedSeq)
+    val q1 = StreamingFeatures.customerFeatures(input.toDS())
+      .writeStream.format("parquet").option("path", outDir).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // NEW query object, SAME checkpoint: RocksDB state must carry over so
+    // batch-2 events see batch-1 history in their trailing frames
+    input.addData(b2.toIndexedSeq)
+    val q2 = StreamingFeatures.customerFeatures(input.toDS())
+      .writeStream.format("parquet").option("path", outDir).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select(col("customer_id"), col("ts_micros"), col("txn_count_60s"),
+        col("unique_ips_1h"), col("unique_merchants_1h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val batch = CoreFeatures.customerFeatures(Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("txn_count_60s"), col("unique_ips_1h"), col("unique_merchants_1h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch)
+  }
+
   test("graph-degree processor == batch running prefix-distinct counts, O(1) per event") {
     import spark.implicits._
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
