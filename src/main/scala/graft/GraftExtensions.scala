@@ -3,7 +3,8 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-extension entry point: `--conf spark.sql.extensions=
   * graft.GraftExtensions` (or `builder.withExtensions(new
@@ -49,5 +50,15 @@ object GraftExtensions {
       (es: Seq[Expression]) => ArrayNorm(es.head)),
     (FunctionIdentifier("array_sqdist"),
       info("array_sqdist", "array_sqdist(a, b) - squared euclidean distance of two vectors"),
-      (es: Seq[Expression]) => ArraySqDist(es(0), es(1))))
+      (es: Seq[Expression]) => ArraySqDist(es(0), es(1))),
+    (FunctionIdentifier("winnow"),
+      info("winnow", "winnow(text, k, w) - distinct window-min k-gram hashes (MOSS fingerprints); k and w must be int literals"),
+      (es: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow: $name must be an integer literal, got $other")
+        }
+        WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
+      }))
 }

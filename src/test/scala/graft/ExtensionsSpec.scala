@@ -42,5 +42,9 @@ class ExtensionsSpec extends AnyFunSuite {
     // DESCRIBE FUNCTION works because injectFunction carries ExpressionInfo
     val desc = spark.sql("DESCRIBE FUNCTION array_dot").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("array_dot"))
+
+    val wn = spark.sql(
+      "SELECT size(winnow('the quick brown fox jumps over the lazy dog', 8, 4))").head
+    assert(wn.getInt(0) > 0)
   }
 }
