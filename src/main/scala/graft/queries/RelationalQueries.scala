@@ -210,6 +210,16 @@ snap AS (
       val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit(false).as("has_orders"))
       withOrders.unionByName(without)
+    },
+    "q58_set_ops" -> { (s, dir) =>
+      // relational set operators (INTERSECT / EXCEPT / UNION) — absent in
+      // the reference, free in Spark; side-tagged so one result carries
+      // all three
+      val cust = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      val buyers = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+      cust.intersect(buyers).select(lit("both").as("side"), col("k"))
+        .unionByName(cust.except(buyers).select(lit("customer_only").as("side"), col("k")))
+        .unionByName(buyers.except(cust).select(lit("orders_only").as("side"), col("k")))
     })
 
   override val oracle: Map[String, String] = Map(
@@ -314,6 +324,14 @@ GROUP BY 1""",
     "q46_semi_anti" ->
       """SELECT c_custkey, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
 FROM customer""",
+    "q58_set_ops" ->
+      """WITH cust AS (SELECT c_custkey AS k FROM customer),
+buyers AS (SELECT DISTINCT o_custkey AS k FROM orders)
+SELECT 'both' AS side, k FROM (SELECT k FROM cust INTERSECT SELECT k FROM buyers)
+UNION ALL
+SELECT 'customer_only', k FROM (SELECT k FROM cust EXCEPT SELECT k FROM buyers)
+UNION ALL
+SELECT 'orders_only', k FROM (SELECT k FROM buyers EXCEPT SELECT k FROM cust)""",
     "q54_skew_salted" ->
       """SELECT user_id AS customer_id, count(*) AS txn_count,
   count(DISTINCT event_type) AS distinct_merchants
