@@ -77,11 +77,14 @@ object GraphOps {
       .union(edges.select(col("dst").as("node")))
       .distinct().orderBy(col("node"))
       .rdd.map(_.getString(0)).zipWithIndex()
-    val idOf = nodes.collectAsMap()
-    val idOfB = spark.sparkContext.broadcast(idOf)
-    val edgeRdd = edges.select(col("src"), col("dst")).rdd.map { r =>
-      Edge(idOfB.value(r.getString(0)), idOfB.value(r.getString(1)), 1)
-    }
+    // name->vid resolution by distributed joins, not a driver-collected
+    // dictionary — at corpus scale the vertex set doesn't fit one heap
+    val edgeRdd = edges.select(col("src"), col("dst")).rdd
+      .map(r => (r.getString(0), r.getString(1)))
+      .join(nodes)
+      .map { case (_, (dstName, srcVid)) => (dstName, srcVid) }
+      .join(nodes)
+      .map { case (_, (srcVid, dstVid)) => Edge(srcVid, dstVid, 1) }
     val graph = Graph.fromEdges(edgeRdd, defaultValue = 0)
     val cc = graph.connectedComponents().vertices // (vid, componentId=min vid)
     val names = nodes.map(_.swap) // (vid, node)
