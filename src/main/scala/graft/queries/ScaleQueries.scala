@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleQueries extends QueryPack {
 
+  /** The corpus file is a single parquet row group — one input split — so
+    * a fully narrow regex/hash pipeline would run on ONE core no matter
+    * the cluster size. Spread the (tiny) rows before the CPU-heavy map;
+    * at real corpus scale the input arrives already split and this
+    * repartition is dropped by the caller.
+    */
+  private def docsSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+
   /** Shared shingle CTEs (word 3-grams, lowercase, distinct per doc). */
   private val shingleCte =
     """tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
@@ -33,7 +42,7 @@ sig AS (SELECT doc_id,
     },
     "q29_text_stats" -> { (s, dir) =>
       val t = col("text")
-      Tables.documents(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         TextOps.nTokens(t).as("n_tokens"),
         TextOps.nBpeishTokens(t).as("n_bpeish_tokens"),
@@ -44,29 +53,29 @@ sig AS (SELECT doc_id,
         r6(TextOps.qualityScore(t)).as("quality_score"))
     },
     "q30_lang_id" -> { (s, dir) =>
-      Tables.documents(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         TextOps.predictedLang(col("text")).as("predicted_lang"),
         col("lang"),
         (TextOps.predictedLang(col("text")) === col("lang")).as("correct"))
     },
     "q31_jaccard_topk" -> { (s, dir) =>
-      Dedup.jaccardTopK(Tables.documents(s, dir), col("doc_id"), col("text"),
+      Dedup.jaccardTopK(docsSpread(s, dir), col("doc_id"), col("text"),
           n = 3, dfCut = 50, k = 20)
         .select(col("doc1"), col("doc2"), col("inter"), r6(col("jaccard")).as("jaccard"))
     },
     "q32_minhash_signatures" -> { (s, dir) =>
-      Dedup.minhashSignatures(Tables.documents(s, dir), col("doc_id"), col("text"), n = 3)
+      Dedup.minhashSignatures(docsSpread(s, dir), col("doc_id"), col("text"), n = 3)
     },
     "q33_minhash_pairs" -> { (s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), n = 3)
+      Dedup.minhashPairs(docsSpread(s, dir), col("doc_id"), col("text"), n = 3)
         .select(col("doc1"), col("doc2"), r6(col("jaccard")).as("jaccard"))
     },
     "q34_simhash" -> { (s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+      Dedup.simhash(docsSpread(s, dir), col("doc_id"), col("text"))
     },
     "q50_tfidf" -> { (s, dir) =>
-      TextOps.tfidfTopK(Tables.documents(s, dir), col("doc_id"), col("text"), k = 3)
+      TextOps.tfidfTopK(docsSpread(s, dir), col("doc_id"), col("text"), k = 3)
         .select(col("doc_id"), col("term"), col("rank"), r6(col("tfidf")).as("tfidf"))
     },
     "q44_embedding_dups" -> { (s, dir) =>
@@ -84,8 +93,7 @@ sig AS (SELECT doc_id,
       // split — spread the rows first (standard small-input/expensive-map
       // repartition; at real corpus scale the input splits already give
       // this parallelism and the repartition collapses to a no-op cost)
-      TextOps.winnowFingerprints(
-        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+      TextOps.winnowFingerprints(docsSpread(s, dir),
         col("doc_id"), col("text"), k = 8, w = 4)
     },
     "q56_ann_lsh" -> { (s, dir) =>
@@ -96,7 +104,7 @@ sig AS (SELECT doc_id,
           r6(col("cos")).as("cos"))
     },
     "q57_neardup_groups" -> { (s, dir) =>
-      Dedup.neardupGroups(Tables.documents(s, dir), col("doc_id"), col("text"),
+      Dedup.neardupGroups(docsSpread(s, dir), col("doc_id"), col("text"),
         n = 3, tau = 0.5)
     })
 
