@@ -106,6 +106,17 @@ sig AS (SELECT doc_id,
     "q57_neardup_groups" -> { (s, dir) =>
       Dedup.neardupGroups(docsSpread(s, dir), col("doc_id"), col("text"),
         n = 3, tau = 0.5)
+    },
+    "q59_ann_ivf" -> { (s, dir) =>
+      // iters = 0: seed-vector quantizer only. Lloyd refinement averages
+      // floats across partitions (summation order not reproducible between
+      // engines), so the refined variant is test-gated (ScaleSpec recall)
+      // while this seeded form is oracle-exact end to end.
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 10,
+          nlist = 8, nprobe = 3, iters = 0)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+          r6(col("cos")).as("cos"))
     })
 
   /** LSH config for q56; the oracle embeds the identical md5-derived
@@ -275,6 +286,34 @@ r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10"""
     },
+    "q59_ann_ivf" ->
+      """WITH cent AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) AS d2
+  FROM embeddings e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM a)
+  WHERE rn = 1),
+qd AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) AS d2
+  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+probes AS (
+  SELECT query_id, qe, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) AS rn FROM qd)
+  WHERE rn <= 3),
+s AS (
+  SELECT p.query_id, a.vec_id AS nbr_id,
+    (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(p.qe) AS x, unnest(a.embedding) AS y))
+    / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(p.qe) AS x)))
+    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS y))) AS cos
+  FROM asg a JOIN probes p USING (cid) WHERE a.vec_id != p.query_id),
+r AS (SELECT query_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
     "q55_winnowing" ->
       """WITH nrm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
