@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** OLAP-shape coverage beyond the reference's own surface: pivot/unpivot,
+  * CUBE and GROUPING SETS subtotals, interval (range) joins, and bivariate
+  * statistics — operators a training-data / analytics engine needs that
+  * the reference computes nowhere (its only reshape is per-row Python
+  * dicts, reference `api/main.py:330-363`), all expressed as single-pass
+  * Spark plans with DuckDB oracles.
+  */
+object OlapQueries extends QueryPack {
+
+  /** Stable event_type domain (TESTDATA.md); an explicit value list keeps
+    * `pivot` a one-job plan — without it Spark runs an extra distinct job
+    * to discover the columns, a full scan at 100 TB.
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  override val defs: Map[String, Q] = Map(
+    // wide reshaping: one row per customer, one amount column per
+    // merchant-type — the serving-layer feature-vector shape
+    "q60_pivot" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", eventTypes)
+        .agg(sum(col("value")))
+        .select(col("user_id").as("customer_id") +:
+          eventTypes.map(t => r6(coalesce(col(t), lit(0.0))).as(s"amt_$t")): _*)
+    },
+    // CUBE: all 2^k subtotal combinations in one pass (the dashboard's
+    // segment x priority rollups without re-aggregating per page)
+    "q61_cube" -> { (s, dir) =>
+      val c = broadcast(Tables.customer(s, dir))
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          r2(sum(col("o_totalprice"))).as("total_price"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("gid"), col("total_price"), col("cnt"))
+    },
+    // GROUPING SETS: the two marginals + grand total, skipping the
+    // (flag, status) cross cells a CUBE would also compute
+    "q62_grouping_sets" -> { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      l.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          r2(sum(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("gid"), col("sum_price"), col("cnt"))
+    },
+    // interval (band) join: events of the same customer in the 5 minutes
+    // AFTER each event — the follow-burst probe. Equi key + range
+    // predicate plans as one sort-merge join; no cross product.
+    "q63_interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val a = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tm"))
+      val b = ev.select(col("user_id").as("u2"),
+        unix_micros(col("ts")).as("tm2"), col("value").as("v2"))
+      a.join(b, a("user_id") === b("u2") &&
+          col("tm2") > col("tm") && col("tm2") <= col("tm") + lit(300000000L),
+          "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("u2")).as("n_next_5m"),
+          r6(coalesce(sum(col("v2")), lit(0.0))).as("amt_next_5m"))
+    },
+    // bivariate statistics per entity: does transaction size co-move with
+    // time of day — corr + sample/population covariance (complements q13's
+    // trend regressions). Zero-variance groups: Spark emits NaN where
+    // DuckDB emits NULL — normalized here.
+    "q64_bivariate" -> { (s, dir) =>
+      def deNaN(c: org.apache.spark.sql.Column) =
+        when(isnan(c), lit(null)).otherwise(c)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          hour(col("ts")).cast("double").as("h"))
+      ev.groupBy(col("user_id"))
+        .agg(r6(deNaN(corr(col("value"), col("h")))).as("corr_amount_hour"),
+          r6(covar_samp(col("value"), col("h"))).as("covar_samp_ah"),
+          r6(covar_pop(col("value"), col("h"))).as("covar_pop_ah"),
+          count(lit(1)).as("n"))
+    },
+    // melt: wide metric columns to long (metric, value) rows, then one
+    // summary row per metric — the normalized-metrics-table shape
+    "q66_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(r2(sum(col("val"))).as("sum_val"),
+          r6(avg(col("val"))).as("avg_val"),
+          count(lit(1)).as("cnt"))
+    })
+
+  override val oracle: Map[String, String] = Map(
+    "q60_pivot" -> {
+      val cols = eventTypes.map { t =>
+        s"round(coalesce(sum(CASE WHEN event_type = '$t' THEN value END), 0.0) + 5e-11, 4) AS amt_$t"
+      }.mkString(",\n  ")
+      s"""SELECT user_id AS customer_id,
+  $cols
+FROM events GROUP BY 1"""
+    },
+    "q61_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+  GROUPING(c_mktsegment, o_orderpriority) AS gid,
+  round(sum(o_totalprice) + 1e-4, 2) AS total_price,
+  count(*) AS cnt
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)""",
+    "q62_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+  GROUPING(l_returnflag, l_linestatus) AS gid,
+  round(sum(l_extendedprice) + 1e-4, 2) AS sum_price,
+  count(*) AS cnt
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q63_interval_join" ->
+      """WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS tm FROM events),
+b AS (SELECT user_id AS u2, epoch_us(ts) AS tm2, value AS v2 FROM events)
+SELECT a.event_id, count(b.u2) AS n_next_5m,
+  round(coalesce(sum(b.v2), 0.0) + 5e-11, 4) AS amt_next_5m
+FROM a LEFT JOIN b ON a.user_id = b.u2 AND b.tm2 > a.tm AND b.tm2 <= a.tm + 300000000
+GROUP BY 1""",
+    "q64_bivariate" ->
+      """SELECT user_id,
+  round(corr(value, hour(ts)::DOUBLE) + 5e-11, 4) AS corr_amount_hour,
+  round(covar_samp(value, hour(ts)::DOUBLE) + 5e-11, 4) AS covar_samp_ah,
+  round(covar_pop(value, hour(ts)::DOUBLE) + 5e-11, 4) AS covar_pop_ah,
+  count(*) AS n
+FROM events GROUP BY 1""",
+    "q66_unpivot" ->
+      """WITH long AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT metric, round(sum(val) + 1e-4, 2) AS sum_val,
+  round(avg(val) + 5e-11, 4) AS avg_val, count(*) AS cnt
+FROM long GROUP BY 1""")
+}

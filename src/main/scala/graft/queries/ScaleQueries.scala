@@ -107,6 +107,18 @@ sig AS (SELECT doc_id,
       Dedup.neardupGroups(docsSpread(s, dir), col("doc_id"), col("text"),
         n = 3, tau = 0.5)
     },
+    "q65_token_zipf" -> { (s, dir) =>
+      // corpus vocabulary head: token frequencies ranked Zipf-style.
+      // Two-level plan: per-partition pre-aggregation -> one exchange on
+      // token -> global top-k (rank window over the tiny aggregate).
+      import org.apache.spark.sql.expressions.Window
+      val toks = docsSpread(s, dir).select(
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok").asc)))
+        .where(col("rnk") <= 50)
+    },
     "q59_ann_ivf" -> { (s, dir) =>
       // iters = 0: seed-vector quantizer only. Lloyd refinement averages
       // floats across partitions (summation order not reproducible between
@@ -314,6 +326,11 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q65_token_zipf" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+r AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk FROM c)
+SELECT tok, cnt, rnk FROM r WHERE rnk <= 50""",
     "q55_winnowing" ->
       """WITH nrm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
