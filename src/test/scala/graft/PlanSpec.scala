@@ -65,6 +65,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_set"), p)
   }
 
+  test("date-partitioned store prunes partitions dynamically from a dim filter") {
+    // The offline store at 100 TB is parquet partitioned by event date
+    // (SURVEY §4.2): a join against a filtered date dimension must prune
+    // unscanned partitions at RUNTIME (DPP), not read the full fact table.
+    val dir = new java.io.File("target/tmp/dpp_events").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP requires a SELECTIVE predicate on the dim side (a bare limit or
+    // constant column doesn't qualify) — a real filter over a date dim
+    val dates = spark.range(0, 60)
+      .where(col("id") % 30 === 0)
+      .select(date_add(lit("2024-01-01").cast("date"), col("id").cast("int")).as("event_date"))
+    val joined = fact.join(broadcast(dates), Seq("event_date"))
+      .groupBy(col("event_date")).agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val p = plan(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the scan:\n$p")
+  }
+
   test("winnowing operator is narrow — only the compute-spreading repartition shuffles") {
     val p = plan(graft.queries.ScaleQueries.defs("q55_winnowing")(spark, sf))
     val exchanges = "Exchange".r.findAllIn(p).length
