@@ -362,4 +362,34 @@ object StreamingFeatures {
       .transformWithState(new GraphDegreeProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Exactly-once-per-event view of an at-least-once source: drop
+    * redeliveries of the same (customer, event-time) pair. State is
+    * BOUNDED by the watermark horizon — the upgrade over the reference's
+    * non-transactional Redis writes (reference
+    * `aml_stream_processor.py:210-216`), and over plain `dropDuplicates`,
+    * whose key state grows without limit on an unbounded stream.
+    */
+  def dedupedEvents(events: Dataset[StreamTxnTs], delay: String): Dataset[StreamTxnTs] =
+    events.withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("customer_id", "event_time")
+
+  /** Stream-stream self interval join: for each event, the same customer's
+    * events in the following `gapSecs` seconds (the streaming twin of the
+    * batch q63 band join). The event-time bound on BOTH sides lets Spark
+    * expire join state at the watermark — without it the buffered sides
+    * grow forever.
+    */
+  def followPairs(events: Dataset[StreamTxnTs], delay: String,
+                  gapSecs: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = events.withWatermark("event_time", delay)
+      .select(col("customer_id"), col("event_time").as("t1"), col("amount").as("a1"))
+    val b = events.withWatermark("event_time", delay)
+      .select(col("customer_id").as("c2"), col("event_time").as("t2"), col("amount").as("a2"))
+    a.join(b, col("customer_id") === col("c2") &&
+      col("t2") > col("t1") &&
+      col("t2") <= col("t1") + expr(s"INTERVAL $gapSecs SECONDS"))
+      .select(col("customer_id"), col("t1"), col("t2"), col("a1"), col("a2"))
+  }
 }
