@@ -89,6 +89,66 @@ object OlapQueries extends QueryPack {
           r6(covar_pop(col("value"), col("h"))).as("covar_pop_ah"),
           count(lit(1)).as("n"))
     },
+    // funnel conversion: click -> purchase within 30 min, computed with a
+    // FORWARD-looking conditional window (min purchase-time over the
+    // following rows) — one sort per user, no self-join
+    "q68_funnel" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tm"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tm"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val nextPurchase = min(when(col("event_type") === "purchase", col("tm"))).over(w)
+      ev.withColumn("np", nextPurchase)
+        .where(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("np") - col("tm") <= 1800000000L, 1L).otherwise(0L)).as("n_converted"))
+        .select(col("user_id"), col("n_clicks"), col("n_converted"),
+          r6(col("n_converted").cast("double") / col("n_clicks")).as("conv_rate"))
+    },
+    // time-series regularization: hourly grid per user over the user's
+    // active range, forward-filling the last observed hourly sum — the
+    // resample+ffill step before sequence models. sequence()+explode is
+    // narrow per user; the fill is one ignore-nulls window over the grid.
+    "q69_gapfill" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+      val hourly = ev.groupBy(col("user_id"), col("h")).agg(sum(col("value")).as("v"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          col("v").isNotNull.as("observed"),
+          r6(last(col("v"), ignoreNulls = true).over(w)).as("v_filled"))
+    },
+    // equal-width histogram: feature discretization for binned training
+    // inputs; one narrow projection + one aggregation
+    "q70_histogram" -> { (s, dir) =>
+      val bin = least(floor(col("value") / 50.0), lit(19.0)).cast("long")
+      Tables.events(s, dir)
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("sum_v"))
+    },
+    // per-entity robust scaling: (x - median) / IQR — the outlier-immune
+    // standardization; exact percentiles per group agg, broadcast back
+    "q71_robust_scale" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("user_id").as("u"))
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          expr("percentile(value, 0.75) - percentile(value, 0.25)").as("iqr"))
+      ev.join(broadcast(stats), col("user_id") === col("u"))
+        .select(col("event_id"), col("user_id"),
+          r6((col("value") - col("med")) / (col("iqr") + lit(1e-9))).as("robust_z"))
+    },
     // melt: wide metric columns to long (metric, value) rows, then one
     // summary row per metric — the normalized-metrics-table shape
     "q66_unpivot" -> { (s, dir) =>
@@ -142,6 +202,45 @@ GROUP BY 1""",
   round(covar_pop(value, hour(ts)::DOUBLE) + 5e-11, 4) AS covar_pop_ah,
   count(*) AS n
 FROM events GROUP BY 1""",
+    "q68_funnel" ->
+      """WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tm
+  FROM events WHERE event_type IN ('click', 'purchase')),
+x AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN tm END)
+    OVER (PARTITION BY user_id ORDER BY tm, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM ev),
+c AS (
+  SELECT user_id, count(*) AS n_clicks,
+    sum(CASE WHEN np - tm <= 1800000000 THEN 1 ELSE 0 END)::BIGINT AS n_converted
+  FROM x WHERE event_type = 'click' GROUP BY 1)
+SELECT user_id, n_clicks, n_converted,
+  round(n_converted::DOUBLE / n_clicks + 5e-11, 4) AS conv_rate
+FROM c""",
+    "q69_gapfill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value FROM events),
+hourly AS (SELECT user_id, h, sum(value) AS v FROM ev GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+j AS (
+  SELECT g.user_id, g.h, hourly.v
+  FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h)
+SELECT user_id, h, v IS NOT NULL AS observed,
+  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-11, 4) AS v_filled
+FROM j""",
+    "q70_histogram" ->
+      """SELECT least(floor(value / 50.0), 19)::BIGINT AS bin,
+  count(*) AS cnt, round(sum(value) + 1e-4, 2) AS sum_v
+FROM events GROUP BY 1""",
+    "q71_robust_scale" ->
+      """WITH s AS (
+  SELECT user_id AS u, quantile_cont(value, 0.5) AS med,
+    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY 1)
+SELECT event_id, user_id, round((value - med)/(iqr + 1e-9) + 5e-11, 4) AS robust_z
+FROM events JOIN s ON user_id = u""",
     "q66_unpivot" ->
       """WITH long AS (
   SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem

@@ -107,6 +107,19 @@ sig AS (SELECT doc_id,
       Dedup.neardupGroups(docsSpread(s, dir), col("doc_id"), col("text"),
         n = 3, tau = 0.5)
     },
+    "q67_hash_split" -> { (s, dir) =>
+      // deterministic train/valid/test assignment: md5-bucket the doc id
+      // (salted so re-splitting with a new salt is independent). Purely
+      // narrow — no shuffle, no RNG state, reproducible on any engine and
+      // any cluster size, stable under re-runs and repartitions: the
+      // properties a 100 TB training-data split actually needs.
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+      Tables.documents(s, dir).select(
+        col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+    },
     "q65_token_zipf" -> { (s, dir) =>
       // corpus vocabulary head: token frequencies ranked Zipf-style.
       // Two-level plan: per-partition pre-aggregation -> one exchange on
@@ -326,6 +339,13 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q67_hash_split" ->
+      """WITH b AS (
+  SELECT doc_id, ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 AS bucket
+  FROM documents)
+SELECT doc_id, bucket::BIGINT AS bucket,
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+FROM b""",
     "q65_token_zipf" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
 c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
