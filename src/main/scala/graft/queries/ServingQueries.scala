@@ -67,10 +67,26 @@ object ServingQueries extends QueryPack {
         .select(col("doc_id"), col("n_bytes"), col("media_md5"), col("thumb_md5"),
           r6(col("byte_mean")).as("byte_mean"), col("byte_max").cast("long").as("byte_max"),
           col("n_frames"))
+    },
+    "q72_frame_sample" -> { (s, dir) =>
+      // every-2nd 256-byte frame of each payload; frame_bytes reports the
+      // ACTUAL sliced length, which the oracle recomputes arithmetically
+      // from octet_length — an off-by-one in the binary substring would
+      // surface as a mismatch on every tail frame
+      Multimodal.sampleFrames(
+          Multimodal.mediaTable(Tables.documents(s, dir)), 256, 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
     })
 
   override val oracle: Map[String, String] = Map(
     "q41_dbscan" -> GraphOracles.dbscanSql,
+    "q72_frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+f AS (SELECT doc_id, n_bytes, unnest(range(0, ((n_bytes + 255) // 256))) AS frame_idx
+      FROM m WHERE n_bytes > 0)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+  least(256, n_bytes - frame_idx*256)::BIGINT AS frame_bytes
+FROM f WHERE frame_idx % 2 = 0""",
     "q39_explanations" -> {
       val entries = Risk.model.map { case (f, wgt, norm) =>
         s"{'c': -least($f / $norm, 1.0) * $wgt, 'n': '$f'}"

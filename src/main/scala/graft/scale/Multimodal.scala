@@ -30,6 +30,25 @@ object Multimodal {
         octet_length(encode(col("text"), "utf-8")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
+  /** Frame sampling: slice the opaque payload into fixed-size frames and
+    * keep every `every`-th one (the video keyframe / audio-window sampling
+    * shape). The slicing is REAL binary work (`substring` on the bytes,
+    * codegen'd, narrow); only the decode of a frame's contents is stubbed.
+    * `frame_bytes` is the length of the actually-sliced frame, so an
+    * off-by-one in the slicing arithmetic is observable — the oracle
+    * recomputes the expected lengths from `octet_length` alone.
+    */
+  def sampleFrames(media: DataFrame, frameSize: Int, every: Int): DataFrame = {
+    val nBytes = octet_length(col("media"))
+    val nFrames = floor((nBytes + (frameSize - 1)) / frameSize).cast("int")
+    val idx = when(nBytes > 0, sequence(lit(0), nFrames - 1)).otherwise(array().cast("array<int>"))
+    media.select(col("doc_id"), col("media"), explode(idx).as("frame_idx"))
+      .where(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("media").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))
+      .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
+  }
+
   /** Batched "decode + feature extract": one pass per partition, decoding
     * each payload once. STUB decoder: byte statistics + 256-byte frame
     * count stand in for pixel/sample features.
