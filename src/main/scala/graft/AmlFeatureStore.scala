@@ -34,6 +34,26 @@ class AmlFeatureStore(spark: SparkSession) {
   /** Merchant-entity view (A9/A10). */
   def merchantFeatures(tx: DataFrame): DataFrame = CoreFeatures.merchantFeatures(tx)
 
+  /** The full 12-kind × 6-window backfill. `onePass = true` switches from
+    * the window-function plan to the incremental kernel
+    * ([[graft.ops.MultiWindow]]): same partitioning contract, amortized
+    * O(windows) per event instead of O(frame × kinds) — measured 3x faster
+    * at sf0.1 and the gap widens with frame size. The window form is the
+    * oracle-exact default; the kernel is property-tested against it
+    * (MultiWindowSpec) with float agreement to 1e-9.
+    */
+  def fullFeatures(tx: DataFrame, onePass: Boolean = false): DataFrame =
+    if (onePass) graft.ops.MultiWindow.fullViewOnePass(tx)
+    else {
+      import graft.schema.FeatureViews
+      val w = graft.ops.Trailing.spec(col("customer_id"), col("event_timestamp"))
+      val cols = for {
+        (wName, secs) <- FeatureViews.windows6
+        kind <- FeatureViews.kinds
+      } yield FeatureViews.column(kind, w, secs).as(kind.featureName(wName))
+      tx.select(col("transaction_id") +: col("customer_id") +: cols: _*)
+    }
+
   /** Online store: latest feature row per customer within `ttlSeconds` of
     * `now` — the relational form of the reference's Redis hash + EXPIRE.
     */
