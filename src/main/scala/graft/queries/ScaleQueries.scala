@@ -108,17 +108,39 @@ sig AS (SELECT doc_id,
         n = 3, tau = 0.5)
     },
     "q67_hash_split" -> { (s, dir) =>
-      // deterministic train/valid/test assignment: md5-bucket the doc id
-      // (salted so re-splitting with a new salt is independent). Purely
-      // narrow — no shuffle, no RNG state, reproducible on any engine and
+      // deterministic train/valid/test assignment (scale/Splits): salted
+      // md5 bucket — narrow, no RNG state, reproducible on any engine and
       // any cluster size, stable under re-runs and repartitions: the
       // properties a 100 TB training-data split actually needs.
-      val bucket = conv(substring(md5(concat(lit("split:"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+      val bucket = graft.scale.Splits.bucket(col("doc_id"))
       Tables.documents(s, dir).select(
         col("doc_id"), bucket.as("bucket"),
-        when(bucket < 80, "train").when(bucket < 90, "valid")
-          .otherwise("test").as("split"))
+        graft.scale.Splits.assign(bucket).as("split"))
+    },
+    "q73_contamination" -> { (s, dir) =>
+      // train/eval contamination audit: a valid/test doc whose normalized
+      // fingerprint also appears in train leaks training text into eval.
+      // fp-keyed equi-join of eval docs against distinct train
+      // fingerprints — both sides shrink to (fp) before the shuffle.
+      val base = Tables.documents(s, dir).select(col("doc_id"),
+        graft.scale.Splits.assign(graft.scale.Splits.bucket(col("doc_id"))).as("split"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val trainFps = base.where(col("split") === "train")
+        .select(col("fp").as("tfp")).distinct()
+      base.where(col("split") =!= "train")
+        .join(trainFps, col("fp") === col("tfp"), "left")
+        .select(col("doc_id"), col("split"), col("tfp").isNotNull.as("contaminated"))
+    },
+    "q74_quality_filter" -> { (s, dir) =>
+      // C4-style quality gate with per-rule drop reasons: first failing
+      // rule wins (too_short before low_stopword), survivors 'kept'.
+      // One narrow projection — the filter itself costs nothing at scale.
+      val t = col("text")
+      val reason = when(TextOps.nTokens(t) < 20, "too_short")
+        .when(TextOps.stopwordRatio(t) < 0.05, "low_stopword")
+        .otherwise("kept")
+      docsSpread(s, dir).select(col("doc_id"), reason.as("reason"),
+        (reason === "kept").as("keep"))
     },
     "q65_token_zipf" -> { (s, dir) =>
       // corpus vocabulary head: token frequencies ranked Zipf-style.
@@ -339,6 +361,32 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q73_contamination" ->
+      """WITH b AS (
+  SELECT doc_id,
+    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 < 90 THEN 'valid'
+         ELSE 'test' END AS split,
+    substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
+  FROM documents),
+t AS (SELECT DISTINCT fp FROM b WHERE split = 'train')
+SELECT b.doc_id, b.split, t.fp IS NOT NULL AS contaminated
+FROM b LEFT JOIN t ON b.fp = t.fp
+WHERE b.split != 'train'""",
+    "q74_quality_filter" ->
+      """WITH m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS stop_ratio
+  FROM documents),
+r AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 20 THEN 'too_short'
+         WHEN stop_ratio < 0.05 THEN 'low_stopword'
+         ELSE 'kept' END AS reason
+  FROM m)
+SELECT doc_id, reason, reason = 'kept' AS keep FROM r""",
     "q67_hash_split" ->
       """WITH b AS (
   SELECT doc_id, ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 AS bucket
