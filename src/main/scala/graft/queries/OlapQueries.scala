@@ -149,6 +149,21 @@ object OlapQueries extends QueryPack {
         .select(col("event_id"), col("user_id"),
           r6((col("value") - col("med")) / (col("iqr") + lit(1e-9))).as("robust_z"))
     },
+    // event-sequence transition matrix (first-order Markov): what follows
+    // what, per user timeline — one navigation window + one aggregation
+    "q75_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      pairs.select(col("event_type"), col("next_type"), col("cnt"),
+        r6(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("event_type")))).as("prob"))
+    },
     // melt: wide metric columns to long (metric, value) rows, then one
     // summary row per metric — the normalized-metrics-table shape
     "q66_unpivot" -> { (s, dir) =>
@@ -241,6 +256,17 @@ FROM events GROUP BY 1""",
   FROM events GROUP BY 1)
 SELECT event_id, user_id, round((value - med)/(iqr + 1e-9) + 5e-11, 4) AS robust_z
 FROM events JOIN s ON user_id = u""",
+    "q75_transitions" ->
+      """WITH p AS (
+  SELECT user_id, event_type,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events),
+c AS (
+  SELECT event_type, next_type, count(*) AS cnt
+  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, next_type, cnt,
+  round(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY event_type) + 5e-11, 4) AS prob
+FROM c""",
     "q66_unpivot" ->
       """WITH long AS (
   SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem

@@ -53,4 +53,28 @@ class SqlInterfaceSpec extends AnyFunSuite {
       math.abs(r.getDouble(0) - r.getDouble(1)) <= math.max(5.0, 0.2 * r.getDouble(0))
     })
   }
+
+  test("percentile_approx (quantile-sketch twin of W10) tracks exact within rank tolerance") {
+    // the 100 TB path for q42-style summaries: a mergeable sketch instead
+    // of an exact sort — accuracy parameter 1000 => rank error <= 0.1%,
+    // checked here against the exact per-percentile values
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val r = ev.select(
+        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact"),
+        expr("percentile_approx(value, array(0.5, 0.95, 0.99), 1000)").as("approx"),
+        expr("approx_count_distinct(value)").as("acd"),
+        expr("count(distinct value)").as("cd"))
+      .head()
+    val exact = r.getSeq[Double](0)
+    val approx = r.getSeq[Double](1)
+    // compare by rank: the approx value's true rank must be within 0.5%
+    // of the target percentile's rank
+    val values = ev.select(col("value")).collect().map(_.getDouble(0)).sorted
+    val n = values.length.toDouble
+    for (((p, a), e) <- Seq(0.5, 0.95, 0.99).zip(approx).zip(exact)) {
+      val rank = values.count(_ <= a) / n
+      assert(math.abs(rank - p) <= 0.005, s"p$p: approx $a (rank $rank) vs exact $e")
+    }
+    assert(math.abs(r.getLong(2).toDouble - r.getLong(3)) <= 0.05 * r.getLong(3))
+  }
 }
