@@ -12,10 +12,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one-time JVM/codegen/scheduler warmup so per-query numbers measure
-    // the queries, not first-stage JIT
+    // the queries, not first-stage JIT. Prime each table's file listing +
+    // parquet footer and one query per execution path (hash agg, window +
+    // native aggregate, join, corpus regex, vector kernel) — otherwise
+    // that shared init lands on whichever measured query touches it first.
     spark.range(10000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q27_value_counts")
-      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    graft.tables.Tables.events(spark, sfDir).count() // nanos-ts read path
+    for (t <- Seq("lineitem", "orders", "customer", "supplier",
+        "part", "nation", "region", "documents", "embeddings"))
+      graft.tables.Tables.table(spark, sfDir, t).count()
+    for (q <- Seq("q27_value_counts", "q01_txn_counts", "q26_segment_revenue",
+        "q29_text_stats", "q35_ann_cosine"))
+      SparkEntry.queries.get(q)
+        .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     // noop sink forces full computation of every output column;
     // a bare .count() would let Catalyst prune the feature projections.
     // a failed query records -1 (sentinel) so consumers of the JSON line
