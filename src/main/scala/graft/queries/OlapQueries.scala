@@ -164,6 +164,19 @@ object OlapQueries extends QueryPack {
         r6(col("cnt").cast("double") /
           sum(col("cnt")).over(Window.partitionBy(col("event_type")))).as("prob"))
     },
+    // full outer join — completes the join-type matrix (inner/left/semi/
+    // anti/as-of/interval are elsewhere): per-nation customer vs supplier
+    // counts, keeping nations present on either side only
+    "q76_full_outer" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_customers"))
+      val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(su, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+    },
     // melt: wide metric columns to long (metric, value) rows, then one
     // summary row per metric — the normalized-metrics-table shape
     "q66_unpivot" -> { (s, dir) =>
@@ -256,6 +269,13 @@ FROM events GROUP BY 1""",
   FROM events GROUP BY 1)
 SELECT event_id, user_id, round((value - med)/(iqr + 1e-9) + 5e-11, 4) AS robust_z
 FROM events JOIN s ON user_id = u""",
+    "q76_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+  coalesce(c.n_customers, 0) AS n_customers,
+  coalesce(s.n_suppliers, 0) AS n_suppliers
+FROM c FULL JOIN s ON c.nk = s.nk""",
     "q75_transitions" ->
       """WITH p AS (
   SELECT user_id, event_type,

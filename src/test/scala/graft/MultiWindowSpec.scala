@@ -58,6 +58,22 @@ class MultiWindowSpec extends AnyFunSuite {
     compare(Tables.transactions(spark, "/root/testdata/sf0.001"))
   }
 
+  test("one-pass kernel == window form on a dense burst (large frames)") {
+    // 1500 events 1 s apart from one customer: the 24h frame holds the
+    // whole history — the regime where frame re-scan goes quadratic and
+    // the kernel stays linear; values must still agree
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 1500).map { i =>
+      (i.toLong, 1L, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        math.rint(rnd.nextDouble() * 10000) / 100.0,
+        s"m${rnd.nextInt(3)}", s"ip${rnd.nextInt(4)}")
+    }
+    import spark.implicits._
+    val tx = data.toDF("transaction_id", "customer_id", "event_timestamp",
+      "amount", "merchant_id", "ip_address")
+    compare(tx)
+  }
+
   test("one-pass kernel == window form on adversarial synthetic sequences") {
     // dense bursts (many events inside every window), exact-boundary gaps
     // (events exactly W seconds apart must fall OUT of the strict frame),
