@@ -84,9 +84,10 @@ object GraphOps {
       .join(nodes)
       .map { case (_, (dstName, srcVid)) => (dstName, srcVid) }
       .join(nodes)
-      .map { case (_, (srcVid, dstVid)) => Edge(srcVid, dstVid, 1) }
-    val graph = Graph.fromEdges(edgeRdd, defaultValue = 0)
-    val cc = graph.connectedComponents().vertices // (vid, componentId=min vid)
+      .map { case (_, (srcVid, dstVid)) => (srcVid, dstVid) }
+    // adaptive CC: local union-find for sparse graphs, GraphX above the
+    // threshold — identical min-vid labels either way (ops/Components)
+    val cc = Components.run(edgeRdd)
     val names = nodes.map(_.swap) // (vid, node)
     val labeled = names.join(cc).map { case (_, (node, comp)) => (node, comp) }
     val customers = labeled.filter(_._1.startsWith("c:"))

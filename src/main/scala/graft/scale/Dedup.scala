@@ -157,14 +157,13 @@ object Dedup {
     */
   def neardupGroups(docs: DataFrame, id: Column, text: Column, n: Int,
                     tau: Double): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
     val spark = docs.sparkSession
     import spark.implicits._
     val pairs = minhashPairs(docs, id, text, n).where(col("jaccard") >= tau)
     val edgeRdd = pairs.select(col("doc1"), col("doc2")).as[(Long, Long)].rdd
-      .map { case (a, b) => Edge(a, b, 1) }
-    val cc = Graph.fromEdges(edgeRdd, 0).connectedComponents()
-      .vertices.toDF("doc_id", "component")
+    // adaptive CC (ops/Components): LSH keeps this edge set sparse, so the
+    // local union-find path usually wins; GraphX above the threshold
+    val cc = graft.ops.Components.run(edgeRdd).toDF("doc_id", "component")
     docs.select(id.as("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical_id"))
