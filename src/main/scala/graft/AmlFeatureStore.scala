@@ -44,15 +44,7 @@ class AmlFeatureStore(spark: SparkSession) {
     */
   def fullFeatures(tx: DataFrame, onePass: Boolean = false): DataFrame =
     if (onePass) graft.ops.MultiWindow.fullViewOnePass(tx)
-    else {
-      import graft.schema.FeatureViews
-      val w = graft.ops.Trailing.spec(col("customer_id"), col("event_timestamp"))
-      val cols = for {
-        (wName, secs) <- FeatureViews.windows6
-        kind <- FeatureViews.kinds
-      } yield FeatureViews.column(kind, w, secs).as(kind.featureName(wName))
-      tx.select(col("transaction_id") +: col("customer_id") +: cols: _*)
-    }
+    else graft.schema.FeatureViews.windowView(tx)
 
   /** Online store: latest feature row per customer within `ttlSeconds` of
     * `now` — the relational form of the reference's Redis hash + EXPIRE.

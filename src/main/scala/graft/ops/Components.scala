@@ -19,12 +19,17 @@ import org.apache.spark.rdd.RDD
 object Components {
 
   /** @return (vertexId, componentLabel = min vertex id in component) */
-  def run(edges: RDD[(Long, Long)], localThreshold: Long = 2000000L): RDD[(Long, Long)] = {
+  def run(edges: RDD[(Long, Long)], localThreshold: Long = 500000L): RDD[(Long, Long)] = {
+    // the edge list is consumed twice (count, then collect/Pregel) and its
+    // lineage is typically an expensive join pipeline — cache it
+    edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = edges.count()
     if (n == 0) {
+      edges.unpersist(blocking = false)
       edges.sparkContext.emptyRDD[(Long, Long)]
     } else if (n <= localThreshold) {
       val local = edges.collect()
+      edges.unpersist(blocking = false)
       val parent = new scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -60,17 +60,17 @@ object PipelineQueries extends QueryPack {
           r6(col("graph_betweenness_centrality")).as("graph_betweenness_centrality"))
     },
     "q37_full_features" -> { (s, dir) =>
-      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
-      val cols = for {
-        (wName, secs) <- FeatureViews.windows6
+      // the shared windowView + oracle rounding; the two projections
+      // collapse into one, so the plan (and its bits) are unchanged
+      val roundCols = for {
+        (wName, _) <- FeatureViews.windows6
         kind <- FeatureViews.kinds
       } yield {
-        val c = FeatureViews.column(kind, w, secs)
         val named = kind.featureName(wName)
-        (if (kind.double) r6(c) else c).as(named)
+        (if (kind.double) r6(col(named)) else col(named)).as(named)
       }
-      Tables.transactions(s, dir).select(
-        col("transaction_id") +: col("customer_id") +: cols: _*)
+      FeatureViews.windowView(Tables.transactions(s, dir))
+        .select(col("transaction_id") +: col("customer_id") +: roundCols: _*)
     })
 
   override val oracle: Map[String, String] = Map(

@@ -149,10 +149,13 @@ sig AS (SELECT doc_id,
       import org.apache.spark.sql.expressions.Window
       val toks = docsSpread(s, dir).select(
         explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+      // top-50 FIRST (TakeOrderedAndProject: per-partition top-k, then a
+      // 50-row merge) — a bare global rank window would funnel the whole
+      // vocabulary through one task; the rank then runs over 50 rows
       toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(50)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cnt").desc, col("tok").asc)))
-        .where(col("rnk") <= 50)
     },
     "q59_ann_ivf" -> { (s, dir) =>
       // iters = 0: seed-vector quantizer only. Lloyd refinement averages

@@ -41,9 +41,11 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameSize: Int, every: Int): DataFrame = {
     val nBytes = octet_length(col("media"))
     val nFrames = floor((nBytes + (frameSize - 1)) / frameSize).cast("int")
-    val idx = when(nBytes > 0, sequence(lit(0), nFrames - 1)).otherwise(array().cast("array<int>"))
+    // generate only the kept indices (0, every, 2·every, …) — exploding
+    // all frames and filtering would materialize `every`× more rows
+    val idx = when(nBytes > 0, sequence(lit(0), nFrames - 1, lit(every)))
+      .otherwise(array().cast("array<int>"))
     media.select(col("doc_id"), col("media"), explode(idx).as("frame_idx"))
-      .where(col("frame_idx") % every === 0)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("media").substr(col("frame_idx") * frameSize + 1, lit(frameSize)).as("frame"))
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))

@@ -75,6 +75,19 @@ object FeatureViews {
     }
   }
 
+  /** The full 12-kind × 6-window view as ONE window-function plan (no
+    * rounding) — the single source for the facade, the q37 oracle query,
+    * and the kernel's equivalence spec.
+    */
+  def windowView(tx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+    val cols = for {
+      (wName, secs) <- windows6
+      kind <- kinds
+    } yield column(kind, w, secs).as(kind.featureName(wName))
+    tx.select(col("transaction_id") +: col("customer_id") +: cols: _*)
+  }
+
   /** DuckDB-SQL expression for (kind, window alias) — mirrors [[column]]
     * term for term over the `events` table's native columns.
     */

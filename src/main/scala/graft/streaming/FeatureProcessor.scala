@@ -372,7 +372,11 @@ object StreamingFeatures {
     */
   def dedupedEvents(events: Dataset[StreamTxnTs], delay: String): Dataset[StreamTxnTs] =
     events.withWatermark("event_time", delay)
-      .dropDuplicatesWithinWatermark("customer_id", "event_time")
+      // key on the FULL payload: only an identical record is a redelivery;
+      // two different same-timestamp events for one customer are distinct
+      // peer events (exactly what the batch range frames treat as peers)
+      .dropDuplicatesWithinWatermark("customer_id", "event_time", "amount",
+        "merchant_id", "ip_address")
 
   /** Stream-stream self interval join: for each event, the same customer's
     * events in the following `gapSecs` seconds (the streaming twin of the

@@ -19,14 +19,10 @@ class MultiWindowSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def windowForm(tx: org.apache.spark.sql.DataFrame) = {
-    val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
-    val cols = for {
-      (wName, secs) <- FeatureViews.windows6
-      kind <- FeatureViews.kinds
-    } yield FeatureViews.column(kind, w, secs).as(kind.featureName(wName))
-    tx.select(col("transaction_id") +: col("customer_id") +: cols: _*)
-  }
+  // the PRODUCT window path (facade default), not a private re-derivation —
+  // a regression in fullFeatures must fail this spec
+  private def windowForm(tx: org.apache.spark.sql.DataFrame) =
+    new AmlFeatureStore(spark).fullFeatures(tx)
 
   private def compare(tx: org.apache.spark.sql.DataFrame): Unit = {
     val expected = windowForm(tx).collect()
