@@ -49,6 +49,26 @@ object Soak {
     time(s"features-${k}x-depth")(
       CoreFeatures.customerFeatures(deep).write.format("noop").mode("overwrite").save())
 
+    // full 72-column view: window-function plan vs one-pass kernel at
+    // k-fold keys (same frame sizes) ...
+    time(s"fullview-window-${k}x-keys")(
+      graft.schema.FeatureViews.windowView(wide).write.format("noop").mode("overwrite").save())
+    time(s"fullview-kernel-${k}x-keys")(
+      graft.ops.MultiWindow.fullViewOnePass(wide).write.format("noop").mode("overwrite").save())
+
+    // ... and at k-fold FRAME SIZE (replicas 1 s apart on the same keys):
+    // the frame re-scan's per-row cost grows ~k-fold here, the kernel's
+    // doesn't — this is the 100 TB dense-window regime
+    val dense = tx.crossJoin(rep)
+      .withColumn("event_timestamp",
+        col("event_timestamp") + (col("rep") * 1L).cast("interval second"))
+      .withColumn("transaction_id", col("transaction_id") + col("rep") * 1000000000L)
+      .drop("rep")
+    time(s"fullview-window-${k}x-frames")(
+      graft.schema.FeatureViews.windowView(dense).write.format("noop").mode("overwrite").save())
+    time(s"fullview-kernel-${k}x-frames")(
+      graft.ops.MultiWindow.fullViewOnePass(dense).write.format("noop").mode("overwrite").save())
+
     val docs = Tables.documents(spark, dir).crossJoin(rep)
       .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L).drop("rep")
     time(s"minhash-pairs-${k}x")(
