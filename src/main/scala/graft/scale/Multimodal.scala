@@ -51,6 +51,27 @@ object Multimodal {
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
   }
 
+  case class ResizedRow(doc_id: Long, resized: Array[Byte], n_in: Long, n_out: Long)
+
+  /** "Resize" stub: strided byte-downsample (every `factor`-th byte) — the
+    * stand-in for an image/audio resample kernel. Real byte work in a
+    * batched per-partition pass; output length = ceil(n/factor) by
+    * construction, which the spec pins.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedRow] = {
+    require(factor >= 1)
+    implicit val enc = Encoders.product[ResizedRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = r.media
+        val out = new Array[Byte]((in.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = in(i * factor); i += 1 }
+        ResizedRow(r.doc_id, out, in.length.toLong, out.length.toLong)
+      }
+    }
+  }
+
   /** Batched "decode + feature extract": one pass per partition, decoding
     * each payload once. STUB decoder: byte statistics + 256-byte frame
     * count stand in for pixel/sample features.

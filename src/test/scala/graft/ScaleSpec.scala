@@ -110,6 +110,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(groups(13L) == (13L, 1L))
   }
 
+  test("multimodal resize: strided downsample keeps every k-th byte, ceil-length output") {
+    import graft.scale.Multimodal
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("media"), col("meta.format").as("format"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.resize(media, factor = 4).collect()
+    assert(out.nonEmpty)
+    val orig = media.collect().map(r => r.doc_id -> r.media).toMap
+    for (r <- out) {
+      val in = orig(r.doc_id)
+      assert(r.n_out == (in.length + 3) / 4 && r.resized.length == r.n_out)
+      assert(r.resized.zipWithIndex.forall { case (b, i) => b == in(i * 4) })
+    }
+  }
+
   test("winnowing: shared substrings >= t chars share a fingerprint; short docs emit none") {
     val k = 8; val w = 4 // guarantee threshold t = w + k - 1 = 11
     val common = "a very distinctive shared passage of text"
