@@ -60,5 +60,15 @@ object GraftExtensions {
             s"winnow: $name must be an integer literal, got $other")
         }
         WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
+      }),
+    (FunctionIdentifier("rolling_hashes"),
+      info("rolling_hashes", "rolling_hashes(text, k, stride) - sampled Rabin rolling k-gram hashes; k and stride must be int literals"),
+      (es: Seq[Expression]) => {
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"rolling_hashes: $name must be an integer literal, got $other")
+        }
+        RollingHashes(es(0), intLit(es(1), "k"), intLit(es(2), "stride"))
       }))
 }

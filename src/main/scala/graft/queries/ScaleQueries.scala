@@ -142,6 +142,12 @@ sig AS (SELECT doc_id,
       docsSpread(s, dir).select(col("doc_id"), reason.as("reason"),
         (reason === "kept").as("keep"))
     },
+    "q77_rolling_hash" -> { (s, dir) =>
+      // Rabin rolling-hash fingerprints (native O(1)/position kernel);
+      // oracle recomputes each sampled hash with the naive polynomial
+      TextOps.rollingFingerprints(docsSpread(s, dir), col("doc_id"), col("text"),
+        k = 8, stride = 16)
+    },
     "q65_token_zipf" -> { (s, dir) =>
       // corpus vocabulary head: token frequencies ranked Zipf-style.
       // Two-level plan: per-partition pre-aggregation -> one exchange on
@@ -397,6 +403,22 @@ SELECT doc_id, reason, reason = 'kept' AS keep FROM r""",
 SELECT doc_id, bucket::BIGINT AS bucket,
   CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
 FROM b""",
+    "q77_rolling_hash" -> {
+      val k = 8
+      val M = graft.functions.RollingHashKernel.M
+      val B = graft.functions.RollingHashKernel.B
+      val pows = (0 until k).map(j => // B^(k-1-j) mod M as literals
+        (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * B % M))
+      val terms = (0 until k).map(j =>
+        s"unicode(substr(t, i + $j, 1))::BIGINT * ${pows(j)}").mkString(" + ")
+      s"""WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+p AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - $k + 2, 16)) AS i
+  FROM nrm WHERE length(t) >= $k)
+SELECT doc_id, (i - 1)::BIGINT AS pos, (($terms) % $M)::BIGINT AS hash
+FROM p"""
+    },
     "q65_token_zipf" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
 c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),

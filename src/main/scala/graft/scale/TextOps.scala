@@ -109,6 +109,22 @@ object TextOps {
     docs.select(id.as("doc_id"), explode(fps).as("fp"))
   }
 
+  /** Sampled Rabin rolling-hash fingerprints over the normalized text
+    * (every `stride`-th k-gram position). Like winnowing this is a NARROW
+    * per-document map, but the hash itself is O(1) per position (rolling
+    * update) instead of O(k) — the fingerprint inner loop for a 100 TB
+    * corpus. Emits (doc_id, pos, hash); the oracle recomputes each value
+    * with the naive k-term polynomial.
+    */
+  def rollingFingerprints(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                          k: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hs = ColumnBridge.column(graft.functions.RollingHashes(
+      ColumnBridge.expression(normalized(text)), k, stride))
+    docs.select(id.as("doc_id"), posexplode(hs).as(Seq("sample", "hash")))
+      .select(col("doc_id"), (col("sample").cast("long") * stride).as("pos"), col("hash"))
+  }
+
   /** Marker-word language scores. Deterministic preference order on ties:
     * en > de > fr > es > zh.
     */

@@ -65,4 +65,28 @@ class FunctionsSpec extends AnyFunSuite {
       graft.ops.Distribution.hhiOver(col("merchant_id"), w, 604800).as("hof"))
     assert(winH.where(abs(col("native") - col("hof")) > 1e-9).count() == 0)
   }
+
+  test("rolling_hashes: rolling update equals the naive polynomial; short text empty") {
+    import graft.functions.RollingHashKernel.{B, M}
+    def naive(s: String, k: Int, i: Int): Long =
+      (0 until k).foldLeft(0L)((h, j) => (h * B + s.charAt(i + j)) % M)
+    val s = "abcdefgh ijklmnopq rstuvwxyz 0123"
+    val k = 8; val stride = 4
+    val got = graft.functions.RollingHashKernel
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), k, stride)
+      .toLongArray()
+    val n = s.length - k + 1
+    assert(got.length == (n + stride - 1) / stride)
+    for ((h, idx) <- got.zipWithIndex)
+      assert(h == naive(s, k, idx * stride), s"pos ${idx * stride}")
+    // shorter than one gram -> empty
+    assert(graft.functions.RollingHashKernel
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString("short"), 8, 4)
+      .numElements() == 0)
+    // SQL registration path
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(s"SELECT rolling_hashes('$s', 8, 4) AS h")
+      .head().getSeq[Long](0)
+    assert(viaSql.toArray.sameElements(got))
+  }
 }
