@@ -177,6 +177,23 @@ object OlapQueries extends QueryPack {
           coalesce(col("n_customers"), lit(0L)).as("n_customers"),
           coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
     },
+    // argmax/argmin (max_by family) with DETERMINISTIC tie-breaks: the
+    // struct-max trick orders (value, event_id) lexicographically, so equal
+    // amounts resolve by id instead of partition order — `max_by(x, y)`
+    // alone is nondeterministic under ties and would flake the hash gate
+    "q78_argmax" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(
+          max(struct(col("value"), col("event_id"), col("event_type"))).as("mx"),
+          min(struct(col("value"), col("event_id"), col("event_type"))).as("mn"))
+        .select(col("user_id"),
+          r6(col("mx.value")).as("max_value"),
+          col("mx.event_id").as("max_event_id"),
+          col("mx.event_type").as("max_event_type"),
+          r6(col("mn.value")).as("min_value"),
+          col("mn.event_id").as("min_event_id"))
+    },
     // melt: wide metric columns to long (metric, value) rows, then one
     // summary row per metric — the normalized-metrics-table shape
     "q66_unpivot" -> { (s, dir) =>
@@ -269,6 +286,19 @@ FROM events GROUP BY 1""",
   FROM events GROUP BY 1)
 SELECT event_id, user_id, round((value - med)/(iqr + 1e-9) + 5e-11, 4) AS robust_z
 FROM events JOIN s ON user_id = u""",
+    "q78_argmax" ->
+      """WITH r AS (
+  SELECT user_id, value, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rx,
+    row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn
+  FROM events)
+SELECT a.user_id,
+  round(a.value + 5e-11, 4) AS max_value,
+  a.event_id AS max_event_id,
+  a.event_type AS max_event_type,
+  round(b.value + 5e-11, 4) AS min_value,
+  b.event_id AS min_event_id
+FROM (SELECT * FROM r WHERE rx = 1) a JOIN (SELECT * FROM r WHERE rn = 1) b USING (user_id)""",
     "q76_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
 s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
