@@ -26,6 +26,18 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Analysis-time check for the literal int parameters of the kernel
+    * expressions: must be an `Int` literal and >= 1 (k/w/stride of 0 or
+    * less would divide-by-zero or index out of bounds at eval time).
+    */
+  private def intLit(fn: String, e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) if v >= 1 => v
+    case Literal(v: Int, IntegerType) => throw new IllegalArgumentException(
+      s"$fn: $name must be >= 1, got $v")
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
   /** (identifier, doc, builder) triples shared by the extension injector
     * and [[GraftFunctions.register]].
     */
@@ -53,22 +65,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => ArraySqDist(es(0), es(1))),
     (FunctionIdentifier("winnow"),
       info("winnow", "winnow(text, k, w) - distinct window-min k-gram hashes (MOSS fingerprints); k and w must be int literals"),
-      (es: Seq[Expression]) => {
-        def intLit(e: Expression, name: String): Int = e match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow: $name must be an integer literal, got $other")
-        }
-        WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
-      }),
+      (es: Seq[Expression]) =>
+        WinnowFingerprints(es(0), intLit("winnow", es(1), "k"), intLit("winnow", es(2), "w"))),
     (FunctionIdentifier("rolling_hashes"),
       info("rolling_hashes", "rolling_hashes(text, k, stride) - sampled Rabin rolling k-gram hashes; k and stride must be int literals"),
-      (es: Seq[Expression]) => {
-        def intLit(e: Expression, name: String): Int = e match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"rolling_hashes: $name must be an integer literal, got $other")
-        }
-        RollingHashes(es(0), intLit(es(1), "k"), intLit(es(2), "stride"))
-      }))
+      (es: Seq[Expression]) =>
+        RollingHashes(es(0), intLit("rolling_hashes", es(1), "k"),
+          intLit("rolling_hashes", es(2), "stride"))))
 }

@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * per sampled position (same values, naive cost): the scale-path
   * implementation is checked by a naive-formula oracle.
   *
-  * B = 257 (> any byte), M = 1e9+7 (prime; (M-1)·B + 65535 < 2^63 keeps
-  * every intermediate in a signed 64-bit lane — same bound holds in
-  * DuckDB's BIGINT arithmetic).
+  * Symbols are Unicode CODE POINTS (the alphabet DuckDB's
+  * substr/unicode() sees), so astral-plane chars neither shift sampled
+  * positions nor change values vs the oracle. B = 257, M = 1e9+7
+  * (prime); worst intermediates (M-1)·B and 0x10FFFF·(M-1) both sit
+  * far below 2^63, on the Spark and DuckDB (BIGINT) sides alike.
   */
 case class RollingHashes(child: Expression, k: Int, stride: Int)
     extends UnaryExpression {
@@ -50,10 +52,13 @@ object RollingHashKernel {
   val M = 1000000007L
 
   def compute(t: UTF8String, k: Int, stride: Int): ArrayData = {
-    // UTF-16 units == code points for BMP text (same correspondence the
-    // oracle's char-based substr/unicode() sees)
+    require(k >= 1 && stride >= 1,
+      s"rolling_hashes: k and stride must be >= 1, got k=$k stride=$stride")
+    // roll over code points (not UTF-16 units) — the same alphabet the
+    // oracle's substr/unicode() sees, so astral chars don't shift positions
     val s = t.toString
-    val n = s.length - (k - 1)
+    val cps = s.codePoints().toArray
+    val n = cps.length - (k - 1)
     if (n < 1) return new GenericArrayData(Array.emptyLongArray)
 
     var bk = 1L // B^(k-1) mod M
@@ -63,13 +68,13 @@ object RollingHashKernel {
     val out = new Array[Long]((n + stride - 1) / stride)
     var h = 0L
     var i = 0
-    while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
     out(0) = h
     var pos = 1
     while (pos < n) {
-      var d = h - s.charAt(pos - 1) * bk % M
+      var d = h - cps(pos - 1).toLong * bk % M
       if (d < 0) d += M
-      h = (d * B + s.charAt(pos + k - 1)) % M
+      h = (d * B + cps(pos + k - 1)) % M
       if (pos % stride == 0) out(pos / stride) = h
       pos += 1
     }

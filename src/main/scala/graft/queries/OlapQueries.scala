@@ -183,10 +183,15 @@ object OlapQueries extends QueryPack {
     // alone is nondeterministic under ties and would flake the hash gate
     "q78_argmax" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
+      // null-valued rows are excluded on both sides: max(struct) skips
+      // them for free (null field sorts first), min(struct) would pick
+      // them (oracle ORDER BY is NULLS LAST) — hence the when() guard.
+      // event_id is unique, so mn needs no third tie-break field.
       ev.groupBy(col("user_id"))
         .agg(
           max(struct(col("value"), col("event_id"), col("event_type"))).as("mx"),
-          min(struct(col("value"), col("event_id"), col("event_type"))).as("mn"))
+          min(when(col("value").isNotNull,
+            struct(col("value"), col("event_id")))).as("mn"))
         .select(col("user_id"),
           r6(col("mx.value")).as("max_value"),
           col("mx.event_id").as("max_event_id"),

@@ -89,4 +89,28 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(viaSql.toArray.sameElements(got))
   }
+
+  test("rolling_hashes: code-point alphabet (astral chars) and argument validation") {
+    import graft.functions.RollingHashKernel.{B, M}
+    // astral char (U+1D54F, 2 UTF-16 units) must count as ONE symbol with
+    // its full code point value — the convention DuckDB's substr/unicode sees
+    val s = "ab𝕏cdefgh"
+    val cps = s.codePoints().toArray
+    def naive(i: Int, k: Int): Long =
+      (0 until k).foldLeft(0L)((h, j) => (h * B + cps(i + j)) % M)
+    val got = graft.functions.RollingHashKernel
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), 4, 2)
+      .toLongArray()
+    val n = cps.length - 3 // 9 code points, k=4 -> 6 positions, stride 2 -> 3
+    assert(got.length == (n + 1) / 2)
+    for ((h, idx) <- got.zipWithIndex)
+      assert(h == naive(idx * 2, 4), s"pos ${idx * 2}")
+    // k/stride < 1 rejected at analysis time (SQL path) and eval time (kernel)
+    GraftFunctions.register(spark)
+    for (bad <- Seq("rolling_hashes('abcdef', 8, 0)", "rolling_hashes('abcdef', 0, 4)",
+        "winnow('abcdef', 0, 4)"))
+      assertThrows[Exception](spark.sql(s"SELECT $bad").collect())
+    assertThrows[IllegalArgumentException](graft.functions.RollingHashKernel
+      .compute(org.apache.spark.unsafe.types.UTF8String.fromString("abcdef"), 4, 0))
+  }
 }
