@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Transaction-pattern detectors from the AML literature that the
+  * reference's feature families gesture at but never implement
+  * (reference `api/main.py:175-200` hard-codes one amount threshold;
+  * these generalize it to the classic structuring / digit-distribution
+  * / round-number tests).
+  *
+  * All three are single-shuffle groupBy aggregations with map-side
+  * partial aggregation — at 100 TB the reduce state is one row per
+  * entity (or per digit), so they scale with key cardinality, not data
+  * volume. Amounts are converted to exact integer cents first so that
+  * every predicate and sum is integer-exact and engine-independent.
+  */
+object AmlPatterns {
+
+  /** Money as integer cents: 2-dp doubles land within 1 ulp of an
+    * integer after *100, so half-away rounding is exact on any engine.
+    */
+  def cents(amount: Column): Column = round(amount * 100).cast("long")
+
+  /** Structuring ("smurfing") screen: repeated amounts just under a
+    * reporting threshold. Band = [0.9·T, T); a customer is flagged when
+    * the band holds at least `minCount` transactions AND more than
+    * `minShare` of their activity.
+    *
+    * One row per customer: band_cnt, band_sum_cents, band_share, flagged.
+    */
+  def structuring(tx: DataFrame, threshold: Double, minCount: Int = 3,
+      minShare: Double = 0.1): DataFrame = {
+    val c = cents(col("amount"))
+    val lo = math.round(threshold * 90).toDouble // 0.9·T in cents, exact
+    val hi = math.round(threshold * 100).toDouble
+    val inBand = c >= lo && c < hi
+    tx.groupBy(col("customer_id"))
+      .agg(
+        count(when(inBand, 1)).as("band_cnt"),
+        coalesce(sum(when(inBand, c)), lit(0L)).as("band_sum_cents"),
+        count(lit(1)).as("n"))
+      .select(col("customer_id"), col("band_cnt"), col("band_sum_cents"),
+        (col("band_cnt").cast("double") / col("n")).as("band_share"),
+        // the share is ONE division (exact-rounded identically on any
+        // IEEE engine), so the > comparison is engine-independent
+        (col("band_cnt") >= minCount &&
+          col("band_cnt").cast("double") / col("n") > minShare).as("flagged"))
+  }
+
+  /** Benford first-significant-digit test over positive amounts: observed
+    * digit frequency vs the Benford expectation log10(1+1/d), with the
+    * per-digit chi-square contribution. 9 rows out regardless of input
+    * size. The first significant digit is read off the integer cents
+    * string (scale-invariant, no cross-engine log10-of-amount edge).
+    */
+  def benford(tx: DataFrame): DataFrame = {
+    val digit = substring(cents(col("amount")).cast("string"), 1, 1).cast("long")
+    val byDigit = tx.where(col("amount") > 0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = byDigit.agg(sum(col("cnt")).cast("double").as("n"))
+    val bf = log10(lit(1.0) + lit(1.0) / col("digit"))
+    byDigit.crossJoin(broadcast(total))
+      .select(col("digit"), col("cnt"),
+        (col("cnt") / col("n")).as("obs_freq"),
+        bf.as("benford_freq"),
+        (pow(col("cnt") - col("n") * bf, 2) / (col("n") * bf)).as("chi2_term"))
+  }
+
+  /** Round-number bias per merchant: the share of whole-currency and
+    * multiple-of-ten amounts. Human-chosen (laundered) amounts skew
+    * round; organic ones are uniform in the cents digits.
+    */
+  def roundBias(tx: DataFrame): DataFrame = {
+    val c = cents(col("amount"))
+    tx.groupBy(col("merchant_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(c % 100 === 0, 1)).as("whole_cnt"),
+        count(when(c % 1000 === 0, 1)).as("ten_cnt"))
+      .select(col("merchant_id"), col("n"), col("whole_cnt"),
+        (col("whole_cnt").cast("double") / col("n")).as("whole_ratio"),
+        col("ten_cnt"),
+        (col("ten_cnt").cast("double") / col("n")).as("ten_ratio"))
+  }
+}

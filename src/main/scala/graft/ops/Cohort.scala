@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weekly cohort retention: group users by the week of their first event
+  * (the cohort), then count distinct active users at each whole-week
+  * offset from that cohort start.
+  *
+  * Shape: two shuffles on user (first-event min, then distinct-count per
+  * cohort cell) and a broadcast join of the tiny cohort-size table.
+  * Output cardinality is cohorts × offsets — independent of event count,
+  * so the plan holds at 100 TB (the wide input only ever flows through
+  * hash aggregations keyed by user_id).
+  */
+object Cohort {
+
+  /** One row per (cohort_week, week_offset): active_users, cohort_size,
+    * retention = active/size. Offset 0 is 100% by construction.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("wk"))
+    val firstWk = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val sizes = firstWk.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    weeks.join(firstWk, "user_id")
+      .select(col("cohort_week"),
+        // week starts are 7 days apart exactly, so /7 is exact
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size")).as("retention"))
+  }
+}

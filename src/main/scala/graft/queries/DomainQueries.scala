@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.ops.{AmlPatterns, Cohort, PageRank}
+import graft.scale.{FuzzyMatch, Splits}
+import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AML pattern detectors and the remaining training-pipeline/OLAP
+  * surface: structuring (smurfing) screens, Benford digit tests,
+  * round-number bias, cohort retention, Levenshtein fuzzy matching,
+  * fixed-iteration PageRank, the ranking-window function family, and
+  * deterministic class rebalancing.
+  *
+  * Reference anchors: the threshold rules these generalize are
+  * `api/main.py:175-200` (amount-threshold boosts); the graph features
+  * PageRank extends are `advanced_features.py:56-72`.
+  */
+object DomainQueries extends QueryPack {
+
+  private val centsSql = "round(value*100)::BIGINT"
+
+  override val defs: Map[String, Q] = Map(
+    // structuring screen: repeated just-under-threshold amounts (T=100)
+    "q79_structuring" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir)
+      AmlPatterns.structuring(tx, threshold = 100.0)
+        .select(col("customer_id"), col("band_cnt"), col("band_sum_cents"),
+          r6(col("band_share")).as("band_share"), col("flagged"))
+    },
+    "q80_benford" -> { (s, dir) =>
+      AmlPatterns.benford(Tables.transactions(s, dir))
+        .select(col("digit"), col("cnt"),
+          r6(col("obs_freq")).as("obs_freq"),
+          r6(col("benford_freq")).as("benford_freq"),
+          r2(col("chi2_term")).as("chi2_term"))
+    },
+    "q81_round_bias" -> { (s, dir) =>
+      AmlPatterns.roundBias(Tables.transactions(s, dir))
+        .select(col("merchant_id"), col("n"),
+          col("whole_cnt"), r6(col("whole_ratio")).as("whole_ratio"),
+          col("ten_cnt"), r6(col("ten_ratio")).as("ten_ratio"))
+    },
+    "q82_cohort_retention" -> { (s, dir) =>
+      Cohort.retention(Tables.events(s, dir))
+        .select(col("cohort_week").cast("string").as("cohort_week"),
+          col("week_offset"), col("active_users"), col("cohort_size"),
+          r6(col("retention")).as("retention"))
+    },
+    // blocked edit-distance near-dup pairs (prefix block, bounded slice)
+    "q83_fuzzy_match" -> { (s, dir) =>
+      FuzzyMatch.pairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("id_a"), col("id_b"), col("lev"))
+    },
+    // PageRank over the symmetrized customer-merchant bipartite graph
+    "q84_pagerank" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(concat(lit("c:"), col("user_id").cast("string")).as("src"),
+          concat(lit("m:"), col("event_type")).as("dst"))
+        .distinct()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(sym, iters = 10, damping = 0.85)
+        .select(col("node"), r6(col("pr")).as("pr"))
+    },
+    // global ranking-window family over an exact integer measure; the
+    // single global sort is inherent to global ranking — at 100 TB the
+    // input to it is the per-user aggregate (already entity-sized)
+    "q85_window_suite" -> { (s, dir) =>
+      val spend = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(AmlPatterns.cents(col("value"))).as("total_cents"))
+      val w = Window.orderBy(col("total_cents").desc, col("user_id"))
+      spend.select(col("user_id"), col("total_cents"),
+        ntile(4).over(w).as("quartile"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cum_dist"),
+        coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
+          lit(0L)).as("gap_cents"))
+    },
+    // deterministic class rebalance: all positives + md5-sampled
+    // negatives at 5/1000, with inverse-probability weights
+    "q86_rebalance" -> { (s, dir) =>
+      Splits.rebalance(Tables.events(s, dir).select(col("event_id"), col("value")),
+          col("event_id"), col("value") > 300, keep = 5)
+        .select(col("event_id"), col("label"), col("weight"))
+    })
+
+  override val oracle: Map[String, String] = Map(
+    "q79_structuring" ->
+      s"""WITH c AS (SELECT user_id, $centsSql AS c FROM events)
+SELECT user_id AS customer_id,
+  count(*) FILTER (WHERE c >= 9000 AND c < 10000) AS band_cnt,
+  coalesce(sum(c) FILTER (WHERE c >= 9000 AND c < 10000), 0)::BIGINT AS band_sum_cents,
+  round((count(*) FILTER (WHERE c >= 9000 AND c < 10000))::DOUBLE / count(*) + 5e-11, 4) AS band_share,
+  (count(*) FILTER (WHERE c >= 9000 AND c < 10000) >= 3 AND
+   (count(*) FILTER (WHERE c >= 9000 AND c < 10000))::DOUBLE / count(*) > 0.1) AS flagged
+FROM c GROUP BY 1""",
+    "q80_benford" ->
+      s"""WITH c AS (SELECT $centsSql AS c FROM events WHERE value > 0),
+d AS (SELECT substr(c::VARCHAR, 1, 1)::BIGINT AS digit, count(*) AS cnt FROM c GROUP BY 1),
+t AS (SELECT sum(cnt)::DOUBLE AS n FROM d)
+SELECT digit, cnt,
+  round(cnt / n + 5e-11, 4) AS obs_freq,
+  round(log10(1 + 1.0/digit) + 5e-11, 4) AS benford_freq,
+  round(pow(cnt - n * log10(1 + 1.0/digit), 2) / (n * log10(1 + 1.0/digit)) + 1e-4, 2) AS chi2_term
+FROM d, t""",
+    "q81_round_bias" ->
+      s"""WITH c AS (SELECT event_type AS merchant_id, $centsSql AS c FROM events)
+SELECT merchant_id, count(*) AS n,
+  count(*) FILTER (WHERE c % 100 = 0) AS whole_cnt,
+  round((count(*) FILTER (WHERE c % 100 = 0))::DOUBLE / count(*) + 5e-11, 4) AS whole_ratio,
+  count(*) FILTER (WHERE c % 1000 = 0) AS ten_cnt,
+  round((count(*) FILTER (WHERE c % 1000 = 0))::DOUBLE / count(*) + 5e-11, 4) AS ten_ratio
+FROM c GROUP BY 1""",
+    "q82_cohort_retention" ->
+      """WITH w AS (SELECT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1),
+s AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+a AS (SELECT f.cohort_week, (w.wk - f.cohort_week) // 7 AS week_offset,
+        count(DISTINCT w.user_id) AS active_users
+      FROM w JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT a.cohort_week::VARCHAR AS cohort_week, a.week_offset, a.active_users,
+  s.cohort_size,
+  round(a.active_users::DOUBLE / s.cohort_size + 5e-11, 4) AS retention
+FROM a JOIN s USING (cohort_week)""",
+    "q83_fuzzy_match" ->
+      """WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80))::BIGINT AS lev
+FROM nrm a JOIN nrm b ON substr(a.t, 1, 12) = substr(b.t, 1, 12) AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 8""",
+    "q84_pagerank" -> PageRank.oracleSql(
+      "SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events",
+      iters = 10, damping = 0.85, round = s => s"round($s + 5e-11, 4)"),
+    "q85_window_suite" ->
+      s"""WITH s AS (SELECT user_id, sum($centsSql)::BIGINT AS total_cents FROM events GROUP BY 1)
+SELECT user_id, total_cents,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w + 5e-11, 4) AS pct_rank,
+  round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
+  coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
+FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q86_rebalance" ->
+      """WITH e AS (SELECT event_id, value > 300 AS label FROM events)
+SELECT event_id, label,
+  CASE WHEN label THEN 1.0::DOUBLE ELSE 200.0::DOUBLE END AS weight
+FROM e
+WHERE label OR ('0x' || substr(md5('rebalance:' || event_id), 1, 8))::UBIGINT % 1000 < 5""")
+}

@@ -17,4 +17,17 @@ object Splits {
   /** 80/10/10 train/valid/test assignment. */
   def assign(b: Column): Column =
     when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+
+  /** Deterministic class rebalance: keep every positive row, hash-sample
+    * negatives at `keep`/`n` (same md5-bucket mechanism as [[bucket]], so
+    * the subsample is stable across engines and runs), and attach the
+    * inverse-probability weight (n/keep for sampled negatives, 1 for
+    * positives) that keeps downstream estimators unbiased. Narrow — one
+    * filter, no shuffle, no RNG state.
+    */
+  def rebalance(df: org.apache.spark.sql.DataFrame, id: Column, label: Column,
+      keep: Int, n: Int = 1000, salt: String = "rebalance"): org.apache.spark.sql.DataFrame =
+    df.withColumn("label", label)
+      .where(col("label") || bucket(id, salt, n) < keep)
+      .withColumn("weight", when(col("label"), lit(1.0)).otherwise(lit(n.toDouble / keep)))
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.{AmlPatterns, Cohort, PageRank}
+import graft.scale.{FuzzyMatch, Splits}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DomainSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("structuring: band membership, share, and flag") {
+    // cust 1: 4 of 5 txns in [90,100) -> flagged; cust 2: none in band
+    val tx = Seq(
+      (1L, 95.00), (1L, 99.99), (1L, 90.00), (1L, 92.50), (1L, 10.00),
+      (2L, 89.99), (2L, 100.00), (2L, 150.00)
+    ).toDF("customer_id", "amount")
+    val out = AmlPatterns.structuring(tx, threshold = 100.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4)
+    assert(out(1L).getLong(2) == 9500 + 9999 + 9000 + 9250)
+    assert(out(1L).getBoolean(4))
+    assert(out(2L).getLong(1) == 0) // 89.99 below band, 100.00 at threshold
+    assert(!out(2L).getBoolean(4))
+  }
+
+  test("benford: digit extraction is scale-invariant; uniform digits give flat obs_freq") {
+    val tx = (1 to 9).flatMap(d => Seq(d * 1.0, d * 10.0, d * 0.01))
+      .map(Tuple1(_)).toDF("amount")
+    val rows = AmlPatterns.benford(tx).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3, s"digit ${r.getLong(0)}") // 3 scales each
+      assert(math.abs(r.getDouble(2) - 1.0 / 9) < 1e-12)
+    }
+    // benford_freq sums to 1
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+  }
+
+  test("round bias: whole and tens ratios") {
+    val tx = Seq(("m1", 100.00), ("m1", 100.50), ("m1", 25.00), ("m1", 3.33))
+      .toDF("merchant_id", "amount")
+    val r = AmlPatterns.roundBias(tx).collect().head
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2) // 100.00, 25.00 whole
+    assert(r.getLong(4) == 1) // only 100.00 is a multiple of ten
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+  }
+
+  test("cohort retention: offsets count distinct users against cohort size") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // users 1,2 start week of Jan 5; user 1 returns 2 weeks later; user 3
+    // starts the next week
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00")), (2L, ts("2026-01-07 10:00:00")),
+      (1L, ts("2026-01-19 10:00:00")), (3L, ts("2026-01-13 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Cohort.retention(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("2026-01-05", 0L)) == ((2L, 2L)))
+    assert(out(("2026-01-05", 2L)) == ((1L, 2L)))
+    assert(out(("2026-01-12", 0L)) == ((1L, 1L)))
+    assert(out.size == 3)
+  }
+
+  test("fuzzy match: blocked pairs within edit distance, ordered ids") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // 2 edits
+      (3L, "a completely different opening sentence here"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val pairs = FuzzyMatch.pairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs((1L, 2L)) == 2 && pairs((2L, 4L)) == 2)
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("pagerank: symmetric 2-clique is uniform; star concentrates on hub; mass ~ N") {
+    def sym(e: Seq[(String, String)]) =
+      (e ++ e.map(_.swap)).toDF("src", "dst")
+    val uniform = PageRank.run(sym(Seq(("a", "b"))), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uniform("a") - 1.0) < 1e-12 && math.abs(uniform("b") - 1.0) < 1e-12)
+
+    val star = PageRank.run(sym(Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3"))), iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(star("hub") > star("s1") * 1.5)
+    assert(math.abs(star.values.sum - 4.0) < 1e-6) // total mass preserved
+    assert(math.abs(star("s1") - star("s2")) < 1e-12)
+  }
+
+  test("rebalance: keeps all positives, weights inverse to sampling rate") {
+    val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
+    val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)
+      .select(col("event_id"), col("label"), col("weight")).collect()
+    val (pos, neg) = out.partition(_.getBoolean(1))
+    assert(pos.length == 20) // every positive survives
+    assert(pos.forall(_.getDouble(2) == 1.0))
+    assert(neg.forall(_.getDouble(2) == 20.0)) // 1000/50
+    assert(neg.length > 50 && neg.length < 150) // ~5% of 1980
+  }
+}
