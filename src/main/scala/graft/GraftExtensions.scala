@@ -63,6 +63,9 @@ object GraftExtensions {
     (FunctionIdentifier("array_sqdist"),
       info("array_sqdist", "array_sqdist(a, b) - squared euclidean distance of two vectors"),
       (es: Seq[Expression]) => ArraySqDist(es(0), es(1))),
+    (FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(text) - one-pass 32-bit SimHash over whitespace tokens; NULL when no tokens"),
+      (es: Seq[Expression]) => SimHash32(es.head)),
     (FunctionIdentifier("winnow"),
       info("winnow", "winnow(text, k, w) - distinct window-min k-gram hashes (MOSS fingerprints); k and w must be int literals"),
       (es: Seq[Expression]) =>

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass 32-bit SimHash: `simhash32(text)` tokenizes on whitespace,
+  * hashes each token (first 4 md5 bytes, unsigned — the `Dedup.md5Int`
+  * contract), accumulates the ±1 bit votes, and folds the sign vector
+  * into the fingerprint. NULL when the text has no tokens (matching the
+  * explode→groupBy form, where a token-less doc produces no group).
+  *
+  * This replaces an explode of every token (10M+ rows at sf0.1) plus a
+  * 32-aggregate shuffle with ONE JVM call per document — the whole
+  * operator becomes a narrow projection, which is the difference between
+  * a token-count-shaped shuffle and none at all on a 100 TB corpus.
+  * Tokenization is Java-regex `\S+` semantics (whitespace =
+  * space/tab/LF/VT/FF/CR) over the lowercased text, identical to the
+  * composable form it replaces and to the DuckDB oracle.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash32 expects a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = SimHashKernel.compute(input.asInstanceOf[UTF8String])
+    if (r == SimHashKernel.Empty) null else java.lang.Long.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long graft_sh = graft.functions.SimHashKernel.compute($c);
+      if (graft_sh == java.lang.Long.MIN_VALUE) { // SimHashKernel.Empty
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft_sh;
+      }""")
+
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+  override def prettyName: String = "simhash32"
+}
+
+object SimHashKernel {
+  /** Sentinel for "no tokens" (cannot collide: fingerprints are 32-bit). */
+  val Empty: Long = Long.MinValue
+
+  // Java regex \s set — the tokenizer contract of the composable form
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(t: UTF8String): Long = {
+    val s = t.toLowerCase.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](32)
+    var any = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        any = true
+        val d = md.digest(s.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+          ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    if (!any) return Empty
+    var fp = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+}

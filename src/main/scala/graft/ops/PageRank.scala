@@ -1,43 +1,72 @@
 package graft.ops
 
+import org.apache.spark.graphx.{Graph, PartitionStrategy}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Fixed-iteration PageRank as a declarative DataFrame loop (the GraphX
-  * `staticPageRank` convention: pr₀ = 1, prₜ₊₁ = 0.15 + d·Σ_in pr/odeg,
-  * so ranks average 1 instead of summing to 1 — N never appears, which
-  * keeps the oracle SQL free of a global count).
+/** Fixed-iteration PageRank (the GraphX `staticPageRank` convention:
+  * pr₀ = 1, prₜ₊₁ = 0.15 + d·Σ_in pr/odeg, so ranks average 1 instead of
+  * summing to 1 — N never appears, which keeps the oracle SQL free of a
+  * global count).
   *
-  * Each iteration is one join of edges against the current rank table
-  * plus one aggregation on the destination key. The rank table has one
-  * row per NODE, so on a 100 TB event log (whose distinct-entity graph
-  * is orders of magnitude smaller) Catalyst/AQE turns the join
-  * broadcast- or shuffle-side as node count dictates; the edge table
-  * partitioning on src is reused across all iterations via the cache.
+  * [[run]] executes on GraphX Pregel: vertices and edges are
+  * co-partitioned once and every iteration is a partition-local
+  * aggregateMessages — no per-iteration query planning, no lineage
+  * growth, the standard engine for iterative graph algorithms at any
+  * scale. [[runDataFrame]] is the declarative twin (one join + agg per
+  * iteration, lineage truncated by localCheckpoint); it exists to
+  * cross-check values and to document why iterating Catalyst plans is
+  * NOT the scale path: each iteration either re-plans a growing tower
+  * (cache) or loses stats/partitioning (checkpoint).
   */
 object PageRank {
 
-  /** `edges` must already be symmetrized (both directions present) with
-    * columns (src, dst); every node therefore has outdegree >= 1 and the
-    * dangling-mass term vanishes.
+  /** `edges` must be symmetrized (both directions present) and distinct
+    * per direction — parallel edges would inflate outdegrees. String
+    * labels are mapped to dense vertex ids by a deterministic sorted
+    * zipWithIndex (exact at any node count, unlike hashing).
     */
   def run(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ed = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val labels = ed.select(col("src").as("label")).distinct()
+      .as[String].rdd.sortBy(identity).zipWithIndex().toDF("label", "vid")
+      .cache()
+    val vedges = ed
+      .join(labels.withColumnRenamed("label", "src"), "src")
+      .withColumnRenamed("vid", "svid")
+      .join(labels.withColumnRenamed("label", "dst"), "dst")
+      .select(col("svid"), col("vid").as("dvid"))
+      .as[(Long, Long)].rdd
+    val graph = Graph.fromEdgeTuples(vedges, 1.0)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val ranks = graph.staticPageRank(iters, resetProb = 1.0 - damping).vertices
+    ranks.toDF("vid", "pr").join(labels, "vid")
+      .select(col("label").as("node"), col("pr"))
+  }
+
+  /** Catalyst-loop twin of [[run]] — identical values (to summation
+    * order). Symmetrized edges mean every node is some edge's dst, so
+    * the contribution aggregate covers the whole node set and no
+    * outer join against a node table is needed per iteration.
+    */
+  def runDataFrame(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val ed = edges.select(col("src"), col("dst"))
-    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
-    val nodes = deg.select(col("src").as("node"))
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val withDeg = ed.join(deg, "src").cache()
 
-    var ranks = nodes.withColumn("pr", lit(1.0))
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
-      val contribs = withDeg
+      ranks = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("odeg")).as("mass"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+        .select(col("dst").as("node"),
+          (lit(1.0 - damping) + lit(damping) * col("mass")).as("pr"))
+        .localCheckpoint() // truncate lineage; see class doc
     }
+    withDeg.unpersist(false)
     ranks
   }
 

@@ -173,8 +173,26 @@ object Dedup {
 
   /** 32-bit SimHash over tokens (with multiplicity): bit j of the
     * fingerprint is set iff Σ_tokens (bit_j(md5_32(token)) ? +1 : −1) > 0.
+    * Token-less docs are dropped (the explode form produced no group for
+    * them; the kernel signals the case with NULL).
+    *
+    * Uses the one-pass [[graft.functions.SimHash32]] kernel — a narrow
+    * projection, vs the composable explode→32-aggregate shuffle of
+    * [[simhashExploded]] (kept as the property-test twin).
     */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fp = ColumnBridge.column(graft.functions.SimHash32(
+      ColumnBridge.expression(text)))
+    docs.select(id.as("doc_id"), fp.as("simhash"))
+      .where(col("simhash").isNotNull)
+  }
+
+  /** Composable (pure-DataFrame) SimHash twin: explode tokens, 32
+    * conditional sums, fold the sign vector. Same values as [[simhash]];
+    * costs a token-count-shaped exchange.
+    */
+  def simhashExploded(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
         explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0))).as("tok"))
       .select(col("doc_id"), md5Int(col("tok")).as("h"))

@@ -98,6 +98,20 @@ class DomainSpec extends AnyFunSuite {
     assert(math.abs(star("s1") - star("s2")) < 1e-12)
   }
 
+  test("pagerank: GraphX path equals the Catalyst-loop twin on a real bipartite graph") {
+    val e = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(concat(lit("c:"), col("user_id").cast("string")).as("src"),
+        concat(lit("m:"), col("event_type")).as("dst"))
+      .distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val gx = PageRank.run(sym, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val df = PageRank.runDataFrame(sym, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == df.keySet)
+    gx.foreach { case (n, v) => assert(math.abs(v - df(n)) < 1e-9, n) }
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)

@@ -95,4 +95,26 @@ class PlanSpec extends AnyFunSuite {
     // the kernel itself adds none: no window sort either
     assert(!p.contains("WindowExec"), p)
   }
+
+  test("simhash kernel is a narrow projection — no token explode, no exchange") {
+    val p = plan(graft.scale.Dedup.simhash(Tables.documents(spark, sf),
+      col("doc_id"), col("text")))
+    assert(!p.contains("Exchange"), s"narrow plan expected:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected:\n$p") // Generate = explode
+  }
+
+  test("structuring screen is one hash-aggregate exchange on the entity key") {
+    val p = plan(graft.ops.AmlPatterns.structuring(
+      Tables.transactions(spark, sf), threshold = 100.0))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("partial"), p) // map-side partial aggregation present
+  }
+
+  test("fuzzy match plans an equi-join on the block key, not a nested-loop product") {
+    val p = plan(graft.scale.FuzzyMatch.pairs(Tables.documents(spark, sf),
+      col("doc_id"), col("text")))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocked equi-join expected:\n$p")
+  }
 }

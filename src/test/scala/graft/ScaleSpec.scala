@@ -30,6 +30,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("simhash kernel == exploded composable form on the corpus; empty docs dropped") {
+    val docs = Tables.documents(spark, sf)
+    val kern = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expl = Dedup.simhashExploded(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kern == expl)
+    // token-less docs produce no row in either form (kernel signals NULL)
+    val edge = Seq((1L, "  \t\n "), (2L, "one token")).toDF("doc_id", "text")
+    val out = Dedup.simhash(edge, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+    // whitespace variety tokenizes like the \S+ regex
+    val ws = Seq((3L, "a\tb\nc d"), (4L, "a b c d")).toDF("doc_id", "text")
+    val wfp = Dedup.simhash(ws, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wfp(3L) == wfp(4L))
+  }
+
   test("minhash LSH recovers the high-jaccard near-dup pairs") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardTopK(docs, col("doc_id"), col("text"), 3, 50, 20)
