@@ -77,6 +77,15 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // HLL-sketch distinct (the at-scale twin of exact countDistinct):
+    // deterministic estimate, but not reproducible in DuckDB's different
+    // HLL implementation — no oracle entry, driver records rows-only
+    "q87_sketch_distinct" -> { (s, dir) =>
+      graft.ops.Sketches.hllDistinct(Tables.transactions(s, dir),
+          col("merchant_id"), col("customer_id"))
+        .select(col("entity").as("merchant_id"), col("exact"), col("approx"),
+          r6(col("rel_err")).as("rel_err"))
+    },
     // deterministic class rebalance: all positives + md5-sampled
     // negatives at 5/1000, with inverse-probability weights
     "q86_rebalance" -> { (s, dir) =>
