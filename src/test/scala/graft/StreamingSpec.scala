@@ -260,4 +260,47 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == expected)
   }
+
+  test("streaming structuring screen: final state per customer == batch screen (q79 twin)") {
+    import spark.implicits._
+    import graft.streaming.StructuringProcessor
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    val split = tx.map(_.ts_micros).apply(tx.length / 2)
+    val (b1, b2) = tx.partition(_.ts_micros <= split)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StructuringProcessor.screen(input.toDS())
+      .writeStream.format("memory").queryName("struct").outputMode("append").start()
+    try {
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("struct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // one emission per input event; counters never decrease per customer
+    assert(rows.length == tx.length)
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(_._4) // by running total n
+      assert(ordered.map(_._3).sameElements(ordered.map(_._3).sorted))
+    }
+    // the final emission per customer carries full-history counters ==
+    // the batch screen's row
+    val last = rows.groupBy(_._1).map { case (c, es) => c -> es.maxBy(_._4) }
+    val batch = graft.ops.AmlPatterns
+      .structuring(Tables.transactions(spark, "/root/testdata/sf0.001"), 100.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(last.size == batch.size)
+    last.foreach { case (c, (_, _, band, n, share, flag)) =>
+      val (bBand, bShare, bFlag) = batch(c)
+      assert(band == bBand && flag == bFlag, s"customer $c")
+      assert(math.abs(share - bShare) < 1e-12, s"customer $c")
+      assert(n == tx.count(_.customer_id == c))
+    }
+  }
 }
