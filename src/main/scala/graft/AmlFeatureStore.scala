@@ -90,4 +90,23 @@ class AmlFeatureStore(spark: SparkSession) {
     */
   def streamingCustomerFeatures(events: Dataset[StreamTxn]): Dataset[StreamFeatures] =
     StreamingFeatures.customerFeatures(events)
+
+  /** AML pattern screens (beyond the reference's single amount-threshold
+    * rule, `api/main.py:175-200`): structuring band counts per customer,
+    * Benford digit test, round-amount bias per merchant — batch forms;
+    * [[streamingStructuring]] is the online structuring twin.
+    */
+  def structuringScreen(tx: DataFrame, threshold: Double = 100.0): DataFrame =
+    graft.ops.AmlPatterns.structuring(tx, threshold)
+  def benfordTest(tx: DataFrame): DataFrame = graft.ops.AmlPatterns.benford(tx)
+  def roundAmountBias(tx: DataFrame): DataFrame = graft.ops.AmlPatterns.roundBias(tx)
+  def streamingStructuring(events: Dataset[StreamTxn], threshold: Double = 100.0)
+      : Dataset[graft.streaming.StructuringAlert] =
+    graft.streaming.StructuringProcessor.screen(events, threshold)
+
+  /** Entity-graph ranks for the graph feature family (G3–G10 extension):
+    * PageRank over the symmetrized customer-merchant edge set.
+    */
+  def graphRanks(edges: DataFrame, iters: Int = 10): DataFrame =
+    graft.ops.PageRank.run(edges, iters)
 }

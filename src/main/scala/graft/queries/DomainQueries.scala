@@ -77,6 +77,13 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // Morton z-values for 2-D data clustering (codegen'd bit algebra)
+    "q88_zorder" -> { (s, dir) =>
+      val c = AmlPatterns.cents(col("value"))
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        c.as("cents"),
+        graft.plans.ZOrder.zValue(col("user_id"), c, bits = 21).as("zval"))
+    },
     // HLL-sketch distinct (the at-scale twin of exact countDistinct):
     // deterministic estimate, but not reproducible in DuckDB's different
     // HLL implementation — no oracle entry, driver records rows-only
@@ -150,6 +157,11 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q88_zorder" ->
+      s"""WITH c AS (SELECT event_id, user_id, $centsSql AS cents FROM events)
+SELECT event_id, user_id, cents,
+  ${graft.plans.ZOrder.zValueSql("user_id", "cents", 21)} AS zval
+FROM c""",
     "q86_rebalance" ->
       """WITH e AS (SELECT event_id, value > 300 AS label FROM events)
 SELECT event_id, label,

@@ -59,4 +59,18 @@ class FacadeSpec extends AnyFunSuite {
     val r = store.predict(requests, snap).head
     assert(r.getDouble(3) == 0.0) // cold-start path
   }
+
+  test("AML screens and graph ranks are reachable through the facade") {
+    val store = new AmlFeatureStore(spark)
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+    assert(store.structuringScreen(tx).columns.toSeq ==
+      Seq("customer_id", "band_cnt", "band_sum_cents", "band_share", "flagged"))
+    assert(store.benfordTest(tx).count() == 9)
+    assert(store.roundAmountBias(tx).count() == 5)
+    val e = tx.select(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("c:"), col("customer_id")).as("src"),
+      col("merchant_id").as("dst")).distinct()
+    val ranks = store.graphRanks(e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
+    assert(ranks.count() == e.select("src").distinct().count() + 5)
+  }
 }
