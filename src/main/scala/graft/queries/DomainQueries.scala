@@ -77,6 +77,20 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // one-pass declarative data-quality gate + FK integrity check
+    "q89_quality_report" -> { (s, dir) =>
+      import graft.ops.QualityChecks._
+      val ev = Tables.events(s, dir)
+      val single = report(ev, Seq(
+        NotNull("event_id_not_null", col("event_id")),
+        Unique("event_id_unique", col("event_id")),
+        NotNull("value_not_null", col("value")),
+        InRange("value_in_range", col("value"), 0.0, 1000.0)))
+      val fk = refIntegrity("user_fk_in_customer", ev, col("user_id"),
+        Tables.customer(s, dir), col("c_custkey"))
+      single.union(fk)
+        .select(col("constraint"), r6(col("metric")).as("metric"), col("passed"))
+    },
     // Morton z-values for 2-D data clustering (codegen'd bit algebra)
     "q88_zorder" -> { (s, dir) =>
       val c = AmlPatterns.cents(col("value"))
@@ -157,6 +171,23 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q89_quality_report" ->
+      """WITH m AS (
+  SELECT count(event_id)::DOUBLE / count(*) AS nn,
+         count(DISTINCT event_id)::DOUBLE / count(*) AS uq,
+         count(value)::DOUBLE / count(*) AS vn,
+         (count(*) FILTER (WHERE value >= 0.0 AND value < 1000.0))::DOUBLE / count(*) AS vr
+  FROM events),
+fk AS (
+  SELECT count(*)::DOUBLE AS total,
+         (count(*) FILTER (WHERE user_id IN (SELECT c_custkey FROM customer)))::DOUBLE AS ok
+  FROM events WHERE user_id IS NOT NULL)
+SELECT * FROM (
+  SELECT 'event_id_not_null' AS "constraint", round(nn + 5e-11, 4) AS metric, nn >= 1.0 AS passed FROM m
+  UNION ALL SELECT 'event_id_unique', round(uq + 5e-11, 4), uq = 1.0 FROM m
+  UNION ALL SELECT 'value_not_null', round(vn + 5e-11, 4), vn >= 1.0 FROM m
+  UNION ALL SELECT 'value_in_range', round(vr + 5e-11, 4), vr >= 1.0 FROM m
+  UNION ALL SELECT 'user_fk_in_customer', round(ok / total + 5e-11, 4), ok = total FROM fk)""",
     "q88_zorder" ->
       s"""WITH c AS (SELECT event_id, user_id, $centsSql AS cents FROM events)
 SELECT event_id, user_id, cents,
