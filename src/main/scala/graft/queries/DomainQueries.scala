@@ -77,6 +77,27 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // Tukey IQR outlier fences per merchant, on exact integer cents:
+    // quartile positions 0.25·(n-1) have power-of-two fractions, so the
+    // interpolated fences are bit-identical across engines and the
+    // outlier COUNTS (integers, no rounding refuge) compare exactly
+    "q90_outlier_fences" -> { (s, dir) =>
+      val c = AmlPatterns.cents(col("amount"))
+      val tx = Tables.transactions(s, dir).select(col("merchant_id"), c.as("cents"))
+      val stats = tx.groupBy(col("merchant_id").as("m"))
+        .agg(expr("percentile(cents, 0.25)").as("q1"),
+          expr("percentile(cents, 0.75)").as("q3"))
+      val lo = col("q1") - (col("q3") - col("q1")) * 1.5
+      val hi = col("q3") + (col("q3") - col("q1")) * 1.5
+      tx.join(broadcast(stats), col("merchant_id") === col("m"))
+        .groupBy(col("merchant_id"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("cents") < lo || col("cents") > hi, 1)).as("out_cnt"),
+          first(lo).as("lof"), first(hi).as("hif"))
+        .select(col("merchant_id"), col("n"), col("out_cnt"),
+          r6(col("out_cnt").cast("double") / col("n")).as("out_rate"),
+          r6(col("lof")).as("lo_fence"), r6(col("hif")).as("hi_fence"))
+    },
     // one-pass declarative data-quality gate + FK integrity check
     "q89_quality_report" -> { (s, dir) =>
       import graft.ops.QualityChecks._
@@ -171,6 +192,17 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q90_outlier_fences" ->
+      s"""WITH c AS (SELECT event_type AS merchant_id, $centsSql AS cents FROM events),
+s AS (SELECT merchant_id, quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+      FROM c GROUP BY 1)
+SELECT c.merchant_id, count(*) AS n,
+  count(*) FILTER (WHERE cents < q1 - (q3 - q1) * 1.5 OR cents > q3 + (q3 - q1) * 1.5) AS out_cnt,
+  round((count(*) FILTER (WHERE cents < q1 - (q3 - q1) * 1.5 OR cents > q3 + (q3 - q1) * 1.5))::DOUBLE
+        / count(*) + 5e-11, 4) AS out_rate,
+  round(q1 - (q3 - q1) * 1.5 + 5e-11, 4) AS lo_fence,
+  round(q3 + (q3 - q1) * 1.5 + 5e-11, 4) AS hi_fence
+FROM c JOIN s USING (merchant_id) GROUP BY c.merchant_id, q1, q3""",
     "q89_quality_report" ->
       """WITH m AS (
   SELECT count(event_id)::DOUBLE / count(*) AS nn,
