@@ -77,6 +77,20 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // leakage-safe temporal split: train | embargo gap | test, cutoff at
+    // an actual data timestamp (engine-exact, no quantile interpolation)
+    "q91_temporal_split" -> { (s, dir) =>
+      Splits.temporal(Tables.events(s, dir), col("ts"),
+          trainFrac = 0.8, embargoSeconds = 86400)
+        .select(col("event_id"), col("split"))
+    },
+    // hashed feature cross (merchant x hour-of-day), bounded cardinality
+    "q92_feature_cross" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(graft.ops.Interactions.crossBucket(64,
+          col("event_type"), hour(col("ts"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    },
     // Tukey IQR outlier fences per merchant, on exact integer cents:
     // quartile positions 0.25·(n-1) have power-of-two fractions, so the
     // interpolated fences are bit-identical across engines and the
@@ -192,6 +206,20 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q91_temporal_split" ->
+      """WITH x AS (SELECT event_id, ts, row_number() OVER (ORDER BY ts) AS rn,
+               count(*) OVER () AS n FROM events),
+c AS (SELECT max(ts) AS cut FROM x WHERE rn <= floor(n * 0.8))
+SELECT event_id,
+  CASE WHEN ts <= cut THEN 'train'
+       WHEN ts > cut + INTERVAL 86400 SECONDS THEN 'test'
+       ELSE 'embargo' END AS split
+FROM events, c""",
+    "q92_feature_cross" ->
+      """WITH b AS (
+  SELECT ('0x' || substr(md5('cross:' || event_type || chr(1) || hour(ts)), 1, 8))::UBIGINT % 64 AS bucket
+  FROM events)
+SELECT bucket::BIGINT AS bucket, count(*) AS cnt FROM b GROUP BY 1""",
     "q90_outlier_fences" ->
       s"""WITH c AS (SELECT event_type AS merchant_id, $centsSql AS cents FROM events),
 s AS (SELECT merchant_id, quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3

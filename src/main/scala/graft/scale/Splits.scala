@@ -18,6 +18,33 @@ object Splits {
   def assign(b: Column): Column =
     when(b < 80, "train").when(b < 90, "valid").otherwise("test")
 
+  /** Leakage-safe temporal split: train = the first `trainFrac` of rows
+    * in event-time order, test = rows after an EMBARGO gap beyond the
+    * train cutoff, embargo = the gap rows (excluded from both sides, so
+    * trailing-window features of early test rows cannot see train-period
+    * events — the backtest-purging rule). The cutoff is the timestamp AT
+    * a row position (not an interpolated quantile), so it is an actual
+    * data value and engine-exact.
+    *
+    * One window pass (global event-time order — inherent to a global
+    * temporal cutoff; at scale this is a range-partitioned sort, and the
+    * cutoff could equally come from a pre-sorted table's metadata).
+    */
+  def temporal(df: org.apache.spark.sql.DataFrame, ts: Column,
+      trainFrac: Double = 0.8, embargoSeconds: Long = 86400): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = count(lit(1)).over(Window.partitionBy())
+    val rn = row_number().over(Window.orderBy(ts))
+    val cutRow = floor(n * trainFrac).cast("long")
+    val cutTs = max(when(rn <= cutRow, ts)).over(Window.partitionBy())
+    df.withColumn("__cut", cutTs)
+      .withColumn("split",
+        when(ts <= col("__cut"), "train")
+          .when(ts > col("__cut") + expr(s"INTERVAL $embargoSeconds SECONDS"), "test")
+          .otherwise("embargo"))
+      .drop("__cut")
+  }
+
   /** Deterministic class rebalance: keep every positive row, hash-sample
     * negatives at `keep`/`n` (same md5-bucket mechanism as [[bucket]], so
     * the subsample is stable across engines and runs), and attach the

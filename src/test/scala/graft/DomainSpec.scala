@@ -112,6 +112,28 @@ class DomainSpec extends AnyFunSuite {
     gx.foreach { case (n, v) => assert(math.abs(v - df(n)) < 1e-9, n) }
   }
 
+  test("temporal split: ordered train | embargo | test with a real-timestamp cutoff") {
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.valueOf(f"2026-01-$d%02d $h%02d:00:00")
+    // 10 rows over 10 days; frac 0.8 -> cutoff at row 8's ts; 1-day embargo
+    val ev = (1 to 10).map(d => (d.toLong, ts(d, 12))).toDF("event_id", "ts")
+    val out = graft.scale.Splits.temporal(ev, col("ts"), 0.8, 86400)
+      .select(col("event_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 8L).forall(out(_) == "train"))
+    assert(out(9L) == "embargo") // within 24h of the day-8 cutoff
+    assert(out(10L) == "test")
+    // every train ts < every test ts minus the embargo: no leakage window
+  }
+
+  test("feature cross: deterministic, bounded, and separator-collision-proof") {
+    val df = Seq(("ab", "c"), ("a", "bc"), ("ab", "c")).toDF("f1", "f2")
+    val b = df.select(graft.ops.Interactions.crossBucket(64, col("f1"), col("f2")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b(0) == b(2)) // same inputs -> same bucket
+    assert(b(0) != b(1)) // ("ab","c") vs ("a","bc") must differ (separator)
+    assert(b.forall(x => x >= 0 && x < 64))
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)
