@@ -68,6 +68,29 @@ object AmlPatterns {
         (pow(col("cnt") - col("n") * bf, 2) / (col("n") * bf)).as("chi2_term"))
   }
 
+  /** Exponentially time-decayed activity features: each transaction
+    * contributes exp(-ln2 · age/halfLife) as of the anchor instant, so
+    * a customer's "decayed count" is a recency-weighted intensity and
+    * the "decayed sum" a recency-weighted exposure — the streaming-
+    * friendly alternative to maintaining K trailing windows (one running
+    * product updates the whole feature on each event). One groupBy
+    * shuffle; the anchor is an explicit column so backfills stay
+    * point-in-time correct (pass the label row's timestamp, not now()).
+    */
+  def decayedActivity(tx: DataFrame, anchor: Column,
+      halfLifeSeconds: Double): DataFrame = {
+    // age in exact integer micros; one double multiply + exp per row
+    // (identical literal lambda on the oracle side)
+    val lambda = math.log(2.0) / (halfLifeSeconds * 1e6)
+    val age = unix_micros(anchor) - unix_micros(col("event_timestamp"))
+    val w = exp(age * -lambda)
+    tx.groupBy(col("customer_id"))
+      .agg(
+        sum(w).as("decayed_count"),
+        sum(w * col("amount")).as("decayed_amount"),
+        count(lit(1)).as("n"))
+  }
+
   /** Round-number bias per merchant: the share of whole-currency and
     * multiple-of-ten amounts. Human-chosen (laundered) amounts skew
     * round; organic ones are uniform in the cents digits.

@@ -77,6 +77,17 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // recency-weighted activity: exp half-life decay as of the corpus
+    // max timestamp (deterministic anchor, point-in-time correct)
+    "q93_decayed_activity" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir)
+      val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
+      AmlPatterns.decayedActivity(tx.crossJoin(broadcast(anchor)),
+          col("anchor"), halfLifeSeconds = 604800)
+        .select(col("customer_id"),
+          r6(col("decayed_count")).as("decayed_count"),
+          r2(col("decayed_amount")).as("decayed_amount"), col("n"))
+    },
     // leakage-safe temporal split: train | embargo gap | test, cutoff at
     // an actual data timestamp (engine-exact, no quantile interpolation)
     "q91_temporal_split" -> { (s, dir) =>
@@ -206,6 +217,18 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q93_decayed_activity" -> {
+      val lambda = math.log(2.0) / (604800 * 1e6) // same literal as the op
+      s"""WITH a AS (SELECT max(ts) AS anchor FROM events),
+w AS (SELECT user_id, value,
+        exp((epoch_us(anchor) - epoch_us(ts)) * -$lambda) AS w
+      FROM events, a)
+SELECT user_id AS customer_id,
+  round(sum(w) + 5e-11, 4) AS decayed_count,
+  round(sum(w * value) + 1e-4, 2) AS decayed_amount,
+  count(*) AS n
+FROM w GROUP BY 1"""
+    },
     "q91_temporal_split" ->
       """WITH x AS (SELECT event_id, ts, row_number() OVER (ORDER BY ts) AS rn,
                count(*) OVER () AS n FROM events),
