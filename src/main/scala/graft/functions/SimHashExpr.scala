@@ -36,13 +36,18 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      long graft_sh = graft.functions.SimHashKernel.compute($c);
-      if (graft_sh == java.lang.Long.MIN_VALUE) { // SimHashKernel.Empty
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two simhash32 calls can share one codegen stage — a
+      // fixed local name would be a Janino redefinition error
+      val sh = ctx.freshName("simhash")
+      s"""
+      long $sh = graft.functions.SimHashKernel.compute($c);
+      if ($sh == java.lang.Long.MIN_VALUE) { // SimHashKernel.Empty
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft_sh;
-      }""")
+        ${ev.value} = $sh;
+      }"""
+    })
 
   override protected def withNewChildInternal(c: Expression): SimHash32 =
     copy(child = c)
@@ -53,25 +58,37 @@ object SimHashKernel {
   /** Sentinel for "no tokens" (cannot collide: fingerprints are 32-bit). */
   val Empty: Long = Long.MinValue
 
-  // Java regex \s set — the tokenizer contract of the composable form
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
+  // Java regex \s set -- the tokenizer contract of the composable form.
+  // All six are single ASCII bytes, and UTF-8 continuation bytes are
+  // >= 0x80, so byte-level splitting equals char-level splitting.
+  private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  /** Tokenize the lowercased UTF-8 bytes directly -- no String, no
+    * per-token substring/encode allocations; one reused digest.
+    */
   def compute(t: UTF8String): Long = {
-    val s = t.toLowerCase.toString
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = t.toLowerCase.getBytes
+    val md = mdPool.get()
     val votes = new Array[Int](32)
     var any = false
     var i = 0
-    val n = s.length
+    val n = bytes.length
     while (i < n) {
-      while (i < n && isWs(s.charAt(i))) i += 1
+      while (i < n && isWs(bytes(i))) i += 1
       val start = i
-      while (i < n && !isWs(s.charAt(i))) i += 1
+      while (i < n && !isWs(bytes(i))) i += 1
       if (i > start) {
         any = true
-        val d = md.digest(s.substring(start, i)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
         val h = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
           ((d(2) & 0xff) << 8) | (d(3) & 0xff)
         var j = 0

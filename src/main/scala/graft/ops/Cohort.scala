@@ -19,11 +19,16 @@ object Cohort {
     * retention = active/size. Offset 0 is 100% by construction.
     */
   def retention(events: DataFrame): DataFrame = {
-    val weeks = events.select(col("user_id"),
-      to_date(date_trunc("week", col("ts"))).as("wk"))
-    val firstWk = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
-    val sizes = firstWk.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
-    weeks.join(firstWk, "user_id")
+    import org.apache.spark.sql.expressions.Window
+    // one scan: the cohort week is a window min over the same user_id
+    // partitioning the aggregates need — no self-join of the event table
+    val withCohort = events.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .withColumn("cohort_week",
+        min(col("wk")).over(Window.partitionBy(col("user_id"))))
+    val sizes = withCohort.select(col("user_id"), col("cohort_week")).distinct()
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    withCohort
       .select(col("cohort_week"),
         // week starts are 7 days apart exactly, so /7 is exact
         (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"),

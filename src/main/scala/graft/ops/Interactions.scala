@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
 object Interactions {
 
   /** Bucket id in [0, buckets) for the cross of `parts` (joined with a
-    *  separator that cannot occur in the categorical values).
+    *  separator that cannot occur in the categorical values). NULL-strict:
+    * any NULL part yields a NULL bucket -- concat_ws alone would silently
+    * SKIP nulls, colliding cross(NULL,"x") with cross("x",NULL) (and
+    * diverging from SQL's null-propagating ||).
     */
   def crossBucket(buckets: Int, parts: Column*): Column =
-    Splits.bucket(concat_ws("\u0001", parts.map(_.cast("string")): _*),
-      salt = "cross", n = buckets)
+    when(parts.map(_.isNotNull).reduce(_ && _),
+      Splits.bucket(concat_ws("\u0001", parts.map(_.cast("string")): _*),
+        salt = "cross", n = buckets))
 }

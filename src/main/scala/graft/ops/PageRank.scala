@@ -30,7 +30,11 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     val ed = edges.select(col("src").cast("string"), col("dst").cast("string"))
-    val labels = ed.select(col("src").as("label")).distinct()
+    // label map over BOTH endpoints: an asymmetric (directed) input then
+    // loses no nodes/edges in the id joins — it just computes directed
+    // PageRank with sink nodes instead of silently truncating the graph
+    val labels = ed.select(col("src").as("label"))
+      .union(ed.select(col("dst").as("label"))).distinct()
       .as[String].rdd.sortBy(identity).zipWithIndex().toDF("label", "vid")
       .cache()
     val vedges = ed
@@ -42,8 +46,14 @@ object PageRank {
     val graph = Graph.fromEdgeTuples(vedges, 1.0)
       .partitionBy(PartitionStrategy.EdgePartition2D)
     val ranks = graph.staticPageRank(iters, resetProb = 1.0 - damping).vertices
-    ranks.toDF("vid", "pr").join(labels, "vid")
+    // Pregel already materialized the ranks; checkpoint the (node-sized)
+    // result so the labels cache can be released instead of leaking into
+    // the session for every call
+    val out = ranks.toDF("vid", "pr").join(labels, "vid")
       .select(col("label").as("node"), col("pr"))
+      .localCheckpoint()
+    labels.unpersist(false)
+    out
   }
 
   /** Catalyst-loop twin of [[run]] — identical values (to summation

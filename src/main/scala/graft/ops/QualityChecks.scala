@@ -51,22 +51,19 @@ object QualityChecks {
   }
 
   /** Referential-integrity check: the fraction of `fk` values present in
-    * `pk` (left anti-join count). One row, same report schema.
+    * `pk`. One row, same report schema — and ONE lazy pass over the fact
+    * table (left join against the distinct key side + a single
+    * aggregation), composable with [[report]] via union like any other
+    * DataFrame instead of running eager driver-side counts.
     */
   def refIntegrity(name: String, fact: DataFrame, fk: Column,
-      dim: DataFrame, pk: Column): DataFrame = {
-    val total = fact.where(fk.isNotNull).count()
-    val orphans = fact.select(fk.as("k")).where(col("k").isNotNull)
-      .join(dim.select(pk.as("k")).distinct(), Seq("k"), "left_anti").count()
-    val rate = if (total == 0) 1.0 else (total - orphans).toDouble / total
-    fact.sparkSession.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row(name, rate, orphans == 0L)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("constraint",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("metric",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("passed",
-          org.apache.spark.sql.types.BooleanType, nullable = false))))
-  }
+      dim: DataFrame, pk: Column): DataFrame =
+    fact.select(fk.as("k")).where(col("k").isNotNull)
+      .join(dim.select(pk.as("k")).distinct().withColumn("__hit", lit(1)),
+        Seq("k"), "left")
+      .agg(count(lit(1)).as("total"), count(col("__hit")).as("ok"))
+      .select(lit(name).as("constraint"),
+        when(col("total") === 0, 1.0)
+          .otherwise(col("ok").cast("double") / col("total")).as("metric"),
+        (col("ok") === col("total")).as("passed"))
 }

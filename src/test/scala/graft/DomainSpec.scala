@@ -132,6 +132,13 @@ class DomainSpec extends AnyFunSuite {
     assert(b(0) == b(2)) // same inputs -> same bucket
     assert(b(0) != b(1)) // ("ab","c") vs ("a","bc") must differ (separator)
     assert(b.forall(x => x >= 0 && x < 64))
+    // NULL-strict: any null part -> null bucket (matches SQL ||), so
+    // (null,"x") and ("x",null) cannot collide into a real feature
+    val withNull = Seq((Some("x"), None: Option[String]), (None: Option[String], Some("x")))
+      .toDF("f1", "f2")
+      .select(graft.ops.Interactions.crossBucket(64, col("f1"), col("f2")).as("b"))
+      .collect()
+    assert(withNull.forall(_.isNullAt(0)))
   }
 
   test("rebalance: keeps all positives, weights inverse to sampling rate") {

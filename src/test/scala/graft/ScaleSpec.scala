@@ -49,6 +49,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(wfp(3L) == wfp(4L))
   }
 
+  test("two simhash32 calls share one codegen stage (freshName regression)") {
+    graft.functions.GraftFunctions.register(spark)
+    // fallback disabled: a Janino redefinition error fails the query
+    // instead of silently degrading to interpreted execution
+    graft.plans.Tuning.withConf(spark, "spark.sql.codegen.fallback" -> "false") {
+      val r = spark.sql(
+        "SELECT simhash32('alpha beta') AS a, simhash32('gamma delta') AS b").head()
+      val single = spark.sql("SELECT simhash32('alpha beta')").head().getLong(0)
+      assert(r.getLong(0) == single && r.getLong(1) != r.getLong(0))
+    }
+  }
+
   test("minhash LSH recovers the high-jaccard near-dup pairs") {
     val docs = Tables.documents(spark, sf)
     val exact = Dedup.jaccardTopK(docs, col("doc_id"), col("text"), 3, 50, 20)
