@@ -75,6 +75,31 @@ object Soak {
       Dedup.minhashPairs(docs, col("doc_id"), col("text"), n = 3)
         .write.format("noop").mode("overwrite").save())
 
+    // simhash kernel: narrow projection — should scale exactly linearly
+    time(s"simhash-kernel-${k}x")(
+      Dedup.simhash(docs, col("doc_id"), col("text"))
+        .write.format("noop").mode("overwrite").save())
+
+    // pagerank at k-fold node count (shifted customer ids replicate the
+    // bipartite graph k times; Pregel cost ~ edges x iters)
+    val edges = {
+      val e = wide.select(concat(lit("c:"), col("customer_id")).as("src"),
+        col("merchant_id").as("dst")).distinct()
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    time(s"pagerank-${k}x-nodes")(
+      graft.ops.PageRank.run(edges, iters = 10)
+        .write.format("noop").mode("overwrite").save())
+
+    // one-pass quality gate over the k-fold event table: constraint count
+    // should not change the single-aggregation shape
+    time(s"quality-gate-${k}x")(
+      graft.ops.QualityChecks.report(wide, Seq(
+        graft.ops.QualityChecks.NotNull("a", col("amount")),
+        graft.ops.QualityChecks.Unique("b", col("transaction_id")),
+        graft.ops.QualityChecks.InRange("c", col("amount"), 0, 1000, 0.9)))
+        .write.format("noop").mode("overwrite").save())
+
     spark.stop()
   }
 }
