@@ -261,6 +261,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming session windows (append mode) == batch session_window once the watermark closes them") {
+    import spark.implicits._
+    val real = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), col("event_timestamp"), col("amount"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    val maxTs = real.map(_._2.getTime).max
+    // one far-future sentinel per customer: pushes the watermark past
+    // every real session's end+gap so append mode emits them all; the
+    // sentinels' own (still-open) sessions are withheld
+    val sentinels = real.map(_._1).distinct
+      .map(c => (c, new java.sql.Timestamp(maxTs + 2L * 86400 * 1000), -1.0))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = input.toDS().toDF("customer_id", "event_timestamp", "amount")
+      .withWatermark("event_timestamp", "10 seconds")
+      .groupBy(col("customer_id"),
+        session_window(col("event_timestamp"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), round(sum(col("amount")), 6).as("amt"))
+      .select(col("customer_id"), col("sw.start").as("st"), col("n"), col("amt"))
+    val query = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      input.addData(real.toIndexedSeq); query.processAllAvailable()
+      input.addData(sentinels.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("sess")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .groupBy(col("customer_id"),
+        session_window(col("event_timestamp"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), round(sum(col("amount")), 6).as("amt"))
+      .select(col("customer_id"), col("sw.start"), col("n"), col("amt"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"missing: ${(batch -- streamed).take(3)}; extra: ${(streamed -- batch).take(3)}")
+  }
+
   test("streaming structuring screen: final state per customer == batch screen (q79 twin)") {
     import spark.implicits._
     import graft.streaming.StructuringProcessor
