@@ -97,6 +97,36 @@ object Drift {
           .as("drift_detected"))
   }
 
+  /** Population Stability Index between two samples of a bounded value:
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over `nBins` equal-width bins
+    * on [lo, hi), Laplace-smoothed (cnt+0.5)/(n+nBins/2) so empty bins
+    * contribute finitely. The standard model-monitoring drift score
+    * (PSI > 0.2 = significant shift). One aggregation per sample over
+    * the bin key + a bin-grid join — no sort, unlike KS.
+    */
+  def psi(df: DataFrame, value: Column, inFirst: Column,
+      lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((value - lo) / width), lit(0)), lit(nBins - 1))
+      .cast("long")
+    val counts = df
+      .select(bin.as("bin"), when(inFirst, 1).otherwise(2).as("g"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("c2"))
+    val spark = df.sparkSession
+    val grid = spark.range(nBins).select(col("id").as("bin"))
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .crossJoin(broadcast(tot))
+      .select(((col("c1") + 0.5) / (col("n1") + lit(nBins * 0.5))).as("p"),
+        ((col("c2") + 0.5) / (col("n2") + lit(nBins * 0.5))).as("q"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+      .select(col("psi"), (col("psi") > 0.2).as("drift_detected"))
+  }
+
   /** Asymptotic two-sample KS p-value (Kolmogorov distribution tail):
     * p = 2 Σ_{k>=1} (-1)^{k-1} exp(-2 k² λ²), λ = D·sqrt(n1·n2/(n1+n2)) —
     * the same closed form scipy uses for large samples

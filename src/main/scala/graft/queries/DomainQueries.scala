@@ -77,6 +77,20 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // PSI drift between calendar halves of the amount distribution
+    "q94_psi_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg((min(col("ts")) + expr("INTERVAL 17 DAYS")).as("cut"))
+      graft.feedback.Drift.psi(ev.crossJoin(broadcast(cut)),
+          col("value"), col("ts") <= col("cut"), lo = 0.0, hi = 500.0)
+        .select(r6(col("psi")).as("psi"), col("drift_detected"))
+    },
+    // deterministic k-per-stratum sample (md5 order, no RNG)
+    "q95_stratified_sample" -> { (s, dir) =>
+      Splits.stratified(Tables.events(s, dir).select(col("event_id"), col("event_type")),
+          col("event_type"), col("event_id"), k = 50)
+        .select(col("event_id"), col("event_type"))
+    },
     // recency-weighted activity: exp half-life decay as of the corpus
     // max timestamp (deterministic anchor, point-in-time correct)
     "q93_decayed_activity" -> { (s, dir) =>
@@ -217,6 +231,27 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q94_psi_drift" ->
+      """WITH c AS (SELECT min(ts) + INTERVAL 17 DAY AS cut FROM events),
+b AS (SELECT least(greatest(floor(value / 50.0), 0), 9)::BIGINT AS bin, (ts <= cut) AS f
+      FROM events, c),
+counts AS (SELECT bin, count(*) FILTER (WHERE f) AS c1, count(*) FILTER (WHERE NOT f) AS c2
+           FROM b GROUP BY 1),
+g AS (SELECT unnest(range(0, 10)) AS bin),
+j AS (SELECT g.bin, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2 FROM g LEFT JOIN counts USING (bin)),
+t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM counts),
+p AS (SELECT (c1::DOUBLE + 0.5) / (n1::DOUBLE + 5.0) AS p,
+             (c2::DOUBLE + 0.5) / (n2::DOUBLE + 5.0) AS q FROM j, t)
+SELECT round(sum((p - q) * ln(p / q)) + 5e-11, 4) AS psi,
+       sum((p - q) * ln(p / q)) > 0.2 AS drift_detected
+FROM p""",
+    "q95_stratified_sample" ->
+      """WITH r AS (
+  SELECT event_id, event_type,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY md5('strat:' || event_id), event_id) AS rk
+  FROM events)
+SELECT event_id, event_type FROM r WHERE rk <= 50""",
     "q93_decayed_activity" -> {
       val lambda = math.log(2.0) / (604800 * 1e6) // same literal as the op
       s"""WITH a AS (SELECT max(ts) AS anchor FROM events),

@@ -45,6 +45,22 @@ object Splits {
       .drop("__cut")
   }
 
+  /** Deterministic stratified sample: the first `k` rows of each stratum
+    * in md5-of-id order — a reproducible "k per group" downsample (no
+    * RNG, engine-portable, stable under repartitioning). One shuffle on
+    * the stratum key; rank is a window over the md5 hex string with the
+    * id as tie-break.
+    */
+  def stratified(df: org.apache.spark.sql.DataFrame, stratum: Column, id: Column,
+      k: Int, salt: String = "strat"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(s"$salt:"), id.cast("string")))
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(stratum).orderBy(h, id)))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic class rebalance: keep every positive row, hash-sample
     * negatives at `keep`/`n` (same md5-bucket mechanism as [[bucket]], so
     * the subsample is stable across engines and runs), and attach the

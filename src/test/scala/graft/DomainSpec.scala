@@ -141,6 +141,28 @@ class DomainSpec extends AnyFunSuite {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("psi: zero for identical samples, large for a shifted distribution") {
+    val same = (1 to 1000).flatMap(i => Seq((i % 100 * 1.0, true), (i % 100 * 1.0, false)))
+      .toDF("v", "f")
+    val psiSame = graft.feedback.Drift.psi(same, col("v"), col("f"), 0, 100)
+      .head().getDouble(0)
+    assert(math.abs(psiSame) < 1e-9)
+    // second sample shifted up by half the range: massive divergence
+    val shifted = (1 to 1000).flatMap(i =>
+      Seq((i % 50 * 1.0, true), (50.0 + i % 50, false))).toDF("v", "f")
+    val r = graft.feedback.Drift.psi(shifted, col("v"), col("f"), 0, 100).head()
+    assert(r.getDouble(0) > 1.0 && r.getBoolean(1))
+  }
+
+  test("stratified sample: exactly k per stratum, deterministic across runs") {
+    val df = (1L to 1000L).map(i => (i, s"s${i % 4}")).toDF("id", "g")
+    def run() = graft.scale.Splits.stratified(df, col("g"), col("id"), k = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run()
+    assert(a.groupBy(_._2).forall(_._2.size == 25))
+    assert(run() == a) // no RNG: stable under re-execution
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)
