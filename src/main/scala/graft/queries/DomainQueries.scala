@@ -77,6 +77,41 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // market-basket lift between merchant pairs: all-integer counts, so
+    // the lift ratio is ONE exact division (engine-independent)
+    "q96_cooccurrence" -> { (s, dir) =>
+      val e = Tables.transactions(s, dir)
+        .select(col("customer_id"), col("merchant_id")).distinct()
+      val n = e.select(col("customer_id")).distinct().count()
+      val per = e.groupBy(col("merchant_id")).agg(count(lit(1)).as("cnt"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.customer_id") === col("b.customer_id") &&
+            col("a.merchant_id") < col("b.merchant_id"))
+        .groupBy(col("a.merchant_id").as("m1"), col("b.merchant_id").as("m2"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(per.select(col("merchant_id").as("m1"), col("cnt").as("n1"))), "m1")
+        .join(broadcast(per.select(col("merchant_id").as("m2"), col("cnt").as("n2"))), "m2")
+        .select(col("m1"), col("m2"), col("n_both"),
+          r6((col("n_both") * lit(n)).cast("double") / (col("n1") * col("n2"))).as("lift"))
+    },
+    // RFM segmentation: quintiles over exact integer measures (micros
+    // recency, count, cents) — float-free ordering, deterministic ties
+    "q97_rfm" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tx = Tables.transactions(s, dir)
+      val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
+      val per = tx.crossJoin(broadcast(anchor))
+        .groupBy(col("customer_id"))
+        .agg((unix_micros(first(col("anchor"))) - unix_micros(max(col("event_timestamp"))))
+          .as("recency_us"),
+          count(lit(1)).as("freq"),
+          sum(AmlPatterns.cents(col("amount"))).as("monetary_cents"))
+      per.select(col("customer_id"), col("recency_us"), col("freq"), col("monetary_cents"),
+        ntile(5).over(Window.orderBy(col("recency_us").asc, col("customer_id"))).as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq").desc, col("customer_id"))).as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("customer_id"))).as("m_score"))
+    },
     // PSI drift between calendar halves of the amount distribution
     "q94_psi_drift" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -231,6 +266,31 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q96_cooccurrence" ->
+      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS nc FROM e),
+per AS (SELECT event_type, count(*) AS cnt FROM e GROUP BY 1),
+p AS (SELECT a.event_type AS m1, b.event_type AS m2, count(*) AS n_both
+      FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT m1, m2, n_both,
+  round((n_both * nc)::DOUBLE / (x.cnt * y.cnt) + 5e-11, 4) AS lift
+FROM p, n
+JOIN per x ON x.event_type = p.m1
+JOIN per y ON y.event_type = p.m2""",
+    "q97_rfm" ->
+      """WITH a AS (SELECT max(ts) AS anchor FROM events),
+per AS (
+  SELECT user_id AS customer_id,
+    epoch_us(anchor) - epoch_us(max(ts)) AS recency_us,
+    count(*) AS freq,
+    sum(round(value*100)::BIGINT)::BIGINT AS monetary_cents
+  FROM events, a GROUP BY 1, anchor)
+SELECT customer_id, recency_us, freq, monetary_cents,
+  ntile(5) OVER (ORDER BY recency_us ASC, customer_id) AS r_score,
+  ntile(5) OVER (ORDER BY freq DESC, customer_id) AS f_score,
+  ntile(5) OVER (ORDER BY monetary_cents DESC, customer_id) AS m_score
+FROM per""",
     "q94_psi_drift" ->
       """WITH c AS (SELECT min(ts) + INTERVAL 17 DAY AS cut FROM events),
 b AS (SELECT least(greatest(floor(value / 50.0), 0), 9)::BIGINT AS bin, (ts <= cut) AS f
