@@ -91,6 +91,29 @@ object AmlPatterns {
         count(lit(1)).as("n"))
   }
 
+  /** Shared-identifier pair mining: customer pairs ranked by how many
+    * identifiers (IPs, devices) they share — the "same laptop, many
+    * accounts" ring signal. Identifiers used by more than `maxDegree`
+    * customers are dropped first (NAT gateways and public WiFi share an
+    * IP across thousands of genuine users; the degree cut is what keeps
+    * the self-join from going quadratic on hub identifiers at scale —
+    * the same bound the MinHash df-cut applies to hub shingles).
+    */
+  def sharedIdPairs(tx: DataFrame, identifier: Column, maxDegree: Int,
+      topK: Int): DataFrame = {
+    val e = tx.select(col("customer_id"), identifier.as("ident"))
+      .where(col("ident").isNotNull).distinct()
+    val deg = e.groupBy(col("ident")).agg(count(lit(1)).as("deg"))
+    val kept = e.join(deg.where(col("deg") <= maxDegree), "ident")
+    kept.as("a").join(kept.as("b"),
+        col("a.ident") === col("b.ident") &&
+          col("a.customer_id") < col("b.customer_id"))
+      .groupBy(col("a.customer_id").as("c1"), col("b.customer_id").as("c2"))
+      .agg(count(lit(1)).as("shared_ids"))
+      .orderBy(col("shared_ids").desc, col("c1").asc, col("c2").asc)
+      .limit(topK)
+  }
+
   /** Round-number bias per merchant: the share of whole-currency and
     * multiple-of-ten amounts. Human-chosen (laundered) amounts skew
     * round; organic ones are uniform in the cents digits.

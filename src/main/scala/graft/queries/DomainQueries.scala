@@ -7,14 +7,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** AML pattern detectors and the remaining training-pipeline/OLAP
-  * surface: structuring (smurfing) screens, Benford digit tests,
-  * round-number bias, cohort retention, Levenshtein fuzzy matching,
-  * fixed-iteration PageRank, the ranking-window function family, and
-  * deterministic class rebalancing.
+  * surface: structuring screens (batch + the streaming twin), Benford
+  * digit tests, round-number bias, shared-identifier ring pairs, cohort
+  * retention, Levenshtein fuzzy matching, PageRank, ranking windows,
+  * RFM, co-occurrence lift, z-order, quality gating, IQR fences,
+  * temporal/stratified/rebalanced splits, feature crossing, decayed
+  * activity, and PSI drift.
   *
   * Reference anchors: the threshold rules these generalize are
   * `api/main.py:175-200` (amount-threshold boosts); the graph features
-  * PageRank extends are `advanced_features.py:56-72`.
+  * PageRank and ring pairs extend are `advanced_features.py:27-90`.
   */
 object DomainQueries extends QueryPack {
 
@@ -76,6 +78,11 @@ object DomainQueries extends QueryPack {
         r6(cume_dist().over(w)).as("cum_dist"),
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
+    },
+    // shared-IP ring pairs (degree-cut self-join, top-k by shared count)
+    "q98_shared_id_pairs" -> { (s, dir) =>
+      AmlPatterns.sharedIdPairs(Tables.transactions(s, dir),
+        col("ip_address"), maxDegree = 100, topK = 20)
     },
     // market-basket lift between merchant pairs: all-integer counts, so
     // the lift ratio is ONE exact division (engine-independent)
@@ -266,6 +273,17 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q98_shared_id_pairs" ->
+      """WITH e AS (
+  SELECT DISTINCT user_id, json_extract_string(props, 'k') AS ident FROM events
+  WHERE json_extract_string(props, 'k') IS NOT NULL),
+d AS (SELECT ident, count(*) AS deg FROM e GROUP BY 1),
+k AS (SELECT e.user_id, e.ident FROM e JOIN d USING (ident) WHERE d.deg <= 100),
+p AS (SELECT a.user_id AS c1, b.user_id AS c2, count(*) AS shared_ids
+      FROM k a JOIN k b ON a.ident = b.ident AND a.user_id < b.user_id
+      GROUP BY 1, 2)
+SELECT c1, c2, shared_ids FROM p
+ORDER BY shared_ids DESC, c1 ASC, c2 ASC LIMIT 20""",
     "q96_cooccurrence" ->
       """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
 n AS (SELECT count(DISTINCT user_id) AS nc FROM e),
