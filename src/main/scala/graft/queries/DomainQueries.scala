@@ -79,6 +79,24 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // per-customer session behavior (on top of native session_window):
+    // session_window.end = last event + gap, so duration = end-start-gap
+    // in exact integer micros
+    "q99_session_features" -> { (s, dir) =>
+      val gapUs = 1800000000L
+      val sessions = Tables.transactions(s, dir)
+        .groupBy(col("customer_id"),
+          session_window(col("event_timestamp"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("txns"))
+        .select(col("customer_id"), col("txns"),
+          ((unix_micros(col("sw.end")) - unix_micros(col("sw.start")) - gapUs) / 1e6)
+            .as("secs"))
+      sessions.groupBy(col("customer_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          r6(avg(col("secs"))).as("avg_session_secs"),
+          r6(avg(col("txns"))).as("avg_txns_per_session"),
+          max(col("txns")).as("max_session_txns"))
+    },
     // shared-IP ring pairs (degree-cut self-join, top-k by shared count)
     "q98_shared_id_pairs" -> { (s, dir) =>
       AmlPatterns.sharedIdPairs(Tables.transactions(s, dir),
@@ -273,6 +291,27 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q99_session_features" ->
+      """WITH o AS (
+  SELECT user_id, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session,
+    epoch_us(ts) AS us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (
+  SELECT user_id, us,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o),
+g AS (
+  SELECT user_id, sid, count(*) AS txns, (max(us) - min(us)) / 1e6 AS secs
+  FROM s GROUP BY 1, 2)
+SELECT user_id AS customer_id, count(*) AS n_sessions,
+  round(avg(secs) + 5e-11, 4) AS avg_session_secs,
+  round(avg(txns) + 5e-11, 4) AS avg_txns_per_session,
+  max(txns) AS max_session_txns
+FROM g GROUP BY 1""",
     "q98_shared_id_pairs" ->
       """WITH e AS (
   SELECT DISTINCT user_id, json_extract_string(props, 'k') AS ident FROM events
