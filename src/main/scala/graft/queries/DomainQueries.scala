@@ -79,6 +79,23 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // CUSUM change-point scan over the daily volume series: cumulative
+    // deviation from the global mean, deterministic day ordering — the
+    // monitoring primitive for "when did behavior shift"
+    "q100_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.agg(sum(col("cnt")).as("total"), count(lit(1)).as("days"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("cusum",
+          sum(col("cnt").cast("double") - col("total") / col("days")).over(w))
+        .select(col("day").cast("string").as("day"), col("cnt"),
+          r6(col("cusum")).as("cusum"))
+    },
     // per-customer session behavior (on top of native session_window):
     // session_window.end = last event + gap, so duration = end-start-gap
     // in exact integer micros
@@ -291,6 +308,13 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q100_cusum" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT sum(cnt) AS total, count(*) AS days FROM d)
+SELECT day::VARCHAR AS day, cnt,
+  round(sum(cnt::DOUBLE - total::DOUBLE / days) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-11, 4) AS cusum
+FROM d, t""",
     "q99_session_features" ->
       """WITH o AS (
   SELECT user_id, event_id,
