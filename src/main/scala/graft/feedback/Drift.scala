@@ -106,10 +106,15 @@ object Drift {
     */
   def psi(df: DataFrame, value: Column, inFirst: Column,
       lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(hi > lo && nBins >= 1,
+      s"psi needs hi > lo and nBins >= 1, got [$lo, $hi) x $nBins")
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((value - lo) / width), lit(0)), lit(nBins - 1))
       .cast("long")
     val counts = df
+      // NULL membership drops the row from BOTH samples (SQL FILTER
+      // semantics; otherwise(2) would silently inflate the second one)
+      .where(inFirst.isNotNull)
       .select(bin.as("bin"), when(inFirst, 1).otherwise(2).as("g"))
       .groupBy(col("bin"))
       .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),

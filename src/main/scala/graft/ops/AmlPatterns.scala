@@ -93,18 +93,25 @@ object AmlPatterns {
 
   /** Shared-identifier pair mining: customer pairs ranked by how many
     * identifiers (IPs, devices) they share — the "same laptop, many
-    * accounts" ring signal. Identifiers used by more than `maxDegree`
-    * customers are dropped first (NAT gateways and public WiFi share an
-    * IP across thousands of genuine users; the degree cut is what keeps
-    * the self-join from going quadratic on hub identifiers at scale —
-    * the same bound the MinHash df-cut applies to hub shingles).
+    * accounts" ring signal. The top `hubFrac` fraction of identifiers BY
+    * DEGREE RANK is dropped first (NAT gateways and public WiFi share an
+    * IP across thousands of genuine users; the hub cut is what keeps the
+    * self-join from going quadratic on hub identifiers at scale — the
+    * same bound the MinHash df-cut applies to hub shingles). A rank cut
+    * rather than an absolute degree: it adapts to any data scale and
+    * avoids comparing integers against an interpolated float quantile.
     */
-  def sharedIdPairs(tx: DataFrame, identifier: Column, maxDegree: Int,
+  def sharedIdPairs(tx: DataFrame, identifier: Column, hubFrac: Double,
       topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = tx.select(col("customer_id"), identifier.as("ident"))
       .where(col("ident").isNotNull).distinct()
     val deg = e.groupBy(col("ident")).agg(count(lit(1)).as("deg"))
-    val kept = e.join(deg.where(col("deg") <= maxDegree), "ident")
+    val ranked = deg
+      .withColumn("rk", row_number().over(Window.orderBy(col("deg"), col("ident"))))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_ident"))))
+      .where(col("rk") <= floor(col("n_ident") * (1.0 - hubFrac)))
+    val kept = e.join(ranked.select(col("ident")), "ident")
     kept.as("a").join(kept.as("b"),
         col("a.ident") === col("b.ident") &&
           col("a.customer_id") < col("b.customer_id"))

@@ -83,7 +83,6 @@ object DomainQueries extends QueryPack {
     // deviation from the global mean, deterministic day ordering — the
     // monitoring primitive for "when did behavior shift"
     "q100_cusum" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
@@ -100,10 +99,11 @@ object DomainQueries extends QueryPack {
     // session_window.end = last event + gap, so duration = end-start-gap
     // in exact integer micros
     "q99_session_features" -> { (s, dir) =>
-      val gapUs = 1800000000L
+      val gapMinutes = 30
+      val gapUs = gapMinutes * 60000000L
       val sessions = Tables.transactions(s, dir)
         .groupBy(col("customer_id"),
-          session_window(col("event_timestamp"), "30 minutes").as("sw"))
+          session_window(col("event_timestamp"), s"$gapMinutes minutes").as("sw"))
         .agg(count(lit(1)).as("txns"))
         .select(col("customer_id"), col("txns"),
           ((unix_micros(col("sw.end")) - unix_micros(col("sw.start")) - gapUs) / 1e6)
@@ -114,17 +114,20 @@ object DomainQueries extends QueryPack {
           r6(avg(col("txns"))).as("avg_txns_per_session"),
           max(col("txns")).as("max_session_txns"))
     },
-    // shared-IP ring pairs (degree-cut self-join, top-k by shared count)
+    // shared-IP ring pairs (hub-rank-cut self-join, top-k by shared count)
     "q98_shared_id_pairs" -> { (s, dir) =>
       AmlPatterns.sharedIdPairs(Tables.transactions(s, dir),
-        col("ip_address"), maxDegree = 100, topK = 20)
+        col("ip_address"), hubFrac = 0.7, topK = 20)
     },
     // market-basket lift between merchant pairs: all-integer counts, so
     // the lift ratio is ONE exact division (engine-independent)
     "q96_cooccurrence" -> { (s, dir) =>
       val e = Tables.transactions(s, dir)
         .select(col("customer_id"), col("merchant_id")).distinct()
-      val n = e.select(col("customer_id")).distinct().count()
+      // customer count as a broadcast 1-row aggregate, not an eager
+      // .count() — one lazy plan, and the repeated `e` subtrees dedup
+      // through ReusedExchange
+      val nc = e.agg(countDistinct(col("customer_id")).as("nc"))
       val per = e.groupBy(col("merchant_id")).agg(count(lit(1)).as("cnt"))
       val pairs = e.as("a").join(e.as("b"),
           col("a.customer_id") === col("b.customer_id") &&
@@ -134,13 +137,13 @@ object DomainQueries extends QueryPack {
       pairs
         .join(broadcast(per.select(col("merchant_id").as("m1"), col("cnt").as("n1"))), "m1")
         .join(broadcast(per.select(col("merchant_id").as("m2"), col("cnt").as("n2"))), "m2")
+        .crossJoin(broadcast(nc))
         .select(col("m1"), col("m2"), col("n_both"),
-          r6((col("n_both") * lit(n)).cast("double") / (col("n1") * col("n2"))).as("lift"))
+          r6((col("n_both") * col("nc")).cast("double") / (col("n1") * col("n2"))).as("lift"))
     },
     // RFM segmentation: quintiles over exact integer measures (micros
     // recency, count, cents) — float-free ordering, deterministic ties
     "q97_rfm" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val tx = Tables.transactions(s, dir)
       val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
       val per = tx.crossJoin(broadcast(anchor))
@@ -341,7 +344,10 @@ FROM g GROUP BY 1""",
   SELECT DISTINCT user_id, json_extract_string(props, 'k') AS ident FROM events
   WHERE json_extract_string(props, 'k') IS NOT NULL),
 d AS (SELECT ident, count(*) AS deg FROM e GROUP BY 1),
-k AS (SELECT e.user_id, e.ident FROM e JOIN d USING (ident) WHERE d.deg <= 100),
+r AS (SELECT ident, row_number() OVER (ORDER BY deg, ident) AS rk,
+             count(*) OVER () AS n_ident FROM d),
+k AS (SELECT e.user_id, e.ident FROM e JOIN r USING (ident)
+      WHERE r.rk <= floor(r.n_ident * 0.3)),
 p AS (SELECT a.user_id AS c1, b.user_id AS c2, count(*) AS shared_ids
       FROM k a JOIN k b ON a.ident = b.ident AND a.user_id < b.user_id
       GROUP BY 1, 2)
