@@ -141,6 +141,19 @@ class DomainSpec extends AnyFunSuite {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("shared-id pairs: hub identifiers cut by degree rank, pairs ranked by shared count") {
+    // ids: a{1,2} deg2, b{1,2,3} deg3, c{1..5} deg5 (the hub)
+    val tx = Seq(
+      (1L, "a"), (2L, "a"), (1L, "b"), (2L, "b"), (3L, "b"),
+      (1L, "c"), (2L, "c"), (3L, "c"), (4L, "c"), (5L, "c")
+    ).toDF("customer_id", "ip")
+    // hubFrac 0.3 -> keep floor(3*0.7)=2 lowest-degree ids (a, b); c is cut
+    val pairs = graft.ops.AmlPatterns.sharedIdPairs(tx, col("ip"), hubFrac = 0.3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // users 4,5 only touch the cut hub -> appear in no pair
+  }
+
   test("psi: zero for identical samples, large for a shifted distribution") {
     val same = (1 to 1000).flatMap(i => Seq((i % 100 * 1.0, true), (i % 100 * 1.0, false)))
       .toDF("v", "f")
