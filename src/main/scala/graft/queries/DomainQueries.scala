@@ -79,6 +79,20 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // lag-1 autocorrelation of the daily volume series per merchant —
+    // rounds out the time-series family (trend/gap-fill/CUSUM/Markov)
+    "q101_autocorr" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.withColumn("prev", lag(col("cnt"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("event_type").as("merchant_id"))
+        .agg(r6(corr(col("cnt").cast("double"), col("prev").cast("double")))
+          .as("lag1_autocorr"),
+          count(lit(1)).as("n_pairs"))
+    },
     // CUSUM change-point scan over the daily volume series: cumulative
     // deviation from the global mean, deterministic day ordering — the
     // monitoring primitive for "when did behavior shift"
@@ -311,6 +325,15 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q101_autocorr" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1, 2),
+p AS (SELECT event_type, cnt,
+        lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM d)
+SELECT event_type AS merchant_id,
+  round(corr(cnt, prev) + 5e-11, 4) AS lag1_autocorr,
+  count(*) AS n_pairs
+FROM p WHERE prev IS NOT NULL GROUP BY 1""",
     "q100_cusum" ->
       """WITH d AS (SELECT ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1),
 t AS (SELECT sum(cnt) AS total, count(*) AS days FROM d)
