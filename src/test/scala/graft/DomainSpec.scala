@@ -125,6 +125,19 @@ class DomainSpec extends AnyFunSuite {
     // every train ts < every test ts minus the embargo: no leakage window
   }
 
+  test("temporal split is leak-free on real data: every test row clears the embargo") {
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = graft.scale.Splits.temporal(ev, col("ts"), 0.8, 86400)
+    val trainMax = out.where(col("split") === "train")
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val testMin = out.where(col("split") === "test")
+      .agg(min(col("ts"))).head().getTimestamp(0).getTime
+    assert(testMin - trainMax > 86400L * 1000, s"gap ${testMin - trainMax}ms")
+    // the three labels partition the input
+    assert(out.count() == ev.count())
+    assert(out.where(!col("split").isin("train", "embargo", "test")).count() == 0)
+  }
+
   test("feature cross: deterministic, bounded, and separator-collision-proof") {
     val df = Seq(("ab", "c"), ("a", "bc"), ("ab", "c")).toDF("f1", "f2")
     val b = df.select(graft.ops.Interactions.crossBucket(64, col("f1"), col("f2")).as("b"))

@@ -117,4 +117,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"blocked equi-join expected:\n$p")
   }
+
+  test("scalar-anchor queries broadcast the 1-row aggregate, never a cartesian shuffle") {
+    for (q <- Seq("q93_decayed_activity", "q97_rfm", "q100_cusum")) {
+      val p = plan(graft.queries.DomainQueries.defs(q)(spark, sf))
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+        s"$q should broadcast its anchor:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("shared-id pair mining joins on the identifier key (no cross product)") {
+    val p = plan(graft.queries.DomainQueries.defs("q98_shared_id_pairs")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"equi-join expected:\n$p")
+  }
 }
