@@ -79,6 +79,28 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // embedding mean-pooling: per-class centroid of the vector column
+    // (the chunk->document pooling step of an embedding pipeline),
+    // exploded to (label, pos) rows so the gate can hash scalars
+    "q103_embedding_centroid" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(r6(avg(col("v"))).as("centroid"), count(lit(1)).as("n"))
+    },
+    // forward-looking label construction: at each event, did an 'error'
+    // event follow within 24h for this user? The label-generation stage
+    // of a supervised pipeline — a FUTURE range frame, strictly after
+    // the current instant so the label never leaks the feature row
+    "q102_future_labels" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(1L, 86400000000L)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          coalesce(max(when(col("event_type") === "error", 1L).otherwise(0L)).over(w),
+            lit(0L)).as("label_error_24h"))
+    },
     // lag-1 autocorrelation of the daily volume series per merchant —
     // rounds out the time-series family (trend/gap-fill/CUSUM/Markov)
     "q101_autocorr" -> { (s, dir) =>
@@ -325,6 +347,18 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q103_embedding_centroid" ->
+      """SELECT label, (i - 1)::BIGINT AS pos,
+  round(avg(embedding[i]) + 5e-11, 4) AS centroid,
+  count(*) AS n
+FROM embeddings, unnest(range(1, 65)) AS t(i)
+GROUP BY 1, 2""",
+    "q102_future_labels" ->
+      """SELECT event_id,
+  coalesce(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 1 FOLLOWING AND 86400000000 FOLLOWING), 0)::BIGINT AS label_error_24h
+FROM events""",
     "q101_autocorr" ->
       """WITH d AS (SELECT event_type, ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1, 2),
 p AS (SELECT event_type, cnt,
