@@ -79,6 +79,25 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // nearest-centroid classification over the embedding column: assign
+    // each vector to the closest class centroid (argmin over summed
+    // squared distance; class gaps dwarf float summation noise)
+    "q104_nearest_centroid" -> { (s, dir) =>
+      val exploded = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cents = exploded.groupBy(col("label").as("clabel"), col("pos"))
+        .agg(avg(col("v")).as("c"))
+      exploded
+        .join(cents, Seq("pos"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(struct(col("d2"), col("clabel"))).as("mn"))
+        .select(col("vec_id"), col("label"),
+          col("mn.clabel").cast("long").as("pred_label"),
+          (col("mn.clabel") === col("label")).as("correct"))
+    },
     // embedding mean-pooling: per-class centroid of the vector column
     // (the chunk->document pooling step of an embedding pipeline),
     // exploded to (label, pos) rows so the gate can hash scalars
@@ -347,6 +366,18 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q104_nearest_centroid" ->
+      """WITH x AS (
+  SELECT vec_id, label, i::BIGINT AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) AS t(i)),
+c AS (SELECT label AS clabel, pos, avg(v) AS c FROM x GROUP BY 1, 2),
+d AS (SELECT x.vec_id, x.label, c.clabel, sum((x.v - c.c) * (x.v - c.c)) AS d2
+      FROM x JOIN c USING (pos) GROUP BY 1, 2, 3),
+r AS (SELECT vec_id, label, clabel, d2,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+      FROM d)
+SELECT vec_id, label, clabel::BIGINT AS pred_label, clabel = label AS correct
+FROM r WHERE rk = 1""",
     "q103_embedding_centroid" ->
       """SELECT label, (i - 1)::BIGINT AS pos,
   round(avg(embedding[i]) + 5e-11, 4) AS centroid,
