@@ -79,6 +79,31 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // composite AML screen: structuring share + round-amount bias +
+    // decayed-activity intensity folded into one ranked suspicion score.
+    // Ranks order by the ROUNDED score (then id), so cross-engine float
+    // noise cannot reorder near-ties.
+    "q105_composite_screen" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir)
+      val c = AmlPatterns.cents(col("amount"))
+      val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
+      val base = tx.crossJoin(broadcast(anchor))
+        .groupBy(col("customer_id"))
+        .agg(
+          (count(when(c >= 9000 && c < 10000, 1)).cast("double") / count(lit(1)))
+            .as("band_share"),
+          (count(when(c % 100 === 0, 1)).cast("double") / count(lit(1)))
+            .as("whole_share"),
+          sum(exp((unix_micros(col("anchor")) - unix_micros(col("event_timestamp")))
+            * lit(-math.log(2.0) / (604800 * 1e6)))).as("decayed"))
+      val mx = base.agg(max(col("decayed")).as("mx"))
+      val scored = base.crossJoin(broadcast(mx))
+        .select(col("customer_id"),
+          r6(col("band_share") * 0.5 + col("whole_share") * 0.3 +
+            col("decayed") / col("mx") * 0.2).as("suspicion"))
+      scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("suspicion").desc, col("customer_id"))))
+    },
     // nearest-centroid classification over the embedding column: assign
     // each vector to the closest class centroid (argmin over summed
     // squared distance; class gaps dwarf float summation noise)
@@ -366,6 +391,25 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q105_composite_screen" -> {
+      val lambda = math.log(2.0) / (604800 * 1e6)
+      s"""WITH a AS (SELECT max(ts) AS anchor FROM events),
+base AS (
+  SELECT user_id AS customer_id,
+    (count(*) FILTER (WHERE round(value*100)::BIGINT >= 9000
+                        AND round(value*100)::BIGINT < 10000))::DOUBLE / count(*) AS band_share,
+    (count(*) FILTER (WHERE round(value*100)::BIGINT % 100 = 0))::DOUBLE / count(*) AS whole_share,
+    sum(exp((epoch_us(anchor) - epoch_us(ts)) * -$lambda)) AS decayed
+  FROM events, a GROUP BY 1),
+m AS (SELECT max(decayed) AS mx FROM base),
+s AS (
+  SELECT customer_id,
+    round(band_share * 0.5 + whole_share * 0.3 + decayed / mx * 0.2 + 5e-11, 4) AS suspicion
+  FROM base, m)
+SELECT customer_id, suspicion,
+  row_number() OVER (ORDER BY suspicion DESC, customer_id) AS rank
+FROM s"""
+    },
     "q104_nearest_centroid" ->
       """WITH x AS (
   SELECT vec_id, label, i::BIGINT AS pos, embedding[i]::DOUBLE AS v
