@@ -123,4 +123,26 @@ object GraphOps {
       .select(regexp_replace(col("v"), "^c:", "").cast("long").as("customer_id"),
         col("graph_clustering_coefficient"))
   }
+
+  /** Hop distance to the nearest flagged node: bounded BFS as `maxHops`
+    * join+min rounds over the symmetrized edge list. Unreachable nodes
+    * (within the bound) get NULL. Integer distances make this exactly
+    * reproducible on any engine; the bound is what keeps each round one
+    * equi-join at 100 TB (full single-source BFS would be Pregel — see
+    * [[graft.ops.PageRank]] for that pattern).
+    */
+  def distanceToFlagged(edges: DataFrame, nodes: DataFrame,
+      flagged: DataFrame, maxHops: Int): DataFrame = {
+    var dist = nodes.join(flagged.withColumn("d", lit(0L)), Seq("node"), "left")
+    for (h <- 1 to maxHops) {
+      val frontier = edges
+        .join(dist.where(col("d") === h - 1), edges("src") === dist("node"))
+        .select(col("dst").as("node"), lit(h.toLong).as("nd"))
+        .distinct()
+      dist = dist.join(frontier, Seq("node"), "left")
+        .select(col("node"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint() // bounded loop: same lineage-truncation rule as PageRank
+    }
+    dist
+  }
 }

@@ -79,6 +79,19 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // proximity to flagged accounts: bounded-BFS hop distance on the
+    // customer-merchant graph (exact integer distances, NULL beyond 4)
+    "q106_distance_to_flagged" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val e = ev.select(concat(lit("c:"), col("user_id").cast("string")).as("src"),
+          concat(lit("m:"), col("event_type")).as("dst")).distinct()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = sym.select(col("src").as("node")).distinct()
+      val flagged = ev.where(col("value") > 300)
+        .select(concat(lit("c:"), col("user_id").cast("string")).as("node")).distinct()
+      graft.ops.GraphOps.distanceToFlagged(sym, nodes, flagged, maxHops = 4)
+        .select(col("node"), col("d").as("dist"))
+    },
     // composite AML screen: structuring share + round-amount bias +
     // decayed-activity intensity folded into one ranked suspicion score.
     // Ranks order by the ROUNDED score (then id), so cross-engine float
@@ -391,6 +404,21 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q106_distance_to_flagged" -> {
+      val hops = (1 to 4).map { h =>
+        s"""s$h AS (SELECT DISTINCT ed.dst AS node FROM ed JOIN d${h - 1} ON ed.src = d${h - 1}.node AND d${h - 1}.d = ${h - 1}),
+d$h AS (SELECT d${h - 1}.node, least(d${h - 1}.d, CASE WHEN s$h.node IS NOT NULL THEN $h END) AS d
+        FROM d${h - 1} LEFT JOIN s$h USING (node))"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events),
+ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+n AS (SELECT DISTINCT src AS node FROM ed),
+f AS (SELECT DISTINCT 'c:' || user_id AS node FROM events WHERE value > 300),
+d0 AS (SELECT n.node, CASE WHEN f.node IS NOT NULL THEN 0 END AS d
+       FROM n LEFT JOIN f USING (node)),
+$hops
+SELECT node, d::BIGINT AS dist FROM d4"""
+    },
     "q105_composite_screen" -> {
       val lambda = math.log(2.0) / (604800 * 1e6)
       s"""WITH a AS (SELECT max(ts) AS anchor FROM events),
