@@ -26,4 +26,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L)._1 == got(4L)._1 && got(4L)._1 == got(5L)._1 && got(3L)._2 == 3L)
     assert(got(1L)._1 != got(3L)._1)
   }
+
+  test("distance to flagged: path-graph hops, bound cutoff, disconnected NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain a-b-c-d plus isolated pair e-f; flagged = {a}
+    val raw = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")).toDF("src", "dst")
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val flagged = Seq("a").toDF("node")
+    def run(hops: Int) = graft.ops.GraphOps
+      .distanceToFlagged(sym, nodes, flagged, hops)
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val d = run(4)
+    assert(d("a").contains(0L) && d("b").contains(1L) && d("c").contains(2L) && d("d").contains(3L))
+    assert(d("e").isEmpty && d("f").isEmpty) // disconnected component
+    val bounded = run(2)
+    assert(bounded("c").contains(2L) && bounded("d").isEmpty) // beyond the bound
+  }
 }
