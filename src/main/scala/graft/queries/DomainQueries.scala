@@ -79,6 +79,35 @@ object DomainQueries extends QueryPack {
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
     },
+    // exact weighted median: the smallest cents value whose cumulative
+    // weight reaches half the total — all-integer accumulation, no
+    // interpolation, engine-exact by construction
+    "q107_weighted_median" -> { (s, dir) =>
+      val c = AmlPatterns.cents(col("amount"))
+      val byVal = Tables.transactions(s, dir)
+        .groupBy(col("merchant_id"), c.as("cents"))
+        .agg(count(lit(1)).as("w"))
+      val win = Window.partitionBy(col("merchant_id")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("merchant_id"))
+      byVal
+        .withColumn("cum", sum(col("w")).over(win))
+        .withColumn("half", sum(col("w")).over(tot))
+        .where(col("cum") * 2 >= col("half"))
+        .groupBy(col("merchant_id"))
+        .agg(min(col("cents")).as("weighted_median_cents"))
+    },
+    // Theil inequality index per merchant: (1/n) Σ (x/μ)·ln(x/μ) on
+    // positive amounts — complements Gini/HHI in the inequality family
+    "q108_theil" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir).where(col("amount") > 0)
+      val stats = tx.groupBy(col("merchant_id").as("m"))
+        .agg(avg(col("amount")).as("mu"))
+      tx.join(broadcast(stats), col("merchant_id") === col("m"))
+        .groupBy(col("merchant_id"))
+        .agg(r6(avg((col("amount") / col("mu")) * log(col("amount") / col("mu"))))
+          .as("theil"), count(lit(1)).as("n"))
+    },
     // proximity to flagged accounts: bounded-BFS hop distance on the
     // customer-merchant graph (exact integer distances, NULL beyond 4)
     "q106_distance_to_flagged" -> { (s, dir) =>
@@ -404,6 +433,26 @@ SELECT user_id, total_cents,
   round(cume_dist() OVER w + 5e-11, 4) AS cum_dist,
   coalesce(total_cents - lead(total_cents) OVER w, 0)::BIGINT AS gap_cents
 FROM s WINDOW w AS (ORDER BY total_cents DESC, user_id)""",
+    "q107_weighted_median" ->
+      s"""WITH b AS (
+  SELECT event_type AS merchant_id, $centsSql AS cents, count(*) AS w
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT merchant_id, cents,
+    sum(w) OVER (PARTITION BY merchant_id ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(w) OVER (PARTITION BY merchant_id) AS half
+  FROM b)
+SELECT merchant_id, min(cents) AS weighted_median_cents
+FROM c WHERE cum * 2 >= half GROUP BY 1""",
+    "q108_theil" ->
+      """WITH s AS (
+  SELECT event_type AS m, avg(value) AS mu FROM events WHERE value > 0 GROUP BY 1)
+SELECT event_type AS merchant_id,
+  round(avg((value / mu) * ln(value / mu)) + 5e-11, 4) AS theil,
+  count(*) AS n
+FROM events JOIN s ON event_type = m
+WHERE value > 0 GROUP BY 1""",
     "q106_distance_to_flagged" -> {
       val hops = (1 to 4).map { h =>
         s"""s$h AS (SELECT DISTINCT ed.dst AS node FROM ed JOIN d${h - 1} ON ed.src = d${h - 1}.node AND d${h - 1}.d = ${h - 1}),
