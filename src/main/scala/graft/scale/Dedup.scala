@@ -73,9 +73,22 @@ object Dedup {
     // AGGREGATED pair table, so AQE broadcasts them at test SF while the
     // same plan stays a shuffle join at corpus scale
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    kept.as("a").join(kept.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    // pair expansion per posting list instead of the inverted-index
+    // self-join: the df-cut bounds every list at `dfCut` docs, so the
+    // C(df,2) expansion is a narrow map after a groupBy(shingle) that
+    // REUSES the partitioning `kept` already has — the self-join's probe
+    // exchanges disappear and the pair count partial-aggregates map-side.
+    // Timed even with the codegen self-join at sf0.1 (~1.7 s both); kept
+    // for the exchange profile, which is what matters at corpus scale.
+    kept.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("cs"))
+      .where(size(col("cs")) >= 2)
+      .select(explode(flatten(expr(
+        """transform(cs, (x, i) ->
+          |  transform(slice(cs, i + 2, size(cs)),
+          |            y -> named_struct('doc1', x, 'doc2', y)))""".stripMargin)))
+        .as("p"))
+      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), "doc1")
       .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), "doc2")
