@@ -127,6 +127,32 @@ object AmlPatterns {
       .limit(topK)
   }
 
+  /** New-counterparty novelty: of each customer's transactions in the
+    * trailing `windowSeconds` before `anchor`, how many went to a merchant
+    * that customer had NEVER used before the window started. Mule and
+    * layering accounts light up here — organic customers mostly revisit
+    * known merchants. Boundary is strict on the window start (`ts > cut`
+    * recent, `ts <= cut` history) on epoch-micros, matching the engine's
+    * (t-W, t] trailing-window contract. One left join of the recent slice
+    * against the distinct historical pair set (both shuffles on the same
+    * composite key); customers with no recent activity emit no row.
+    */
+  def noveltyRatio(tx: DataFrame, anchor: Column, windowSeconds: Long): DataFrame = {
+    val cut = unix_micros(anchor) - windowSeconds * 1000000L
+    val us = unix_micros(col("event_timestamp"))
+    val recent = tx.where(us > cut)
+      .select(col("customer_id"), col("merchant_id"))
+    val known = tx.where(us <= cut)
+      .select(col("customer_id"), col("merchant_id")).distinct()
+      .withColumn("known", lit(true))
+    recent.join(known, Seq("customer_id", "merchant_id"), "left")
+      .groupBy(col("customer_id"))
+      .agg(count(lit(1)).as("recent_cnt"),
+        count(when(col("known").isNull, 1)).as("novel_cnt"))
+      .withColumn("novelty_ratio",
+        col("novel_cnt").cast("double") / col("recent_cnt"))
+  }
+
   /** Round-number bias per merchant: the share of whole-currency and
     * multiple-of-ten amounts. Human-chosen (laundered) amounts skew
     * round; organic ones are uniform in the cents digits.

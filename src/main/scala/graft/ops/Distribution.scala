@@ -88,6 +88,54 @@ object Distribution {
       lit(0.0), (acc, x) => acc + x)
   }
 
+  /** Mutual information between two categorical columns, reported as the
+    * per-`x` contribution:  mi_x = Σ_y (n_xy/n) · ln(n·n_xy / (n_x·n_y)).
+    * Σ over all x gives I(X;Y) ≥ 0 — the training-pipeline
+    * feature-relevance screen (which features carry signal about a
+    * label). All inputs to the log are ratios of exact integer counts, so
+    * the only float noise is summation order. One groupBy(x,y) exchange
+    * builds the joint histogram; the marginals broadcast onto it.
+    */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val joint = df.groupBy(x.as("x"), y.as("y")).agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy(col("x").as("xm")).agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy(col("y").as("ym")).agg(sum(col("nxy")).as("ny"))
+    val n = joint.agg(sum(col("nxy")).as("n"))
+    joint
+      .join(broadcast(mx), col("x") === col("xm"))
+      .join(broadcast(my), col("y") === col("ym"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("x"))
+      .agg(sum((col("nxy").cast("double") / col("n")) *
+          log((col("n") * col("nxy")).cast("double") / (col("nx") * col("ny"))))
+        .as("mi_contrib"), sum(col("nxy")).as("n_x"))
+  }
+
+  /** Shannon entropy (log2) of each key's first-order transition (bigram)
+    * distribution over `state`, ordered by `order` (pass a tie-breaking
+    * column — sequence entropy is only well-defined for a deterministic
+    * order). Keys with fewer than 2 events emit no row. Low entropy on a
+    * long sequence = scripted repetition; extends the entropy/Gini/HHI
+    * family from value distributions to SEQUENCE structure.
+    */
+  def transitionEntropy(df: DataFrame, key: Column, state: Column,
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val big = df.select(key.as("k"), state.as("a"),
+        lead(state, 1).over(w).as("b"))
+      .where(col("b").isNotNull)
+      .groupBy(col("k"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    big.select(col("k"), col("c"),
+        sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+      .groupBy(col("k"))
+      .agg(first(col("n")).as("n_transitions"),
+        // 0.0 - : a one-bigram key yields -0.0 from the sum; normalize the
+        // zero's sign so parquet bits match the oracle's
+        (lit(0.0) - sum((col("c").cast("double") / col("n")) *
+          log2(col("c").cast("double") / col("n")))).as("transition_entropy"))
+  }
+
   /** max bucket count / total (reference `advanced_features.py:133`). */
   def peakRatio(df: DataFrame, key: Column, bucket: Column, out: String): DataFrame = {
     val counts = df.groupBy(key.as("k"), bucket.as("b")).agg(count(lit(1)).as("cnt"))

@@ -131,6 +131,30 @@ object GraphOps {
     * equi-join at 100 TB (full single-source BFS would be Pregel — see
     * [[graft.ops.PageRank]] for that pattern).
     */
+  /** Bounded k-core peeling over a symmetric distinct edge list: `rounds`
+    * iterations of "drop nodes with degree < k, restrict edges to
+    * survivors". With enough rounds this converges to the true k-core;
+    * the FIXED round count keeps the operator deterministic and
+    * oracle-expressible (the DuckDB twin unrolls the same rounds as plain
+    * CTEs — aggregation is illegal inside a recursive term). Returns the
+    * surviving nodes with their residual degree. Each round is one
+    * degree aggregation plus two semi-join restrictions — all key-partitioned
+    * shuffles, no driver-side graph; lineage is truncated per round like
+    * the PageRank/BFS loops.
+    */
+  def boundedKCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("kept"))
+      e = e.join(keep, col("src") === col("kept"), "leftsemi")
+        .join(keep, col("dst") === col("kept"), "leftsemi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   def distanceToFlagged(edges: DataFrame, nodes: DataFrame,
       flagged: DataFrame, maxHops: Int): DataFrame = {
     var dist = nodes.join(flagged.withColumn("d", lit(0L)), Seq("node"), "left")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{AmlPatterns, Cohort, PageRank}
+import graft.ops.{AmlPatterns, Cohort, CoreFeatures, Distribution, GraphOps, PageRank, Trailing}
 import graft.scale.{FuzzyMatch, Splits}
 import graft.tables.Tables
 import org.apache.spark.sql.expressions.Window
@@ -78,6 +78,75 @@ object DomainQueries extends QueryPack {
         r6(cume_dist().over(w)).as("cum_dist"),
         coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
           lit(0L)).as("gap_cents"))
+    },
+    // bounded 2-core of the customer-merchant graph: 4 peel rounds of
+    // "drop degree<2 nodes" — ring participants survive, pendant
+    // customers fall off. Deterministic round count = oracle-expressible.
+    "q109_kcore" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(concat(lit("c:"), col("user_id").cast("string")).as("src"),
+          concat(lit("m:"), col("event_type")).as("dst")).distinct()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.boundedKCore(sym, k = 2, rounds = 4)
+    },
+    // new-counterparty novelty: share of last-7d txns to merchants the
+    // customer had never used before the window started (mule signal)
+    "q110_novelty" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir)
+      val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
+      AmlPatterns.noveltyRatio(tx.crossJoin(broadcast(anchor)),
+          col("anchor"), windowSeconds = 604800L)
+        .select(col("customer_id"), col("recent_cnt"), col("novel_cnt"),
+          r6(col("novelty_ratio")).as("novelty_ratio"))
+    },
+    // burst ceiling: each customer's PEAK trailing-60s / trailing-1h txn
+    // count — both frames ride the one canonical (customer, ts) window
+    // exchange, then one groupBy(customer) max
+    "q111_peak_velocity" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir)
+      val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
+      tx.select(col("customer_id"),
+          CoreFeatures.txnCount(w, 60).as("c60"),
+          CoreFeatures.txnCount(w, 3600).as("c1h"))
+        .groupBy(col("customer_id"))
+        .agg(max(col("c60")).as("peak_count_60s"),
+          max(col("c1h")).as("peak_count_1h"))
+    },
+    // feature-relevance screen: per-merchant contribution to the mutual
+    // information between merchant and hour-of-day (integer-count ratios)
+    "q112_mutual_info" -> { (s, dir) =>
+      Distribution.mutualInformation(Tables.events(s, dir),
+          col("event_type"), hour(col("ts")))
+        .select(col("x").as("merchant_id"), col("n_x"),
+          r6(col("mi_contrib")).as("mi_contrib"))
+    },
+    // Pareto concentration points: the minimal customer-head covering
+    // 50% / 90% of total volume (all-integer cumulative logic)
+    "q113_pareto" -> { (s, dir) =>
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sum(AmlPatterns.cents(col("value"))).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("user_id"))
+      val o = per.select(col("c"),
+          sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"),
+          row_number().over(ord).as("rk"))
+        .crossJoin(broadcast(per.agg(sum(col("c")).as("tot"),
+          count(lit(1)).as("nc"))))
+      o.groupBy(col("nc"))
+        .agg(min(when(col("cum") * 2 >= col("tot"), col("rk"))).as("k50"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("rk"))).as("k90"))
+        .select(col("k50"), col("k90"),
+          r6(col("k50").cast("double") / col("nc")).as("frac50"),
+          r6(col("k90").cast("double") / col("nc")).as("frac90"))
+    },
+    // first-order transition (bigram) entropy of each customer's merchant
+    // sequence — low entropy = scripted repetition, extends the
+    // entropy/Gini/HHI family to SEQUENCE structure
+    "q114_transition_entropy" -> { (s, dir) =>
+      Distribution.transitionEntropy(Tables.events(s, dir), col("user_id"),
+          col("event_type"), Seq(unix_micros(col("ts")), col("event_id")))
+        .select(col("k").as("customer_id"), col("n_transitions"),
+          r6(col("transition_entropy")).as("transition_entropy"))
     },
     // exact weighted median: the smallest cents value whose cumulative
     // weight reaches half the total — all-integer accumulation, no
@@ -377,7 +446,70 @@ object DomainQueries extends QueryPack {
         .select(col("event_id"), col("label"), col("weight"))
     })
 
+  /** Unrolled bounded k-core peeling: aggregation is illegal inside a
+    * recursive CTE term, so each peel round is a plain GROUP BY degree
+    * filter + two join restrictions — the same rounds the Spark loop runs.
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e${r - 1} GROUP BY 1) WHERE deg >= $k),
+e$r AS (SELECT e.src, e.dst FROM e${r - 1} e JOIN k$r a ON e.src = a.src JOIN k$r b ON e.dst = b.src)"""
+    }.mkString(",\n")
+    s"""WITH b0 AS (SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events),
+e0 AS (SELECT src, dst FROM b0 UNION SELECT dst, src FROM b0),
+$steps
+SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q109_kcore" -> kcoreSql(k = 2, rounds = 4),
+    "q110_novelty" ->
+      """WITH mx AS (SELECT epoch_us(max(ts)) - 604800000000 AS cut FROM events),
+r AS (SELECT user_id, event_type FROM events, mx WHERE epoch_us(ts) > cut),
+o AS (SELECT DISTINCT user_id, event_type FROM events, mx WHERE epoch_us(ts) <= cut)
+SELECT r.user_id AS customer_id, count(*) AS recent_cnt,
+  count(*) FILTER (WHERE o.user_id IS NULL) AS novel_cnt,
+  round((count(*) FILTER (WHERE o.user_id IS NULL))::DOUBLE / count(*) + 5e-11, 4) AS novelty_ratio
+FROM r LEFT JOIN o ON r.user_id = o.user_id AND r.event_type = o.event_type
+GROUP BY 1""",
+    "q111_peak_velocity" ->
+      """WITH f AS (SELECT user_id,
+  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS c60,
+  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS c1h
+FROM events)
+SELECT user_id AS customer_id, max(c60) AS peak_count_60s, max(c1h) AS peak_count_1h
+FROM f GROUP BY 1""",
+    "q112_mutual_info" ->
+      """WITH j AS (SELECT event_type AS x, hour(ts) AS y, count(*) AS nxy FROM events GROUP BY 1, 2),
+mx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY 1),
+my AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY 1),
+t AS (SELECT sum(nxy) AS n FROM j)
+SELECT j.x AS merchant_id, sum(j.nxy)::BIGINT AS n_x,
+  round(sum((j.nxy::DOUBLE / t.n) * ln((t.n * j.nxy)::DOUBLE / (mx.nx * my.ny))) + 5e-11, 4) AS mi_contrib
+FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+GROUP BY 1""",
+    "q113_pareto" ->
+      s"""WITH s AS (SELECT user_id, sum($centsSql) AS c FROM events GROUP BY 1),
+o AS (SELECT c,
+        sum(c) OVER (ORDER BY c DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum,
+        row_number() OVER (ORDER BY c DESC, user_id) AS rk FROM s),
+t AS (SELECT sum(c) AS tot, count(*) AS nc FROM s)
+SELECT min(rk) FILTER (WHERE cum * 2 >= tot) AS k50,
+  min(rk) FILTER (WHERE cum * 10 >= tot * 9) AS k90,
+  round((min(rk) FILTER (WHERE cum * 2 >= tot))::DOUBLE / nc + 5e-11, 4) AS frac50,
+  round((min(rk) FILTER (WHERE cum * 10 >= tot * 9))::DOUBLE / nc + 5e-11, 4) AS frac90
+FROM o, t GROUP BY nc""",
+    "q114_transition_entropy" ->
+      """WITH q AS (SELECT user_id, event_type AS a,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS b
+      FROM events),
+g AS (SELECT user_id, a, b, count(*) AS c FROM q WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+t AS (SELECT user_id, sum(c)::BIGINT AS n FROM g GROUP BY 1)
+SELECT g.user_id AS customer_id, t.n AS n_transitions,
+  round(0 - sum((g.c::DOUBLE / t.n) * log2(g.c::DOUBLE / t.n)) + 5e-11, 4) AS transition_entropy
+FROM g JOIN t USING (user_id) GROUP BY 1, 2""",
     "q79_structuring" ->
       s"""WITH c AS (SELECT user_id, $centsSql AS c FROM events)
 SELECT user_id AS customer_id,

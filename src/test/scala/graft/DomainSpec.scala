@@ -189,6 +189,47 @@ class DomainSpec extends AnyFunSuite {
     assert(run() == a) // no RNG: stable under re-execution
   }
 
+  test("novelty ratio: never-seen merchants in the window are novel, prior ones are not") {
+    // cut = anchor(160s) - 100s = 60s; cust 1 knew m1 before the cut
+    val tx = Seq(
+      (1L, "m1", 10L), (1L, "m1", 150L), (1L, "m2", 160L),
+      (2L, "m9", 155L)
+    ).toDF("customer_id", "merchant_id", "s")
+      .withColumn("event_timestamp", timestamp_seconds(col("s")))
+      .withColumn("anchor", timestamp_seconds(lit(160L)))
+    val out = AmlPatterns.noveltyRatio(tx, col("anchor"), windowSeconds = 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5))) // m1 known, m2 novel
+    assert(out(2L) == ((1L, 1L, 1.0))) // no history at all -> fully novel
+  }
+
+  test("mutual information: zero for independent columns, 0.5*ln2 per side for a copy") {
+    import graft.ops.Distribution
+    val ind = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).toDF("x", "y")
+    Distribution.mutualInformation(ind, col("x"), col("y")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(1)) < 1e-12, r))
+    val dep = Seq(("a", 0), ("a", 0), ("b", 1), ("b", 1)).toDF("x", "y")
+    val mi = Distribution.mutualInformation(dep, col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = 0.5 * math.log(2.0) // (2/4) * ln(4*2/(2*2))
+    assert(math.abs(mi("a") - expect) < 1e-12 && math.abs(mi("b") - expect) < 1e-12)
+  }
+
+  test("transition entropy: constant sequence is 0, alternation matches hand calc") {
+    import graft.ops.Distribution
+    val ev = Seq(
+      (1L, "A", 1L), (1L, "A", 2L), (1L, "A", 3L),          // AA, AA -> H = 0
+      (2L, "A", 1L), (2L, "B", 2L), (2L, "A", 3L), (2L, "B", 4L) // AB x2, BA x1
+    ).toDF("user_id", "m", "ord")
+    val out = Distribution.transitionEntropy(ev, col("user_id"), col("m"),
+        Seq(col("ord")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 0.0)
+    val h = -(2.0 / 3 * (math.log(2.0 / 3) / math.log(2)) +
+      1.0 / 3 * (math.log(1.0 / 3) / math.log(2)))
+    assert(out(2L)._1 == 3L && math.abs(out(2L)._2 - h) < 1e-12)
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)

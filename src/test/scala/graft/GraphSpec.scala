@@ -44,4 +44,20 @@ class GraphSpec extends AnyFunSuite {
     val bounded = run(2)
     assert(bounded("c").contains(2L) && bounded("d").isEmpty) // beyond the bound
   }
+
+  test("bounded k-core: pendants peel off, the cycle survives at degree 2, a path empties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4-cycle a-b-c-d with pendant e on a: 2-core = the cycle
+    val raw = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "e"))
+      .toDF("src", "dst")
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val got = GraphOps.boundedKCore(sym, k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 2L))
+    // a pure path has no 2-core: ends peel, then the middle
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val psym = path.union(path.select(col("dst").as("src"), col("src").as("dst")))
+    assert(GraphOps.boundedKCore(psym, k = 2, rounds = 3).count() == 0L)
+  }
 }
