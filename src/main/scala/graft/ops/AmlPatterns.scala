@@ -153,6 +153,78 @@ object AmlPatterns {
         col("novel_cnt").cast("double") / col("recent_cnt"))
   }
 
+  /** Dormancy screen: per-customer inter-transaction gaps (exact micros)
+    * — the longest gap ever, the gap immediately before the LATEST
+    * transaction, and a reactivation flag when that last gap exceeds
+    * `reactivationSeconds` (long-dormant account suddenly active — a
+    * takeover/mule signal). Single-transaction customers have NULL gaps
+    * and are not flagged. One window pass on the canonical
+    * (customer, ts) ordering, then one groupBy.
+    */
+  def dormancy(tx: DataFrame, reactivationSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col("event_timestamp"))
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(us, col("transaction_id"))
+    val wDesc = Window.partitionBy(col("customer_id"))
+      .orderBy(us.desc, col("transaction_id").desc)
+    tx.select(col("customer_id"),
+        (us - lag(us, 1).over(w)).as("gap_us"),
+        row_number().over(wDesc).as("rn_desc"))
+      .groupBy(col("customer_id"))
+      .agg(count(lit(1)).as("n"),
+        max(col("gap_us")).as("max_gap_us"),
+        max(when(col("rn_desc") === 1, col("gap_us"))).as("last_gap_us"))
+      .withColumn("reactivated",
+        coalesce(col("last_gap_us") > reactivationSeconds * 1000000L, lit(false)))
+  }
+
+  /** Mirrored-amount pairs: the SAME customer moving the SAME exact cents
+    * through DIFFERENT merchants within `windowSeconds` — classic
+    * split-payment / layering structure that per-merchant screens miss.
+    * Self-join on the composite (customer, cents) key, so the fan-out is
+    * bounded by per-key repetition, not customer volume; pair direction
+    * is fixed by the (time, id) tuple so each unordered pair counts once.
+    */
+  def mirrorPairs(tx: DataFrame, windowSeconds: Long): DataFrame = {
+    val c = tx.select(col("customer_id"), col("transaction_id"),
+      col("merchant_id"), cents(col("amount")).as("cents"),
+      unix_micros(col("event_timestamp")).as("us"))
+    val winUs = windowSeconds * 1000000L
+    c.as("a").join(c.as("b"),
+        col("a.customer_id") === col("b.customer_id") &&
+          col("a.cents") === col("b.cents") &&
+          col("a.merchant_id") =!= col("b.merchant_id") &&
+          abs(col("a.us") - col("b.us")) <= winUs &&
+          (col("a.us") < col("b.us") ||
+            (col("a.us") === col("b.us") &&
+              col("a.transaction_id") < col("b.transaction_id"))))
+      .groupBy(col("a.customer_id").as("customer_id"))
+      .agg(count(lit(1)).as("mirror_pairs"),
+        countDistinct(col("a.cents")).as("mirror_cents"))
+  }
+
+  /** Per-entity Benford first-digit chi-square, as a ranked suspicion
+    * score. Uses the algebraic identity
+    * Σ_d (c_d − n·p_d)²/(n·p_d)  =  Σ_{observed d} c_d²/(n·p_d) − n,
+    * so digits the entity never produced need no generated zero rows —
+    * the whole screen is one groupBy(entity, digit) plus one
+    * groupBy(entity). Digit read off the cents string, like [[benford]].
+    */
+  def benfordByEntity(tx: DataFrame, entity: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dig = substring(cents(col("amount")).cast("string"), 1, 1).cast("long")
+    val counts = tx.where(col("amount") > 0)
+      .groupBy(entity.as("entity"), dig.as("dig"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("entity"))))
+    val p = log(10.0, lit(1.0) + lit(1.0) / col("dig"))
+    counts.groupBy(col("entity"))
+      .agg(first(col("n")).as("n"),
+        (sum(col("c") * col("c") / (col("n") * p)) - first(col("n")))
+          .as("chi2"))
+  }
+
   /** Round-number bias per merchant: the share of whole-currency and
     * multiple-of-ten amounts. Human-chosen (laundered) amounts skew
     * round; organic ones are uniform in the cents digits.

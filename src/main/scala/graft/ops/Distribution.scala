@@ -136,6 +136,28 @@ object Distribution {
           log2(col("c").cast("double") / col("n")))).as("transition_entropy"))
   }
 
+  /** Lorenz-curve decile points of an exact integer `measure` per entity:
+    * entities ranked ascending into 10 equal-count bins, each bin's
+    * count, total, and the cumulative share of the grand total. The
+    * graphical twin of the Gini/Theil scalars — "the bottom 80% of
+    * customers carry x% of volume". Global ntile is a single sort over
+    * the ALREADY-AGGREGATED per-entity table (entity-sized, like q85's
+    * ranking suite), then one 10-row window pass.
+    */
+  def lorenzDeciles(perEntity: DataFrame, id: Column, measure: Column): DataFrame = {
+    val ord = Window.orderBy(measure.asc, id.asc)
+    val byDecile = perEntity
+      .select(measure.as("m"), ntile(10).over(ord).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("m")).as("vol"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    byDecile.select(col("decile"), col("n_entities"), col("vol"),
+      (sum(col("vol")).over(cum).cast("double") / sum(col("vol")).over(tot))
+        .as("cum_share"))
+  }
+
   /** max bucket count / total (reference `advanced_features.py:133`). */
   def peakRatio(df: DataFrame, key: Column, bucket: Column, out: String): DataFrame = {
     val counts = df.groupBy(key.as("k"), bucket.as("b")).agg(count(lit(1)).as("cnt"))

@@ -124,41 +124,56 @@ object GraphOps {
         col("graph_clustering_coefficient"))
   }
 
-  /** Hop distance to the nearest flagged node: bounded BFS as `maxHops`
-    * join+min rounds over the symmetrized edge list. Unreachable nodes
-    * (within the bound) get NULL. Integer distances make this exactly
-    * reproducible on any engine; the bound is what keeps each round one
-    * equi-join at 100 TB (full single-source BFS would be Pregel — see
-    * [[graft.ops.PageRank]] for that pattern).
-    */
-  /** Bounded k-core peeling over a symmetric distinct edge list: `rounds`
-    * iterations of "drop nodes with degree < k, restrict edges to
-    * survivors". With enough rounds this converges to the true k-core;
-    * the FIXED round count keeps the operator deterministic and
+  /** Bounded k-core peeling over a symmetric distinct edge list: up to
+    * `rounds` iterations of "drop nodes with degree < k, restrict edges
+    * to survivors". With enough rounds this converges to the true k-core;
+    * the FIXED round bound keeps the operator deterministic and
     * oracle-expressible (the DuckDB twin unrolls the same rounds as plain
     * CTEs — aggregation is illegal inside a recursive term). Returns the
     * surviving nodes with their residual degree. Each round is one
-    * degree aggregation plus two semi-join restrictions — all key-partitioned
-    * shuffles, no driver-side graph; lineage is truncated per round like
-    * the PageRank/BFS loops.
+    * degree aggregation plus two semi-join restrictions — all
+    * key-partitioned shuffles, no driver-side graph; lineage is truncated
+    * per round like the PageRank/BFS loops. Peeling is idempotent at its
+    * fixpoint, so stopping early when a round removes no edge returns the
+    * identical result the remaining rounds would (the count probe is a
+    * cheap scan of the just-checkpointed edge set).
     */
   def boundedKCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
-    for (_ <- 1 to rounds) {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var before = e.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src").as("kept"))
       e = e.join(keep, col("src") === col("kept"), "leftsemi")
         .join(keep, col("dst") === col("kept"), "leftsemi")
         .localCheckpoint()
+      val after = e.count()
+      stable = after == before
+      before = after
+      r += 1
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
   }
 
+  /** Hop distance to the nearest flagged node: bounded BFS as up to
+    * `maxHops` join+min rounds over the symmetrized edge list.
+    * Unreachable nodes (within the bound) get NULL. Integer distances
+    * make this exactly reproducible on any engine; the bound is what
+    * keeps each round one equi-join at 100 TB (full single-source BFS
+    * would be Pregel — see [[graft.ops.PageRank]] for that pattern).
+    * If a round assigns no node its first distance the BFS has converged
+    * and later rounds are no-ops — exit early (same result, fewer rounds;
+    * the probe is a cheap scan of the just-checkpointed table).
+    */
   def distanceToFlagged(edges: DataFrame, nodes: DataFrame,
       flagged: DataFrame, maxHops: Int): DataFrame = {
     var dist = nodes.join(flagged.withColumn("d", lit(0L)), Seq("node"), "left")
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var converged = false
+    while (h <= maxHops && !converged) {
       val frontier = edges
         .join(dist.where(col("d") === h - 1), edges("src") === dist("node"))
         .select(col("dst").as("node"), lit(h.toLong).as("nd"))
@@ -166,6 +181,8 @@ object GraphOps {
       dist = dist.join(frontier, Seq("node"), "left")
         .select(col("node"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint() // bounded loop: same lineage-truncation rule as PageRank
+      converged = dist.where(col("d") === h).isEmpty
+      h += 1
     }
     dist
   }

@@ -148,6 +148,50 @@ object DomainQueries extends QueryPack {
         .select(col("k").as("customer_id"), col("n_transitions"),
           r6(col("transition_entropy")).as("transition_entropy"))
     },
+    // dormant-account reactivation: longest-ever silence vs the gap just
+    // before the latest txn (account-takeover / mule signal)
+    "q115_dormancy" -> { (s, dir) =>
+      AmlPatterns.dormancy(Tables.transactions(s, dir),
+          reactivationSeconds = 172800L)
+        .select(col("customer_id"), col("n"), col("max_gap_us"),
+          col("last_gap_us"), col("reactivated"))
+    },
+    // Lorenz-curve deciles of customer volume (graphical twin of
+    // Gini/Theil): cumulative share carried by each volume decile
+    "q117_lorenz" -> { (s, dir) =>
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sum(AmlPatterns.cents(col("value"))).as("c"))
+      Distribution.lorenzDeciles(per, col("user_id"), col("c"))
+        .select(col("decile"), col("n_entities"), col("vol").as("vol_cents"),
+          r6(col("cum_share")).as("cum_share"))
+    },
+    // mirrored-amount pairs: same customer, same exact cents, different
+    // merchants within 24h — split-payment / layering structure
+    "q118_mirror_pairs" -> { (s, dir) =>
+      AmlPatterns.mirrorPairs(Tables.transactions(s, dir),
+        windowSeconds = 86400L)
+    },
+    // week-over-week activity shift per customer (anchored at corpus max)
+    "q119_wow_delta" -> { (s, dir) =>
+      val tx = Tables.transactions(s, dir)
+      val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
+      val us = unix_micros(col("event_timestamp"))
+      val aus = unix_micros(col("anchor"))
+      val wk = 7L * 86400000000L
+      tx.crossJoin(broadcast(anchor))
+        .groupBy(col("customer_id"))
+        .agg(count(when(us > aus - wk, 1)).as("cnt_recent"),
+          count(when(us <= aus - wk && us > aus - 2 * wk, 1)).as("cnt_prior"))
+        .select(col("customer_id"), col("cnt_recent"), col("cnt_prior"),
+          (col("cnt_recent") - col("cnt_prior")).as("delta"),
+          r6(when(col("cnt_prior") > 0,
+            col("cnt_recent").cast("double") / col("cnt_prior"))).as("wow_ratio"))
+    },
+    // per-customer Benford chi-square as a ranked suspicion score
+    "q120_benford_entity" -> { (s, dir) =>
+      AmlPatterns.benfordByEntity(Tables.transactions(s, dir), col("customer_id"))
+        .select(col("entity").as("customer_id"), col("n"), r2(col("chi2")).as("chi2"))
+    },
     // exact weighted median: the smallest cents value whose cumulative
     // weight reaches half the total — all-integer accumulation, no
     // interpolation, engine-exact by construction
@@ -462,6 +506,54 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q115_dormancy" ->
+      """WITH g AS (SELECT user_id,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap,
+  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+SELECT user_id AS customer_id, count(*) AS n,
+  max(gap) AS max_gap_us,
+  max(CASE WHEN rn = 1 THEN gap END) AS last_gap_us,
+  coalesce(max(CASE WHEN rn = 1 THEN gap END) > 172800000000, false) AS reactivated
+FROM g GROUP BY 1""",
+    "q117_lorenz" ->
+      s"""WITH s AS (SELECT user_id, sum($centsSql) AS c FROM events GROUP BY 1),
+d AS (SELECT ntile(10) OVER (ORDER BY c ASC, user_id ASC) AS decile, c FROM s),
+g AS (SELECT decile, count(*) AS n_entities, sum(c)::BIGINT AS vol_cents FROM d GROUP BY 1)
+SELECT decile, n_entities, vol_cents,
+  round((sum(vol_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::DOUBLE
+        / (sum(vol_cents) OVER ()) + 5e-11, 4) AS cum_share
+FROM g""",
+    "q118_mirror_pairs" ->
+      s"""WITH c AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       $centsSql AS cents FROM events)
+SELECT a.user_id AS customer_id, count(*) AS mirror_pairs,
+  count(DISTINCT a.cents) AS mirror_cents
+FROM c a JOIN c b ON a.user_id = b.user_id AND a.cents = b.cents
+  AND a.event_type <> b.event_type AND abs(a.us - b.us) <= 86400000000
+  AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+GROUP BY 1""",
+    "q119_wow_delta" ->
+      """WITH a AS (SELECT epoch_us(max(ts)) AS aus FROM events)
+SELECT user_id AS customer_id,
+  count(*) FILTER (WHERE epoch_us(ts) > aus - 604800000000) AS cnt_recent,
+  count(*) FILTER (WHERE epoch_us(ts) <= aus - 604800000000
+                   AND epoch_us(ts) > aus - 1209600000000) AS cnt_prior,
+  count(*) FILTER (WHERE epoch_us(ts) > aus - 604800000000)
+    - count(*) FILTER (WHERE epoch_us(ts) <= aus - 604800000000
+                       AND epoch_us(ts) > aus - 1209600000000) AS delta,
+  round((count(*) FILTER (WHERE epoch_us(ts) > aus - 604800000000))::DOUBLE
+    / nullif(count(*) FILTER (WHERE epoch_us(ts) <= aus - 604800000000
+                              AND epoch_us(ts) > aus - 1209600000000), 0) + 5e-11, 4) AS wow_ratio
+FROM events, a GROUP BY 1""",
+    "q120_benford_entity" ->
+      s"""WITH d AS (SELECT user_id, substr(($centsSql)::VARCHAR, 1, 1)::BIGINT AS dig
+           FROM events WHERE value > 0),
+g AS (SELECT user_id, dig, count(*) AS c FROM d GROUP BY 1, 2),
+t AS (SELECT user_id, sum(c)::BIGINT AS n FROM g GROUP BY 1)
+SELECT g.user_id AS customer_id, t.n AS n,
+  round(sum((g.c * g.c)::DOUBLE / (t.n * log10(1 + 1.0 / g.dig))) - t.n + 1e-4, 2) AS chi2
+FROM g JOIN t USING (user_id) GROUP BY 1, 2""",
     "q109_kcore" -> kcoreSql(k = 2, rounds = 4),
     "q110_novelty" ->
       """WITH mx AS (SELECT epoch_us(max(ts)) - 604800000000 AS cut FROM events),

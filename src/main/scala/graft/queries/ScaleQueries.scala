@@ -74,6 +74,14 @@ sig AS (SELECT doc_id,
     "q34_simhash" -> { (s, dir) =>
       Dedup.simhash(docsSpread(s, dir), col("doc_id"), col("text"))
     },
+    // directional containment |A∩B|/|A| over the same LSH candidates —
+    // the asymmetric near-dup that catches embedded/quoted documents
+    "q116_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(docsSpread(s, dir), col("doc_id"), col("text"), n = 3)
+        .select(col("doc1"), col("doc2"), col("inter"),
+          r6(col("containment_1")).as("containment_1"),
+          r6(col("containment_2")).as("containment_2"))
+    },
     "q50_tfidf" -> { (s, dir) =>
       TextOps.tfidfTopK(docsSpread(s, dir), col("doc_id"), col("text"), k = 3)
         .select(col("doc_id"), col("term"), col("rank"), r6(col("tfidf")).as("tfidf"))
@@ -267,6 +275,12 @@ SELECT * FROM sig""",
     "q33_minhash_pairs" ->
       s"""WITH $minhashPairsCtes
 SELECT i.doc1, i.doc2, round(i.inter::DOUBLE/(s1.sz + s2.sz - i.inter)+ 5e-11, 4) AS jaccard
+FROM inter i JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id""",
+    "q116_containment" ->
+      s"""WITH $minhashPairsCtes
+SELECT i.doc1, i.doc2, i.inter,
+  round(i.inter::DOUBLE / s1.sz + 5e-11, 4) AS containment_1,
+  round(i.inter::DOUBLE / s2.sz + 5e-11, 4) AS containment_2
 FROM inter i JOIN sizes s1 ON i.doc1 = s1.doc_id JOIN sizes s2 ON i.doc2 = s2.doc_id""",
     "q57_neardup_groups" ->
       s"""WITH RECURSIVE $minhashPairsCtes,

@@ -128,7 +128,26 @@ object Dedup {
     * shingle Jaccard — the scale path for near-dup detection: equality
     * joins on band keys instead of all-pairs.
     */
-  def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    minhashPairStats(docs, id, text, n)
+      .select(col("doc1"), col("doc2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+
+  /** Directional containment over the same LSH candidates:
+    * |A∩B|/|A| and |A∩B|/|B|. Asymmetric near-dup — catches a document
+    * EMBEDDED in a larger one, which symmetric Jaccard dilutes away
+    * (the quote-inclusion / boilerplate-wrapper case in corpus dedup).
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    minhashPairStats(docs, id, text, n)
+      .select(col("doc1"), col("doc2"), col("inter"),
+        (col("inter").cast("double") / col("sz1")).as("containment_1"),
+        (col("inter").cast("double") / col("sz2")).as("containment_2"))
+
+  /** Shared LSH pipeline: candidate pairs with exact intersection and
+    * both post-shingle set sizes.
+    */
+  private def minhashPairStats(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     // the shingle table feeds four consumers (signatures, both intersection
     // probes, sizes) and the signature table feeds both sides of the band
     // self-join — persist both so tokenization+distinct run once, not 12x
@@ -157,8 +176,7 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
       .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
-      .select(col("doc1"), col("doc2"),
-        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+      .select(col("doc1"), col("doc2"), col("inter"), col("sz1"), col("sz2"))
   }
 
   /** The dedup ACTION: near-duplicate groups. LSH candidate pairs above

@@ -230,6 +230,58 @@ class DomainSpec extends AnyFunSuite {
     assert(out(2L)._1 == 3L && math.abs(out(2L)._2 - h) < 1e-12)
   }
 
+  test("dormancy: max vs last gap in exact micros, single-txn customers unflagged") {
+    val tx = Seq(
+      (1L, 10L, 0L), (1L, 11L, 100L), (1L, 12L, 300000L), // gaps 100s, 299900s
+      (2L, 20L, 50L)
+    ).toDF("customer_id", "transaction_id", "s")
+      .withColumn("event_timestamp", timestamp_seconds(col("s")))
+    val out = AmlPatterns.dormancy(tx, reactivationSeconds = 172800L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3)
+    assert(out(1L).getLong(2) == 299900L * 1000000L) // max gap
+    assert(out(1L).getLong(3) == 299900L * 1000000L) // gap before latest
+    assert(out(1L).getBoolean(4)) // 299900s > 2d
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(3) && !out(2L).getBoolean(4))
+  }
+
+  test("mirror pairs: same cents across merchants in-window, same-merchant repeats excluded") {
+    val tx = Seq(
+      (1L, 1L, "m1", 25.00, 0L), (1L, 2L, "m2", 25.00, 100L),
+      (1L, 3L, "m1", 25.00, 200L), // pairs: (1,2) and (2,3); (1,3) same merchant
+      (1L, 4L, "m2", 30.00, 300L), // different cents: no partner
+      (2L, 5L, "m1", 25.00, 0L), (2L, 6L, "m2", 25.00, 999999L) // out of window
+    ).toDF("customer_id", "transaction_id", "merchant_id", "amount", "s")
+      .withColumn("event_timestamp", timestamp_seconds(col("s")))
+    val out = AmlPatterns.mirrorPairs(tx, windowSeconds = 3600L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 1L)))
+    assert(!out.contains(2L))
+  }
+
+  test("lorenz deciles: 10 equal entities give triangular cumulative shares") {
+    import graft.ops.Distribution
+    val per = (1L to 10L).map(i => (i, i * 100L)).toDF("id", "c")
+    val rows = Distribution.lorenzDeciles(per, col("id"), col("c"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.size == 10)
+    (1 to 10).foreach { d =>
+      val (n, vol, share) = rows(d)
+      assert(n == 1L && vol == d * 100L)
+      assert(math.abs(share - d * (d + 1) / 2.0 / 55.0) < 1e-12, s"decile $d")
+    }
+  }
+
+  test("benford by entity: single-digit concentration matches the closed form") {
+    // all four amounts lead with digit 1: chi2 = 16/(4*log10(2)) - 4
+    val tx = Seq((1L, 10.00), (1L, 12.50), (1L, 150.00), (1L, 1.99))
+      .toDF("customer_id", "amount")
+    val r = AmlPatterns.benfordByEntity(tx, col("customer_id")).collect().head
+    assert(r.getLong(1) == 4)
+    val expect = 16.0 / (4.0 * math.log10(2.0)) - 4.0
+    assert(math.abs(r.getDouble(2) - expect) < 1e-9)
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)

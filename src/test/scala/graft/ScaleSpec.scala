@@ -72,6 +72,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("containment: embedded document scores 1.0 toward its container") {
+    // doc 2's shingle set is a strict subset of doc 1's; doc 3 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // 1 has 4 shingles, 2 has 3, all shared -> containment_2 = 1.0
+    assert(out.contains((1L, 2L)), s"LSH should band-collide the pair: $out")
+    assert(out((1L, 2L)) == ((3L, 0.75, 1.0)))
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("LSH cosine top-k: returned cosines are exact; recall is nonzero") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 5)
