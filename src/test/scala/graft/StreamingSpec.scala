@@ -300,6 +300,42 @@ class StreamingSpec extends AnyFunSuite {
       s"missing: ${(batch -- streamed).take(3)}; extra: ${(streamed -- batch).take(3)}")
   }
 
+  test("streaming novelty: first-seen flags and counts == batch distinct merchants (q110 twin)") {
+    import spark.implicits._
+    import graft.streaming.NoveltyProcessor
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    val split = tx.map(_.ts_micros).apply(tx.length / 2)
+    val (b1, b2) = tx.partition(_.ts_micros <= split)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = NoveltyProcessor.screen(input.toDS())
+      .writeStream.format("memory").queryName("novelty").outputMode("append").start()
+    try {
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3), r.getLong(4)))
+    assert(rows.length == tx.length) // one emission per event
+    val batchDistinct = tx.groupBy(_.customer_id)
+      .map { case (c, es) => c -> es.map(_.merchant_id).toSet.size.toLong }
+    rows.groupBy(_._1).foreach { case (c, es) =>
+      // first_seen fires exactly once per (customer, merchant), state
+      // survives the micro-batch boundary, and the final counter equals
+      // the batch distinct-merchant count
+      assert(es.count(_._4) == batchDistinct(c), s"customer $c")
+      assert(es.map(_._5).max == batchDistinct(c), s"customer $c")
+      es.filter(_._4).groupBy(_._3).foreach { case (m, hits) =>
+        assert(hits.length == 1, s"customer $c merchant $m flagged twice")
+      }
+    }
+  }
+
   test("streaming structuring screen: final state per customer == batch screen (q79 twin)") {
     import spark.implicits._
     import graft.streaming.StructuringProcessor
