@@ -136,6 +136,29 @@ object Distribution {
           log2(col("c").cast("double") / col("n")))).as("transition_entropy"))
   }
 
+  /** Conditional transition entropy H(next | prev) per key, log2:
+    * −Σ_{a,b} (c_ab/n) · log2(c_ab/c_a). How predictable the NEXT
+    * counterparty is given the current one — 0 for a deterministic chain
+    * even when the unconditional [[transitionEntropy]] is high (a cycle
+    * A→B→C→A has joint entropy log2(3) but conditional entropy 0: pure
+    * scripting). Same one-window + two-level-aggregation shape.
+    */
+  def conditionalTransitionEntropy(df: DataFrame, key: Column, state: Column,
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val big = df.select(key.as("k"), state.as("a"),
+        lead(state, 1).over(w).as("b"))
+      .where(col("b").isNotNull)
+      .groupBy(col("k"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("k"))))
+      .withColumn("ca", sum(col("c")).over(Window.partitionBy(col("k"), col("a"))))
+    big.groupBy(col("k"))
+      .agg(first(col("n")).as("n_transitions"),
+        (lit(0.0) - sum((col("c").cast("double") / col("n")) *
+          log2(col("c").cast("double") / col("ca")))).as("cond_entropy"))
+  }
+
   /** Lorenz-curve decile points of an exact integer `measure` per entity:
     * entities ranked ascending into 10 equal-count bins, each bin's
     * count, total, and the cumulative share of the grand total. The

@@ -148,6 +148,33 @@ object DomainQueries extends QueryPack {
         .select(col("k").as("customer_id"), col("n_transitions"),
           r6(col("transition_entropy")).as("transition_entropy"))
     },
+    // HITS hubs/authorities on the DIRECTED customer->merchant graph —
+    // the layering lens PageRank's undirected prominence misses
+    "q121_hits" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(concat(lit("c:"), col("user_id").cast("string")).as("src"),
+          concat(lit("m:"), col("event_type")).as("dst")).distinct()
+      graft.ops.Hits.run(e, iters = 6)
+        .select(col("node"), col("side"), r6(col("s")).as("s"))
+    },
+    // conditional transition entropy H(next merchant | current merchant):
+    // 0 for scripted cycles even when the joint entropy (q114) is high
+    "q122_cond_entropy" -> { (s, dir) =>
+      Distribution.conditionalTransitionEntropy(Tables.events(s, dir),
+          col("user_id"), col("event_type"),
+          Seq(unix_micros(col("ts")), col("event_id")))
+        .select(col("k").as("customer_id"), col("n_transitions"),
+          r6(col("cond_entropy")).as("cond_entropy"))
+    },
+    // deterministic k-fold assignment + per-fold label-balance audit
+    "q123_kfold" -> { (s, dir) =>
+      Splits.kfold(Tables.events(s, dir), col("event_id"), k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") > 300, 1)).as("pos"))
+        .select(col("fold"), col("n"), col("pos"),
+          r6(col("pos").cast("double") / col("n")).as("pos_rate"))
+    },
     // dormant-account reactivation: longest-ever silence vs the gap just
     // before the latest txn (account-takeover / mule signal)
     "q115_dormancy" -> { (s, dir) =>
@@ -506,6 +533,28 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q121_hits" -> graft.ops.Hits.oracleSql(
+      "SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events",
+      iters = 6, round = s => s"round($s + 5e-11, 4)"),
+    "q122_cond_entropy" ->
+      """WITH q AS (SELECT user_id, event_type AS a,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS b
+      FROM events),
+g AS (SELECT user_id, a, b, count(*) AS c FROM q WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+w AS (SELECT user_id, c,
+        sum(c) OVER (PARTITION BY user_id) AS n,
+        sum(c) OVER (PARTITION BY user_id, a) AS ca FROM g)
+SELECT user_id AS customer_id, max(n)::BIGINT AS n_transitions,
+  round(0 - sum((c::DOUBLE / n) * log2(c::DOUBLE / ca)) + 5e-11, 4) AS cond_entropy
+FROM w GROUP BY 1""",
+    "q123_kfold" ->
+      """WITH b AS (
+  SELECT ('0x' || substr(md5('fold:' || event_id), 1, 8))::UBIGINT % 5 AS fold, value
+  FROM events)
+SELECT fold::BIGINT AS fold, count(*) AS n,
+  count(*) FILTER (WHERE value > 300) AS pos,
+  round((count(*) FILTER (WHERE value > 300))::DOUBLE / count(*) + 5e-11, 4) AS pos_rate
+FROM b GROUP BY 1""",
     "q115_dormancy" ->
       """WITH g AS (SELECT user_id,
   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap,

@@ -61,6 +61,16 @@ object Splits {
       .drop("__rk")
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * salted-md5 bucket of the id — same reproducibility properties as
+    * [[bucket]] (engine-portable, repartition-stable, no RNG), and every
+    * record keeps its fold across reruns so per-fold feature/label
+    * artifacts can be cached.
+    */
+  def kfold(df: org.apache.spark.sql.DataFrame, id: Column, k: Int,
+      salt: String = "fold"): org.apache.spark.sql.DataFrame =
+    df.withColumn("fold", bucket(id, salt, k))
+
   /** Deterministic class rebalance: keep every positive row, hash-sample
     * negatives at `keep`/`n` (same md5-bucket mechanism as [[bucket]], so
     * the subsample is stable across engines and runs), and attach the

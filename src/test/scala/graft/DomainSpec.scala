@@ -282,6 +282,48 @@ class DomainSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - expect) < 1e-9)
   }
 
+  test("hits: two-customer fixture matches the hand-unrolled recurrence") {
+    // c1->{m1,m2}, c2->{m1}; 2 iterations:
+    // a1=(2,1) h1=(3,2) a2=(5,3) h2=(8,5) -> hub (8/13, 5/13), auth (5/8, 3/8)
+    val e = Seq(("c1", "m1"), ("c1", "m2"), ("c2", "m1")).toDF("src", "dst")
+    val out = graft.ops.Hits.run(e, iters = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("c1", "hub")) - 8.0 / 13) < 1e-12)
+    assert(math.abs(out(("c2", "hub")) - 5.0 / 13) < 1e-12)
+    assert(math.abs(out(("m1", "auth")) - 5.0 / 8) < 1e-12)
+    assert(math.abs(out(("m2", "auth")) - 3.0 / 8) < 1e-12)
+    assert(out.size == 4)
+  }
+
+  test("conditional entropy: deterministic cycle is 0 even though joint entropy is not") {
+    import graft.ops.Distribution
+    val cyc = Seq("A", "B", "C", "A", "B", "C", "A").zipWithIndex
+      .map { case (m, i) => (1L, m, i.toLong) }.toDF("user_id", "m", "ord")
+    val r1 = Distribution.conditionalTransitionEntropy(cyc, col("user_id"),
+      col("m"), Seq(col("ord"))).collect().head
+    assert(r1.getLong(1) == 6L && r1.getDouble(2) == 0.0)
+    val joint = Distribution.transitionEntropy(cyc, col("user_id"),
+      col("m"), Seq(col("ord"))).collect().head
+    assert(math.abs(joint.getDouble(2) - math.log(3.0) / math.log(2.0)) < 1e-12)
+    // branching history: A -> {A,B,C} uniform, B -> A fixed
+    val br = Seq("A", "A", "B", "A", "C").zipWithIndex
+      .map { case (m, i) => (2L, m, i.toLong) }.toDF("user_id", "m", "ord")
+    val r2 = Distribution.conditionalTransitionEntropy(br, col("user_id"),
+      col("m"), Seq(col("ord"))).collect().head
+    assert(math.abs(r2.getDouble(2) - 0.75 * math.log(3.0) / math.log(2.0)) < 1e-12)
+  }
+
+  test("kfold: deterministic, total-preserving, reasonably balanced") {
+    val df = (1L to 1000L).map(Tuple1(_)).toDF("id")
+    def run() = Splits.kfold(df, col("id"), k = 5)
+      .groupBy(col("fold")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a == run()) // no RNG
+    assert(a.keySet == Set(0L, 1L, 2L, 3L, 4L) && a.values.sum == 1000L)
+    assert(a.values.forall(n => n > 120 && n < 280)) // md5 spread
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)
