@@ -225,6 +225,28 @@ object AmlPatterns {
           .as("chi2"))
   }
 
+  /** Identifier churn: how often a customer's IP CHANGES between
+    * consecutive transactions (device/proxy rotation — a takeover and
+    * anonymization signal that distinct-count alone misses: 100 txns
+    * alternating between 2 IPs is 99 switches but only 2 distinct).
+    * Switches compare consecutive non-null identifiers; the rate
+    * normalizes by transitions (n−1), NULL for single-event customers.
+    */
+  def ipChurn(tx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(unix_micros(col("event_timestamp")), col("transaction_id"))
+    tx.select(col("customer_id"), col("ip_address"),
+        lag(col("ip_address"), 1).over(w).as("prev"))
+      .groupBy(col("customer_id"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("ip_address")).as("distinct_ips"),
+        count(when(col("prev").isNotNull && col("prev") =!= col("ip_address"), 1))
+          .as("ip_switches"))
+      .withColumn("switch_rate",
+        when(col("n") > 1, col("ip_switches").cast("double") / (col("n") - 1)))
+  }
+
   /** Round-number bias per merchant: the share of whole-currency and
     * multiple-of-ten amounts. Human-chosen (laundered) amounts skew
     * round; organic ones are uniform in the cents digits.

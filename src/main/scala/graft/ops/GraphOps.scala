@@ -124,6 +124,23 @@ object GraphOps {
         col("graph_clustering_coefficient"))
   }
 
+  /** Degree assortativity of a symmetric edge list: the Pearson
+    * correlation of endpoint degrees across edges. Negative on
+    * hub-and-spoke laundering topologies (high-degree mules fan out to
+    * low-degree counterparties), positive on organic social/commercial
+    * graphs — a one-number structural fingerprint. One degree
+    * aggregation + two joins + `corr` (sample-vs-population cancels in
+    * the correlation ratio, so the value is engine-exact up to summation
+    * order).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), col("src") === col("a"))
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), col("dst") === col("b"))
+      .agg(count(lit(1)).as("n_edges"), corr(col("da"), col("db")).as("assortativity"))
+  }
+
   /** Bounded k-core peeling over a symmetric distinct edge list: up to
     * `rounds` iterations of "drop nodes with degree < k, restrict edges
     * to survivors". With enough rounds this converges to the true k-core;

@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Goh–Barabási burstiness of the inter-arrival process per key:
+    * B = (σ−μ)/(σ+μ) over the gap series (population σ, exact-micros
+    * gaps). B→1 for extreme bursts, ≈0 for Poisson arrivals, −1 for a
+    * perfectly regular (scripted) clock — the single-number complement
+    * to [[interarrival]]'s raw moments. NULL when there are no gaps;
+    * a single gap gives σ=0 → B=−1 (a two-event entity is maximally
+    * "regular" by definition, pinned in the oracle the same way).
+    */
+  def burstiness(df: DataFrame, key: Column, ts: Column, tie: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(unix_micros(ts).asc, tie.asc)
+    val micros = unix_micros(ts)
+    df.select(key.as("k"), (micros - lag(micros, 1).over(w)).as("gap"))
+      .groupBy(col("k"))
+      .agg(count(col("gap")).as("n_gaps"),
+        avg(col("gap")).as("mu"),
+        coalesce(stddev_pop(col("gap")), lit(0.0)).as("sd"))
+      .select(col("k"), col("n_gaps"),
+        when(col("n_gaps") >= 1 && (col("sd") + col("mu")) > 0,
+          (col("sd") - col("mu")) / (col("sd") + col("mu"))).as("burstiness"))
+  }
+
   /** Inter-arrival stats: avg/std/min/max interval (seconds),
     * regularity = std/avg (0 if avg<=0), burst ratio = frac(diff < 300 s).
     * Entities with a single event get all-zeros

@@ -175,6 +175,62 @@ object DomainQueries extends QueryPack {
         .select(col("fold"), col("n"), col("pos"),
           r6(col("pos").cast("double") / col("n")).as("pos_rate"))
     },
+    // identifier churn: consecutive-IP switches (rotation), not just
+    // distinct counts — 2 IPs alternated 100x is 99 switches
+    "q124_ip_churn" -> { (s, dir) =>
+      AmlPatterns.ipChurn(Tables.transactions(s, dir))
+        .select(col("customer_id"), col("n"), col("distinct_ips"),
+          col("ip_switches"), r6(col("switch_rate")).as("switch_rate"))
+    },
+    // Goh-Barabási burstiness of inter-arrival gaps: +1 bursty, 0
+    // Poisson, -1 clockwork (scripted) — one number per customer
+    "q125_burstiness" -> { (s, dir) =>
+      graft.ops.Temporal.burstiness(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_id"))
+        .select(col("k").as("customer_id"), col("n_gaps"),
+          r6(col("burstiness")).as("burstiness"))
+    },
+    // degree assortativity of the customer-merchant graph: one-number
+    // structural fingerprint (hub-and-spoke topologies go negative)
+    "q126_assortativity" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(concat(lit("c:"), col("user_id").cast("string")).as("src"),
+          concat(lit("m:"), col("event_type")).as("dst")).distinct()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.degreeAssortativity(sym)
+        .select(col("n_edges"), r6(col("assortativity")).as("assortativity"))
+    },
+    // embedding outlier screen: top-20 vectors by squared distance to the
+    // global centroid (training-data quality gate for the vector column);
+    // ranked by the ROUNDED distance so float noise cannot reorder
+    "q127_embedding_outliers" -> { (s, dir) =>
+      val exploded = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cent = exploded.groupBy(col("pos")).agg(avg(col("v")).as("c"))
+      exploded.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(sum(pow(col("v") - col("c"), 2)).as("d2raw"))
+        .select(col("vec_id"), r6(col("d2raw")).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(20)
+    },
+    // corpus dedup report: one-row summary of exact-duplicate mass and
+    // the token volume dropping it would save
+    "q128_dedup_report" -> { (s, dir) =>
+      val w = Window.partitionBy(md5(col("text")))
+      val rows = Tables.documents(s, dir).select(col("doc_id"),
+        md5(col("text")).as("fp"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("toks"),
+        (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+      rows.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        count(when(col("is_dup"), 1)).as("dup_docs"),
+        r6(count(when(col("is_dup"), 1)).cast("double") / count(lit(1)))
+          .as("dup_rate"),
+        sum(col("toks")).cast("long").as("tokens_total"),
+        coalesce(sum(when(col("is_dup"), col("toks"))), lit(0)).cast("long")
+          .as("tokens_dropped"))
+    },
     // dormant-account reactivation: longest-ever silence vs the gap just
     // before the latest txn (account-takeover / mule signal)
     "q115_dormancy" -> { (s, dir) =>
@@ -533,6 +589,53 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q124_ip_churn" ->
+      """WITH c AS (SELECT user_id, json_extract_string(props, 'k') AS ip,
+        lag(json_extract_string(props, 'k')) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events)
+SELECT user_id AS customer_id, count(*) AS n,
+  count(DISTINCT ip) AS distinct_ips,
+  count(*) FILTER (WHERE prev IS NOT NULL AND prev <> ip) AS ip_switches,
+  CASE WHEN count(*) > 1 THEN
+    round((count(*) FILTER (WHERE prev IS NOT NULL AND prev <> ip))::DOUBLE
+          / (count(*) - 1) + 5e-11, 4) END AS switch_rate
+FROM c GROUP BY 1""",
+    "q125_burstiness" ->
+      """WITH g AS (SELECT user_id,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap FROM events),
+s AS (SELECT user_id, count(gap) AS n_gaps, avg(gap) AS mu,
+        coalesce(stddev_pop(gap), 0.0) AS sd FROM g GROUP BY 1)
+SELECT user_id AS customer_id, n_gaps,
+  CASE WHEN n_gaps >= 1 AND sd + mu > 0
+       THEN round((sd - mu) / (sd + mu) + 5e-11, 4) END AS burstiness
+FROM s""",
+    "q126_assortativity" ->
+      """WITH b AS (SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events),
+e AS (SELECT src, dst FROM b UNION SELECT dst, src FROM b),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+SELECT count(*) AS n_edges,
+  round(corr(da.deg, db.deg) + 5e-11, 4) AS assortativity
+FROM e JOIN d da ON e.src = da.src JOIN d db ON e.dst = db.src""",
+    "q127_embedding_outliers" ->
+      """WITH x AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) AS t(i)),
+c AS (SELECT i, avg(v) AS c FROM x GROUP BY 1),
+d AS (SELECT vec_id, round(sum(pow(v - c.c, 2)) + 5e-11, 4) AS d2
+      FROM x JOIN c USING (i) GROUP BY 1)
+SELECT vec_id, d2 FROM d ORDER BY d2 DESC, vec_id ASC LIMIT 20""",
+    "q128_dedup_report" ->
+      """WITH r AS (SELECT doc_id, md5(text) AS fp,
+  len(regexp_extract_all(text, '\S+')) AS toks,
+  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents)
+SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+  count(*) FILTER (WHERE is_dup) AS dup_docs,
+  round((count(*) FILTER (WHERE is_dup))::DOUBLE / count(*) + 5e-11, 4) AS dup_rate,
+  sum(toks)::BIGINT AS tokens_total,
+  coalesce(sum(toks) FILTER (WHERE is_dup), 0)::BIGINT AS tokens_dropped
+FROM r""",
     "q121_hits" -> graft.ops.Hits.oracleSql(
       "SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events",
       iters = 6, round = s => s"round($s + 5e-11, 4)"),

@@ -324,6 +324,38 @@ class DomainSpec extends AnyFunSuite {
     assert(a.values.forall(n => n > 120 && n < 280)) // md5 spread
   }
 
+  test("ip churn: alternation counts every switch, distinct count stays small") {
+    val tx = Seq(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 10L), (1L, 3L, "a", 20L), (1L, 4L, "b", 30L),
+      (2L, 5L, "x", 0L), (2L, 6L, "x", 10L),
+      (3L, 7L, "y", 0L)
+    ).toDF("customer_id", "transaction_id", "ip_address", "s")
+      .withColumn("event_timestamp", timestamp_seconds(col("s")))
+    val out = AmlPatterns.ipChurn(tx)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 2 && out(1L).getLong(3) == 3) // 2 ips, 3 switches
+    assert(math.abs(out(1L).getDouble(4) - 1.0) < 1e-12) // every transition switches
+    assert(out(2L).getLong(3) == 0 && out(2L).getDouble(4) == 0.0)
+    assert(out(3L).isNullAt(4)) // single event: rate undefined
+  }
+
+  test("burstiness: clockwork arrivals are -1, a heavy burst is positive") {
+    import graft.ops.Temporal
+    val clock = (0L to 10L).map(i => (1L, i, i * 100L)).toDF("user_id", "event_id", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r1 = Temporal.burstiness(clock, col("user_id"), col("ts"), col("event_id"))
+      .collect().head
+    assert(r1.getLong(1) == 10L && math.abs(r1.getDouble(2) - (-1.0)) < 1e-12)
+    // 10 events in 10s then one 10h later: B approaches the n-gap
+    // maximum (sqrt(n-1)-1)/(sqrt(n-1)+1) = 0.5 for 10 gaps
+    val burst = ((0L to 9L).map(i => (2L, i, i)) :+ (2L, 10L, 36000L))
+      .toDF("user_id", "event_id", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r2 = Temporal.burstiness(burst, col("user_id"), col("ts"), col("event_id"))
+      .collect().head
+    assert(r2.getDouble(2) > 0.45, s"got ${r2.getDouble(2)}")
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)

@@ -60,4 +60,16 @@ class GraphSpec extends AnyFunSuite {
     val psym = path.union(path.select(col("dst").as("src"), col("src").as("dst")))
     assert(GraphOps.boundedKCore(psym, k = 2, rounds = 3).count() == 0L)
   }
+
+  test("assortativity: a star is perfectly disassortative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hub degree 3 joined to leaves of degree 1: endpoint degrees are
+    // (3,1)/(1,3) on every edge -> Pearson correlation exactly -1
+    val raw = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val r = GraphOps.degreeAssortativity(sym).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-12)
+  }
 }
