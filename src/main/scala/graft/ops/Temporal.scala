@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Circular (circadian) rhythm per key: events mapped to angles on the
+    * 24 h clock, R = mean resultant length ∈ [0,1] (1 = all activity at
+    * one instant of day, 0 = uniform around the clock — the correct
+    * "peak hour concentration" statistic, unlike a modal-bucket ratio it
+    * sees 23:55 and 00:05 as NEAR), peak_hour = mean direction mapped to
+    * [0,24). One narrow projection + one aggregation; trig ulp
+    * differences between engines are absorbed by the caller's rounding.
+    */
+  def circadian(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val twoPi = 2 * math.Pi
+    val theta = ((unix_micros(ts) % 86400000000L).cast("double")
+      / 86400000000L.toDouble) * twoPi
+    df.select(key.as("k"), cos(theta).as("cx"), sin(theta).as("sy"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), avg(col("cx")).as("mc"), avg(col("sy")).as("ms"))
+      .select(col("k"), col("n"),
+        sqrt(col("mc") * col("mc") + col("ms") * col("ms")).as("rhythm_r"),
+        ((((atan2(col("ms"), col("mc")) % twoPi) + twoPi) % twoPi)
+          / twoPi * 24).as("peak_hour"))
+  }
+
   /** Goh–Barabási burstiness of the inter-arrival process per key:
     * B = (σ−μ)/(σ+μ) over the gap series (population σ, exact-micros
     * gaps). B→1 for extreme bursts, ≈0 for Poisson arrivals, −1 for a

@@ -231,6 +231,23 @@ object DomainQueries extends QueryPack {
         coalesce(sum(when(col("is_dup"), col("toks"))), lit(0)).cast("long")
           .as("tokens_dropped"))
     },
+    // char-trigram diversity: the repetition/boilerplate filter a corpus
+    // pipeline runs before tokenization (low = template text)
+    "q129_trigram_diversity" -> { (s, dir) =>
+      graft.scale.TextOps.trigramDiversity(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+          r6(col("diversity")).as("diversity"))
+    },
+    // circadian rhythm: circular mean resultant length + peak hour per
+    // customer (23:55 and 00:05 are NEAR, unlike bucket histograms)
+    "q130_circadian" -> { (s, dir) =>
+      graft.ops.Temporal.circadian(Tables.events(s, dir),
+          col("user_id"), col("ts"))
+        .select(col("k").as("customer_id"), col("n"),
+          r6(col("rhythm_r")).as("rhythm_r"),
+          r6(col("peak_hour")).as("peak_hour"))
+    },
     // dormant-account reactivation: longest-ever silence vs the gap just
     // before the latest txn (account-takeover / mule signal)
     "q115_dormancy" -> { (s, dir) =>
@@ -589,6 +606,27 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q129_trigram_diversity" ->
+      """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+x AS (SELECT doc_id, substr(t, i, 3) AS tri
+      FROM b, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+g AS (SELECT doc_id, count(*) AS n_trigrams, count(DISTINCT tri) AS n_distinct
+      FROM x GROUP BY 1)
+SELECT b.doc_id, coalesce(g.n_trigrams, 0) AS n_trigrams,
+  coalesce(g.n_distinct, 0) AS n_distinct,
+  CASE WHEN g.n_trigrams > 0
+       THEN round(g.n_distinct::DOUBLE / g.n_trigrams + 5e-11, 4) END AS diversity
+FROM b LEFT JOIN g USING (doc_id)""",
+    "q130_circadian" ->
+      """WITH a AS (SELECT user_id,
+  cos((epoch_us(ts) % 86400000000)::DOUBLE / 86400000000 * (2 * pi())) AS cx,
+  sin((epoch_us(ts) % 86400000000)::DOUBLE / 86400000000 * (2 * pi())) AS sy
+FROM events),
+s AS (SELECT user_id, count(*) AS n, avg(cx) AS mc, avg(sy) AS ms FROM a GROUP BY 1)
+SELECT user_id AS customer_id, n,
+  round(sqrt(mc * mc + ms * ms) + 5e-11, 4) AS rhythm_r,
+  round((((atan2(ms, mc) % (2 * pi())) + 2 * pi()) % (2 * pi())) / (2 * pi()) * 24 + 5e-11, 4) AS peak_hour
+FROM s""",
     "q124_ip_churn" ->
       """WITH c AS (SELECT user_id, json_extract_string(props, 'k') AS ip,
         lag(json_extract_string(props, 'k')) OVER (

@@ -146,4 +146,26 @@ object TextOps {
         (greatest(bestScore, s), when(s > bestScore, l).otherwise(bestLang))
     }._2
   }
+
+  /** Character-trigram diversity: distinct trigrams / total trigrams of
+    * the lowercased, whitespace-collapsed text. A cheap compressibility
+    * proxy — boilerplate and template-generated text repeat trigrams and
+    * score low, organic prose scores high; the standard repetition
+    * filter a corpus pipeline runs before tokenization. Narrow map (the
+    * trigram array never leaves its row); docs shorter than 3 chars get
+    * 0 trigrams and a NULL ratio.
+    */
+  def trigramDiversity(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    docs.select(id.as("doc_id"),
+        lower(regexp_replace(text, "\\s+", " ")).as("t"))
+      .select(col("doc_id"),
+        when(length(col("t")) >= 3,
+          expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .otherwise(array().cast("array<string>")).as("tris"))
+      .select(col("doc_id"), size(col("tris")).as("n_trigrams"),
+        size(array_distinct(col("tris"))).as("n_distinct"))
+      .withColumn("diversity", when(col("n_trigrams") > 0,
+        col("n_distinct").cast("double") / col("n_trigrams")))
+  }
 }

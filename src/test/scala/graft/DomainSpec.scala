@@ -356,6 +356,34 @@ class DomainSpec extends AnyFunSuite {
     assert(r2.getDouble(2) > 0.45, s"got ${r2.getDouble(2)}")
   }
 
+  test("trigram diversity: repetition scores low, distinct text scores 1, short text null") {
+    import graft.scale.TextOps
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "ab"), (4L, "a  b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.trigramDiversity(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 1
+      && out(1L).getDouble(3) == 0.5)
+    assert(out(2L).getInt(1) == 2 && out(2L).getDouble(3) == 1.0)
+    assert(out(3L).getInt(1) == 0 && out(3L).isNullAt(3))
+    assert(out(4L).getInt(1) == 1) // whitespace collapsed: "a b" -> one trigram
+  }
+
+  test("circadian: same time-of-day across days gives R=1 at that hour; spread gives R~0") {
+    import graft.ops.Temporal
+    // 06:00 on three different days
+    val sameHour = Seq(0, 1, 2).map(d => (1L, 86400L * d + 6 * 3600L))
+      .toDF("user_id", "s").withColumn("ts", timestamp_seconds(col("s")))
+    val r1 = Temporal.circadian(sameHour, col("user_id"), col("ts")).collect().head
+    assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(r1.getDouble(3) - 6.0) < 1e-9)
+    // four points uniform around the clock cancel out
+    val uniform = Seq(0, 6, 12, 18).map(h => (2L, h * 3600L))
+      .toDF("user_id", "s").withColumn("ts", timestamp_seconds(col("s")))
+    val r2 = Temporal.circadian(uniform, col("user_id"), col("ts")).collect().head
+    assert(r2.getDouble(2) < 1e-9, s"got ${r2.getDouble(2)}")
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)
