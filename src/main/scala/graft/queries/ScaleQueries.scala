@@ -96,6 +96,20 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
           r6(col("cos")).as("cos"))
     },
+    // corpus-trigram LM score: the perplexity-filter miniature (alien
+    // text scores low under the corpus trigram distribution)
+    "q131_trigram_lm" -> { (s, dir) =>
+      TextOps.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_trigrams"), r6(col("lm_score")).as("lm_score"))
+    },
+    // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // per query (what a contrastive loss trains against)
+    "q132_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
+          r6(col("cos")).as("cos"))
+    },
     "q55_winnowing" -> { (s, dir) =>
       // the kernel map is CPU-bound and the corpus file is one input
       // split — spread the rows first (standard small-input/expensive-map
@@ -450,6 +464,27 @@ m AS (
     max(i) OVER (PARTITION BY doc_id) AS maxi
   FROM g)
 SELECT DISTINCT doc_id, fp FROM m WHERE i <= maxi - 3""",
+    "q131_trigram_lm" ->
+      """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+x AS (SELECT doc_id, substr(t, i, 3) AS tri
+      FROM b, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+c AS (SELECT tri, count(*) AS c FROM x GROUP BY 1),
+tt AS (SELECT sum(c)::DOUBLE AS tt FROM c)
+SELECT x.doc_id, count(*) AS n_trigrams,
+  round(avg(ln(c.c::DOUBLE / tt.tt)) + 5e-11, 4) AS lm_score
+FROM x JOIN c USING (tri) CROSS JOIN tt GROUP BY 1""",
+    "q132_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe
+       FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id AND e.label != q.ql),
+r AS (SELECT query_id, nbr_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT query_id, nbr_id, rank, round(cos + 5e-11, 4) AS cos FROM r WHERE rank <= 5""",
     "q35_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 s AS (SELECT q.query_id, e.vec_id AS nbr_id,

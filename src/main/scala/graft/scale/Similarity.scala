@@ -43,6 +43,23 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * the examples a metric-learning loss gains most from. Same
+    * broadcast-scored shape as [[cosineTopK]]; the label predicate
+    * prunes before ranking so the rank is within true negatives.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .select(col("vec_id").as("nbr_id"), col("label").as("nl"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label").as("ql"), col("embedding").as("qe"))))
+      .where(col("nbr_id") =!= col("query_id") && col("nl") =!= col("ql"))
+      .select(col("query_id"), col("nbr_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine >= tau.
     *
     * Exact all-pairs, but NOT via per-pair array expressions — zip_with/

@@ -147,6 +147,31 @@ object TextOps {
     }._2
   }
 
+  /** Corpus-trigram language-model score: the mean log-probability of a
+    * document's character trigrams under the corpus trigram distribution
+    * — the SQL-exact miniature of the perplexity filter LLM pipelines
+    * run against a reference LM (docs whose trigrams are corpus-typical
+    * score high; alien/garbled text scores low). One explode + one
+    * count aggregation + one join back on the trigram key; the count
+    * table is dictionary-sized, so AQE broadcasts it at test SF while
+    * the same plan shuffle-joins at corpus scale. Docs with fewer than
+    * 3 chars emit no row.
+    */
+  def trigramLmScore(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val tris = docs
+      .select(id.as("doc_id"), lower(regexp_replace(text, "\\s+", " ")).as("t"))
+      .select(col("doc_id"), explode(when(length(col("t")) >= 3,
+          expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+        .otherwise(array().cast("array<string>"))).as("tri"))
+    val counts = tris.groupBy(col("tri")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("tt"))
+    tris.join(counts, "tri").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        avg(log(col("c").cast("double") / col("tt"))).as("lm_score"))
+  }
+
   /** Character-trigram diversity: distinct trigrams / total trigrams of
     * the lowercased, whitespace-collapsed text. A cheap compressibility
     * proxy — boilerplate and template-generated text repeat trigrams and

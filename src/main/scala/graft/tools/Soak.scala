@@ -100,6 +100,30 @@ object Soak {
         graft.ops.QualityChecks.InRange("c", col("amount"), 0, 1000, 0.9)))
         .write.format("noop").mode("overwrite").save())
 
+    // round-3 additions: iterative graph ops at k-fold node count (cost ~
+    // edges x iters), the bounded self-join at k-fold keys (pair space
+    // replicates, not squares — the join key carries the shifted id), and
+    // the narrow text/sequence ops at k-fold rows
+    time(s"hits-${k}x-nodes")(
+      graft.ops.Hits.run(
+        wide.select(concat(lit("c:"), col("customer_id")).as("src"),
+          col("merchant_id").as("dst")).distinct(), iters = 6)
+        .write.format("noop").mode("overwrite").save())
+    time(s"kcore-${k}x-nodes")(
+      graft.ops.GraphOps.boundedKCore(edges, k = 2, rounds = 4)
+        .write.format("noop").mode("overwrite").save())
+    time(s"mirror-pairs-${k}x-keys")(
+      graft.ops.AmlPatterns.mirrorPairs(wide, windowSeconds = 86400L)
+        .write.format("noop").mode("overwrite").save())
+    time(s"transition-entropy-${k}x-keys")(
+      graft.ops.Distribution.transitionEntropy(wide, col("customer_id"),
+        col("merchant_id"),
+        Seq(unix_micros(col("event_timestamp")), col("transaction_id")))
+        .write.format("noop").mode("overwrite").save())
+    time(s"trigram-diversity-${k}x-docs")(
+      graft.scale.TextOps.trigramDiversity(docs, col("doc_id"), col("text"))
+        .write.format("noop").mode("overwrite").save())
+
     spark.stop()
   }
 }

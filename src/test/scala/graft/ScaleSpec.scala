@@ -88,6 +88,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("trigram LM score: corpus-typical text outscores text with rare trigrams") {
+    // corpus counts: aaa x3, aab x1, tt=4
+    val docs = Seq((1L, "aaaa"), (2L, "aaab")).toDF("doc_id", "text")
+    val out = TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - math.log(0.75)) < 1e-12)
+    assert(math.abs(out(2L)._2 - (math.log(0.75) + math.log(0.25)) / 2) < 1e-12)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("hard negatives: ranked within different-label vectors only") {
+    val docs = Seq(
+      (0L, 1L, Array(1f, 0f, 0f)),  // query, label 1
+      (1L, 1L, Array(0.99f, 0.1f, 0f)), // same label: must be excluded
+      (2L, 2L, Array(0.9f, 0.4f, 0f)),  // label 2, closest negative
+      (3L, 2L, Array(0f, 1f, 0f))       // label 2, far
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(docs, docs.where(col("vec_id") === 0), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq((2L, 1), (3L, 2))) // label-1 vec 1 never appears
+  }
+
   test("LSH cosine top-k: returned cosines are exact; recall is nonzero") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 5)
