@@ -66,6 +66,9 @@ object GraftExtensions {
     (FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(text) - one-pass 32-bit SimHash over whitespace tokens; NULL when no tokens"),
       (es: Seq[Expression]) => SimHash32(es.head)),
+    (FunctionIdentifier("trigram_stats"),
+      info("trigram_stats", "trigram_stats(text) - (total<<32)|distinct char trigrams of the lowercased, ws-collapsed text"),
+      (es: Seq[Expression]) => TrigramStats(es.head)),
     (FunctionIdentifier("winnow"),
       info("winnow", "winnow(text, k, w) - distinct window-min k-gram hashes (MOSS fingerprints); k and w must be int literals"),
       (es: Seq[Expression]) =>

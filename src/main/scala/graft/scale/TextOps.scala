@@ -176,11 +176,34 @@ object TextOps {
     * the lowercased, whitespace-collapsed text. A cheap compressibility
     * proxy — boilerplate and template-generated text repeat trigrams and
     * score low, organic prose scores high; the standard repetition
-    * filter a corpus pipeline runs before tokenization. Narrow map (the
-    * trigram array never leaves its row); docs shorter than 3 chars get
-    * 0 trigrams and a NULL ratio.
+    * filter a corpus pipeline runs before tokenization. Docs shorter
+    * than 3 chars get 0 trigrams and a NULL ratio.
+    *
+    * Uses the one-pass [[graft.functions.TrigramStats]] kernel — a
+    * narrow codegen'd projection (21 s -> 0.4 s at 10x-soak corpus size
+    * vs the composable transform+array_distinct form, whose interpreted
+    * lambdas allocate a String per trigram).
+    * [[trigramDiversityComposable]] is the property-test twin.
     */
   def trigramDiversity(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // coalesce matches the composable form, where a NULL text falls into
+    // the otherwise(empty-array) branch and yields (0, 0, null)
+    val packed = coalesce(ColumnBridge.column(
+      graft.functions.TrigramStats(ColumnBridge.expression(text))), lit(0L))
+    docs.select(id.as("doc_id"), packed.as("p"))
+      .select(col("doc_id"),
+        shiftright(col("p"), 32).cast("int").as("n_trigrams"),
+        col("p").bitwiseAND(lit(0xffffffffL)).cast("int").as("n_distinct"))
+      .withColumn("diversity", when(col("n_trigrams") > 0,
+        col("n_distinct").cast("double") / col("n_trigrams")))
+  }
+
+  /** Composable (pure-DataFrame) twin of [[trigramDiversity]] — same
+    * values via transform + array_distinct; kept as the cross-check.
+    */
+  def trigramDiversityComposable(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column): org.apache.spark.sql.DataFrame = {
     docs.select(id.as("doc_id"),
         lower(regexp_replace(text, "\\s+", " ")).as("t"))

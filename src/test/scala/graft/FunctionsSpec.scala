@@ -66,6 +66,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(winH.where(abs(col("native") - col("hof")) > 1e-9).count() == 0)
   }
 
+  test("trigram_stats kernel equals the composable form on real docs and edge cases") {
+    import spark.implicits._
+    import graft.scale.TextOps
+    val edge = Seq(
+      (9001L, ""), (9002L, "  "), (9003L, "ab"), (9004L, "abc"),
+      (9005L, "a  b\tc\nd"), (9006L, "aAaA"), // case folding collapses to one trigram
+      (9007L, "café café"), // 2-byte chars
+      (9008L, "日本語日本語"), // 3-byte chars
+      (9009L, "a😀b😀a") // astral (4-byte) chars
+    ).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).union(edge)
+    val kernel = TextOps.trigramDiversity(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val twin = TextOps.trigramDiversityComposable(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(kernel.keySet == twin.keySet)
+    kernel.foreach { case (id, v) => assert(v == twin(id), s"doc $id: $v vs ${twin(id)}") }
+    // spot-check the hand-computable fixtures
+    assert(kernel(9004L) == ((1, 1)))
+    assert(kernel(9006L) == ((2, 1))) // "aaaa" -> aaa x2
+    assert(kernel(9002L) == ((0, 0)))
+  }
+
   test("rolling_hashes: rolling update equals the naive polynomial; short text empty") {
     import graft.functions.RollingHashKernel.{B, M}
     def naive(s: String, k: Int, i: Int): Long =
