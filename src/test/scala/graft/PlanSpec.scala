@@ -49,6 +49,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // "*(n)" operator prefix == whole-stage codegen stage
   }
 
+  test("peak-velocity: both frames and the max ride ONE exchange on the entity key") {
+    // window partitionBy(customer) then groupBy(customer): the aggregation
+    // reuses the window's hash partitioning — no second shuffle
+    val p = plan(graft.queries.DomainQueries.defs("q111_peak_velocity")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("trigram diversity is a narrow kernel projection: no exchange at all") {
+    val p = plan(graft.queries.DomainQueries.defs("q129_trigram_diversity")(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), s"narrow plan expected:\n$p")
+    assert(p.contains("trigram_stats"), p)
+  }
+
   test("dimension joins broadcast the small side") {
     val p = plan(RelationalQueries.defs("q26_segment_revenue")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
