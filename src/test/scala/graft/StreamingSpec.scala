@@ -336,6 +336,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming mirror detector: cumulative pair totals == batch mirror pairs (q118 twin)") {
+    import spark.implicits._
+    import graft.streaming.MirrorProcessor
+    // planted mirrors: repeated exact amounts across merchants, one pair
+    // pushed outside the 1h window, one same-merchant repeat (no pair)
+    val fixture = Seq(
+      (1L, 1L, "m1", 25.00, 0L), (1L, 2L, "m2", 25.00, 600L),
+      (1L, 3L, "m3", 25.00, 1200L),    // 3 cross-merchant pairs so far
+      (1L, 4L, "m1", 25.00, 1800L),    // pairs with m2,m3 (m1 same) -> +2
+      (1L, 5L, "m2", 99.99, 2000L), (1L, 6L, "m2", 99.99, 2100L), // same merchant: 0
+      (2L, 7L, "m1", 50.00, 0L), (2L, 8L, "m2", 50.00, 7200L),    // out of window: 0
+      (3L, 9L, "m1", 10.00, 0L), (3L, 10L, "m2", 10.00, 3600L)    // boundary: in window
+    ).map { case (c, id, m, a, s) => (c, id, m, a, s * 1000000L) }
+      .toDF("customer_id", "transaction_id", "merchant_id", "amount", "ts_micros")
+    val tx = fixture.withColumn("event_timestamp",
+      timestamp_micros(col("ts_micros")))
+    val stream = fixture
+      .select(col("customer_id"), col("ts_micros"), col("amount"),
+        col("merchant_id"), lit("ip").as("ip_address")).as[StreamTxn]
+      .collect().sortBy(_.ts_micros)
+    val (b1, b2) = stream.partition(_.ts_micros <= 1200L * 1000000L)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = MirrorProcessor.screen(input.toDS(), windowSeconds = 3600L)
+      .writeStream.format("memory").queryName("mirror").outputMode("append").start()
+    try {
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("mirror").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.length == stream.length)
+    val finalTotals = rows.groupBy(_._1)
+      .map { case (c, es) => c -> es.maxBy(_._2)._4 }
+    val batch = graft.ops.AmlPatterns.mirrorPairs(tx, windowSeconds = 3600L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch emits only customers with >= 1 pair; streaming totals agree
+    assert(finalTotals(1L) == batch(1L) && batch(1L) == 5L)
+    assert(finalTotals(3L) == batch(3L) && batch(3L) == 1L)
+    assert(finalTotals(2L) == 0L && !batch.contains(2L))
+  }
+
   test("streaming structuring screen: final state per customer == batch screen (q79 twin)") {
     import spark.implicits._
     import graft.streaming.StructuringProcessor
