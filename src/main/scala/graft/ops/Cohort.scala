@@ -40,4 +40,33 @@ object Cohort {
         col("cohort_size"),
         (col("active_users").cast("double") / col("cohort_size")).as("retention"))
   }
+
+  /** Weekly growth accounting — the standard user-base decomposition:
+    * per week, how many active users are NEW (first week ever), RETAINED
+    * (also active the previous week), or RESURRECTED (returning after a
+    * gap); plus CHURNED_AFTER (active this week, silent the next — the
+    * forward-attributed churn). new + retained + resurrected = weekly
+    * actives by construction. One distinct (user, week) projection, one
+    * per-user lag/lead window, one groupBy(week) — counts are exact
+    * integers at any scale.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val weeks = events.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+      .select(col("user_id"), col("wk"),
+        min(col("wk")).over(Window.partitionBy(col("user_id"))).as("first_wk"),
+        lag(col("wk"), 1).over(w).as("prev_wk"),
+        lead(col("wk"), 1).over(w).as("next_wk"))
+    weeks.groupBy(col("wk").as("week"))
+      .agg(
+        count(when(col("wk") === col("first_wk"), 1)).as("new_users"),
+        count(when(col("prev_wk") === date_sub(col("wk"), 7), 1)).as("retained"),
+        count(when(col("wk") =!= col("first_wk") &&
+          (col("prev_wk").isNull || col("prev_wk") < date_sub(col("wk"), 7)), 1))
+          .as("resurrected"),
+        count(when(col("next_wk").isNull || col("next_wk") > date_add(col("wk"), 7), 1))
+          .as("churned_after"))
+  }
 }

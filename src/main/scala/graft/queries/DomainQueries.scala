@@ -231,6 +231,44 @@ object DomainQueries extends QueryPack {
         coalesce(sum(when(col("is_dup"), col("toks"))), lit(0)).cast("long")
           .as("tokens_dropped"))
     },
+    // day-of-week seasonal index per merchant: avg daily volume by dow
+    // over the merchant's overall daily average
+    "q133_seasonal_index" -> { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type").as("m"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val byDow = d.groupBy(col("m"), dayofweek(col("day")).as("dow"))
+        .agg(avg(col("c")).as("avg_c"))
+      val overall = d.groupBy(col("m").as("m2")).agg(avg(col("c")).as("ov"))
+      byDow.join(broadcast(overall), col("m") === col("m2"))
+        .select(col("m").as("merchant_id"), col("dow").cast("long").as("dow"),
+          r6(col("avg_c")).as("avg_daily_cnt"),
+          r6(col("avg_c") / col("ov")).as("seasonal_index"))
+    },
+    // weekly growth accounting: new / retained / resurrected actives +
+    // forward-attributed churn (new+retained+resurrected = weekly actives)
+    "q134_growth_accounting" -> { (s, dir) =>
+      Cohort.growthAccounting(Tables.events(s, dir))
+        .select(col("week").cast("string").as("week"), col("new_users"),
+          col("retained"), col("resurrected"), col("churned_after"))
+    },
+    // trailing-28d daily volume anomaly per merchant: z-score of each
+    // day's count against its own trailing window (self-inclusive)
+    "q135_daily_anomaly" -> { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type").as("m"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("m")).orderBy(unix_date(col("day")))
+        .rangeBetween(-27, 0)
+      d.select(col("m").as("merchant_id"), col("day").cast("string").as("day"),
+          col("c"), avg(col("c")).over(w).as("mu"),
+          stddev_pop(col("c")).over(w).as("sd"))
+        .select(col("merchant_id"), col("day"), col("c"),
+          r6(col("mu")).as("mu28"),
+          r6(when(col("sd") > 0, (col("c") - col("mu")) / col("sd"))).as("z"),
+          coalesce(when(col("sd") > 0, abs((col("c") - col("mu")) / col("sd")) > 3),
+            lit(false)).as("anomalous"))
+    },
     // char-trigram diversity: the repetition/boilerplate filter a corpus
     // pipeline runs before tokenization (low = template text)
     "q129_trigram_diversity" -> { (s, dir) =>
@@ -606,6 +644,38 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q133_seasonal_index" ->
+      """WITH d AS (SELECT event_type AS m, ts::DATE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+g AS (SELECT m, dayofweek(day) + 1 AS dow, avg(c::DOUBLE) AS avg_c FROM d GROUP BY 1, 2),
+t AS (SELECT m, avg(c::DOUBLE) AS ov FROM d GROUP BY 1)
+SELECT g.m AS merchant_id, g.dow::BIGINT AS dow,
+  round(g.avg_c + 5e-11, 4) AS avg_daily_cnt,
+  round(g.avg_c / t.ov + 5e-11, 4) AS seasonal_index
+FROM g JOIN t USING (m)""",
+    "q134_growth_accounting" ->
+      """WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+x AS (SELECT user_id, wk,
+        min(wk) OVER (PARTITION BY user_id) AS first_wk,
+        lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM w)
+SELECT wk::VARCHAR AS week,
+  count(*) FILTER (WHERE wk = first_wk) AS new_users,
+  count(*) FILTER (WHERE prev_wk = wk - 7) AS retained,
+  count(*) FILTER (WHERE wk <> first_wk AND (prev_wk IS NULL OR prev_wk < wk - 7)) AS resurrected,
+  count(*) FILTER (WHERE next_wk IS NULL OR next_wk > wk + 7) AS churned_after
+FROM x GROUP BY 1""",
+    "q135_daily_anomaly" ->
+      """WITH d AS (SELECT event_type AS m, ts::DATE AS day, count(*) AS c FROM events GROUP BY 1, 2),
+z AS (SELECT m, day, c,
+        avg(c) OVER w AS mu, stddev_pop(c) OVER w AS sd
+      FROM d WINDOW w AS (PARTITION BY m ORDER BY (day - DATE '1970-01-01')
+                          RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+SELECT m AS merchant_id, day::VARCHAR AS day, c,
+  round(mu + 5e-11, 4) AS mu28,
+  CASE WHEN sd > 0 THEN round((c - mu) / sd + 5e-11, 4) END AS z,
+  coalesce(CASE WHEN sd > 0 THEN abs((c - mu) / sd) > 3 END, false) AS anomalous
+FROM z""",
     "q129_trigram_diversity" ->
       """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
 x AS (SELECT doc_id, substr(t, i, 3) AS tri

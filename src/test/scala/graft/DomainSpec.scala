@@ -384,6 +384,24 @@ class DomainSpec extends AnyFunSuite {
     assert(r2.getDouble(2) < 1e-9, s"got ${r2.getDouble(2)}")
   }
 
+  test("growth accounting: new/retained/resurrected/churned decompose weekly actives") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // weeks (Mon-start): W1=Jan 5, W2=Jan 12, W4=Jan 26
+    val ev = Seq(
+      (1L, ts("2026-01-05 10:00:00")), (1L, ts("2026-01-14 10:00:00")),
+      (1L, ts("2026-01-28 10:00:00")), // u1: W1, W2, gap, W4
+      (2L, ts("2026-01-06 10:00:00")), // u2: W1 only
+      (3L, ts("2026-01-13 10:00:00"))  // u3: W2 only
+    ).toDF("user_id", "ts")
+    val out = Cohort.growthAccounting(ev)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("2026-01-05") == ((2L, 0L, 0L, 1L))) // u1,u2 new; u2 churns after
+    assert(out("2026-01-12") == ((1L, 1L, 0L, 2L))) // u3 new, u1 retained; u1+u3 churn after
+    assert(out("2026-01-26") == ((0L, 0L, 1L, 1L))) // u1 resurrects, then churns
+    assert(out.size == 3)
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)
