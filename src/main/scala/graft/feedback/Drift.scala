@@ -28,6 +28,27 @@ object Drift {
         (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
   }
 
+  /** Mid-rank AUC per group — segment-sliced model evaluation (the
+    * fairness/stability view a single global AUC hides: a model can hold
+    * 0.9 overall while collapsing to coin-flip inside one merchant
+    * segment). Same Wilcoxon rank-sum identity as [[auc]], with every
+    * window and aggregation partitioned by the group key — one exchange.
+    * Single-class groups emit NULL (AUC undefined there).
+    */
+  def groupedAuc(df: DataFrame, group: Column, label: Column, score: Column): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+    val tied = Window.partitionBy(col("g"), col("s"))
+    val ranked = df.select(group.as("g"), label.cast("int").as("y"), score.as("s"))
+      .select(col("g"), col("y"),
+        (rank().over(w) + (count(lit(1)).over(tied) - 1) / 2.0).as("midrank"))
+    ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+      when(sum(col("y")) > 0 && sum(col("y")) < count(lit(1)),
+        (sum(when(col("y") === 1, col("midrank"))) -
+          sum(col("y")) * (sum(col("y")) + 1) / 2.0) /
+          (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
+  }
+
   /** Windowed AUC drift (A35; reference `feedback_system.py:166-202`):
     * AUC over the trailing 7 days vs the 7 days before, relative to the
     * data's max timestamp. Drift when recent AUC degrades by more than

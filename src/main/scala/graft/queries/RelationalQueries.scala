@@ -117,6 +117,14 @@ snap AS (
         .select(r6(col("ks_stat")).as("ks_stat"),
           r6(col("ks_pvalue")).as("ks_pvalue"), col("drift_detected"))
     },
+    // segment-sliced AUC: the per-merchant discrimination a global AUC
+    // hides (fairness/stability slice of model evaluation)
+    "q136_segment_auc" -> { (s, dir) =>
+      Drift.groupedAuc(Tables.events(s, dir), col("event_type"),
+          hour(col("ts")) >= 12, col("value"))
+        .select(col("g").as("merchant_id"), col("n"), col("n_pos"),
+          r6(col("auc")).as("auc"))
+    },
     "q25_lineitem_agg" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -287,6 +295,16 @@ a AS (SELECT (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
         / (sum(y)*(count(*) - sum(y))) AS auc FROM r),
 acc AS (SELECT avg(CASE WHEN (value > 100.0) = (event_type = 'error') THEN 1.0 ELSE 0.0 END) AS accuracy FROM events)
 SELECT round(a.auc+ 5e-11, 4) AS auc, round(acc.accuracy+ 5e-11, 4) AS accuracy FROM a CROSS JOIN acc""",
+    "q136_segment_auc" ->
+      """WITH s AS (SELECT event_type AS m, CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS y, value AS sc FROM events),
+r AS (SELECT m, y, rank() OVER (PARTITION BY m ORDER BY sc)
+        + (count(*) OVER (PARTITION BY m, sc) - 1)/2.0 AS midrank FROM s),
+g AS (SELECT m, count(*) AS n, sum(y) AS np,
+        sum(CASE WHEN y = 1 THEN midrank END) AS rp FROM r GROUP BY 1)
+SELECT m AS merchant_id, n, np::BIGINT AS n_pos,
+  CASE WHEN np > 0 AND np < n
+       THEN round((rp - np*(np + 1)/2.0) / (np*(n - np)) + 5e-11, 4) END AS auc
+FROM g""",
     "q24_ks_drift" ->
       ("""WITH s AS (SELECT value AS v,
     CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS g FROM events),

@@ -110,6 +110,24 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
           r6(col("cos")).as("cos"))
     },
+    // kNN label-consistency screen: flag vectors whose 5 nearest
+    // neighbors mostly carry a DIFFERENT label (mislabeled-example
+    // detection — the embedding-space QA pass of a training pipeline)
+    "q137_knn_consistency" -> { (s, dir) =>
+      // audit-sample the queries: label QA is a sampled screen, and the
+      // exact all-pairs form must stay bench-sized (the corpus-scale
+      // path prunes candidates through the q56/q59 LSH/IVF buckets)
+      val emb = Tables.embeddings(s, dir)
+      val labels = emb.select(col("vec_id"), col("label"))
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 1000), k = 5)
+        .join(broadcast(labels.select(col("vec_id").as("query_id"), col("label").as("ql"))),
+          "query_id")
+        .join(broadcast(labels.select(col("vec_id").as("nbr_id"), col("label").as("nl"))),
+          "nbr_id")
+        .groupBy(col("query_id").as("vec_id"), col("ql").as("label"))
+        .agg(count(when(col("nl") === col("ql"), 1)).as("knn_agree"))
+        .withColumn("suspected", col("knn_agree") * 2 < 5)
+    },
     "q55_winnowing" -> { (s, dir) =>
       // the kernel map is CPU-bound and the corpus file is one input
       // split — spread the rows first (standard small-input/expensive-map
@@ -464,6 +482,17 @@ m AS (
     max(i) OVER (PARTITION BY doc_id) AS maxi
   FROM g)
 SELECT DISTINCT doc_id, fp FROM m WHERE i <= maxi - 3""",
+    "q137_knn_consistency" ->
+      """WITH s AS (SELECT q.vec_id AS query_id, q.label AS ql, e.vec_id AS nbr_id, e.label AS nl,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.embedding) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN embeddings q WHERE e.vec_id != q.vec_id AND q.vec_id < 1000),
+r AS (SELECT query_id, ql, nl, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+SELECT query_id AS vec_id, ql AS label,
+  count(*) FILTER (WHERE nl = ql) AS knn_agree,
+  (count(*) FILTER (WHERE nl = ql)) * 2 < 5 AS suspected
+FROM r WHERE rank <= 5 GROUP BY 1, 2""",
     "q131_trigram_lm" ->
       """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
 x AS (SELECT doc_id, substr(t, i, 3) AS tri

@@ -32,6 +32,23 @@ class FeedbackSpec extends AnyFunSuite {
     assert(spark.read.json(s"$dir/metrics").count() == 1)
   }
 
+  test("grouped auc: perfect separation 1, inverted 0, single-class NULL") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: score perfectly ranks positives above negatives
+      ("a", 1, 0.9), ("a", 1, 0.8), ("a", 0, 0.2), ("a", 0, 0.1),
+      // group b: inverted
+      ("b", 0, 0.9), ("b", 0, 0.8), ("b", 1, 0.2), ("b", 1, 0.1),
+      // group c: single class
+      ("c", 1, 0.5), ("c", 1, 0.6)
+    ).toDF("g", "y", "s")
+    val out = Drift.groupedAuc(df, col("g"), col("y") === 1, col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(3) == 1.0)
+    assert(out("b").getDouble(3) == 0.0)
+    assert(out("c").isNullAt(3) && out("c").getLong(1) == 2L)
+  }
+
   test("ks p-value: tiny D on same distribution ~1, huge D ~0") {
     import spark.implicits._
     val r = Seq((0.01, 5000L, 5000L), (0.5, 5000L, 5000L))
