@@ -231,6 +231,52 @@ object DomainQueries extends QueryPack {
         coalesce(sum(when(col("is_dup"), col("toks"))), lit(0)).cast("long")
           .as("tokens_dropped"))
     },
+    // cross-merchant daily-volume correlation: lead-lag/comovement
+    // fingerprint between entity pairs (inner-joined on shared days)
+    "q138_cross_correlation" -> { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type").as("m"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      d.as("a").join(d.as("b"),
+          col("a.day") === col("b.day") && col("a.m") < col("b.m"))
+        .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
+        .agg(count(lit(1)).as("n_days"),
+          r6(corr(col("a.c"), col("b.c"))).as("day_corr"))
+    },
+    // per-merchant user saturation curve: new vs cumulative distinct
+    // users by week (first-touch attribution, exact integers)
+    "q139_saturation" -> { (s, dir) =>
+      val f = Tables.events(s, dir)
+        .groupBy(col("event_type").as("m"), col("user_id"))
+        .agg(min(to_date(date_trunc("week", col("ts")))).as("wk"))
+      val cum = Window.partitionBy(col("m")).orderBy(col("wk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.groupBy(col("m"), col("wk"))
+        .agg(count(lit(1)).as("new_users"))
+        .select(col("m").as("merchant_id"), col("wk").cast("string").as("week"),
+          col("new_users"), sum(col("new_users")).over(cum).as("cum_users"))
+    },
+    // centroid silhouette per label: (nearest-other-centroid distance −
+    // own-centroid distance) / max of the two, averaged — the cluster
+    // separation score of the embedding space (label quality at a glance)
+    "q140_silhouette" -> { (s, dir) =>
+      val exploded = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cents = exploded.groupBy(col("label").as("clabel"), col("pos"))
+        .agg(avg(col("v")).as("c"))
+      val d2 = exploded.join(cents, Seq("pos"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+      val sil = d2.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("label") === col("clabel"), col("d2"))).as("down"),
+          min(when(col("label") =!= col("clabel"), col("d2"))).as("dother"))
+        .select(col("label"),
+          ((col("dother") - col("down")) / greatest(col("dother"), col("down")))
+            .as("s"))
+      sil.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("s"))).as("mean_silhouette"))
+    },
     // day-of-week seasonal index per merchant: avg daily volume by dow
     // over the merchant's overall daily average
     "q133_seasonal_index" -> { (s, dir) =>
@@ -644,6 +690,32 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q138_cross_correlation" ->
+      """WITH d AS (SELECT event_type AS m, ts::DATE AS day, count(*) AS c FROM events GROUP BY 1, 2)
+SELECT a.m AS m1, b.m AS m2, count(*) AS n_days,
+  round(corr(a.c, b.c) + 5e-11, 4) AS day_corr
+FROM d a JOIN d b ON a.day = b.day AND a.m < b.m
+GROUP BY 1, 2""",
+    "q139_saturation" ->
+      """WITH f AS (SELECT event_type AS m, user_id,
+        min(date_trunc('week', ts)::DATE) AS wk FROM events GROUP BY 1, 2),
+g AS (SELECT m, wk, count(*) AS new_users FROM f GROUP BY 1, 2)
+SELECT m AS merchant_id, wk::VARCHAR AS week, new_users,
+  sum(new_users) OVER (PARTITION BY m ORDER BY wk ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM g""",
+    "q140_silhouette" ->
+      """WITH x AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) AS t(i)),
+c AS (SELECT label AS clabel, i, avg(v) AS c FROM x GROUP BY 1, 2),
+d AS (SELECT x.vec_id, x.label, c.clabel, sum(pow(x.v - c.c, 2)) AS d2
+      FROM x JOIN c USING (i) GROUP BY 1, 2, 3),
+o AS (SELECT vec_id, label,
+        max(CASE WHEN label = clabel THEN d2 END) AS down,
+        min(CASE WHEN label <> clabel THEN d2 END) AS dother
+      FROM d GROUP BY 1, 2)
+SELECT label, count(*) AS n,
+  round(avg((dother - down) / greatest(dother, down)) + 5e-11, 4) AS mean_silhouette
+FROM o GROUP BY 1""",
     "q133_seasonal_index" ->
       """WITH d AS (SELECT event_type AS m, ts::DATE AS day, count(*) AS c FROM events GROUP BY 1, 2),
 g AS (SELECT m, dayofweek(day) + 1 AS dow, avg(c::DOUBLE) AS avg_c FROM d GROUP BY 1, 2),

