@@ -127,6 +127,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("trigram kernel == JVM reference on random multi-byte strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference model: Java regex + String ops, code-point trigrams
+    def ref(s0: String): (Int, Int) = {
+      val t = s0.toLowerCase.replaceAll("\\s+", " ")
+      val cps = t.codePoints().toArray
+      if (cps.length < 3) (0, 0)
+      else {
+        val tris = cps.sliding(3).map(_.toSeq).toSeq
+        (tris.length, tris.distinct.length)
+      }
+    }
+    // generate over CODE POINTS (1/2/3/4-byte UTF-8) so no invalid lone
+    // surrogates arise — parquet never carries those
+    val cpGen = Gen.oneOf(Seq('a'.toInt, 'b'.toInt, 'c'.toInt, 'd'.toInt,
+      ' '.toInt, '\t'.toInt, '\n'.toInt, 0xc9 /* É */, 0x4e8c /* 二 */,
+      0x1f600 /* 4-byte emoji */))
+    val strGen = Gen.choose(0, 50).flatMap(n =>
+      Gen.listOfN(n, cpGen).map(l => new String(l.toArray, 0, l.length)))
+    samples(strGen, 300).foreach { s0 =>
+      val packed = graft.functions.TrigramKernel.compute(UTF8String.fromString(s0))
+      val got = ((packed >>> 32).toInt, (packed & 0xffffffffL).toInt)
+      assert(got == ref(s0), s"text=[$s0]")
+    }
+  }
+
   test("winnow kernel == naive per-window minimum on random strings") {
     import org.apache.spark.unsafe.types.UTF8String
     val k = 5; val w = 3
