@@ -153,6 +153,37 @@ object Drift {
       .select(col("psi"), (col("psi") > 0.2).as("drift_detected"))
   }
 
+  /** Jensen–Shannon divergence between the two binned samples (nats):
+    * JSD = ½ KL(p‖m) + ½ KL(q‖m), m = (p+q)/2. Unlike PSI it needs no
+    * smoothing (m > 0 wherever either side is) and is bounded by ln 2,
+    * so the drift threshold is scale-free. Same fixed-grid binning and
+    * one-aggregation shape as [[psi]].
+    */
+  def jsd(df: DataFrame, value: Column, inFirst: Column,
+      lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(hi > lo && nBins >= 1,
+      s"jsd needs hi > lo and nBins >= 1, got [$lo, $hi) x $nBins")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((value - lo) / width), lit(0)), lit(nBins - 1))
+      .cast("long")
+    val counts = df
+      .where(inFirst.isNotNull)
+      .select(bin.as("bin"), when(inFirst, 1).otherwise(2).as("g"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    counts.crossJoin(broadcast(tot))
+      .select((col("c1").cast("double") / col("n1")).as("p"),
+        (col("c2").cast("double") / col("n2")).as("q"))
+      .select(col("p"), col("q"), ((col("p") + col("q")) / 2).as("m"))
+      .agg(sum(
+        coalesce(when(col("p") > 0, col("p") / 2 * log(col("p") / col("m"))), lit(0.0)) +
+        coalesce(when(col("q") > 0, col("q") / 2 * log(col("q") / col("m"))), lit(0.0)))
+        .as("jsd"))
+      .select(col("jsd"), (col("jsd") > 0.1).as("drift_detected"))
+  }
+
   /** Asymptotic two-sample KS p-value (Kolmogorov distribution tail):
     * p = 2 Σ_{k>=1} (-1)^{k-1} exp(-2 k² λ²), λ = D·sqrt(n1·n2/(n1+n2)) —
     * the same closed form scipy uses for large samples

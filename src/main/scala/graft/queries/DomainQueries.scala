@@ -584,6 +584,15 @@ object DomainQueries extends QueryPack {
           col("value"), col("ts") <= col("cut"), lo = 0.0, hi = 500.0)
         .select(r6(col("psi")).as("psi"), col("drift_detected"))
     },
+    // Jensen-Shannon divergence on the same split: bounded by ln 2, no
+    // smoothing needed — completes the PSI/KS/AUC drift family
+    "q142_jsd_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg((min(col("ts")) + expr("INTERVAL 17 DAYS")).as("cut"))
+      graft.feedback.Drift.jsd(ev.crossJoin(broadcast(cut)),
+          col("value"), col("ts") <= col("cut"), lo = 0.0, hi = 500.0)
+        .select(r6(col("jsd")).as("jsd"), col("drift_detected"))
+    },
     // deterministic k-per-stratum sample (md5 order, no RNG)
     "q95_stratified_sample" -> { (s, dir) =>
       Splits.stratified(Tables.events(s, dir).select(col("event_id"), col("event_type")),
@@ -690,6 +699,18 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q142_jsd_drift" ->
+      """WITH c AS (SELECT min(ts) + INTERVAL 17 DAY AS cut FROM events),
+b AS (SELECT least(greatest(floor((value - 0.0) / 50.0), 0), 9)::BIGINT AS bin,
+        CASE WHEN ts <= cut THEN 1 ELSE 2 END AS g FROM events, c),
+g2 AS (SELECT bin, count(*) FILTER (WHERE g = 1) AS c1,
+         count(*) FILTER (WHERE g = 2) AS c2 FROM b GROUP BY 1),
+t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g2),
+pq AS (SELECT c1::DOUBLE / n1 AS p, c2::DOUBLE / n2 AS q,
+         (c1::DOUBLE / n1 + c2::DOUBLE / n2) / 2 AS m FROM g2, t),
+j AS (SELECT sum(coalesce(CASE WHEN p > 0 THEN p / 2 * ln(p / m) END, 0)
+            + coalesce(CASE WHEN q > 0 THEN q / 2 * ln(q / m) END, 0)) AS jsd FROM pq)
+SELECT round(jsd + 5e-11, 4) AS jsd, jsd > 0.1 AS drift_detected FROM j""",
     "q138_cross_correlation" ->
       """WITH d AS (SELECT event_type AS m, ts::DATE AS day, count(*) AS c FROM events GROUP BY 1, 2)
 SELECT a.m AS m1, b.m AS m2, count(*) AS n_days,

@@ -128,6 +128,16 @@ sig AS (SELECT doc_id,
         .agg(count(when(col("nl") === col("ql"), 1)).as("knn_agree"))
         .withColumn("suspected", col("knn_agree") * 2 < 5)
     },
+    // PMI collocations: phrase mining before vocabulary building —
+    // top-20 adjacent-token pairs by pointwise mutual information,
+    // ranked on the ROUNDED score so float noise cannot reorder
+    "q141_collocations" -> { (s, dir) =>
+      TextOps.collocations(Tables.documents(s, dir), col("text"), minCount = 5)
+        .select(col("a"), col("b"), col("cab").as("c_ab"),
+          r6(col("pmi")).as("pmi"))
+        .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    },
     "q55_winnowing" -> { (s, dir) =>
       // the kernel map is CPU-bound and the corpus file is one input
       // split — spread the rows first (standard small-input/expensive-map
@@ -493,6 +503,19 @@ SELECT query_id AS vec_id, ql AS label,
   count(*) FILTER (WHERE nl = ql) AS knn_agree,
   (count(*) FILTER (WHERE nl = ql)) * 2 < 5 AS suspected
 FROM r WHERE rank <= 5 GROUP BY 1, 2""",
+    "q141_collocations" ->
+      """WITH tok AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+bi AS (SELECT toks[i] AS a, toks[i+1] AS b
+       FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i FROM tok)),
+bc AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY 1, 2),
+uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+nu AS (SELECT sum(c)::DOUBLE AS nu FROM uc),
+nb AS (SELECT sum(cab)::DOUBLE AS nb FROM bc)
+SELECT bc.a, bc.b, bc.cab AS c_ab,
+  round(ln((bc.cab / nb.nb) / ((ua.c / nu.nu) * (ub.c / nu.nu))) + 5e-11, 4) AS pmi
+FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t, nu, nb
+WHERE bc.cab >= 5
+ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""",
     "q131_trigram_lm" ->
       """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
 x AS (SELECT doc_id, substr(t, i, 3) AS tri

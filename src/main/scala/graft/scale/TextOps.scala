@@ -147,6 +147,37 @@ object TextOps {
     }._2
   }
 
+  /** PMI collocations: adjacent-token pairs scored by pointwise mutual
+    * information — ln( p(ab) / (p(a)·p(b)) ) with bigram probability over
+    * total bigrams and unigram probabilities over total tokens. The
+    * phrase-mining pass ("new york"-style units) a text pipeline runs
+    * before vocabulary building; `minCount` filters the unstable
+    * low-support tail FIRST, so the expensive unigram joins only touch
+    * surviving pairs. All counts are exact integers; only the final log
+    * is float.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, text: Column,
+      minCount: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(
+      regexp_extract_all(lower(text), lit("\\S+"), lit(0)).as("toks"))
+    val bi = toks.select(explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i + 1] AS b))"))
+      .otherwise(expr("array()").cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bc = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).cast("double").as("nu"))
+    val nb = bc.agg(sum(col("cab")).cast("double").as("nb"))
+    bc.where(col("cab") >= minCount)
+      .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("cab"),
+        log((col("cab") / col("nb")) /
+          ((col("ca") / col("nu")) * (col("cb") / col("nu")))).as("pmi"))
+  }
+
   /** Corpus-trigram language-model score: the mean log-probability of a
     * document's character trigrams under the corpus trigram distribution
     * — the SQL-exact miniature of the perplexity filter LLM pipelines

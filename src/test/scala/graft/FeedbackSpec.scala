@@ -49,6 +49,18 @@ class FeedbackSpec extends AnyFunSuite {
     assert(out("c").isNullAt(3) && out("c").getLong(1) == 2L)
   }
 
+  test("jsd: zero for identical samples, approaches ln 2 for disjoint ones") {
+    import spark.implicits._
+    val same = (1 to 1000).flatMap(i => Seq((i % 100 * 1.0, true), (i % 100 * 1.0, false)))
+      .toDF("v", "f")
+    val r1 = Drift.jsd(same, col("v"), col("f"), 0, 100).head()
+    assert(math.abs(r1.getDouble(0)) < 1e-12 && !r1.getBoolean(1))
+    val disjoint = (1 to 1000).flatMap(i =>
+      Seq((i % 50 * 1.0, true), (50.0 + i % 50, false))).toDF("v", "f")
+    val r2 = Drift.jsd(disjoint, col("v"), col("f"), 0, 100).head()
+    assert(math.abs(r2.getDouble(0) - math.log(2.0)) < 1e-12 && r2.getBoolean(1))
+  }
+
   test("ks p-value: tiny D on same distribution ~1, huge D ~0") {
     import spark.implicits._
     val r = Seq((0.01, 5000L, 5000L), (0.5, 5000L, 5000L))
