@@ -3,7 +3,9 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.IntegerType
 
 /** Session-extension entry point: `--conf spark.sql.extensions=
@@ -66,6 +68,19 @@ object GraftExtensions {
     (FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(text) - one-pass 32-bit SimHash over whitespace tokens; NULL when no tokens"),
       (es: Seq[Expression]) => SimHash32(es.head)),
+    // SURVEY §7.4's exact/approx twin selection as a FUNCTION: the builder
+    // runs at analysis time with the active session's SQLConf, so one
+    // query surface (`graft_distinct(x)`) resolves to exact
+    // count(DISTINCT x) by default and to the mergeable HLL sketch when
+    // `spark.graft.distinct.approx=true` — the oracle path and the 100 TB
+    // path are the same query text, chosen by deployment config.
+    (FunctionIdentifier("graft_distinct"),
+      info("graft_distinct",
+        "graft_distinct(col) - exact count distinct, or HLL approx when spark.graft.distinct.approx=true"),
+      (es: Seq[Expression]) =>
+        if (SQLConf.get.getConfString("spark.graft.distinct.approx", "false").toBoolean)
+          new HyperLogLogPlusPlus(es.head).toAggregateExpression()
+        else Count(es).toAggregateExpression(isDistinct = true)),
     (FunctionIdentifier("trigram_stats"),
       info("trigram_stats", "trigram_stats(text) - (total<<32)|distinct char trigrams of the lowercased, ws-collapsed text"),
       (es: Seq[Expression]) => TrigramStats(es.head)),

@@ -46,5 +46,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val wn = spark.sql(
       "SELECT size(winnow('the quick brown fox jumps over the lazy dog', 8, 4))").head
     assert(wn.getInt(0) > 0)
+
+    // graft_distinct: one query text, conf-selected exact/approx twin
+    val q = "SELECT graft_distinct(id % 100) FROM range(10000)"
+    val exact = spark.sql(q)
+    assert(exact.head.getLong(0) == 100L)
+    assert(exact.queryExecution.executedPlan.toString.contains("count(distinct"),
+      exact.queryExecution.executedPlan.toString)
+    spark.conf.set("spark.graft.distinct.approx", "true")
+    try {
+      val approx = spark.sql(q)
+      val v = approx.head.getLong(0)
+      assert(math.abs(v - 100L) <= 5, s"hll estimate $v") // 5% default sd
+      assert(approx.queryExecution.executedPlan.toString.contains("approx_count_distinct"),
+        approx.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.graft.distinct.approx", "false")
   }
 }
