@@ -231,6 +231,25 @@ object DomainQueries extends QueryPack {
         coalesce(sum(when(col("is_dup"), col("toks"))), lit(0)).cast("long")
           .as("tokens_dropped"))
     },
+    // winsorized means per merchant: clip at the 1/64 and 63/64
+    // quantiles (power-of-two fractions -> bit-identical interpolation
+    // across engines, the q90 trick) and report raw vs robust means
+    "q144_winsorize" -> { (s, dir) =>
+      val c = AmlPatterns.cents(col("amount"))
+      val tx = Tables.transactions(s, dir).select(col("merchant_id"), c.as("cents"))
+      val qs = tx.groupBy(col("merchant_id").as("m"))
+        .agg(expr("percentile(cents, 0.015625)").as("lo"),
+          expr("percentile(cents, 0.984375)").as("hi"))
+      tx.join(broadcast(qs), col("merchant_id") === col("m"))
+        .groupBy(col("merchant_id"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("cents") < col("lo") || col("cents") > col("hi"), 1))
+            .as("n_clipped"),
+          r6(avg(col("cents"))).as("mean_raw"),
+          r6(avg(greatest(least(col("cents").cast("double"), col("hi")), col("lo"))))
+            .as("mean_winsorized"),
+          r6(first(col("lo"))).as("lo"), r6(first(col("hi"))).as("hi"))
+    },
     // cross-merchant daily-volume correlation: lead-lag/comovement
     // fingerprint between entity pairs (inner-joined on shared days)
     "q138_cross_correlation" -> { (s, dir) =>
@@ -699,6 +718,16 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q144_winsorize" ->
+      s"""WITH c AS (SELECT event_type AS merchant_id, $centsSql AS cents FROM events),
+s AS (SELECT merchant_id, quantile_cont(cents, 0.015625) AS lo,
+        quantile_cont(cents, 0.984375) AS hi FROM c GROUP BY 1)
+SELECT c.merchant_id, count(*) AS n,
+  count(*) FILTER (WHERE cents < lo OR cents > hi) AS n_clipped,
+  round(avg(cents) + 5e-11, 4) AS mean_raw,
+  round(avg(greatest(least(cents::DOUBLE, hi), lo)) + 5e-11, 4) AS mean_winsorized,
+  round(lo + 5e-11, 4) AS lo, round(hi + 5e-11, 4) AS hi
+FROM c JOIN s USING (merchant_id) GROUP BY c.merchant_id, lo, hi""",
     "q142_jsd_drift" ->
       """WITH c AS (SELECT min(ts) + INTERVAL 17 DAY AS cut FROM events),
 b AS (SELECT least(greatest(floor((value - 0.0) / 50.0), 0), 9)::BIGINT AS bin,

@@ -128,6 +128,24 @@ sig AS (SELECT doc_id,
         .agg(count(when(col("nl") === col("ql"), 1)).as("knn_agree"))
         .withColumn("suspected", col("knn_agree") * 2 < 5)
     },
+    // reciprocal-rank fusion of the cosine and euclidean rankers: the
+    // calibration-free way to combine retrieval lists; fused order uses
+    // the ROUNDED score so float noise cannot reorder
+    "q143_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val fused = Similarity.rrf(Seq(
+        Similarity.cosineTopK(emb, q, 10),
+        Similarity.euclidTopK(emb, q, 10)), c = 60)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(r6(col("rrf_score")).desc, col("nbr_id").asc)
+      fused.withColumn("fused_rank", row_number().over(w))
+        .where(col("fused_rank") <= 5)
+        .select(col("query_id"), col("nbr_id"),
+          col("fused_rank").cast("long").as("fused_rank"), col("n_lists"),
+          r6(col("rrf_score")).as("rrf_score"))
+    },
     // PMI collocations: phrase mining before vocabulary building —
     // top-20 adjacent-token pairs by pointwise mutual information,
     // ranked on the ROUNDED score so float noise cannot reorder
@@ -503,6 +521,28 @@ SELECT query_id AS vec_id, ql AS label,
   count(*) FILTER (WHERE nl = ql) AS knn_agree,
   (count(*) FILTER (WHERE nl = ql)) * 2 < 5 AS suspected
 FROM r WHERE rank <= 5 GROUP BY 1, 2""",
+    "q143_rrf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+sc AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+rc AS (SELECT query_id, nbr_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM sc),
+se AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(pow(x::DOUBLE - y::DOUBLE, 2)) FROM (SELECT unnest(q.qe) AS x, unnest(e.embedding) AS y)) AS d2
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+re AS (SELECT query_id, nbr_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, nbr_id ASC) AS rank FROM se),
+u AS (SELECT query_id, nbr_id, 1.0/(60 + rank) AS contrib FROM rc WHERE rank <= 10
+      UNION ALL SELECT query_id, nbr_id, 1.0/(60 + rank) FROM re WHERE rank <= 10),
+f AS (SELECT query_id, nbr_id, sum(contrib) AS rrf_score, count(*) AS n_lists FROM u GROUP BY 1, 2),
+r AS (SELECT query_id, nbr_id, n_lists, rrf_score,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY round(rrf_score + 5e-11, 4) DESC, nbr_id ASC) AS fused_rank FROM f)
+SELECT query_id, nbr_id, fused_rank, n_lists, round(rrf_score + 5e-11, 4) AS rrf_score
+FROM r WHERE fused_rank <= 5""",
     "q141_collocations" ->
       """WITH tok AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
 bi AS (SELECT toks[i] AS a, toks[i+1] AS b

@@ -43,6 +43,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Exact squared-euclidean top-k (the metric twin of [[cosineTopK]] —
+    * same broadcast-scored shape, ascending distance).
+    */
+  def euclidTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))))
+      .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), sqDist(col("qe"), col("ce")).as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion of ranked candidate lists:
+    * score(d) = Σ_lists 1/(C + rank_list(d)) over the lists where d
+    * appears — the standard way to combine rankers with incomparable
+    * scores (cosine vs euclidean vs BM25) without calibration. Ranks are
+    * exact integers, so the score is a sum of exact rationals —
+    * engine-reproducible to the ulp.
+    */
+  def rrf(lists: Seq[DataFrame], c: Int): DataFrame =
+    lists.map(_.select(col("query_id"), col("nbr_id"),
+        (lit(1.0) / (lit(c) + col("rank"))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum(col("contrib")).as("rrf_score"), count(lit(1)).as("n_lists"))
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors with a DIFFERENT label —
     * the examples a metric-learning loss gains most from. Same

@@ -111,6 +111,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 1), (3L, 2))) // label-1 vec 1 never appears
   }
 
+  test("rrf: agreement across rankers outscores a single top rank") {
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "nbr_id", "rank")
+    val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "nbr_id", "rank")
+    val out = Similarity.rrf(Seq(l1, l2), c = 60)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // 11 appears in both lists (ranks 2+1) and beats either single entry
+    assert(out(11L)._2 == 2L && out(10L)._2 == 1L)
+    assert(math.abs(out(11L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(out(11L)._1 > out(10L)._1 && out(10L)._1 > out(12L)._1)
+  }
+
   test("LSH cosine top-k: returned cosines are exact; recall is nonzero") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 5)
