@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.scale.{Dedup, Similarity, TextOps}
+import graft.scale.{Dedup, Similarity, Splits, TextOps}
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 
@@ -145,6 +145,43 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("fused_rank").cast("long").as("fused_rank"), col("n_lists"),
           r6(col("rrf_score")).as("rrf_score"))
+    },
+    // Gopher-style repetition screen: duplicate-word fraction + heaviest
+    // unigram/bigram character mass (char-mass max is tie-break-free)
+    "q145_repetition" -> { (s, dir) =>
+      TextOps.repetitionStats(docsSpread(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          r6(col("dup_word_frac")).as("dup_word_frac"),
+          r6(col("top_unigram_char_frac")).as("top_unigram_char_frac"),
+          r6(col("top_bigram_char_frac")).as("top_bigram_char_frac"))
+    },
+    // C4-style corpus boilerplate screen on word 3-grams: doc-frequency
+    // cut at >=3 docs, flag docs that are mostly boilerplate
+    "q146_boilerplate" -> { (s, dir) =>
+      Dedup.boilerplateReport(docsSpread(s, dir), col("doc_id"), col("text"),
+          n = 3, minDf = 3, flagFrac = 0.5)
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          r6(col("boiler_frac")).as("boiler_frac"), col("flagged"))
+    },
+    // benchmark decontamination: corpus docs sharing any word 5-gram
+    // with the probe (eval) subset doc_id % 11 == 0
+    "q147_decontam" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      Dedup.contaminationReport(
+          docs.where(col("doc_id") % 11 =!= 0),
+          docs.where(col("doc_id") % 11 === 0),
+          col("doc_id"), col("text"), n = 5)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          r6(col("contaminated_frac")).as("contaminated_frac"),
+          col("contaminated"))
+    },
+    // temperature-scaled mixture weights per source (alpha=0.7, 1M-token
+    // budget): the multinomial sampling schedule for a multi-source corpus
+    "q148_mixture_weights" -> { (s, dir) =>
+      Splits.mixtureWeights(Tables.documents(s, dir), col("source"),
+          TextOps.nTokens(col("text")), alpha = 0.7, budgetTokens = 1000000L)
+        .select(col("source"), col("n_docs"), col("tokens"),
+          r6(col("weight")).as("weight"), r6(col("epochs")).as("epochs"))
     },
     // PMI collocations: phrase mining before vocabulary building —
     // top-20 adjacent-token pairs by pointwise mutual information,
@@ -493,6 +530,51 @@ p AS (
 SELECT doc_id, (i - 1)::BIGINT AS pos, (($terms) % $M)::BIGINT AS hash
 FROM p"""
     },
+    "q145_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+uc AS (SELECT doc_id, w, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS w FROM tok) GROUP BY 1, 2),
+ua AS (SELECT doc_id, sum(c)::BIGINT AS n_words, count(*) AS n_distinct_words,
+              sum(c * len(w)) AS word_chars, max(c * len(w)) AS top_uni FROM uc GROUP BY 1),
+bc AS (SELECT doc_id, g, count(*) AS c
+       FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)) GROUP BY 1, 2),
+ba AS (SELECT doc_id, max(c * (len(g) - 1)) AS top_bi FROM bc GROUP BY 1)
+SELECT ua.doc_id, n_words, n_distinct_words,
+  round((n_words - n_distinct_words)::DOUBLE / n_words + 5e-11, 4) AS dup_word_frac,
+  round(top_uni::DOUBLE / word_chars + 5e-11, 4) AS top_unigram_char_frac,
+  round(coalesce(top_bi::DOUBLE / word_chars, 0.0) + 5e-11, 4) AS top_bigram_char_frac
+FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id""",
+    "q146_boilerplate" ->
+      s"""WITH $shingleCte,
+dfq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1)
+SELECT doc_id, count(*) AS n_shingles,
+  count(CASE WHEN df >= 3 THEN 1 END) AS n_boiler,
+  round(count(CASE WHEN df >= 3 THEN 1 END)::DOUBLE / count(*) + 5e-11, 4) AS boiler_frac,
+  count(CASE WHEN df >= 3 THEN 1 END)::DOUBLE / count(*) > 0.5 AS flagged
+FROM sh0 JOIN dfq USING (shingle) GROUP BY doc_id""",
+    "q147_decontam" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS s
+       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-4, 0)+1)) AS i FROM tok)),
+p AS (SELECT DISTINCT s FROM sh WHERE doc_id % 11 = 0),
+c AS (SELECT doc_id, s FROM sh WHERE doc_id % 11 != 0),
+h AS (SELECT doc_id, count(*) AS nc FROM c WHERE s IN (SELECT s FROM p) GROUP BY 1),
+t AS (SELECT doc_id, count(*) AS ns FROM c GROUP BY 1)
+SELECT t.doc_id, ns AS n_shingles, coalesce(nc, 0) AS n_contaminated,
+  round(coalesce(nc, 0)::DOUBLE / ns + 5e-11, 4) AS contaminated_frac,
+  coalesce(nc, 0) > 0 AS contaminated
+FROM t LEFT JOIN h ON t.doc_id = h.doc_id""",
+    "q148_mixture_weights" ->
+      """WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS tokens
+  FROM documents GROUP BY 1),
+z AS (SELECT sum(pow(tokens::DOUBLE, 0.7)) AS z FROM per)
+SELECT source, n_docs, tokens,
+  round(pow(tokens::DOUBLE, 0.7) / z + 5e-11, 4) AS weight,
+  round(pow(tokens::DOUBLE, 0.7) / z * 1000000 / tokens + 5e-11, 4) AS epochs
+FROM per CROSS JOIN z""",
     "q65_token_zipf" ->
       """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
 c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),

@@ -202,6 +202,56 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
   }
 
+  /** Corpus boilerplate screen (the C4/CCNet "remove lines seen in many
+    * pages" step, on word n-grams since this corpus has no line
+    * structure): a shingle is boilerplate when it occurs in >= minDf
+    * distinct documents; each doc reports how much of it is boilerplate.
+    * Shape: one distinct-shingle explode, a document-frequency
+    * aggregation on the shingle key, and a join back on that same key —
+    * the join reuses the aggregation's hash partitioning (no extra
+    * exchange on the big side), then a final doc_id aggregation. This is
+    * the inverted-index pattern that scales linearly in corpus shingles;
+    * nothing is ever paired doc-against-doc. Docs with fewer than n
+    * tokens emit no row.
+    */
+  def boilerplateReport(docs: DataFrame, id: Column, text: Column, n: Int,
+                        minDf: Int, flagFrac: Double): DataFrame = {
+    val sh = shingles(docs, id, text, n)
+    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfq, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= minDf, 1)).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_frac"),
+        (col("n_boiler").cast("double") / col("n_shingles") > flagFrac)
+          .as("flagged"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * n-gram with a probe (benchmark/eval) set — the n-gram-overlap
+    * contamination check training pipelines run before releasing a
+    * corpus, and the partial-overlap complement of the exact-fingerprint
+    * split check (q73). The probe shingle set is distinct-reduced and
+    * broadcast (eval suites are tiny next to a 100 TB corpus), so the
+    * corpus side stays a narrow semi-join — no shuffle of corpus
+    * shingles at all; the per-doc totals reuse one doc_id aggregation.
+    */
+  def contaminationReport(corpus: DataFrame, probes: DataFrame, id: Column,
+                          text: Column, n: Int): DataFrame = {
+    val cs = shingles(corpus, id, text, n)
+    val ps = shingles(probes, id, text, n).select(col("shingle")).distinct()
+    val hits = cs.join(broadcast(ps), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    cs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contaminated_frac"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** 32-bit SimHash over tokens (with multiplicity): bit j of the
     * fingerprint is set iff Σ_tokens (bit_j(md5_32(token)) ? +1 : −1) > 0.
     * Token-less docs are dropped (the explode form produced no group for

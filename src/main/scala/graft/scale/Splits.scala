@@ -83,4 +83,25 @@ object Splits {
     df.withColumn("label", label)
       .where(col("label") || bucket(id, salt, n) < keep)
       .withColumn("weight", when(col("label"), lit(1.0)).otherwise(lit(n.toDouble / keep)))
+
+  /** Temperature-scaled mixture weights for multi-source training
+    * corpora: per group, sampling weight ∝ tokens^alpha normalized over
+    * all groups (alpha < 1 upsamples small sources — the multinomial
+    * temperature trick), plus the effective epochs each source runs
+    * when `budgetTokens` are drawn with those weights (epochs > 1 flags
+    * sources the schedule would repeat). One aggregation to group
+    * granularity, then a broadcast of the single normalization row —
+    * the group table is tiny by construction at any corpus size.
+    */
+  def mixtureWeights(df: org.apache.spark.sql.DataFrame, group: Column,
+      tokens: Column, alpha: Double, budgetTokens: Long): org.apache.spark.sql.DataFrame = {
+    val per = df.groupBy(group.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).cast("long").as("tokens"))
+    val z = per.agg(sum(pow(col("tokens").cast("double"), alpha)).as("__z"))
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (pow(col("tokens").cast("double"), alpha) / col("__z")).as("weight"),
+        (pow(col("tokens").cast("double"), alpha) / col("__z") * budgetTokens
+          / col("tokens")).as("epochs"))
+  }
 }

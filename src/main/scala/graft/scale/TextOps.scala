@@ -178,6 +178,50 @@ object TextOps {
           ((col("ca") / col("nu")) * (col("cb") / col("nu")))).as("pmi"))
   }
 
+  /** Gopher-style within-document repetition signals (the training-data
+    * quality screen family of `advanced_features.py`-grade feature math
+    * applied to text): per document, the duplicate-word fraction and the
+    * character mass captured by the heaviest unigram / adjacent bigram.
+    * Because the corpus has no line structure, all three are defined on
+    * word n-grams:
+    *   - dup_word_frac        = (n_words - n_distinct_words) / n_words
+    *   - top_unigram_char_frac = max over word types of count*len(word),
+    *                             divided by total word characters
+    *   - top_bigram_char_frac  = same over adjacent bigrams (separator
+    *                             excluded from the char mass)
+    * The char-mass max is deterministic under count ties (no "pick the
+    * most frequent gram" tie-break needed). Shape: explode -> two-level
+    * aggregation, both keyed by doc_id — the second agg reuses the
+    * first's hash partitioning, so the family costs one shuffle per
+    * n-gram order regardless of corpus size. Docs with no tokens emit
+    * no row.
+    */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"),
+      regexp_extract_all(lower(text), lit("\\S+"), lit(0)).as("toks"))
+    val uni = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("c") * length(col("w"))).cast("long").as("word_chars"),
+        max(col("c") * length(col("w"))).as("top_uni_chars"))
+    val bi = base.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i - 1], ' ', toks[i]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        max(col("c") * (length(col("g")) - 1)).as("top_bi_chars"))
+    uni.join(bi, Seq("doc_id"), "left").select(
+      col("doc_id"), col("n_words"), col("n_distinct_words"),
+      ((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words"))
+        .as("dup_word_frac"),
+      (col("top_uni_chars").cast("double") / col("word_chars"))
+        .as("top_unigram_char_frac"),
+      coalesce(col("top_bi_chars").cast("double") / col("word_chars"), lit(0.0))
+        .as("top_bigram_char_frac"))
+  }
+
   /** Corpus-trigram language-model score: the mean log-probability of a
     * document's character trigrams under the corpus trigram distribution
     * — the SQL-exact miniature of the perplexity filter LLM pipelines

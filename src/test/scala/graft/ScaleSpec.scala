@@ -1,6 +1,6 @@
 package graft
 
-import graft.scale.{Dedup, Similarity, TextOps}
+import graft.scale.{Dedup, Similarity, Splits, TextOps}
 import graft.tables.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -223,5 +223,59 @@ class ScaleSpec extends AnyFunSuite {
     // density: winnowing keeps roughly 2/(w+1) of gram positions, far
     // fewer than the full gram count
     assert(fps(3L).size < 56 - k + 1)
+  }
+
+  test("repetitionStats: hand-computed fractions; single-token doc gets 0 bigram mass") {
+    val docs = Seq((1L, "a a a b"), (2L, "hello")).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 4 && d1.getLong(2) == 2) // n_words, n_distinct
+    assert(d1.getDouble(3) == 0.5)                   // dup_word_frac
+    assert(d1.getDouble(4) == 0.75)                  // 'a' mass 3 of 4 chars
+    assert(d1.getDouble(5) == 1.0)                   // "a a" x2 -> 4 of 4 (overlap counted)
+    val d2 = out(2L)
+    assert(d2.getLong(1) == 1 && d2.getDouble(3) == 0.0 &&
+      d2.getDouble(4) == 1.0 && d2.getDouble(5) == 0.0)
+  }
+
+  test("boilerplateReport: df cut flags the shared shingle only") {
+    val docs = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateReport(docs, col("doc_id"), col("text"),
+        n = 3, minDf = 3, flagFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (d <- 1L to 3L) {
+      val r = out(d)
+      assert(r.getLong(1) == 2 && r.getLong(2) == 1)   // "x y z" boiler, tail gram not
+      assert(r.getDouble(3) == 0.5 && !r.getBoolean(4)) // 0.5 not > 0.5
+    }
+  }
+
+  test("contaminationReport: probe 5-gram overlap flags the sharing doc only") {
+    val corpus = Seq((1L, "p q r s t zz ww"), (2L, "m n o aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, probes,
+        col("doc_id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 1 && out(1L).getBoolean(4))
+    assert(out(2L).getLong(2) == 0 && !out(2L).getBoolean(4))
+  }
+
+  test("mixtureWeights: alpha-temperature weights normalize; epochs = weight*budget/tokens") {
+    val docs = Seq.tabulate(16)(i => (s"d$i", "a")) ++ Seq(("e", ("a " * 81).trim))
+    val df = docs.toDF("id", "text")
+      .withColumn("source", when(col("id") === "e", "big").otherwise("small"))
+    val out = Splits.mixtureWeights(df, col("source"), TextOps.nTokens(col("text")),
+        alpha = 0.5, budgetTokens = 130L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // tokens: small=16 (16 docs x 1), big=81; sqrt-> 4 and 9, z=13
+    assert(out("small").getLong(2) == 16 && out("big").getLong(2) == 81)
+    assert(math.abs(out("small").getDouble(3) - 4.0 / 13) < 1e-12)
+    assert(math.abs(out("big").getDouble(3) - 9.0 / 13) < 1e-12)
+    assert(math.abs(out("small").getDouble(4) - 2.5) < 1e-12)      // 40/16
+    assert(math.abs(out("big").getDouble(4) - 90.0 / 81) < 1e-12)
+    assert(math.abs(out.values.map(_.getDouble(3)).sum - 1.0) < 1e-12)
   }
 }
