@@ -42,4 +42,34 @@ object AsOf {
       .select(col("probe_id") +: col("key") +: col("tm") +:
         payload.map(c => col(s"matched.$c").as(c)): _*)
   }
+
+  /** Tolerance-bounded as-of join (pandas `merge_asof(tolerance=...)`):
+    * like [[lastEventAsOf]], but a match older than `tolerance` time
+    * units before the probe is discarded — "the last reading, unless it
+    * has gone stale". Same single-exchange union-tag plan; the staleness
+    * cut is a post-window filter on the carried event time, so the
+    * tolerance adds zero shuffles. Payload columns AND the matched event
+    * time are nulled when the only candidate is stale.
+    */
+  def lastEventAsOfTol(events: DataFrame, probes: DataFrame,
+                       payload: Seq[String], tolerance: Long): DataFrame = {
+    val ev = events.select(
+      col("key"), col("tm"), lit(0).as("tag"), lit(null).cast("long").as("probe_id"),
+      struct((col("tm").as("__evtm") +: payload.map(col)): _*).as("payload"))
+    val payloadType = ev.schema("payload").dataType
+    val pr = probes.select(
+      col("key"), col("tm"), lit(1).as("tag"), col("probe_id"),
+      lit(null).cast(payloadType).as("payload"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("tm"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(pr)
+      .withColumn("m", last(col("payload"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .withColumn("fresh", col("m").isNotNull &&
+        col("m.__evtm") >= col("tm") - tolerance)
+      .select(col("probe_id") +: col("key") +: col("tm") +:
+        when(col("fresh"), col("m.__evtm")).as("matched_tm") +:
+        payload.map(c => when(col("fresh"), col(s"m.$c")).as(c)): _*)
+  }
 }

@@ -45,6 +45,22 @@ object PipelineQueries extends QueryPack {
           r6(coalesce(col("value"), lit(0.0))).as("last_value"),
           col("event_id").isNotNull.as("matched"))
     },
+    "q151_asof_tolerance" -> { (s, dir) =>
+      // tolerance-bounded as-of (merge_asof semantics): same probes as
+      // q51, but a match more than 1h older than the probe goes stale
+      val ev = Tables.events(s, dir)
+      val events = ev.select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("tm"), col("value"), col("event_id"))
+      val probes = ev.where(col("event_id") % 7 === 0)
+        .select(col("event_id").as("probe_id"), col("user_id").as("key"),
+          (unix_micros(col("ts")) - lit(1800000000L)).as("tm"))
+      graft.ops.AsOf.lastEventAsOfTol(events, probes, Seq("value", "event_id"),
+          tolerance = 3600000000L)
+        .select(col("probe_id"), col("key").as("customer_id"),
+          coalesce(col("event_id"), lit(-1L)).as("matched_event_id"),
+          r6(coalesce(col("value"), lit(0.0))).as("last_value"),
+          col("event_id").isNotNull.as("matched"))
+    },
     // oracle: recursive-CTE reachability (GraphOracles.communitiesSql)
     "q49_communities" -> { (s, dir) =>
       graft.ops.GraphOps.communities(Tables.transactions(s, dir))
@@ -74,6 +90,18 @@ object PipelineQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q151_asof_tolerance" ->
+      """WITH probes AS (
+  SELECT event_id AS probe_id, user_id, epoch_us(ts) - 1800000000 AS tm
+  FROM events WHERE event_id % 7 = 0),
+e AS (SELECT user_id, epoch_us(ts) AS tm, value, event_id FROM events),
+j AS (SELECT p.probe_id, p.user_id, p.tm, e.tm AS etm, e.value, e.event_id
+      FROM probes p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.tm >= e.tm)
+SELECT probe_id, user_id AS customer_id,
+  coalesce(CASE WHEN etm >= tm - 3600000000 THEN event_id END, -1) AS matched_event_id,
+  round(coalesce(CASE WHEN etm >= tm - 3600000000 THEN value END, 0.0) + 5e-11, 4) AS last_value,
+  coalesce(etm >= tm - 3600000000, FALSE) AS matched
+FROM j""",
     "q51_asof_join" ->
       """WITH probes AS (
   SELECT event_id AS probe_id, user_id, epoch_us(ts) - 1800000000 AS tm

@@ -183,6 +183,31 @@ sig AS (SELECT doc_id,
         .select(col("source"), col("n_docs"), col("tokens"),
           r6(col("weight")).as("weight"), r6(col("epochs")).as("epochs"))
     },
+    // embedding-dimension correlation screen: one-pass mergeable Gram
+    // aggregate, pair corr derived closed-form from the single Gram row;
+    // top-40 by ROUNDED |corr| with (i, j) tie-breaks
+    "q149_dim_corr" -> { (s, dir) =>
+      Similarity.dimCorrPairs(Tables.embeddings(s, dir))
+        .orderBy(r6(abs(col("corr"))).desc, col("i").asc, col("j").asc)
+        .limit(40)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          r6(col("corr")).as("corr"))
+    },
+    // per-source Zipf slope: log-log regression of token frequency on
+    // rank — the corpus-health fingerprint (natural text ~ -1)
+    "q150_zipf_slope" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = docsSpread(s, dir)
+        .select(col("source"),
+          explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("tok").asc)))
+      ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cnt")).cast("long").as("n_tokens"),
+        r6(regr_slope(log(col("cnt")), log(col("rnk")))).as("zipf_slope"))
+    },
     // PMI collocations: phrase mining before vocabulary building —
     // top-20 adjacent-token pairs by pointwise mutual information,
     // ranked on the ROUNDED score so float noise cannot reorder
@@ -565,6 +590,22 @@ SELECT t.doc_id, ns AS n_shingles, coalesce(nc, 0) AS n_contaminated,
   round(coalesce(nc, 0)::DOUBLE / ns + 5e-11, 4) AS contaminated_frac,
   coalesce(nc, 0) > 0 AS contaminated
 FROM t LEFT JOIN h ON t.doc_id = h.doc_id""",
+    "q149_dim_corr" ->
+      """WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+c AS (SELECT a.i AS i, b.i AS j, corr(a.v, b.v) AS corr
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i GROUP BY 1, 2)
+SELECT i::BIGINT AS i, j::BIGINT AS j, round(corr + 5e-11, 4) AS corr
+FROM c ORDER BY round(abs(corr) + 5e-11, 4) DESC, i ASC, j ASC LIMIT 40""",
+    "q150_zipf_slope" ->
+      """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+c AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+r AS (SELECT source, cnt,
+        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rnk FROM c)
+SELECT source, count(*) AS n_types, sum(cnt)::BIGINT AS n_tokens,
+  round(regr_slope(ln(cnt), ln(rnk)) + 5e-11, 4) AS zipf_slope
+FROM r GROUP BY source""",
     "q148_mixture_weights" ->
       """WITH per AS (
   SELECT source, count(*) AS n_docs,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-  import graft.functions.{ArrayDot, ArrayNorm, ArraySqDist}
+  import graft.functions.{ArrayDot, ArrayNorm, ArraySqDist, GramAgg}
 
   /** dot(a,b) accumulated left-to-right in double (codegen'd kernel). */
   def dot(a: Column, b: Column): Column = column(ArrayDot(expression(a), expression(b)))
@@ -130,6 +130,35 @@ object Similarity {
           .filter(_._3 >= tau)
       }
     }.toDF("id1", "id2", "cos")
+  }
+
+  /** Pearson correlation of every embedding-dimension pair (i < j) — the
+    * redundant-dimension / dead-dimension QA screen for a vector corpus.
+    *
+    * Runs the one-pass mergeable [[graft.functions.GramAgg]] (d sums +
+    * d(d+1)/2 product sums per partition, merged once) and derives each
+    * pair's correlation in closed form from the single Gram row — the
+    * composable posexplode-self-join twin would shuffle n·d(d+1)/2 rows,
+    * 2e12 at n=1e9, d=64. The two explodes below run on ONE row (the
+    * aggregate result), so the pair expansion costs d(d+1)/2 rows total,
+    * not per input row. Pairs touching a zero-variance dimension emit
+    * NULL (matching SQL `corr`).
+    */
+  def dimCorrPairs(corpus: DataFrame): DataFrame = {
+    val g = corpus.agg(column(GramAgg(expression(col("embedding")))
+      .toAggregateExpression()).as("g"))
+    // i stops at d-2: sequence() auto-steps DOWNWARD when start > stop,
+    // so an i = d-1 row would yield a phantom j = d pair
+    g.select(col("g"), explode(sequence(lit(0), expr("int(g[1]) - 2"))).as("i"))
+      .select(col("g"), col("i"),
+        explode(sequence(col("i") + 1, expr("int(g[1]) - 1"))).as("j"))
+      .select(col("i"), col("j"), expr(
+        """CASE WHEN g[0] * g[2 + int(g[1]) + i * int(g[1]) - (i * (i - 1)) div 2] - g[2 + i] * g[2 + i] > 0
+                 AND g[0] * g[2 + int(g[1]) + j * int(g[1]) - (j * (j - 1)) div 2] - g[2 + j] * g[2 + j] > 0
+           THEN (g[0] * g[2 + int(g[1]) + i * int(g[1]) - (i * (i - 1)) div 2 + (j - i)] - g[2 + i] * g[2 + j])
+                / sqrt(g[0] * g[2 + int(g[1]) + i * int(g[1]) - (i * (i - 1)) div 2] - g[2 + i] * g[2 + i])
+                / sqrt(g[0] * g[2 + int(g[1]) + j * int(g[1]) - (j * (j - 1)) div 2] - g[2 + j] * g[2 + j])
+           END""").as("corr"))
   }
 
   /** IVF (inverted-file) index: deterministic coarse quantizer — seed

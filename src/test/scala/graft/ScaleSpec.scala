@@ -263,6 +263,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(2L).getLong(2) == 0 && !out(2L).getBoolean(4))
   }
 
+  test("dimCorrPairs: gram-derived corr is exact on hand vectors; dead dim -> null") {
+    // dims: t, 2t, -t, const -> corr(0,1)=1, (0,2)=-1, (1,2)=-1, any pair with 3 null
+    val rows = Seq(1f, 2f, 3f).map(t => Tuple1(Array(t, 2 * t, -t, 5f)))
+    val corpus = rows.toDF("embedding").repartition(3) // force partial merges
+    val got = Similarity.dimCorrPairs(corpus).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == 6)
+    assert(math.abs(got((0, 1)).get - 1.0) < 1e-12 &&
+      math.abs(got((0, 2)).get + 1.0) < 1e-12 &&
+      math.abs(got((1, 2)).get + 1.0) < 1e-12)
+    assert(got((0, 3)).isEmpty && got((1, 3)).isEmpty && got((2, 3)).isEmpty)
+  }
+
   test("mixtureWeights: alpha-temperature weights normalize; epochs = weight*budget/tokens") {
     val docs = Seq.tabulate(16)(i => (s"d$i", "a")) ++ Seq(("e", ("a " * 81).trim))
     val df = docs.toDF("id", "text")
