@@ -56,6 +56,9 @@ object GraftExtensions {
     (FunctionIdentifier("hhi_agg"),
       info("hhi_agg", "hhi_agg(x) - Herfindahl-Hirschman index of the value histogram"),
       (es: Seq[Expression]) => HhiAgg(es.head)),
+    (FunctionIdentifier("gram_agg"),
+      info("gram_agg", "gram_agg(vec) - one-pass Gram matrix over a float/double vector column: [n, d, sums..., upper-triangle product sums...]"),
+      (es: Seq[Expression]) => GramAgg(es.head)),
     (FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(a, b) - dot product of two float/double vectors"),
       (es: Seq[Expression]) => ArrayDot(es(0), es(1))),

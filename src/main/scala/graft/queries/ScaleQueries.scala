@@ -183,6 +183,46 @@ sig AS (SELECT doc_id,
         .select(col("source"), col("n_docs"), col("tokens"),
           r6(col("weight")).as("weight"), r6(col("epochs")).as("epochs"))
     },
+    // OOV-rate screen against a corpus-derived reference vocabulary
+    // (top-20 tokens): per-doc out-of-vocabulary token fraction — the
+    // tokenizer-fit signal. Vocab is tiny by construction -> broadcast.
+    "q152_oov_rate" -> { (s, dir) =>
+      val toks = docsSpread(s, dir).select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(20).select(col("tok"))
+      toks.join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("in_v").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          r6(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+    },
+    // lang x source chi-squared independence + Cramér's V: the corpus
+    // balance diagnostic. Zero cells contribute e, so the full cross
+    // product of the (tiny) margins is enumerated, not just observed cells.
+    "q153_lang_source_chi2" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val obs = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rowT = d.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+      val colT = d.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val cells = rowT.crossJoin(colT).join(obs, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("n"),
+          coalesce(col("o"), lit(0L)).as("o"),
+          (col("rt") * col("ct") / col("n")).as("e"))
+      val l = rowT.agg(count(lit(1)).as("nl"))
+      val sc = colT.agg(count(lit(1)).as("ns"))
+      cells.agg(
+          first(col("n")).as("n_docs"),
+          sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2"))
+        .crossJoin(broadcast(l)).crossJoin(broadcast(sc))
+        .select(col("n_docs"), ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+          r6(col("chi2")).as("chi2"),
+          r6(sqrt(col("chi2") / (col("n_docs") *
+            least(col("nl") - 1, col("ns") - 1)))).as("cramers_v"))
+    },
     // embedding-dimension correlation screen: one-pass mergeable Gram
     // aggregate, pair corr derived closed-form from the single Gram row;
     // top-40 by ROUNDED |corr| with (i, j) tie-breaks
@@ -590,6 +630,27 @@ SELECT t.doc_id, ns AS n_shingles, coalesce(nc, 0) AS n_contaminated,
   round(coalesce(nc, 0)::DOUBLE / ns + 5e-11, 4) AS contaminated_frac,
   coalesce(nc, 0) > 0 AS contaminated
 FROM t LEFT JOIN h ON t.doc_id = h.doc_id""",
+    "q152_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY 1) ORDER BY c DESC, tok ASC LIMIT 20)
+SELECT doc_id, count(*) AS n_tokens,
+  count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+  round(count(CASE WHEN v.tok IS NULL THEN 1 END)::DOUBLE / count(*) + 5e-11, 4) AS oov_rate
+FROM t LEFT JOIN v ON t.tok = v.tok
+GROUP BY doc_id""",
+    "q153_lang_source_chi2" ->
+      """WITH rt AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+ct AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+cells AS (
+  SELECT rt.lang, ct.source, coalesce(o.o, 0) AS o, rt.rt * ct.ct / n.n AS e, n.n AS n
+  FROM rt CROSS JOIN ct LEFT JOIN o ON rt.lang = o.lang AND ct.source = o.source CROSS JOIN n),
+agg AS (SELECT min(n) AS n_docs, sum((o - e) * (o - e) / e) AS chi2 FROM cells),
+d AS (SELECT (SELECT count(*) FROM rt) AS nl, (SELECT count(*) FROM ct) AS ns)
+SELECT n_docs, ((nl - 1) * (ns - 1))::BIGINT AS dof, round(chi2 + 5e-11, 4) AS chi2,
+  round(sqrt(chi2 / (n_docs * least(nl - 1, ns - 1))) + 5e-11, 4) AS cramers_v
+FROM agg CROSS JOIN d""",
     "q149_dim_corr" ->
       """WITH x AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, unnest(embedding)::DOUBLE AS v

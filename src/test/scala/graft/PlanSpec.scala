@@ -147,4 +147,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"equi-join expected:\n$p")
   }
+
+  test("decontamination: the probe shingle set broadcasts; corpus shingles never shuffle for the match") {
+    val p = plan(graft.queries.ScaleQueries.defs("q147_decontam")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"broadcast semi-join expected:\n$p")
+  }
+
+  test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
+    val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
+    // gram_agg reduces to a single row before any Generate(explode):
+    // the explode must sit above the aggregate, not above the scan
+    val genIdx = p.indexOf("Generate explode")
+    val aggIdx = p.lastIndexOf("gram_agg")
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"explode should consume the aggregate output (plan order generate<-agg):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no row-level self-join expected:\n$p")
+  }
 }
