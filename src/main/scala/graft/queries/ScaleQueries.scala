@@ -183,6 +183,17 @@ sig AS (SELECT doc_id,
         .select(col("source"), col("n_docs"), col("tokens"),
           r6(col("weight")).as("weight"), r6(col("epochs")).as("epochs"))
     },
+    // incremental dedup: the new batch (doc_id % 10 == 0) vs the existing
+    // corpus index — asymmetric LSH, best index match per new doc
+    "q154_incremental_dedup" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      Dedup.incrementalDedup(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), n = 3, tau = 0.5)
+        .select(col("doc_id"), col("match_id"),
+          r6(col("jaccard")).as("jaccard"), col("is_dup"))
+    },
     // OOV-rate screen against a corpus-derived reference vocabulary
     // (top-20 tokens): per-doc out-of-vocabulary token fraction — the
     // tokenizer-fit signal. Vocab is tiny by construction -> broadcast.
@@ -630,6 +641,31 @@ SELECT t.doc_id, ns AS n_shingles, coalesce(nc, 0) AS n_contaminated,
   round(coalesce(nc, 0)::DOUBLE / ns + 5e-11, 4) AS contaminated_frac,
   coalesce(nc, 0) > 0 AS contaminated
 FROM t LEFT JOIN h ON t.doc_id = h.doc_id""",
+    "q154_incremental_dedup" -> {
+      val bandRows = Dedup.bands.zipWithIndex.map { case (rows, b) =>
+        val key = rows.map(r => s"mh$r").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shingleCte,
+$sigSelect,
+bk AS ($bandRows),
+cand AS (SELECT DISTINCT d.doc_id AS ddoc, i.doc_id AS idoc
+         FROM bk d JOIN bk i ON d.band = i.band AND d.key = i.key
+         WHERE d.doc_id % 10 = 0 AND i.doc_id % 10 != 0),
+inter AS (SELECT c.ddoc, c.idoc, count(*) AS inter
+          FROM cand c JOIN sh0 a ON a.doc_id = c.ddoc
+          JOIN sh0 b ON b.doc_id = c.idoc AND b.shingle = a.shingle GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+j AS (SELECT ddoc, idoc, inter::DOUBLE / (sd.sz + si.sz - inter) AS jac
+      FROM inter JOIN sizes sd ON sd.doc_id = ddoc JOIN sizes si ON si.doc_id = idoc),
+best AS (SELECT ddoc, idoc, jac,
+           row_number() OVER (PARTITION BY ddoc ORDER BY jac DESC, idoc ASC) AS rn FROM j)
+SELECT d.doc_id, coalesce(b.idoc, -1) AS match_id,
+  round(coalesce(b.jac, 0.0) + 5e-11, 4) AS jaccard,
+  coalesce(b.jac >= 0.5, FALSE) AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.ddoc = d.doc_id"""
+    },
     "q152_oov_rate" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
 v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY 1) ORDER BY c DESC, tok ASC LIMIT 20)

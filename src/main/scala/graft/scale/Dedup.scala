@@ -202,6 +202,55 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
   }
 
+  /** Incremental corpus dedup: match a NEW batch (`delta`) against an
+    * EXISTING corpus (`index`) — the shape production pipelines actually
+    * run (the corpus only grows; re-pairing the whole corpus per batch is
+    * quadratic waste). Asymmetric LSH: band keys of the delta batch are
+    * broadcast against the index's band keys (a real index would persist
+    * its signature/band table between batches — only the delta side is
+    * computed per run), candidates get exact shingle Jaccard, and each
+    * delta doc reports its best index match (ties broken by lowest index
+    * id; Jaccard values are exact integer ratios, so the ordering is
+    * engine-portable). Delta docs with no candidate collide with nothing:
+    * match_id -1, jaccard 0, is_dup false.
+    */
+  def incrementalDedup(index: DataFrame, delta: DataFrame, id: Column,
+                       text: Column, n: Int, tau: Double): DataFrame = {
+    val shI = shingles(index, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val shD = shingles(delta, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    def bandKeys(sig: DataFrame) = {
+      val bandCols = bands.map(rows => concat_ws("_", rows.map(r => col(s"mh$r")): _*))
+      sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    }
+    val cand = bandKeys(minhashSignaturesFrom(shI)).as("i")
+      .join(broadcast(bandKeys(minhashSignaturesFrom(shD)).as("d")),
+        col("i.band") === col("d.band") && col("i.key") === col("d.key"))
+      .select(col("d.doc_id").as("ddoc"), col("i.doc_id").as("idoc")).distinct()
+    val probe = shD.join(cand, col("doc_id") === col("ddoc"))
+      .select(col("ddoc"), col("idoc"), col("shingle"))
+    val inter = probe.as("p").join(shI.as("s2"),
+        col("s2.doc_id") === col("p.idoc") && col("s2.shingle") === col("p.shingle"))
+      .groupBy(col("p.ddoc").as("ddoc"), col("p.idoc").as("idoc"))
+      .agg(count(lit(1)).as("inter"))
+    val szI = shI.groupBy(col("doc_id")).agg(count(lit(1)).as("szi"))
+    val szD = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("szd"))
+    val jac = inter
+      .join(szD.withColumnRenamed("doc_id", "ddoc"), "ddoc")
+      .join(szI.withColumnRenamed("doc_id", "idoc"), "idoc")
+      .select(col("ddoc"), col("idoc"),
+        (col("inter").cast("double") / (col("szd") + col("szi") - col("inter")))
+          .as("jaccard"))
+    val w = Window.partitionBy(col("ddoc"))
+      .orderBy(col("jaccard").desc, col("idoc").asc)
+    val best = jac.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    delta.select(id.as("doc_id"))
+      .join(best.withColumnRenamed("ddoc", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("idoc"), lit(-1L)).as("match_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        coalesce(col("jaccard") >= tau, lit(false)).as("is_dup"))
+  }
+
   /** Corpus boilerplate screen (the C4/CCNet "remove lines seen in many
     * pages" step, on word n-grams since this corpus has no line
     * structure): a shingle is boilerplate when it occurs in >= minDf

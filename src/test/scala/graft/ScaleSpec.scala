@@ -263,6 +263,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(2L).getLong(2) == 0 && !out(2L).getBoolean(4))
   }
 
+  test("incrementalDedup: delta doc matches its index twin; novel doc stays unmatched") {
+    val index = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated index content about spark engines")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (11L, "zz yy xx ww vv uu tt ss rr qq")                      // novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(index, delta, col("doc_id"), col("text"),
+        n = 3, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getLong(1) == 1L && out(10L).getDouble(2) == 1.0 &&
+      out(10L).getBoolean(3))
+    assert(out(11L).getLong(1) == -1L && out(11L).getDouble(2) == 0.0 &&
+      !out(11L).getBoolean(3))
+  }
+
   test("dimCorrPairs: gram-derived corr is exact on hand vectors; dead dim -> null") {
     // dims: t, 2t, -t, const -> corr(0,1)=1, (0,2)=-1, (1,2)=-1, any pair with 3 null
     val rows = Seq(1f, 2f, 3f).map(t => Tuple1(Array(t, 2 * t, -t, 5f)))
