@@ -422,4 +422,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == tx.count(_.customer_id == c))
     }
   }
+
+  test("streaming dedup gate: first arrival kept, later dups rejected == batch exactGroups (q28 twin)") {
+    import spark.implicits._
+    import graft.streaming.{DedupProcessor, StreamDoc}
+    val docsDf = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = docsDf
+      .select(md5(col("text")).as("fp"), col("doc_id"),
+        col("doc_id").as("ts_micros")) // arrival order = id order
+      .as[StreamDoc].collect().sortBy(_.doc_id)
+    val (b1, b2) = docs.partition(_.doc_id < docs(docs.length / 2).doc_id)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = DedupProcessor.screen(input.toDS())
+      .writeStream.format("memory").queryName("dedupgate").outputMode("append").start()
+    try {
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("dedupgate").collect()
+      .map(r => r.getLong(1) -> (r.getBoolean(3), r.getLong(4))).toMap
+    val batch = graft.scale.Dedup.exactGroups(docsDf, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == docs.length) // one decision per doc
+    // id-ordered replay makes first-arrival == min-id: canonicals match
+    // the batch operator, keep fires exactly for the canonical row, and
+    // state survives the micro-batch boundary (dups of a batch-1 doc
+    // arriving in batch 2 still point at the batch-1 canonical)
+    got.foreach { case (id, (keep, canon)) =>
+      assert(canon == batch(id), s"doc $id")
+      assert(keep == (id == canon), s"doc $id")
+    }
+    assert(got.values.count(_._1) == batch.values.toSet.size)
+  }
 }
