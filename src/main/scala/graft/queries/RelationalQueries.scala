@@ -111,6 +111,32 @@ snap AS (
         Drift.accuracy(ev.col("value") > 100.0, col("event_type") === "error").as("accuracy"))
       aucDf.crossJoin(accDf).select(r6(col("auc")).as("auc"), r6(col("accuracy")).as("accuracy"))
     },
+    // calibration / cumulative-gains table: decile 1 = highest scores
+    // (deterministic total order: score desc, id asc), observed positive
+    // rate per decile and the share of all positives captured so far.
+    // The global sort is a range-partitioned exchange at scale — same
+    // posture as the temporal split (q91).
+    "q155_calibration" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value").as("sc"),
+        (col("event_type") === "error").cast("int").as("y"))
+      val d = ev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("sc").desc, col("event_id").asc)))
+      val per = d.groupBy(col("decile")).agg(
+        count(lit(1)).as("n"),
+        avg(col("sc")).as("avg_score"),
+        avg(col("y")).as("pos_rate"),
+        sum(col("y")).cast("long").as("np"))
+      val tot = per.agg(sum(col("np")).cast("double").as("tp"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_gain",
+          sum(col("np")).over(Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) / col("tp"))
+        .select(col("decile").cast("long").as("decile"), col("n"),
+          r6(col("avg_score")).as("avg_score"),
+          r6(col("pos_rate")).as("pos_rate"),
+          col("np").as("n_pos"),
+          r6(col("cum_gain")).as("cum_gain"))
+    },
     "q24_ks_drift" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       Drift.ks(ev, col("value"), col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
@@ -288,6 +314,16 @@ FROM events GROUP BY 1""",
       """SELECT user_id AS customer_id, round(sum(value)+ 5e-11, 4) AS total_amount, count(*) AS txn_count
 FROM events GROUP BY 1
 ORDER BY sum(value) DESC, user_id ASC LIMIT 5""",
+    "q155_calibration" ->
+      """WITH s AS (SELECT event_id, value AS sc, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y FROM events),
+d AS (SELECT *, ntile(10) OVER (ORDER BY sc DESC, event_id ASC) AS decile FROM s),
+g AS (SELECT decile, count(*) AS n, avg(sc) AS avg_score, avg(y::DOUBLE) AS pos_rate,
+        sum(y)::BIGINT AS np FROM d GROUP BY 1),
+t AS (SELECT sum(np)::DOUBLE AS tp FROM g)
+SELECT decile::BIGINT AS decile, n, round(avg_score + 5e-11, 4) AS avg_score,
+  round(pos_rate + 5e-11, 4) AS pos_rate, np AS n_pos,
+  round(sum(np) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) / tp + 5e-11, 4) AS cum_gain
+FROM g CROSS JOIN t""",
     "q23_label_metrics" ->
       """WITH s AS (SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y, value AS sc FROM events),
 r AS (SELECT y, rank() OVER (ORDER BY sc) + (count(*) OVER (PARTITION BY sc) - 1)/2.0 AS midrank FROM s),
