@@ -1,0 +1,88 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The training-data front door: the standard corpus-curation sequence
+  * (the C4/Gopher/CCNet recipe) as ONE composition over the engine's
+  * scale operators, so a pipeline user calls `curate` instead of wiring
+  * eight queries by hand:
+  *
+  *   1. quality gate      — length + stopword-ratio screen (TextOps)
+  *   2. repetition gate   — Gopher dup-word / top-gram char-mass cuts
+  *   3. exact dedup       — fingerprint groups, keep the canonical
+  *   4. near-dup groups   — MinHash-LSH components, keep min-id doc
+  *   5. decontamination   — drop docs sharing word n-grams with probes
+  *
+  * Every step is a lazy DataFrame transform — Catalyst plans the whole
+  * funnel as one job, and each gate's predicate is a column on the
+  * surviving frame so the drop REASON is auditable (`keep_reason`
+  * pattern from q74). `report` aggregates the funnel counts; at 100 TB
+  * both run as the same shuffles the individual operators cost — no
+  * extra passes for the composition.
+  */
+object CorpusPipeline {
+
+  case class Config(
+      minTokens: Long = 10,
+      minStopwordRatio: Double = 0.0,
+      maxDupWordFrac: Double = 0.9,
+      maxTopBigramCharFrac: Double = 1.0,
+      shingleN: Int = 3,
+      neardupTau: Double = 0.5,
+      decontamN: Int = 5)
+
+  /** Curated corpus: the input frame plus `stage` ("kept" or the first
+    * gate that rejected the doc) and `canonical_id`. Docs rejected by an
+    * earlier gate are not re-judged by later ones (first reason wins, so
+    * funnel counts add up).
+    */
+  def curate(docs: DataFrame, probes: Option[DataFrame], id: Column, text: Column,
+             cfg: Config = Config()): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val quality = base.select(col("doc_id"),
+      TextOps.nTokens(col("text")).as("n_tokens"),
+      TextOps.stopwordRatio(col("text")).as("stop_ratio"))
+    val rep = TextOps.repetitionStats(base, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_char_frac"))
+    val exact = Dedup.exactGroups(base, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("canonical_id"))
+    val near = Dedup.neardupGroups(base, col("doc_id"), col("text"),
+        cfg.shingleN, cfg.neardupTau)
+      .select(col("doc_id"), col("canonical_id").as("near_canonical"))
+    val contaminated = probes.map { p =>
+      Dedup.contaminationReport(base, p.select(id.as("doc_id"), text.as("text")),
+          col("doc_id"), col("text"), cfg.decontamN)
+        .select(col("doc_id"), col("contaminated"))
+    }.getOrElse(base.select(col("doc_id"), lit(false).as("contaminated")))
+
+    base
+      .join(quality, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("n_tokens") < cfg.minTokens, "too_short")
+          .when(col("stop_ratio") < cfg.minStopwordRatio, "low_stopword")
+          .when(coalesce(col("dup_word_frac"), lit(0.0)) > cfg.maxDupWordFrac,
+            "repetitive")
+          .when(coalesce(col("top_bigram_char_frac"), lit(0.0)) >
+            cfg.maxTopBigramCharFrac, "gram_spam")
+          .when(col("canonical_id") =!= col("doc_id"), "exact_dup")
+          .when(coalesce(col("near_canonical"), col("doc_id")) =!= col("doc_id"),
+            "near_dup")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("stage"),
+        (col("stage") === "kept").as("keep"),
+        coalesce(col("near_canonical"), col("canonical_id"), col("doc_id"))
+          .as("canonical_id"))
+  }
+
+  /** Funnel report: docs and tokens surviving each gate. */
+  def report(curated: DataFrame): DataFrame =
+    curated.groupBy(col("stage")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"))
+}

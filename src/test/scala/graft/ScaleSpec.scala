@@ -263,6 +263,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(2L).getLong(2) == 0 && !out(2L).getBoolean(4))
   }
 
+  test("CorpusPipeline.curate: one doc per gate, first reason wins, funnel adds up") {
+    import graft.scale.CorpusPipeline
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // exact dup
+      (3L, "tiny doc"),                                                           // too short
+      (4L, "a a a a a a a a a a a a"),                                            // repetitive
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // near dup
+      (6L, "one two three four five six seven eight nine ten eleven twelve")      // contaminated
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "one two three four five and something else")).toDF("doc_id", "text")
+    val cur = CorpusPipeline.curate(docs, Some(probes), col("doc_id"), col("text"))
+    val stages = cur.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(stages == Map(1L -> "kept", 2L -> "exact_dup", 3L -> "too_short",
+      4L -> "repetitive", 5L -> "near_dup", 6L -> "contaminated"))
+    val canon = cur.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(canon(2L) == 1L && canon(5L) == 1L && canon(1L) == 1L)
+    val rep = CorpusPipeline.report(cur).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.values.sum == 6 && rep("kept") == 1)
+  }
+
   test("incrementalDedup: delta doc matches its index twin; novel doc stays unmatched") {
     val index = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
