@@ -169,4 +169,43 @@ class PropertySpec extends AnyFunSuite {
       assert(out.toLongArray().toSet == expected, s"text=[$s0]")
     }
   }
+
+  test("gram-derived dimension corr == Spark's corr aggregate on random vectors") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 100.0f))
+    val corpus = samples(vecGen, 80).map(v => Tuple1(v.toArray)).toDF("embedding")
+      .repartition(5) // exercise partial-buffer merges
+    val got = graft.scale.Similarity.dimCorrPairs(corpus).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val asCols = corpus.select((0 until 4).map(i =>
+      element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+    for (i <- 0 until 4; j <- i + 1 until 4) {
+      val exp = asCols.agg(corr(col(s"x$i"), col(s"x$j"))).head.getDouble(0)
+      assert(math.abs(got((i, j)) - exp) < 1e-9, s"pair ($i,$j)")
+    }
+  }
+
+  test("repetitionStats == brute-force token math on random multi-byte strings") {
+    val strGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "b", "ccc", "二二", "dd")).map(_.mkString(" ")))
+    val docs = samples(strGen, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.scale.TextOps.repetitionStats(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    for ((id, text) <- docs) {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val uniq = toks.distinct.length.toLong
+      val chars = toks.map(_.length).sum.toDouble
+      val topUni = toks.groupBy(identity).map { case (w, o) => o.length * w.length }.max
+      val bis = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topBi = if (bis.isEmpty) 0.0
+        else bis.groupBy(identity).map { case (g, o) => o.length * (g.length - 1) }.max.toDouble
+      val (gn, gu, gd, gt, gb) = got(id)
+      assert(gn == n && gu == uniq, s"doc $id")
+      assert(math.abs(gd - (n - uniq).toDouble / n) < 1e-12, s"doc $id dup")
+      assert(math.abs(gt - topUni / chars) < 1e-12, s"doc $id topuni")
+      assert(math.abs(gb - topBi / chars) < 1e-12, s"doc $id topbi")
+    }
+  }
 }
