@@ -154,6 +154,12 @@ class PlanSpec extends AnyFunSuite {
       s"broadcast semi-join expected:\n$p")
   }
 
+  test("incremental dedup: the delta batch's band keys broadcast against the index") {
+    val p = plan(graft.queries.ScaleQueries.defs("q154_incremental_dedup")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"delta band keys should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
     val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
     // gram_agg reduces to a single row before any Generate(explode):
