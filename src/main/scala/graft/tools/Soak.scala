@@ -124,6 +124,28 @@ object Soak {
       graft.scale.TextOps.trigramDiversity(docs, col("doc_id"), col("text"))
         .write.format("noop").mode("overwrite").save())
 
+    // round-3 batch 2: the curation-funnel operators at k-fold corpus.
+    // repetition/boilerplate are explode+agg (linear); incremental dedup's
+    // delta side stays FIXED-size while the index replicates — the match
+    // cost should grow with candidate collisions, not index size alone
+    time(s"repetition-${k}x-docs")(
+      graft.scale.TextOps.repetitionStats(docs, col("doc_id"), col("text"))
+        .write.format("noop").mode("overwrite").save())
+    time(s"boilerplate-${k}x-docs")(
+      Dedup.boilerplateReport(docs, col("doc_id"), col("text"),
+          n = 3, minDf = 3, flagFrac = 0.5)
+        .write.format("noop").mode("overwrite").save())
+    time(s"incremental-dedup-${k}x-index")(
+      Dedup.incrementalDedup(docs,
+          Tables.documents(spark, dir).where(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), n = 3, tau = 0.5)
+        .write.format("noop").mode("overwrite").save())
+    val vecs = Tables.embeddings(spark, dir).crossJoin(rep)
+      .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L).drop("rep")
+    time(s"gram-corr-${k}x-vectors")(
+      graft.scale.Similarity.dimCorrPairs(vecs)
+        .write.format("noop").mode("overwrite").save())
+
     spark.stop()
   }
 }
