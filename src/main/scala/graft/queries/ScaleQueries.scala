@@ -194,6 +194,13 @@ sig AS (SELECT doc_id,
         .select(col("doc_id"), col("match_id"),
           r6(col("jaccard")).as("jaccard"), col("is_dup"))
     },
+    // int8 scalar-quantization QA: 20 worst-reconstructed vectors
+    "q156_quant_error" -> { (s, dir) =>
+      Similarity.quantError(Tables.embeddings(s, dir))
+        .orderBy(r6(col("mse_ppm")).desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), r6(col("mse_ppm")).as("mse_ppm"))
+    },
     // OOV-rate screen against a corpus-derived reference vocabulary
     // (top-20 tokens): per-doc out-of-vocabulary token fraction — the
     // tokenizer-fit signal. Vocab is tiny by construction -> broadcast.
@@ -666,6 +673,19 @@ SELECT d.doc_id, coalesce(b.idoc, -1) AS match_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.ddoc = d.doc_id"""
     },
+    "q156_quant_error" ->
+      """WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+st AS (SELECT i, min(v) AS lo, max(v) AS hi FROM x GROUP BY 1),
+q AS (SELECT vec_id, v, lo, hi,
+        CASE WHEN hi = lo THEN 0.0 ELSE floor((v - lo) / (hi - lo) * 255 + 0.5) END AS code
+      FROM x JOIN st USING (i)),
+e AS (SELECT vec_id,
+        avg((v - (lo + code / 255 * (hi - lo))) * (v - (lo + code / 255 * (hi - lo)))) * 1e6 AS mse_ppm
+      FROM q GROUP BY 1)
+SELECT vec_id, round(mse_ppm + 5e-11, 4) AS mse_ppm
+FROM e ORDER BY round(mse_ppm + 5e-11, 4) DESC, vec_id ASC LIMIT 20""",
     "q152_oov_rate" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
 v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM t GROUP BY 1) ORDER BY c DESC, tok ASC LIMIT 20)

@@ -161,6 +161,32 @@ object Similarity {
            END""").as("corr"))
   }
 
+  /** Int8 scalar quantization QA: quantize every dimension to 256 levels
+    * over its corpus [min, max] range and report each vector's
+    * reconstruction MSE (in ppm — the raw MSE of a unit-ish embedding is
+    * ~1e-4, below output rounding) — the storage-shrink step vector
+    * indexes run (4 bytes -> 1 byte/dim) plus the QA screen for vectors
+    * the codebook represents worst. Per-dim ranges are one n·d-row
+    * aggregation (at corpus scale a sample suffices — ranges, not means,
+    * saturate fast) broadcast back as a d-row table; everything after is
+    * a narrow map + one doc_id aggregation. All arithmetic up to the
+    * final mean is identical closed-form per element on any engine;
+    * `floor(x + 0.5)` is used instead of `round` (Spark's round routes
+    * positive doubles through BigDecimal shortest-repr).
+    */
+  def quantError(corpus: DataFrame): DataFrame = {
+    val x = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
+    val stats = x.groupBy(col("i")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    x.join(broadcast(stats), "i")
+      .withColumn("code", when(col("hi") === col("lo"), lit(0.0))
+        .otherwise(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255 + 0.5)))
+      .withColumn("deq", col("lo") + col("code") / 255 * (col("hi") - col("lo")))
+      .groupBy(col("vec_id"))
+      .agg((avg((col("v") - col("deq")) * (col("v") - col("deq"))) * 1e6).as("mse_ppm"))
+  }
+
   /** IVF (inverted-file) index: deterministic coarse quantizer — seed
     * centroids are the `k` lowest-id vectors refined by `iters` Lloyd
     * steps (elementwise means via posexplode/groupBy — no driver math),
