@@ -194,6 +194,12 @@ sig AS (SELECT doc_id,
         .select(col("doc_id"), col("match_id"),
           r6(col("jaccard")).as("jaccard"), col("is_dup"))
     },
+    // MinHash sketch calibration: signature estimate vs exact Jaccard
+    // over the LSH candidates (MAE + bias of the 16-hash estimator)
+    "q157_minhash_calibration" -> { (s, dir) =>
+      Dedup.minhashCalibration(docsSpread(s, dir), col("doc_id"), col("text"), n = 3)
+        .select(col("n_pairs"), r6(col("mae")).as("mae"), r6(col("bias")).as("bias"))
+    },
     // int8 scalar-quantization QA: 20 worst-reconstructed vectors
     "q156_quant_error" -> { (s, dir) =>
       Similarity.quantError(Tables.embeddings(s, dir))
@@ -672,6 +678,19 @@ SELECT d.doc_id, coalesce(b.idoc, -1) AS match_id,
   coalesce(b.jac >= 0.5, FALSE) AS is_dup
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.ddoc = d.doc_id"""
+    },
+    "q157_minhash_calibration" -> {
+      val estTerms = Dedup.perms.indices.map(i =>
+        s"(CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $minhashPairsCtes,
+est AS (SELECT c.doc1, c.doc2, ($estTerms) / ${Dedup.perms.length}.0 AS est
+        FROM cand c JOIN sig s1 ON s1.doc_id = c.doc1 JOIN sig s2 ON s2.doc_id = c.doc2),
+ex AS (SELECT i.doc1, i.doc2, i.inter::DOUBLE / (z1.sz + z2.sz - i.inter) AS jac
+       FROM inter i JOIN sizes z1 ON i.doc1 = z1.doc_id JOIN sizes z2 ON i.doc2 = z2.doc_id)
+SELECT count(*) AS n_pairs,
+  round(avg(abs(e.est - coalesce(x.jac, 0.0))) + 5e-11, 4) AS mae,
+  round(avg(e.est - coalesce(x.jac, 0.0)) + 5e-11, 4) AS bias
+FROM est e LEFT JOIN ex x ON e.doc1 = x.doc1 AND e.doc2 = x.doc2"""
     },
     "q156_quant_error" ->
       """WITH x AS (

@@ -144,6 +144,61 @@ object Dedup {
         (col("inter").cast("double") / col("sz1")).as("containment_1"),
         (col("inter").cast("double") / col("sz2")).as("containment_2"))
 
+  /** LSH candidate pairs: equal 4-row signature slice in any of the 4
+    * bands (one posexplode pass over the signature table instead of a
+    * 4-way union). doc1 < doc2.
+    */
+  private[scale] def lshCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = bands.map(rows => concat_ws("_", rows.map(r => col(s"mh$r")): _*))
+    val bandKeys = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+    bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  /** Sketch-calibration QA: over the LSH candidate pairs, compare the
+    * signature-agreement Jaccard ESTIMATE (matching minhashes / 16 — the
+    * unbiased estimator the banding scheme is built on) with the exact
+    * shingle Jaccard, and report the mean absolute error and bias. This
+    * is the dial a pipeline reads before trusting estimate-only dedup at
+    * a scale where exact intersections are too expensive — if MAE at the
+    * operating threshold is small, the `inter` join can be dropped from
+    * the hot path. Candidates with NO shared shingle (a pure band-hash
+    * collision) count with exact Jaccard 0.
+    */
+  def minhashCalibration(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val sh = shingles(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(sig)
+    val matches = perms.indices.map(i =>
+      when(col(s"s1.mh$i") === col(s"s2.mh$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = cand
+      .join(sig.as("s1"), col("s1.doc_id") === col("doc1"))
+      .join(sig.as("s2"), col("s2.doc_id") === col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        (matches.cast("double") / perms.length).as("est"))
+    val probe = sh.join(cand, col("doc_id") === col("doc1"))
+      .select(col("doc1"), col("doc2"), col("shingle"))
+    val inter = probe.as("p").join(sh.as("s2"),
+        col("s2.doc_id") === col("p.doc2") && col("s2.shingle") === col("p.shingle"))
+      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val exact = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+      .select(col("doc1"), col("doc2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jac"))
+    est.join(exact, Seq("doc1", "doc2"), "left")
+      .select(col("est"), coalesce(col("jac"), lit(0.0)).as("jac"))
+      .agg(count(lit(1)).as("n_pairs"),
+        avg(abs(col("est") - col("jac"))).as("mae"),
+        avg(col("est") - col("jac")).as("bias"))
+  }
+
   /** Shared LSH pipeline: candidate pairs with exact intersection and
     * both post-shingle set sizes.
     */
@@ -154,15 +209,7 @@ object Dedup {
     // (at 100 TB this is the standard materialize-the-shingle-table step)
     val sh = shingles(docs, id, text, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignaturesFrom(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    // one pass over sig: band index via posexplode instead of a 4-way union
-    val bandCols = bands.map(rows => concat_ws("_", rows.map(r => col(s"mh$r")): _*))
-    val bandKeys = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "key")))
-    val cand = bandKeys.as("x").join(bandKeys.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-      .distinct()
+    val cand = lshCandidates(sig)
     // intersection via composite-key equi-join (doc AND shingle) so no
     // per-pair shingle cross product materializes; AQE broadcasts the
     // small sides at test SF while the same plan stays shuffle-safe at scale
