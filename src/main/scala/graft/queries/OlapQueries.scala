@@ -18,7 +18,27 @@ object OlapQueries extends QueryPack {
     */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** lineitem columns with their profile kind — the single spec both the
+    * Spark q158 plan and its oracle SQL are generated from, so the two
+    * sides cannot drift.
+    */
+  private val profileCols: Seq[(String, graft.ops.Profile.Kind)] = {
+    import graft.ops.Profile._
+    Seq("l_orderkey" -> Num, "l_partkey" -> Num, "l_suppkey" -> Num,
+      "l_linenumber" -> Num, "l_quantity" -> Num, "l_extendedprice" -> Num,
+      "l_discount" -> Num, "l_tax" -> Num,
+      "l_returnflag" -> Str, "l_linestatus" -> Str, "l_shipdate" -> Other)
+  }
+
   override val defs: Map[String, Q] = Map(
+    // Deequ-style per-column table profile: volume, null rate, exact
+    // cardinality, typed min/max — one column-pruned aggregate per column
+    "q158_column_profile" -> { (s, dir) =>
+      graft.ops.Profile.profile(Tables.lineitem(s, dir), profileCols)
+        .select(col("column"), col("n"), col("n_null"),
+          r6(col("null_rate")).as("null_rate"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    },
     // wide reshaping: one row per customer, one amount column per
     // merchant-type — the serving-layer feature-vector shape
     "q60_pivot" -> { (s, dir) =>
@@ -215,6 +235,16 @@ object OlapQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q158_column_profile" -> profileCols.map { case (c, k) =>
+      val minNum = if (k == graft.ops.Profile.Num) s"min($c)::DOUBLE" else "NULL::DOUBLE"
+      val maxNum = if (k == graft.ops.Profile.Num) s"max($c)::DOUBLE" else "NULL::DOUBLE"
+      val minStr = if (k == graft.ops.Profile.Str) s"min($c)::VARCHAR" else "NULL::VARCHAR"
+      val maxStr = if (k == graft.ops.Profile.Str) s"max($c)::VARCHAR" else "NULL::VARCHAR"
+      s"""SELECT '$c' AS "column", count(*) AS n, count(*) - count($c) AS n_null,
+  round((count(*) - count($c))::DOUBLE / count(*) + 5e-11, 4) AS null_rate,
+  count(DISTINCT $c) AS n_distinct, $minNum AS min_num, $maxNum AS max_num,
+  $minStr AS min_str, $maxStr AS max_str FROM lineitem"""
+    }.mkString("\nUNION ALL\n"),
     "q60_pivot" -> {
       val cols = eventTypes.map { t =>
         s"round(coalesce(sum(CASE WHEN event_type = '$t' THEN value END), 0.0) + 5e-11, 4) AS amt_$t"

@@ -154,6 +154,15 @@ class PlanSpec extends AnyFunSuite {
       s"broadcast semi-join expected:\n$p")
   }
 
+  test("column profile: every per-column aggregate prunes its scan to that one column") {
+    val p = plan(graft.queries.OlapQueries.defs("q158_column_profile")(spark, sf))
+    // a profile that reads all 11 columns for each single-column stat
+    // would be 11x the IO at 100 TB — each union branch must scan one field
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"), p)
+    assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint"), p)
+  }
+
   test("incremental dedup: the delta batch's band keys broadcast against the index") {
     val p = plan(graft.queries.ScaleQueries.defs("q154_incremental_dedup")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"delta band keys should broadcast:\n$p")
