@@ -179,6 +179,28 @@ object AmlPatterns {
         coalesce(col("last_gap_us") > reactivationSeconds * 1000000L, lit(false)))
   }
 
+  /** Rapid same-counterparty repeats: the SAME customer hitting the SAME
+    * merchant again within `windowSeconds` of the previous attempt — the
+    * card-testing / double-charge velocity pattern (distinct from
+    * [[mirrorPairs]], which requires DIFFERENT merchants). One lag window
+    * over the (customer, merchant) key: per-key cost is the sort the
+    * feature views already pay; no self-join, so hot keys cannot fan out
+    * quadratically. Emits the repeat row with its gap and both amounts.
+    */
+  def rapidRepeats(tx: DataFrame, windowSeconds: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("customer_id"), col("merchant_id"))
+      .orderBy(col("tm"), col("transaction_id"))
+    tx.select(col("transaction_id"), col("customer_id"), col("merchant_id"),
+        col("amount"), unix_micros(col("event_timestamp")).as("tm"))
+      .withColumn("prev_tm", lag(col("tm"), 1).over(w))
+      .withColumn("prev_amount", lag(col("amount"), 1).over(w))
+      .where(col("prev_tm").isNotNull &&
+        col("tm") - col("prev_tm") <= windowSeconds * 1000000L)
+      .select(col("transaction_id"), col("customer_id"), col("merchant_id"),
+        (col("tm") - col("prev_tm")).as("gap_us"), col("amount"), col("prev_amount"))
+  }
+
   /** Mirrored-amount pairs: the SAME customer moving the SAME exact cents
     * through DIFFERENT merchants within `windowSeconds` — classic
     * split-payment / layering structure that per-merchant screens miss.

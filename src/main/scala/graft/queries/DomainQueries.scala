@@ -23,6 +23,13 @@ object DomainQueries extends QueryPack {
   private val centsSql = "round(value*100)::BIGINT"
 
   override val defs: Map[String, Q] = Map(
+    // card-testing velocity: same customer+merchant repeat within 60s
+    "q159_rapid_repeats" -> { (s, dir) =>
+      AmlPatterns.rapidRepeats(Tables.transactions(s, dir), windowSeconds = 60L)
+        .select(col("transaction_id"), col("customer_id"), col("merchant_id"),
+          col("gap_us"), r6(col("amount")).as("amount"),
+          r6(col("prev_amount")).as("prev_amount"))
+    },
     // structuring screen: repeated just-under-threshold amounts (T=100)
     "q79_structuring" -> { (s, dir) =>
       val tx = Tables.transactions(s, dir)
@@ -718,6 +725,14 @@ SELECT src AS node, count(*) AS deg FROM e$rounds GROUP BY 1"""
   }
 
   override val oracle: Map[String, String] = Map(
+    "q159_rapid_repeats" ->
+      """WITH t AS (SELECT event_id AS transaction_id, user_id AS customer_id,
+  event_type AS merchant_id, value AS amount, epoch_us(ts) AS tm FROM events),
+l AS (SELECT *, lag(tm) OVER w AS prev_tm, lag(amount) OVER w AS prev_amount
+      FROM t WINDOW w AS (PARTITION BY customer_id, merchant_id ORDER BY tm, transaction_id))
+SELECT transaction_id, customer_id, merchant_id, tm - prev_tm AS gap_us,
+  round(amount + 5e-11, 4) AS amount, round(prev_amount + 5e-11, 4) AS prev_amount
+FROM l WHERE prev_tm IS NOT NULL AND tm - prev_tm <= 60000000""",
     "q144_winsorize" ->
       s"""WITH c AS (SELECT event_type AS merchant_id, $centsSql AS cents FROM events),
 s AS (SELECT merchant_id, quantile_cont(cents, 0.015625) AS lo,

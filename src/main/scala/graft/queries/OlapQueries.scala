@@ -39,6 +39,20 @@ object OlapQueries extends QueryPack {
           r6(col("null_rate")).as("null_rate"), col("n_distinct"),
           col("min_num"), col("max_num"), col("min_str"), col("max_str"))
     },
+    // data-freshness report: per stream partition (event_type), volume,
+    // last event time, and lag behind the global high-water mark — the
+    // staleness monitor a multi-source ingest runs every cycle
+    "q160_freshness" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("tm"))
+      val per = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), max(col("tm")).as("last_tm"))
+      val hwm = per.agg(max(col("last_tm")).as("hwm"))
+      per.crossJoin(broadcast(hwm))
+        .select(col("event_type"), col("n"), col("last_tm"),
+          (col("hwm") - col("last_tm")).as("lag_us"),
+          (col("hwm") - col("last_tm") > 3600000000L).as("stale_1h"))
+    },
     // wide reshaping: one row per customer, one amount column per
     // merchant-type — the serving-layer feature-vector shape
     "q60_pivot" -> { (s, dir) =>
@@ -235,6 +249,12 @@ object OlapQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q160_freshness" ->
+      """WITH per AS (SELECT event_type, count(*) AS n, max(epoch_us(ts)) AS last_tm FROM events GROUP BY 1),
+h AS (SELECT max(last_tm) AS hwm FROM per)
+SELECT event_type, n, last_tm, hwm - last_tm AS lag_us,
+  hwm - last_tm > 3600000000 AS stale_1h
+FROM per CROSS JOIN h""",
     "q158_column_profile" -> profileCols.map { case (c, k) =>
       val minNum = if (k == graft.ops.Profile.Num) s"min($c)::DOUBLE" else "NULL::DOUBLE"
       val maxNum = if (k == graft.ops.Profile.Num) s"max($c)::DOUBLE" else "NULL::DOUBLE"
