@@ -23,6 +23,29 @@ object CoreQueries extends QueryPack {
   private def windowClause(names: String*): String =
     "WINDOW " + names.map(n => win(n, W(n))).mkString(", ")
 
+  /** The full Risk.model feature frame as an oracle CTE — shared by the
+    * q08 scoring mirror and the q161 importance mirror. MATERIALIZED so a
+    * multi-referencing consumer cannot re-run the six window frames.
+    */
+  private lazy val featureCte: String =
+    s"""f AS MATERIALIZED (
+  SELECT event_id AS transaction_id, user_id AS customer_id, value AS amount,
+    sum(value) OVER w60s AS txn_amount_sum_60s,
+    sum(value) OVER w5m AS txn_amount_sum_5m,
+    sum(value) OVER w1h AS txn_amount_sum_1h,
+    count(*) OVER w60s AS txn_count_60s,
+    count(*) OVER w5m AS txn_count_5m,
+    count(*) OVER w10m AS txn_count_10m,
+    count(*) OVER w1h AS txn_count_1h,
+    count(DISTINCT props->>'$$.k') OVER w1h AS unique_ips_1h,
+    count(DISTINCT event_type) OVER w1h AS unique_merchants_1h,
+    (count(*) OVER w1h) / 60.0 AS velocity_score_1h,
+    coalesce(stddev_pop(value) OVER w1h, 0.0) AS amount_deviation_score_1h,
+    sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
+    sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
+    avg(value) OVER w1h AS avg_txn_amount_1h
+  FROM events ${windowClause("w60s", "w5m", "w10m", "w1h", "w24h", "w7d")})"""
+
   override val defs: Map[String, Q] = Map(
     "q01_txn_counts" -> { (s, dir) =>
       val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
@@ -85,6 +108,27 @@ object CoreQueries extends QueryPack {
       Risk.scored(feats, col("amount")).select(
         col("transaction_id"), col("customer_id"),
         r6(col("risk_score")).as("risk_score"), col("risk_level"))
+    },
+    // global feature importance of the linear risk model: the population
+    // std of each feature's clamp-normalized CONTRIBUTION (weight folded
+    // in) — the data-grounded ranking of which model terms actually move
+    // scores. One aggregate over the shared feature view; the 14-row
+    // melt happens on the single agg row, not per input row.
+    "q161_feature_importance" -> { (s, dir) =>
+      val feats = F.customerFeatures(Tables.transactions(s, dir))
+      val aggs = Risk.model.map { case (f, wgt, norm) =>
+        stddev_pop(least(col(f).cast("double") / norm, lit(1.0)) * wgt).as(s"s_$f")
+      }
+      val stds = feats.agg(aggs.head, aggs.tail: _*)
+      val melted = stds.select(explode(array(Risk.model.map { case (f, wgt, _) =>
+          struct(lit(f).as("feature"), lit(wgt).as("weight"), col(s"s_$f").as("std"))
+        }: _*)).as("e"))
+        .select(col("e.feature"), col("e.weight"), col("e.std"))
+      val tot = melted.agg(sum(col("std")).as("tot"))
+      melted.crossJoin(broadcast(tot))
+        .select(col("feature"), col("weight"),
+          r6(col("std")).as("contrib_std"),
+          r6(col("std") / col("tot")).as("importance_share"))
     })
 
   override val oracle: Map[String, String] = Map(
@@ -125,29 +169,28 @@ FROM events ${windowClause("w1h")}""",
   count(*) FILTER (WHERE isodow(ts) >= 6) OVER w7d AS weekend_txn_count_7d,
   round(avg(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1.0 ELSE 0.0 END) OVER w24h+ 5e-11, 4) AS business_hours_ratio_24h
 FROM events ${windowClause("w24h", "w7d")}""",
+    "q161_feature_importance" -> {
+      val stdCols = Risk.model.zipWithIndex.map { case ((f, wgt, n), i) =>
+        s"stddev_pop(least($f / $n, 1.0) * $wgt) AS s$i"
+      }.mkString(",\n    ")
+      val melt = Risk.model.zipWithIndex.map { case ((f, wgt, _), i) =>
+        s"SELECT '$f' AS feature, $wgt::DOUBLE AS weight, s$i AS std FROM c"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $featureCte,
+c AS MATERIALIZED (SELECT $stdCols FROM f),
+u AS MATERIALIZED (
+  $melt),
+t AS (SELECT sum(std) AS tot FROM u)
+SELECT feature, weight, round(std + 5e-11, 4) AS contrib_std,
+  round(std / tot + 5e-11, 4) AS importance_share
+FROM u CROSS JOIN t"""
+    },
     "q08_risk_score" -> {
       // mirror of graft.scoring.Risk over the windowed features
       val norm = Risk.model.map { case (f, wgt, n) =>
         s"least($f / $n, 1.0) * $wgt"
       }.mkString(" + ")
-      s"""WITH f AS (
-  SELECT event_id AS transaction_id, user_id AS customer_id, value AS amount,
-    sum(value) OVER w60s AS txn_amount_sum_60s,
-    sum(value) OVER w5m AS txn_amount_sum_5m,
-    sum(value) OVER w1h AS txn_amount_sum_1h,
-    count(*) OVER w60s AS txn_count_60s,
-    count(*) OVER w5m AS txn_count_5m,
-    count(*) OVER w10m AS txn_count_10m,
-    count(*) OVER w1h AS txn_count_1h,
-    count(DISTINCT props->>'$$.k') OVER w1h AS unique_ips_1h,
-    count(DISTINCT event_type) OVER w1h AS unique_merchants_1h,
-    (count(*) OVER w1h) / 60.0 AS velocity_score_1h,
-    coalesce(stddev_pop(value) OVER w1h, 0.0) AS amount_deviation_score_1h,
-    sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
-    sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
-    avg(value) OVER w1h AS avg_txn_amount_1h
-  FROM events ${windowClause("w60s", "w5m", "w10m", "w1h", "w24h", "w7d")}
-), scored AS (
+      s"""WITH $featureCte, scored AS (
   SELECT transaction_id, customer_id,
     least(greatest(($norm)
       + (CASE WHEN amount > 10000 THEN 0.3 WHEN amount > 5000 THEN 0.15 ELSE 0.0 END)
