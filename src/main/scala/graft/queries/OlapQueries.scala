@@ -39,6 +39,24 @@ object OlapQueries extends QueryPack {
           r6(col("null_rate")).as("null_rate"), col("n_distinct"),
           col("min_num"), col("max_num"), col("min_str"), col("max_str"))
     },
+    // ledger reconciliation: order header total vs the recomputed
+    // lineitem roll-up — the fact-to-fact consistency check a warehouse
+    // runs after every load. One co-keyed aggregate + join on orderkey;
+    // top-20 worst gaps by ROUNDED delta with key tie-breaks.
+    "q162_reconciliation" -> { (s, dir) =>
+      val calc = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).as("calc"))
+      Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(calc, "o_orderkey")
+        .withColumn("adiff", r6(abs(col("o_totalprice") - col("calc"))))
+        .orderBy(col("adiff").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), r6(col("o_totalprice")).as("o_totalprice"),
+          r6(col("calc")).as("lineitem_total"), col("adiff").as("abs_diff"))
+    },
     // data-freshness report: per stream partition (event_type), volume,
     // last event time, and lag behind the global high-water mark — the
     // staleness monitor a multi-source ingest runs every cycle
@@ -249,6 +267,15 @@ object OlapQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q162_reconciliation" ->
+      """WITH c AS (SELECT l_orderkey AS o_orderkey,
+  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS calc FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderkey, o.o_totalprice, c.calc,
+        round(abs(o.o_totalprice - c.calc) + 5e-11, 4) AS adiff
+      FROM orders o JOIN c USING (o_orderkey))
+SELECT o_orderkey, round(o_totalprice + 5e-11, 4) AS o_totalprice,
+  round(calc + 5e-11, 4) AS lineitem_total, adiff AS abs_diff
+FROM j ORDER BY adiff DESC, o_orderkey ASC LIMIT 20""",
     "q160_freshness" ->
       """WITH per AS (SELECT event_type, count(*) AS n, max(epoch_us(ts)) AS last_tm FROM events GROUP BY 1),
 h AS (SELECT max(last_tm) AS hwm FROM per)

@@ -40,6 +40,24 @@ class SqlInterfaceSpec extends AnyFunSuite {
     assert(sql == api)
   }
 
+  test("gram_agg via spark.sql matches the Column API Gram row") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("emb")
+    val sql = spark.sql("SELECT gram_agg(embedding) AS g FROM emb")
+      .head.getSeq[Double](0)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val api = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .agg(column(graft.functions.GramAgg(expression(col("embedding")))
+        .toAggregateExpression()).as("g"))
+      .head.getSeq[Double](0)
+    assert(sql.length == api.length && sql.take(2) == api.take(2))
+    // sums may differ in partition merge order only below 1e-9 relative
+    sql.zip(api).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)))
+    }
+  }
+
   test("approx FeatureView config tracks exact within HLL tolerance") {
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
     val w = Trailing.spec(col("customer_id"), col("event_timestamp"))
