@@ -80,6 +80,74 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank over a seed SET — risk propagation: teleport
+    * mass returns only to the seeds (flagged accounts), so rank measures
+    * proximity-weighted exposure to them ("guilt by association"), the
+    * graph screen AML teams run from confirmed-SAR seeds. Convention
+    * mirrors [[run]] unnormalized: pr₀ = seed, prₜ₊₁ = (1−d)·seed +
+    * d·Σ_in pr/odeg. GraphX's built-ins personalize to a single source
+    * (or one vector per source), not a set, so this uses the Catalyst
+    * loop of [[runDataFrame]] (one join+agg per iteration, lineage cut by
+    * localCheckpoint); at Pregel scale the same recurrence drops into an
+    * aggregateMessages loop unchanged.
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int = 10,
+                   damping: Double = 0.85): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val withDeg = ed.join(deg, "src").cache()
+    // symmetrized edges: every node is some src
+    val seedTbl = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node")).distinct().withColumn("s", lit(1.0)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0.0)).as("seed"))
+      .cache()
+    var ranks = seedTbl.select(col("node"), col("seed").as("pr"))
+    for (_ <- 1 to iters) {
+      val mass = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("odeg")).as("mass"))
+        .select(col("dst").as("node"), col("mass"))
+      ranks = seedTbl.join(mass, Seq("node"), "left")
+        .select(col("node"), col("seed"),
+          (lit(1.0 - damping) * col("seed") +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+        .select(col("node"), col("pr"))
+        .localCheckpoint()
+    }
+    withDeg.unpersist(false)
+    val out = seedTbl.join(ranks, "node")
+      .select(col("node"), (col("seed") > 0).as("is_seed"), col("pr"))
+    seedTbl.unpersist(false)
+    out
+  }
+
+  /** Unrolled DuckDB oracle for [[personalized]]. */
+  def pprOracleSql(edgesCte: String, seedsCte: String, iters: Int = 10,
+      damping: Double = 0.85, round: String => String = identity): String = {
+    val base = s"""WITH e AS ($edgesCte),
+ed AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src, count(*) AS odeg FROM ed GROUP BY 1),
+sd AS ($seedsCte),
+n AS (SELECT DISTINCT src AS node FROM ed),
+st AS (SELECT n.node, CASE WHEN sd.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS seed
+       FROM n LEFT JOIN (SELECT DISTINCT node FROM sd) sd USING (node)),
+r0 AS (SELECT node, seed AS pr FROM st)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+  SELECT st.node, ${1.0 - damping} * st.seed + $damping * coalesce(m.mass, 0) AS pr
+  FROM st LEFT JOIN (
+    SELECT ed.dst AS node, sum(r${i - 1}.pr / deg.odeg) AS mass
+    FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.node
+            JOIN deg ON ed.src = deg.src
+    GROUP BY 1) m USING (node))"""
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT st.node, st.seed > 0 AS is_seed, ${round(s"r$iters.pr")} AS pr" +
+      s"\nFROM st JOIN r$iters USING (node)"
+  }
+
   /** Unrolled DuckDB oracle for [[run]]: one CTE per iteration with the
     * identical formula, so values agree to summation-order noise.
     */

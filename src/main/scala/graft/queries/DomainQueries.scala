@@ -61,6 +61,20 @@ object DomainQueries extends QueryPack {
       FuzzyMatch.pairs(Tables.documents(s, dir), col("doc_id"), col("text"))
         .select(col("id_a"), col("id_b"), col("lev"))
     },
+    // personalized PageRank from flagged seeds: proximity-weighted
+    // exposure to confirmed-bad accounts (same seed rule as q106)
+    "q163_risk_propagation" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val e = ev.select(concat(lit("c:"), col("user_id").cast("string")).as("src"),
+          concat(lit("m:"), col("event_type")).as("dst")).distinct()
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = ev.where(col("value") > 300)
+        .select(concat(lit("c:"), col("user_id").cast("string")).as("node")).distinct()
+      PageRank.personalized(sym, seeds, iters = 10, damping = 0.85)
+        .orderBy(r6(col("pr")).desc, col("node").asc)
+        .limit(50)
+        .select(col("node"), col("is_seed"), r6(col("pr")).as("pr"))
+    },
     // PageRank over the symmetrized customer-merchant bipartite graph
     "q84_pagerank" -> { (s, dir) =>
       val e = Tables.events(s, dir)
@@ -1043,6 +1057,11 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80))::BIGINT AS lev
 FROM nrm a JOIN nrm b ON substr(a.t, 1, 12) = substr(b.t, 1, 12) AND a.doc_id < b.doc_id
 WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 8""",
+    "q163_risk_propagation" -> (PageRank.pprOracleSql(
+      "SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events",
+      "SELECT DISTINCT 'c:' || user_id AS node FROM events WHERE value > 300",
+      iters = 10, damping = 0.85, round = s => s"round($s + 5e-11, 4)") +
+      "\nORDER BY round(r10.pr + 5e-11, 4) DESC, st.node ASC LIMIT 50"),
     "q84_pagerank" -> PageRank.oracleSql(
       "SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events",
       iters = 10, damping = 0.85, round = s => s"round($s + 5e-11, 4)"),

@@ -61,6 +61,23 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphOps.boundedKCore(psym, k = 2, rounds = 3).count() == 0L)
   }
 
+  test("personalized pagerank: mass flows from the seed; unreachable nodes stay at zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // path s - a - b, plus isolated pair x - y (no seed): exposure decays
+    // with distance from s and never reaches the disconnected component
+    val raw = Seq(("s", "a"), ("a", "b"), ("x", "y")).toDF("src", "dst")
+    val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq("s").toDF("node")
+    val pr = graft.ops.PageRank.personalized(sym, seeds, iters = 12)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getDouble(2))).toMap
+    assert(pr("s")._1 && !pr("a")._1)
+    // a collects from BOTH neighbors (s fully, b fully) so it may exceed
+    // the seed itself; b only sees half of a's mass and must trail it
+    assert(pr("a")._2 > pr("b")._2 && pr("b")._2 > 0.0 && pr("s")._2 > pr("b")._2)
+    assert(pr("x")._2 == 0.0 && pr("y")._2 == 0.0)
+  }
+
   test("assortativity: a star is perfectly disassortative") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
