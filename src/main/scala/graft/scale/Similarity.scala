@@ -88,48 +88,45 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine >= tau.
     *
-    * Exact all-pairs, but NOT via per-pair array expressions — zip_with/
-    * aggregate are interpreted per element and recompute both norms for
-    * every pair (measured 73 s for 2M pairs). Instead: broadcast one side
-    * with precomputed norms and run the dot products as a tight primitive
-    * loop in mapPartitions — the classic BLAS-style block kernel
-    * (~30x faster here). Accumulation order matches the oracle's
-    * sequential unnest sum and the division stays left-associated, so
-    * results are bit-identical to the SQL form. At corpus scale the
-    * broadcast side becomes block-partitioned chunks (outer product of
-    * blocks), or the LSH/IVF buckets prune candidates first.
+    * Exact all-pairs as a BLOCK-PARTITIONED self-join — never a driver
+    * collect (a 10⁹×d corpus doesn't fit one heap) and never a full-corpus
+    * broadcast. Each vector lands in block `vec_id % blocks`; the left
+    * side fans out to every block ≥ its own, so each unordered vector
+    * pair meets in exactly one task and the O(n²) compare work spreads
+    * over `blocks·(blocks+1)/2` co-partitioned cells that scale out with
+    * executors. Norms are computed once per row BEFORE the join, so a
+    * pair costs one [[graft.functions.ArrayDot]] codegen kernel (tight
+    * primitive loop, not an interpreted zip_with — measured ~30x) plus
+    * two divisions. Accumulation is left-to-right and the division stays
+    * `dot / |a| / |b|` with `a` = the smaller id, bit-matching the
+    * oracle's sequential unnest sums. At corpus scale the LSH twin
+    * ([[lshDupPairs]]) prunes candidates first; this is the exact path.
     */
-  def cosineDupPairs(corpus: DataFrame, tau: Double): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val vecs = corpus.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val side = vecs.collect().sortBy(_._1)
-      .map { case (id, e) =>
-        val a = new Array[Double](e.length)
-        var i = 0; var s = 0.0
-        while (i < e.length) { a(i) = e(i).toDouble; s += a(i) * a(i); i += 1 }
-        (id, a, math.sqrt(s))
-      }
-    val bc = spark.sparkContext.broadcast(side)
-    vecs.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (id1, e1) =>
-        val a = new Array[Double](e1.length)
-        var i = 0; var s = 0.0
-        while (i < e1.length) { a(i) = e1(i).toDouble; s += a(i) * a(i); i += 1 }
-        val na = math.sqrt(s)
-        all.iterator
-          .filter(_._1 > id1)
-          .map { case (id2, b, nb) =>
-            var dot = 0.0
-            var j = 0
-            while (j < a.length) { dot += a(j) * b(j); j += 1 }
-            (id1, id2, dot / na / nb)
-          }
-          .filter(_._3 >= tau)
-      }
-    }.toDF("id1", "id2", "cos")
+  def cosineDupPairs(corpus: DataFrame, tau: Double, blocks: Int = 32): DataFrame = {
+    // no array<double> cast: the kernels widen per element, and float
+    // halves the bytes fanned out blocks/2 times through the shuffle
+    val vecs = corpus.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val left = vecs
+      .withColumn("obk", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("vec_id").as("lid"), col("e").as("le"), col("nrm").as("lnrm"),
+        col("blk").as("lblk"), col("obk"))
+    val right = vecs
+      .select(col("vec_id").as("rid"), col("e").as("re"), col("nrm").as("rnrm"),
+        col("blk").as("rblk"))
+    // cross-block pairs meet once (left block < right block); same-block
+    // pairs are deduped by the id order inside the join condition
+    left.join(right, col("obk") === col("rblk") &&
+        (col("lblk") =!= col("rblk") || col("lid") < col("rid")))
+      .select(
+        least(col("lid"), col("rid")).as("id1"),
+        greatest(col("lid"), col("rid")).as("id2"),
+        // divide by id1's norm FIRST — left-associated like the oracle
+        (dot(col("le"), col("re"))
+          / when(col("lid") < col("rid"), col("lnrm")).otherwise(col("rnrm"))
+          / when(col("lid") < col("rid"), col("rnrm")).otherwise(col("lnrm"))).as("cos"))
+      .where(col("cos") >= tau)
   }
 
   /** Pearson correlation of every embedding-dimension pair (i < j) — the
@@ -148,8 +145,12 @@ object Similarity {
     val g = corpus.agg(column(GramAgg(expression(col("embedding")))
       .toAggregateExpression()).as("g"))
     // i stops at d-2: sequence() auto-steps DOWNWARD when start > stop,
-    // so an i = d-1 row would yield a phantom j = d pair
-    g.select(col("g"), explode(sequence(lit(0), expr("int(g[1]) - 2"))).as("i"))
+    // so an i = d-1 row would yield a phantom j = d pair. Same footgun at
+    // d < 2 (or an empty corpus, where the Gram row is null): sequence(0, d-2)
+    // would descend and emit phantom negative-index rows — no pairs exist,
+    // so filter those inputs out before the explode.
+    g.where(col("g").isNotNull && expr("int(g[1])") >= 2)
+      .select(col("g"), explode(sequence(lit(0), expr("int(g[1]) - 2"))).as("i"))
       .select(col("g"), col("i"),
         explode(sequence(col("i") + 1, expr("int(g[1]) - 1"))).as("j"))
       .select(col("i"), col("j"), expr(

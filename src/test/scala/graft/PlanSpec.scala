@@ -169,6 +169,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("embedding near-dup exact pairs: block-partitioned join, no driver collect") {
+    // the 100 TB contract: the exact all-pairs path must be a distributed
+    // self-join over id-blocks — never a corpus collect() to the driver
+    // (object-mode MapPartitions over a broadcast array) and never a
+    // single-partition stage over the corpus
+    val df = graft.queries.ScaleQueries.defs("q44_embedding_dups")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("MapPartitions"), s"driver-kernel path resurfaced:\n$p")
+    assert(!p.contains("DeserializeToObject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Join"), s"expected a distributed self-join:\n$p")
+  }
+
   test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
     val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
     // gram_agg reduces to a single row before any Generate(explode):
