@@ -15,17 +15,26 @@ object Drift {
     * AUC = (Σ midrank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), with mid-ranks for score
     * ties (exactly sklearn `roc_auc_score`). Null when either class is
     * absent.
+    *
+    * Scale shape: scores aggregate to one row per DISTINCT value first,
+    * then the rank bookkeeping runs over the value table with the
+    * two-pass range-partitioned running count (GlobalOrder) — no
+    * single-task global sort over rows OR values. All rank arithmetic is
+    * integer/half-integer exact, so this is bit-identical to the per-row
+    * rank window it replaces: midrank(v) = #rows below v + (cnt_v + 1)/2,
+    * and Σ⁺ midrank = Σ_v n⁺_v · midrank(v).
     */
   def auc(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val w = Window.orderBy(col("s"))
-    val tied = Window.partitionBy(col("s"))
-    val ranked = df.select(label.cast("int").as("y"), score.as("s"))
-      .select(col("y"),
-        (rank().over(w) + (count(lit(1)).over(tied) - 1) / 2.0).as("midrank"))
-    ranked.agg(
-      ((sum(when(col("y") === 1, col("midrank"))) -
-        sum(col("y")) * (sum(col("y")) + 1) / 2.0) /
-        (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
+    val perValue = df.select(label.cast("int").as("y"), score.as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("yp"))
+    val cum = graft.ops.GlobalOrder.withCumSums(perValue,
+      Seq(col("s").asc), Seq((col("c"), "cc")))
+    cum.agg(
+      when(sum(col("yp")) > 0 && sum(col("yp")) < sum(col("c")),
+        (sum(col("yp") * (col("cc") - col("c") + (col("c") + 1) / 2.0)) -
+          sum(col("yp")) * (sum(col("yp")) + 1) / 2.0) /
+          (sum(col("yp")) * (sum(col("c")) - sum(col("yp"))))).as("auc"))
   }
 
   /** Mid-rank AUC per group — segment-sliced model evaluation (the
@@ -93,8 +102,9 @@ object Drift {
     * `inFirst` and the rest: D = max over observed values of
     * |ECDF₁ − ECDF₂|, plus the asymptotic α=0.05 decision
     * (drift when D > 1.358·sqrt((n₁+n₂)/(n₁·n₂))).
-    * One groupBy(value) + one ordered window — a single global sort that
-    * at scale can be replaced by a t-digest sketch.
+    * One groupBy(value), then the ECDFs run as two-pass range-partitioned
+    * running counts (GlobalOrder) over the distinct-value table — exact
+    * long arithmetic, no single-task sort at any value cardinality.
     */
   def ks(df: DataFrame, value: Column, inFirst: Column): DataFrame = {
     val perValue = df
@@ -102,10 +112,9 @@ object Drift {
       .groupBy(col("v"))
       .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
         sum(when(col("g") === 2, 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perValue.select(
-      sum(col("c1")).over(w).as("cc1"),
-      sum(col("c2")).over(w).as("cc2"))
+    val cum = graft.ops.GlobalOrder.withCumSums(perValue, Seq(col("v").asc),
+        Seq((col("c1"), "cc1"), (col("c2"), "cc2")))
+      .select(col("cc1"), col("cc2"))
     val tot = perValue.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     cum.crossJoin(broadcast(tot))
       .agg(

@@ -107,9 +107,10 @@ object AmlPatterns {
     val e = tx.select(col("customer_id"), identifier.as("ident"))
       .where(col("ident").isNotNull).distinct()
     val deg = e.groupBy(col("ident")).agg(count(lit(1)).as("deg"))
-    val ranked = deg
-      .withColumn("rk", row_number().over(Window.orderBy(col("deg"), col("ident"))))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_ident"))))
+    // degree rank via the two-pass range-partitioned rank: the identifier
+    // table is entity-scale, still one task under a bare Window.orderBy
+    val ranked = graft.ops.GlobalOrder.withRowNumber(deg,
+        Seq(col("deg"), col("ident")), "rk", total = Some("n_ident"))
       .where(col("rk") <= floor(col("n_ident") * (1.0 - hubFrac)))
     val kept = e.join(ranked.select(col("ident")), "ident")
     // self-join kept deliberately: exchange reuse shuffles `kept` once and

@@ -42,23 +42,22 @@ object Behavioral {
     // full amount population. NOT a cross join (that's O(N·K)): union-tag
     // the means into the population and read both counts off running sums
     // in two orderings — ties resolved by the tag so "events at the same
-    // value" land before the mean for n_le and after it for n_lt.
-    // O(N log N); at 100 TB the same counts come from a range-partitioned
-    // sort or a quantile sketch behind this API.
+    // value" land before the mean for n_le and after it for n_lt. The
+    // running sums are the two-pass bucket-offset cumulatives
+    // (GlobalOrder) — exact longs, never a single-task global sort. The
+    // read points (mean rows) are deterministic under event-tie
+    // permutation because mean rows carry cnt = 0.
     val popVals = df.select(amount.as("v"), lit(1L).as("cnt"), lit(0).as("tag"),
       lit(null).cast(per.schema("k").dataType).as("k"))
     val meanVals = per.select(col("cust_avg").as("v"), lit(0L).as("cnt"), lit(1).as("tag"), col("k"))
     val u = popVals.unionByName(meanVals)
-    val wLe = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v").asc, col("tag").asc)
-      .rowsBetween(Long.MinValue, 0)
-    val wLt = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v").asc, col("tag").desc)
-      .rowsBetween(Long.MinValue, 0)
-    val ranks = u.select(col("k"),
-        sum(col("cnt")).over(wLe).as("n_le"),
-        sum(col("cnt")).over(wLt).as("n_lt"))
-      .where(col("k").isNotNull)
+    val le = GlobalOrder.withCumSums(u, Seq(col("v").asc, col("tag").asc),
+        Seq((col("cnt"), "n_le")))
+      .where(col("k").isNotNull).select(col("k"), col("n_le"))
+    val lt = GlobalOrder.withCumSums(u, Seq(col("v").asc, col("tag").desc),
+        Seq((col("cnt"), "n_lt")))
+      .where(col("k").isNotNull).select(col("k"), col("n_lt"))
+    val ranks = le.join(lt, "k")
 
     per.join(broadcast(ranks), "k")
       .crossJoin(broadcast(pop))

@@ -163,22 +163,29 @@ object Distribution {
     * entities ranked ascending into 10 equal-count bins, each bin's
     * count, total, and the cumulative share of the grand total. The
     * graphical twin of the Gini/Theil scalars — "the bottom 80% of
-    * customers carry x% of volume". Global ntile is a single sort over
-    * the ALREADY-AGGREGATED per-entity table (entity-sized, like q85's
-    * ranking suite), then one 10-row window pass.
+    * customers carry x% of volume". The decile assignment is the
+    * two-pass range-partitioned rank (GlobalOrder — the per-entity table
+    * is still 10⁹ rows at scale); only the 10-row decile table runs on a
+    * deliberate constant-key single partition.
     */
   def lorenzDeciles(perEntity: DataFrame, id: Column, measure: Column): DataFrame = {
-    val ord = Window.orderBy(measure.asc, id.asc)
-    val byDecile = perEntity
-      .select(measure.as("m"), ntile(10).over(ord).as("decile"))
+    import graft.ops.GlobalOrder
+    val ranked = GlobalOrder.withRowNumber(
+      perEntity.select(measure.as("m"), id.as("__id")),
+      Seq(col("m").asc, col("__id").asc), "__rn", total = Some("__n"))
+    val byDecile = ranked
+      .select(col("m"), GlobalOrder.ntileOf(col("__rn"), col("__n"), 10).as("decile"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_entities"), sum(col("m")).as("vol"))
-    val cum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    byDecile.select(col("decile"), col("n_entities"), col("vol"),
-      (sum(col("vol")).over(cum).cast("double") / sum(col("vol")).over(tot))
-        .as("cum_share"))
+    // 10-row decile table: cumulative share via a window-free triangular
+    // self-join (exact integer volumes)
+    val prior = byDecile.select(col("decile").as("__d2"), col("vol").as("__v2"))
+    byDecile.join(prior, col("__d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_entities"), col("vol"))
+      .agg(sum(col("__v2")).as("__cumvol"))
+      .crossJoin(broadcast(byDecile.agg(sum(col("vol")).as("__totvol"))))
+      .select(col("decile"), col("n_entities"), col("vol"),
+        (col("__cumvol").cast("double") / col("__totvol")).as("cum_share"))
   }
 
   /** max bucket count / total (reference `advanced_features.py:133`). */

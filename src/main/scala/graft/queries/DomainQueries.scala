@@ -85,20 +85,26 @@ object DomainQueries extends QueryPack {
       PageRank.run(sym, iters = 10, damping = 0.85)
         .select(col("node"), r6(col("pr")).as("pr"))
     },
-    // global ranking-window family over an exact integer measure; the
-    // single global sort is inherent to global ranking — at 100 TB the
-    // input to it is the per-user aggregate (already entity-sized)
+    // global ranking-window family over an exact integer measure. Even
+    // though the input is the per-user aggregate, at 10⁹ users a bare
+    // Window.orderBy is still a one-task sort — rank comes from the
+    // two-pass range-partitioned GlobalOrder instead, every rank
+    // function derives from (rn, n) in exact integer arithmetic, and
+    // lead() becomes a self-join on rn+1 (same exchange key).
     "q85_window_suite" -> { (s, dir) =>
       val spend = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(sum(AmlPatterns.cents(col("value"))).as("total_cents"))
-      val w = Window.orderBy(col("total_cents").desc, col("user_id"))
-      spend.select(col("user_id"), col("total_cents"),
-        ntile(4).over(w).as("quartile"),
-        r6(percent_rank().over(w)).as("pct_rank"),
-        r6(cume_dist().over(w)).as("cum_dist"),
-        coalesce(col("total_cents") - lead(col("total_cents"), 1).over(w),
-          lit(0L)).as("gap_cents"))
+      val ranked = graft.ops.GlobalOrder.withRowNumber(spend,
+        Seq(col("total_cents").desc, col("user_id")), "__rn", total = Some("__n"))
+      val next = ranked.select((col("__rn") - 1).as("__rn"),
+        col("total_cents").as("__next_cents"))
+      ranked.join(next, Seq("__rn"), "left")
+        .select(col("user_id"), col("total_cents"),
+          graft.ops.GlobalOrder.ntileOf(col("__rn"), col("__n"), 4).as("quartile"),
+          r6(graft.ops.GlobalOrder.percentRankOf(col("__rn"), col("__n"))).as("pct_rank"),
+          r6(graft.ops.GlobalOrder.cumeDistOf(col("__rn"), col("__n"))).as("cum_dist"),
+          coalesce(col("total_cents") - col("__next_cents"), lit(0L)).as("gap_cents"))
     },
     // bounded 2-core of the customer-merchant graph: 4 peel rounds of
     // "drop degree<2 nodes" — ring participants survive, pendant
@@ -146,11 +152,13 @@ object DomainQueries extends QueryPack {
     "q113_pareto" -> { (s, dir) =>
       val per = Tables.events(s, dir).groupBy(col("user_id"))
         .agg(sum(AmlPatterns.cents(col("value"))).as("c"))
-      val ord = Window.orderBy(col("c").desc, col("user_id"))
-      val o = per.select(col("c"),
-          sum(col("c")).over(ord.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).as("cum"),
-          row_number().over(ord).as("rk"))
+      // two-pass range-partitioned running totals (GlobalOrder), one pass
+      // for both: the rank is just the running count — all integer cents,
+      // so the distributed form is bit-identical to a single sort
+      val ord = Seq(col("c").desc, col("user_id"))
+      val o = graft.ops.GlobalOrder.withCumSums(per, ord,
+          Seq((col("c"), "cum"), (lit(1L), "rk")))
+        .select(col("c"), col("cum"), col("rk"))
         .crossJoin(broadcast(per.agg(sum(col("c")).as("tot"),
           count(lit(1)).as("nc"))))
       o.groupBy(col("nc"))
@@ -480,8 +488,10 @@ object DomainQueries extends QueryPack {
         .select(col("customer_id"),
           r6(col("band_share") * 0.5 + col("whole_share") * 0.3 +
             col("decayed") / col("mx") * 0.2).as("suspicion"))
-      scored.withColumn("rank", row_number().over(
-        Window.orderBy(col("suspicion").desc, col("customer_id"))))
+      // rank over the ROUNDED score (float-noise-stable) via the two-pass
+      // range-partitioned rank — entity-scale, no single-task sort
+      graft.ops.GlobalOrder.withRowNumber(scored,
+        Seq(col("suspicion").desc, col("customer_id")), "rank")
     },
     // nearest-centroid classification over the embedding column: assign
     // each vector to the closest class centroid (argmin over summed
@@ -546,13 +556,19 @@ object DomainQueries extends QueryPack {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
       val tot = daily.agg(sum(col("cnt")).as("total"), count(lit(1)).as("days"))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.crossJoin(broadcast(tot))
-        .withColumn("cusum",
-          sum(col("cnt").cast("double") - col("total") / col("days")).over(w))
+      // closed form over EXACT integer cumulatives: cusum_i = Σcnt − i·mean
+      // (identical IEEE ops on any engine, unlike a sequential double
+      // window sum whose association depends on execution layout). The
+      // prefix runs as a triangular self-join over the per-DAY table —
+      // calendar-bounded, no window, no single-partition sort.
+      val prior = daily.select(col("day").as("__d2"), col("cnt").as("__c2"))
+      daily.join(prior, col("__d2") <= col("day"))
+        .groupBy(col("day"), col("cnt"))
+        .agg(sum(col("__c2")).as("__cumcnt"), count(lit(1)).as("__rk"))
+        .crossJoin(broadcast(tot))
         .select(col("day").cast("string").as("day"), col("cnt"),
-          r6(col("cusum")).as("cusum"))
+          r6(col("__cumcnt").cast("double") -
+            col("__rk") * (col("total").cast("double") / col("days"))).as("cusum"))
     },
     // per-customer session behavior (on top of native session_window):
     // session_window.end = last event + gap, so duration = end-start-gap
@@ -601,7 +617,10 @@ object DomainQueries extends QueryPack {
           r6((col("n_both") * col("nc")).cast("double") / (col("n1") * col("n2"))).as("lift"))
     },
     // RFM segmentation: quintiles over exact integer measures (micros
-    // recency, count, cents) — float-free ordering, deterministic ties
+    // recency, count, cents) — float-free ordering, deterministic ties.
+    // Each quintile is a two-pass range-partitioned rank (GlobalOrder) —
+    // entity-scale input, but 10⁹ customers through one ntile task is
+    // still the scale killer — joined back on the customer key.
     "q97_rfm" -> { (s, dir) =>
       val tx = Tables.transactions(s, dir)
       val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
@@ -611,10 +630,17 @@ object DomainQueries extends QueryPack {
           .as("recency_us"),
           count(lit(1)).as("freq"),
           sum(AmlPatterns.cents(col("amount"))).as("monetary_cents"))
-      per.select(col("customer_id"), col("recency_us"), col("freq"), col("monetary_cents"),
-        ntile(5).over(Window.orderBy(col("recency_us").asc, col("customer_id"))).as("r_score"),
-        ntile(5).over(Window.orderBy(col("freq").desc, col("customer_id"))).as("f_score"),
-        ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("customer_id"))).as("m_score"))
+      def quintile(measure: String, ord: Seq[org.apache.spark.sql.Column], out: String) =
+        graft.ops.GlobalOrder.withRowNumber(
+            per.select(col("customer_id"), col(measure)), ord, "__rn", total = Some("__n"))
+          .select(col("customer_id"),
+            graft.ops.GlobalOrder.ntileOf(col("__rn"), col("__n"), 5).as(out))
+      val r = quintile("recency_us", Seq(col("recency_us").asc, col("customer_id")), "r_score")
+      val f = quintile("freq", Seq(col("freq").desc, col("customer_id")), "f_score")
+      val m = quintile("monetary_cents", Seq(col("monetary_cents").desc, col("customer_id")), "m_score")
+      per.join(r, "customer_id").join(f, "customer_id").join(m, "customer_id")
+        .select(col("customer_id"), col("recency_us"), col("freq"), col("monetary_cents"),
+          col("r_score"), col("f_score"), col("m_score"))
     },
     // PSI drift between calendar halves of the amount distribution
     "q94_psi_drift" -> { (s, dir) =>
@@ -1163,10 +1189,10 @@ FROM p WHERE prev IS NOT NULL GROUP BY 1""",
     "q100_cusum" ->
       """WITH d AS (SELECT ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1),
 t AS (SELECT sum(cnt) AS total, count(*) AS days FROM d)
-SELECT day::VARCHAR AS day, cnt,
-  round(sum(cnt::DOUBLE - total::DOUBLE / days) OVER (ORDER BY day
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-11, 4) AS cusum
-FROM d, t""",
+SELECT a.day::VARCHAR AS day, a.cnt,
+  round(sum(b.cnt)::DOUBLE - count(*) * (t.total::DOUBLE / t.days) + 5e-11, 4) AS cusum
+FROM d a JOIN d b ON b.day <= a.day CROSS JOIN t
+GROUP BY a.day, a.cnt, t.total, t.days""",
     "q99_session_features" ->
       """WITH o AS (
   SELECT user_id, event_id,

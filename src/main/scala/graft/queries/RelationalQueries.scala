@@ -114,23 +114,29 @@ snap AS (
     // calibration / cumulative-gains table: decile 1 = highest scores
     // (deterministic total order: score desc, id asc), observed positive
     // rate per decile and the share of all positives captured so far.
-    // The global sort is a range-partitioned exchange at scale — same
-    // posture as the temporal split (q91).
+    // Deciles come from the two-pass bucket-offset global rank
+    // (GlobalOrder) — row-scale input, never a single-task sort; the
+    // 10-row decile table computes its cumulative gain with a window-free
+    // triangular self-join (exact long positives).
     "q155_calibration" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select(col("event_id"), col("value").as("sc"),
         (col("event_type") === "error").cast("int").as("y"))
-      val d = ev.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("sc").desc, col("event_id").asc)))
+      val ranked = graft.ops.GlobalOrder.withRowNumber(ev,
+        Seq(col("sc").desc, col("event_id").asc), "__rn", total = Some("__n"))
+      val d = ranked.withColumn("decile",
+        graft.ops.GlobalOrder.ntileOf(col("__rn"), col("__n"), 10))
       val per = d.groupBy(col("decile")).agg(
         count(lit(1)).as("n"),
         avg(col("sc")).as("avg_score"),
         avg(col("y")).as("pos_rate"),
         sum(col("y")).cast("long").as("np"))
       val tot = per.agg(sum(col("np")).cast("double").as("tp"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("cum_gain",
-          sum(col("np")).over(Window.orderBy(col("decile"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) / col("tp"))
+      val prior = per.select(col("decile").as("__d2"), col("np").as("__np2"))
+      per.join(prior, col("__d2") <= col("decile"))
+        .groupBy(col("decile"), col("n"), col("avg_score"), col("pos_rate"), col("np"))
+        .agg(sum(col("__np2")).as("__cumnp"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_gain", col("__cumnp") / col("tp"))
         .select(col("decile").cast("long").as("decile"), col("n"),
           r6(col("avg_score")).as("avg_score"),
           r6(col("pos_rate")).as("pos_rate"),

@@ -352,10 +352,15 @@ sig AS (SELECT doc_id,
       // top-50 FIRST (TakeOrderedAndProject: per-partition top-k, then a
       // 50-row merge) — a bare global rank window would funnel the whole
       // vocabulary through one task; the rank then runs over 50 rows
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val head = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok").asc).limit(50)
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("cnt").desc, col("tok").asc)))
+      // 50 rows post-limit: rank via a window-free triangular self-join
+      // (count of rows at-or-before in the total order)
+      val prior = head.select(col("tok").as("__t2"), col("cnt").as("__c2"))
+      head.join(prior, col("__c2") > col("cnt") ||
+          (col("__c2") === col("cnt") && col("__t2") <= col("tok")))
+        .groupBy(col("tok"), col("cnt"))
+        .agg(count(lit(1)).cast("int").as("rnk"))
     },
     "q59_ann_ivf" -> { (s, dir) =>
       // iters = 0: seed-vector quantizer only. Lloyd refinement averages

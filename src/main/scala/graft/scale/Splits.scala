@@ -26,18 +26,20 @@ object Splits {
     * a row position (not an interpolated quantile), so it is an actual
     * data value and engine-exact.
     *
-    * One window pass (global event-time order — inherent to a global
-    * temporal cutoff; at scale this is a range-partitioned sort, and the
-    * cutoff could equally come from a pre-sorted table's metadata).
+    * The cutoff row is found with the two-pass range-partitioned rank
+    * ([[graft.ops.GlobalOrder.withRowNumber]]) — never a single-task
+    * global sort — then the one-row cutoff broadcasts back over the
+    * unsorted input. Ties at the cutoff are value-safe: the k-th order
+    * STATISTIC is the same timestamp no matter how equal stamps permute.
     */
   def temporal(df: org.apache.spark.sql.DataFrame, ts: Column,
       trainFrac: Double = 0.8, embargoSeconds: Long = 86400): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val n = count(lit(1)).over(Window.partitionBy())
-    val rn = row_number().over(Window.orderBy(ts))
-    val cutRow = floor(n * trainFrac).cast("long")
-    val cutTs = max(when(rn <= cutRow, ts)).over(Window.partitionBy())
-    df.withColumn("__cut", cutTs)
+    val ranked = graft.ops.GlobalOrder.withRowNumber(
+      df.select(ts.as("__ts")), Seq(col("__ts")), "__rn", total = Some("__n"))
+    val cut = ranked
+      .where(col("__rn") <= floor(col("__n") * trainFrac).cast("long"))
+      .agg(max(col("__ts")).as("__cut")) // one row; null cut when trainFrac*n < 1
+    df.crossJoin(broadcast(cut))
       .withColumn("split",
         when(ts <= col("__cut"), "train")
           .when(ts > col("__cut") + expr(s"INTERVAL $embargoSeconds SECONDS"), "test")

@@ -15,4 +15,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** If `c` is a sort-order column (`col.asc` / `col.desc`), its bare
+    * child column plus whether it ascends — Spark 4 Columns wrap the
+    * INTERNAL `o.a.s.sql.internal.SortOrder` ColumnNode (not the catalyst
+    * expression), so callers that need "the key under the ordering"
+    * (e.g. distributed-rank bucketing) must unwrap at the node level.
+    */
+  def sortKey(c: Column): (Column, Boolean) = c.node match {
+    case org.apache.spark.sql.internal.SortOrder(child, dir, _, _) =>
+      (Column(child), dir == org.apache.spark.sql.internal.SortOrder.Ascending)
+    case _ => (c, true)
+  }
 }
