@@ -24,28 +24,66 @@ import scala.collection.mutable
   *     (r-1)/Σd · (r-1)/(n-1), r = reachable nodes incl. self.
   */
 object Centrality {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Per-customer betweenness + closeness on the bipartite
-    * customer–merchant graph. `sampleSources`: None = exact (all sources).
+    * customer–merchant graph. `sampleSources`: None = exact (all sources)
+    * UNLESS the graph exceeds `maxExactSources` nodes, in which case the
+    * landmark approximation auto-engages with that many sources (logged —
+    * exact Brandes is O(n·m) and a 100× graph would otherwise run n BFS
+    * sweeps AND silently assume n is small).
+    *
+    * Driver-memory contract: the adjacency must fit on the driver to
+    * broadcast (inherent to the per-source-parallel Brandes
+    * decomposition). The collect is the DEDUPED edge set packed to one
+    * long per directed edge (≈8 B/edge + one string per distinct node),
+    * hard-capped at `maxDriverEdges` — the default 5e7 is ~400 MiB
+    * packed. Beyond the cap the method refuses rather than OOMing the
+    * driver; graphs that size want the GraphX/Pregel ops (PageRank/HITS/
+    * k-core in this package) or a k-sample of this one on a subgraph.
     */
-  def customerCentralities(tx: DataFrame, sampleSources: Option[Int] = None): DataFrame = {
+  def customerCentralities(tx: DataFrame, sampleSources: Option[Int] = None,
+      maxDriverEdges: Long = 50000000L, maxExactSources: Int = 4096): DataFrame = {
     val spark = tx.sparkSession
     import spark.implicits._
 
-    val edgeRows = GraphOps.symmetricEdges(tx).collect()
-    val nodes = edgeRows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+    val sym = GraphOps.symmetricEdges(tx)
+    val nEdges = sym.count()
+    require(nEdges <= maxDriverEdges,
+      s"centrality adjacency would collect $nEdges directed edges " +
+        s"(cap $maxDriverEdges ≈ ${maxDriverEdges * 8L / (1L << 20)} MiB packed); " +
+        "raise maxDriverEdges only with driver memory to match, or use the " +
+        "distributed graph ops (PageRank/HITS/k-core) at this scale")
+    // dictionary-encode node ids on the CLUSTER; collect n node strings
+    // once and the edges as packed (src<<32 | dst) longs
+    val nodes = sym.select(col("src")).union(sym.select(col("dst")))
+      .distinct().as[String].collect().sorted
     val idx = nodes.zipWithIndex.toMap
     val n = nodes.length
     if (n == 0)
       return spark.emptyDataset[(Long, Double, Double)]
         .toDF("customer_id", "graph_closeness_centrality", "graph_betweenness_centrality")
+    val idxB = spark.sparkContext.broadcast(idx)
+    val packed = sym.select(col("src"), col("dst")).as[(String, String)]
+      .mapPartitions { it =>
+        val m = idxB.value
+        it.map { case (s, d) => (m(s).toLong << 32) | m(d).toLong }
+      }.collect()
     val adjBuild = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
-    edgeRows.foreach { r => adjBuild(idx(r.getString(0))) += idx(r.getString(1)) }
+    packed.foreach { p => adjBuild((p >>> 32).toInt) += (p & 0xffffffffL).toInt }
     val adj = adjBuild.map(_.toArray)
     val adjB = spark.sparkContext.broadcast(adj)
 
     val allSources = 0 until n
-    val sources = sampleSources.map(k => allSources.take(k)).getOrElse(allSources)
+    val effectiveSample = sampleSources.orElse {
+      if (n > maxExactSources) {
+        log.warn(s"exact Brandes over $n sources exceeds maxExactSources=$maxExactSources; " +
+          s"auto-switching to the $maxExactSources-landmark approximation " +
+          "(per-source contributions are non-negative, so this underestimates betweenness)")
+        Some(maxExactSources)
+      } else None
+    }
+    val sources = effectiveSample.map(k => allSources.take(k)).getOrElse(allSources)
 
     // per-source task: (closeness of source) + (betweenness contributions)
     val perSource = spark.sparkContext.parallelize(sources, math.max(1, math.min(sources.size, 64)))
@@ -87,7 +125,6 @@ object Centrality {
     val scale = if (n > 2) 1.0 / ((n - 1).toLong * (n - 2)) else 0.0 // 2/((n-1)(n-2)) / 2
     val between = rawBetween.mapValues(_ * scale)
 
-    val sampleNote = sampleSources.isDefined
     val joined = closeness.fullOuterJoin(between).map { case (v, (c, b)) =>
       (v, c.getOrElse(0.0), b.getOrElse(0.0))
     }

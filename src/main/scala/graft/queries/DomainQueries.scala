@@ -595,10 +595,22 @@ object DomainQueries extends QueryPack {
         col("ip_address"), hubFrac = 0.7, topK = 20)
     },
     // market-basket lift between merchant pairs: all-integer counts, so
-    // the lift ratio is ONE exact division (engine-independent)
+    // the lift ratio is ONE exact division (engine-independent). A hub
+    // customer with m merchants emits O(m²) pairs from the self-join, so
+    // the same degree-RANK cut as q98's sharedIdPairs drops the top
+    // hub fraction of baskets first (rank, not an absolute threshold —
+    // adapts to any scale); lift statistics are computed within the kept
+    // population so the ratio stays coherent.
     "q96_cooccurrence" -> { (s, dir) =>
-      val e = Tables.transactions(s, dir)
+      val keepFrac = 0.8 // drop the top-20% largest baskets
+      val all = Tables.transactions(s, dir)
         .select(col("customer_id"), col("merchant_id")).distinct()
+      val deg = all.groupBy(col("customer_id")).agg(count(lit(1)).as("deg"))
+      val kept = graft.ops.GlobalOrder.withRowNumber(deg,
+          Seq(col("deg"), col("customer_id")), "rk", total = Some("n_cust"))
+        .where(col("rk") <= floor(col("n_cust") * keepFrac))
+        .select(col("customer_id"))
+      val e = all.join(kept, "customer_id")
       // customer count as a broadcast 1-row aggregate, not an eager
       // .count() — one lazy plan, and the repeated `e` subtrees dedup
       // through ReusedExchange
@@ -1229,7 +1241,12 @@ p AS (SELECT a.user_id AS c1, b.user_id AS c2, count(*) AS shared_ids
 SELECT c1, c2, shared_ids FROM p
 ORDER BY shared_ids DESC, c1 ASC, c2 ASC LIMIT 20""",
     "q96_cooccurrence" ->
-      """WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+      """WITH allb AS (SELECT DISTINCT user_id, event_type FROM events),
+deg AS (SELECT user_id, count(*) AS deg FROM allb GROUP BY 1),
+r AS (SELECT user_id, row_number() OVER (ORDER BY deg, user_id) AS rk,
+        count(*) OVER () AS n_cust FROM deg),
+kept AS (SELECT user_id FROM r WHERE rk <= floor(n_cust * 0.8)),
+e AS (SELECT allb.* FROM allb JOIN kept USING (user_id)),
 n AS (SELECT count(DISTINCT user_id) AS nc FROM e),
 per AS (SELECT event_type, count(*) AS cnt FROM e GROUP BY 1),
 p AS (SELECT a.event_type AS m1, b.event_type AS m2, count(*) AS n_both

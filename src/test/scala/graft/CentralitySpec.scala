@@ -31,6 +31,28 @@ class CentralitySpec extends AnyFunSuite {
     assert(math.abs(got(2L)._2 - 0.5) < 1e-9)
   }
 
+  test("auto-landmark guard engages above maxExactSources and equals the explicit sample") {
+    val tx = graft.tables.Tables.transactions(spark, "/root/testdata/sf0.001")
+    // the graph has more than 5 nodes, so exact mode must auto-switch to
+    // the 5-landmark approximation rather than silently run n sweeps
+    val auto = Centrality.customerCentralities(tx, maxExactSources = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val explicitSample = Centrality.customerCentralities(tx, sampleSources = Some(5))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(auto == explicitSample)
+    val exact = Centrality.customerCentralities(tx)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(auto != exact) // proves the guard actually reduced the source set
+  }
+
+  test("edge cap refuses a collect beyond maxDriverEdges instead of OOMing the driver") {
+    val tx = graft.tables.Tables.transactions(spark, "/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      Centrality.customerCentralities(tx, maxDriverEdges = 3)
+    }
+    assert(e.getMessage.contains("maxDriverEdges") || e.getMessage.contains("cap"), e.getMessage)
+  }
+
   test("landmark sampling path (100 TB posture) runs and underestimates exact betweenness") {
     val tx = graft.tables.Tables.transactions(spark, "/root/testdata/sf0.001")
     val exact = Centrality.customerCentralities(tx)
