@@ -59,7 +59,10 @@ object Behavioral {
       .where(col("k").isNotNull).select(col("k"), col("n_lt"))
     val ranks = le.join(lt, "k")
 
-    per.join(broadcast(ranks), "k")
+    // `ranks` is one row per ENTITY — the same cardinality as `per` — so it
+    // must shuffle-join on k, never broadcast (10⁹ customers would ship the
+    // whole rank table to every executor). Only the 1-row `pop` broadcasts.
+    per.join(ranks, "k")
       .crossJoin(broadcast(pop))
       .select(
         col("k"),

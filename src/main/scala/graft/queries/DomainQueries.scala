@@ -744,14 +744,19 @@ object DomainQueries extends QueryPack {
         c.as("cents"),
         graft.plans.ZOrder.zValue(col("user_id"), c, bits = 21).as("zval"))
     },
-    // HLL-sketch distinct (the at-scale twin of exact countDistinct):
-    // deterministic estimate, but not reproducible in DuckDB's different
-    // HLL implementation — no oracle entry, driver records rows-only
+    // HLL-sketch distinct (the at-scale twin of exact countDistinct).
+    // The raw estimate is deterministic in Spark but not reproducible in
+    // DuckDB's different HLL implementation, so the gated output is the
+    // exact count (hash-verified) plus `within_envelope`: whether the HLL
+    // estimate landed inside 3x its theoretical relative standard error
+    // (1.04/sqrt(2^lgK) ≈ 1.63% at lgK=12 → 5%). The oracle asserts TRUE,
+    // so an estimator regression breaks the hash gate.
     "q87_sketch_distinct" -> { (s, dir) =>
       graft.ops.Sketches.hllDistinct(Tables.transactions(s, dir),
           col("merchant_id"), col("customer_id"))
-        .select(col("entity").as("merchant_id"), col("exact"), col("approx"),
-          r6(col("rel_err")).as("rel_err"))
+        .select(col("entity").as("merchant_id"),
+          col("exact").as("exact_distinct"),
+          (col("rel_err") <= 0.05).as("within_envelope"))
     },
     // deterministic class rebalance: all positives + md5-sampled
     // negatives at 5/1000, with inverse-probability weights
@@ -1345,6 +1350,10 @@ SELECT * FROM (
   UNION ALL SELECT 'value_not_null', round(vn + 5e-11, 4), vn >= 1.0 FROM m
   UNION ALL SELECT 'value_in_range', round(vr + 5e-11, 4), vr >= 1.0 FROM m
   UNION ALL SELECT 'user_fk_in_customer', round(ok / total + 5e-11, 4), ok = total FROM fk)""",
+    "q87_sketch_distinct" ->
+      """SELECT event_type AS merchant_id, count(DISTINCT user_id) AS exact_distinct,
+  TRUE AS within_envelope
+FROM events GROUP BY 1""",
     "q88_zorder" ->
       s"""WITH c AS (SELECT event_id, user_id, $centsSql AS cents FROM events)
 SELECT event_id, user_id, cents,

@@ -182,6 +182,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected a distributed self-join:\n$p")
   }
 
+  test("behavioral profile: the entity-scale rank table is NOT hint-broadcast") {
+    // ranks has one row per entity — same cardinality as the left side. A
+    // forced broadcast hint there is an OOM at 10⁹ customers. With the
+    // auto-broadcast threshold off, only an explicit hint could broadcast
+    // an equi-join — so the k-join must plan as a shuffle join; the 1-row
+    // population aggregate keeps its explicit broadcast (nested-loop cross).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tx = Tables.transactions(spark, sf)
+      val p = plan(graft.ops.Behavioral.profile(
+        tx, col("customer_id"), col("amount"), col("merchant_id")))
+      // GlobalOrder's ≤#partitions-row bucket-offset joins (__go_bkt key)
+      // legitimately broadcast; only the entity-key join must not
+      val entityBroadcast = "BroadcastHashJoin \\[k#".r.findFirstIn(p)
+      assert(entityBroadcast.isEmpty,
+        s"entity-scale rank table must shuffle-join, not broadcast:\n$p")
+      assert(p.contains("SortMergeJoin [k#") || p.contains("ShuffledHashJoin [k#"),
+        s"expected a shuffle join on the entity key:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"1-row population aggregate should still broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
     val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
     // gram_agg reduces to a single row before any Generate(explode):
