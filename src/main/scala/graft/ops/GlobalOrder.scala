@@ -33,10 +33,10 @@ import org.apache.spark.sql.functions._
   *
   * Rank and count arithmetic is integer-exact, so the two-pass result
   * is bit-identical to the single-sort form; cumulative sums of
-  * integral columns are likewise exact. Floating-point cumsums would
-  * re-associate across bucket boundaries — keep those on a provably
-  * tiny single-partition input (e.g. per-day tables) or restate them in
-  * closed form over exact integer cumulatives.
+  * integral/decimal columns are likewise exact. Floating-point cumsums
+  * would re-associate across bucket boundaries, so `withCumSums`
+  * REJECTS float/double sum columns — sum exact integers (e.g. cents)
+  * or decimals and divide at the end.
   *
   * Ties: the order should be TOTAL (append a unique id tie-break) for
   * deterministic ranks — same contract as the single-sort form.
@@ -51,26 +51,37 @@ object GlobalOrder {
   private val BKT = "__go_bkt"
 
   /** First order key as a double (bucketing only — the local sort uses
-    * the full-precision order), and whether it ascends.
+    * the full-precision order), whether it ascends, and whether nulls
+    * sort first under the effective null ordering (Spark defaults:
+    * asc → NULLS FIRST, desc → NULLS LAST; explicit `_nulls_first` /
+    * `_nulls_last` variants respected).
     */
-  private def firstKey(order: Seq[Column]): (Column, Boolean) = {
-    val (key, asc) = org.apache.spark.sql.graftbridge.ColumnBridge.sortKey(order.head)
-    (key.cast("double"), asc)
+  private def firstKey(order: Seq[Column]): (Column, Boolean, Boolean) = {
+    val (key, asc, nullsFirst) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.sortKey(order.head)
+    (key.cast("double"), asc, nullsFirst)
   }
 
   /** Input tagged with its order-aligned bucket id (bucket 0 = first in
     * the global order). Deterministic: identical across re-executions.
+    * Null keys route to the first bucket under NULLS FIRST and to the
+    * last (index = #boundaries) under NULLS LAST, so bucketing stays
+    * aligned with the global order for every asc/desc × nulls variant;
+    * the partitioned local sort then places nulls correctly WITHIN the
+    * bucket.
     */
   private def bucketed(df: DataFrame, order: Seq[Column], sampleMod: Int): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    val (key, asc) = firstKey(order)
+    val (key, asc, nullsFirst) = firstKey(order)
     val probs = (1 until p).map(_.toDouble / p)
     val bnd = df
       .where(pmod(xxhash64(key), lit(sampleMod)) === 0)
       .agg(percentile(key, typedlit(probs)).as("__bnd"))
+    val nullBkt = if (nullsFirst) lit(0) else size(col("__bnd"))
     df.crossJoin(broadcast(bnd))
-      .withColumn(BKT, when(col("__bnd").isNull, lit(0)).otherwise(
-        size(filter(col("__bnd"), b => if (asc) b < key else b > key))))
+      .withColumn(BKT, when(col("__bnd").isNull, lit(0))
+        .when(key.isNull, nullBkt)
+        .otherwise(size(filter(col("__bnd"), b => if (asc) b < key else b > key))))
       .drop("__bnd")
   }
 
@@ -116,20 +127,44 @@ object GlobalOrder {
     */
   def withCumSums(df: DataFrame, order: Seq[Column],
       sums: Seq[(Column, String)], sampleMod: Int = 64): DataFrame = {
+    // Guard: floating-point running sums would re-associate across bucket
+    // boundaries (local + offset ≠ left-to-right global fold), silently
+    // breaking the bit-identical-to-single-sort contract. Integral and
+    // decimal addition is exact, so those are safe.
+    df.select(sums.map { case (e, out) => e.as(out) }: _*).schema.foreach { f =>
+      require(f.dataType != org.apache.spark.sql.types.DoubleType &&
+              f.dataType != org.apache.spark.sql.types.FloatType,
+        s"withCumSums(${f.name}): float/double running sums re-associate " +
+        "across buckets and lose bit-identity with the single-sort form; " +
+        "sum exact integers/decimals (e.g. cents) and divide at the end")
+    }
     val b = bucketed(df, order, sampleMod)
     val wLoc = Window.partitionBy(col(BKT)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sums.foldLeft(b) { case (d, (e, out)) =>
       d.withColumn(out, sum(e).over(wLoc))
     }
-    val aggExprs = sums.map { case (e, out) => sum(e).as(s"__t_$out") }
+    // Per-bucket totals AND non-null counts: a bucket whose prefix of `e`
+    // is entirely null has a null local running sum, but the single-sort
+    // global sum would still be non-null whenever any EARLIER bucket held
+    // a non-null value — so the merge must fall back to the offset alone
+    // in that case (and stay null only when the whole global prefix is).
+    val aggExprs = sums.flatMap { case (e, out) =>
+      Seq(sum(e).as(s"__t_$out"), count(e).as(s"__n_$out")) }
     val totals = b.groupBy(col(BKT)).agg(aggExprs.head, aggExprs.tail: _*)
-    val side = withOffsets(totals, sums.map(s => s"__t_${s._2}"))
+    val side = withOffsets(totals,
+      sums.flatMap(s => Seq(s"__t_${s._2}", s"__n_${s._2}")))
+    val offCols = sums.flatMap(s =>
+      Seq(col(s"__off___t_${s._2}"), col(s"__off___n_${s._2}")))
     val withOff = local.join(
-      broadcast(side.select(col(BKT) +: sums.map(s => col(s"__off___t_${s._2}")): _*)), BKT)
+      broadcast(side.select(col(BKT) +: offCols: _*)), BKT)
     sums.foldLeft(withOff) { case (d, (_, out)) =>
-      d.withColumn(out, col(out) + col(s"__off___t_$out"))
-        .drop(s"__off___t_$out")
+      val off = col(s"__off___t_$out")
+      val priorN = col(s"__off___n_$out")
+      d.withColumn(out,
+          when(col(out).isNotNull, col(out) + off)
+            .otherwise(when(priorN > 0, off)))
+        .drop(s"__off___t_$out", s"__off___n_$out")
     }.drop(BKT)
   }
 
@@ -137,11 +172,15 @@ object GlobalOrder {
     * the first `n % k` buckets get `n div k + 1` rows, the rest `n div k`.
     */
   def ntileOf(rn: Column, n: Column, k: Int): Column = {
-    val bs = ((n - n % k) / k).cast("long") // n div k, integer-exact
+    // all in long `div` arithmetic: Column `/` is double division, whose
+    // 53-bit mantissa rounds above 2^53 rows — off-by-one buckets at the
+    // extreme of the design scale
+    import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+    val bs = intDiv(n, lit(k.toLong)) // n div k
     val rem = (n % k).cast("long")
     val bigSpan = rem * (bs + 1) // rows covered by the n%k-sized buckets
-    when(rn <= bigSpan, floor((rn - 1) / (bs + 1)) + 1)
-      .otherwise(rem + floor((rn - bigSpan - 1) / greatest(bs, lit(1L))) + 1)
+    when(rn <= bigSpan, intDiv(rn - 1, bs + 1) + 1)
+      .otherwise(rem + intDiv(rn - bigSpan - 1, greatest(bs, lit(1L))) + 1)
       .cast("int")
   }
 

@@ -94,6 +94,53 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(empty.isEmpty, empty.map(_.simpleStringWithNodeId()).mkString("\n"))
   }
 
+  // ~1/7 null keys: nulls must bucket to the extreme matching the
+  // EFFECTIVE null ordering (asc→NULLS FIRST, desc→NULLS LAST, and the
+  // explicit variants), not unconditionally to bucket 0
+  private def nullKeyed: DataFrame =
+    spark.range(5000).select(col("id"),
+      when(pmod(col("id"), lit(7)) === 0, lit(null).cast("double"))
+        .otherwise((pmod(col("id") * 2654435761L, lit(97)) % 13).cast("double"))
+        .as("v"))
+
+  test("null order keys match single-sort under every asc/desc × nulls variant") {
+    val variants = Seq(
+      col("v").asc, col("v").desc,
+      col("v").asc_nulls_last, col("v").desc_nulls_first)
+    for (v <- variants) {
+      val ord = Seq(v, col("id").asc)
+      val got = GlobalOrder.withRowNumber(nullKeyed, ord, "rn", total = Some("n"))
+      val want = nullKeyed.withColumn("trn", row_number().over(Window.orderBy(ord: _*)))
+      val bad = got.join(want.select(col("id"), col("trn")), "id")
+        .where(col("rn") =!= col("trn") || col("n") =!= 5000)
+      assert(bad.count() == 0, s"variant $v")
+    }
+  }
+
+  test("nullable sum columns: all-null bucket prefixes still carry earlier buckets' sum") {
+    // sparse non-nulls (1/50) force buckets whose local prefix sum is null;
+    // the merged result must equal the single-sort running sum, which is
+    // null ONLY while the whole global prefix is null
+    val df = nullKeyed.withColumn("s",
+      when(pmod(col("id"), lit(50)) === 0, col("id")))
+    val ord = Seq(col("v").asc, col("id").asc)
+    val got = GlobalOrder.withCumSums(df, ord, Seq((col("s"), "cs")))
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"), sum(col("s")).over(w).as("tcs"))
+    val bad = got.join(want, "id")
+      .where(not(col("cs") <=> col("tcs")))
+    assert(bad.count() == 0)
+  }
+
+  test("withCumSums rejects float/double sum columns (cross-bucket re-association)") {
+    val e = intercept[IllegalArgumentException] {
+      GlobalOrder.withCumSums(data, Seq(col("v").asc, col("id").asc),
+        Seq((col("v"), "cs")))
+    }
+    assert(e.getMessage.contains("re-associate"))
+  }
+
   test("empty input yields empty output, no phantom rows") {
     val e = data.where(lit(false))
     assert(GlobalOrder.withRowNumber(e, Seq(col("v").asc), "rn", Some("n")).count() == 0)
