@@ -23,8 +23,11 @@ import java.io._
   *     upper-triangle row-major sum(x_i*x_j) for i<=j ]
   *
   * from which covariance or Pearson correlation of any (i,j) is closed
-  * form. Rows whose vector is null or whose length differs from the
-  * first-seen d are ignored (corpus QA is a separate gate, q89).
+  * form. Null vectors are ignored; a vector whose length differs from
+  * the rest of the corpus FAILS the query (both in update and in merge):
+  * tolerating it in either path would make the result depend on which
+  * partition the ragged row landed in. Screen ragged corpora first
+  * (corpus QA gate, q89).
   */
 case class GramAgg(
     child: Expression,
@@ -48,6 +51,10 @@ case class GramAgg(
       val arr = v.asInstanceOf[ArrayData]
       val d = arr.numElements()
       if (buf.d == 0 && d > 0) buf.init(d)
+      // zero-length arrays are ignorable like nulls; a nonzero mismatch is
+      // a ragged corpus and must fail identically on every partitioning
+      if (d > 0 && d != buf.d) throw new IllegalStateException(
+        s"gram_agg: mixed embedding dimensions ${buf.d} vs $d in input")
       if (d == buf.d && d > 0) {
         val x = new Array[Double](d)
         var i = 0
@@ -71,7 +78,12 @@ case class GramAgg(
 
   override def merge(a: GramAgg.Buf, b: GramAgg.Buf): GramAgg.Buf = {
     if (a.d == 0) return b
-    if (b.d == 0 || b.d != a.d) return a
+    if (b.d == 0) return a
+    // A ragged corpus (mixed embedding dims) must fail loudly: silently
+    // keeping one side would make the Gram matrix depend on which
+    // partition's partial arrived first — partition-order-dependent output
+    if (b.d != a.d) throw new IllegalStateException(
+      s"gram_agg: mixed embedding dimensions ${a.d} vs ${b.d} across partials")
     var i = 0
     while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
     i = 0

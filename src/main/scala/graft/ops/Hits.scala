@@ -31,6 +31,9 @@ object Hits {
     * to 1.
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
+    // iters = 0 would emit the uniform hub init labeled as BOTH sides
+    // (auth never computed) — not a defined HITS state
+    require(iters >= 1, s"Hits.run: iters must be >= 1, got $iters")
     val ed = edges.select(col("src"), col("dst")).localCheckpoint()
     var hub = ed.select(col("src").as("node")).distinct()
       .withColumn("s", lit(1.0))

@@ -56,24 +56,44 @@ object CorpusPipeline {
         .select(col("doc_id"), col("contaminated"))
     }.getOrElse(base.select(col("doc_id"), lit(false).as("contaminated")))
 
-    base
+    val pre = base
       .join(quality, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
       .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .join(contaminated, Seq("doc_id"), "left")
-      .withColumn("stage",
+      .withColumn("pre_stage",
         when(col("n_tokens") < cfg.minTokens, "too_short")
           .when(col("stop_ratio") < cfg.minStopwordRatio, "low_stopword")
           .when(coalesce(col("dup_word_frac"), lit(0.0)) > cfg.maxDupWordFrac,
             "repetitive")
           .when(coalesce(col("top_bigram_char_frac"), lit(0.0)) >
             cfg.maxTopBigramCharFrac, "gram_spam")
-          .when(col("canonical_id") =!= col("doc_id"), "exact_dup")
-          .when(coalesce(col("near_canonical"), col("doc_id")) =!= col("doc_id"),
+          .when(col("canonical_id") =!= col("doc_id"), "exact_dup"))
+
+    // Near-dup canonical = lowest member that SURVIVED the earlier gates,
+    // not the group's min id unconditionally: a min-id member that quality
+    // gates already rejected must not drag the whole group down with it
+    // (every copy of the content would silently vanish — the members die
+    // as "near_dup" of a doc that is itself dead). Exact dups need no such
+    // re-pointing: identical text ⇒ identical gate metrics ⇒ the group
+    // lives or dies together. Group-key aggregation over near-dup members
+    // only — O(group members), no new wide shuffle.
+    val keptCanon = pre.where(col("pre_stage").isNull)
+      .join(near, Seq("doc_id"))
+      .groupBy(col("near_canonical"))
+      .agg(min(col("doc_id")).as("kept_canonical"))
+    val nearKept = near.join(keptCanon, Seq("near_canonical"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_canonical"), col("near_canonical")).as("near_canonical"))
+
+    pre
+      .join(nearKept, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("stage",
+        coalesce(col("pre_stage"),
+          when(coalesce(col("near_canonical"), col("doc_id")) =!= col("doc_id"),
             "near_dup")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
-          .otherwise("kept"))
+          .otherwise("kept")))
       .select(col("doc_id"), col("n_tokens"), col("stage"),
         (col("stage") === "kept").as("keep"),
         coalesce(col("near_canonical"), col("canonical_id"), col("doc_id"))

@@ -10,6 +10,20 @@ import java.time.{Instant, ZoneOffset}
 case class StreamTxn(customer_id: Long, ts_micros: Long, amount: Double,
                      merchant_id: String, ip_address: String)
 
+/** Shared streaming/batch numeric conventions. */
+object StreamConv {
+  /** Integer cents with the SAME rounding as the batch operators'
+    * `round(amount * 100)` (Spark = HALF_UP, away from zero):
+    * `math.round` alone rounds half-values toward +∞, which diverges on
+    * negative amounts (refunds/reversals): HALF_UP(-100.5) = -101 but
+    * `math.round(-100.5)` = -100 — a silent online/offline feature skew.
+    */
+  def cents(amount: Double): Long = {
+    val r = math.round(math.abs(amount) * 100)
+    if (amount < 0) -r else r
+  }
+}
+
 /** One emitted feature vector per input event — the reference job-1 view
   * (`flink_job/aml_stream_processor.py:130-201`) plus the declared 24h/7d
   * windows (`feature_repo/definitions.py:65-79`).

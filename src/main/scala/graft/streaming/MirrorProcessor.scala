@@ -42,7 +42,7 @@ class MirrorProcessor(windowMicros: Long)
       timerValues: TimerValues): Iterator[MirrorAlert] = {
     var t = if (total.exists()) total.get() else 0L
     val out = rows.toArray.sortBy(_.ts_micros).iterator.map { e =>
-      val cents = math.round(e.amount * 100)
+      val cents = StreamConv.cents(e.amount) // batch HALF_UP parity (negatives)
       val prior =
         if (byCents.containsKey(cents)) byCents.getValue(cents).entries else Seq.empty
       // |a.us - b.us| <= W is inclusive, so the window keeps ts >= cur - W

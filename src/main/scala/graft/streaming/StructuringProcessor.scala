@@ -33,7 +33,7 @@ class StructuringProcessor(loCents: Long, hiCents: Long, minCount: Int,
     var b = if (bandCnt.exists()) bandCnt.get() else 0L
     var n = if (total.exists()) total.get() else 0L
     val out = rows.toArray.sortBy(_.ts_micros).iterator.map { e =>
-      val c = math.round(e.amount * 100)
+      val c = StreamConv.cents(e.amount) // batch HALF_UP parity (negatives)
       if (c >= loCents && c < hiCents) b += 1
       n += 1
       val share = b.toDouble / n

@@ -295,6 +295,12 @@ class DomainSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("hits: iters = 0 is refused (would mislabel the hub init as auth)") {
+    val e = Seq(("c1", "m1")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] { graft.ops.Hits.run(e, iters = 0) }
+    assert(ex.getMessage.contains("iters"))
+  }
+
   test("conditional entropy: deterministic cycle is 0 even though joint entropy is not") {
     import graft.ops.Distribution
     val cyc = Seq("A", "B", "C", "A", "B", "C", "A").zipWithIndex

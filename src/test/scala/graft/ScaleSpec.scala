@@ -285,6 +285,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(rep.values.sum == 6 && rep("kept") == 1)
   }
 
+  test("CorpusPipeline.curate: canonical re-points to the lowest KEPT near-dup member") {
+    import graft.scale.CorpusPipeline
+    // doc 1: min-id member of the near-dup group but REPETITIVE (Gopher
+    // gate) — it must not drag the group down; doc 2 (next member,
+    // quality-clean) becomes canonical and survives, doc 3 dies as its
+    // near_dup. Without the re-pointing every copy of the content
+    // silently vanishes. With 1-word shingles doc 1's DISTINCT unigram
+    // set equals doc 2's (repeats don't add shingles), so jaccard = 1.0
+    // and the group assignment is LSH-certain.
+    val base12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, (Seq.fill(140)("alpha") :+ base12).mkString(" ")), // dup_word_frac .92
+      (2L, base12),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (4L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(shingleN = 1)
+    val cur = CorpusPipeline.curate(docs, None, col("doc_id"), col("text"), cfg)
+    val rows = cur.collect().map(r => r.getLong(0) -> r).toMap
+    val stages = rows.view.mapValues(_.getString(2)).toMap
+    assert(stages(1L) == "repetitive", stages)
+    assert(stages(2L) == "kept", stages)       // NOT near_dup of dead doc 1
+    assert(stages(3L) == "near_dup", stages)
+    assert(stages(4L) == "kept", stages)
+    val canon = rows.view.mapValues(_.getLong(4)).toMap
+    assert(canon(2L) == 2L && canon(3L) == 2L, canon) // lowest KEPT member
+  }
+
   test("incrementalDedup: delta doc matches its index twin; novel doc stays unmatched") {
     val index = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

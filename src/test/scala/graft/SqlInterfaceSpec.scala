@@ -58,6 +58,31 @@ class SqlInterfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("gram_agg fails loudly on mixed embedding dimensions across partitions") {
+    GraftFunctions.register(spark)
+    // one 2-dim and one 3-dim vector, forced into separate partitions so
+    // the MERGE path sees the mismatch: silently keeping one side would be
+    // partition-order-dependent output
+    val ragged = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq(1.0, 2.0)),
+        org.apache.spark.sql.Row(Seq(1.0, 2.0, 3.0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .repartition(2)
+    ragged.createOrReplaceTempView("ragged_emb")
+    val ex = intercept[Throwable] {
+      spark.sql("SELECT gram_agg(embedding) FROM ragged_emb").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("mixed embedding dimensions")), ex.toString)
+  }
+
   test("approx FeatureView config tracks exact within HLL tolerance") {
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
     val w = Trailing.spec(col("customer_id"), col("event_timestamp"))

@@ -21,6 +21,23 @@ class StreamingSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .getOrCreate()
 
+  test("StreamConv.cents matches batch round() on negatives (HALF_UP, not toward +inf)") {
+    import org.apache.spark.sql.functions.{col, lit, round}
+    // -1.125 * 100 = -112.5 EXACTLY in binary: the one case where
+    // math.round (toward +inf, -112) and HALF_UP (away from zero, -113)
+    // visibly diverge — plus non-tie spot checks on both signs
+    val amounts = Seq(-1.125, 1.125, -2.0, 2.004, -2.006, 0.0)
+    val batch = spark.range(1).select(
+      amounts.zipWithIndex.map { case (a, i) =>
+        round(lit(a) * 100).cast("long").as(s"c$i") }: _*).head()
+    amounts.zipWithIndex.foreach { case (a, i) =>
+      assert(graft.streaming.StreamConv.cents(a) == batch.getLong(i),
+        s"amount $a: streaming ${graft.streaming.StreamConv.cents(a)} vs " +
+          s"batch ${batch.getLong(i)}")
+    }
+    assert(graft.streaming.StreamConv.cents(-1.125) == -113L)
+  }
+
   test("transformWithState features == batch window features (two ordered micro-batches)") {
     import spark.implicits._
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
