@@ -11,6 +11,35 @@ import org.apache.spark.sql.functions._
   */
 object ServingQueries extends QueryPack {
 
+  /** DuckDB CTE computing the serving feature view over `events` —
+    * shared by every oracle that re-derives the [[Risk.model]] columns
+    * (q39 explanations, q164 attribution).
+    */
+  private val featureCteSql: String = {
+    val w = Map("w60s" -> 60000000L, "w5m" -> 300000000L, "w10m" -> 600000000L,
+      "w1h" -> 3600000000L, "w24h" -> 86400000000L, "w7d" -> 604800000000L)
+      .map { case (a, m) =>
+        s"$a AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN ${m - 1} PRECEDING AND CURRENT ROW)"
+      }.mkString(", ")
+    s"""f AS (
+  SELECT event_id AS transaction_id, user_id AS customer_id,
+    sum(value) OVER w60s AS txn_amount_sum_60s,
+    sum(value) OVER w5m AS txn_amount_sum_5m,
+    sum(value) OVER w1h AS txn_amount_sum_1h,
+    count(*) OVER w60s AS txn_count_60s,
+    count(*) OVER w5m AS txn_count_5m,
+    count(*) OVER w10m AS txn_count_10m,
+    count(*) OVER w1h AS txn_count_1h,
+    count(DISTINCT props->>'$$.k') OVER w1h AS unique_ips_1h,
+    count(DISTINCT event_type) OVER w1h AS unique_merchants_1h,
+    (count(*) OVER w1h) / 60.0 AS velocity_score_1h,
+    coalesce(stddev_pop(value) OVER w1h, 0.0) AS amount_deviation_score_1h,
+    sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
+    sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
+    avg(value) OVER w1h AS avg_txn_amount_1h
+  FROM events WINDOW $w)"""
+  }
+
   override val defs: Map[String, Q] = Map(
     "q39_explanations" -> { (s, dir) =>
       // scalar (comma-joined) so the driver's sort+hash compare can handle
@@ -18,6 +47,15 @@ object ServingQueries extends QueryPack {
       F.customerFeatures(Tables.transactions(s, dir))
         .select(col("transaction_id"), col("customer_id"),
           array_join(Risk.explanation, ",").as("explanation"))
+    },
+    // dataset-level SHAP-style attribution: closed-form for the linear
+    // model, one aggregate pass (scoring/Attribution.scala)
+    "q164_attribution" -> { (s, dir) =>
+      graft.scoring.Attribution.report(
+          F.customerFeatures(Tables.transactions(s, dir)))
+        .select(col("feature"),
+          r6(col("mean_abs_contribution")).as("mean_abs_contribution"),
+          r6(col("share")).as("share"))
     },
     // oracle: eps-graph components via recursive CTE
     // (GraphOracles.dbscanSql); ClusteringSpec pins sklearn parity on a
@@ -87,32 +125,24 @@ f AS (SELECT doc_id, n_bytes, unnest(range(0, ((n_bytes + 255) // 256))) AS fram
 SELECT doc_id, frame_idx::BIGINT AS frame_idx,
   least(256, n_bytes - frame_idx*256)::BIGINT AS frame_bytes
 FROM f WHERE frame_idx % 2 = 0""",
+    "q164_attribution" ->
+      s"""WITH $featureCteSql,
+a AS (SELECT
+    ${Risk.model.map { case (f, wgt, norm) =>
+        s"avg(abs(least($f / $norm, 1.0) * $wgt)) AS $f" }.mkString(",\n    ")}
+  FROM f),
+u AS (
+  ${Risk.model.map { case (f, _, _) =>
+        s"SELECT '$f' AS feature, $f AS m FROM a" }.mkString("\n  UNION ALL ")}),
+t AS (SELECT sum(m) AS tot FROM u)
+SELECT feature, round(m + 5e-11, 4) AS mean_abs_contribution,
+  round(CASE WHEN tot > 0 THEN m / tot ELSE 0.0 END + 5e-11, 4) AS share
+FROM u, t""",
     "q39_explanations" -> {
       val entries = Risk.model.map { case (f, wgt, norm) =>
         s"{'c': -least($f / $norm, 1.0) * $wgt, 'n': '$f'}"
       }.mkString(",\n      ")
-      val w = Map("w60s" -> 60000000L, "w5m" -> 300000000L, "w10m" -> 600000000L,
-        "w1h" -> 3600000000L, "w24h" -> 86400000000L, "w7d" -> 604800000000L)
-        .map { case (a, m) =>
-          s"$a AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN ${m - 1} PRECEDING AND CURRENT ROW)"
-        }.mkString(", ")
-      s"""WITH f AS (
-  SELECT event_id AS transaction_id, user_id AS customer_id,
-    sum(value) OVER w60s AS txn_amount_sum_60s,
-    sum(value) OVER w5m AS txn_amount_sum_5m,
-    sum(value) OVER w1h AS txn_amount_sum_1h,
-    count(*) OVER w60s AS txn_count_60s,
-    count(*) OVER w5m AS txn_count_5m,
-    count(*) OVER w10m AS txn_count_10m,
-    count(*) OVER w1h AS txn_count_1h,
-    count(DISTINCT props->>'$$.k') OVER w1h AS unique_ips_1h,
-    count(DISTINCT event_type) OVER w1h AS unique_merchants_1h,
-    (count(*) OVER w1h) / 60.0 AS velocity_score_1h,
-    coalesce(stddev_pop(value) OVER w1h, 0.0) AS amount_deviation_score_1h,
-    sum(CASE WHEN hour(ts) < 6 OR hour(ts) > 22 THEN 1 ELSE 0 END) OVER w24h AS night_txn_count_24h,
-    sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) OVER w7d AS weekend_txn_count_7d,
-    avg(value) OVER w1h AS avg_txn_amount_1h
-  FROM events WINDOW $w)
+      s"""WITH $featureCteSql
 SELECT transaction_id, customer_id,
   coalesce(array_to_string(list_transform(
     list_filter(
