@@ -13,7 +13,45 @@ object PipelineQueries extends QueryPack {
 
   private val pitWindows = Seq("1h" -> 3600L, "24h" -> 86400L)
 
+  /** Training config for q165 — shared by the Spark query and the
+    * unrolled-GD DuckDB oracle so both engines run the SAME optimizer.
+    */
+  private val lrFeatures =
+    Seq("txn_count_1h", "txn_amount_sum_1h", "txn_count_24h", "txn_amount_sum_24h")
+  private val lrIters = 20
+  private val lrRate = 0.5
+
   override val defs: Map[String, Q] = Map(
+    // in-engine trainable model (models/advanced_models.py:1-533 twin):
+    // deterministic full-batch logistic GD on the q36 PIT table, labels =
+    // probe event is an 'error', evaluated with the q43 mid-rank AUC
+    "q165_train_lr" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val events = ev.select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_micros"), col("value").as("amount"))
+      val probes = ev.where(col("event_id") % 10 === 0)
+        .select(col("event_id").as("probe_id"), col("user_id").as("key"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("ts_micros"))
+      val labels = ev.where(col("event_id") % 10 === 0)
+        .select(col("event_id").as("probe_id"),
+          when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"))
+      // localCheckpoint: the PIT windows compute ONCE; the 20 GD passes,
+      // the AUC pass, and the count all read the narrow checkpointed
+      // projection (6 columns/probe), not the window pipeline
+      val train = PointInTime.asOfFeatures(events, probes, pitWindows)
+        .join(labels, "probe_id")
+        .localCheckpoint()
+      val model = graft.scoring.Trainer.fitLogistic(
+        train, lrFeatures, col("y"), iters = lrIters, lr = lrRate)
+      val scored = train.select(col("y"),
+        graft.scoring.Trainer.margin(model).as("margin"))
+      val auc = graft.feedback.Drift.auc(scored, col("y") === 1.0, col("margin"))
+      val out = col("n") +: r6(col("auc")).as("auc") +:
+        r6(lit(model.intercept)).as("intercept") +:
+        lrFeatures.zip(model.weights).map { case (f, w) =>
+          r6(lit(w)).as(s"w_$f") }
+      scored.agg(count(lit(1)).as("n")).crossJoin(auc).select(out: _*)
+    },
     "q36_pit_training" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val events = ev.select(col("user_id").as("key"),
@@ -90,6 +128,67 @@ object PipelineQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    // the SAME optimizer, unrolled: standardize, 20 fixed-rate full-batch
+    // GD steps as chained CTEs (aggregates are illegal in a recursive CTE
+    // term — same technique as kcoreSql). Every iteration is ONE CTE
+    // (gradient aggregate + weight update fused via GROUP BY over the
+    // 1-row weight state) so each CTE is referenced exactly once, and the
+    // data frame + weight states are MATERIALIZED — multi-referenced
+    // plain CTEs inline and the plan blows up exponentially (the q121
+    // lesson). Mid-rank AUC on the margins.
+    "q165_train_lr" -> {
+      val idx = lrFeatures.indices
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      val i0 = s"i0 AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      val iterCtes = (1 to lrIters).map { k =>
+        val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+        val upd = idx.map(i =>
+          s"i.w$i - $lrRate*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+          s",\n    i.b - $lrRate*avg($p - d.y) AS b"
+        val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+        s"i$k AS MATERIALIZED (SELECT $upd\n  FROM d, i${k - 1} i GROUP BY $grp)"
+      }.mkString(",\n")
+      val fin = s"i$lrIters"
+      val wOut = lrFeatures.zipWithIndex.map { case (f, i) =>
+        s"round($fin.w$i + 5e-11, 4) AS w_$f" }.mkString(",\n  ")
+      s"""WITH probes AS (
+  SELECT event_id AS probe_id, user_id, epoch_us(ts) + 1800000000 AS tm,
+    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE event_id % 10 = 0),
+u AS (
+  SELECT user_id, epoch_us(ts) AS tm, value AS amount, NULL::BIGINT AS probe_id, NULL::DOUBLE AS y FROM events
+  UNION ALL
+  SELECT user_id, tm, NULL::DOUBLE, probe_id, y FROM probes),
+fw AS (
+  SELECT probe_id, y,
+    count(amount) OVER w1h AS x0,
+    coalesce(sum(amount) OVER w1h, 0.0) AS x1,
+    count(amount) OVER w24h AS x2,
+    coalesce(sum(amount) OVER w24h, 0.0) AS x3
+  FROM u
+  WINDOW w1h AS (PARTITION BY user_id ORDER BY tm RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+         w24h AS (PARTITION BY user_id ORDER BY tm RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)),
+fp AS (SELECT * FROM fw WHERE probe_id IS NOT NULL),
+s AS (SELECT $statSel FROM fp),
+d AS MATERIALIZED (SELECT $stdSel, y FROM fp, s),
+$i0,
+$iterCtes,
+sc AS (SELECT d.y, ${marginOf(fin)} AS sv FROM d, $fin),
+r AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM sc),
+a AS (SELECT count(*) AS n,
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM r)
+SELECT n, round(auc + 5e-11, 4) AS auc, round($fin.b + 5e-11, 4) AS intercept,
+  $wOut
+FROM a, $fin"""
+    },
     "q151_asof_tolerance" ->
       """WITH probes AS (
   SELECT event_id AS probe_id, user_id, epoch_us(ts) - 1800000000 AS tm

@@ -1,0 +1,68 @@
+package graft
+
+import graft.scoring.Trainer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The in-engine logistic trainer must actually LEARN (separable fixture
+  * → near-perfect ranking, correct weight signs), be deterministic across
+  * runs, and handle degenerate columns without dividing by zero.
+  */
+class TrainerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // y = 1 iff x1 > 0 (deterministic, linearly separable); x2 is an
+  // independent deterministic distractor, x3 is constant
+  private def fixture = {
+    import spark.implicits._
+    (1 to 400).map { i =>
+      val x1 = (i % 21) - 10.0
+      val x2 = ((i * 7) % 13) - 6.0
+      (x1, x2, 5.0, if (x1 > 0) 1.0 else 0.0)
+    }.toDF("x1", "x2", "x3", "y")
+  }
+
+  test("separable fixture: positive weight on the signal, ~0 on the distractor, AUC ~1") {
+    val m = Trainer.fitLogistic(fixture, Seq("x1", "x2", "x3"), col("y"),
+      iters = 50, lr = 1.0)
+    assert(m.weights(0) > 1.0, s"signal weight ${m.weights(0)}")
+    assert(math.abs(m.weights(1)) < math.abs(m.weights(0)) / 5,
+      s"distractor ${m.weights(1)} vs signal ${m.weights(0)}")
+    assert(m.weights(2) == 0.0, "constant column must contribute nothing")
+    val auc = graft.feedback.Drift.auc(
+      fixture.select(col("y"), Trainer.margin(m).as("s")),
+      col("y") === 1.0, col("s")).head().getDouble(0)
+    assert(auc > 0.99, s"auc $auc")
+  }
+
+  test("training is deterministic: two fits give bit-identical weights") {
+    val m1 = Trainer.fitLogistic(fixture, Seq("x1", "x2"), col("y"), iters = 10, lr = 0.5)
+    val m2 = Trainer.fitLogistic(fixture, Seq("x1", "x2"), col("y"), iters = 10, lr = 0.5)
+    assert(m1.weights == m2.weights && m1.intercept == m2.intercept)
+  }
+
+  test("loss decreases monotonically over the first iterations") {
+    import spark.implicits._
+    def logloss(m: Trainer.LogisticModel): Double =
+      fixture.select(
+        (-(col("y") * log(Trainer.probability(m)) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - Trainer.probability(m)))).as("l"))
+        .agg(avg(col("l"))).as[Double].head()
+    val losses = Seq(1, 3, 6).map(k =>
+      logloss(Trainer.fitLogistic(fixture, Seq("x1", "x2"), col("y"), iters = k, lr = 0.5)))
+    assert(losses == losses.sorted.reverse, s"not decreasing: $losses")
+  }
+
+  test("iters = 0 is refused") {
+    val ex = intercept[IllegalArgumentException] {
+      Trainer.fitLogistic(fixture, Seq("x1"), col("y"), iters = 0)
+    }
+    assert(ex.getMessage.contains("iters"))
+  }
+}
