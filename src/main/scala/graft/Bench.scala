@@ -27,21 +27,28 @@ object Bench {
         .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     // noop sink forces full computation of every output column;
     // a bare .count() would let Catalyst prune the feature projections.
-    // a failed query records -1 (sentinel) so consumers of the JSON line
-    // can't mistake a crash for a fast run
+    // Per query: median of `reps` runs (default 3) — a single pass
+    // records whatever JIT/compaction/concurrent-load noise hit that one
+    // execution (round-4's file recorded q37 at 2.8x its steady state);
+    // the median absorbs one-off spikes while staying cheap. A failed
+    // query records -1 (sentinel, no retries) so consumers of the JSON
+    // line can't mistake a crash for a fast run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = Iterator.range(0, reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.takeWhile(_ >= 0).toSeq // first failure poisons the query: -1
+      name -> (if (times.size < reps) -1.0 else times.sorted.apply(reps / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
