@@ -88,13 +88,17 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine >= tau.
     *
-    * Exact all-pairs as a BLOCK-PARTITIONED self-join — never a driver
+    * Exact all-pairs as a CELL-PARTITIONED self-join — never a driver
     * collect (a 10⁹×d corpus doesn't fit one heap) and never a full-corpus
-    * broadcast. Each vector lands in block `vec_id % blocks`; the left
-    * side fans out to every block ≥ its own, so each unordered vector
-    * pair meets in exactly one task and the O(n²) compare work spreads
-    * over `blocks·(blocks+1)/2` co-partitioned cells that scale out with
-    * executors. Norms are computed once per row BEFORE the join, so a
+    * broadcast. Each vector lands in block `vec_id % blocks`; the join
+    * key is the unordered block CELL (i ≤ j): the left side fans its
+    * block-i rows up to every cell (i, j ≥ i), the right side fans its
+    * block-j rows down to every cell (i ≤ j, j), so each unordered vector
+    * pair meets in exactly one task and the O(n²) compare work hashes
+    * over `blocks·(blocks+1)/2` DISTINCT join keys — parallelism grows
+    * quadratically with `blocks`, not linearly with triangular skew as a
+    * right-block-only key would (round-4 refinement #8). Norms are
+    * computed once per row BEFORE the join, so a
     * pair costs one [[graft.functions.ArrayDot]] codegen kernel (tight
     * primitive loop, not an interpreted zip_with — measured ~30x) plus
     * two divisions. Accumulation is left-to-right and the division stays
@@ -104,21 +108,23 @@ object Similarity {
     */
   def cosineDupPairs(corpus: DataFrame, tau: Double, blocks: Int = 32): DataFrame = {
     // no array<double> cast: the kernels widen per element, and float
-    // halves the bytes fanned out blocks/2 times through the shuffle
+    // halves the bytes fanned out ~blocks/2 times through the shuffle
     val vecs = corpus.select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", norm(col("e")))
       .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
     val left = vecs
-      .withColumn("obk", explode(sequence(col("blk"), lit(blocks - 1))))
+      .withColumn("cj", explode(sequence(col("blk"), lit(blocks - 1))))
       .select(col("vec_id").as("lid"), col("e").as("le"), col("nrm").as("lnrm"),
-        col("blk").as("lblk"), col("obk"))
+        col("blk").as("ci"), col("cj"))
     val right = vecs
+      .withColumn("ci", explode(sequence(lit(0), col("blk"))))
       .select(col("vec_id").as("rid"), col("e").as("re"), col("nrm").as("rnrm"),
-        col("blk").as("rblk"))
-    // cross-block pairs meet once (left block < right block); same-block
-    // pairs are deduped by the id order inside the join condition
-    left.join(right, col("obk") === col("rblk") &&
-        (col("lblk") =!= col("rblk") || col("lid") < col("rid")))
+        col("ci"), col("blk").as("cj"))
+    // cross-block pairs meet once (in cell (min blk, max blk)); same-block
+    // pairs land in the diagonal cell twice (both orderings) and are
+    // deduped by the id order inside the join condition
+    left.join(right, Seq("ci", "cj"))
+      .where(col("ci") =!= col("cj") || col("lid") < col("rid"))
       .select(
         least(col("lid"), col("rid")).as("id1"),
         greatest(col("lid"), col("rid")).as("id2"),

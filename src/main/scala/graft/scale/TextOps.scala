@@ -63,21 +63,31 @@ object TextOps {
       lit(0.25) * least(avgTokenLen(text) / lit(5.0), lit(1.0))
 
   /** Top-k terms per document by TF-IDF (smooth idf, sklearn convention:
-    * tf/len · (ln((1+N)/(1+df)) + 1)). Two groupBys + one broadcast of the
-    * (small) document-frequency table; ties broken by term. Scale note:
-    * df is a term-keyed aggregation — skew-safe; the per-doc top-k is one
-    * window over the doc key.
+    * tf/len · (ln((1+N)/(1+df)) + 1)). Two groupBys + a join against the
+    * document-frequency table; ties broken by term. Scale note: df is a
+    * term-keyed aggregation — skew-safe; the per-doc top-k is one window
+    * over the doc key.
+    *
+    * The df join picks its strategy from the MEASURED vocabulary size: a
+    * word vocabulary (≤ `maxBroadcastVocab` terms) broadcasts — one
+    * shuffle saved on the big tf side; an n-gram/shingle vocabulary can
+    * reach billions of terms, where a forced broadcast is a guaranteed
+    * OOM, so it falls back to a plain term-keyed shuffle join. The df
+    * table is cached so the sizing count and the join share one
+    * aggregation.
     */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
-                k: Int): org.apache.spark.sql.DataFrame = {
+                k: Int, maxBroadcastVocab: Long = 5000000L): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(id.as("doc_id"),
       explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tfc"))
     val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfSide = if (df.count() <= maxBroadcastVocab) broadcast(df) else df
     val n = docs.select(id).agg(count(lit(1)).as("n"))
-    val scored = tf.join(docLen, "doc_id").join(broadcast(df), "term").crossJoin(broadcast(n))
+    val scored = tf.join(docLen, "doc_id").join(dfSide, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         (col("tfc").cast("double") / col("len") *
           (log((lit(1L) + col("n")).cast("double") / (lit(1L) + col("df"))) + 1.0)).as("tfidf"))

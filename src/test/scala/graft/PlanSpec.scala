@@ -206,6 +206,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tf-idf df join: word vocab broadcasts; over-threshold vocab falls back to shuffle join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val small = plan(graft.scale.TextOps.tfidfTopK(docs, col("doc_id"), col("text"), 3))
+      assert(small.contains("BroadcastHashJoin"),
+        s"small vocab should broadcast the df side:\n$small")
+      val big = plan(graft.scale.TextOps.tfidfTopK(docs, col("doc_id"), col("text"), 3,
+        maxBroadcastVocab = 0L))
+      assert(!big.contains("BroadcastHashJoin"),
+        s"over-threshold vocab must not broadcast:\n$big")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+        s"expected a term-keyed shuffle join:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cell-partitioned q44 join shuffles on BOTH cell coordinates") {
+    // disable auto-broadcast so the cluster-scale plan shape materializes
+    // (at real corpus scale neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.queries.ScaleQueries.defs("q44_embedding_dups")(spark, sf))
+      assert("hashpartitioning\\(ci#\\d+, cj#\\d+".r.findFirstIn(p).isDefined,
+        s"expected (ci, cj) cell-keyed exchange:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
     val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
     // gram_agg reduces to a single row before any Generate(explode):

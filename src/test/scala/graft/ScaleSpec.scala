@@ -175,6 +175,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall > 0.05, s"recall $recall")
   }
 
+  test("cell-partitioned exact pairs: every block count agrees with brute force") {
+    // pair completeness must hold for every blocks regime, including
+    // blocks > n, a prime count, and the degenerate single cell
+    val emb = Tables.embeddings(spark, sf).limit(40)
+    def pairs(b: Int) = Similarity.cosineDupPairs(emb, tau = 0.2, blocks = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = pairs(1)
+    assert(brute.nonEmpty)
+    for (b <- Seq(3, 7, 64)) {
+      val p = pairs(b)
+      assert(p.keySet == brute.keySet, s"blocks=$b")
+      p.foreach { case (k, c) => assert(c == brute(k), s"blocks=$b $k") }
+    }
+  }
+
   test("neardup groups: transitive near-dups share one canonical doc; others stay singleton") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
