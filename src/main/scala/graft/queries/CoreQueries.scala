@@ -109,6 +109,13 @@ object CoreQueries extends QueryPack {
         col("transaction_id"), col("customer_id"),
         r6(col("risk_score")).as("risk_score"), col("risk_level"))
     },
+    // natural-language narrative per scored transaction (the reference's
+    // templated explanation/recommendation text) — one codegen'd
+    // format_string map over the feature view, no UDF
+    "q166_nl_report" -> { (s, dir) =>
+      graft.scoring.NlReport.narrate(
+        F.customerFeatures(Tables.transactions(s, dir)))
+    },
     // global feature importance of the linear risk model: the population
     // std of each feature's clamp-normalized CONTRIBUTION (weight folded
     // in) — the data-grounded ranking of which model terms actually move
@@ -203,5 +210,50 @@ FROM u CROSS JOIN t"""
 SELECT transaction_id, customer_id, round(s+ 5e-11, 4) AS risk_score,
   CASE WHEN s <= 0.3 THEN 'LOW' WHEN s <= 0.6 THEN 'MEDIUM' ELSE 'HIGH' END AS risk_level
 FROM scored"""
+    },
+    "q166_nl_report" -> {
+      val norm = Risk.model.map { case (f, wgt, n) =>
+        s"least($f / $n, 1.0) * $wgt"
+      }.mkString(" + ")
+      val entries = Risk.model.map { case (f, wgt, n) =>
+        s"{'c': -least($f / $n, 1.0) * $wgt, 'n': '$f'}"
+      }.mkString(",\n      ")
+      val level = "CASE WHEN s <= 0.3 THEN 'LOW' WHEN s <= 0.6 THEN 'MEDIUM' ELSE 'HIGH' END"
+      val sentence = """CASE WHEN top IS NULL THEN 'no factor above the significance floor'
+    WHEN top = 'unique_ips_1h' THEN printf('used %d distinct IPs in the last hour', unique_ips_1h::BIGINT)
+    WHEN top = 'velocity_score_1h' THEN printf('velocity of %.1f txn/min in the last hour', round(velocity_score_1h + 5e-11, 1))
+    WHEN top LIKE 'txn_amount_sum%' THEN printf('moved %.2f in the %s window', round(txn_amount_sum_1h + 5e-11, 2), '1h')
+    WHEN top = 'night_txn_count_24h' THEN printf('%d night transactions in 24h', night_txn_count_24h::BIGINT)
+    WHEN top LIKE 'txn_count%' THEN printf('%d transactions in the last hour', txn_count_1h::BIGINT)
+    ELSE printf('%s is elevated', top) END"""
+      val reco = """CASE WHEN s > 0.8 THEN 'block pending manual review; contact the customer'
+    WHEN s > 0.6 THEN 'approve with enhanced monitoring; review next transactions'
+    WHEN s > 0.3 THEN 'approve; routine monitoring'
+    ELSE 'approve; no further action' END ||
+  CASE WHEN top LIKE '%unique_ips%' THEN ' | verify the IP locations are known for this customer'
+    WHEN top LIKE '%velocity%' THEN ' | check whether the transaction velocity is justified'
+    WHEN top LIKE '%night%' THEN ' | investigate the reason for night-time activity'
+    ELSE '' END"""
+      s"""WITH $featureCte,
+scored AS (
+  SELECT *, round(least(greatest(($norm)
+      + (CASE WHEN amount > 10000 THEN 0.3 WHEN amount > 5000 THEN 0.15 ELSE 0.0 END)
+      + (CASE WHEN unique_ips_1h > 3 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN velocity_score_1h > 1.5 THEN 0.2 ELSE 0.0 END)
+      + (CASE WHEN amount_deviation_score_1h > 3000 THEN 0.15 ELSE 0.0 END)
+      + (CASE WHEN night_txn_count_24h > 3 THEN 0.1 ELSE 0.0 END), 0.0), 1.0) + 5e-11, 4) AS s,
+    list_transform(list_filter(list_sort([
+      $entries])[1:3], x -> x.c < -0.05), x -> x.n) AS facs
+  FROM f),
+x AS (
+  SELECT *, CASE WHEN len(facs) >= 1 THEN facs[1] END AS top FROM scored)
+SELECT transaction_id, customer_id, s AS risk_score,
+  $level AS risk_level,
+  printf('RISK %s (score %.4f) amount %.2f | top factors: %s | dominant: %s | recommendation: %s',
+    $level, s, round(amount + 5e-11, 2),
+    CASE WHEN len(facs) > 0 THEN array_to_string(facs, ',') ELSE 'none' END,
+    $sentence,
+    $reco) AS report
+FROM x"""
     })
 }
