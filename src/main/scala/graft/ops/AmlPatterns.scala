@@ -128,6 +128,51 @@ object AmlPatterns {
       .limit(topK)
   }
 
+  /** Market-basket lift between merchant pairs (reference's co-occurrence
+    * screen): lift(m1,m2) = P(m1,m2) / (P(m1)·P(m2)) over distinct
+    * (customer, merchant) baskets — all-integer counts, so the ratio is
+    * ONE exact division (engine-independent).
+    *
+    * `keepFrac` is the OUTPUT CONTRACT knob: a hub customer with m
+    * merchants emits O(m²) pairs from the self-join, so `keepFrac < 1.0`
+    * applies the same degree-RANK cut as [[sharedIdPairs]] — drop the
+    * top `1-keepFrac` largest baskets first, then compute all lift
+    * statistics WITHIN the kept population so the ratio stays coherent.
+    * `keepFrac = 1.0` (default) is the untrimmed full-population lift;
+    * callers that trim must surface that in their own contract.
+    */
+  def cooccurrenceLift(tx: DataFrame, keepFrac: Double = 1.0): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"cooccurrenceLift: keepFrac must be in (0, 1], got $keepFrac")
+    val all = tx.select(col("customer_id"), col("merchant_id")).distinct()
+    val e =
+      if (keepFrac >= 1.0) all
+      else {
+        val deg = all.groupBy(col("customer_id")).agg(count(lit(1)).as("deg"))
+        val kept = graft.ops.GlobalOrder.withRowNumber(deg,
+            Seq(col("deg"), col("customer_id")), "rk", total = Some("n_cust"))
+          .where(col("rk") <= floor(col("n_cust") * keepFrac))
+          .select(col("customer_id"))
+        all.join(kept, "customer_id")
+      }
+    // customer count as a broadcast 1-row aggregate, not an eager
+    // .count() — one lazy plan, and the repeated `e` subtrees dedup
+    // through ReusedExchange
+    val nc = e.agg(countDistinct(col("customer_id")).as("nc"))
+    val per = e.groupBy(col("merchant_id")).agg(count(lit(1)).as("cnt"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.customer_id") === col("b.customer_id") &&
+          col("a.merchant_id") < col("b.merchant_id"))
+      .groupBy(col("a.merchant_id").as("m1"), col("b.merchant_id").as("m2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(per.select(col("merchant_id").as("m1"), col("cnt").as("n1"))), "m1")
+      .join(broadcast(per.select(col("merchant_id").as("m2"), col("cnt").as("n2"))), "m2")
+      .crossJoin(broadcast(nc))
+      .select(col("m1"), col("m2"), col("n_both"),
+        ((col("n_both") * col("nc")).cast("double") / (col("n1") * col("n2"))).as("lift"))
+  }
+
   /** New-counterparty novelty: of each customer's transactions in the
     * trailing `windowSeconds` before `anchor`, how many went to a merchant
     * that customer had NEVER used before the window started. Mule and

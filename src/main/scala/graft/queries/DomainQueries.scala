@@ -594,39 +594,14 @@ object DomainQueries extends QueryPack {
       AmlPatterns.sharedIdPairs(Tables.transactions(s, dir),
         col("ip_address"), hubFrac = 0.7, topK = 20)
     },
-    // market-basket lift between merchant pairs: all-integer counts, so
-    // the lift ratio is ONE exact division (engine-independent). A hub
-    // customer with m merchants emits O(m²) pairs from the self-join, so
-    // the same degree-RANK cut as q98's sharedIdPairs drops the top
-    // hub fraction of baskets first (rank, not an absolute threshold —
-    // adapts to any scale); lift statistics are computed within the kept
-    // population so the ratio stays coherent.
+    // market-basket lift between merchant pairs — AmlPatterns
+    // .cooccurrenceLift with the trim exposed as a parameter. OUTPUT
+    // CONTRACT: keepFrac=0.8 computes lift over the population with the
+    // top-20% largest baskets removed (degree-rank cut, hub-safe at
+    // scale); keepFrac=1.0 would be the untrimmed classic lift.
     "q96_cooccurrence" -> { (s, dir) =>
-      val keepFrac = 0.8 // drop the top-20% largest baskets
-      val all = Tables.transactions(s, dir)
-        .select(col("customer_id"), col("merchant_id")).distinct()
-      val deg = all.groupBy(col("customer_id")).agg(count(lit(1)).as("deg"))
-      val kept = graft.ops.GlobalOrder.withRowNumber(deg,
-          Seq(col("deg"), col("customer_id")), "rk", total = Some("n_cust"))
-        .where(col("rk") <= floor(col("n_cust") * keepFrac))
-        .select(col("customer_id"))
-      val e = all.join(kept, "customer_id")
-      // customer count as a broadcast 1-row aggregate, not an eager
-      // .count() — one lazy plan, and the repeated `e` subtrees dedup
-      // through ReusedExchange
-      val nc = e.agg(countDistinct(col("customer_id")).as("nc"))
-      val per = e.groupBy(col("merchant_id")).agg(count(lit(1)).as("cnt"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.customer_id") === col("b.customer_id") &&
-            col("a.merchant_id") < col("b.merchant_id"))
-        .groupBy(col("a.merchant_id").as("m1"), col("b.merchant_id").as("m2"))
-        .agg(count(lit(1)).as("n_both"))
-      pairs
-        .join(broadcast(per.select(col("merchant_id").as("m1"), col("cnt").as("n1"))), "m1")
-        .join(broadcast(per.select(col("merchant_id").as("m2"), col("cnt").as("n2"))), "m2")
-        .crossJoin(broadcast(nc))
-        .select(col("m1"), col("m2"), col("n_both"),
-          r6((col("n_both") * col("nc")).cast("double") / (col("n1") * col("n2"))).as("lift"))
+      AmlPatterns.cooccurrenceLift(Tables.transactions(s, dir), keepFrac = 0.8)
+        .select(col("m1"), col("m2"), col("n_both"), r6(col("lift")).as("lift"))
     },
     // RFM segmentation: quintiles over exact integer measures (micros
     // recency, count, cents) — float-free ordering, deterministic ties.
@@ -636,12 +611,18 @@ object DomainQueries extends QueryPack {
     "q97_rfm" -> { (s, dir) =>
       val tx = Tables.transactions(s, dir)
       val anchor = tx.agg(max(col("event_timestamp")).as("anchor"))
+      // localCheckpoint: each quintile's two-pass rank consumes `per`
+      // twice (percentile sample + ranked scan) and there are three of
+      // them plus the final join — without it the RFM aggregate pipeline
+      // recomputes ~9x (round-4 ADVICE). One materialization, 4 narrow
+      // columns/customer, read 7 times.
       val per = tx.crossJoin(broadcast(anchor))
         .groupBy(col("customer_id"))
         .agg((unix_micros(first(col("anchor"))) - unix_micros(max(col("event_timestamp"))))
           .as("recency_us"),
           count(lit(1)).as("freq"),
           sum(AmlPatterns.cents(col("amount"))).as("monetary_cents"))
+        .localCheckpoint()
       def quintile(measure: String, ord: Seq[org.apache.spark.sql.Column], out: String) =
         graft.ops.GlobalOrder.withRowNumber(
             per.select(col("customer_id"), col(measure)), ord, "__rn", total = Some("__n"))
