@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(CoreQueries, ProfileQueries, RelationalQueries, ScaleQueries,
-      PipelineQueries, ServingQueries, OlapQueries, DomainQueries)
+      PipelineQueries, ServingQueries, OlapQueries, DomainQueries, ModelQueries)
 
   /** Flagship: the full window-features -> risk-score pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.scale.{Packing, TextOps}
+import graft.scoring.{KMeansOps, Models}
+import graft.tables.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The closed-form members of the reference's model layer (naive Bayes,
+  * decision stump, k-means — `models/advanced_models.py` trains the
+  * tree/ensemble/cluster baselines next to the linear model that q165
+  * covers) plus the pretraining sequence-packing report. Every query is
+  * aggregation-only, RNG-free, and hash-gated against a DuckDB oracle
+  * that runs the SAME algorithm.
+  */
+object ModelQueries extends QueryPack {
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+
+  /** Shared featurization for q167/q168: small-cardinality integral
+    * buckets of the event stream + the 0/1 'error' label. dowi is epoch
+    * days mod 7 (pure integer arithmetic — no calendar-locale trap).
+    */
+  private def eventFeatures(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      hour(col("ts")).as("hb"),
+      pmod(intDiv(unix_micros(col("ts")), lit(86400000000L)), lit(7L)).as("dowi"),
+      least(floor(col("value") / 100).cast("long"), lit(5L)).as("vb"),
+      col("value"),
+      (col("event_type") === "error").cast("long").as("y"))
+
+  private val featSql =
+    """SELECT event_id, hour(ts) AS hb,
+  (epoch_us(ts) // 86400000000) % 7 AS dowi,
+  least(CAST(floor(value/100) AS BIGINT), 5) AS vb,
+  value,
+  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+FROM events"""
+
+  override val defs: Map[String, Q] = Map(
+    // categorical naive Bayes with Laplace smoothing: train on 80% of
+    // events (event_id % 5 <> 0), score the held-out 20%, report the
+    // confusion matrix + mean log-odds per cell. Model = 1-row prior +
+    // one bucket-cardinality likelihood table per feature, all broadcast;
+    // the test side never shuffles.
+    "q167_naive_bayes" -> { (s, dir) =>
+      val f = eventFeatures(s, dir)
+      val train = f.where(col("event_id") % 5 =!= 0)
+      val test = f.where(col("event_id") % 5 === 0)
+      Models.naiveBayesDelta(train, test, Seq("hb", "dowi", "vb"), col("y"))
+        .select(col("y"), (r6(col("delta")) > 0).as("pred"), col("delta"))
+        .groupBy(col("y"), col("pred"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("delta"))).as("avg_delta"))
+    },
+    // exact depth-1 CART stump: every distinct value of every feature is
+    // a candidate `x <= t` split; left/right class counts come from a
+    // GLOBAL integral cumsum over the per-feature distinct-value table
+    // (GlobalOrder — no single-partition window even for a continuous
+    // feature with millions of distinct values). Argmin by rounded
+    // weighted Gini, ties on (feature, threshold).
+    "q168_decision_stump" -> { (s, dir) =>
+      val f = eventFeatures(s, dir)
+      val n = col("n_left") + col("n_right")
+      val acc = (greatest(col("pos_left"), col("n_left") - col("pos_left")) +
+        greatest(col("pos_right"), col("n_right") - col("pos_right")))
+        .cast("double") / n
+      Models.stumpCandidates(f, Seq("value", "hb", "dowi"), col("y"))
+        .select(col("feature"), col("threshold"), r6(col("gini")).as("gini"),
+          col("n_left"), col("pos_left"), col("n_right"), col("pos_right"),
+          r6(acc).as("acc"))
+        .orderBy(col("gini"), col("feature"), col("threshold"))
+        .limit(1)
+    },
+    // pretraining concat-and-chunk packing: global token offsets of every
+    // document (corpus-wide integral cumsum, GlobalOrder) chunked into
+    // 2048-token sequences; per-bin occupancy report. All-integer output.
+    "q169_seq_packing" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.nTokens(col("text")).as("tok"))
+        .where(col("tok") > 0)
+      Packing.binReport(d, Seq(col("doc_id")), col("tok"), binSize = 2048L)
+        .select(col("bin"), col("n_docs"), col("bin_tokens"),
+          col("n_contained"), col("n_continuing"))
+    },
+    // fixed-iteration Lloyd k-means (k=3, 3 assignment passes) on
+    // per-user standardized (activity count, avg amount): points cached
+    // once, each pass scores against k centroid LITERALS (zero shuffle)
+    // and reduces to k rows; deterministic order-statistic init, rounded
+    // re-entry coordinates — the oracle unrolls the identical chain.
+    "q170_kmeans" -> { (s, dir) =>
+      val per = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val pts0 = per.select(col("user_id"),
+        col("cnt").cast("double").as("x1"),
+        (col("cents").cast("double") / col("cnt") / 100.0).as("x2"))
+      val st = pts0.agg(avg(col("x1")).as("m1"), stddev_pop(col("x1")).as("s1"),
+        avg(col("x2")).as("m2"), stddev_pop(col("x2")).as("s2"))
+      val pts = pts0.crossJoin(broadcast(st)).select(col("user_id"),
+        r6((col("x1") - col("m1")) / col("s1")).as("z1"),
+        r6((col("x2") - col("m2")) / col("s2")).as("z2"))
+      KMeansOps.lloydSummary(pts, col("user_id"), Seq("z1", "z2"), k = 3, iters = 3)
+        .select(col("cluster_id"), col("n"),
+          r6(col("c_z1")).as("c_z1"), r6(col("c_z2")).as("c_z2"))
+    })
+
+  /** One naive-Bayes likelihood CTE pair per feature. */
+  private def nbLike(f: String): String =
+    s"""l_$f AS (SELECT $f AS v, CAST(sum(y) AS DOUBLE) AS c1,
+  CAST(count(*) - sum(y) AS DOUBLE) AS c0 FROM tr GROUP BY 1),
+k_$f AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l_$f)"""
+
+  private def nbTerm(f: String): String =
+    s"""ln((coalesce(l_$f.c1, 0) + 1)/(pr.n1 + k_$f.k)) - ln((coalesce(l_$f.c0, 0) + 1)/(pr.n0 + k_$f.k))"""
+
+  /** One stump-candidate CTE per feature: distinct-value class counts,
+    * window cumsum, weighted Gini in the engine's exact expression order.
+    */
+  private def stumpCand(f: String): String =
+    s"""cand_$f AS (
+  SELECT '$f' AS feature, threshold, n_left, pos_left,
+    tn - n_left AS n_right, tp - pos_left AS pos_right,
+    ((1.0 - (CAST(pos_left AS DOUBLE)/n_left)*(CAST(pos_left AS DOUBLE)/n_left)
+        - (1.0 - CAST(pos_left AS DOUBLE)/n_left)*(1.0 - CAST(pos_left AS DOUBLE)/n_left))
+      * n_left / tn
+     + (1.0 - (CAST(tp - pos_left AS DOUBLE)/(tn - n_left))*(CAST(tp - pos_left AS DOUBLE)/(tn - n_left))
+        - (1.0 - CAST(tp - pos_left AS DOUBLE)/(tn - n_left))*(1.0 - CAST(tp - pos_left AS DOUBLE)/(tn - n_left)))
+      * (tn - n_left) / tn) AS gini
+  FROM (
+    SELECT CAST($f AS DOUBLE) AS threshold,
+      CAST(sum(count(*)) OVER w AS BIGINT) AS n_left,
+      CAST(sum(sum(y)) OVER w AS BIGINT) AS pos_left,
+      CAST(sum(count(*)) OVER () AS BIGINT) AS tn,
+      CAST(sum(sum(y)) OVER () AS BIGINT) AS tp
+    FROM f GROUP BY 1
+    WINDOW w AS (ORDER BY CAST($f AS DOUBLE) ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  WHERE n_left < tn)"""
+
+  override val oracle: Map[String, String] = Map(
+    "q167_naive_bayes" -> {
+      val fs = Seq("hb", "dowi", "vb")
+      s"""WITH f AS ($featSql),
+tr AS (SELECT * FROM f WHERE event_id % 5 <> 0),
+te AS (SELECT * FROM f WHERE event_id % 5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${fs.map(nbLike).mkString(",\n")},
+sc AS (
+  SELECT te.y,
+    ln(pr.n1/pr.n0) + ${fs.map(nbTerm).mkString("\n      + ")} AS delta
+  FROM te
+  CROSS JOIN pr ${fs.map(f => s"CROSS JOIN k_$f").mkString(" ")}
+  ${fs.map(f => s"LEFT JOIN l_$f ON te.$f = l_$f.v").mkString("\n  ")})
+SELECT y, round(delta + 5e-11, 4) > 0 AS pred, count(*) AS n,
+  round(avg(delta) + 5e-11, 4) AS avg_delta
+FROM sc GROUP BY 1, 2"""
+    },
+    "q168_decision_stump" -> {
+      val fs = Seq("value", "hb", "dowi")
+      s"""WITH f AS ($featSql),
+${fs.map(stumpCand).mkString(",\n")},
+allc AS (${fs.map(f => s"SELECT * FROM cand_$f").mkString(" UNION ALL ")})
+SELECT feature, threshold, round(gini + 5e-11, 4) AS gini,
+  n_left, pos_left, n_right, pos_right,
+  round(CAST(greatest(pos_left, n_left - pos_left)
+    + greatest(pos_right, n_right - pos_right) AS DOUBLE)
+    / (n_left + n_right) + 5e-11, 4) AS acc
+FROM allc
+ORDER BY round(gini + 5e-11, 4), feature, threshold
+LIMIT 1"""
+    },
+    "q169_seq_packing" ->
+      """WITH d AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents),
+dd AS (SELECT * FROM d WHERE tok > 0),
+c AS (
+  SELECT doc_id, tok,
+    sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+  FROM dd),
+p AS (
+  SELECT CAST(end_off - tok AS BIGINT) AS start_off, CAST(end_off AS BIGINT) AS end_off,
+    CAST((end_off - tok) // 2048 AS BIGINT) AS first_bin,
+    CAST(greatest((end_off - 1) // 2048, (end_off - tok) // 2048) AS BIGINT) AS last_bin
+  FROM c),
+e AS (
+  SELECT start_off, end_off, unnest(generate_series(first_bin, last_bin)) AS bin
+  FROM p)
+SELECT bin, count(*) AS n_docs,
+  CAST(sum(least(end_off, (bin + 1) * 2048) - greatest(start_off, bin * 2048)) AS BIGINT) AS bin_tokens,
+  CAST(sum(CASE WHEN start_off >= bin * 2048 AND end_off <= (bin + 1) * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+  CAST(sum(CASE WHEN end_off > (bin + 1) * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_continuing
+FROM e GROUP BY 1""",
+    "q170_kmeans" -> {
+      // unrolled Lloyd: init = order-statistic spread, then 3 assignment
+      // CTEs (a1..a3) with centroid updates (c1, c2) between them; every
+      // centroid coordinate re-rounds through the engine quantum before
+      // re-entering the distance arithmetic
+      def assign(a: String, c: String) =
+        s"""$a AS MATERIALIZED (
+  SELECT user_id, z1, z2, cid FROM (
+    SELECT p.user_id, p.z1, p.z2, c.cid,
+      row_number() OVER (PARTITION BY p.user_id
+        ORDER BY (p.z1 - c.c1)*(p.z1 - c.c1) + (p.z2 - c.c2)*(p.z2 - c.c2), c.cid) AS rk
+    FROM pts p CROSS JOIN $c c)
+  WHERE rk = 1)"""
+      def update(c: String, a: String) =
+        s"""$c AS MATERIALIZED (
+  SELECT cid, round(avg(z1) + 5e-11, 4) AS c1, round(avg(z2) + 5e-11, 4) AS c2
+  FROM $a GROUP BY 1)"""
+      s"""WITH per AS (
+  SELECT user_id, count(*) AS cnt,
+    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+pts0 AS (
+  SELECT user_id, CAST(cnt AS DOUBLE) AS x1,
+    CAST(cents AS DOUBLE)/cnt/100.0 AS x2
+  FROM per),
+st AS (SELECT avg(x1) AS m1, stddev_pop(x1) AS s1, avg(x2) AS m2, stddev_pop(x2) AS s2 FROM pts0),
+pts AS MATERIALIZED (
+  SELECT user_id, round((x1 - m1)/s1 + 5e-11, 4) AS z1,
+    round((x2 - m2)/s2 + 5e-11, 4) AS z2
+  FROM pts0, st),
+r AS (SELECT user_id, z1, z2,
+  row_number() OVER (ORDER BY z1, user_id) AS rn, count(*) OVER () AS n FROM pts),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY rn) - 1 AS cid, z1 AS c1, z2 AS c2
+  FROM r WHERE rn IN (greatest(1*n//6, 1), greatest(3*n//6, 1), greatest(5*n//6, 1))),
+${assign("a1", "c0")},
+${update("c1t", "a1")},
+${assign("a2", "c1t")},
+${update("c2t", "a2")},
+${assign("a3", "c2t")}
+SELECT cid AS cluster_id, count(*) AS n,
+  round(avg(z1) + 5e-11, 4) AS c_z1, round(avg(z2) + 5e-11, 4) AS c_z2
+FROM a3 GROUP BY 1"""
+    })
+}

@@ -1,0 +1,106 @@
+package graft.scoring
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Counts-based trainable models beyond the gradient LR in [[Trainer]] —
+  * the remaining classical members of the reference's supervised layer
+  * (`models/advanced_models.py:1-533` trains tree/ensemble baselines next
+  * to the linear model; these are their closed-form, aggregation-only
+  * engine twins).
+  *
+  * Both train as pure DataFrame aggregations: no RNG, no driver-side data
+  * movement beyond O(classes × feature-cardinality) model rows, so the
+  * same code trains on 10⁹ rows with one shuffle per feature. All scoring
+  * arithmetic is integer-count ratios pushed through `ln`, rounded at the
+  * output contract, so the DuckDB oracle reproduces decisions exactly.
+  */
+object Models {
+
+  /** Categorical naive Bayes with Laplace (+1) smoothing.
+    *
+    * `features` are small-cardinality integral columns (bucketed by the
+    * caller); `label` must evaluate to 0/1. Returns the TEST rows scored
+    * with the log-odds delta ln P(y=1|x) − ln P(y=0|x):
+    * `delta = ln(n1/n0) + Σ_f [ln((c1+1)/(n1+K_f)) − ln((c0+1)/(n0+K_f))]`
+    * where K_f is the number of distinct values feature f takes in
+    * training (the Laplace denominator), and an unseen value contributes
+    * the pure-smoothing 1/(n_c+K_f) term.
+    *
+    * Plan shape: one 1-row prior aggregate (broadcast), one
+    * O(cardinality)-row likelihood aggregate per feature (broadcast —
+    * bucketed features are ≤ dozens of rows), then `test` flows through
+    * f left joins with no shuffle on the fact side.
+    */
+  def naiveBayesDelta(train: DataFrame, test: DataFrame, features: Seq[String],
+      label: Column, out: String = "delta"): DataFrame = {
+    val y = label.cast("int")
+    val prior = train.agg(
+      sum(y).cast("double").as("__n1"),
+      (count(lit(1)) - sum(y)).cast("double").as("__n0"))
+    val scored = features.foldLeft(test.crossJoin(broadcast(prior))) { (acc, f) =>
+      val like = train.groupBy(col(f).as(s"__v_$f")).agg(
+        sum(y).cast("double").as(s"__c1_$f"),
+        (count(lit(1)) - sum(y)).cast("double").as(s"__c0_$f"))
+      val k = like.agg(count(lit(1)).cast("double").as(s"__k_$f"))
+      acc.join(broadcast(like), col(f) === col(s"__v_$f"), "left")
+        .crossJoin(broadcast(k))
+        .drop(s"__v_$f")
+    }
+    val terms = features.map { f =>
+      val (c1, c0, k) = (col(s"__c1_$f"), col(s"__c0_$f"), col(s"__k_$f"))
+      log((coalesce(c1, lit(0.0)) + 1.0) / (col("__n1") + k)) -
+        log((coalesce(c0, lit(0.0)) + 1.0) / (col("__n0") + k))
+    }
+    val delta = terms.foldLeft(log(col("__n1") / col("__n0")))(_ + _)
+    scored.withColumn(out, delta)
+      .drop("__n1" :: "__n0" ::
+        features.flatMap(f => Seq(s"__c1_$f", s"__c0_$f", s"__k_$f")).toList: _*)
+  }
+
+  /** Exact single-split decision stump (depth-1 CART): evaluates EVERY
+    * distinct value of every feature as a `x <= t` threshold and returns
+    * the candidate table with weighted Gini impurity — the caller picks
+    * the argmin (ordered by rounded gini, then feature name, then
+    * threshold, so ties are deterministic across engines).
+    *
+    * Scale shape: one groupBy per feature collapses the fact table to
+    * distinct values (the classic pre-sorted stump algorithm), then the
+    * left/right class counts come from a GLOBAL cumulative sum over those
+    * values — [[graft.ops.GlobalOrder.withCumSums]], integral counts, so
+    * no single-partition window anywhere even when a continuous feature
+    * has millions of distinct values. Thresholds whose right side is
+    * empty (the max value) are dropped — they encode "no split".
+    *
+    * Output: feature, threshold (double), n_left/pos_left/n_right/
+    * pos_right (exact longs), gini (double, unrounded).
+    */
+  def stumpCandidates(df: DataFrame, features: Seq[String],
+      label: Column): DataFrame = {
+    val y = label.cast("long")
+    features.map { f =>
+      val per = df.groupBy(col(f).cast("double").as("threshold"))
+        .agg(count(lit(1)).as("__n"), sum(y).as("__p"))
+      val tot = per.agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
+      val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
+        Seq(col("__n") -> "n_left", col("__p") -> "pos_left"))
+      cum.crossJoin(broadcast(tot))
+        .where(col("n_left") < col("__tn")) // right side non-empty
+        .select(lit(f).as("feature"), col("threshold"),
+          col("n_left"), col("pos_left"),
+          (col("__tn") - col("n_left")).as("n_right"),
+          (col("__tp") - col("pos_left")).as("pos_right"),
+          (giniOf(col("pos_left"), col("n_left")) * col("n_left") / col("__tn") +
+            giniOf(col("__tp") - col("pos_left"), col("__tn") - col("n_left")) *
+              (col("__tn") - col("n_left")) / col("__tn")).as("gini"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Gini impurity 1 − p² − (1−p)² of a side with `pos` positives out of
+    * `n` rows, in the exact expression order the oracle mirrors.
+    */
+  private def giniOf(pos: Column, n: Column): Column = {
+    val p = pos.cast("double") / n
+    lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.scale.Packing
+import graft.scoring.{KMeansOps, Models}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed pins for the closed-form model layer: naive-Bayes
+  * log-odds, exact stump Gini over cumulative counts, Lloyd k-means
+  * convergence/determinism, and concat-and-chunk packing offsets.
+  */
+class ModelsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("naiveBayesDelta reproduces the hand-computed smoothed log-odds") {
+    import spark.implicits._
+    // train: feature a: value 0 → 3 neg 1 pos, value 1 → 1 neg 3 pos
+    val train = Seq(
+      (0, 0), (0, 0), (0, 0), (0, 1),
+      (1, 0), (1, 1), (1, 1), (1, 1)).toDF("a", "y")
+    val test = Seq(Tuple1(0), Tuple1(1), Tuple1(2)).toDF("a")
+    val out = Models.naiveBayesDelta(train, test, Seq("a"), col("y"))
+      .select(col("a"), col("delta")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val (n1, n0, k) = (4.0, 4.0, 2.0)
+    def d(c1: Double, c0: Double) =
+      math.log(n1 / n0) + math.log((c1 + 1) / (n1 + k)) - math.log((c0 + 1) / (n0 + k))
+    assert(math.abs(out(0) - d(1, 3)) < 1e-12)
+    assert(math.abs(out(1) - d(3, 1)) < 1e-12)
+    // unseen value: pure smoothing terms
+    assert(math.abs(out(2) - d(0, 0)) < 1e-12)
+    // symmetric priors + symmetric counts ⇒ mirrored deltas
+    assert(math.abs(out(0) + out(1)) < 1e-12)
+  }
+
+  test("stumpCandidates finds the perfect split of a separable feature") {
+    import spark.implicits._
+    // x <= 4 is pure-negative, x >= 5 pure-positive; z is noise
+    val df = (1 to 10).map(i => (i.toDouble, i % 3, if (i <= 4) 0 else 1))
+      .toDF("x", "z", "y")
+    val cands = Models.stumpCandidates(df, Seq("x", "z"), col("y"))
+    val best = cands.orderBy(col("gini"), col("feature"), col("threshold")).head()
+    assert(best.getString(0) == "x" && best.getDouble(1) == 4.0)
+    assert(best.getDouble(best.fieldIndex("gini")) == 0.0)
+    assert(best.getLong(best.fieldIndex("n_left")) == 4 &&
+      best.getLong(best.fieldIndex("pos_left")) == 0)
+    assert(best.getLong(best.fieldIndex("n_right")) == 6 &&
+      best.getLong(best.fieldIndex("pos_right")) == 6)
+    // the max value is not a candidate (right side would be empty)
+    assert(cands.where(col("feature") === "x" && col("threshold") === 10.0).count() == 0)
+    // weighted Gini of a known mixed split: x <= 5 → left 4N+1P, right 5P
+    val g5 = cands.where(col("feature") === "x" && col("threshold") === 5.0)
+      .head().getDouble(6)
+    val pl = 1.0 / 5.0
+    val expected = (1.0 - pl * pl - (1 - pl) * (1 - pl)) * 5.0 / 10.0
+    assert(math.abs(g5 - expected) < 1e-12, s"$g5 vs $expected")
+  }
+
+  test("lloydSummary separates three obvious clusters and is deterministic") {
+    import spark.implicits._
+    // 3 tight blobs of 5 points on a line, plus exact repeats
+    val pts = (0 until 15).map { i =>
+      val c = i / 5
+      (s"p$i", c * 10.0 + (i % 5) * 0.1, c * 10.0 - (i % 5) * 0.1)
+    }.toDF("id", "z1", "z2")
+    def run() = KMeansOps.lloydSummary(pts, col("id"), Seq("z1", "z2"), k = 3, iters = 3)
+      .orderBy(col("cluster_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        KMeansOps.r6d(r.getDouble(2)), KMeansOps.r6d(r.getDouble(3))))
+    val a = run()
+    assert(a.length == 3 && a.forall(_._2 == 5), a.mkString(","))
+    val centers1 = a.map(_._3).sorted
+    assert(centers1.zip(Seq(0.2, 10.2, 20.2)).forall { case (x, e) => math.abs(x - e) < 1e-9 })
+    assert(a.toSeq == run().toSeq, "k-means must be deterministic across runs")
+  }
+
+  test("lloydSummary k=1 degenerates to the global mean") {
+    import spark.implicits._
+    val pts = Seq(("a", 1.0), ("b", 2.0), ("c", 6.0)).toDF("id", "v")
+    val r = KMeansOps.lloydSummary(pts, col("id"), Seq("v"), k = 1, iters = 2).head()
+    assert(r.getLong(1) == 3 && math.abs(r.getDouble(2) - 3.0) < 1e-12)
+  }
+
+  test("packing placements and bin report match hand-layout") {
+    import spark.implicits._
+    // tokens 3,2,4 into bins of 4: offsets [0,3) [3,5) [5,9)
+    val d = Seq((1L, 3L), (2L, 2L), (3L, 4L)).toDF("doc_id", "tok")
+    val p = Packing.placements(d, Seq(col("doc_id")), col("tok"), 4L)
+      .orderBy(col("doc_id"))
+      .select(col("start_off"), col("end_off"), col("first_bin"), col("last_bin"),
+        col("spans_boundary"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(p.toSeq == Seq((0L, 3L, 0L, 0L, false), (3L, 5L, 0L, 1L, true), (5L, 9L, 1L, 2L, true)))
+    val b = Packing.binReport(d, Seq(col("doc_id")), col("tok"), 4L)
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // bin0: docs 1+2, 4 tokens, doc1 contained, doc2 continues
+    // bin1: docs 2+3, 4 tokens, none contained, doc3 continues
+    // bin2: doc 3 tail, 1 token
+    assert(b.toSeq == Seq((0L, 2L, 4L, 1L, 1L), (1L, 2L, 4L, 0L, 1L), (2L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("packing rejects binSize < 1 and bounds the fan-out") {
+    import spark.implicits._
+    val d = Seq((1L, 10000L)).toDF("doc_id", "tok")
+    intercept[IllegalArgumentException] {
+      Packing.placements(d, Seq(col("doc_id")), col("tok"), 0L)
+    }
+    // a 10000-token doc in 2048-bins touches exactly ceil + boundary bins
+    val bins = Packing.binReport(d, Seq(col("doc_id")), col("tok"), 2048L).count()
+    assert(bins == 5, s"$bins")
+  }
+}
