@@ -103,6 +103,41 @@ FROM events"""
       KMeansOps.lloydSummary(pts, col("user_id"), Seq("z1", "z2"), k = 3, iters = 3)
         .select(col("cluster_id"), col("n"),
           r6(col("c_z1")).as("c_z1"), r6(col("c_z2")).as("c_z2"))
+    },
+    // deterministic bagged-stump ensemble (the reference's RF/ensemble
+    // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
+    // bucket, the exact CART stump per bag, majority vote over the full
+    // population. Each 1-row best-stump broadcasts; voting is a pure
+    // projection — the fact table is read once per bag for training and
+    // once for scoring, never collected.
+    "q171_stump_bagging" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("bag", graft.scale.Splits.bucket(col("event_id"), "bag", 3))
+        .localCheckpoint() // 3 bags × per-feature cumsums re-read it
+      def best(b: Int) =
+        Models.stumpCandidates(f.where(col("bag") =!= b), feats, col("y"))
+          .select(col("feature").as(s"f$b"), col("threshold").as(s"t$b"),
+            r6(col("gini")).as(s"g$b"),
+            (col("pos_left") * 2 > col("n_left")).cast("long").as(s"lm$b"),
+            (col("pos_right") * 2 > col("n_right")).cast("long").as(s"rm$b"))
+          .orderBy(col(s"g$b"), col(s"f$b"), col(s"t$b")).limit(1)
+      val scored = (0 until 3).foldLeft(f: org.apache.spark.sql.DataFrame)(
+        (acc, b) => acc.crossJoin(broadcast(best(b))))
+      def fv(b: Int): Column =
+        when(col(s"f$b") === "value", col("value").cast("double"))
+          .when(col(s"f$b") === "hb", col("hb").cast("double"))
+          .otherwise(col("dowi").cast("double"))
+      def vote(b: Int): Column =
+        when(fv(b) <= col(s"t$b"), col(s"lm$b")).otherwise(col(s"rm$b"))
+      val ens = ((vote(0) + vote(1) + vote(2)) >= 2).cast("long")
+      val perBag = (0 until 3).flatMap(b =>
+        Seq(first(col(s"f$b")).as(s"f$b"), first(col(s"t$b")).as(s"t$b"),
+          first(col(s"g$b")).as(s"g$b")))
+      val aggs = perBag ++ Seq(
+        r6(avg((ens === col("y")).cast("double"))).as("ens_acc"),
+        count(lit(1)).as("n"))
+      scored.agg(aggs.head, aggs.tail: _*)
     })
 
   /** One naive-Bayes likelihood CTE pair per feature. */
@@ -116,9 +151,13 @@ k_$f AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l_$f)"""
 
   /** One stump-candidate CTE per feature: distinct-value class counts,
     * window cumsum, weighted Gini in the engine's exact expression order.
+    * `src` = the training CTE, `name` = the produced CTE name (the bagged
+    * ensemble instantiates this once per bag × feature).
     */
-  private def stumpCand(f: String): String =
-    s"""cand_$f AS (
+  private def stumpCand(f: String, src: String = "f",
+      name: String = ""): String = {
+    val cte = if (name.isEmpty) s"cand_$f" else name
+    s"""$cte AS (
   SELECT '$f' AS feature, threshold, n_left, pos_left,
     tn - n_left AS n_right, tp - pos_left AS pos_right,
     ((1.0 - (CAST(pos_left AS DOUBLE)/n_left)*(CAST(pos_left AS DOUBLE)/n_left)
@@ -133,9 +172,10 @@ k_$f AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l_$f)"""
       CAST(sum(sum(y)) OVER w AS BIGINT) AS pos_left,
       CAST(sum(count(*)) OVER () AS BIGINT) AS tn,
       CAST(sum(sum(y)) OVER () AS BIGINT) AS tp
-    FROM f GROUP BY 1
+    FROM $src GROUP BY 1
     WINDOW w AS (ORDER BY CAST($f AS DOUBLE) ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
   WHERE n_left < tn)"""
+  }
 
   override val oracle: Map[String, String] = Map(
     "q167_naive_bayes" -> {
@@ -158,7 +198,7 @@ FROM sc GROUP BY 1, 2"""
     "q168_decision_stump" -> {
       val fs = Seq("value", "hb", "dowi")
       s"""WITH f AS ($featSql),
-${fs.map(stumpCand).mkString(",\n")},
+${fs.map(f => stumpCand(f)).mkString(",\n")},
 allc AS (${fs.map(f => s"SELECT * FROM cand_$f").mkString(" UNION ALL ")})
 SELECT feature, threshold, round(gini + 5e-11, 4) AS gini,
   n_left, pos_left, n_right, pos_right,
@@ -234,5 +274,41 @@ ${assign("a3", "c2t")}
 SELECT cid AS cluster_id, count(*) AS n,
   round(avg(z1) + 5e-11, 4) AS c_z1, round(avg(z2) + 5e-11, 4) AS c_z2
 FROM a3 GROUP BY 1"""
+    },
+    "q171_stump_bagging" -> {
+      val fs = Seq("value", "hb", "dowi")
+      val bagCtes = (0 until 3).map { b =>
+        val cands = fs.map(f => stumpCand(f, src = s"tr$b", name = s"cand${b}_$f"))
+        val union = fs.map(f => s"SELECT * FROM cand${b}_$f").mkString(" UNION ALL ")
+        s"""tr$b AS MATERIALIZED (
+  SELECT * FROM fb
+  WHERE ('0x' || substr(md5('bag:' || event_id), 1, 8))::UBIGINT % 3 <> $b),
+${cands.mkString(",\n")},
+best$b AS MATERIALIZED (
+  SELECT feature AS f$b, threshold AS t$b, round(gini + 5e-11, 4) AS g$b,
+    CASE WHEN pos_left*2 > n_left THEN 1 ELSE 0 END AS lm$b,
+    CASE WHEN pos_right*2 > n_right THEN 1 ELSE 0 END AS rm$b
+  FROM ($union)
+  ORDER BY round(gini + 5e-11, 4), feature, threshold LIMIT 1)"""
+      }
+      def fvSql(b: Int) =
+        s"""(CASE WHEN b$b.f$b = 'value' THEN CAST(fb.value AS DOUBLE)
+      WHEN b$b.f$b = 'hb' THEN CAST(fb.hb AS DOUBLE)
+      ELSE CAST(fb.dowi AS DOUBLE) END)"""
+      def voteSql(b: Int) =
+        s"CASE WHEN ${fvSql(b)} <= b$b.t$b THEN b$b.lm$b ELSE b$b.rm$b END"
+      s"""WITH fb AS MATERIALIZED ($featSql),
+${bagCtes.mkString(",\n")},
+sc AS (
+  SELECT fb.y, ${voteSql(0)} AS v0, ${voteSql(1)} AS v1, ${voteSql(2)} AS v2
+  FROM fb CROSS JOIN best0 b0 CROSS JOIN best1 b1 CROSS JOIN best2 b2),
+a AS (
+  SELECT count(*) AS n,
+    round(avg(CASE WHEN (CASE WHEN v0 + v1 + v2 >= 2 THEN 1 ELSE 0 END) = y
+      THEN 1.0 ELSE 0.0 END) + 5e-11, 4) AS ens_acc
+  FROM sc)
+SELECT b0.f0, b0.t0, b0.g0, b1.f1, b1.t1, b1.g1, b2.f2, b2.t2, b2.g2,
+  a.ens_acc, a.n
+FROM a CROSS JOIN best0 b0 CROSS JOIN best1 b1 CROSS JOIN best2 b2"""
     })
 }

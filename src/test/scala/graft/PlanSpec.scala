@@ -235,6 +235,49 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("naive bayes: model tables broadcast; the scored side never shuffle-joins") {
+    // prior (1 row) + per-feature likelihood tables (bucket cardinality)
+    // all broadcast — the held-out side must flow through with no
+    // shuffle join and no cross product at any data scale
+    val p = plan(graft.queries.ModelQueries.defs("q167_naive_bayes")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"scored side must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"three likelihood joins should broadcast:\n$p")
+  }
+
+  test("k-means summary plans zero joins — centroids enter as literals") {
+    // the iteration collects happen at construction (k rows each); the
+    // returned plan is scan -> assignment projection -> one k-group agg
+    val p = plan(graft.queries.ModelQueries.defs("q170_kmeans")(spark, sf))
+    assert(!p.contains("Join"), s"assignment must be join-free:\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 1, s"expected one exchange (cluster-id agg), got $ex:\n$p")
+  }
+
+  test("decision stump: argmin is a top-k merge, not a global sort") {
+    val p = plan(graft.queries.ModelQueries.defs("q168_decision_stump")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k argmin:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sequence packing: bounded bin fan-out, offsets from partitioned windows") {
+    val p = plan(graft.queries.ModelQueries.defs("q169_seq_packing")(spark, sf))
+    assert(p.contains("Generate explode"), s"expected the bounded bin explode:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every window is bucket-partitioned (GlobalOrder) — a bare
+    // Window.orderBy would print "Window [..], [..]" with no partition list
+    assert(!"Window \\[[^\\]]*\\], \\[[^\\]]*\\]\\n".r.findFirstIn(p).exists(_.contains(", []")), p)
+  }
+
+  test("stump bagging: each 1-row best-stump broadcasts onto the vote scan") {
+    val p = plan(graft.queries.ModelQueries.defs("q171_stump_bagging")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length >= 3,
+      s"three broadcast 1-row stump joins expected:\n$p")
+  }
+
   test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
     val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
     // gram_agg reduces to a single row before any Generate(explode):
