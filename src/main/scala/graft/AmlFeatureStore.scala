@@ -109,4 +109,29 @@ class AmlFeatureStore(spark: SparkSession) {
     */
   def graphRanks(edges: DataFrame, iters: Int = 10): DataFrame =
     graft.ops.PageRank.run(edges, iters)
+
+  /** Model layer (the reference's `models/advanced_models.py` surface,
+    * RNG-free engine twins): deterministic full-batch logistic GD, a
+    * categorical naive-Bayes baseline, the exact depth-1 CART stump
+    * candidate table, and fixed-iteration Lloyd k-means. All train as
+    * DataFrame aggregations — only O(model) rows ever reach the driver.
+    */
+  def trainLogistic(train: DataFrame, features: Seq[String], label: Column,
+      iters: Int = 20, lr: Double = 0.5): graft.scoring.Trainer.LogisticModel =
+    graft.scoring.Trainer.fitLogistic(train, features, label, iters, lr)
+  def naiveBayesScores(train: DataFrame, test: DataFrame,
+      features: Seq[String], label: Column): DataFrame =
+    graft.scoring.Models.naiveBayesDelta(train, test, features, label)
+  def stumpCandidates(df: DataFrame, features: Seq[String], label: Column): DataFrame =
+    graft.scoring.Models.stumpCandidates(df, features, label)
+  def segmentClusters(points: DataFrame, id: Column, features: Seq[String],
+      k: Int = 3, iters: Int = 3): DataFrame =
+    graft.scoring.KMeansOps.lloydSummary(points, id, features, k, iters)
+
+  /** Training-corpus layout: concat-and-chunk sequence packing report
+    * (offsets from a corpus-wide exact cumsum; see [[graft.scale.Packing]]).
+    */
+  def packSequences(docs: DataFrame, order: Seq[Column], tokens: Column,
+      binSize: Long): DataFrame =
+    graft.scale.Packing.binReport(docs, order, tokens, binSize)
 }

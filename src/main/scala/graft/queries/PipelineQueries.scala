@@ -21,7 +21,47 @@ object PipelineQueries extends QueryPack {
   private val lrIters = 20
   private val lrRate = 0.5
 
+  /** q172 cross-validation config: fewer GD steps per fold (3 folds × 10
+    * steps ≈ one q165 training budget), same rate.
+    */
+  private val cvFolds = 3
+  private val cvIters = 10
+
   override val defs: Map[String, Q] = Map(
+    // k-fold cross-validated trainer (the "with CV" half of the
+    // reference's model training): deterministic md5 fold assignment on
+    // the probe id, one full-batch logistic GD fit per leave-one-fold-out
+    // train split, held-out mid-rank AUC per fold. The PIT table
+    // checkpoints once; each fold's 10 GD passes and the AUC read the
+    // narrow checkpointed projection.
+    "q172_cv_lr" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val events = ev.select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_micros"), col("value").as("amount"))
+      val probes = ev.where(col("event_id") % 10 === 0)
+        .select(col("event_id").as("probe_id"), col("user_id").as("key"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("ts_micros"))
+      val labels = ev.where(col("event_id") % 10 === 0)
+        .select(col("event_id").as("probe_id"),
+          when(col("event_type") === "error", 1.0).otherwise(0.0).as("y"))
+      val train = PointInTime.asOfFeatures(events, probes, pitWindows)
+        .join(labels, "probe_id")
+        .withColumn("fold", graft.scale.Splits.bucket(col("probe_id"), "cv", cvFolds))
+        .localCheckpoint()
+      (0 until cvFolds).map { f =>
+        val model = graft.scoring.Trainer.fitLogistic(
+          train.where(col("fold") =!= f), lrFeatures, col("y"),
+          iters = cvIters, lr = lrRate)
+        val scored = train.where(col("fold") === f)
+          .select(col("y"), graft.scoring.Trainer.margin(model).as("margin"))
+        val auc = graft.feedback.Drift.auc(scored, col("y") === 1.0, col("margin"))
+        val out = lit(f).as("fold") +: col("n_test") +: r6(col("auc")).as("auc") +:
+          r6(lit(model.intercept)).as("intercept") +:
+          lrFeatures.zip(model.weights).map { case (c, w) =>
+            r6(lit(w)).as(s"w_$c") }
+        scored.agg(count(lit(1)).as("n_test")).crossJoin(auc).select(out: _*)
+      }.reduce(_.unionByName(_))
+    },
     // in-engine trainable model (models/advanced_models.py:1-533 twin):
     // deterministic full-batch logistic GD on the q36 PIT table, labels =
     // probe event is an 'error', evaluated with the q43 mid-rank AUC
@@ -128,6 +168,73 @@ object PipelineQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    // q165's unrolled-GD technique, once per fold: each fold gets its own
+    // standardization (train moments only), its own 10-step MATERIALIZED
+    // chain, and a held-out mid-rank AUC over the test rows standardized
+    // with the TRAIN stats — the exact leave-one-fold-out contract.
+    "q172_cv_lr" -> {
+      val idx = lrFeatures.indices
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      def foldChain(f: Int): String = {
+        val i0 = s"i0_$f AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val iters = (1 to cvIters).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - $lrRate*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - $lrRate*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+          s"i${k}_$f AS MATERIALIZED (SELECT $upd\n  FROM dtr_$f d, i${k - 1}_$f i GROUP BY $grp)"
+        }.mkString(",\n")
+        s"""tr_$f AS (SELECT * FROM fp WHERE fold <> $f),
+s_$f AS (SELECT $statSel FROM tr_$f),
+dtr_$f AS MATERIALIZED (SELECT $stdSel, y FROM tr_$f, s_$f),
+dte_$f AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM fp WHERE fold = $f) t, s_$f),
+$i0,
+$iters,
+sc_$f AS (SELECT d.y, ${marginOf(s"i$cvIters" + s"_$f")} AS sv FROM dte_$f d, i${cvIters}_$f),
+r_$f AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM sc_$f),
+a_$f AS (SELECT count(*) AS n,
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM r_$f)"""
+      }
+      def foldRow(f: Int): String = {
+        val ws = lrFeatures.zipWithIndex.map { case (c, i) =>
+          s"round(i.w$i + 5e-11, 4) AS w_$c" }.mkString(",\n  ")
+        s"""SELECT $f AS fold, a.n AS n_test, round(a.auc + 5e-11, 4) AS auc,
+  round(i.b + 5e-11, 4) AS intercept,
+  $ws
+FROM a_$f a, i${cvIters}_$f i"""
+      }
+      s"""WITH probes AS (
+  SELECT event_id AS probe_id, user_id, epoch_us(ts) + 1800000000 AS tm,
+    CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE event_id % 10 = 0),
+u AS (
+  SELECT user_id, epoch_us(ts) AS tm, value AS amount, NULL::BIGINT AS probe_id, NULL::DOUBLE AS y FROM events
+  UNION ALL
+  SELECT user_id, tm, NULL::DOUBLE, probe_id, y FROM probes),
+fw AS (
+  SELECT probe_id, y,
+    count(amount) OVER w1h AS x0,
+    coalesce(sum(amount) OVER w1h, 0.0) AS x1,
+    count(amount) OVER w24h AS x2,
+    coalesce(sum(amount) OVER w24h, 0.0) AS x3
+  FROM u
+  WINDOW w1h AS (PARTITION BY user_id ORDER BY tm RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+         w24h AS (PARTITION BY user_id ORDER BY tm RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)),
+fp AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5('cv:' || probe_id), 1, 8))::UBIGINT % $cvFolds AS fold
+  FROM fw WHERE probe_id IS NOT NULL),
+${(0 until cvFolds).map(foldChain).mkString(",\n")}
+${(0 until cvFolds).map(foldRow).mkString("\nUNION ALL\n")}"""
+    },
     // the SAME optimizer, unrolled: standardize, 20 fixed-rate full-batch
     // GD steps as chained CTEs (aggregates are illegal in a recursive CTE
     // term — same technique as kcoreSql). Every iteration is ONE CTE

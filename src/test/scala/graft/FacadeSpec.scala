@@ -73,4 +73,34 @@ class FacadeSpec extends AnyFunSuite {
     val ranks = store.graphRanks(e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
     assert(ranks.count() == e.select("src").distinct().count() + 5)
   }
+
+  test("model layer and sequence packing are reachable through the facade") {
+    import spark.implicits._
+    val store = new AmlFeatureStore(spark)
+    val df = (1 to 100).map { i =>
+      (i.toLong, (i % 10).toDouble, i % 7, if (i % 10 >= 5) 1 else 0)
+    }.toDF("id", "x", "z", "y")
+
+    val m = store.trainLogistic(df, Seq("x", "z"), col("y"), iters = 5)
+    assert(m.weights.size == 2 && m.weights(0) > 0, m)
+
+    val nb = store.naiveBayesScores(df.where(col("id") <= 80),
+      df.where(col("id") > 80), Seq("z"), col("y"))
+    assert(nb.count() == 20 && nb.columns.contains("delta"))
+
+    // x <= 4 separates perfectly
+    val stump = store.stumpCandidates(df, Seq("x", "z"), col("y"))
+      .orderBy(col("gini"), col("feature"), col("threshold")).head()
+    assert(stump.getString(0) == "x" && stump.getDouble(1) == 4.0)
+
+    val clusters = store.segmentClusters(
+      df.select(col("id").cast("string").as("id"), col("x"), col("y").cast("double").as("w")),
+      col("id"), Seq("x", "w"), k = 2, iters = 2)
+    assert(clusters.count() == 2)
+
+    val bins = store.packSequences(
+      Seq((1L, 3L), (2L, 2L), (3L, 4L)).toDF("doc_id", "tok"),
+      Seq(col("doc_id")), col("tok"), binSize = 4L)
+    assert(bins.count() == 3)
+  }
 }
