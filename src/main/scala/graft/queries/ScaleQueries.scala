@@ -40,6 +40,24 @@ sig AS (SELECT doc_id,
     "q28_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
+    // per-source quality caps (RefinedWeb-style curation): keep the top-k
+    // highest-quality docs per source, report the kept/total mass and
+    // quality lift per source. Ranking is one window PARTITIONED BY
+    // source (the natural corpus key — parallel across domains at any
+    // scale); quality is pre-rounded so the order is engine-identical.
+    "q173_source_caps" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        r6(TextOps.qualityScore(col("text"))).as("q"))
+      d.withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_kept"),
+          r6(avg(when(col("rk") <= k, col("q")))).as("kept_avg_q"),
+          r6(avg(col("q"))).as("all_avg_q"))
+    },
     "q29_text_stats" -> { (s, dir) =>
       val t = col("text")
       docsSpread(s, dir).select(
@@ -400,6 +418,30 @@ inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
   }
 
   override val oracle: Map[String, String] = Map(
+    "q173_source_caps" ->
+      """WITH b AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS stopword_ratio,
+    length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\S+')), 1) AS avg_token_len
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    round(0.25*least(n_tokens/50.0, 1.0) + 0.25*(1.0 - least(punct_ratio*10.0, 1.0))
+      + 0.25*least(stopword_ratio*10.0, 1.0) + 0.25*least(avg_token_len/5.0, 1.0) + 5e-11, 4) AS q
+  FROM b),
+r AS (
+  SELECT source, q,
+    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+  FROM q)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round(avg(CASE WHEN rk <= 50 THEN q END) + 5e-11, 4) AS kept_avg_q,
+  round(avg(q) + 5e-11, 4) AS all_avg_q
+FROM r GROUP BY 1""",
     "q28_dedup_exact" ->
       """SELECT doc_id,
   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
