@@ -114,9 +114,15 @@ FROM events"""
       val feats = Seq("value", "hb", "dowi")
       val f = eventFeatures(s, dir)
         .withColumn("bag", graft.scale.Splits.bucket(col("event_id"), "bag", 3))
-        .localCheckpoint() // 3 bags × per-feature cumsums re-read it
+        .localCheckpoint() // candidate build + vote scan re-read it
+      // fused: one cumsum pipeline per FEATURE carries all 3 bags'
+      // counts; the candidate table materializes once (it is distinct-
+      // value × bags sized, tiny next to the fact table) and the three
+      // per-bag argmins are top-1 reads of it
+      val cands = Models.stumpCandidatesBagged(f, feats, col("y"),
+        col("bag"), bags = 3).localCheckpoint()
       def best(b: Int) =
-        Models.stumpCandidates(f.where(col("bag") =!= b), feats, col("y"))
+        cands.where(col("bag") === b)
           .select(col("feature").as(s"f$b"), col("threshold").as(s"t$b"),
             r6(col("gini")).as(s"g$b"),
             (col("pos_left") * 2 > col("n_left")).cast("long").as(s"lm$b"),

@@ -48,10 +48,12 @@ object PipelineQueries extends QueryPack {
         .join(labels, "probe_id")
         .withColumn("fold", graft.scale.Splits.bucket(col("probe_id"), "cv", cvFolds))
         .localCheckpoint()
-      (0 until cvFolds).map { f =>
-        val model = graft.scoring.Trainer.fitLogistic(
-          train.where(col("fold") =!= f), lrFeatures, col("y"),
-          iters = cvIters, lr = lrRate)
+      // fused CV: every GD step is ONE aggregate over the checkpointed
+      // table computing all folds' gradients (k scans -> 1 per step)
+      val models = graft.scoring.Trainer.fitLogisticCV(
+        train, lrFeatures, col("y"), col("fold"), cvFolds,
+        iters = cvIters, lr = lrRate)
+      models.zipWithIndex.map { case (model, f) =>
         val scored = train.where(col("fold") === f)
           .select(col("y"), graft.scoring.Trainer.margin(model).as("margin"))
         val auc = graft.feedback.Drift.auc(scored, col("y") === 1.0, col("margin"))

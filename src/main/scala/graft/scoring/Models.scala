@@ -96,6 +96,54 @@ object Models {
     }.reduce(_.unionByName(_))
   }
 
+  /** Bagged twin of [[stumpCandidates]], fused: ONE distinct-value
+    * groupBy and ONE multi-sum GlobalOrder cumsum per feature carry every
+    * bag's left counts as parallel columns (conditional sums over
+    * `bagCol =!= b`), then a bounded `bags`-way explode emits the
+    * per-bag candidate rows — b× fewer passes over the fact table than
+    * fitting each bag separately, identical per-bag results.
+    *
+    * A threshold whose rows all fall in bag b yields a phantom candidate
+    * for b (cumulative counts equal to its predecessor's); it ties the
+    * predecessor's gini at a LARGER threshold, so (gini, feature,
+    * threshold) argmin ordering can never select it over the real
+    * candidate — per-bag argmins match the filtered-fit exactly.
+    */
+  def stumpCandidatesBagged(df: DataFrame, features: Seq[String],
+      label: Column, bagCol: Column, bags: Int): DataFrame = {
+    require(bags >= 2, s"stumpCandidatesBagged: bags must be >= 2, got $bags")
+    val y = label.cast("long")
+    features.map { f =>
+      val aggs = (0 until bags).flatMap(b => Seq(
+        sum(when(bagCol =!= b, 1L).otherwise(0L)).as(s"__n$b"),
+        sum(when(bagCol =!= b, y).otherwise(lit(0L))).as(s"__p$b")))
+      val per = df.groupBy(col(f).cast("double").as("threshold"))
+        .agg(aggs.head, aggs.tail: _*)
+      val totAggs = (0 until bags).flatMap(b => Seq(
+        sum(col(s"__n$b")).as(s"__tn$b"), sum(col(s"__p$b")).as(s"__tp$b")))
+      val tot = per.agg(totAggs.head, totAggs.tail: _*)
+      val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
+        (0 until bags).flatMap(b =>
+          Seq(col(s"__n$b") -> s"__nl$b", col(s"__p$b") -> s"__pl$b")))
+      val bagStructs = (0 until bags).map(b => struct(
+        lit(b).as("bag"), col(s"__nl$b").as("nl"), col(s"__pl$b").as("pl"),
+        col(s"__tn$b").as("tn"), col(s"__tp$b").as("tp")))
+      cum.crossJoin(broadcast(tot))
+        .select(col("threshold"), explode(array(bagStructs: _*)).as("s"))
+        // real candidates only: left side non-empty (phantoms below the
+        // bag's min value have nl = 0 — not thresholds of the filtered
+        // fit) and right side non-empty (the bag's max value)
+        .where(col("s.nl") > 0 && col("s.nl") < col("s.tn"))
+        .select(col("s.bag").as("bag"), lit(f).as("feature"), col("threshold"),
+          col("s.nl").as("n_left"), col("s.pl").as("pos_left"),
+          (col("s.tn") - col("s.nl")).as("n_right"),
+          (col("s.tp") - col("s.pl")).as("pos_right"),
+          (giniOf(col("s.pl"), col("s.nl")) * col("s.nl") / col("s.tn") +
+            giniOf(col("s.tp") - col("s.pl"), col("s.tn") - col("s.nl")) *
+              (col("s.tn") - col("s.nl")) / col("s.tn")).as("gini"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Gini impurity 1 − p² − (1−p)² of a side with `pos` positives out of
     * `n` rows, in the exact expression order the oracle mirrors.
     */

@@ -62,6 +62,60 @@ class ModelsSpec extends AnyFunSuite {
     assert(math.abs(g5 - expected) < 1e-12, s"$g5 vs $expected")
   }
 
+  test("stumpCandidatesBagged matches the filtered per-bag fit, phantoms excluded") {
+    import spark.implicits._
+    // value 99 exists ONLY in bag 0 -> it must appear as a candidate for
+    // bags 1/2 (they train on it) but never yield a phantom argmin for
+    // bag 0 (its cumulative counts tie its predecessor there)
+    val df = ((1 to 60).map(i => (i % 10 * 1.0, i % 3, if (i % 10 >= 5) 1 else 0)) :+
+      ((99.0, 0, 1))).toDF("x", "bag", "y")
+    val fused = Models.stumpCandidatesBagged(df, Seq("x"), col("y"), col("bag"), 3)
+    for (b <- 0 until 3) {
+      val filt = Models.stumpCandidates(df.where(col("bag") =!= b), Seq("x"), col("y"))
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"), col("gini"))
+        .orderBy(col("threshold")).collect().toSeq
+      val fus = fused.where(col("bag") === b)
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"), col("gini"))
+        .orderBy(col("threshold")).collect().toSeq
+      // every filtered candidate appears in the fused set with identical
+      // counts and gini; fused may add tie-duplicating phantoms only
+      val fusByT = fus.map(r => r.getDouble(0) -> r).toMap
+      filt.foreach { r =>
+        val m = fusByT(r.getDouble(0))
+        assert((1 to 4).forall(i => m.getLong(i) == r.getLong(i)) &&
+          m.getDouble(5) == r.getDouble(5), s"bag $b threshold ${r.getDouble(0)}")
+      }
+      // identical argmin under the (gini, threshold) order
+      def arg(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.minBy(r => (KMeansOps.r6d(r.getDouble(5)), r.getDouble(0)))
+      assert(arg(filt).getDouble(0) == arg(fus).getDouble(0), s"bag $b argmin")
+    }
+  }
+
+  test("fitLogisticCV matches three separate leave-one-fold-out fits") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      val x1 = (i % 21) - 10.0
+      val x2 = ((i * 7) % 13) - 6.0
+      (x1, x2, i % 3, if (x1 > 0) 1.0 else 0.0)
+    }.toDF("x1", "x2", "fold", "y")
+    val cv = graft.scoring.Trainer.fitLogisticCV(
+      df, Seq("x1", "x2"), col("y"), col("fold"), folds = 3, iters = 5)
+    assert(cv.size == 3)
+    for (f <- 0 until 3) {
+      val sep = graft.scoring.Trainer.fitLogistic(
+        df.where(col("fold") =!= f), Seq("x1", "x2"), col("y"), iters = 5)
+      // same math, different partial-aggregation order: agree to float slack
+      cv(f).weights.zip(sep.weights).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"fold $f weights $a vs $b") }
+      assert(math.abs(cv(f).intercept - sep.intercept) < 1e-9, s"fold $f intercept")
+      cv(f).means.zip(sep.means).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"fold $f means") }
+    }
+  }
+
   test("lloydSummary separates three obvious clusters and is deterministic") {
     import spark.implicits._
     // 3 tight blobs of 5 points on a line, plus exact repeats
