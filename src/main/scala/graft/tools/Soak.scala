@@ -146,6 +146,41 @@ object Soak {
       graft.scale.Similarity.dimCorrPairs(vecs)
         .write.format("noop").mode("overwrite").save())
 
+    // round-5 model layer at k-fold rows: the stump candidate table
+    // grows with DISTINCT VALUES (not rows) so the bagged fit should be
+    // near-flat at k-fold keys; packing is a cumsum + bounded explode
+    // (row-linear); the fused CV trainer's per-step cost is one
+    // tree-aggregate over the replicated table
+    val wideY = wide.withColumn("y", (col("amount") > 250).cast("long"))
+      .withColumn("bag",
+        graft.scale.Splits.bucket(col("transaction_id"), "bag", 3))
+      .withColumn("hb", hour(col("event_timestamp")))
+    time(s"stump-bagged-${k}x-rows")(
+      graft.scoring.Models.stumpCandidatesBagged(wideY,
+          Seq("amount", "hb"), col("y"), col("bag"), bags = 3)
+        .write.format("noop").mode("overwrite").save())
+    time(s"seq-packing-${k}x-docs")(
+      graft.scale.Packing.binReport(
+          docs.select(col("doc_id"),
+            graft.scale.TextOps.nTokens(col("text")).as("tok"))
+            .where(col("tok") > 0),
+          Seq(col("doc_id")), col("tok"), binSize = 2048L)
+        .write.format("noop").mode("overwrite").save())
+    time(s"cv-train-${k}x-rows") {
+      val models = graft.scoring.Trainer.fitLogisticCV(
+        wideY.select(col("amount"), col("hb"),
+          col("y").cast("double").as("yy"), col("bag")),
+        Seq("amount", "hb"), col("yy"), col("bag"), folds = 3, iters = 5)
+      require(models.size == 3)
+    }
+    time(s"kmeans-${k}x-points") {
+      val pts = wideY.groupBy(col("customer_id"))
+        .agg(count(lit(1)).cast("double").as("z1"), avg(col("amount")).as("z2"))
+      graft.scoring.KMeansOps.lloydSummary(pts, col("customer_id"),
+          Seq("z1", "z2"), k = 3, iters = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }
