@@ -98,6 +98,44 @@ object GraphOps {
       .toDF("customer_id", "component_id", "component_size")
   }
 
+  /** Bipartite label-propagation communities: finer-grained than
+    * [[communities]] (a connected component splits where membership
+    * overlap is weak). Semi-synchronous LPA — merchants adopt the
+    * plurality label of their customers, then customers adopt the
+    * plurality label of their merchants, `rounds` times; the two-phase
+    * sweep is the standard bipartite form (synchronous LPA oscillates on
+    * bipartite graphs). ALL-INTEGER determinism: plurality ties break on
+    * the smallest label, labels start as the customer id — no RNG, no
+    * floats, so the run is exactly reproducible on any engine.
+    *
+    * Scale shape: each phase is one equi-join (entity-scale, key-
+    * partitioned) plus one (node, label) count with a per-node top-1
+    * window — partitioned windows only, 2·rounds shuffles total; the
+    * final label table checkpoints once for the size join.
+    */
+  def labelPropagation(tx: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e = tx.select(col("customer_id"), col("merchant_id")).distinct()
+    def plurality(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key), col("community")).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rk", row_number().over(Window.partitionBy(col(key))
+          .orderBy(col("__cnt").desc, col("community").asc)))
+        .where(col("__rk") === 1).select(col(key), col("community"))
+    var clab = e.select(col("customer_id")).distinct()
+      .select(col("customer_id"), col("customer_id").as("community"))
+    for (_ <- 1 to rounds) {
+      val mlab = plurality(e.join(clab, "customer_id")
+        .select(col("merchant_id"), col("community")), "merchant_id")
+      clab = plurality(e.join(mlab, "merchant_id")
+        .select(col("customer_id"), col("community")), "customer_id")
+    }
+    val fin = clab.localCheckpoint() // consumed twice: sizes + output join
+    val sizes = fin.groupBy(col("community")).agg(count(lit(1)).as("community_size"))
+    fin.join(sizes, "community")
+      .select(col("customer_id"), col("community"), col("community_size"))
+  }
+
   /** Local clustering coefficient per customer (G6): triangles through the
     * node / wedges deg*(deg-1)/2; 0.0 when deg < 2. Computed with
     * neighbor-pair self-joins — on a bipartite graph this is provably 0

@@ -177,6 +177,13 @@ object DomainQueries extends QueryPack {
         .select(col("k").as("customer_id"), col("n_transitions"),
           r6(col("transition_entropy")).as("transition_entropy"))
     },
+    // bipartite label-propagation communities: finer than q49's connected
+    // components (splits weakly-overlapping membership), all-integer
+    // deterministic (plurality with min-label ties, no RNG/floats)
+    "q174_label_propagation" -> { (s, dir) =>
+      GraphOps.labelPropagation(Tables.transactions(s, dir), rounds = 3)
+        .select(col("customer_id"), col("community"), col("community_size"))
+    },
     // HITS hubs/authorities on the DIRECTED customer->merchant graph —
     // the layering lens PageRank's undirected prominence misses
     "q121_hits" -> { (s, dir) =>
@@ -919,6 +926,30 @@ SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
   sum(toks)::BIGINT AS tokens_total,
   coalesce(sum(toks) FILTER (WHERE is_dup), 0)::BIGINT AS tokens_dropped
 FROM r""",
+    "q174_label_propagation" -> {
+      // semi-synchronous bipartite LPA unrolled: per round, merchants
+      // take the plurality label of their customers (ties -> min label),
+      // then customers take the plurality label of their merchants
+      def phase(out: String, key: String, src: String, join: String, lab: String) =
+        s"""$out AS MATERIALIZED (
+  SELECT $key, community FROM (
+    SELECT e.$key, l.community, count(*) AS cnt,
+      row_number() OVER (PARTITION BY e.$key ORDER BY count(*) DESC, l.community ASC) AS rk
+    FROM e JOIN $lab l USING ($join)
+    GROUP BY e.$key, l.community)
+  WHERE rk = 1)"""
+      val rounds = (1 to 3).map { r =>
+        phase(s"m$r", "merchant_id", "e", "customer_id", if (r == 1) "c0" else s"c${r - 1}") +
+          ",\n" + phase(s"c$r", "customer_id", "e", "merchant_id", s"m$r")
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT user_id AS customer_id, event_type AS merchant_id FROM events),
+c0 AS (SELECT DISTINCT customer_id, customer_id AS community FROM e),
+$rounds,
+s AS (SELECT community, count(*) AS community_size FROM c3 GROUP BY 1)
+SELECT c3.customer_id, c3.community, s.community_size
+FROM c3 JOIN s USING (community)"""
+    },
     "q121_hits" -> graft.ops.Hits.oracleSql(
       "SELECT DISTINCT 'c:' || user_id AS src, 'm:' || event_type AS dst FROM events",
       iters = 6, round = s => s"round($s + 5e-11, 4)"),

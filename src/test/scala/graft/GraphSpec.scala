@@ -27,6 +27,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L)._1 != got(3L)._1)
   }
 
+  test("label propagation: bicliques keep their min label; a weak bridge does not merge them") {
+    // biclique A: customers 1,2,3 × merchants mA1,mA2; biclique B:
+    // customers 10,11,12 × mB1,mB2; customer 3 ALSO touches mB1 (bridge).
+    // CC would merge everything into one component; LPA keeps two
+    // communities because the plurality at mB1 is B-side (2 vs 1), and
+    // ties inside each biclique resolve to the min customer id.
+    val tx = (for {
+      c <- Seq(1L, 2L, 3L); m <- Seq("mA1", "mA2")
+    } yield (c, m, 1.0)) ++ (for {
+      c <- Seq(10L, 11L, 12L); m <- Seq("mB1", "mB2")
+    } yield (c, m, 1.0)) :+ ((3L, "mB1", 1.0))
+    val got = GraphOps.labelPropagation(tx.toDF("customer_id", "merchant_id", "amount"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // one label per side (labels are identifiers, not membership: the
+    // B-side label is 3 — the bridge customer's id won the initial tie
+    // at mB1 — while customer 3 itself belongs to A)
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct.size == 1, got.toString)
+    assert(Seq(10L, 11L, 12L).map(got(_)._1).distinct.size == 1, got.toString)
+    assert(got(1L)._1 != got(10L)._1, got.toString)
+    assert(got(1L)._2 == 3L && got(10L)._2 == 3L)
+    // connected components on the same graph WOULD merge them — the
+    // operators answer different questions
+    val cc = GraphOps.communities(tx.toDF("customer_id", "merchant_id", "amount"))
+      .select("component_id").distinct().count()
+    assert(cc == 1L)
+  }
+
   test("distance to flagged: path-graph hops, bound cutoff, disconnected NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
