@@ -208,4 +208,79 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(gb - topBi / chars) < 1e-12, s"doc $id topbi")
     }
   }
+
+  test("stump candidates == brute-force split evaluation on random data") {
+    val rowGen = for {
+      x <- Gen.choose(0, 8).map(_.toDouble)
+      y <- Gen.choose(0, 1)
+    } yield (x, y)
+    samples(Gen.listOfN(50, rowGen), 10).foreach { rows =>
+      val df = rows.toDF("x", "y")
+      val got = graft.scoring.Models.stumpCandidates(df, Seq("x"), col("y"))
+        .collect().map(r => r.getDouble(1) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+      val n = rows.size
+      val tp = rows.count(_._2 == 1)
+      def gini(p: Long, m: Long): Double = {
+        val q = p.toDouble / m; 1.0 - q * q - (1.0 - q) * (1.0 - q)
+      }
+      val thresholds = rows.map(_._1).distinct.sorted.dropRight(1)
+      assert(got.keySet == thresholds.toSet, s"candidate set mismatch")
+      thresholds.foreach { t =>
+        val left = rows.filter(_._1 <= t)
+        val (nl, pl) = (left.size.toLong, left.count(_._2 == 1).toLong)
+        val (gnl, gpl, gnr, gpr, gg) = got(t)
+        assert(gnl == nl && gpl == pl && gnr == n - nl && gpr == tp - pl, s"t=$t counts")
+        val want = gini(pl, nl) * nl / n + gini(tp - pl, n - nl) * (n - nl) / n
+        assert(math.abs(gg - want) < 1e-12, s"t=$t gini $gg vs $want")
+      }
+    }
+  }
+
+  test("naive bayes delta == direct formula on random categorical data") {
+    val rowGen = for {
+      a <- Gen.choose(0, 3)
+      b <- Gen.choose(0, 2)
+      y <- Gen.choose(0, 1)
+    } yield (a, b, y)
+    samples(Gen.listOfN(80, rowGen), 10).foreach { rows =>
+      // ensure both classes present (delta undefined otherwise)
+      val both = if (rows.map(_._3).distinct.size == 2) rows
+        else rows.take(rows.size - 2) ++ Seq((0, 0, 0), (1, 1, 1))
+      val (tr, te) = both.splitAt(both.size * 3 / 4)
+      val got = graft.scoring.Models.naiveBayesDelta(
+          tr.toDF("a", "b", "y"), te.toDF("a", "b", "y"), Seq("a", "b"), col("y"))
+        .select(col("a"), col("b"), col("delta")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val n1 = tr.count(_._3 == 1).toDouble
+      val n0 = tr.size - n1
+      def like(sel: ((Int, Int, Int)) => Int, v: Int, c: Int): Double =
+        tr.count(r => sel(r) == v && r._3 == c).toDouble
+      val (ka, kb) = (tr.map(_._1).distinct.size.toDouble, tr.map(_._2).distinct.size.toDouble)
+      te.foreach { case (a, b, _) =>
+        val want = math.log(n1 / n0) +
+          math.log((like(_._1, a, 1) + 1) / (n1 + ka)) - math.log((like(_._1, a, 0) + 1) / (n0 + ka)) +
+          math.log((like(_._2, b, 1) + 1) / (n1 + kb)) - math.log((like(_._2, b, 0) + 1) / (n0 + kb))
+        assert(math.abs(got((a, b)) - want) < 1e-10, s"($a,$b): ${got((a, b))} vs $want")
+      }
+    }
+  }
+
+  test("packing placements == sequential fold on random token lists") {
+    val tokGen = Gen.choose(1L, 500L)
+    samples(Gen.listOfN(40, tokGen), 10).foreach { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "tok")
+      val got = graft.scale.Packing.placements(df, Seq(col("doc_id")), col("tok"), 128L)
+        .orderBy(col("doc_id"))
+        .select(col("start_off"), col("end_off"), col("first_bin"), col("last_bin"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      var off = 0L
+      toks.zipWithIndex.foreach { case (t, i) =>
+        val (s, e, fb, lb) = got(i)
+        assert(s == off && e == off + t, s"doc $i offsets")
+        assert(fb == off / 128 && lb == (off + t - 1) / 128, s"doc $i bins")
+        off += t
+      }
+    }
+  }
 }
