@@ -315,6 +315,26 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
           r6(col("cos")).as("cos"))
     },
+    // ANN recall QA: per-probe recall@10 of the LSH path (q56) against
+    // the exact cosine top-10 (q35) — the acceptance report an engineer
+    // reads before trusting the approximate path at corpus scale. Both
+    // rankings are already deterministic (rounded-stable cos + id ties),
+    // so the intersection is exact; hash-gated like everything else.
+    "q175_ann_recall" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("nbr_id"))
+      val ann = Similarity.lshTopK(emb, probes, k = 10,
+          planes = lshPlanes, dim = lshDim)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+      exact.join(ann, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    },
     "q57_neardup_groups" -> { (s, dir) =>
       Dedup.neardupGroups(docsSpread(s, dir), col("doc_id"), col("text"),
         n = 3, tau = 0.5)
@@ -398,6 +418,18 @@ sig AS (SELECT doc_id,
   private val lshPlanes = 8
   private val lshDim = 64
 
+  /** The q56 LSH bucket as SQL: identical md5-derived hyperplane
+    * coefficients as literals (Double.toString is shortest-round-trip, so
+    * DuckDB parses back the same binary double and every projection sum
+    * is bit-equal). Shared by the ANN query and the recall QA oracle.
+    */
+  private lazy val lshBucketSql: String = (0 until lshPlanes).map { p =>
+    val proj = (0 until lshDim).map { d =>
+      s"embedding[${d + 1}]::DOUBLE * ${Similarity.planeCoef(p, d)}"
+    }.mkString(" + ")
+    s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString(" + ")
+
   /** Shared CTE stack reproducing [[Dedup.minhashPairs]]: band keys ->
     * candidate pairs -> shingle intersections (+ per-doc set sizes).
     */
@@ -418,6 +450,32 @@ inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
   }
 
   override val oracle: Map[String, String] = Map(
+    "q175_ann_recall" -> {
+      s"""WITH qp AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+ex0 AS (SELECT qp.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(qp.qe) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(qp.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN qp WHERE e.vec_id != qp.query_id),
+ex AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM ex0) WHERE rank <= 10),
+cb AS (SELECT vec_id, embedding, ($lshBucketSql)::BIGINT AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM cb WHERE vec_id < 10),
+an0 AS (SELECT qb.query_id, cb.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(qb.qe) AS x, unnest(cb.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(qb.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(cb.embedding) AS y))) AS cos
+      FROM cb JOIN qb USING (bucket) WHERE cb.vec_id != qb.query_id),
+ann AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM an0) WHERE rank <= 10)
+SELECT ex.query_id, count(*) AS n_exact,
+  CAST(sum(CASE WHEN ann.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN ann.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS recall
+FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id AND ex.nbr_id = ann.nbr_id
+GROUP BY 1"""
+    },
     "q173_source_caps" ->
       """WITH b AS (
   SELECT doc_id, source,
@@ -569,15 +627,7 @@ WHERE (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, un
     / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
     / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) >= 0.5""",
     "q56_ann_lsh" -> {
-      // identical md5-derived hyperplane coefficients as SQL literals
-      // (Double.toString is shortest-round-trip, so DuckDB parses back
-      // the same binary double and every projection sum is bit-equal)
-      val bucket = (0 until 8).map { p =>
-        val proj = (0 until 64).map { d =>
-          s"embedding[${d + 1}]::DOUBLE * ${Similarity.planeCoef(p, d)}"
-        }.mkString(" + ")
-        s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString(" + ")
+      val bucket = lshBucketSql
       s"""WITH c AS (SELECT vec_id, embedding, ($bucket)::BIGINT AS bucket FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM c WHERE vec_id < 10),
 s AS (SELECT q.query_id, c.vec_id AS nbr_id,
