@@ -177,6 +177,29 @@ object DomainQueries extends QueryPack {
         .select(col("k").as("customer_id"), col("n_transitions"),
           r6(col("transition_entropy")).as("transition_entropy"))
     },
+    // weight-of-evidence / information value per amount decile — the
+    // classic supervised binning table (credit-risk standard) next to
+    // q112's mutual information. Deciles are the exact SQL NTILE via the
+    // two-pass GlobalOrder rank (no single-task sort); +0.5 Laplace
+    // smoothing keeps zero cells finite; counts stay exact integers.
+    "q176_woe_iv" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"),
+        (col("event_type") === "error").cast("long").as("y"))
+      val ranked = graft.ops.GlobalOrder.withRowNumber(ev,
+        Seq(col("value"), col("event_id")), "__rn", total = Some("__n"))
+      val per = ranked
+        .select(col("y"), graft.ops.GlobalOrder.ntileOf(col("__rn"), col("__n"), 10).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val tot = per.agg(sum(col("n")).as("tn"), sum(col("n_pos")).as("tp"))
+      val dp = (col("n_pos").cast("double") + 0.5) / (col("tp").cast("double") + 5.0)
+      val dn = ((col("n") - col("n_pos")).cast("double") + 0.5) /
+        ((col("tn") - col("tp")).cast("double") + 5.0)
+      per.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("n_pos"),
+          r6(log(dp / dn)).as("woe"),
+          r6((dp - dn) * log(dp / dn)).as("iv_contrib"))
+    },
     // bipartite label-propagation communities: finer than q49's connected
     // components (splits weakly-overlapping membership), all-integer
     // deterministic (plurality with min-label ties, no RNG/floats)
@@ -926,6 +949,18 @@ SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
   sum(toks)::BIGINT AS tokens_total,
   coalesce(sum(toks) FILTER (WHERE is_dup), 0)::BIGINT AS tokens_dropped
 FROM r""",
+    "q176_woe_iv" ->
+      """WITH b AS (
+  SELECT event_id, value, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events),
+d AS (SELECT y, ntile(10) OVER (ORDER BY value, event_id) AS decile FROM b),
+p AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp FROM p)
+SELECT decile, n, n_pos,
+  round(ln(((n_pos + 0.5)/(tp + 5.0)) / (((n - n_pos) + 0.5)/((tn - tp) + 5.0))) + 5e-11, 4) AS woe,
+  round((((n_pos + 0.5)/(tp + 5.0)) - (((n - n_pos) + 0.5)/((tn - tp) + 5.0)))
+    * ln(((n_pos + 0.5)/(tp + 5.0)) / (((n - n_pos) + 0.5)/((tn - tp) + 5.0))) + 5e-11, 4) AS iv_contrib
+FROM p, t""",
     "q174_label_propagation" -> {
       // semi-synchronous bipartite LPA unrolled: per round, merchants
       // take the plurality label of their customers (ties -> min label),
