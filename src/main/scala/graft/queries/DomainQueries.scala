@@ -177,6 +177,38 @@ object DomainQueries extends QueryPack {
         .select(col("k").as("customer_id"), col("n_transitions"),
           r6(col("transition_entropy")).as("transition_entropy"))
     },
+    // characteristic stability index: PSI over LEARNED decile cuts — the
+    // baseline period defines the bins (value at the k·n/10-th order
+    // statistic, GlobalOrder rank), the comparison period is scored
+    // against them. Completes the drift family (q94 fixed-width PSI,
+    // q24 KS, q142 JSD): CSI is what model monitoring actually deploys,
+    // because the bins move with the trained population.
+    "q177_csi" -> { (s, dir) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+      val cutTs = ev.agg((min(col("ts")) + expr("INTERVAL 17 DAYS")).as("cutts"))
+      val tagged = ev.crossJoin(broadcast(cutTs))
+        .select(col("event_id"), col("value"), (col("ts") <= col("cutts")).as("p1"))
+        .localCheckpoint() // ranked (baseline) + bucketed (both periods)
+      val ranked = graft.ops.GlobalOrder.withRowNumber(tagged.where(col("p1")),
+        Seq(col("value"), col("event_id")), "__rn", total = Some("__n"))
+      val isCut = (1 to 9).map(i =>
+        col("__rn") === intDiv(lit(i.toLong) * col("__n"), lit(10L))).reduce(_ || _)
+      val cuts = ranked.where(isCut)
+        .agg(sort_array(collect_list(col("value"))).as("cuts"))
+      val bucketed = tagged.crossJoin(broadcast(cuts)).select(col("p1"),
+        aggregate(col("cuts"), lit(0),
+          (acc, c) => acc + when(col("value") > c, 1).otherwise(0)).as("bucket"))
+      val per = bucketed.groupBy(col("bucket")).agg(
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("p1"), 1L).otherwise(0L)).as("n2"))
+      val tot = per.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      val s1 = (col("n1").cast("double") + 0.5) / (col("t1").cast("double") + 5.0)
+      val s2 = (col("n2").cast("double") + 0.5) / (col("t2").cast("double") + 5.0)
+      per.crossJoin(broadcast(tot)).select(col("bucket"), col("n1"), col("n2"),
+        r6(s1).as("share1"), r6(s2).as("share2"),
+        r6((s2 - s1) * log(s2 / s1)).as("csi_contrib"))
+    },
     // weight-of-evidence / information value per amount decile — the
     // classic supervised binning table (credit-risk standard) next to
     // q112's mutual information. Deciles are the exact SQL NTILE via the
@@ -949,6 +981,30 @@ SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
   sum(toks)::BIGINT AS tokens_total,
   coalesce(sum(toks) FILTER (WHERE is_dup), 0)::BIGINT AS tokens_dropped
 FROM r""",
+    "q177_csi" -> {
+      val ranks = (1 to 9).map(i => s"$i*n//10").mkString(", ")
+      s"""WITH ct AS (SELECT min(ts) + INTERVAL 17 DAY AS cutts FROM events),
+tg AS MATERIALIZED (
+  SELECT event_id, value, ts <= ct.cutts AS p1 FROM events, ct),
+r AS (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+        count(*) OVER () AS n
+      FROM tg WHERE p1),
+cutsT AS MATERIALIZED (SELECT value AS cutval FROM r WHERE rn IN ($ranks)),
+b AS (SELECT p1,
+        (SELECT count(*) FROM cutsT WHERE cutval < tg.value) AS bucket
+      FROM tg),
+p AS (SELECT bucket,
+        CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN p1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      FROM b GROUP BY 1),
+t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM p)
+SELECT bucket, n1, n2,
+  round((n1 + 0.5)/(t1 + 5.0) + 5e-11, 4) AS share1,
+  round((n2 + 0.5)/(t2 + 5.0) + 5e-11, 4) AS share2,
+  round(((n2 + 0.5)/(t2 + 5.0) - (n1 + 0.5)/(t1 + 5.0))
+    * ln(((n2 + 0.5)/(t2 + 5.0)) / ((n1 + 0.5)/(t1 + 5.0))) + 5e-11, 4) AS csi_contrib
+FROM p, t"""
+    },
     "q176_woe_iv" ->
       """WITH b AS (
   SELECT event_id, value, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
