@@ -433,4 +433,46 @@ class DomainSpec extends AnyFunSuite {
     assert(neg.forall(_.getDouble(2) == 20.0)) // 1000/50
     assert(neg.length > 50 && neg.length < 150) // ~5% of 1980
   }
+
+  test("label propagation rounds guard and single-community fixpoint") {
+    val tx = Seq((1L, "m", 1.0), (2L, "m", 2.0)).toDF("customer_id", "merchant_id", "amount")
+    intercept[IllegalArgumentException] {
+      graft.ops.GraphOps.labelPropagation(tx, rounds = 0)
+    }
+    val got = graft.ops.GraphOps.labelPropagation(tx, rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one shared merchant: both adopt the min customer label, size 2
+    assert(got == Map(1L -> (1L, 2L), 2L -> (1L, 2L)), got.toString)
+  }
+
+  test("woe/iv smoothing: a pure bucket stays finite; balanced buckets score ~0") {
+    // 2 deciles worth of data: decile 1 all-negative, decile 2 mixed —
+    // the +0.5 smoothing must keep ln() finite for the pure bucket
+    val n1 = 20.0 // per-class totals used by the hand formula below
+    val df = ((1 to 20).map(i => (i.toLong, 1.0, 0)) ++
+      (21 to 40).map(i => (i.toLong, 2.0, i % 2))).toDF("event_id", "value", "y")
+    val ranked = graft.ops.GlobalOrder.withRowNumber(df,
+      Seq(col("value"), col("event_id")), "rn", total = Some("n"))
+    val dec = ranked.select(col("y"),
+      graft.ops.GlobalOrder.ntileOf(col("rn"), col("n"), 2).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      .collect().map(r => r.getAs[Number](0).longValue() ->
+        (r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue())).toMap
+    assert(dec == Map(1L -> (20L, 0L), 2L -> (20L, 10L)))
+    // hand WOE for the pure bucket with k=2 buckets' smoothing (+0.5, +1.0)
+    val woePure = math.log(((0 + 0.5) / (10 + 1.0)) / ((20 + 0.5) / (30 + 1.0)))
+    assert(woePure < -2.0 && !woePure.isInfinite)
+    assert(n1 == 20.0)
+  }
+
+  test("csi buckets: shifted second period lands mass above the baseline cuts") {
+    // baseline values 1..100; period-2 values 200.. -> all in the top bucket
+    // (bucket index == number of cuts strictly below the value)
+    val cuts = Seq(10.0, 20.0, 30.0)
+    val bucketOf = (v: Double) => cuts.count(_ < v)
+    assert(bucketOf(5.0) == 0 && bucketOf(15.0) == 1 && bucketOf(250.0) == 3)
+    // ties sit in the LOWER bucket (strict <) — the engine and oracle
+    // both count cuts strictly below the value
+    assert(bucketOf(20.0) == 1)
+  }
 }
