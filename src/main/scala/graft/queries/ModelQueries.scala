@@ -95,8 +95,12 @@ FROM events"""
       val pts0 = per.select(col("user_id"),
         col("cnt").cast("double").as("x1"),
         (col("cents").cast("double") / col("cnt") / 100.0).as("x2"))
-      val st = pts0.agg(avg(col("x1")).as("m1"), stddev_pop(col("x1")).as("s1"),
-        avg(col("x2")).as("m2"), stddev_pop(col("x2")).as("s2"))
+      // constant-column guard (Trainer's convention): a zero stddev maps
+      // to 1.0 so a degenerate feature centers to 0 instead of +/-Inf
+      val st = pts0.agg(avg(col("x1")).as("m1"),
+        coalesce(nullif(stddev_pop(col("x1")), lit(0.0)), lit(1.0)).as("s1"),
+        avg(col("x2")).as("m2"),
+        coalesce(nullif(stddev_pop(col("x2")), lit(0.0)), lit(1.0)).as("s2"))
       val pts = pts0.crossJoin(broadcast(st)).select(col("user_id"),
         r6((col("x1") - col("m1")) / col("s1")).as("z1"),
         r6((col("x2") - col("m2")) / col("s2")).as("z2"))
@@ -262,7 +266,8 @@ pts0 AS (
   SELECT user_id, CAST(cnt AS DOUBLE) AS x1,
     CAST(cents AS DOUBLE)/cnt/100.0 AS x2
   FROM per),
-st AS (SELECT avg(x1) AS m1, stddev_pop(x1) AS s1, avg(x2) AS m2, stddev_pop(x2) AS s2 FROM pts0),
+st AS (SELECT avg(x1) AS m1, coalesce(nullif(stddev_pop(x1), 0.0), 1.0) AS s1,
+  avg(x2) AS m2, coalesce(nullif(stddev_pop(x2), 0.0), 1.0) AS s2 FROM pts0),
 pts AS MATERIALIZED (
   SELECT user_id, round((x1 - m1)/s1 + 5e-11, 4) AS z1,
     round((x2 - m2)/s2 + 5e-11, 4) AS z2

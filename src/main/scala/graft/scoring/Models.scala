@@ -31,6 +31,12 @@ object Models {
     * O(cardinality)-row likelihood aggregate per feature (broadcast —
     * bucketed features are ≤ dozens of rows), then `test` flows through
     * f left joins with no shuffle on the fact side.
+    *
+    * Preconditions: `train` must contain BOTH classes (a single-class
+    * prior makes the log-odds ±Infinity — the correct degenerate answer,
+    * but not a useful one) and the feature columns must be non-null
+    * (null buckets would train a likelihood row the null-rejecting
+    * equi-join can never match).
     */
   def naiveBayesDelta(train: DataFrame, test: DataFrame, features: Seq[String],
       label: Column, out: String = "delta"): DataFrame = {
