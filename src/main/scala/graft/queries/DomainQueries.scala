@@ -266,6 +266,57 @@ object DomainQueries extends QueryPack {
         .select(col("fold"), col("n"), col("pos"),
           r6(col("pos").cast("double") / col("n")).as("pos_rate"))
     },
+    // GROUPED k-fold (entity-safe CV): the fold is a function of the
+    // USER, so all of a user's events share a fold and per-user trailing
+    // features can never leak across the train/test boundary — the
+    // entity twin of q123's row-hash folds. The audit reports per-fold
+    // user/event mass and label balance; user-level disjointness is
+    // structural (fold = md5(user), one fold per user by construction).
+    "q178_group_kfold" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("fold", Splits.bucket(col("user_id"), "gcv", 5))
+      ev.groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "error", 1)).as("pos"))
+        .select(col("fold"), col("n_users"), col("n_events"), col("pos"),
+          r6(col("pos").cast("double") / col("n_events")).as("pos_rate"))
+    },
+    // expanding-window temporal CV (backtest folds): k cutoffs at
+    // i·n/k-th event-time order statistics; fold i trains on everything
+    // before cutoff i and tests on (cutoff i, cutoff i+1] — the report
+    // is the fold-boundary table every backtest starts from. Order
+    // statistics via the two-pass GlobalOrder rank; counts exact.
+    "q179_temporal_cv" -> { (s, dir) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+      val k = 4
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("tm"))
+      val ranked = graft.ops.GlobalOrder.withRowNumber(ev,
+        Seq(col("tm"), col("event_id")), "__rn", total = Some("__n"))
+        .localCheckpoint() // cut extraction + per-fold counting
+      val isCut = (1 to k).map(i =>
+        col("__rn") === intDiv(lit(i.toLong) * col("__n"), lit(k.toLong))).reduce(_ || _)
+      val cutsRaw = ranked.where(isCut)
+        .select(col("__rn").as("cut_rn"), col("tm").as("cut_tm"))
+      // fold index via a triangular count over the ≤k cut rows — keeps
+      // the engine's zero-partition-less-window invariant (a bare
+      // Window.orderBy here would be harmless at k rows but reintroduces
+      // the single-task window shape the codebase bans)
+      val cuts = cutsRaw
+        .join(cutsRaw.select(col("cut_rn").as("__rn2")), col("__rn2") <= col("cut_rn"))
+        .groupBy(col("cut_rn"), col("cut_tm")).agg(count(lit(1)).as("fold"))
+      // fold i: train = rows with rn <= cut_{i-1} (cut_0 = 0), test =
+      // rows in (cut_{i-1}, cut_i] — counted directly from the ranks
+      val prev = cuts.select((col("fold") + 1).as("fold"),
+        col("cut_rn").as("prev_rn"), col("cut_tm").as("prev_tm"))
+      cuts.join(prev, Seq("fold"), "left")
+        .where(col("fold") > 1) // fold 1 has no training history
+        .select(col("fold"),
+          coalesce(col("prev_rn"), lit(0L)).as("n_train"),
+          (col("cut_rn") - coalesce(col("prev_rn"), lit(0L))).as("n_test"),
+          col("prev_tm").as("train_end_us"), col("cut_tm").as("test_end_us"))
+    },
     // identifier churn: consecutive-IP switches (rotation), not just
     // distinct counts — 2 IPs alternated 100x is 99 switches
     "q124_ip_churn" -> { (s, dir) =>
@@ -981,6 +1032,32 @@ SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
   sum(toks)::BIGINT AS tokens_total,
   coalesce(sum(toks) FILTER (WHERE is_dup), 0)::BIGINT AS tokens_dropped
 FROM r""",
+    "q178_group_kfold" ->
+      """WITH f AS (
+  SELECT user_id, event_type,
+    ('0x' || substr(md5('gcv:' || user_id), 1, 8))::UBIGINT % 5 AS fold
+  FROM events)
+SELECT fold::BIGINT AS fold,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  count(*) AS n_events,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS pos,
+  round((count(*) FILTER (WHERE event_type = 'error'))::DOUBLE / count(*) + 5e-11, 4) AS pos_rate
+FROM f GROUP BY 1""",
+    "q179_temporal_cv" -> {
+      val kcv = 4
+      val cvRanks = (1 to kcv).map(i => s"$i*n//$kcv").mkString(", ")
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS tm FROM events),
+r AS (SELECT event_id, tm, row_number() OVER (ORDER BY tm, event_id) AS rn,
+        count(*) OVER () AS n FROM ev),
+c0 AS MATERIALIZED (SELECT rn AS cut_rn, tm AS cut_tm FROM r WHERE rn IN ($cvRanks)),
+c AS (SELECT a.cut_rn, a.cut_tm, count(*) AS fold
+      FROM c0 a JOIN c0 b ON b.cut_rn <= a.cut_rn GROUP BY 1, 2),
+p AS (SELECT fold + 1 AS fold, cut_rn AS prev_rn, cut_tm AS prev_tm FROM c)
+SELECT c.fold, CAST(coalesce(p.prev_rn, 0) AS BIGINT) AS n_train,
+  CAST(c.cut_rn - coalesce(p.prev_rn, 0) AS BIGINT) AS n_test,
+  p.prev_tm AS train_end_us, c.cut_tm AS test_end_us
+FROM c LEFT JOIN p USING (fold) WHERE c.fold > 1"""
+    },
     "q177_csi" -> {
       val ranks = (1 to 9).map(i => s"$i*n//10").mkString(", ")
       s"""WITH ct AS (SELECT min(ts) + INTERVAL 17 DAY AS cutts FROM events),
