@@ -108,6 +108,99 @@ FROM events"""
         .select(col("cluster_id"), col("n"),
           r6(col("c_z1")).as("c_z1"), r6(col("c_z2")).as("c_z2"))
     },
+    // gradient-boosted stumps (squared loss, the reference's
+    // GradientBoosting/XGBoost slot, models/advanced_models.py:228-231):
+    // 3 shrinkage-0.5 rounds, each an exact regression stump on the
+    // running residual. Residual sums decompose into INTEGER GlobalOrder
+    // cumsums + rounded leaf-value literals (see scoring/Boosting), so
+    // the DuckDB oracle replays the identical boosting chain; report =
+    // the fitted chain + train MSE + train AUC of the additive score.
+    "q180_boosted_stumps" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // read 3×/round + scoring
+      val m = graft.scoring.Boosting.fit(f, Seq("value", "hb", "dowi"),
+        col("y"), rounds = 3, rate = 0.5)
+      val scored = f.select(col("y"), graft.scoring.Boosting.score(m).as("s"))
+      val aucDf = graft.feedback.Drift.auc(scored, col("y") === 1L, col("s"))
+      val err = col("y").cast("double") - col("s")
+      val roundCols = m.rounds.zipWithIndex.flatMap { case (st, i) =>
+        val t = i + 1
+        Seq(lit(st.feature).as(s"f$t"), r6(lit(st.threshold)).as(s"t$t"),
+          lit(st.vl).as(s"vl$t"), lit(st.vr).as(s"vr$t"))
+      }
+      scored.agg(count(lit(1)).as("n"), r6(avg(err * err)).as("train_mse"))
+        .crossJoin(aucDf)
+        .select(col("n") +: lit(m.f0).as("f0") +: roundCols :+
+          col("train_mse") :+ r6(col("auc")).as("train_auc"): _*)
+    },
+    // threshold-sweep operating table (the reference's
+    // precision_recall_curve/roc_curve slot, models/advanced_models.py:
+    // 27-28 + notebook cell-12): deciles of the score distribution under
+    // a deterministic total order (score desc, id asc) via the two-pass
+    // GlobalOrder rank, then precision / recall / F1 / FPR / alert
+    // volume at each "alert the top d deciles" operating point. The
+    // 10-row decile table takes its cumulative counts from a window-free
+    // triangular self-join (exact longs) — the q155 recipe.
+    "q181_threshold_sweep" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("value").as("sc"),
+        (col("event_type") === "error").cast("long").as("y"))
+      val ranked = graft.ops.GlobalOrder.withRowNumber(ev,
+        Seq(col("sc").desc, col("event_id").asc), "__rn", total = Some("__n"))
+      val per = ranked
+        .withColumn("decile",
+          graft.ops.GlobalOrder.ntileOf(col("__rn"), col("__n"), 10))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+          min(col("sc")).as("thr"))
+      val tot = per.agg(sum(col("np")).cast("double").as("__p"),
+        sum(col("n")).cast("double").as("__nn"))
+      val prior = per.select(col("decile").as("__d2"), col("n").as("__n2"),
+        col("np").as("__np2"))
+      val cum = per.join(prior, col("__d2") <= col("decile"))
+        .groupBy(col("decile"), col("thr"))
+        .agg(sum(col("__n2")).as("alerts"), sum(col("__np2")).as("tp"))
+        .crossJoin(broadcast(tot))
+      val prec = col("tp").cast("double") / col("alerts")
+      val rec = col("tp").cast("double") / col("__p")
+      cum.select(col("decile").cast("long").as("decile"),
+        r6(col("thr")).as("threshold"),
+        col("alerts").as("n_alerts"), col("tp"),
+        r6(prec).as("prec"), r6(rec).as("rec"),
+        r6(when(col("tp") > 0, lit(2.0) * prec * rec / (prec + rec))
+          .otherwise(lit(0.0))).as("f1"),
+        r6((col("alerts") - col("tp")).cast("double") / (col("__nn") - col("__p")))
+          .as("fpr"))
+    },
+    // per-feature Gini gain of the exact stump family — the tree twin of
+    // q161's stddev importance, matching sklearn feature_importances_
+    // semantics at depth 1: importance_f = (parent impurity − best split
+    // impurity of f) / Σ gains. Best-split selection is a hash aggregate
+    // over the rounded candidate table (min gini, then min threshold) —
+    // no per-feature window, so a continuous feature with billions of
+    // distinct values never funnels through one task.
+    "q184_gini_importance" -> { (s, dir) =>
+      val f = eventFeatures(s, dir)
+      val cands = Models.stumpCandidates(f, Seq("value", "hb", "dowi"), col("y"))
+        .select(col("feature"), col("threshold"), r6(col("gini")).as("g"))
+        .localCheckpoint() // read twice: best-gini agg + threshold backjoin
+      val best = cands.groupBy(col("feature")).agg(min(col("g")).as("best_gini"))
+      val bt = cands.join(broadcast(best), Seq("feature"))
+        .where(col("g") === col("best_gini"))
+        .groupBy(col("feature"), col("best_gini"))
+        .agg(min(col("threshold")).as("best_threshold"))
+      val p = col("__tp").cast("double") / col("__tn")
+      val parent = f.agg(count(lit(1)).as("__tn"), sum(col("y")).as("__tp"))
+        .select((lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p))
+          .as("__pg"))
+      val gains = bt.crossJoin(broadcast(parent))
+        .select(col("feature"), col("best_threshold"), col("best_gini"),
+          (col("__pg") - col("best_gini")).as("__gain"))
+      val tg = gains.agg(sum(col("__gain")).as("__tg"))
+      gains.crossJoin(broadcast(tg))
+        .select(col("feature"), col("best_threshold"), col("best_gini"),
+          r6(col("__gain")).as("gain"),
+          r6(col("__gain") / col("__tg")).as("importance"))
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -285,6 +378,139 @@ ${assign("a3", "c2t")}
 SELECT cid AS cluster_id, count(*) AS n,
   round(avg(z1) + 5e-11, 4) AS c_z1, round(avg(z2) + 5e-11, 4) AS c_z2
 FROM a3 GROUP BY 1"""
+    },
+    "q180_boosted_stumps" -> {
+      val fs = Seq("value", "hb", "dowi")
+      val T = 3
+      // each row's feature value under round j's fitted split feature
+      def fv(j: Int) =
+        s"""(CASE WHEN b$j.f = 'value' THEN CAST(fb.value AS DOUBLE)
+      WHEN b$j.f = 'hb' THEN CAST(fb.hb AS DOUBLE)
+      ELSE CAST(fb.dowi AS DOUBLE) END)"""
+      // round-t distinct-value class/membership counts for feature f:
+      // n, sum(y), and per prior round j the count of rows on j's left
+      def gCte(t: Int, f: String) = {
+        val priorCnts = (1 until t).map(j =>
+          s",\n    sum(CASE WHEN ${fv(j)} <= b$j.t THEN 1 ELSE 0 END) AS c$j").mkString
+        val joins = (1 until t).map(j => s" CROSS JOIN best$j b$j").mkString
+        s"""g${t}_$f AS (
+  SELECT CAST($f AS DOUBLE) AS threshold, count(*) AS n, sum(y) AS sy$priorCnts
+  FROM fb$joins
+  GROUP BY 1)"""
+      }
+      // integer cumsums (left side) + totals — the GlobalOrder twin
+      def cCte(t: Int, f: String) = {
+        val cum = (1 until t).map(j =>
+          s",\n    CAST(sum(c$j) OVER w AS BIGINT) AS cll$j").mkString
+        val tot = (1 until t).map(j =>
+          s",\n    CAST(sum(c$j) OVER () AS BIGINT) AS tcl$j").mkString
+        s"""c${t}_$f AS (
+  SELECT threshold,
+    CAST(sum(n) OVER w AS BIGINT) AS nl,
+    CAST(sum(sy) OVER w AS BIGINT) AS syl$cum,
+    CAST(sum(n) OVER () AS BIGINT) AS tn,
+    CAST(sum(sy) OVER () AS BIGINT) AS tsy$tot
+  FROM g${t}_$f
+  WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+      }
+      // residual sums from integer counts + prior rounds' rounded leaf
+      // values — the exact expression order of Boosting.residSum
+      def candCte(t: Int, f: String) = {
+        val slTerms = (1 until t).map(j =>
+          s" - (b$j.vl*cll$j + b$j.vr*(nl - cll$j))").mkString
+        val stTerms = (1 until t).map(j =>
+          s" - (b$j.vl*tcl$j + b$j.vr*(tn - tcl$j))").mkString
+        val joins = (1 until t).map(j => s" CROSS JOIN best$j b$j").mkString
+        s"""cand${t}_$f AS (
+  SELECT feature, threshold, nl, tn - nl AS nr, sl, stot - sl AS sr
+  FROM (
+    SELECT '$f' AS feature, threshold, nl, tn,
+      syl - nl*f0.v$slTerms AS sl,
+      tsy - tn*f0.v$stTerms AS stot
+    FROM c${t}_$f CROSS JOIN f0$joins)
+  WHERE nl < tn)"""
+      }
+      def bestCte(t: Int) = {
+        val union = fs.map(f => s"SELECT * FROM cand${t}_$f").mkString(" UNION ALL ")
+        s"""best$t AS MATERIALIZED (
+  SELECT feature AS f, threshold AS t,
+    round(0.5 * (sl / nl) + 5e-11, 4) AS vl,
+    round(0.5 * (sr / nr) + 5e-11, 4) AS vr
+  FROM ($union)
+  ORDER BY round(sl*sl/nl + sr*sr/nr + 5e-11, 4) DESC, feature, threshold
+  LIMIT 1)"""
+      }
+      val roundCtes = (1 to T).map { t =>
+        (fs.map(f => gCte(t, f)) ++ fs.map(f => cCte(t, f)) ++
+          fs.map(f => candCte(t, f)) :+ bestCte(t)).mkString(",\n")
+      }.mkString(",\n")
+      val scoreExpr = (1 to T).map(j =>
+        s"(CASE WHEN ${fv(j)} <= b$j.t THEN b$j.vl ELSE b$j.vr END)")
+        .mkString("f0.v + ", " + ", "")
+      val scJoins = (1 to T).map(j => s" CROSS JOIN best$j b$j").mkString
+      val outCols = (1 to T).map(j =>
+        s"b$j.f AS f$j, round(b$j.t + 5e-11, 4) AS t$j, b$j.vl AS vl$j, b$j.vr AS vr$j")
+        .mkString(",\n  ")
+      s"""WITH fb AS MATERIALIZED ($featSql),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
+$roundCtes,
+sc AS MATERIALIZED (
+  SELECT fb.y, $scoreExpr AS s
+  FROM fb CROSS JOIN f0$scJoins),
+a AS (SELECT count(*) AS n,
+    round(avg((y - s)*(y - s)) + 5e-11, 4) AS train_mse FROM sc),
+r AS (SELECT y, rank() OVER (ORDER BY s) + (count(*) OVER (PARTITION BY s) - 1)/2.0 AS midrank FROM sc),
+u AS (SELECT CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+      / (sum(y)*(count(*) - sum(y))) END AS auc FROM r)
+SELECT a.n, f0.v AS f0,
+  $outCols,
+  a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
+FROM a CROSS JOIN u CROSS JOIN f0$scJoins"""
+    },
+    "q181_threshold_sweep" ->
+      """WITH s AS (SELECT event_id, value AS sc,
+  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y FROM events),
+d AS (SELECT *, ntile(10) OVER (ORDER BY sc DESC, event_id ASC) AS decile FROM s),
+g AS MATERIALIZED (SELECT decile, count(*) AS n, sum(y)::BIGINT AS np, min(sc) AS thr
+  FROM d GROUP BY 1),
+t AS (SELECT sum(np)::DOUBLE AS p, sum(n)::DOUBLE AS nn FROM g),
+c AS (SELECT decile, thr,
+    sum(n) OVER w AS alerts, sum(np) OVER w AS tp
+  FROM g WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)),
+m AS (SELECT decile, thr, alerts::BIGINT AS alerts, tp::BIGINT AS tp, p, nn,
+    tp::DOUBLE/alerts AS prec, tp::DOUBLE/p AS rec
+  FROM c CROSS JOIN t)
+SELECT decile::BIGINT AS decile, round(thr + 5e-11, 4) AS threshold,
+  alerts AS n_alerts, tp,
+  round(prec + 5e-11, 4) AS prec, round(rec + 5e-11, 4) AS rec,
+  round(CASE WHEN tp > 0 THEN 2.0*prec*rec/(prec + rec) ELSE 0.0 END + 5e-11, 4) AS f1,
+  round((alerts - tp)::DOUBLE/(nn - p) + 5e-11, 4) AS fpr
+FROM m""",
+    "q184_gini_importance" -> {
+      val fs = Seq("value", "hb", "dowi")
+      s"""WITH f AS ($featSql),
+${fs.map(f => stumpCand(f)).mkString(",\n")},
+allc AS MATERIALIZED (
+  SELECT feature, threshold, round(gini + 5e-11, 4) AS g
+  FROM (${fs.map(f => s"SELECT * FROM cand_$f").mkString(" UNION ALL ")})),
+best AS (SELECT feature, min(g) AS best_gini FROM allc GROUP BY 1),
+bt AS (
+  SELECT a.feature, b.best_gini, min(a.threshold) AS best_threshold
+  FROM allc a JOIN best b ON a.feature = b.feature AND a.g = b.best_gini
+  GROUP BY 1, 2),
+par AS (
+  SELECT 1.0 - (sum(y)::DOUBLE/count(*))*(sum(y)::DOUBLE/count(*))
+    - (1.0 - sum(y)::DOUBLE/count(*))*(1.0 - sum(y)::DOUBLE/count(*)) AS pg
+  FROM f),
+gains AS MATERIALIZED (
+  SELECT feature, best_threshold, best_gini, pg - best_gini AS gain
+  FROM bt CROSS JOIN par),
+tg AS (SELECT sum(gain) AS tg FROM gains)
+SELECT feature, best_threshold, best_gini,
+  round(gain + 5e-11, 4) AS gain,
+  round(gain/tg + 5e-11, 4) AS importance
+FROM gains CROSS JOIN tg"""
     },
     "q171_stump_bagging" -> {
       val fs = Seq("value", "hb", "dowi")
