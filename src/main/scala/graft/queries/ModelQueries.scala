@@ -171,6 +171,50 @@ FROM events"""
         r6((col("alerts") - col("tp")).cast("double") / (col("__nn") - col("__p")))
           .as("fpr"))
     },
+    // closed-form hyperparameter grid (the reference's AutoML surface,
+    // models/advanced_models.py:309-339, minus the RNG tuner): a
+    // (learning-rate × iteration-budget) grid for the logistic trainer,
+    // all rates trained SIMULTANEOUSLY — one fused aggregate per GD step
+    // carries every rate's gradient, and iteration checkpoints snapshot
+    // the smaller budgets — so the 6-cell grid costs max(iters) passes.
+    // Each cell reports held-out AUC on a deterministic md5 validation
+    // split; is_best marks the (auc desc, lr, iters) argmax via a
+    // window-free triangular self-join over the 6-row cell table.
+    "q183_lr_grid" -> { (s, dir) =>
+      val rates = Seq(0.1, 0.5, 1.0)
+      val checks = Seq(5, 10)
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "gridval", 5))
+        .localCheckpoint() // max(iters) GD passes + 6 AUC reads
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      val models = graft.scoring.Trainer.fitLogisticGrid(
+        train, feats, col("y"), rates, checks)
+      val cells = (for { r <- rates; it <- checks } yield {
+        val m = models((r, it))
+        val scored = valid.select(col("y"),
+          graft.scoring.Trainer.margin(m).as("margin"))
+        val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
+        scored.agg(count(lit(1)).as("n_val")).crossJoin(auc)
+          .select(lit(r).as("lr") +: lit(it).as("iters") +: col("n_val") +:
+            r6(col("auc")).as("auc") +: r6(lit(m.intercept)).as("intercept") +:
+            feats.zip(m.weights).map { case (c, w) => r6(lit(w)).as(s"w_$c") }: _*)
+      }).reduce(_.unionByName(_))
+      val better = cells.select(col("lr").as("__l2"), col("iters").as("__i2"),
+        col("auc").as("__a2"))
+      cells.join(better,
+          col("__a2") > col("auc") || (col("__a2") === col("auc") &&
+            (col("__l2") < col("lr") ||
+              (col("__l2") === col("lr") && col("__i2") < col("iters")))),
+          "left")
+        .groupBy(col("lr"), col("iters"), col("n_val"), col("auc"),
+          col("intercept"), col("w_value"), col("w_hb"), col("w_dowi"))
+        .agg(count(col("__l2")).as("__nb"))
+        .select(col("lr"), col("iters"), col("n_val"), col("auc"),
+          col("intercept"), col("w_value"), col("w_hb"), col("w_dowi"),
+          (col("__nb") === 0).as("is_best"))
+    },
     // per-feature Gini gain of the exact stump family — the tree twin of
     // q161's stddev importance, matching sklearn feature_importances_
     // semantics at depth 1: importance_f = (parent impurity − best split
@@ -378,6 +422,77 @@ ${assign("a3", "c2t")}
 SELECT cid AS cluster_id, count(*) AS n,
   round(avg(z1) + 5e-11, 4) AS c_z1, round(avg(z2) + 5e-11, 4) AS c_z2
 FROM a3 GROUP BY 1"""
+    },
+    "q183_lr_grid" -> {
+      // the q165/q172 unrolled-GD technique, once per learning rate; the
+      // iters dimension reads the chain's intermediate CTEs (a 5-iter
+      // cell is a prefix of the 10-iter chain — same fusion as the
+      // engine's checkpoint snapshots)
+      val rates = Seq("0.1", "0.5", "1.0")
+      val checks = Seq(5, 10)
+      val maxIt = checks.max
+      val feats = Seq("value", "hb", "dowi")
+      val idx = feats.indices
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      def chain(r: Int): String = {
+        val rate = rates(r)
+        val i0 = s"i0_r$r AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val iters = (1 to maxIt).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - $rate*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - $rate*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+          s"i${k}_r$r AS MATERIALIZED (SELECT $upd\n  FROM d, i${k - 1}_r$r i GROUP BY $grp)"
+        }.mkString(",\n")
+        s"$i0,\n$iters"
+      }
+      def cell(r: Int, it: Int): String = {
+        val w = s"i${it}_r$r"
+        s"""sc_${r}_$it AS (SELECT d.y, ${marginOf(w)} AS sv FROM dv d, $w),
+rk_${r}_$it AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM sc_${r}_$it),
+au_${r}_$it AS (SELECT count(*) AS n,
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM rk_${r}_$it)"""
+      }
+      def cellRow(r: Int, it: Int): String = {
+        val w = s"i${it}_r$r"
+        val ws = feats.zipWithIndex.map { case (c, i) =>
+          s"round($w.w$i + 5e-11, 4) AS w_$c" }.mkString(", ")
+        s"""SELECT ${rates(r)}::DOUBLE AS lr, $it AS iters, a.n AS n_val, round(a.auc + 5e-11, 4) AS auc,
+  round($w.b + 5e-11, 4) AS intercept, $ws
+FROM au_${r}_$it a, $w"""
+      }
+      val cellDefs = (for { r <- rates.indices; it <- checks } yield cell(r, it))
+        .mkString(",\n")
+      val cellRows = (for { r <- rates.indices; it <- checks } yield cellRow(r, it))
+        .mkString("\nUNION ALL\n")
+      s"""WITH fb AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
+    y::DOUBLE AS y,
+    ('0x' || substr(md5('gridval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM fb),
+tr AS (SELECT * FROM fp WHERE vb5 <> 0),
+s AS (SELECT $statSel FROM tr),
+d AS MATERIALIZED (SELECT $stdSel, y FROM tr, s),
+dv AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM fp WHERE vb5 = 0) t, s),
+${rates.indices.map(chain).mkString(",\n")},
+$cellDefs,
+cells AS MATERIALIZED (
+$cellRows)
+SELECT c.lr, c.iters, c.n_val, c.auc, c.intercept, c.w_value, c.w_hb, c.w_dowi,
+  count(c2.lr) = 0 AS is_best
+FROM cells c LEFT JOIN cells c2
+  ON c2.auc > c.auc OR (c2.auc = c.auc AND (c2.lr < c.lr OR (c2.lr = c.lr AND c2.iters < c.iters)))
+GROUP BY c.lr, c.iters, c.n_val, c.auc, c.intercept, c.w_value, c.w_hb, c.w_dowi"""
     },
     "q180_boosted_stumps" -> {
       val fs = Seq("value", "hb", "dowi")

@@ -137,6 +137,68 @@ object Trainer {
     } finally data.unpersist()
   }
 
+  /** Closed-form hyperparameter-grid twin of [[fitLogistic]]: trains one
+    * weight vector per learning rate SIMULTANEOUSLY — each GD step is ONE
+    * aggregate computing every rate's (d+1)-gradient as parallel columns
+    * (the q172 fusion, without fold conditionals since every cell trains
+    * on the full set) — and snapshots each rate's weights at every
+    * checkpoint iteration. The (rates × checkpoints) grid costs
+    * max(checkpoints) passes total instead of Σ iters: the engine's
+    * answer to the reference's hyperparameter-search surface
+    * (`models/advanced_models.py:309-339`) without RNG or a tuner
+    * dependency. Standardization moments are shared (same train set).
+    *
+    * Returns (rate, checkpointIters) -> model, for every combination.
+    */
+  def fitLogisticGrid(train: DataFrame, features: Seq[String], label: Column,
+      rates: Seq[Double], checkpoints: Seq[Int]): Map[(Double, Int), LogisticModel] = {
+    require(rates.nonEmpty && checkpoints.nonEmpty && checkpoints.forall(_ >= 1),
+      s"fitLogisticGrid: need rates and checkpoints >= 1; got $rates, $checkpoints")
+    val d = features.size
+    val statAggs = features.flatMap { f =>
+      Seq(avg(col(f).cast("double")).as(s"m_$f"),
+        stddev_pop(col(f).cast("double")).as(s"s_$f"))
+    }
+    val st = train.agg(statAggs.head, statAggs.tail: _*).head()
+    val means = features.indices.map(i => Option(st.get(2 * i))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0))
+    val stds = features.indices.map { i =>
+      val s = Option(st.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      if (s > 0.0) s else 1.0
+    }
+    val xs = features.zipWithIndex.map { case (f, i) =>
+      ((col(f).cast("double") - lit(means(i))) / lit(stds(i))).as(s"__x$i")
+    }
+    val data = train.select(label.cast("double").as("__y") +: xs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Array.fill(rates.size, d)(0.0)
+      val b = Array.fill(rates.size)(0.0)
+      var out = Map.empty[(Double, Int), LogisticModel]
+      for (it <- 1 to checkpoints.max) {
+        val gAggs = rates.indices.flatMap { r =>
+          val margin = (0 until d).map(i => col(s"__x$i") * lit(w(r)(i)))
+            .foldLeft(lit(b(r)))(_ + _)
+          val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")
+          (0 until d).map(i => avg(err * col(s"__x$i")).as(s"g_${r}_$i")) :+
+            avg(err).as(s"gb_$r")
+        }
+        val g = data.agg(gAggs.head, gAggs.tail: _*).head()
+        for (r <- rates.indices) {
+          for (i <- 0 until d) w(r)(i) -= rates(r) * g.getDouble(r * (d + 1) + i)
+          b(r) -= rates(r) * g.getDouble(r * (d + 1) + d)
+        }
+        if (checkpoints.contains(it)) {
+          for (r <- rates.indices) {
+            out += (rates(r), it) -> LogisticModel(features, means, stds,
+              w(r).clone().toSeq, b(r), it, rates(r))
+          }
+        }
+      }
+      out
+    } finally data.unpersist()
+  }
+
   /** Linear margin w·standardize(x) + b over the RAW feature columns —
     * monotone in the predicted probability, so ranking metrics (AUC) can
     * skip the sigmoid.
