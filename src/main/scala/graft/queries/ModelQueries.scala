@@ -171,6 +171,85 @@ FROM events"""
         r6((col("alerts") - col("tp")).cast("double") / (col("__nn") - col("__p")))
           .as("fpr"))
     },
+    // stacked + voting ensemble (the reference's create_voting_ensemble/
+    // create_stacking_ensemble, models/advanced_models.py:224-295):
+    // three heterogeneous base models — naive Bayes log-odds, CART stump
+    // vote, logistic margin — each trained leave-one-fold-out on the md5
+    // fold split so every row gets OUT-OF-FOLD base predictions, then a
+    // meta-LR stacks the (rounded) OOF columns and a majority vote gives
+    // the voting twin. Base fits reuse the fused machinery (one bagged
+    // stump candidate pass carries all folds; fitLogisticCV fuses the
+    // fold gradients); per-fold models re-enter as literals, so scoring
+    // is a pure projection. Reports each base OOF AUC, best-single,
+    // stacked AUC, voting accuracy, and the meta weights.
+    "q182_stacked_ensemble" -> { (s, dir) =>
+      val nbFeats = Seq("hb", "dowi", "vb")
+      val lrFeats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("fold", graft.scale.Splits.bucket(col("event_id"), "stack", 3))
+        .localCheckpoint()
+      // per-fold best stump from ONE fused candidate pass (bag == fold)
+      val cands = Models.stumpCandidatesBagged(f, lrFeats, col("y"),
+        col("fold"), bags = 3).localCheckpoint()
+      val bests = (0 until 3).map { b =>
+        val row = cands.where(col("bag") === b)
+          .select(col("feature"), col("threshold"), r6(col("gini")).as("g"),
+            (col("pos_left") * 2 > col("n_left")).cast("long").as("lm"),
+            (col("pos_right") * 2 > col("n_right")).cast("long").as("rm"))
+          .orderBy(col("g"), col("feature"), col("threshold"))
+          .limit(1).head()
+        (row.getString(0), row.getDouble(1), row.getLong(3), row.getLong(4))
+      }
+      // per-fold LR, all folds' gradients fused into one aggregate/step
+      val lrModels = graft.scoring.Trainer.fitLogisticCV(
+        f, lrFeats, col("y"), col("fold"), folds = 3, iters = 5, lr = 0.5)
+      // OOF naive Bayes rows (model tables are broadcast; the test side
+      // of each fold never shuffles)
+      val nbOof = (0 until 3).map { b =>
+        Models.naiveBayesDelta(f.where(col("fold") =!= b),
+          f.where(col("fold") === b), nbFeats, col("y"))
+      }.reduce(_.unionByName(_))
+      val voteCase = (0 until 3).foldLeft(lit(null).cast("long")) {
+        case (acc, b) =>
+          val (ft, th, lm, rm) = bests(b)
+          when(col("fold") === b,
+            when(col(ft).cast("double") <= lit(th), lit(lm)).otherwise(lit(rm)))
+            .otherwise(acc)
+      }
+      val marginCase = (0 until 3).foldLeft(lit(null).cast("double")) {
+        case (acc, b) =>
+          when(col("fold") === b, graft.scoring.Trainer.margin(lrModels(b)))
+            .otherwise(acc)
+      }
+      val oof = nbOof.select(col("y"), r6(col("delta")).as("m_nb"),
+          voteCase.cast("double").as("m_stump"), r6(marginCase).as("m_lr"))
+        .localCheckpoint() // meta GD passes + 4 AUC reads + vote acc
+      val meta = graft.scoring.Trainer.fitLogistic(oof,
+        Seq("m_nb", "m_stump", "m_lr"), col("y"), iters = 10, lr = 0.5)
+      def aucOf(c: String, out: String) =
+        graft.feedback.Drift.auc(oof, col("y") === 1L, col(c))
+          .select(r6(col("auc")).as(out))
+      val aucMeta = graft.feedback.Drift.auc(
+          oof.select(col("y"), graft.scoring.Trainer.margin(meta).as("sm")),
+          col("y") === 1L, col("sm"))
+        .select(r6(col("auc")).as("auc_stacked"))
+      val maj = ((col("m_nb") > 0).cast("int") + (col("m_stump") > 0.5).cast("int") +
+        (col("m_lr") > 0).cast("int") >= 2).cast("long")
+      val va = oof.agg(count(lit(1)).as("n"),
+        r6(avg((maj === col("y")).cast("double"))).as("vote_acc"))
+      va.crossJoin(aucOf("m_nb", "auc_nb"))
+        .crossJoin(aucOf("m_stump", "auc_stump"))
+        .crossJoin(aucOf("m_lr", "auc_lr"))
+        .crossJoin(aucMeta)
+        .select(col("n"), col("auc_nb"), col("auc_stump"), col("auc_lr"),
+          greatest(col("auc_nb"), col("auc_stump"), col("auc_lr"))
+            .as("auc_best_single"),
+          col("auc_stacked"), col("vote_acc"),
+          r6(lit(meta.intercept)).as("intercept"),
+          r6(lit(meta.weights(0))).as("w_m_nb"),
+          r6(lit(meta.weights(1))).as("w_m_stump"),
+          r6(lit(meta.weights(2))).as("w_m_lr"))
+    },
     // closed-form hyperparameter grid (the reference's AutoML surface,
     // models/advanced_models.py:309-339, minus the RNG tuner): a
     // (learning-rate × iteration-budget) grid for the logistic trainer,
@@ -422,6 +501,116 @@ ${assign("a3", "c2t")}
 SELECT cid AS cluster_id, count(*) AS n,
   round(avg(z1) + 5e-11, 4) AS c_z1, round(avg(z2) + 5e-11, 4) AS c_z2
 FROM a3 GROUP BY 1"""
+    },
+    "q182_stacked_ensemble" -> {
+      // per fold: NB likelihood CTEs + stump candidate CTEs + a 5-iter
+      // unrolled LR chain, assembled into OOF rows; then a 10-iter meta
+      // chain over the rounded OOF columns. Every generator is the
+      // q167/q168/q172 building block with fold-suffixed names.
+      val nbF = Seq("hb", "dowi", "vb")
+      val sF = Seq("value", "hb", "dowi")
+      val lrIt = 5
+      val metaIt = 10
+      val idx = 0 until 3
+      def nbLikeF(f: Int, c: String) =
+        s"""l${f}_$c AS (SELECT $c AS v, CAST(sum(y) AS DOUBLE) AS c1,
+  CAST(count(*) - sum(y) AS DOUBLE) AS c0 FROM tr$f GROUP BY 1),
+k${f}_$c AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l${f}_$c)"""
+      def nbTermF(f: Int, c: String) =
+        s"ln((coalesce(l${f}_$c.c1, 0) + 1)/(pr$f.n1 + k${f}_$c.k)) - ln((coalesce(l${f}_$c.c0, 0) + 1)/(pr$f.n0 + k${f}_$c.k))"
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      def lrChain(f: String, src: String, n: Int) = {
+        val i0 = s"i0_$f AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val its = (1 to n).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - 0.5*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+          s"i${k}_$f AS MATERIALIZED (SELECT $upd\n  FROM $src d, i${k - 1}_$f i GROUP BY $grp)"
+        }.mkString(",\n")
+        s"$i0,\n$its"
+      }
+      def fvB(f: Int) =
+        s"""(CASE WHEN b$f.bf = 'value' THEN CAST(fb.value AS DOUBLE)
+      WHEN b$f.bf = 'hb' THEN CAST(fb.hb AS DOUBLE)
+      ELSE CAST(fb.dowi AS DOUBLE) END)"""
+      def foldBlock(f: Int) =
+        s"""tr$f AS MATERIALIZED (SELECT * FROM fb WHERE fold <> $f),
+pr$f AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr$f),
+${nbF.map(c => nbLikeF(f, c)).mkString(",\n")},
+${sF.map(c => stumpCand(c, src = s"tr$f", name = s"cb${f}_$c")).mkString(",\n")},
+best$f AS MATERIALIZED (
+  SELECT feature AS bf, threshold AS bt,
+    CASE WHEN pos_left*2 > n_left THEN 1 ELSE 0 END AS lm,
+    CASE WHEN pos_right*2 > n_right THEN 1 ELSE 0 END AS rm
+  FROM (${sF.map(c => s"SELECT * FROM cb${f}_$c").mkString(" UNION ALL ")})
+  ORDER BY round(gini + 5e-11, 4), feature, threshold LIMIT 1),
+s$f AS (SELECT $statSel FROM tr$f),
+dtr$f AS MATERIALIZED (SELECT $stdSel, y::DOUBLE AS y FROM tr$f, s$f),
+${lrChain(f.toString, s"dtr$f", lrIt)},
+oof$f AS (
+  SELECT fb.y,
+    round(ln(pr$f.n1/pr$f.n0)
+      + ${nbF.map(c => nbTermF(f, c)).mkString("\n      + ")} + 5e-11, 4) AS m_nb,
+    (CASE WHEN ${fvB(f)} <= b$f.bt THEN b$f.lm ELSE b$f.rm END)::DOUBLE AS m_stump,
+    round(i.w0*((fb.x0 - s$f.m0)/s$f.s0) + i.w1*((fb.x1 - s$f.m1)/s$f.s1)
+      + i.w2*((fb.x2 - s$f.m2)/s$f.s2) + i.b + 5e-11, 4) AS m_lr
+  FROM fb
+  CROSS JOIN pr$f ${nbF.map(c => s"CROSS JOIN k${f}_$c").mkString(" ")}
+  ${nbF.map(c => s"LEFT JOIN l${f}_$c ON fb.$c = l${f}_$c.v").mkString("\n  ")}
+  CROSS JOIN best$f b$f CROSS JOIN s$f CROSS JOIN i${lrIt}_$f i
+  WHERE fb.fold = $f)"""
+      def aucCte(name: String, score: String, src: String) =
+        s"""rk_$name AS (SELECT y, rank() OVER (ORDER BY $score) + (count(*) OVER (PARTITION BY $score) - 1)/2.0 AS midrank FROM $src),
+au_$name AS (SELECT CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+  END AS auc FROM rk_$name)"""
+      s"""WITH fb AS MATERIALIZED (
+  SELECT e.*, CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
+    ('0x' || substr(md5('stack:' || event_id), 1, 8))::UBIGINT % 3 AS fold
+  FROM ($featSql) e),
+${(0 until 3).map(foldBlock).mkString(",\n")},
+oof AS MATERIALIZED (
+  SELECT * FROM oof0 UNION ALL SELECT * FROM oof1 UNION ALL SELECT * FROM oof2),
+sm AS (SELECT avg(m_nb) AS m0, coalesce(nullif(stddev_pop(m_nb), 0.0), 1.0) AS s0,
+  avg(m_stump) AS m1, coalesce(nullif(stddev_pop(m_stump), 0.0), 1.0) AS s1,
+  avg(m_lr) AS m2, coalesce(nullif(stddev_pop(m_lr), 0.0), 1.0) AS s2 FROM oof),
+dm AS MATERIALIZED (
+  SELECT (m_nb - m0)/s0 AS x0, (m_stump - m1)/s1 AS x1, (m_lr - m2)/s2 AS x2,
+    y::DOUBLE AS y
+  FROM oof, sm),
+${lrChain("m", "dm", metaIt)},
+scm AS (SELECT d.y, ${marginOf(s"i${metaIt}_m")} AS sv FROM dm d, i${metaIt}_m),
+${aucCte("nb", "m_nb", "oof")},
+${aucCte("st", "m_stump", "oof")},
+${aucCte("lr", "m_lr", "oof")},
+${aucCte("meta", "sv", "scm")},
+va AS (SELECT count(*) AS n,
+  round(avg(CASE WHEN (CASE WHEN (CASE WHEN m_nb > 0 THEN 1 ELSE 0 END
+      + CASE WHEN m_stump > 0.5 THEN 1 ELSE 0 END
+      + CASE WHEN m_lr > 0 THEN 1 ELSE 0 END) >= 2 THEN 1 ELSE 0 END) = y
+    THEN 1.0 ELSE 0.0 END) + 5e-11, 4) AS vote_acc
+  FROM oof)
+SELECT va.n,
+  round(au_nb.auc + 5e-11, 4) AS auc_nb,
+  round(au_st.auc + 5e-11, 4) AS auc_stump,
+  round(au_lr.auc + 5e-11, 4) AS auc_lr,
+  greatest(round(au_nb.auc + 5e-11, 4), round(au_st.auc + 5e-11, 4),
+    round(au_lr.auc + 5e-11, 4)) AS auc_best_single,
+  round(au_meta.auc + 5e-11, 4) AS auc_stacked,
+  va.vote_acc,
+  round(i.b + 5e-11, 4) AS intercept,
+  round(i.w0 + 5e-11, 4) AS w_m_nb,
+  round(i.w1 + 5e-11, 4) AS w_m_stump,
+  round(i.w2 + 5e-11, 4) AS w_m_lr
+FROM va CROSS JOIN au_nb CROSS JOIN au_st CROSS JOIN au_lr CROSS JOIN au_meta
+CROSS JOIN i${metaIt}_m i"""
     },
     "q183_lr_grid" -> {
       // the q165/q172 unrolled-GD technique, once per learning rate; the
