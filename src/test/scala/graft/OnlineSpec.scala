@@ -37,6 +37,10 @@ class OnlineSpec extends AnyFunSuite {
       query.processAllAvailable()
     } finally query.stop()
 
+    // the sink writes partition-parallel from tasks — no driver funnel
+    assert(store.driverWrites == 0, "snapshot upserts must not run on the driver")
+    assert(store.taskWrites > 0)
+
     val snap = store.get(7L).get
     assert(snap.txn_count_60s == 50)          // all 50 burst txns within 60 s
     assert(snap.velocity_score_1h == 50 / 60.0)

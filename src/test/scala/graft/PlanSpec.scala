@@ -278,6 +278,44 @@ class PlanSpec extends AnyFunSuite {
       s"three broadcast 1-row stump joins expected:\n$p")
   }
 
+  test("boosted stumps: scoring is a literal projection — no shuffle join anywhere") {
+    // per-round fits collect ONE argmax row at construction; the
+    // returned report scores with literal CASE chains, so the plan may
+    // contain only broadcast-side joins (1-row tot/auc anchors)
+    val p = plan(graft.queries.ModelQueries.defs("q180_boosted_stumps")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"boosted scoring must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("threshold sweep + gini importance: GlobalOrder ranks only, cumulation via tiny broadcast joins") {
+    for (q <- Seq("q181_threshold_sweep", "q184_gini_importance")) {
+      val p = plan(graft.queries.ModelQueries.defs(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // no bare Window.orderBy: every window partition-bucketed
+      assert(!"Window \\[[^\\]]*\\], \\[[^\\]]*\\]\\n".r.findFirstIn(p).exists(_.contains(", []")),
+        s"$q has a partition-less window:\n$p")
+    }
+  }
+
+  test("stacked ensemble: report reads the checkpointed OOF with 1-row broadcast anchors only") {
+    // the OOF assembly checkpoints at construction (its NB broadcast
+    // shape is the q167 gate); the returned report may join only 1-row
+    // broadcast anchors — meta weights enter as literals
+    val p = plan(graft.queries.ModelQueries.defs("q182_stacked_ensemble")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"report must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("AS intercept"), s"meta intercept should be a literal:\n$p")
+  }
+
+  test("lr grid: one cached projection, cells are 1-row broadcast anchors") {
+    val p = plan(graft.queries.ModelQueries.defs("q183_lr_grid")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"grid cells must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
     val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
     // gram_agg reduces to a single row before any Generate(explode):

@@ -266,6 +266,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bin report round-trip: token mass conserved, all bins but the last full") {
+    // corpora INCLUDING empty docs; the caller contract (q169) filters
+    // tok > 0 before binReport — the report must then conserve the token
+    // total exactly and fill every bin but the last to binSize
+    val tokGen = Gen.frequency(1 -> Gen.const(0L), 4 -> Gen.choose(1L, 150L))
+    samples(Gen.listOfN(30, tokGen), 10).foreach { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "tok").where(col("tok") > 0)
+      val total = toks.sum
+      val rep = graft.scale.Packing.binReport(df, Seq(col("doc_id")), col("tok"), 64L)
+        .orderBy(col("bin")).collect()
+      if (total == 0) assert(rep.isEmpty)
+      else {
+        assert(rep.map(_.getLong(0)).sameElements(0L until (total + 63) / 64),
+          "bins contiguous from 0")
+        assert(rep.map(_.getAs[Long]("bin_tokens")).sum == total, "token mass conserved")
+        rep.dropRight(1).foreach(r =>
+          assert(r.getAs[Long]("bin_tokens") == 64L, s"bin ${r.getLong(0)} not full"))
+        assert(rep.last.getAs[Long]("bin_tokens") ==
+          (if (total % 64 == 0) 64L else total % 64))
+        assert(rep.last.getAs[Long]("n_continuing") == 0L, "nothing continues past the end")
+        rep.foreach(r => assert(r.getAs[Long]("n_contained") <= r.getAs[Long]("n_docs")))
+      }
+    }
+  }
+
+  test("bipartite LPA labels are invariant to input row order and partitioning") {
+    // the q174 oracle replays LPA assuming the run is a pure function of
+    // the EDGE SET — assert labels don't move when the input rows arrive
+    // reversed and differently partitioned
+    val edgeGen = for {
+      c <- Gen.choose(1L, 12L)
+      m <- Gen.choose(1, 6)
+    } yield (c, s"m$m")
+    samples(Gen.listOfN(40, edgeGen), 8).foreach { edges =>
+      def run(rows: Seq[(Long, String)], parts: Int): Set[(Long, Long, Long)] =
+        graft.ops.GraphOps.labelPropagation(
+            rows.toDF("customer_id", "merchant_id").repartition(parts), rounds = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(run(edges, 4) == run(edges.reverse, 2))
+    }
+  }
+
   test("packing placements == sequential fold on random token lists") {
     val tokGen = Gen.choose(1L, 500L)
     samples(Gen.listOfN(40, tokGen), 10).foreach { toks =>

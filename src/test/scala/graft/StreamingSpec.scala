@@ -474,4 +474,44 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(got.values.count(_._1) == batch.values.toSet.size)
   }
+
+  test("trained LR scores the streaming feature vector identically to batch") {
+    import spark.implicits._
+    // the online path must serve the TRAINED model, not just the fixed-
+    // weight heuristic: fit on the batch feature view, then apply the
+    // same literal margin to the streaming vector — scores must agree
+    // wherever the feature vectors do (the 6dp grain the equivalence
+    // test above already pins)
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: feats.map(col): _*)
+    val model = graft.scoring.Trainer.fitLogistic(
+      batchF, feats, col("amount") > 100, iters = 5, lr = 0.5)
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.customerFeatures(input.toDS())
+      .writeStream.format("memory").queryName("served").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    // identical rounded feature grain on both paths -> identical margins
+    def scores(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select(col("customer_id") +: col("ts_micros") +:
+          feats.map(f => round(col(f), 6).as(f)): _*)
+        .withColumn("score", graft.scoring.Trainer.margin(model))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("score")).toMap
+    val streamed = scores(spark.table("served"))
+    val batch = scores(batchF)
+    assert(streamed.size == batch.size)
+    val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => k }
+    assert(diffs.isEmpty, s"margin mismatch at ${diffs.take(3)}")
+  }
 }
