@@ -324,6 +324,29 @@ FROM events"""
           r6(col("__gain")).as("gain"),
           r6(col("__gain") / col("__tg")).as("importance"))
     },
+    // exact greedy depth-2 CART (scoring/Trees) — the smallest tree
+    // that captures a feature INTERACTION, next to the boosted stumps'
+    // additive model (the reference's forest members are depth-6/10,
+    // models/advanced_models.py:228-231). Root stump + BOTH children in
+    // one fused sided pass; report = the three chosen splits with exact
+    // counts and per-node majority-leaf accuracy (root row carries the
+    // whole-tree train accuracy). Model state is 3 driver rows; the
+    // oracle replays the identical greedy chain on the same argmin order.
+    "q185_depth2_tree" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // root + child fits
+      val m = graft.scoring.Trees.fitDepth2(f, Seq("value", "hb", "dowi"), col("y"))
+      def sideAcc(sp: graft.scoring.Trees.Split): Double =
+        KMeansOps.r6d(sp.correct.toDouble / sp.n)
+      def row(node: String, sp: graft.scoring.Trees.Split, acc: Double) =
+        s.range(1).select(lit(node).as("node"), lit(sp.feature).as("feature"),
+          r6(lit(sp.threshold)).as("threshold"), lit(sp.gini).as("gini"),
+          lit(sp.nLeft).as("n_left"), lit(sp.posLeft).as("pos_left"),
+          lit(sp.nRight).as("n_right"), lit(sp.posRight).as("pos_right"),
+          lit(acc).as("acc"))
+      row("root", m.root, m.trainAccuracy)
+        .unionByName(row("left", m.left, sideAcc(m.left)))
+        .unionByName(row("right", m.right, sideAcc(m.right)))
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -815,6 +838,57 @@ SELECT feature, best_threshold, best_gini,
   round(gain + 5e-11, 4) AS gain,
   round(gain/tg + 5e-11, 4) AS importance
 FROM gains CROSS JOIN tg"""
+    },
+    "q185_depth2_tree" -> {
+      // replay of the greedy chain: root argmin over the full candidate
+      // table, side split by the root literal, then per-side argmins on
+      // the FILTERED tables (the fused Spark pass is candidate-identical
+      // — ModelsSpec). All argmins share the (4dp gini, feature,
+      // threshold) order.
+      val fs = Seq("value", "hb", "dowi")
+      val sideExpr = """(CASE root.feature
+    WHEN 'value' THEN CAST(f.value AS DOUBLE)
+    WHEN 'hb' THEN CAST(f.hb AS DOUBLE)
+    ELSE CAST(f.dowi AS DOUBLE) END)"""
+      def bestOf(src: String, name: String) =
+        s"""$name AS MATERIALIZED (
+  SELECT feature, threshold, round(gini + 5e-11, 4) AS gini,
+    n_left, pos_left, n_right, pos_right
+  FROM $src ORDER BY round(gini + 5e-11, 4), feature, threshold LIMIT 1)"""
+      def accOf(t: String) =
+        s"""round(CAST(greatest($t.pos_left, $t.n_left - $t.pos_left)
+      + greatest($t.pos_right, $t.n_right - $t.pos_right) AS DOUBLE)
+    / ($t.n_left + $t.n_right) + 5e-11, 4)"""
+      s"""WITH f AS MATERIALIZED ($featSql),
+${fs.map(f => stumpCand(f)).mkString(",\n")},
+allc AS (${fs.map(f => s"SELECT * FROM cand_$f").mkString(" UNION ALL ")}),
+${bestOf("allc", "root")},
+fl AS MATERIALIZED (SELECT f.* FROM f, root WHERE $sideExpr <= root.threshold),
+fr AS MATERIALIZED (SELECT f.* FROM f, root WHERE $sideExpr > root.threshold),
+${fs.map(f => stumpCand(f, "fl", s"candl_$f")).mkString(",\n")},
+alll AS (${fs.map(f => s"SELECT * FROM candl_$f").mkString(" UNION ALL ")}),
+${bestOf("alll", "bestl")},
+${fs.map(f => stumpCand(f, "fr", s"candr_$f")).mkString(",\n")},
+allr AS (${fs.map(f => s"SELECT * FROM candr_$f").mkString(" UNION ALL ")}),
+${bestOf("allr", "bestr")}
+SELECT 'root' AS node, root.feature, round(root.threshold + 5e-11, 4) AS threshold,
+  root.gini AS gini, root.n_left, root.pos_left, root.n_right, root.pos_right,
+  round(CAST(greatest(bestl.pos_left, bestl.n_left - bestl.pos_left)
+      + greatest(bestl.pos_right, bestl.n_right - bestl.pos_right)
+      + greatest(bestr.pos_left, bestr.n_left - bestr.pos_left)
+      + greatest(bestr.pos_right, bestr.n_right - bestr.pos_right) AS DOUBLE)
+    / (root.n_left + root.n_right) + 5e-11, 4) AS acc
+FROM root, bestl, bestr
+UNION ALL
+SELECT 'left' AS node, bestl.feature, round(bestl.threshold + 5e-11, 4) AS threshold,
+  bestl.gini AS gini, bestl.n_left, bestl.pos_left, bestl.n_right, bestl.pos_right,
+  ${accOf("bestl")} AS acc
+FROM bestl
+UNION ALL
+SELECT 'right' AS node, bestr.feature, round(bestr.threshold + 5e-11, 4) AS threshold,
+  bestr.gini AS gini, bestr.n_left, bestr.pos_left, bestr.n_right, bestr.pos_right,
+  ${accOf("bestr")} AS acc
+FROM bestr"""
     },
     "q171_stump_bagging" -> {
       val fs = Seq("value", "hb", "dowi")

@@ -118,29 +118,52 @@ object Models {
   def stumpCandidatesBagged(df: DataFrame, features: Seq[String],
       label: Column, bagCol: Column, bags: Int): DataFrame = {
     require(bags >= 2, s"stumpCandidatesBagged: bags must be >= 2, got $bags")
+    groupedCandidates(df, features, label, bags, b => bagCol =!= b, "bag")
+  }
+
+  /** Per-SIDE twin of [[stumpCandidatesBagged]] for depth-2 tree growth:
+    * `sideCol` (0/1, typically "left/right of the root split") selects
+    * the rows each child stump trains ON (membership, not complement).
+    * One distinct-value groupBy + one multi-sum GlobalOrder cumsum per
+    * feature carries both children's counts — the fact table is scanned
+    * once per feature instead of once per (feature × child), and the
+    * per-side candidates match `stumpCandidates(df.where(side === s))`
+    * exactly (ModelsSpec), with the same phantom-exclusion argument as
+    * the bagged fit.
+    */
+  def stumpCandidatesSided(df: DataFrame, features: Seq[String],
+      label: Column, sideCol: Column): DataFrame =
+    groupedCandidates(df, features, label, 2, s => sideCol === s, "side")
+
+  /** Shared fused fit: `groups` parallel candidate tables from one pass,
+    * group g trained on rows where `member(g)`.
+    */
+  private def groupedCandidates(df: DataFrame, features: Seq[String],
+      label: Column, groups: Int, member: Int => Column,
+      groupOut: String): DataFrame = {
     val y = label.cast("long")
     features.map { f =>
-      val aggs = (0 until bags).flatMap(b => Seq(
-        sum(when(bagCol =!= b, 1L).otherwise(0L)).as(s"__n$b"),
-        sum(when(bagCol =!= b, y).otherwise(lit(0L))).as(s"__p$b")))
+      val aggs = (0 until groups).flatMap(b => Seq(
+        sum(when(member(b), 1L).otherwise(0L)).as(s"__n$b"),
+        sum(when(member(b), y).otherwise(lit(0L))).as(s"__p$b")))
       val per = df.groupBy(col(f).cast("double").as("threshold"))
         .agg(aggs.head, aggs.tail: _*)
-      val totAggs = (0 until bags).flatMap(b => Seq(
+      val totAggs = (0 until groups).flatMap(b => Seq(
         sum(col(s"__n$b")).as(s"__tn$b"), sum(col(s"__p$b")).as(s"__tp$b")))
       val tot = per.agg(totAggs.head, totAggs.tail: _*)
       val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
-        (0 until bags).flatMap(b =>
+        (0 until groups).flatMap(b =>
           Seq(col(s"__n$b") -> s"__nl$b", col(s"__p$b") -> s"__pl$b")))
-      val bagStructs = (0 until bags).map(b => struct(
-        lit(b).as("bag"), col(s"__nl$b").as("nl"), col(s"__pl$b").as("pl"),
+      val grpStructs = (0 until groups).map(b => struct(
+        lit(b).as("grp"), col(s"__nl$b").as("nl"), col(s"__pl$b").as("pl"),
         col(s"__tn$b").as("tn"), col(s"__tp$b").as("tp")))
       cum.crossJoin(broadcast(tot))
-        .select(col("threshold"), explode(array(bagStructs: _*)).as("s"))
+        .select(col("threshold"), explode(array(grpStructs: _*)).as("s"))
         // real candidates only: left side non-empty (phantoms below the
-        // bag's min value have nl = 0 — not thresholds of the filtered
-        // fit) and right side non-empty (the bag's max value)
+        // group's min value have nl = 0 — not thresholds of the filtered
+        // fit) and right side non-empty (the group's max value)
         .where(col("s.nl") > 0 && col("s.nl") < col("s.tn"))
-        .select(col("s.bag").as("bag"), lit(f).as("feature"), col("threshold"),
+        .select(col("s.grp").as(groupOut), lit(f).as("feature"), col("threshold"),
           col("s.nl").as("n_left"), col("s.pl").as("pos_left"),
           (col("s.tn") - col("s.nl")).as("n_right"),
           (col("s.tp") - col("s.pl")).as("pos_right"),

@@ -1,0 +1,90 @@
+package graft.scoring
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact greedy depth-2 CART — the engine's multi-level-tree slot next to
+  * the boosted stumps in [[Boosting]] (the reference's forest/boosting
+  * members train depth-6/10 trees, `models/advanced_models.py:228-231`;
+  * depth 2 is the smallest tree that captures a feature INTERACTION, the
+  * qualitative gap between a stump ensemble and a real tree).
+  *
+  * Fit = three exact stump fits: the root over the whole table
+  * ([[Models.stumpCandidates]]), then BOTH children in one fused pass
+  * ([[Models.stumpCandidatesSided]] — one distinct-value groupBy + one
+  * multi-column GlobalOrder cumsum per feature carries the two sides'
+  * counts in parallel). Argmins are deterministic under (4dp-rounded
+  * gini, feature, threshold) on both engines, and thresholds re-enter the
+  * side filter as driver literals bit-identical to the values the oracle
+  * derives — so a DuckDB replay of the same greedy chain lands on the
+  * same tree. Driver state is three split rows; the data never moves.
+  */
+object Trees {
+
+  /** One chosen split with its exact class counts. */
+  final case class Split(feature: String, threshold: Double, gini: Double,
+      nLeft: Long, posLeft: Long, nRight: Long, posRight: Long) {
+    /** Rows the majority-class leaves of this split classify correctly. */
+    def correct: Long =
+      math.max(posLeft, nLeft - posLeft) + math.max(posRight, nRight - posRight)
+    def n: Long = nLeft + nRight
+  }
+
+  /** Fitted depth-2 tree: root split + one split per root side. */
+  final case class Depth2(root: Split, left: Split, right: Split) {
+    /** Training accuracy of the four majority-class leaves. */
+    def trainAccuracy: Double =
+      KMeansOps.r6d((left.correct + right.correct).toDouble / root.n)
+  }
+
+  /** Fit on numeric `features` and a 0/1 `label`. The caller should
+    * cache/checkpoint `df` (it is scanned once per feature for the root
+    * and once per feature for the fused child pass). Preconditions: both
+    * root sides must admit a split (≥ 2 distinct values of some feature
+    * on each side) — guaranteed for any non-degenerate fact table;
+    * `require`d so a violation fails loudly rather than silently
+    * dropping a child.
+    */
+  def fitDepth2(df: DataFrame, features: Seq[String], label: Column): Depth2 = {
+    val root = argmin(Models.stumpCandidates(df, features, label))
+    val side = when(col(root.feature).cast("double") <= root.threshold, 0)
+      .otherwise(1)
+    val kids = Models.stumpCandidatesSided(df, features, label, side)
+      .groupBy(col("side")).agg(min(struct(
+        graft.queries.r6(col("gini")).as("gini"), col("feature"),
+        col("threshold"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"))).as("b"))
+      .select(col("side"), col("b.*")).collect()
+      .map(r => r.getInt(0) -> Split(r.getString(2), r.getDouble(3),
+        r.getDouble(1), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    require(kids.contains(0) && kids.contains(1),
+      s"fitDepth2: a root side admits no split (sides fitted: ${kids.keys})")
+    Depth2(root, kids(0), kids(1))
+  }
+
+  /** Deterministic best split of a candidate table: min by (rounded
+    * gini, feature, threshold) via TakeOrdered — no global sort
+    * materializes.
+    */
+  private def argmin(cands: DataFrame): Split = {
+    val r = cands.select(col("feature"), col("threshold"),
+        graft.queries.r6(col("gini")).as("gini"), col("n_left"),
+        col("pos_left"), col("n_right"), col("pos_right"))
+      .orderBy(col("gini"), col("feature"), col("threshold")).limit(1).head()
+    Split(r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+  }
+
+  /** Majority-class prediction of the fitted tree over the raw feature
+    * columns — a literal CASE chain, pure whole-stage-codegen projection.
+    */
+  def predict(m: Depth2): Column = {
+    def leafPred(s: Split): Column =
+      when(col(s.feature).cast("double") <= lit(s.threshold),
+        lit(if (s.posLeft * 2 > s.nLeft) 1L else 0L))
+        .otherwise(lit(if (s.posRight * 2 > s.nRight) 1L else 0L))
+    when(col(m.root.feature).cast("double") <= lit(m.root.threshold),
+      leafPred(m.left)).otherwise(leafPred(m.right))
+  }
+}

@@ -94,6 +94,60 @@ class ModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("stumpCandidatesSided matches the filtered per-side fit") {
+    import spark.implicits._
+    // value 99 exists only on side 1 -> must never phantom-argmin side 0
+    val df = ((1 to 60).map(i => (i % 10 * 1.0, i % 4, if (i % 10 >= 5) 1 else 0)) :+
+      ((99.0, 3, 1))).toDF("x", "z", "y")
+    val side = when(col("z") <= 1, 0).otherwise(1)
+    val fused = Models.stumpCandidatesSided(df, Seq("x"), col("y"), side)
+    for (sd <- 0 until 2) {
+      val filt = Models.stumpCandidates(df.where(side === sd), Seq("x"), col("y"))
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"), col("gini"))
+        .orderBy(col("threshold")).collect().toSeq
+      val fus = fused.where(col("side") === sd)
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"), col("gini"))
+        .orderBy(col("threshold")).collect().toSeq
+      val fusByT = fus.map(r => r.getDouble(0) -> r).toMap
+      filt.foreach { r =>
+        val m = fusByT(r.getDouble(0))
+        assert((1 to 4).forall(i => m.getLong(i) == r.getLong(i)) &&
+          m.getDouble(5) == r.getDouble(5), s"side $sd threshold ${r.getDouble(0)}")
+      }
+      def arg(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.minBy(r => (KMeansOps.r6d(r.getDouble(5)), r.getDouble(0)))
+      assert(arg(filt).getDouble(0) == arg(fus).getDouble(0), s"side $sd argmin")
+    }
+  }
+
+  test("fitDepth2 solves an interaction no stump can separate") {
+    import spark.implicits._
+    // y = (x <= 4) XOR (z > 5): every depth-1 split is ~50/50, the
+    // depth-2 tree is exact. 8 copies so counts are unambiguous.
+    val df = (for {
+      rep <- 1 to 8; x <- 1 to 8; z <- 1 to 8
+    } yield (x.toDouble, z.toDouble,
+      if ((x <= 4) ^ (z > 5)) 1 else 0, rep)).toDF("x", "z", "y", "rep")
+    val m = graft.scoring.Trees.fitDepth2(df, Seq("x", "z"), col("y"))
+    assert(m.trainAccuracy == 1.0, s"expected exact fit, got $m")
+    // the two levels split on DIFFERENT features at the true boundaries
+    assert(Set(m.root.feature, m.left.feature) == Set("x", "z"))
+    assert(m.left.feature == m.right.feature)
+    val b = Map("x" -> 4.0, "z" -> 5.0)
+    assert(m.root.threshold == b(m.root.feature))
+    assert(m.left.threshold == b(m.left.feature) &&
+      m.right.threshold == b(m.right.feature))
+    // predict column reproduces the label everywhere; trainAccuracy is
+    // the same number the counts claim
+    val acc = df.select(avg((graft.scoring.Trees.predict(m) === col("y"))
+      .cast("double"))).head().getDouble(0)
+    assert(acc == 1.0)
+    // root counts cover the whole table
+    assert(m.root.n == 8L * 64)
+  }
+
   test("fitLogisticCV matches three separate leave-one-fold-out fits") {
     import spark.implicits._
     val df = (1 to 300).map { i =>
