@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.scale.{Dedup, Similarity, Splits, TextOps}
+import graft.scale.{Bpe, Dedup, Similarity, Splits, TextOps}
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 
@@ -289,6 +289,23 @@ sig AS (SELECT doc_id,
         count(lit(1)).as("n_types"),
         sum(col("cnt")).cast("long").as("n_tokens"),
         r6(regr_slope(log(col("cnt")), log(col("rnk")))).as("zipf_slope"))
+    },
+    // BPE vocabulary induction (scale/Bpe): 5 merge rounds over the
+    // letter-word frequency table — the tokenizer-training step of an
+    // LLM pipeline. Pure integer/string windows partitioned by WORD;
+    // only the 1-row argmax reaches the driver per round; the oracle
+    // replays the identical greedy merge chain (closed-form
+    // left-to-right merge — see Bpe's island/parity argument).
+    "q186_bpe_merges" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      Bpe.fit(words, col("word"), col("freq"), rounds = 5)
+        .map(m => s.range(1).select(lit(m.round).as("round"),
+          lit(m.left).as("merge_left"), lit(m.right).as("merge_right"),
+          lit(m.count).as("cnt"), lit(m.vocabAfter).as("vocab_after")))
+        .reduce(_.unionByName(_))
     },
     // PMI collocations: phrase mining before vocabulary building —
     // top-20 adjacent-token pairs by pointwise mutual information,
@@ -839,6 +856,50 @@ r AS (SELECT source, cnt,
 SELECT source, count(*) AS n_types, sum(cnt)::BIGINT AS n_tokens,
   round(regr_slope(ln(cnt), ln(rnk)) + 5e-11, 4) AS zipf_slope
 FROM r GROUP BY source""",
+    "q186_bpe_merges" -> {
+      // one static CTE block per merge round: pair window → 1-row argmax
+      // → closed-form greedy merge (islands/parity — see scale/Bpe).
+      // Every multi-referenced CTE is MATERIALIZED so the 5-round chain
+      // cannot inline-blow-up.
+      def round(t: Int) = s"""p$t AS (SELECT word, freq, pos, tok,
+    row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
+    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM tok$t),
+best$t AS MATERIALIZED (
+  SELECT tok AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM p$t WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ORDER BY cnt DESC, a, b LIMIT 1),
+q$t AS (SELECT p.word, p.freq, p.pos, p.tok, p.rn, p.nxt, b.a, b.b,
+    CASE WHEN p.tok = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS mt,
+    row_number() OVER (
+      PARTITION BY p.word, CASE WHEN p.tok = b.a THEN 1 ELSE 0 END
+      ORDER BY p.rn) AS arn
+  FROM p$t p CROSS JOIN best$t b),
+r$t AS (SELECT *,
+    CASE WHEN mt = 1 AND (a <> b OR (row_number() OVER (
+        PARTITION BY word, CASE WHEN tok = a THEN 1 ELSE 0 END, rn - arn
+        ORDER BY rn)) % 2 = 1) THEN 1 ELSE 0 END AS ms
+  FROM q$t),
+tok${t + 1} AS MATERIALIZED (
+  SELECT word, freq, pos, CASE WHEN ms = 1 THEN a || b ELSE tok END AS tok
+  FROM (SELECT *, lag(ms) OVER (PARTITION BY word ORDER BY rn) AS pms
+        FROM r$t)
+  WHERE coalesce(pms, 0) = 0),
+voc$t AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tok${t + 1})"""
+      val rows = (1 to 5).map(t =>
+        s"""SELECT $t AS round, a AS merge_left, b AS merge_right, cnt,
+  (SELECT v FROM voc$t) AS vocab_after FROM best$t""")
+      s"""WITH w0 AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY 1),
+tok1 AS MATERIALIZED (
+  SELECT word, freq, pos, substr(word, pos, 1) AS tok
+  FROM (SELECT word, freq,
+          unnest(generate_series(1, length(word))) AS pos
+        FROM words)),
+${(1 to 5).map(round).mkString(",\n")}
+${rows.mkString("\nUNION ALL\n")}"""
+    },
     "q148_mixture_weights" ->
       """WITH per AS (
   SELECT source, count(*) AS n_docs,

@@ -375,4 +375,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(out("big").getDouble(4) - 90.0 / 81) < 1e-12)
     assert(math.abs(out.values.map(_.getDouble(3)).sum - 1.0) < 1e-12)
   }
+
+  test("Bpe.fit: hand-computed merges incl. same-token runs and tie-break") {
+    // banana×3 + bandana + aaaa×2:
+    //  round 1: (a,n) cnt 8  — plain distinct-pair merge
+    //  round 2: (a,a) cnt 6  — run "aaaa" must merge greedily to aa,aa
+    //                           (odd offsets only), not aa,aa,AA-overlap
+    //  round 3: (an,a) vs (b,an) tie at 4 — lexicographic left wins
+    val words = Seq(("banana", 3L), ("bandana", 1L), ("aaaa", 2L))
+      .toDF("word", "freq")
+    val ms = graft.scale.Bpe.fit(words, col("word"), col("freq"), rounds = 3)
+    assert(ms.map(m => (m.left, m.right, m.count)) ==
+      Seq(("a", "n", 8L), ("a", "a", 6L), ("an", "a", 4L)), ms.toString)
+    // vocab after each round: {b,an,a,d}; +aa; then (an,a) consumes the
+    // final bare 'a' of banana/bandana and adds ana: {b,an,ana,d,aa}
+    assert(ms.map(_.vocabAfter) == Seq(4L, 5L, 5L), ms.toString)
+  }
 }
