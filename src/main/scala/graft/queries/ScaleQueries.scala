@@ -275,6 +275,19 @@ sig AS (SELECT doc_id,
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           r6(col("corr")).as("corr"))
     },
+    // top principal component of the embedding corpus (scale/Pca):
+    // ONE mergeable GramAgg pass reduces n×d to a d(d+3)/2 buffer, then
+    // the 64×64 eigensolve is model-size driver arithmetic — rounded
+    // covariance entries + per-iteration re-rounded power iterates, so
+    // the DuckDB oracle replays the identical chain.
+    "q187_pca_power" -> { (s, dir) =>
+      import s.implicits._
+      val r = graft.scale.Pca.topComponent(
+        Tables.embeddings(s, dir), col("embedding"), iters = 6)
+      r.loadings.zipWithIndex
+        .map { case (ld, i) => (i.toLong, ld, r.lambda, r.explainedRatio) }
+        .toSeq.toDF("dim", "loading", "lambda", "explained_ratio")
+    },
     // per-source Zipf slope: log-log regression of token frequency on
     // rank — the corpus-health fingerprint (natural text ~ -1)
     "q150_zipf_slope" -> { (s, dir) =>
@@ -432,6 +445,51 @@ sig AS (SELECT doc_id,
   /** LSH config for q56; the oracle embeds the identical md5-derived
     * hyperplane coefficients as SQL literals.
     */
+
+  /** q187 oracle: explicit sum-based covariance (matching the GramAgg
+    * closed form), rounded entries, then 6 normalize-and-round power
+    * iterations — one static CTE block per iteration. Built at object
+    * level (not inline in the map) so the interpolated builder stays a
+    * plain expression.
+    */
+  private val pcaPowerSql: String = {
+    def iter(t: Int): String = {
+      val pv = "v" + (t - 1)
+      s"""u$t AS MATERIALIZED (
+  SELECT cv.i AS i, sum(cv.c * pv0.v) AS u
+  FROM cv JOIN $pv pv0 ON cv.j = pv0.i GROUP BY 1),
+v$t AS MATERIALIZED (
+  SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM u$t) + 5e-11, 4) AS v
+  FROM u$t)"""
+    }
+    s"""WITH x AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+    unnest(embedding)::DOUBLE AS v
+  FROM embeddings),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+m AS MATERIALIZED (SELECT i, sum(v) AS s FROM x GROUP BY 1),
+cv AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+    round(sum(a.v * b.v) / any_value(nn.n)
+      - (any_value(ma.s) / any_value(nn.n)) * (any_value(mb.s) / any_value(nn.n))
+      + 5e-11, 4) AS c
+  FROM x a
+  JOIN x b ON a.vec_id = b.vec_id
+  CROSS JOIN nn
+  JOIN m ma ON ma.i = a.i
+  JOIN m mb ON mb.i = b.i
+  GROUP BY a.i, b.i),
+v0 AS (SELECT i, 1.0::DOUBLE AS v FROM m),
+${(1 to 6).map(iter).mkString(",\n")},
+lam AS (SELECT round(sum(a.v * cv.c * b.v) + 5e-11, 4) AS lambda,
+    sum(a.v * cv.c * b.v) AS lam_raw
+  FROM cv JOIN v6 a ON cv.i = a.i JOIN v6 b ON cv.j = b.i),
+tr AS (SELECT sum(c) AS trace FROM cv WHERE i = j)
+SELECT CAST(v6.i AS BIGINT) AS dim, v6.v AS loading, lam.lambda AS lambda,
+  round(lam.lam_raw / tr.trace + 5e-11, 4) AS explained_ratio
+FROM v6, lam, tr"""
+  }
+
   private val lshPlanes = 8
   private val lshDim = 64
 
@@ -856,6 +914,7 @@ r AS (SELECT source, cnt,
 SELECT source, count(*) AS n_types, sum(cnt)::BIGINT AS n_tokens,
   round(regr_slope(ln(cnt), ln(rnk)) + 5e-11, 4) AS zipf_slope
 FROM r GROUP BY source""",
+    "q187_pca_power" -> pcaPowerSql,
     "q186_bpe_merges" -> {
       // one static CTE block per merge round: pair window → 1-row argmax
       // → closed-form greedy merge (islands/parity — see scale/Bpe).

@@ -1,0 +1,63 @@
+package graft.scale
+
+import graft.scoring.KMeansOps.r6d
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Top principal component of an embedding corpus via power iteration on
+  * the covariance matrix — the dimensionality screen an embedding
+  * pipeline runs before index build / whitening (an engine extension,
+  * like the dim-correlation screen in [[Similarity.dimCorrPairs]]).
+  *
+  * Scale shape: ONE distributed pass — the mergeable
+  * [[graft.functions.GramAgg]] — reduces the n×d corpus to a d(d+3)/2+2
+  * double buffer; everything after is O(d²) model-size arithmetic on the
+  * driver (the [[graft.scoring.Trainer]]/[[graft.scoring.KMeansOps]]
+  * convention: per-step driver state bounded by MODEL size, the data
+  * never moves and is never re-read). At d = 64 the "matrix" is 32 KB;
+  * the eigensolve is not distributed work, the Gram pass is.
+  *
+  * Cross-engine determinism (the q170/q172 recipe): every covariance
+  * entry is rounded to the 4dp quantum before iteration; each iterate is
+  * L2-normalized then re-rounded, so both engines walk the same rounded
+  * chain and summation-order noise (~1e-15 per 64-term dot) stays far
+  * below the quantum. Fixed iteration count, no convergence test; the
+  * sign is pinned by the all-ones start vector.
+  */
+object Pca {
+
+  /** Fitted component: 4dp loadings, Rayleigh-quotient eigenvalue, and
+    * explained-variance ratio λ / trace(cov).
+    */
+  final case class Component(loadings: Array[Double], lambda: Double,
+      explainedRatio: Double, n: Long, d: Int)
+
+  def topComponent(corpus: DataFrame, emb: Column, iters: Int): Component = {
+    require(iters >= 1, s"Pca.topComponent: iters must be >= 1, got $iters")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val g = corpus
+      .agg(column(graft.functions.GramAgg(expression(emb))
+        .toAggregateExpression()).as("g"))
+      .head().getSeq[Double](0)
+    val n = g(0)
+    val d = g(1).toInt
+    require(d >= 2 && n >= 2, s"Pca.topComponent: need n >= 2, d >= 2 (n=$n, d=$d)")
+    // cov(i,j) = E[x_i x_j] − E[x_i]E[x_j] from the flat Gram layout
+    // [n, d, sums, upper-triangle product sums], rounded to the quantum
+    val c = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val ps = g(2 + d + i * d - i * (i - 1) / 2 + (j - i))
+      val cij = r6d(ps / n - (g(2 + i) / n) * (g(2 + j) / n))
+      c(i)(j) = cij
+      c(j)(i) = cij
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val nm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(x => r6d(x / nm))
+    }
+    val lam = (for (i <- 0 until d; j <- 0 until d) yield v(i) * c(i)(j) * v(j)).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    Component(v, r6d(lam), r6d(lam / trace), n.toLong, d)
+  }
+}

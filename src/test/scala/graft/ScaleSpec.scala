@@ -376,6 +376,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_.getDouble(3)).sum - 1.0) < 1e-12)
   }
 
+  test("Pca.topComponent recovers a rank-1 direction exactly") {
+    // points t·(3,4), t ∈ {-2..2}: cov = 2·[[9,12],[12,16]], top
+    // eigenvector (0.6, 0.8), λ = trace = 50 → explained ratio 1
+    val df = Seq(-2f, -1f, 0f, 1f, 2f)
+      .map(t => Tuple1(Array(3 * t, 4 * t))).toDF("embedding")
+    val c = graft.scale.Pca.topComponent(df, col("embedding"), iters = 6)
+    assert(c.d == 2 && c.n == 5)
+    assert(c.loadings.toSeq == Seq(0.6, 0.8), c.loadings.toSeq.toString)
+    assert(c.lambda == 50.0 && c.explainedRatio == 1.0,
+      s"${c.lambda} ${c.explainedRatio}")
+  }
+
   test("Bpe.fit: hand-computed merges incl. same-token runs and tie-break") {
     // banana×3 + bandana + aaaa×2:
     //  round 1: (a,n) cnt 8  — plain distinct-pair merge
