@@ -39,6 +39,42 @@ object Sketches {
       .agg(hll_sketch_agg(value, lit(lgK)).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
 
+  /** Per-group exact percentiles next to a RANK-SPACE acceptance check
+    * of the percentile sketch (`approx_percentile`, rank error ≤
+    * n/accuracy): for each target p, the exact rank of the sketch's
+    * answer must sit within `envelope` of p. Rank space is the sketch's
+    * actual guarantee — a value-space comparison would fail on any
+    * heavy-tailed column without the sketch being wrong.
+    *
+    * Two passes: the grouped sketch+exact aggregate (per-group state is
+    * O(sketch); the exact `percentile` buffers values and is the
+    * small-group-count gate side, not the scale path), then one
+    * conditional-count pass against the broadcast per-group answers.
+    * Output per group: exact_p<pp> (oracle-reproducible) and ok_p<pp>
+    * booleans — the q87 envelope-gate contract.
+    */
+  def approxPercentileGate(df: DataFrame, group: Column, value: Column,
+      ps: Seq[Double], accuracy: Int = 1000,
+      envelope: Double = 0.01): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+    val pArr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val per = base.groupBy(col("g")).agg(
+      expr(s"percentile(v, $pArr)").as("ex"),
+      percentile_approx(col("v"), array(ps.map(lit): _*), lit(accuracy)).as("ap"),
+      count(lit(1)).as("n"))
+    val rankAggs = ps.indices.map(i =>
+      sum((col("v") <= col("ap")(i)).cast("long")).as(s"r$i"))
+    val ranked = base.join(broadcast(per), "g")
+      .groupBy(col("g"), col("n"), col("ex"), col("ap"))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    def pp(p: Double) = (p * 100).round.toString
+    ranked.select(col("g") +:
+      (ps.indices.map(i => graft.queries.r6(col("ex")(i)).as(s"exact_p${pp(ps(i))}")) ++
+       ps.indices.map(i =>
+         (abs(col(s"r$i").cast("double") / col("n") - ps(i)) <= envelope)
+           .as(s"ok_p${pp(ps(i))}"))): _*)
+  }
+
   /** Count-min sketch over `value`, decoded to estimated counts for the
     * given candidate items (the serving-side lookup shape: the sketch is
     * the shipped artifact, candidates come from the request). One-sided

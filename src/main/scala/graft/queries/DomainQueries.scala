@@ -852,6 +852,17 @@ object DomainQueries extends QueryPack {
           col("exact").as("exact_distinct"),
           (col("rel_err") <= 0.05).as("within_envelope"))
     },
+    // percentile-sketch acceptance gate (the q87 envelope recipe for the
+    // OTHER sketch family): per-event-type exact p50/p90/p99 next to a
+    // rank-space check of approx_percentile — the exact rank of each
+    // sketch answer must sit within ±0.01 of its target (10× the
+    // sketch's n/accuracy guarantee). Exact values hash-gate against
+    // quantile_cont; the booleans assert the sketch held.
+    "q188_percentile_sketch" -> { (s, dir) =>
+      graft.ops.Sketches.approxPercentileGate(Tables.events(s, dir),
+          col("event_type"), col("value"), Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("g", "event_type")
+    },
     // deterministic class rebalance: all positives + md5-sampled
     // negatives at 5/1000, with inverse-probability weights
     "q86_rebalance" -> { (s, dir) =>
@@ -1533,6 +1544,13 @@ SELECT * FROM (
     "q87_sketch_distinct" ->
       """SELECT event_type AS merchant_id, count(DISTINCT user_id) AS exact_distinct,
   TRUE AS within_envelope
+FROM events GROUP BY 1""",
+    "q188_percentile_sketch" ->
+      """SELECT event_type,
+  round(quantile_cont(value, 0.5) + 5e-11, 4) AS exact_p50,
+  round(quantile_cont(value, 0.9) + 5e-11, 4) AS exact_p90,
+  round(quantile_cont(value, 0.99) + 5e-11, 4) AS exact_p99,
+  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
 FROM events GROUP BY 1""",
     "q88_zorder" ->
       s"""WITH c AS (SELECT event_id, user_id, $centsSql AS cents FROM events)

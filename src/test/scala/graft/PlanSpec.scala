@@ -316,6 +316,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("depth-2 / BPE / PCA reports are pure model-state literals (zero exchanges)") {
+    // fitting collects only model-size state at construction (3 split
+    // rows / 1 argmax per round / a d² matrix); the returned reports
+    // must therefore plan as local literal rows — any Exchange or join
+    // would mean fact-table work leaked into the report side
+    for (q <- Seq(
+        graft.queries.ModelQueries.defs("q185_depth2_tree"),
+        graft.queries.ScaleQueries.defs("q186_bpe_merges"),
+        graft.queries.ScaleQueries.defs("q187_pca_power"))) {
+      val p = plan(q(spark, sf))
+      assert(!p.contains("Exchange") && !p.contains("Join"), s"report plan:\n$p")
+      assert(p.contains("LocalTableScan") || p.contains("Range"), p)
+    }
+  }
+
+  test("sided stump fit: GlobalOrder cumsum only — no partition-less window") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i % 40 * 1.0, i % 7, i % 2)).toDF("x", "z", "y")
+    val p = plan(graft.scoring.Models.stumpCandidatesSided(
+      df, Seq("x", "z"), col("y"), when(col("z") <= 3, 0).otherwise(1)))
+    assert(!"Window \\[[^\\]]*\\], \\[[^\\]]*\\]\\n".r.findFirstIn(p).exists(_.contains(", []")),
+      s"partition-less window in sided fit:\n$p")
+  }
+
+  test("percentile gate: partial-merge sketch agg + broadcast rank pass") {
+    val p = plan(graft.queries.DomainQueries.defs("q188_percentile_sketch")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rank pass must broadcast the per-group answers:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("dim-corr screen: pair expansion happens AFTER the Gram aggregate (explode over one row)") {
     val p = plan(graft.queries.ScaleQueries.defs("q149_dim_corr")(spark, sf))
     // gram_agg reduces to a single row before any Generate(explode):

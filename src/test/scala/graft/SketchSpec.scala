@@ -61,4 +61,19 @@ class SketchSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
     assert(p.contains("partial"), p)
   }
+
+  test("approxPercentileGate: exact percentiles pin; sketch ranks inside envelope") {
+    // uniform 1..1000 plus a heavy-tailed group: rank-space gate must
+    // hold in both; exact p50 of the uniform group interpolates to 500.5
+    val rows = (1 to 1000).map(v => ("u", v.toDouble)) ++
+      (1 to 1000).map(v => ("z", math.pow(1.01, v)))
+    val out = Sketches.approxPercentileGate(rows.toDF("g", "v"),
+        col("g"), col("v"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u").getDouble(1) == 500.5)   // exact_p50
+    assert(out("u").getDouble(2) == 900.1)   // exact_p90 = 1 + 0.9*999
+    assert(out("u").getDouble(3) == 990.01)  // exact_p99
+    for (g <- Seq("u", "z"); i <- 4 to 6)
+      assert(out(g).getBoolean(i), s"envelope failed: $g col $i")
+  }
 }
