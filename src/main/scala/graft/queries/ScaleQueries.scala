@@ -320,6 +320,27 @@ sig AS (SELECT doc_id,
           lit(m.count).as("cnt"), lit(m.vocabAfter).as("vocab_after")))
         .reduce(_.unionByName(_))
     },
+    // the ENCODER side of q186: price the learned 5-merge vocabulary on
+    // every corpus slice. The merge chain runs once at VOCABULARY scale
+    // (distinct words); per-source cost is then a word-level join —
+    // never a re-tokenization of the corpus. compression = tokens/chars.
+    "q189_bpe_encode" -> { (s, dir) =>
+      val ws = Tables.documents(s, dir).select(col("source"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+      val swf = ws.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("freq")).localCheckpoint() // feeds fit + report
+      val words = swf.groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+      val (_, toks) = Bpe.fitWithTokens(words, col("word"), col("freq"), rounds = 5)
+      val tw = toks.groupBy(col("word")).agg(count(lit(1)).as("ntok"))
+      swf.join(tw, "word")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("freq") * length(col("word"))).cast("long").as("chars"),
+          sum(col("freq") * col("ntok")).cast("long").as("tokens"))
+        .select(col("source"), col("n_words"), col("chars"), col("tokens"),
+          r6(col("tokens").cast("double") / col("chars")).as("compression"))
+    },
     // PMI collocations: phrase mining before vocabulary building —
     // top-20 adjacent-token pairs by pointwise mutual information,
     // ranked on the ROUNDED score so float noise cannot reorder
@@ -445,6 +466,51 @@ sig AS (SELECT doc_id,
   /** LSH config for q56; the oracle embeds the identical md5-derived
     * hyperplane coefficients as SQL literals.
     */
+
+  /** Round-0 BPE tokenization CTE: one row per (word, char position). */
+  private val bpeTok1: String = """tok1 AS MATERIALIZED (
+  SELECT word, freq, pos, substr(word, pos, 1) AS tok
+  FROM (SELECT word, freq,
+          unnest(generate_series(1, length(word))) AS pos
+        FROM words))"""
+
+  /** One BPE merge round as static CTEs (q186/q189 oracles): pair window
+    * → 1-row argmax → closed-form greedy merge (islands/parity — see
+    * scale/Bpe). Multi-referenced CTEs are MATERIALIZED so the unrolled
+    * chain cannot inline-blow-up; `withVocab` adds the post-merge
+    * distinct-token count (q186's vocab_after column).
+    */
+  private def bpeRound(t: Int, withVocab: Boolean): String = {
+    val voc =
+      if (withVocab)
+        s""",
+voc$t AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tok${t + 1})"""
+      else ""
+    s"""p$t AS (SELECT word, freq, pos, tok,
+    row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
+    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM tok$t),
+best$t AS MATERIALIZED (
+  SELECT tok AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM p$t WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ORDER BY cnt DESC, a, b LIMIT 1),
+q$t AS (SELECT p.word, p.freq, p.pos, p.tok, p.rn, p.nxt, b.a, b.b,
+    CASE WHEN p.tok = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS mt,
+    row_number() OVER (
+      PARTITION BY p.word, CASE WHEN p.tok = b.a THEN 1 ELSE 0 END
+      ORDER BY p.rn) AS arn
+  FROM p$t p CROSS JOIN best$t b),
+r$t AS (SELECT *,
+    CASE WHEN mt = 1 AND (a <> b OR (row_number() OVER (
+        PARTITION BY word, CASE WHEN tok = a THEN 1 ELSE 0 END, rn - arn
+        ORDER BY rn)) % 2 = 1) THEN 1 ELSE 0 END AS ms
+  FROM q$t),
+tok${t + 1} AS MATERIALIZED (
+  SELECT word, freq, pos, CASE WHEN ms = 1 THEN a || b ELSE tok END AS tok
+  FROM (SELECT *, lag(ms) OVER (PARTITION BY word ORDER BY rn) AS pms
+        FROM r$t)
+  WHERE coalesce(pms, 0) = 0)$voc"""
+  }
 
   /** q187 oracle: explicit sum-based covariance (matching the GramAgg
     * closed form), rounded entries, then 6 normalize-and-round power
@@ -916,49 +982,34 @@ SELECT source, count(*) AS n_types, sum(cnt)::BIGINT AS n_tokens,
 FROM r GROUP BY source""",
     "q187_pca_power" -> pcaPowerSql,
     "q186_bpe_merges" -> {
-      // one static CTE block per merge round: pair window → 1-row argmax
-      // → closed-form greedy merge (islands/parity — see scale/Bpe).
-      // Every multi-referenced CTE is MATERIALIZED so the 5-round chain
-      // cannot inline-blow-up.
-      def round(t: Int) = s"""p$t AS (SELECT word, freq, pos, tok,
-    row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
-    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
-  FROM tok$t),
-best$t AS MATERIALIZED (
-  SELECT tok AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
-  FROM p$t WHERE nxt IS NOT NULL GROUP BY 1, 2
-  ORDER BY cnt DESC, a, b LIMIT 1),
-q$t AS (SELECT p.word, p.freq, p.pos, p.tok, p.rn, p.nxt, b.a, b.b,
-    CASE WHEN p.tok = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS mt,
-    row_number() OVER (
-      PARTITION BY p.word, CASE WHEN p.tok = b.a THEN 1 ELSE 0 END
-      ORDER BY p.rn) AS arn
-  FROM p$t p CROSS JOIN best$t b),
-r$t AS (SELECT *,
-    CASE WHEN mt = 1 AND (a <> b OR (row_number() OVER (
-        PARTITION BY word, CASE WHEN tok = a THEN 1 ELSE 0 END, rn - arn
-        ORDER BY rn)) % 2 = 1) THEN 1 ELSE 0 END AS ms
-  FROM q$t),
-tok${t + 1} AS MATERIALIZED (
-  SELECT word, freq, pos, CASE WHEN ms = 1 THEN a || b ELSE tok END AS tok
-  FROM (SELECT *, lag(ms) OVER (PARTITION BY word ORDER BY rn) AS pms
-        FROM r$t)
-  WHERE coalesce(pms, 0) = 0),
-voc$t AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tok${t + 1})"""
       val rows = (1 to 5).map(t =>
         s"""SELECT $t AS round, a AS merge_left, b AS merge_right, cnt,
   (SELECT v FROM voc$t) AS vocab_after FROM best$t""")
       s"""WITH w0 AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
 words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY 1),
-tok1 AS MATERIALIZED (
-  SELECT word, freq, pos, substr(word, pos, 1) AS tok
-  FROM (SELECT word, freq,
-          unnest(generate_series(1, length(word))) AS pos
-        FROM words)),
-${(1 to 5).map(round).mkString(",\n")}
+$bpeTok1,
+${(1 to 5).map(t => bpeRound(t, withVocab = true)).mkString(",\n")}
 ${rows.mkString("\nUNION ALL\n")}"""
     },
+    "q189_bpe_encode" ->
+      s"""WITH ws AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+swf AS MATERIALIZED (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM ws GROUP BY 1, 2),
+words AS MATERIALIZED (
+  SELECT word, CAST(sum(freq) AS BIGINT) AS freq FROM swf GROUP BY 1),
+$bpeTok1,
+${(1 to 5).map(t => bpeRound(t, withVocab = false)).mkString(",\n")},
+tw AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS ntok FROM tok6 GROUP BY 1)
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(s.freq * length(s.word)) AS BIGINT) AS chars,
+  CAST(sum(s.freq * tw.ntok) AS BIGINT) AS tokens,
+  round(CAST(sum(s.freq * tw.ntok) AS DOUBLE) / sum(s.freq * length(s.word))
+    + 5e-11, 4) AS compression
+FROM swf s JOIN tw ON s.word = tw.word
+GROUP BY 1""",
     "q148_mixture_weights" ->
       """WITH per AS (
   SELECT source, count(*) AS n_docs,

@@ -47,7 +47,15 @@ object Bpe {
     * round 0 (no end-of-word marker — documented simplification).
     */
   def fit(words: DataFrame, wordCol: Column, freqCol: Column,
-      rounds: Int): Seq[Merge] = {
+      rounds: Int): Seq[Merge] = fitWithTokens(words, wordCol, freqCol, rounds)._1
+
+  /** [[fit]] plus the post-merge token table `(word, freq, pos, tok)` —
+    * the ENCODER side: joining it back to per-slice word frequencies
+    * prices the learned vocabulary on any slice without re-running the
+    * merge chain at corpus scale (q189).
+    */
+  def fitWithTokens(words: DataFrame, wordCol: Column, freqCol: Column,
+      rounds: Int): (Seq[Merge], DataFrame) = {
     require(rounds >= 1, s"Bpe.fit: rounds must be >= 1, got $rounds")
     var toks = words
       .select(wordCol.as("word"), freqCol.cast("long").as("freq"))
@@ -88,6 +96,6 @@ object Bpe {
       out += Merge(t, a, b, cnt, vocab)
       toks = merged
     }
-    out.result()
+    (out.result(), toks)
   }
 }
