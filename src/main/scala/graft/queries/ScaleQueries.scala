@@ -320,6 +320,24 @@ sig AS (SELECT doc_id,
           lit(m.count).as("cnt"), lit(m.vocabAfter).as("vocab_after")))
         .reduce(_.unionByName(_))
     },
+    // the PROJECTION side of q187: score every embedding against the
+    // fitted loadings (literal array through the ArrayDot kernel — one
+    // narrow pass, no join) and summarize per label: the class-
+    // separation-along-PC1 screen an embedding QA pipeline runs.
+    "q190_pca_project" -> { (s, dir) =>
+      val r = graft.scale.Pca.topComponent(
+        Tables.embeddings(s, dir), col("embedding"), iters = 6)
+      val v = array(r.loadings.map(lit).toIndexedSeq: _*)
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          Similarity.dot(col("embedding"), v).as("proj"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          r6(avg(col("proj"))).as("mean_proj"),
+          r6(stddev_pop(col("proj"))).as("std_proj"),
+          r6(min(col("proj"))).as("min_proj"),
+          r6(max(col("proj"))).as("max_proj"))
+    },
     // the ENCODER side of q186: price the learned 5-merge vocabulary on
     // every corpus slice. The merge chain runs once at VOCABULARY scale
     // (distinct words); per-source cost is then a word-level join —
@@ -512,13 +530,14 @@ tok${t + 1} AS MATERIALIZED (
   WHERE coalesce(pms, 0) = 0)$voc"""
   }
 
-  /** q187 oracle: explicit sum-based covariance (matching the GramAgg
-    * closed form), rounded entries, then 6 normalize-and-round power
-    * iterations — one static CTE block per iteration. Built at object
+  /** Shared PCA oracle chain (q187/q190): explicit sum-based covariance
+    * (matching the GramAgg closed form), rounded entries, then 6
+    * normalize-and-round power iterations — one static CTE block per
+    * iteration, ending at `v6` (the fitted loadings). Built at object
     * level (not inline in the map) so the interpolated builder stays a
     * plain expression.
     */
-  private val pcaPowerSql: String = {
+  private val pcaChainCtes: String = {
     def iter(t: Int): String = {
       val pv = "v" + (t - 1)
       s"""u$t AS MATERIALIZED (
@@ -528,7 +547,7 @@ v$t AS MATERIALIZED (
   SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM u$t) + 5e-11, 4) AS v
   FROM u$t)"""
     }
-    s"""WITH x AS MATERIALIZED (
+    s"""x AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
     unnest(embedding)::DOUBLE AS v
   FROM embeddings),
@@ -546,7 +565,11 @@ cv AS MATERIALIZED (
   JOIN m mb ON mb.i = b.i
   GROUP BY a.i, b.i),
 v0 AS (SELECT i, 1.0::DOUBLE AS v FROM m),
-${(1 to 6).map(iter).mkString(",\n")},
+${(1 to 6).map(iter).mkString(",\n")}"""
+  }
+
+  private val pcaPowerSql: String =
+    s"""WITH $pcaChainCtes,
 lam AS (SELECT round(sum(a.v * cv.c * b.v) + 5e-11, 4) AS lambda,
     sum(a.v * cv.c * b.v) AS lam_raw
   FROM cv JOIN v6 a ON cv.i = a.i JOIN v6 b ON cv.j = b.i),
@@ -554,7 +577,23 @@ tr AS (SELECT sum(c) AS trace FROM cv WHERE i = j)
 SELECT CAST(v6.i AS BIGINT) AS dim, v6.v AS loading, lam.lambda AS lambda,
   round(lam.lam_raw / tr.trace + 5e-11, 4) AS explained_ratio
 FROM v6, lam, tr"""
-  }
+
+  /** q190 oracle: project every embedding onto the fitted `v6` loadings
+    * (the x-join dot; summation-order noise vs the Spark kernel stays
+    * far below the 4dp quantum) and summarize per label.
+    */
+  private val pcaProjectSql: String =
+    s"""WITH $pcaChainCtes,
+proj AS MATERIALIZED (
+  SELECT x.vec_id, sum(x.v * v6.v) AS p
+  FROM x JOIN v6 ON x.i = v6.i GROUP BY 1)
+SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+  round(avg(p.p) + 5e-11, 4) AS mean_proj,
+  round(stddev_pop(p.p) + 5e-11, 4) AS std_proj,
+  round(min(p.p) + 5e-11, 4) AS min_proj,
+  round(max(p.p) + 5e-11, 4) AS max_proj
+FROM proj p JOIN embeddings e ON p.vec_id = e.vec_id
+GROUP BY 1"""
 
   private val lshPlanes = 8
   private val lshDim = 64
@@ -981,6 +1020,7 @@ SELECT source, count(*) AS n_types, sum(cnt)::BIGINT AS n_tokens,
   round(regr_slope(ln(cnt), ln(rnk)) + 5e-11, 4) AS zipf_slope
 FROM r GROUP BY source""",
     "q187_pca_power" -> pcaPowerSql,
+    "q190_pca_project" -> pcaProjectSql,
     "q186_bpe_merges" -> {
       val rows = (1 to 5).map(t =>
         s"""SELECT $t AS round, a AS merge_left, b AS merge_right, cnt,
