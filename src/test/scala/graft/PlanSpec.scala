@@ -340,6 +340,12 @@ class PlanSpec extends AnyFunSuite {
       s"partition-less window in sided fit:\n$p")
   }
 
+  test("pca projection: loadings are literals — narrow scan, one exchange, no join") {
+    val p = plan(graft.queries.ScaleQueries.defs("q190_pca_project")(spark, sf))
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1, s"one label aggregate only:\n$p")
+  }
+
   test("percentile gate: partial-merge sketch agg + broadcast rank pass") {
     val p = plan(graft.queries.DomainQueries.defs("q188_percentile_sketch")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
