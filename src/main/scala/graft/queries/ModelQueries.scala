@@ -132,6 +132,33 @@ FROM events"""
         .select(col("n") +: lit(m.f0).as("f0") +: roundCols :+
           col("train_mse") :+ r6(col("auc")).as("train_auc"): _*)
     },
+    // the reference's eval_set workflow (XGBoost early-stopping view,
+    // models/advanced_models.py:228-231): refit the boosting chain on
+    // the 80% md5-bucket train slice, report held-out AUC of the STAGED
+    // model after each round — does round t pay for itself? Model state
+    // stays O(rounds); each stage's scoring is a literal CASE chain
+    // over the validation slice.
+    "q191_boosting_validation" -> { (s, dir) =>
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "gbval", 5))
+        .localCheckpoint() // read 3x/round for the fit + staged scoring
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      val m = graft.scoring.Boosting.fit(train, Seq("value", "hb", "dowi"),
+        col("y"), rounds = 3, rate = 0.5)
+      val nv = valid.agg(count(lit(1)).as("n_val"))
+      (1 to 3).map { t =>
+        val st = m.rounds(t - 1)
+        val staged = m.copy(rounds = m.rounds.take(t))
+        graft.feedback.Drift.auc(
+            valid.select(col("y"), graft.scoring.Boosting.score(staged).as("s")),
+            col("y") === 1L, col("s"))
+          .crossJoin(broadcast(nv))
+          .select(lit(t).as("round"), lit(st.feature).as("feature"),
+            r6(lit(st.threshold)).as("threshold"), col("n_val"),
+            r6(col("auc")).as("val_auc"))
+      }.reduce(_.unionByName(_))
+    },
     // threshold-sweep operating table (the reference's
     // precision_recall_curve/roc_curve slot, models/advanced_models.py:
     // 27-28 + notebook cell-12): deciles of the score distribution under
@@ -397,6 +424,92 @@ k_$f AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l_$f)"""
 
   private def nbTerm(f: String): String =
     s"""ln((coalesce(l_$f.c1, 0) + 1)/(pr.n1 + k_$f.k)) - ln((coalesce(l_$f.c0, 0) + 1)/(pr.n0 + k_$f.k))"""
+
+
+  /** Gradient-boosting oracle builders (q180/q191): the round-by-round
+    * replay as static CTEs, parameterized by the fact CTE name `src` so
+    * the validation query runs the same text on a train slice. Feature
+    * set fixed to the q180 trio.
+    */
+  private val gbFeatures = Seq("value", "hb", "dowi")
+
+  /** Row's feature value under round j's fitted split feature. */
+  private def gbFv(j: Int, src: String): String =
+    s"""(CASE WHEN b$j.f = 'value' THEN CAST($src.value AS DOUBLE)
+      WHEN b$j.f = 'hb' THEN CAST($src.hb AS DOUBLE)
+      ELSE CAST($src.dowi AS DOUBLE) END)"""
+
+  /** Additive staged score f0 + rounds 1..T (leaf literals). */
+  private def gbScoreExpr(T: Int, src: String): String =
+    (1 to T).map(j =>
+      s"(CASE WHEN ${gbFv(j, src)} <= b$j.t THEN b$j.vl ELSE b$j.vr END)")
+      .mkString("f0.v + ", " + ", "")
+
+  /** Rounds 1..T: per-feature distinct-value counts, integer cumsums,
+    * residual-sum candidates, and the per-round argmax — the exact
+    * expression order of scoring/Boosting.
+    */
+  private def gbRoundCtes(T: Int, src: String): String = {
+    def gCte(t: Int, f: String) = {
+      val priorCnts = (1 until t).map(j =>
+        s",\n    sum(CASE WHEN ${gbFv(j, src)} <= b$j.t THEN 1 ELSE 0 END) AS c$j").mkString
+      val joins = (1 until t).map(j => s" CROSS JOIN best$j b$j").mkString
+      s"""g${t}_$f AS (
+  SELECT CAST($f AS DOUBLE) AS threshold, count(*) AS n, sum(y) AS sy$priorCnts
+  FROM $src$joins
+  GROUP BY 1)"""
+    }
+    def cCte(t: Int, f: String) = {
+      val cum = (1 until t).map(j =>
+        s",\n    CAST(sum(c$j) OVER w AS BIGINT) AS cll$j").mkString
+      val tot = (1 until t).map(j =>
+        s",\n    CAST(sum(c$j) OVER () AS BIGINT) AS tcl$j").mkString
+      s"""c${t}_$f AS (
+  SELECT threshold,
+    CAST(sum(n) OVER w AS BIGINT) AS nl,
+    CAST(sum(sy) OVER w AS BIGINT) AS syl$cum,
+    CAST(sum(n) OVER () AS BIGINT) AS tn,
+    CAST(sum(sy) OVER () AS BIGINT) AS tsy$tot
+  FROM g${t}_$f
+  WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+    }
+    def candCte(t: Int, f: String) = {
+      val slTerms = (1 until t).map(j =>
+        s" - (b$j.vl*cll$j + b$j.vr*(nl - cll$j))").mkString
+      val stTerms = (1 until t).map(j =>
+        s" - (b$j.vl*tcl$j + b$j.vr*(tn - tcl$j))").mkString
+      val joins = (1 until t).map(j => s" CROSS JOIN best$j b$j").mkString
+      s"""cand${t}_$f AS (
+  SELECT feature, threshold, nl, tn - nl AS nr, sl, stot - sl AS sr
+  FROM (
+    SELECT '$f' AS feature, threshold, nl, tn,
+      syl - nl*f0.v$slTerms AS sl,
+      tsy - tn*f0.v$stTerms AS stot
+    FROM c${t}_$f CROSS JOIN f0$joins)
+  WHERE nl < tn)"""
+    }
+    def bestCte(t: Int) = {
+      val union = gbFeatures.map(f => s"SELECT * FROM cand${t}_$f").mkString(" UNION ALL ")
+      s"""best$t AS MATERIALIZED (
+  SELECT feature AS f, threshold AS t,
+    round(0.5 * (sl / nl) + 5e-11, 4) AS vl,
+    round(0.5 * (sr / nr) + 5e-11, 4) AS vr
+  FROM ($union)
+  ORDER BY round(sl*sl/nl + sr*sr/nr + 5e-11, 4) DESC, feature, threshold
+  LIMIT 1)"""
+    }
+    (1 to T).map { t =>
+      (gbFeatures.map(f => gCte(t, f)) ++ gbFeatures.map(f => cCte(t, f)) ++
+        gbFeatures.map(f => candCte(t, f)) :+ bestCte(t)).mkString(",\n")
+    }.mkString(",\n")
+  }
+
+  /** Mid-rank (Wilcoxon) AUC over CTE `src` -> r$sfx/u$sfx. */
+  private def gbMidrankAuc(sfx: String, src: String): String =
+    s"""r$sfx AS (SELECT y, rank() OVER (ORDER BY s) + (count(*) OVER (PARTITION BY s) - 1)/2.0 AS midrank FROM $src),
+u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+      / (sum(y)*(count(*) - sum(y))) END AS auc FROM r$sfx)"""
 
   /** One stump-candidate CTE per feature: distinct-value class counts,
     * window cumsum, weighted Gini in the engine's exact expression order.
@@ -707,93 +820,53 @@ FROM cells c LEFT JOIN cells c2
 GROUP BY c.lr, c.iters, c.n_val, c.auc, c.intercept, c.w_value, c.w_hb, c.w_dowi"""
     },
     "q180_boosted_stumps" -> {
-      val fs = Seq("value", "hb", "dowi")
       val T = 3
-      // each row's feature value under round j's fitted split feature
-      def fv(j: Int) =
-        s"""(CASE WHEN b$j.f = 'value' THEN CAST(fb.value AS DOUBLE)
-      WHEN b$j.f = 'hb' THEN CAST(fb.hb AS DOUBLE)
-      ELSE CAST(fb.dowi AS DOUBLE) END)"""
-      // round-t distinct-value class/membership counts for feature f:
-      // n, sum(y), and per prior round j the count of rows on j's left
-      def gCte(t: Int, f: String) = {
-        val priorCnts = (1 until t).map(j =>
-          s",\n    sum(CASE WHEN ${fv(j)} <= b$j.t THEN 1 ELSE 0 END) AS c$j").mkString
-        val joins = (1 until t).map(j => s" CROSS JOIN best$j b$j").mkString
-        s"""g${t}_$f AS (
-  SELECT CAST($f AS DOUBLE) AS threshold, count(*) AS n, sum(y) AS sy$priorCnts
-  FROM fb$joins
-  GROUP BY 1)"""
-      }
-      // integer cumsums (left side) + totals — the GlobalOrder twin
-      def cCte(t: Int, f: String) = {
-        val cum = (1 until t).map(j =>
-          s",\n    CAST(sum(c$j) OVER w AS BIGINT) AS cll$j").mkString
-        val tot = (1 until t).map(j =>
-          s",\n    CAST(sum(c$j) OVER () AS BIGINT) AS tcl$j").mkString
-        s"""c${t}_$f AS (
-  SELECT threshold,
-    CAST(sum(n) OVER w AS BIGINT) AS nl,
-    CAST(sum(sy) OVER w AS BIGINT) AS syl$cum,
-    CAST(sum(n) OVER () AS BIGINT) AS tn,
-    CAST(sum(sy) OVER () AS BIGINT) AS tsy$tot
-  FROM g${t}_$f
-  WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
-      }
-      // residual sums from integer counts + prior rounds' rounded leaf
-      // values — the exact expression order of Boosting.residSum
-      def candCte(t: Int, f: String) = {
-        val slTerms = (1 until t).map(j =>
-          s" - (b$j.vl*cll$j + b$j.vr*(nl - cll$j))").mkString
-        val stTerms = (1 until t).map(j =>
-          s" - (b$j.vl*tcl$j + b$j.vr*(tn - tcl$j))").mkString
-        val joins = (1 until t).map(j => s" CROSS JOIN best$j b$j").mkString
-        s"""cand${t}_$f AS (
-  SELECT feature, threshold, nl, tn - nl AS nr, sl, stot - sl AS sr
-  FROM (
-    SELECT '$f' AS feature, threshold, nl, tn,
-      syl - nl*f0.v$slTerms AS sl,
-      tsy - tn*f0.v$stTerms AS stot
-    FROM c${t}_$f CROSS JOIN f0$joins)
-  WHERE nl < tn)"""
-      }
-      def bestCte(t: Int) = {
-        val union = fs.map(f => s"SELECT * FROM cand${t}_$f").mkString(" UNION ALL ")
-        s"""best$t AS MATERIALIZED (
-  SELECT feature AS f, threshold AS t,
-    round(0.5 * (sl / nl) + 5e-11, 4) AS vl,
-    round(0.5 * (sr / nr) + 5e-11, 4) AS vr
-  FROM ($union)
-  ORDER BY round(sl*sl/nl + sr*sr/nr + 5e-11, 4) DESC, feature, threshold
-  LIMIT 1)"""
-      }
-      val roundCtes = (1 to T).map { t =>
-        (fs.map(f => gCte(t, f)) ++ fs.map(f => cCte(t, f)) ++
-          fs.map(f => candCte(t, f)) :+ bestCte(t)).mkString(",\n")
-      }.mkString(",\n")
-      val scoreExpr = (1 to T).map(j =>
-        s"(CASE WHEN ${fv(j)} <= b$j.t THEN b$j.vl ELSE b$j.vr END)")
-        .mkString("f0.v + ", " + ", "")
       val scJoins = (1 to T).map(j => s" CROSS JOIN best$j b$j").mkString
       val outCols = (1 to T).map(j =>
         s"b$j.f AS f$j, round(b$j.t + 5e-11, 4) AS t$j, b$j.vl AS vl$j, b$j.vr AS vr$j")
         .mkString(",\n  ")
       s"""WITH fb AS MATERIALIZED ($featSql),
 f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
-$roundCtes,
+${gbRoundCtes(T, "fb")},
 sc AS MATERIALIZED (
-  SELECT fb.y, $scoreExpr AS s
+  SELECT fb.y, ${gbScoreExpr(T, "fb")} AS s
   FROM fb CROSS JOIN f0$scJoins),
 a AS (SELECT count(*) AS n,
     round(avg((y - s)*(y - s)) + 5e-11, 4) AS train_mse FROM sc),
-r AS (SELECT y, rank() OVER (ORDER BY s) + (count(*) OVER (PARTITION BY s) - 1)/2.0 AS midrank FROM sc),
-u AS (SELECT CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
-    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
-      / (sum(y)*(count(*) - sum(y))) END AS auc FROM r)
+${gbMidrankAuc("", "sc")}
 SELECT a.n, f0.v AS f0,
   $outCols,
   a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
 FROM a CROSS JOIN u CROSS JOIN f0$scJoins"""
+    },
+    "q191_boosting_validation" -> {
+      // the reference's eval_set workflow: refit the q180 chain on the
+      // 80% md5-bucket train slice, then report the held-out AUC of the
+      // STAGED model after each boosting round (how many rounds pay for
+      // themselves). Same replay builders as q180, sourced on the train
+      // CTE; one midrank-AUC block per stage over the validation slice.
+      val T = 3
+      val stages = (1 to T).map { t =>
+        val joins = (1 to t).map(j => s" CROSS JOIN best$j b$j").mkString
+        s"""sc$t AS MATERIALIZED (
+  SELECT vld.y, ${gbScoreExpr(t, "vld")} AS s
+  FROM vld CROSS JOIN f0$joins),
+${gbMidrankAuc(t.toString, s"sc$t")}"""
+      }.mkString(",\n")
+      val rows = (1 to T).map(t =>
+        s"""SELECT $t AS round, b$t.f AS feature, round(b$t.t + 5e-11, 4) AS threshold,
+  u$t.n AS n_val, round(u$t.auc + 5e-11, 4) AS val_auc
+FROM best$t b$t CROSS JOIN u$t""")
+      s"""WITH fb0 AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5('gbval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM fb0),
+fb AS MATERIALIZED (SELECT * FROM fp WHERE vb5 <> 0),
+vld AS MATERIALIZED (SELECT * FROM fp WHERE vb5 = 0),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
+${gbRoundCtes(T, "fb")},
+$stages
+${rows.mkString("\nUNION ALL\n")}"""
     },
     "q181_threshold_sweep" ->
       """WITH s AS (SELECT event_id, value AS sc,
