@@ -392,6 +392,29 @@ object StreamingFeatures {
       .dropDuplicatesWithinWatermark("customer_id", "event_time", "amount",
         "merchant_id", "ip_address")
 
+  /** Serve the TRAINED model online (SURVEY §2.10 streaming parity): the
+    * feature stream scored with a [[graft.scoring.Trainer.LogisticModel]]
+    * fitted offline. The margin/probability are pure Column expressions
+    * over the emitted feature columns — a stateless projection appended
+    * after the stateful processor, so the plan gains no state store, no
+    * shuffle, and the online path serves exactly what the offline
+    * trainer fit (batch-vs-stream equality is asserted in StreamingSpec).
+    * Reference twin: the serving path applies the trained model, not the
+    * fixed-weight heuristic (reference `models/advanced_models.py` fit →
+    * `api/main.py` score).
+    */
+  def scoredCustomerFeatures(events: Dataset[StreamTxn],
+                             model: graft.scoring.Trainer.LogisticModel)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = customerFeatures(events).toDF()
+    val missing = model.features.filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"scoredCustomerFeatures: model features absent from the stream: $missing")
+    feats
+      .withColumn("model_margin", graft.scoring.Trainer.margin(model))
+      .withColumn("model_probability", graft.scoring.Trainer.probability(model))
+  }
+
   /** Stream-stream self interval join: for each event, the same customer's
     * events in the following `gapSecs` seconds (the streaming twin of the
     * batch q63 band join). The event-time bound on BOTH sides lets Spark

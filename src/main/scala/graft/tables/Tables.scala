@@ -13,19 +13,39 @@ import org.apache.spark.sql.functions._
   * event_timestamp.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Parquet timestamps written without isAdjustedToUTC (DuckDB-style
+    * naive micros) must read as session-TZ TIMESTAMP, not TIMESTAMP_NTZ:
+    * the engine pins every session to UTC, so the LTZ read is the
+    * identity on the stored micros and matches DuckDB's naive view —
+    * while an NTZ column would poison `unix_micros`/interval arithmetic
+    * throughout the feature operators.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively; read nanos as long and truncate to a microsecond timestamp
-    * (integer DIV — a double division would lose precision above 2^53 ns).
-    * DuckDB performs the same ns->us truncation when it reads the file, so
-    * oracle comparisons stay exact.
+  /** `events.ts` arrives in one of two driver layouts: parquet
+    * TIMESTAMP(NANOS) — which Spark 4 only reads as a long, so truncate
+    * ns->us with integer DIV (a double division would lose precision above
+    * 2^53 ns; DuckDB performs the same truncation, keeping oracles exact) —
+    * or a native microsecond TIMESTAMP (isAdjustedToUTC=false -> Spark
+    * reads TIMESTAMP_NTZ; under the engine's fixed UTC session the cast to
+    * TIMESTAMP is the identity on the stored micros, matching DuckDB's
+    * naive read). Dispatch on the scanned schema so both layouts produce
+    * the identical event_timestamp column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts DIV 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(s"events.ts: unexpected type $other")
+    }
+    raw.withColumn("ts", ts)
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -496,11 +496,20 @@ class StreamingSpec extends AnyFunSuite {
       .as[StreamTxn].collect().sortBy(_.ts_micros)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[StreamTxn]
-    val query = StreamingFeatures.customerFeatures(input.toDS())
+    val query = StreamingFeatures.scoredCustomerFeatures(input.toDS(), model)
       .writeStream.format("memory").queryName("served").outputMode("append").start()
     try {
       input.addData(tx.toIndexedSeq); query.processAllAvailable()
     } finally query.stop()
+
+    // the emitted model columns ARE the model: margin re-derived from the
+    // emitted (unrounded) feature columns is bitwise-identical, and the
+    // probability is its sigmoid
+    val served = spark.table("served")
+    assert(served.where(col("model_margin") =!=
+      graft.scoring.Trainer.margin(model)).count() == 0)
+    assert(served.where(col("model_probability") =!=
+      lit(1.0) / (lit(1.0) + exp(-col("model_margin")))).count() == 0)
 
     // identical rounded feature grain on both paths -> identical margins
     def scores(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
@@ -508,10 +517,19 @@ class StreamingSpec extends AnyFunSuite {
           feats.map(f => round(col(f), 6).as(f)): _*)
         .withColumn("score", graft.scoring.Trainer.margin(model))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("score")).toMap
-    val streamed = scores(spark.table("served"))
+    val streamed = scores(served)
     val batch = scores(batchF)
     assert(streamed.size == batch.size)
     val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => k }
     assert(diffs.isEmpty, s"margin mismatch at ${diffs.take(3)}")
+
+    // a model fit on columns the stream doesn't emit is rejected at
+    // plan-build time, not at runtime inside a running query
+    val bogus = model.copy(features = Seq("txn_count_1h", "no_such_feature"),
+      means = Seq(0.0, 0.0), stds = Seq(1.0, 1.0), weights = Seq(1.0, 1.0))
+    val err = intercept[IllegalArgumentException] {
+      StreamingFeatures.scoredCustomerFeatures(input.toDS(), bogus)
+    }
+    assert(err.getMessage.contains("no_such_feature"))
   }
 }
