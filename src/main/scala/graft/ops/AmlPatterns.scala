@@ -331,4 +331,45 @@ object AmlPatterns {
         col("ten_cnt"),
         (col("ten_cnt").cast("double") / col("n")).as("ten_ratio"))
   }
+
+  /** First-order Markov sequence anomaly — the closed-form stand-in for
+    * the reference's LSTM sequence scorer (reference
+    * `models/advanced_models.py:144-172` fits an LSTM over per-customer
+    * event sequences): fit a Laplace-smoothed transition model over
+    * consecutive merchant symbols (per customer, deterministic
+    * (event_time, transaction_id) order) on the whole corpus, then score
+    * each customer by the mean negative log-likelihood of their observed
+    * transitions. High avg_nll = a customer whose merchant sequence the
+    * corpus-level model finds surprising.
+    *
+    * p(cur|prev) = (c(prev,cur)+1) / (c(prev)+V), V = distinct symbols —
+    * all integers, so the probability is one exact division per step.
+    *
+    * Scale shape: ONE shuffle partitions events by customer for the lag
+    * window; the per-customer aggregation reuses that partitioning. The
+    * transition matrix is ≤ V² rows and the vocabulary count is one row,
+    * so every model join broadcasts — entity-scale data never moves a
+    * second time. Customers with fewer than two events have no
+    * transitions and drop out (AUC of a sequence model needs a
+    * sequence), matching the oracle.
+    */
+  def markovNll(tx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("event_timestamp"), col("transaction_id"))
+    val steps = tx.select(col("customer_id"), col("merchant_id").as("cur"),
+        lag(col("merchant_id"), 1).over(w).as("prev"))
+      .where(col("prev").isNotNull)
+    val trans = steps.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+    val fromTot = trans.groupBy(col("prev")).agg(sum(col("c")).as("ct"))
+    val vocab = tx.agg(count_distinct(col("merchant_id")).as("v"))
+    val p = (col("c") + lit(1)).cast("double") / (col("ct") + col("v"))
+    steps
+      .join(broadcast(trans), Seq("prev", "cur"))
+      .join(broadcast(fromTot), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log(p))
+      .groupBy(col("customer_id"))
+      .agg(count(lit(1)).as("n_steps"), avg(col("nll")).as("avg_nll"))
+  }
 }

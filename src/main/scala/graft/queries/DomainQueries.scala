@@ -30,6 +30,16 @@ object DomainQueries extends QueryPack {
           col("gap_us"), r6(col("amount")).as("amount"),
           r6(col("prev_amount")).as("prev_amount"))
     },
+    // sequence-model anomaly (closed-form LSTM stand-in, reference
+    // models/advanced_models.py:144-172): Laplace-smoothed first-order
+    // Markov model over per-customer merchant sequences; per-customer
+    // mean transition NLL and its exp (perplexity)
+    "q193_markov_nll" -> { (s, dir) =>
+      AmlPatterns.markovNll(Tables.transactions(s, dir))
+        .select(col("customer_id"), col("n_steps"),
+          r6(col("avg_nll")).as("avg_nll"),
+          r6(exp(col("avg_nll"))).as("perplexity"))
+    },
     // structuring screen: repeated just-under-threshold amounts (T=100)
     "q79_structuring" -> { (s, dir) =>
       val tx = Tables.transactions(s, dir)
@@ -895,6 +905,21 @@ l AS (SELECT *, lag(tm) OVER w AS prev_tm, lag(amount) OVER w AS prev_amount
 SELECT transaction_id, customer_id, merchant_id, tm - prev_tm AS gap_us,
   round(amount + 5e-11, 4) AS amount, round(prev_amount + 5e-11, 4) AS prev_amount
 FROM l WHERE prev_tm IS NOT NULL AND tm - prev_tm <= 60000000""",
+    "q193_markov_nll" ->
+      """WITH t AS (SELECT event_id AS transaction_id, user_id AS customer_id,
+  event_type AS merchant_id, epoch_us(ts) AS tm FROM events),
+st AS (SELECT customer_id, merchant_id AS cur, lag(merchant_id) OVER w AS prev
+       FROM t WINDOW w AS (PARTITION BY customer_id ORDER BY tm, transaction_id)),
+steps AS (SELECT * FROM st WHERE prev IS NOT NULL),
+tr AS (SELECT prev, cur, count(*) AS c FROM steps GROUP BY 1, 2),
+ft AS (SELECT prev, sum(c) AS ct FROM tr GROUP BY 1),
+vv AS (SELECT count(DISTINCT merchant_id) AS v FROM t)
+SELECT s.customer_id, count(*) AS n_steps,
+  round(avg(-ln((tr.c + 1)::DOUBLE / (ft.ct + vv.v))) + 5e-11, 4) AS avg_nll,
+  round(exp(avg(-ln((tr.c + 1)::DOUBLE / (ft.ct + vv.v)))) + 5e-11, 4) AS perplexity
+FROM steps s JOIN tr ON s.prev = tr.prev AND s.cur = tr.cur
+  JOIN ft ON s.prev = ft.prev, vv
+GROUP BY 1""",
     "q144_winsorize" ->
       s"""WITH c AS (SELECT event_type AS merchant_id, $centsSql AS cents FROM events),
 s AS (SELECT merchant_id, quantile_cont(cents, 0.015625) AS lo,

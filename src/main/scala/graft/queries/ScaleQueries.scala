@@ -338,6 +338,33 @@ sig AS (SELECT doc_id,
           r6(min(col("proj"))).as("min_proj"),
           r6(max(col("proj"))).as("max_proj"))
     },
+    // autoencoder-style anomaly detection, closed form (reference
+    // models/advanced_models.py:107-142 builds a reconstruction
+    // autoencoder, :452-456 fits it on NORMAL rows only, :480-487 uses
+    // reconstruction error as the anomaly score): fit the top principal
+    // component on label-0 embeddings, score EVERY embedding by its
+    // squared reconstruction residual ||x−μ||² − ((x−μ)·v)², and report
+    // per-label error moments plus the detector's AUC at flagging
+    // label ≠ 0. Scale shape: one GramAgg pass over the fit slice fits
+    // the model; scoring is a join-free narrow pass of three ArrayDot
+    // kernels against literal arrays; only the d-sized model touches the
+    // driver.
+    "q192_recon_anomaly" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val r = graft.scale.Pca.topComponent(
+        emb.where(col("label") === 0), col("embedding"), iters = 6)
+      val scored = emb.select(col("label").cast("long").as("label"),
+        r6(graft.scale.Pca.reconstructionError(col("embedding"), r)).as("err"))
+      val aucDf = graft.feedback.Drift.auc(scored, col("label") =!= 0L, col("err"))
+        .select(r6(col("auc")).as("auc"))
+      scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          r6(avg(col("err"))).as("mean_err"),
+          r6(stddev_pop(col("err"))).as("std_err"),
+          r6(min(col("err"))).as("min_err"),
+          r6(max(col("err"))).as("max_err"))
+        .crossJoin(broadcast(aucDf))
+    },
     // the ENCODER side of q186: price the learned 5-merge vocabulary on
     // every corpus slice. The merge chain runs once at VOCABULARY scale
     // (distinct words); per-source cost is then a word-level join —
@@ -530,14 +557,16 @@ tok${t + 1} AS MATERIALIZED (
   WHERE coalesce(pms, 0) = 0)$voc"""
   }
 
-  /** Shared PCA oracle chain (q187/q190): explicit sum-based covariance
-    * (matching the GramAgg closed form), rounded entries, then 6
-    * normalize-and-round power iterations — one static CTE block per
-    * iteration, ending at `v6` (the fitted loadings). Built at object
+  /** Shared PCA oracle chain (q187/q190/q192): explicit sum-based
+    * covariance (matching the GramAgg closed form), rounded entries, then
+    * 6 normalize-and-round power iterations — one static CTE block per
+    * iteration, ending at `v6` (the fitted loadings). `fitWhere`
+    * restricts the FIT population (q192 fits on normal rows only); the
+    * scoring CTE `x` always spans the whole corpus. Built at object
     * level (not inline in the map) so the interpolated builder stays a
     * plain expression.
     */
-  private val pcaChainCtes: String = {
+  private def pcaChainCtes(fitWhere: String): String = {
     def iter(t: Int): String = {
       val pv = "v" + (t - 1)
       s"""u$t AS MATERIALIZED (
@@ -551,15 +580,19 @@ v$t AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
     unnest(embedding)::DOUBLE AS v
   FROM embeddings),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-m AS MATERIALIZED (SELECT i, sum(v) AS s FROM x GROUP BY 1),
+xf AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+    unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE $fitWhere),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings WHERE $fitWhere),
+m AS MATERIALIZED (SELECT i, sum(v) AS s FROM xf GROUP BY 1),
 cv AS MATERIALIZED (
   SELECT a.i AS i, b.i AS j,
     round(sum(a.v * b.v) / any_value(nn.n)
       - (any_value(ma.s) / any_value(nn.n)) * (any_value(mb.s) / any_value(nn.n))
       + 5e-11, 4) AS c
-  FROM x a
-  JOIN x b ON a.vec_id = b.vec_id
+  FROM xf a
+  JOIN xf b ON a.vec_id = b.vec_id
   CROSS JOIN nn
   JOIN m ma ON ma.i = a.i
   JOIN m mb ON mb.i = b.i
@@ -569,7 +602,7 @@ ${(1 to 6).map(iter).mkString(",\n")}"""
   }
 
   private val pcaPowerSql: String =
-    s"""WITH $pcaChainCtes,
+    s"""WITH ${pcaChainCtes("TRUE")},
 lam AS (SELECT round(sum(a.v * cv.c * b.v) + 5e-11, 4) AS lambda,
     sum(a.v * cv.c * b.v) AS lam_raw
   FROM cv JOIN v6 a ON cv.i = a.i JOIN v6 b ON cv.j = b.i),
@@ -583,7 +616,7 @@ FROM v6, lam, tr"""
     * far below the 4dp quantum) and summarize per label.
     */
   private val pcaProjectSql: String =
-    s"""WITH $pcaChainCtes,
+    s"""WITH ${pcaChainCtes("TRUE")},
 proj AS MATERIALIZED (
   SELECT x.vec_id, sum(x.v * v6.v) AS p
   FROM x JOIN v6 ON x.i = v6.i GROUP BY 1)
@@ -594,6 +627,48 @@ SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
   round(max(p.p) + 5e-11, 4) AS max_proj
 FROM proj p JOIN embeddings e ON p.vec_id = e.vec_id
 GROUP BY 1"""
+
+  /** q192 oracle: fit the component on label-0 rows only (the chain's
+    * `fitWhere`), rebuild the 4dp centering vector from the fit sums,
+    * score EVERY embedding by its squared reconstruction residual
+    * ||x−μ||² − ((x−μ)·v)², then report per-label error moments plus the
+    * detector's mid-rank AUC at flagging label ≠ 0. The residual is
+    * expanded to xx − 2xμ + μμ − (xv − μv)² so both engines evaluate the
+    * same dot products; summation-order noise sits far below the 4dp
+    * quantum that rounds `err` before any ranking or aggregation.
+    */
+  private val reconAnomalySql: String =
+    s"""WITH ${pcaChainCtes("label = 0")},
+mu AS MATERIALIZED (
+  SELECT m.i AS i, round(m.s / nn.n + 5e-11, 4) AS mu FROM m, nn),
+cmm AS (SELECT sum(mu * mu) AS mm FROM mu),
+cmv AS (SELECT sum(mu.mu * v6.v) AS mv FROM mu JOIN v6 ON mu.i = v6.i),
+sc AS MATERIALIZED (
+  SELECT x.vec_id,
+    sum(x.v * x.v) AS xx,
+    sum(x.v * mu.mu) AS xm,
+    sum(x.v * v6.v) AS xv
+  FROM x JOIN mu ON x.i = mu.i JOIN v6 ON x.i = v6.i
+  GROUP BY 1),
+er AS MATERIALIZED (
+  SELECT CAST(e.label AS BIGINT) AS label,
+    round(sc.xx - 2 * sc.xm + cmm.mm
+      - (sc.xv - cmv.mv) * (sc.xv - cmv.mv) + 5e-11, 4) AS err
+  FROM sc JOIN embeddings e ON sc.vec_id = e.vec_id, cmm, cmv),
+rk AS (SELECT (label <> 0)::INT AS y,
+    rank() OVER (ORDER BY err) + (count(*) OVER (PARTITION BY err) - 1)/2.0 AS midrank
+  FROM er),
+auc AS (SELECT round(
+    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+      / (sum(y)*(count(*) - sum(y))) + 5e-11, 4) AS auc FROM rk)
+SELECT er.label, count(*) AS n,
+  round(avg(err) + 5e-11, 4) AS mean_err,
+  round(stddev_pop(err) + 5e-11, 4) AS std_err,
+  round(min(err) + 5e-11, 4) AS min_err,
+  round(max(err) + 5e-11, 4) AS max_err,
+  auc.auc AS auc
+FROM er, auc
+GROUP BY er.label, auc.auc"""
 
   private val lshPlanes = 8
   private val lshDim = 64
@@ -1021,6 +1096,7 @@ SELECT source, count(*) AS n_types, sum(cnt)::BIGINT AS n_tokens,
 FROM r GROUP BY source""",
     "q187_pca_power" -> pcaPowerSql,
     "q190_pca_project" -> pcaProjectSql,
+    "q192_recon_anomaly" -> reconAnomalySql,
     "q186_bpe_merges" -> {
       val rows = (1 to 5).map(t =>
         s"""SELECT $t AS round, a AS merge_left, b AS merge_right, cnt,

@@ -25,11 +25,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Pca {
 
-  /** Fitted component: 4dp loadings, Rayleigh-quotient eigenvalue, and
-    * explained-variance ratio λ / trace(cov).
+  /** Fitted component: 4dp loadings, Rayleigh-quotient eigenvalue,
+    * explained-variance ratio λ / trace(cov), and the 4dp per-dim means
+    * of the fit population (the centering vector a reconstruction-error
+    * scorer needs).
     */
   final case class Component(loadings: Array[Double], lambda: Double,
-      explainedRatio: Double, n: Long, d: Int)
+      explainedRatio: Double, n: Long, d: Int,
+      means: Array[Double] = Array.empty)
 
   def topComponent(corpus: DataFrame, emb: Column, iters: Int): Component = {
     require(iters >= 1, s"Pca.topComponent: iters must be >= 1, got $iters")
@@ -58,6 +61,28 @@ object Pca {
     }
     val lam = (for (i <- 0 until d; j <- 0 until d) yield v(i) * c(i)(j) * v(j)).sum
     val trace = (0 until d).map(i => c(i)(i)).sum
-    Component(v, r6d(lam), r6d(lam / trace), n.toLong, d)
+    val means = Array.tabulate(d)(i => r6d(g(2 + i) / n))
+    Component(v, r6d(lam), r6d(lam / trace), n.toLong, d, means)
+  }
+
+  /** Squared reconstruction residual ||x−μ||² − ((x−μ)·v)² of an
+    * embedding against a fitted component — the closed-form autoencoder
+    * reconstruction-error anomaly score (a rank-1 "decoder": what the
+    * component can't reproduce). Expanded to xx − 2xμ + μμ − (xv − μv)²
+    * so the per-row work is three codegen [[Similarity.dot]] kernels
+    * against literal model arrays — a join-free narrow pass; the μμ/μv
+    * constants are model-size driver arithmetic.
+    */
+  def reconstructionError(emb: Column, c: Component): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    require(c.means.length == c.d,
+      s"reconstructionError: component carries ${c.means.length} means for d=${c.d}")
+    val vL = array(c.loadings.toIndexedSeq.map(lit): _*)
+    val mL = array(c.means.toIndexedSeq.map(lit): _*)
+    val mm = c.means.map(x => x * x).sum
+    val mv = c.means.zip(c.loadings).map { case (a, b) => a * b }.sum
+    val proj = Similarity.dot(emb, vL) - lit(mv)
+    Similarity.dot(emb, emb) - lit(2.0) * Similarity.dot(emb, mL) + lit(mm) -
+      proj * proj
   }
 }

@@ -31,6 +31,26 @@ class DomainSpec extends AnyFunSuite {
     assert(!out(2L).getBoolean(4))
   }
 
+  test("markovNll: hand-computed Laplace-smoothed transition NLL") {
+    // cust 1: A,B,A,B -> transitions A->B, B->A, A->B
+    // cust 2: A,A     -> A->A; cust 3: one event, no transitions
+    // corpus counts: A->B:2, B->A:1, A->A:1; from-totals A:3, B:1; V=2
+    // p(A->B)=(2+1)/(3+2)=0.6  p(B->A)=(1+1)/(1+2)=2/3  p(A->A)=2/5
+    val tx = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 5L, "A"), (2L, 6L, "A"),
+      (3L, 7L, "B")
+    ).toDF("customer_id", "transaction_id", "merchant_id")
+      .withColumn("event_timestamp", timestamp_micros(col("transaction_id") * 1000000L))
+    val out = AmlPatterns.markovNll(tx)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // single-event cust 3 drops out
+    assert(out(1L).getLong(1) == 3 && out(2L).getLong(1) == 1)
+    val exp1 = -(math.log(0.6) + math.log(2.0 / 3) + math.log(0.6)) / 3
+    assert(math.abs(out(1L).getDouble(2) - exp1) < 1e-12, out(1L).toString)
+    assert(math.abs(out(2L).getDouble(2) + math.log(0.4)) < 1e-12, out(2L).toString)
+  }
+
   test("benford: digit extraction is scale-invariant; uniform digits give flat obs_freq") {
     val tx = (1 to 9).flatMap(d => Seq(d * 1.0, d * 10.0, d * 0.01))
       .map(Tuple1(_)).toDF("amount")

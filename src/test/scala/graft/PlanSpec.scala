@@ -346,6 +346,28 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 1, s"one label aggregate only:\n$p")
   }
 
+  test("recon anomaly: scoring pass is join-free; only the 1-row AUC broadcasts") {
+    val p = plan(graft.queries.ScaleQueries.defs("q192_recon_anomaly")(spark, sf))
+    // model arrays are literals -> the err scan never shuffle-joins; the
+    // single-row AUC attaches via broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"scoring must not shuffle-join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"AUC must attach via broadcast:\n$p")
+  }
+
+  test("markov nll: transition model broadcasts; events shuffle once on customer") {
+    val p = plan(graft.queries.DomainQueries.defs("q193_markov_nll")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"model joins must broadcast:\n$p")
+    // the per-customer window + reuse for the final agg: the entity-scale
+    // side pays ONE hashpartitioning exchange on customer_id — the model
+    // lineages re-read it via ReusedExchange, so count only real ones
+    val entityEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(customer_id") && !l.contains("ReusedExchange"))
+    assert(entityEx == 1, s"expected one customer_id exchange, got $entityEx:\n$p")
+  }
+
   test("percentile gate: partial-merge sketch agg + broadcast rank pass") {
     val p = plan(graft.queries.DomainQueries.defs("q188_percentile_sketch")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

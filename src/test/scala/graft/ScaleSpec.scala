@@ -386,6 +386,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(c.loadings.toSeq == Seq(0.6, 0.8), c.loadings.toSeq.toString)
     assert(c.lambda == 50.0 && c.explainedRatio == 1.0,
       s"${c.lambda} ${c.explainedRatio}")
+    assert(c.means.toSeq == Seq(0.0, 0.0), c.means.toSeq.toString)
+  }
+
+  test("Pca.reconstructionError: zero on the component line, exact off it") {
+    // fit on t·(3,4): loadings (0.6, 0.8), means (0,0). On-line points
+    // reconstruct exactly; the orthogonal point (-4,3) keeps its full
+    // squared norm 25; (1,0) keeps 1 - 0.36 = 0.64
+    val fit = Seq(-2f, -1f, 0f, 1f, 2f)
+      .map(t => Tuple1(Array(3 * t, 4 * t))).toDF("embedding")
+    val c = graft.scale.Pca.topComponent(fit, col("embedding"), iters = 6)
+    val score = Seq(Array(6f, 8f), Array(-4f, 3f), Array(1f, 0f))
+      .map(Tuple1(_)).toDF("embedding")
+      .select(graft.scale.Pca.reconstructionError(col("embedding"), c).as("err"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(score(0)) < 1e-9, score(0).toString)
+    assert(math.abs(score(1) - 25.0) < 1e-9, score(1).toString)
+    assert(math.abs(score(2) - 0.64) < 1e-9, score(2).toString)
+    // a component without means (pre-round-6 shape) is rejected
+    val bare = c.copy(means = Array.empty)
+    intercept[IllegalArgumentException] {
+      graft.scale.Pca.reconstructionError(col("embedding"), bare)
+    }
   }
 
   test("Bpe.fit: hand-computed merges incl. same-token runs and tie-break") {
