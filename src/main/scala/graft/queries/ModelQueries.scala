@@ -277,6 +277,71 @@ FROM events"""
           r6(lit(meta.weights(1))).as("w_m_stump"),
           r6(lit(meta.weights(2))).as("w_m_lr"))
     },
+    // the reference's evaluate_all_models comparison table
+    // (models/advanced_models.py:462-508: one row per trained model with
+    // auc/precision/recall/f1/accuracy on a shared held-out slice): NB,
+    // best stump, logistic GD, and the 3-round boosted chain, all fit on
+    // the same 80% md5-bucket train slice and evaluated on the held-out
+    // 20%. Stump "probabilities" are leaf class rates (sklearn
+    // predict_proba of a depth-1 tree). Every model is O(model-size)
+    // driver state; each evaluation is a broadcast-literal scan of the
+    // validation slice plus the shared mid-rank AUC pass.
+    "q194_model_leaderboard" -> { (s, dir) =>
+      val sF = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "lead", 5))
+        .localCheckpoint() // four fits + four scoring passes read it
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      def metricsOf(name: String, scored: org.apache.spark.sql.DataFrame) = {
+        val agg = scored.agg(count(lit(1)).as("n_val"),
+          sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+        val aucDf = graft.feedback.Drift.auc(scored, col("y") === 1L, col("s"))
+          .select(r6(col("auc")).as("auc"))
+        agg.crossJoin(broadcast(aucDf)).select(
+          lit(name).as("model"), col("n_val"), col("auc"),
+          r6((col("n_val") - col("fp") - col("fn")).cast("double") / col("n_val"))
+            .as("accuracy"),
+          r6(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")))).as("prec"),
+          r6(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")))).as("rec"),
+          r6(when(col("tp") * 2 + col("fp") + col("fn") > 0,
+            col("tp") * 2.0 / (col("tp") * 2 + col("fp") + col("fn")))).as("f1"))
+      }
+      // naive Bayes (the q167 model) on the shared split; margin > 0
+      val nbScored = Models.naiveBayesDelta(
+          train, valid, Seq("hb", "dowi", "vb"), col("y"))
+        .select(col("y"), r6(col("delta")).as("s"))
+        .withColumn("pred", (col("s") > 0).cast("long"))
+      // best stump (q168 argmin); score = leaf positive rate
+      val best = Models.stumpCandidates(train, sF, col("y"))
+        .select(col("feature"), col("threshold"), r6(col("gini")).as("g"),
+          col("n_left"), col("pos_left"), col("n_right"), col("pos_right"))
+        .orderBy(col("g"), col("feature"), col("threshold")).limit(1).head()
+      val leafRate = when(col(best.getString(0)).cast("double") <= best.getDouble(1),
+        lit(best.getLong(4).toDouble / best.getLong(3)))
+        .otherwise(lit(best.getLong(6).toDouble / best.getLong(5)))
+      val stScored = valid.select(col("y"), r6(leafRate).as("s"))
+        .withColumn("pred", (col("s") > 0.5).cast("long"))
+      // logistic GD (train-slice standardization travels in the model)
+      val lrM = graft.scoring.Trainer.fitLogistic(
+        train, sF, col("y"), iters = 10, lr = 0.5)
+      val lrScored = valid.select(col("y"),
+          r6(graft.scoring.Trainer.margin(lrM)).as("s"))
+        .withColumn("pred", (col("s") > 0).cast("long"))
+      // 3-round boosted chain (the q191 fit); additive score vs 0.5
+      val gbM = graft.scoring.Boosting.fit(
+        train, sF, col("y"), rounds = 3, rate = 0.5)
+      val gbScored = valid.select(col("y"),
+          r6(graft.scoring.Boosting.score(gbM)).as("s"))
+        .withColumn("pred", (col("s") > 0.5).cast("long"))
+      Seq(metricsOf("naive_bayes", nbScored), metricsOf("stump", stScored),
+        metricsOf("logistic", lrScored), metricsOf("boosted_stumps", gbScored))
+        .reduce(_.unionByName(_))
+    },
     // closed-form hyperparameter grid (the reference's AutoML surface,
     // models/advanced_models.py:309-339, minus the RNG tuner): a
     // (learning-rate × iteration-budget) grid for the logistic trainer,
@@ -818,6 +883,107 @@ SELECT c.lr, c.iters, c.n_val, c.auc, c.intercept, c.w_value, c.w_hb, c.w_dowi,
 FROM cells c LEFT JOIN cells c2
   ON c2.auc > c.auc OR (c2.auc = c.auc AND (c2.lr < c.lr OR (c2.lr = c.lr AND c2.iters < c.iters)))
 GROUP BY c.lr, c.iters, c.n_val, c.auc, c.intercept, c.w_value, c.w_hb, c.w_dowi"""
+    },
+    "q194_model_leaderboard" -> {
+      // one WITH: NB likelihoods + stump candidates + 10-iter unrolled
+      // LR + the 3-round boosting replay, each scored on the shared
+      // held-out slice, then a midrank-AUC + confusion block per model
+      val nbF = Seq("hb", "dowi", "vb")
+      val sF = Seq("value", "hb", "dowi")
+      val idx = 0 until 3
+      val lrIt = 10
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      val lrChain = {
+        val i0 = s"i0_q AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val its = (1 to lrIt).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - 0.5*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+          s"i${k}_q AS MATERIALIZED (SELECT $upd\n  FROM dtr d, i${k - 1}_q i GROUP BY $grp)"
+        }.mkString(",\n")
+        s"$i0,\n$its"
+      }
+      def nbLikeQ(c: String) =
+        s"""l_$c AS (SELECT $c AS v, CAST(sum(y) AS DOUBLE) AS c1,
+  CAST(count(*) - sum(y) AS DOUBLE) AS c0 FROM tr GROUP BY 1),
+k_$c AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l_$c)"""
+      def nbTermQ(c: String) =
+        s"ln((coalesce(l_$c.c1, 0) + 1)/(pr.n1 + k_$c.k)) - ln((coalesce(l_$c.c0, 0) + 1)/(pr.n0 + k_$c.k))"
+      val bfv =
+        s"""(CASE WHEN best.bf = 'value' THEN CAST(va.value AS DOUBLE)
+      WHEN best.bf = 'hb' THEN CAST(va.hb AS DOUBLE)
+      ELSE CAST(va.dowi AS DOUBLE) END)"""
+      def mblock(name: String, src: String, thr: String) =
+        s"""rk_$name AS (SELECT y, rank() OVER (ORDER BY s) + (count(*) OVER (PARTITION BY s) - 1)/2.0 AS midrank FROM $src),
+au_$name AS (SELECT CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+  END AS auc FROM rk_$name),
+cm_$name AS (SELECT count(*) AS n_val,
+    sum(CASE WHEN s > $thr AND y = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN s > $thr AND y = 0 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN NOT (s > $thr) AND y = 1 THEN 1 ELSE 0 END) AS fn
+  FROM $src)"""
+      def mrow(name: String, label: String) =
+        s"""SELECT '$label' AS model, cm_$name.n_val,
+  round(au_$name.auc + 5e-11, 4) AS auc,
+  round((cm_$name.n_val - cm_$name.fp - cm_$name.fn)::DOUBLE / cm_$name.n_val + 5e-11, 4) AS accuracy,
+  round(CASE WHEN cm_$name.tp + cm_$name.fp > 0 THEN cm_$name.tp::DOUBLE/(cm_$name.tp + cm_$name.fp) END + 5e-11, 4) AS prec,
+  round(CASE WHEN cm_$name.tp + cm_$name.fn > 0 THEN cm_$name.tp::DOUBLE/(cm_$name.tp + cm_$name.fn) END + 5e-11, 4) AS rec,
+  round(CASE WHEN 2*cm_$name.tp + cm_$name.fp + cm_$name.fn > 0 THEN 2.0*cm_$name.tp/(2*cm_$name.tp + cm_$name.fp + cm_$name.fn) END + 5e-11, 4) AS f1
+FROM cm_$name, au_$name"""
+      s"""WITH fb AS MATERIALIZED (
+  SELECT e.*, CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
+    ('0x' || substr(md5('lead:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM ($featSql) e),
+tr AS MATERIALIZED (SELECT * FROM fb WHERE vb5 <> 0),
+va AS MATERIALIZED (SELECT * FROM fb WHERE vb5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${nbF.map(nbLikeQ).mkString(",\n")},
+nbsc AS MATERIALIZED (
+  SELECT va.y,
+    round(ln(pr.n1/pr.n0)
+      + ${nbF.map(nbTermQ).mkString("\n      + ")} + 5e-11, 4) AS s
+  FROM va CROSS JOIN pr ${nbF.map(c => s"CROSS JOIN k_$c").mkString(" ")}
+  ${nbF.map(c => s"LEFT JOIN l_$c ON va.$c = l_$c.v").mkString("\n  ")}),
+${sF.map(c => stumpCand(c, src = "tr", name = s"cl_$c")).mkString(",\n")},
+best AS MATERIALIZED (
+  SELECT feature AS bf, threshold AS bt,
+    CAST(pos_left AS DOUBLE)/n_left AS lrate,
+    CAST(pos_right AS DOUBLE)/n_right AS rrate
+  FROM (${sF.map(c => s"SELECT * FROM cl_$c").mkString(" UNION ALL ")})
+  ORDER BY round(gini + 5e-11, 4), feature, threshold LIMIT 1),
+stsc AS MATERIALIZED (
+  SELECT va.y, round((CASE WHEN $bfv <= best.bt THEN best.lrate ELSE best.rrate END) + 5e-11, 4) AS s
+  FROM va CROSS JOIN best),
+sq AS (SELECT $statSel FROM tr),
+dtr AS MATERIALIZED (SELECT ${idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")}, y::DOUBLE AS y FROM tr, sq),
+$lrChain,
+lrsc AS MATERIALIZED (
+  SELECT va.y, round(i.w0*((va.x0 - sq.m0)/sq.s0) + i.w1*((va.x1 - sq.m1)/sq.s1)
+    + i.w2*((va.x2 - sq.m2)/sq.s2) + i.b + 5e-11, 4) AS s
+  FROM va, sq, i${lrIt}_q i),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM tr),
+${gbRoundCtes(3, "tr")},
+gbsc AS MATERIALIZED (
+  SELECT va.y, round(${gbScoreExpr(3, "va")} + 5e-11, 4) AS s
+  FROM va CROSS JOIN f0${(1 to 3).map(j => s" CROSS JOIN best$j b$j").mkString}),
+${mblock("nb", "nbsc", "0")},
+${mblock("st", "stsc", "0.5")},
+${mblock("lr", "lrsc", "0")},
+${mblock("gb", "gbsc", "0.5")}
+${mrow("nb", "naive_bayes")}
+UNION ALL
+${mrow("st", "stump")}
+UNION ALL
+${mrow("lr", "logistic")}
+UNION ALL
+${mrow("gb", "boosted_stumps")}"""
     },
     "q180_boosted_stumps" -> {
       val T = 3

@@ -368,6 +368,12 @@ class PlanSpec extends AnyFunSuite {
     assert(entityEx == 1, s"expected one customer_id exchange, got $entityEx:\n$p")
   }
 
+  test("model leaderboard: every model scores via literals/broadcast — no shuffle join") {
+    val p = plan(graft.queries.ModelQueries.defs("q194_model_leaderboard")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"leaderboard scoring must not shuffle-join:\n$p")
+  }
+
   test("percentile gate: partial-merge sketch agg + broadcast rank pass") {
     val p = plan(graft.queries.DomainQueries.defs("q188_percentile_sketch")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
