@@ -28,7 +28,11 @@ package object queries {
     * (verified bit-equal on 100k adversarial samples).
     */
   private def rnd(c: Column, p: Double): Column =
-    when(c >= 0, floor(c * p + 0.5)).otherwise(-floor(-c * p + 0.5)) / p
+    // negate the DOUBLE, not floor's BIGINT: a negative value rounding to
+    // zero must emit -0.0 (as DuckDB's round and the driver-side r6d
+    // both do) — negating the long 0 yields +0.0 and the zero-sign
+    // mismatch misaligns the oracle compare's repr-sorted rows
+    when(c >= 0, floor(c * p + 0.5) / p).otherwise(-(floor(-c * p + 0.5) / p))
 
   /** The nudge resolves EXACT decimal midpoints: money inputs (2 dp)
     * averaged over power-of-two window counts land precisely on

@@ -15,6 +15,27 @@ class FunctionsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("r6 zero-sign convention: negative values rounding to zero emit -0.0") {
+    // DuckDB's round() and the driver-side r6d both preserve the sign of
+    // a negative value that rounds to zero; Spark's floor returns BIGINT,
+    // so a long-negation would emit +0.0 and the repr-sorted oracle
+    // compare misaligns (the q103 sf0.001 regression). Bit-compare, since
+    // -0.0 == 0.0 numerically.
+    import graft.queries.{r6, r2}
+    val row = spark.range(1).select(
+      r6(lit(-1.69e-5)).as("a"),   // negative, rounds to zero -> -0.0
+      r6(lit(-3e-11)).as("b"),     // inside the +5e-11 nudge -> +0.0
+      r6(lit(1.69e-5)).as("c"),    // positive twin -> +0.0
+      r6(lit(-0.00012042365657786529)).as("d"), // q103's real cell
+      r2(lit(-0.004)).as("e")).head()
+    def bits(x: Double) = java.lang.Double.doubleToLongBits(x)
+    assert(bits(row.getDouble(0)) == bits(-0.0), row.toString)
+    assert(bits(row.getDouble(1)) == bits(0.0), row.toString)
+    assert(bits(row.getDouble(2)) == bits(0.0), row.toString)
+    assert(row.getDouble(3) == -0.0001, row.toString)
+    assert(bits(row.getDouble(4)) == bits(-0.0), row.toString)
+  }
+
   test("exact_distinct over range frames equals size(collect_set), groupBy equals countDistinct") {
     GraftFunctions.register(spark)
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
