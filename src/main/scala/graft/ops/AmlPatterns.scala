@@ -353,6 +353,40 @@ object AmlPatterns {
     * transitions and drop out (AUC of a sequence model needs a
     * sequence), matching the oracle.
     */
+  /** The fitted transition model of [[markovNll]] as driver-side state
+    * (≤ V²+V+1 entries — model-size, like a trained LR's weights), for
+    * serving on the streaming path: `nll(prev, cur)` is the same
+    * Laplace-smoothed negative log-likelihood the batch query computes,
+    * extended to unseen transitions (count 0) so an online scorer never
+    * rejects a novel pair.
+    */
+  final case class MarkovModel(trans: Map[(String, String), Long],
+      fromTot: Map[String, Long], vocab: Long) {
+    require(vocab >= 1, s"MarkovModel: empty vocabulary")
+    def nll(prev: String, cur: String): Double = {
+      val c = trans.getOrElse((prev, cur), 0L)
+      val ct = fromTot.getOrElse(prev, 0L)
+      -math.log((c + 1).toDouble / (ct + vocab))
+    }
+  }
+
+  /** Fit [[MarkovModel]] on a transaction corpus — the collect is the
+    * transition matrix only (≤ V² rows), never entity-scale data.
+    */
+  def markovFit(tx: DataFrame): MarkovModel = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("customer_id"))
+      .orderBy(col("event_timestamp"), col("transaction_id"))
+    val trans = tx.select(col("merchant_id").as("cur"),
+        lag(col("merchant_id"), 1).over(w).as("prev"))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val v = tx.agg(count_distinct(col("merchant_id"))).head().getLong(0)
+    MarkovModel(trans,
+      trans.groupMapReduce(_._1._1)(_._2)(_ + _), v)
+  }
+
   def markovNll(tx: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("customer_id"))

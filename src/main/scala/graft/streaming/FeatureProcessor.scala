@@ -336,6 +336,38 @@ class GraphDegreeProcessor extends StatefulProcessor[Long, StreamTxn, GraphDegre
   }
 }
 
+/** Per-event transition score under an offline-fitted Markov model (the
+  * q193 sequence-model scorer served online, like the trained LR in
+  * [[StreamingFeatures.scoredCustomerFeatures]]). State per customer is
+  * ONE value — the previous merchant symbol — so the store is O(entities)
+  * regardless of history length; the model rides in the closure
+  * (model-size broadcast, ≤ V² entries). A customer's first event opens
+  * the sequence and emits no transition.
+  */
+case class MarkovScore(customer_id: Long, ts_micros: Long,
+                       prev_merchant: String, merchant_id: String, nll: Double)
+
+class MarkovScoreProcessor(model: graft.ops.AmlPatterns.MarkovModel)
+    extends StatefulProcessor[Long, StreamTxn, MarkovScore] {
+  @transient private var prev: ValueState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    prev = getHandle.getValueState[String]("prev", Encoders.STRING, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StreamTxn],
+                               timerValues: TimerValues): Iterator[MarkovScore] = {
+    var p = if (prev.exists()) prev.get() else null
+    val out = rows.toArray.sortBy(_.ts_micros).flatMap { e =>
+      val r = Option(p).map(pm =>
+        MarkovScore(key, e.ts_micros, pm, e.merchant_id, model.nll(pm, e.merchant_id)))
+      p = e.merchant_id
+      r
+    }
+    prev.update(p)
+    out.iterator
+  }
+}
+
 object StreamingFeatures {
   /** Wire the processor onto a stream of events. The session must use the
     * RocksDB state store provider (transformWithState requirement).
@@ -413,6 +445,19 @@ object StreamingFeatures {
     feats
       .withColumn("model_margin", graft.scoring.Trainer.margin(model))
       .withColumn("model_probability", graft.scoring.Trainer.probability(model))
+  }
+
+  /** The q193 sequence scorer online: per-event transition NLL under the
+    * offline-fitted [[graft.ops.AmlPatterns.MarkovModel]]. One value of
+    * state per customer (the previous symbol); batch-vs-stream NLL
+    * equality is asserted in StreamingSpec.
+    */
+  def markovScores(events: Dataset[StreamTxn],
+                   model: graft.ops.AmlPatterns.MarkovModel): Dataset[MarkovScore] = {
+    implicit val enc: Encoder[MarkovScore] = Encoders.product[MarkovScore]
+    events.groupByKey(_.customer_id)(Encoders.scalaLong)
+      .transformWithState(new MarkovScoreProcessor(model),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Stream-stream self interval join: for each event, the same customer's

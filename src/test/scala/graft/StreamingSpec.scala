@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.CoreFeatures
-import graft.streaming.{StreamTxn, StreamingFeatures}
+import graft.streaming.{MarkovScore, StreamTxn, StreamingFeatures}
 import graft.tables.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -473,6 +473,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(keep == (id == canon), s"doc $id")
     }
     assert(got.values.count(_._1) == batch.values.toSet.size)
+  }
+
+  test("markov sequence scorer: streamed NLLs equal the batch model across a batch boundary") {
+    import spark.implicits._
+    val txDf = Tables.transactions(spark, "/root/testdata/sf0.001")
+    val model = graft.ops.AmlPatterns.markovFit(txDf)
+    assert(model.vocab == 5 && model.trans.nonEmpty)
+    // unseen transitions score like count-0 Laplace cells, never reject
+    assert(model.nll("no_such", "alsonot") == math.log(model.vocab.toDouble))
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    // the processor orders by ts within a customer; the fixture must have
+    // no same-customer ts ties or batch (ts, txn_id) order could diverge
+    assert(tx.groupBy(e => (e.customer_id, e.ts_micros)).forall(_._2.length == 1))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.markovScores(input.toDS(), model)
+      .writeStream.format("memory").queryName("mkv").outputMode("append").start()
+    val (b1, b2) = tx.splitAt(tx.length / 2) // cuts customers mid-sequence
+    try {
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("mkv").as[MarkovScore].collect()
+      .map(s => (s.customer_id, s.ts_micros) -> s).toMap
+    val expected = tx.groupBy(_.customer_id).values.flatMap { es =>
+      es.sortBy(_.ts_micros).sliding(2).collect { case Array(a, b) =>
+        (b.customer_id, b.ts_micros) -> (a.merchant_id, b.merchant_id) }
+    }.toMap
+    assert(streamed.keySet == expected.keySet) // first events emit nothing
+    expected.foreach { case (k, (pm, cm)) =>
+      val s = streamed(k)
+      assert(s.prev_merchant == pm && s.merchant_id == cm, k.toString)
+      assert(s.nll == model.nll(pm, cm), k.toString)
+    }
+    // per-customer means reproduce the batch q193 operator
+    val batch = graft.ops.AmlPatterns.markovNll(txDf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val perCust = streamed.values.groupBy(_.customer_id)
+    assert(perCust.keySet == batch.keySet)
+    perCust.foreach { case (c, ss) =>
+      val (n, avgNll) = batch(c)
+      assert(ss.size == n, s"customer $c")
+      assert(math.abs(ss.map(_.nll).sum / ss.size - avgNll) < 1e-12, s"customer $c")
+    }
   }
 
   test("trained LR scores the streaming feature vector identically to batch") {
