@@ -127,6 +127,28 @@ class AmlFeatureStore(spark: SparkSession) {
   def segmentClusters(points: DataFrame, id: Column, features: Seq[String],
       k: Int = 3, iters: Int = 3): DataFrame =
     graft.scoring.KMeansOps.lloydSummary(points, id, features, k, iters)
+  def boostStumps(train: DataFrame, features: Seq[String], label: Column,
+      rounds: Int = 3, rate: Double = 0.5): graft.scoring.Boosting.Model =
+    graft.scoring.Boosting.fit(train, features, label, rounds, rate)
+
+  /** Closed-form anomaly detectors (the reference's deep-learning slots,
+    * `models/advanced_models.py:107-172`): PCA reconstruction error fit
+    * on a normal slice (autoencoder stand-in) and the Markov
+    * transition-NLL sequence scorer (LSTM stand-in) — both also
+    * servable on the streaming path ([[graft.streaming.MarkovScoreProcessor]]).
+    */
+  def reconstructionAnomaly(fitSlice: DataFrame, scoreSlice: DataFrame,
+      emb: Column, iters: Int = 6): DataFrame = {
+    val c = graft.scale.Pca.topComponent(fitSlice, emb, iters)
+    scoreSlice.withColumn("recon_error",
+      graft.scale.Pca.reconstructionError(emb, c))
+  }
+  def sequenceAnomaly(tx: DataFrame): DataFrame =
+    graft.ops.AmlPatterns.markovNll(tx)
+  def streamingSequenceScores(events: Dataset[StreamTxn],
+      model: graft.ops.AmlPatterns.MarkovModel)
+      : Dataset[graft.streaming.MarkovScore] =
+    graft.streaming.StreamingFeatures.markovScores(events, model)
 
   /** Training-corpus layout: concat-and-chunk sequence packing report
     * (offsets from a corpus-wide exact cumsum; see [[graft.scale.Packing]]).

@@ -103,4 +103,29 @@ class FacadeSpec extends AnyFunSuite {
       Seq(col("doc_id")), col("tok"), binSize = 4L)
     assert(bins.count() == 3)
   }
+
+  test("anomaly detectors are reachable through the facade") {
+    import spark.implicits._
+    val store = new AmlFeatureStore(spark)
+
+    val gb = store.boostStumps((1 to 100).map { i =>
+      ((i % 10).toDouble, if (i % 10 >= 5) 1 else 0)
+    }.toDF("x", "y"), Seq("x"), col("y"), rounds = 2)
+    assert(gb.rounds.size == 2 && gb.f0 == 0.5)
+
+    // rank-1 fit corpus: on-line points reconstruct to ~0 error, the
+    // orthogonal point keeps its full squared norm
+    val fit = Seq(-2f, -1f, 0f, 1f, 2f).map(t => Tuple1(Array(3 * t, 4 * t)))
+      .toDF("embedding")
+    val scored = store.reconstructionAnomaly(fit,
+      Seq(Array(3f, 4f), Array(-4f, 3f)).map(Tuple1(_)).toDF("embedding"),
+      col("embedding")).collect().map(_.getAs[Double]("recon_error"))
+    assert(math.abs(scored(0)) < 1e-9 && math.abs(scored(1) - 25.0) < 1e-9)
+
+    val tx = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"))
+      .toDF("customer_id", "transaction_id", "merchant_id")
+      .withColumn("event_timestamp", timestamp_micros(col("transaction_id") * 1000000L))
+    val seq = store.sequenceAnomaly(tx).head()
+    assert(seq.getLong(1) == 2) // A->B, B->A
+  }
 }
