@@ -365,6 +365,37 @@ sig AS (SELECT doc_id,
           r6(max(col("err"))).as("max_err"))
         .crossJoin(broadcast(aucDf))
     },
+    // pretraining mixture solver (the DoReMi-style budgeting step of an
+    // LLM data pipeline — engine extension): target mixture weights per
+    // source (deterministic from the source index), available tokens per
+    // source, and the LARGEST total token budget T with w_s·T <= avail_s
+    // for every source. The binding source saturates (rate 1); everything
+    // else downsamples to w_s·T. Closed form T = min_s avail_s/w_s; the
+    // binding test is exact integer cross-multiplication (a_s·w_t vs
+    // a_t·w_s), no float argmin. One token-count aggregate reduces the
+    // corpus to |sources| model-size rows; all joins broadcast.
+    "q195_mixture_budget" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextOps.nTokens(col("text"))).as("tokens"))
+        .withColumn("wraw", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      val sw = base.agg(sum(col("wraw")).as("sw"))
+      val withRatio = base.crossJoin(broadcast(sw))
+        .withColumn("ratio", col("tokens").cast("double") * col("sw") / col("wraw"))
+      val tmin = withRatio.agg(min(col("ratio")).as("t"))
+      val peers = base.select(col("tokens").as("t2"), col("wraw").as("w2"))
+      val binding = withRatio.crossJoin(broadcast(peers))
+        .groupBy(col("source"), col("tokens"), col("wraw"), col("sw"))
+        .agg(max(when(col("t2") * col("wraw") < col("tokens") * col("w2"), 1)
+          .otherwise(0)).as("beat"))
+      binding.crossJoin(broadcast(tmin)).select(
+        col("source"), col("tokens"),
+        r6(col("wraw").cast("double") / col("sw")).as("weight"),
+        r6(col("t")).as("budget_tokens"),
+        r6(col("wraw") * col("t") / col("sw")).as("sampled_tokens"),
+        r6(col("wraw") * col("t") / col("sw") / col("tokens")).as("rate"),
+        (col("beat") === 0).as("binding"))
+    },
     // the ENCODER side of q186: price the learned 5-merge vocabulary on
     // every corpus slice. The merge chain runs once at VOCABULARY scale
     // (distinct words); per-source cost is then a word-level join —
@@ -1097,6 +1128,24 @@ FROM r GROUP BY source""",
     "q187_pca_power" -> pcaPowerSql,
     "q190_pca_project" -> pcaProjectSql,
     "q192_recon_anomaly" -> reconAnomalySql,
+    "q195_mixture_budget" ->
+      """WITH b AS (
+  SELECT source, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
+    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS wraw
+  FROM documents GROUP BY source),
+sw AS (SELECT CAST(sum(wraw) AS BIGINT) AS sw FROM b),
+r AS (SELECT b.*, sw.sw, CAST(tokens AS DOUBLE) * sw.sw / wraw AS ratio FROM b, sw),
+t AS (SELECT min(ratio) AS t FROM r),
+bd AS (SELECT r.source, r.tokens, r.wraw, r.sw,
+    max(CASE WHEN p.tokens * r.wraw < r.tokens * p.wraw THEN 1 ELSE 0 END) AS beat
+  FROM r, b p GROUP BY 1, 2, 3, 4)
+SELECT bd.source, bd.tokens,
+  round(CAST(bd.wraw AS DOUBLE) / bd.sw + 5e-11, 4) AS weight,
+  round(t.t + 5e-11, 4) AS budget_tokens,
+  round(bd.wraw * t.t / bd.sw + 5e-11, 4) AS sampled_tokens,
+  round(bd.wraw * t.t / bd.sw / bd.tokens + 5e-11, 4) AS rate,
+  bd.beat = 0 AS binding
+FROM bd, t""",
     "q186_bpe_merges" -> {
       val rows = (1 to 5).map(t =>
         s"""SELECT $t AS round, a AS merge_left, b AS merge_right, cnt,

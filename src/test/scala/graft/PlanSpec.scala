@@ -374,6 +374,12 @@ class PlanSpec extends AnyFunSuite {
       s"leaderboard scoring must not shuffle-join:\n$p")
   }
 
+  test("mixture budget: one source aggregate, everything after broadcasts") {
+    val p = plan(graft.queries.ScaleQueries.defs("q195_mixture_budget")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"model-size tables must broadcast:\n$p")
+  }
+
   test("percentile gate: partial-merge sketch agg + broadcast rank pass") {
     val p = plan(graft.queries.DomainQueries.defs("q188_percentile_sketch")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),

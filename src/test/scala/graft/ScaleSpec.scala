@@ -376,6 +376,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_.getDouble(3)).sum - 1.0) < 1e-12)
   }
 
+  test("mixture budget: rates cap at 1, the binding source saturates, weights sum to 1") {
+    val rows = graft.queries.ScaleQueries.defs("q195_mixture_budget")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    val weightSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(weightSum - 1.0) < 1e-3, weightSum.toString) // 4dp-rounded parts
+    val budgets = rows.map(_.getAs[Double]("budget_tokens")).distinct
+    assert(budgets.length == 1) // one corpus-wide budget
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate <= 1.0 + 1e-9, r.toString)
+      assert(r.getAs[Double]("sampled_tokens") <= r.getAs[Long]("tokens") + 1e-6, r.toString)
+      if (r.getAs[Boolean]("binding")) assert(math.abs(rate - 1.0) < 1e-9, r.toString)
+    }
+    assert(rows.count(_.getAs[Boolean]("binding")) >= 1)
+  }
+
   test("Pca.topComponent recovers a rank-1 direction exactly") {
     // points t·(3,4), t ∈ {-2..2}: cov = 2·[[9,12],[12,16]], top
     // eigenvector (0.6, 0.8), λ = trace = 50 → explained ratio 1
