@@ -371,17 +371,26 @@ object AmlPatterns {
   }
 
   /** Fit [[MarkovModel]] on a transaction corpus — the collect is the
-    * transition matrix only (≤ V² rows), never entity-scale data.
+    * transition matrix only (≤ V² rows, counted BEFORE collecting),
+    * never entity-scale data. `maxEntries` caps the driver-side model:
+    * a high-cardinality symbol space (e.g. raw merchant ids at 100 TB)
+    * must be bucketed into categories first — the batch [[markovNll]]
+    * has no such limit because it never collects the matrix.
     */
-  def markovFit(tx: DataFrame): MarkovModel = {
+  def markovFit(tx: DataFrame, maxEntries: Long = 100000L): MarkovModel = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("customer_id"))
       .orderBy(col("event_timestamp"), col("transaction_id"))
-    val trans = tx.select(col("merchant_id").as("cur"),
+    val transDf = tx.select(col("merchant_id").as("cur"),
         lag(col("merchant_id"), 1).over(w).as("prev"))
       .where(col("prev").isNotNull)
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = transDf.count()
+    require(n <= maxEntries,
+      s"markovFit: $n distinct transitions exceed the $maxEntries driver-model " +
+        "cap; bucket the symbol column into categories before fitting")
+    val trans = transDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val v = tx.agg(count_distinct(col("merchant_id"))).head().getLong(0)
     MarkovModel(trans,
       trans.groupMapReduce(_._1._1)(_._2)(_ + _), v)

@@ -51,6 +51,19 @@ class DomainSpec extends AnyFunSuite {
     assert(math.abs(out(2L).getDouble(2) + math.log(0.4)) < 1e-12, out(2L).toString)
   }
 
+  test("markovFit: driver-model cap rejects high-cardinality symbol spaces") {
+    val tx = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D")
+    ).toDF("customer_id", "transaction_id", "merchant_id")
+      .withColumn("event_timestamp", timestamp_micros(col("transaction_id") * 1000000L))
+    val err = intercept[IllegalArgumentException] {
+      AmlPatterns.markovFit(tx, maxEntries = 2) // 3 distinct transitions
+    }
+    assert(err.getMessage.contains("driver-model"), err.getMessage)
+    val ok = AmlPatterns.markovFit(tx) // default cap admits it
+    assert(ok.trans.size == 3 && ok.vocab == 4)
+  }
+
   test("benford: digit extraction is scale-invariant; uniform digits give flat obs_freq") {
     val tx = (1 to 9).flatMap(d => Seq(d * 1.0, d * 10.0, d * 0.01))
       .map(Tuple1(_)).toDF("amount")
