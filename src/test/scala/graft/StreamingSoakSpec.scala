@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{StreamingFeatures, StreamTxnTs}
+import graft.streaming.{MarkovScore, StreamingFeatures, StreamTxn, StreamTxnTs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -95,5 +95,44 @@ class StreamingSoakSpec extends AnyFunSuite {
     // (timer entries) but the 190 expired keys' histories must be gone
     assert(totalRows <= 3L * (liveKeys.size + 1),
       s"state not pruned to live keys: $totalRows rows\n$lastProgress")
+  }
+
+  test("markov scorer: prev-symbol state survives a checkpoint restart") {
+    import spark.implicits._
+    // fixed model so expected NLLs are hand-checkable rationals
+    val model = graft.ops.AmlPatterns.MarkovModel(
+      Map(("A", "B") -> 3L, ("B", "A") -> 2L, ("A", "A") -> 1L),
+      Map("A" -> 4L, "B" -> 2L), vocab = 2L)
+    def ev(c: Long, i: Long, m: String) = StreamTxn(c, i * 1000000L, 1.0, m, "ip")
+    // kill between the halves: every post-restart transition depends on a
+    // prev symbol recovered from the checkpointed state
+    val h1 = Seq(ev(1, 1, "A"), ev(1, 2, "B"), ev(2, 1, "B"))
+    val h2 = Seq(ev(1, 3, "A"), ev(2, 2, "A"), ev(2, 3, "A"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mkv-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mkv-out").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    def start() = StreamingFeatures.markovScores(input.toDS(), model)
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try { input.addData(h1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(h2); q2.processAllAvailable() } finally q2.stop()
+
+    val out = spark.read.parquet(outDir).as[MarkovScore].collect()
+      .map(s => (s.customer_id, s.ts_micros) -> s).toMap
+    assert(out.keySet == Set((1L, 2000000L), (1L, 3000000L),
+      (2L, 2000000L), (2L, 3000000L)), out.keySet.toString)
+    def nllOf(k: (Long, Long)) = out(k).nll
+    assert(nllOf((1L, 2000000L)) == -math.log(4.0 / 6)) // A->B: (3+1)/(4+2)
+    // cross-restart transitions: prev B and prev B from run 1's state
+    assert(out((1L, 3000000L)).prev_merchant == "B")
+    assert(nllOf((1L, 3000000L)) == -math.log(3.0 / 4)) // B->A: (2+1)/(2+2)
+    assert(out((2L, 2000000L)).prev_merchant == "B")
+    assert(nllOf((2L, 2000000L)) == -math.log(3.0 / 4)) // B->A
+    assert(nllOf((2L, 3000000L)) == -math.log(2.0 / 6)) // A->A: (1+1)/(4+2)
   }
 }
