@@ -230,12 +230,11 @@ FROM events"""
       // per-fold LR, all folds' gradients fused into one aggregate/step
       val lrModels = graft.scoring.Trainer.fitLogisticCV(
         f, lrFeats, col("y"), col("fold"), folds = 3, iters = 5, lr = 0.5)
-      // OOF naive Bayes rows (model tables are broadcast; the test side
-      // of each fold never shuffles)
-      val nbOof = (0 until 3).map { b =>
-        Models.naiveBayesDelta(f.where(col("fold") =!= b),
-          f.where(col("fold") === b), nbFeats, col("y"))
-      }.reduce(_.unionByName(_))
+      // OOF naive Bayes rows — ALL folds' likelihood tables from one
+      // pass per feature (bit-identical deltas to three per-fold fits;
+      // model tables broadcast, the scored side never shuffles)
+      val nbOof = Models.naiveBayesDeltaOof(f, nbFeats, col("y"),
+        col("fold"), folds = 3)
       val voteCase = (0 until 3).foldLeft(lit(null).cast("long")) {
         case (acc, b) =>
           val (ft, th, lm, rm) = bests(b)

@@ -64,6 +64,62 @@ object Models {
         features.flatMap(f => Seq(s"__c1_$f", s"__c0_$f", s"__k_$f")).toList: _*)
   }
 
+  /** Out-of-fold [[naiveBayesDelta]] for every fold in ONE pass per
+    * feature — the [[Trainer.fitLogisticCV]] fusion applied to the
+    * likelihood tables. Per-value class counts are aggregated once with
+    * a per-fold conditional sum (`sum(when(fold =!= b, y))`), so fold
+    * b's train table is exactly the one its per-fold fit would build: a
+    * value appearing only inside fold b gets train counts 0.0 — the
+    * same cell the per-fold LEFT JOIN's coalesce produces — and fold
+    * b's Laplace K counts only values with train presence. Every row is
+    * scored against ITS OWN fold's excluded model; the emitted deltas
+    * are bit-identical to `folds` separate [[naiveBayesDelta]] calls
+    * (same integer counts, same expression order), while the corpus is
+    * scanned once per feature instead of once per feature per fold.
+    */
+  def naiveBayesDeltaOof(data: DataFrame, features: Seq[String], label: Column,
+      foldCol: Column, folds: Int, out: String = "delta"): DataFrame = {
+    require(folds >= 2, s"naiveBayesDeltaOof: folds must be >= 2, got $folds")
+    val y = label.cast("int")
+    val fold = foldCol.cast("int")
+    val priorAggs = (0 until folds).flatMap { b =>
+      Seq(sum(when(fold =!= b, y)).cast("double").as(s"__n1_$b"),
+        (sum(when(fold =!= b, 1)) - sum(when(fold =!= b, y))).cast("double")
+          .as(s"__n0_$b"))
+    }
+    val prior = data.agg(priorAggs.head, priorAggs.tail: _*)
+    val base = data.withColumn("__fold", fold).crossJoin(broadcast(prior))
+    val scored = features.foldLeft(base) { (acc, f) =>
+      val aggs = (0 until folds).flatMap { b =>
+        Seq(sum(when(fold =!= b, y)).cast("double").as(s"__c1_${f}_$b"),
+          (sum(when(fold =!= b, 1)) - sum(when(fold =!= b, y))).cast("double")
+            .as(s"__c0_${f}_$b"))
+      }
+      val like = data.groupBy(col(f).as(s"__v_$f")).agg(aggs.head, aggs.tail: _*)
+      val kAggs = (0 until folds).map { b =>
+        count(when(col(s"__c1_${f}_$b") + col(s"__c0_${f}_$b") > 0, 1))
+          .cast("double").as(s"__k_${f}_$b")
+      }
+      val k = like.agg(kAggs.head, kAggs.tail: _*)
+      acc.join(broadcast(like), col(f) === col(s"__v_$f"), "left")
+        .crossJoin(broadcast(k))
+        .drop(s"__v_$f")
+    }
+    def sel(pfx: String): Column = (0 until folds).foldLeft(lit(null).cast("double")) {
+      (acc, b) => when(col("__fold") === b, col(s"${pfx}_$b")).otherwise(acc)
+    }
+    val terms = features.map { f =>
+      val (c1, c0, kf) = (sel(s"__c1_$f"), sel(s"__c0_$f"), sel(s"__k_$f"))
+      log((coalesce(c1, lit(0.0)) + 1.0) / (sel("__n1") + kf)) -
+        log((coalesce(c0, lit(0.0)) + 1.0) / (sel("__n0") + kf))
+    }
+    val delta = terms.foldLeft(log(sel("__n1") / sel("__n0")))(_ + _)
+    scored.withColumn(out, delta)
+      .drop("__fold" +:
+        (0 until folds).flatMap(b => Seq(s"__n1_$b", s"__n0_$b") ++
+          features.flatMap(f => Seq(s"__c1_${f}_$b", s"__c0_${f}_$b", s"__k_${f}_$b"))): _*)
+  }
+
   /** Exact single-split decision stump (depth-1 CART): evaluates EVERY
     * distinct value of every feature as a `x <= t` threshold and returns
     * the candidate table with weighted Gini impurity — the caller picks

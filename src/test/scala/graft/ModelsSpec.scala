@@ -39,6 +39,31 @@ class ModelsSpec extends AnyFunSuite {
     assert(math.abs(out(0) + out(1)) < 1e-12)
   }
 
+  test("naiveBayesDeltaOof matches three separate leave-one-fold-out fits bit-for-bit") {
+    import spark.implicits._
+    // two bucketed features, 3 folds, including a value ("b" = 9) that
+    // appears ONLY inside fold 2 — its fold-2 OOF score must hit the
+    // unseen-value pure-smoothing path, like the per-fold LEFT JOIN does
+    val data = (1 to 90).map { i =>
+      (i.toLong, i % 5, if (i == 77) 9 else i % 3, if (i % 10 < 4) 1 else 0, i % 3)
+    }.toDF("id", "a", "b", "y", "fold")
+    val fused = Models.naiveBayesDeltaOof(data, Seq("a", "b"), col("y"),
+        col("fold"), folds = 3)
+      .select(col("id"), col("delta")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perFold = (0 until 3).flatMap { b =>
+      Models.naiveBayesDelta(data.where(col("fold") =!= b),
+          data.where(col("fold") === b), Seq("a", "b"), col("y"))
+        .select(col("id"), col("delta")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+    }.toMap
+    assert(fused.keySet == perFold.keySet && fused.size == 90)
+    fused.foreach { case (id, d) =>
+      assert(java.lang.Double.doubleToLongBits(d) ==
+        java.lang.Double.doubleToLongBits(perFold(id)), s"id $id: $d vs ${perFold(id)}")
+    }
+  }
+
   test("stumpCandidates finds the perfect split of a separable feature") {
     import spark.implicits._
     // x <= 4 is pure-negative, x >= 5 pure-positive; z is noise
