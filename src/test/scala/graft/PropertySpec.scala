@@ -266,6 +266,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("markov NLL == brute-force transition replay on random sequences") {
+    // dedupe (customer, ts) so the operator's (ts, txn_id) order and the
+    // brute force's ts sort agree; txn ids from the index
+    samples(Gen.listOfN(80, txnGen), 12).foreach { txns =>
+      val uniq = txns.groupBy(t => (t.customer_id, t.ts_micros))
+        .map(_._2.head).toSeq
+      val tx = uniq.zipWithIndex.map { case (t, i) =>
+        (t.customer_id, i.toLong, t.merchant_id, t.ts_micros)
+      }.toDF("customer_id", "transaction_id", "merchant_id", "tsm")
+        .withColumn("event_timestamp", timestamp_micros(col("tsm")))
+      val got = graft.ops.AmlPatterns.markovNll(tx)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+      // brute force: global transition counts, then per-customer mean NLL
+      val ordered = uniq.groupBy(_.customer_id).view
+        .mapValues(_.sortBy(_.ts_micros).map(_.merchant_id).toList).toMap
+      val steps = ordered.values.flatMap(ms => ms.zip(ms.drop(1))).toSeq
+      val trans = steps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fromT = steps.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val v = uniq.map(_.merchant_id).distinct.size
+      val expect = ordered.collect { case (c, ms) if ms.size >= 2 =>
+        val nlls = ms.zip(ms.drop(1)).map { p =>
+          -math.log((trans(p) + 1).toDouble / (fromT(p._1) + v)) }
+        c -> (nlls.size.toLong, nlls.sum / nlls.size)
+      }
+      assert(got.keySet == expect.keySet)
+      expect.foreach { case (c, (n, avg)) =>
+        assert(got(c)._1 == n, s"customer $c")
+        assert(math.abs(got(c)._2 - avg) < 1e-12, s"customer $c")
+      }
+    }
+  }
+
+  test("reconstruction error == brute-force residual; bounded by centered norm") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-1000, 1000).map(_ / 250.0f))
+    samples(Gen.listOfN(12, vecGen), 8).foreach { vecs =>
+      val df = vecs.map(v => Tuple1(v.toArray)).toDF("embedding")
+      val c = graft.scale.Pca.topComponent(df, col("embedding"), iters = 4)
+      val got = df.select(
+        graft.scale.Pca.reconstructionError(col("embedding"), c).as("err"))
+        .collect().map(_.getDouble(0))
+      vecs.zip(got).foreach { case (x, err) =>
+        val cen = x.map(_.toDouble).zip(c.means).map { case (a, m) => a - m }
+        val norm2 = cen.map(d => d * d).sum
+        val proj = cen.zip(c.loadings).map { case (a, l) => a * l }.sum
+        assert(math.abs(err - (norm2 - proj * proj)) < 1e-6 * (1 + norm2),
+          s"$err vs ${norm2 - proj * proj}")
+        // loadings are 4dp-rounded so ||v|| = 1 ± 2e-4: the residual can
+        // undershoot zero / overshoot the centered norm only by that band
+        assert(err >= -2e-3 * (1 + norm2) && err <= norm2 * (1 + 2e-3) + 1e-9,
+          s"err $err outside [0, $norm2] band")
+      }
+    }
+  }
+
   test("bin report round-trip: token mass conserved, all bins but the last full") {
     // corpora INCLUDING empty docs; the caller contract (q169) filters
     // tok > 0 before binReport — the report must then conserve the token
