@@ -378,12 +378,7 @@ object AmlPatterns {
     * has no such limit because it never collects the matrix.
     */
   def markovFit(tx: DataFrame, maxEntries: Long = 100000L): MarkovModel = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("customer_id"))
-      .orderBy(col("event_timestamp"), col("transaction_id"))
-    val transDf = tx.select(col("merchant_id").as("cur"),
-        lag(col("merchant_id"), 1).over(w).as("prev"))
-      .where(col("prev").isNotNull)
+    val transDf = markovSteps(tx)
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
     val n = transDf.count()
     require(n <= maxEntries,
@@ -396,13 +391,23 @@ object AmlPatterns {
       trans.groupMapReduce(_._1._1)(_._2)(_ + _), v)
   }
 
-  def markovNll(tx: DataFrame): DataFrame = {
+  /** The shared transition view of both Markov entry points: per
+    * customer, (prev, cur) symbol pairs in deterministic
+    * (event_timestamp, transaction_id) order. ONE definition so the
+    * served model ([[markovFit]]) can never diverge from the batch
+    * scorer ([[markovNll]]) on ordering or transition semantics.
+    */
+  private def markovSteps(tx: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("customer_id"))
       .orderBy(col("event_timestamp"), col("transaction_id"))
-    val steps = tx.select(col("customer_id"), col("merchant_id").as("cur"),
+    tx.select(col("customer_id"), col("merchant_id").as("cur"),
         lag(col("merchant_id"), 1).over(w).as("prev"))
       .where(col("prev").isNotNull)
+  }
+
+  def markovNll(tx: DataFrame): DataFrame = {
+    val steps = markovSteps(tx)
     val trans = steps.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
     val fromTot = trans.groupBy(col("prev")).agg(sum(col("c")).as("ct"))
     val vocab = tx.agg(count_distinct(col("merchant_id")).as("v"))

@@ -607,14 +607,18 @@ v$t AS MATERIALIZED (
   SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM u$t) + 5e-11, 4) AS v
   FROM u$t)"""
     }
+    // with no fit filter, xf IS x — don't materialize the unnest twice
+    val xfCte =
+      if (fitWhere == "TRUE") "xf AS (SELECT * FROM x)"
+      else s"""xf AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+    unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE $fitWhere)"""
     s"""x AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
     unnest(embedding)::DOUBLE AS v
   FROM embeddings),
-xf AS MATERIALIZED (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-    unnest(embedding)::DOUBLE AS v
-  FROM embeddings WHERE $fitWhere),
+$xfCte,
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings WHERE $fitWhere),
 m AS MATERIALIZED (SELECT i, sum(v) AS s FROM xf GROUP BY 1),
 cv AS MATERIALIZED (

@@ -82,13 +82,19 @@ object Models {
     require(folds >= 2, s"naiveBayesDeltaOof: folds must be >= 2, got $folds")
     val y = label.cast("int")
     val fold = foldCol.cast("int")
+    // rows whose fold is null or outside [0, folds) match the per-fold
+    // union's TRAIN side (fold =!= b admits them into every model — the
+    // conditional sums below reproduce that) but never its TEST side, so
+    // they must not surface as scored rows either
+    val inRange = fold.isNotNull && fold >= 0 && fold < folds
     val priorAggs = (0 until folds).flatMap { b =>
       Seq(sum(when(fold =!= b, y)).cast("double").as(s"__n1_$b"),
         (sum(when(fold =!= b, 1)) - sum(when(fold =!= b, y))).cast("double")
           .as(s"__n0_$b"))
     }
     val prior = data.agg(priorAggs.head, priorAggs.tail: _*)
-    val base = data.withColumn("__fold", fold).crossJoin(broadcast(prior))
+    val base = data.where(inRange).withColumn("__fold", fold)
+      .crossJoin(broadcast(prior))
     val scored = features.foldLeft(base) { (acc, f) =>
       val aggs = (0 until folds).flatMap { b =>
         Seq(sum(when(fold =!= b, y)).cast("double").as(s"__c1_${f}_$b"),

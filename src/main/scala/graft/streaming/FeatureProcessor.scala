@@ -357,12 +357,21 @@ class MarkovScoreProcessor(model: graft.ops.AmlPatterns.MarkovModel)
   override def handleInputRows(key: Long, rows: Iterator[StreamTxn],
                                timerValues: TimerValues): Iterator[MarkovScore] = {
     var p = if (prev.exists()) prev.get() else null
-    val out = rows.toArray.sortBy(_.ts_micros).flatMap { e =>
-      val r = Option(p).map(pm =>
-        MarkovScore(key, e.ts_micros, pm, e.merchant_id, model.nll(pm, e.merchant_id)))
-      p = e.merchant_id
-      r
-    }
+    // full-payload tiebreak keeps the emitted sequence DETERMINISTIC when
+    // a customer has same-timestamp events (arrival order varies run to
+    // run). The batch q193 tiebreaks on transaction_id, which the stream
+    // record does not carry — batch-vs-stream parity is therefore exact
+    // whenever per-customer timestamps are unique (microsecond event
+    // time; the equality spec asserts this of its fixture) and
+    // deterministic-but-order-convention on tied ones.
+    val out = rows.toArray
+      .sortBy(e => (e.ts_micros, e.merchant_id, e.amount, e.ip_address))
+      .flatMap { e =>
+        val r = Option(p).map(pm =>
+          MarkovScore(key, e.ts_micros, pm, e.merchant_id, model.nll(pm, e.merchant_id)))
+        p = e.merchant_id
+        r
+      }
     prev.update(p)
     out.iterator
   }

@@ -43,10 +43,16 @@ class ModelsSpec extends AnyFunSuite {
     import spark.implicits._
     // two bucketed features, 3 folds, including a value ("b" = 9) that
     // appears ONLY inside fold 2 — its fold-2 OOF score must hit the
-    // unseen-value pure-smoothing path, like the per-fold LEFT JOIN does
+    // unseen-value pure-smoothing path, like the per-fold LEFT JOIN does.
+    // Plus an out-of-range fold (feeds every train model, never scored)
+    // and a null fold (feeds nothing, never scored) — exactly what the
+    // per-fold union does with them.
     val data = (1 to 90).map { i =>
       (i.toLong, i % 5, if (i == 77) 9 else i % 3, if (i % 10 < 4) 1 else 0, i % 3)
     }.toDF("id", "a", "b", "y", "fold")
+      .unionByName(Seq((991L, 1, 1, 1, 7)).toDF("id", "a", "b", "y", "fold"))
+      .unionByName(spark.range(1).select(lit(992L).as("id"), lit(2).as("a"),
+        lit(2).as("b"), lit(0).as("y"), lit(null).cast("int").as("fold")))
     val fused = Models.naiveBayesDeltaOof(data, Seq("a", "b"), col("y"),
         col("fold"), folds = 3)
       .select(col("id"), col("delta")).collect()
@@ -58,6 +64,7 @@ class ModelsSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getDouble(1))
     }.toMap
     assert(fused.keySet == perFold.keySet && fused.size == 90)
+    assert(!fused.contains(991L) && !fused.contains(992L))
     fused.foreach { case (id, d) =>
       assert(java.lang.Double.doubleToLongBits(d) ==
         java.lang.Double.doubleToLongBits(perFold(id)), s"id $id: $d vs ${perFold(id)}")
