@@ -396,6 +396,28 @@ sig AS (SELECT doc_id,
         r6(col("wraw") * col("t") / col("sw") / col("tokens")).as("rate"),
         (col("beat") === 0).as("binding"))
     },
+    // the k-dim bottleneck variant of q192 (the reference autoencoder's
+    // encoding_dim > 1, models/advanced_models.py:113-127): THREE
+    // components via power iteration + Hotelling deflation — the rounded
+    // λ/v deflation keeps both engines on a bit-identical matrix chain —
+    // and the residual subtracts every component's projection. Same
+    // single Gram pass; scoring grows one ArrayDot kernel per component.
+    "q196_recon_anomaly_k" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cs = graft.scale.Pca.topComponents(
+        emb.where(col("label") === 0), col("embedding"), k = 3, iters = 6)
+      val scored = emb.select(col("label").cast("long").as("label"),
+        r6(graft.scale.Pca.reconstructionError(col("embedding"), cs)).as("err"))
+      val aucDf = graft.feedback.Drift.auc(scored, col("label") =!= 0L, col("err"))
+        .select(r6(col("auc")).as("auc"))
+      scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          r6(avg(col("err"))).as("mean_err"),
+          r6(stddev_pop(col("err"))).as("std_err"),
+          r6(min(col("err"))).as("min_err"),
+          r6(max(col("err"))).as("max_err"))
+        .crossJoin(broadcast(aucDf))
+    },
     // the ENCODER side of q186: price the learned 5-merge vocabulary on
     // every corpus slice. The merge chain runs once at VOCABULARY scale
     // (distinct words); per-source cost is then a word-level join —
@@ -663,33 +685,75 @@ SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
 FROM proj p JOIN embeddings e ON p.vec_id = e.vec_id
 GROUP BY 1"""
 
-  /** q192 oracle: fit the component on label-0 rows only (the chain's
-    * `fitWhere`), rebuild the 4dp centering vector from the fit sums,
-    * score EVERY embedding by its squared reconstruction residual
-    * ||x−μ||² − ((x−μ)·v)², then report per-label error moments plus the
-    * detector's mid-rank AUC at flagging label ≠ 0. The residual is
-    * expanded to xx − 2xμ + μμ − (xv − μv)² so both engines evaluate the
-    * same dot products; summation-order noise sits far below the 4dp
-    * quantum that rounds `err` before any ranking or aggregation.
+  /** Component c ≥ 2 of the deflation chain (q196): the rounded Rayleigh
+    * λ of the previous component, Hotelling deflation with the ROUNDED
+    * λ/v (every input 4dp-exact ⇒ both engines build the bit-identical
+    * deflated matrix), then the same 6-iteration rounded power chain on
+    * it. Names: lam_c{c-1}, cv{c}, v{t}_c{c}.
     */
-  private val reconAnomalySql: String =
-    s"""WITH ${pcaChainCtes("label = 0")},
+  private def pcaDeflateChain(c: Int): String = {
+    val prevCov = if (c == 2) "cv" else s"cv${c - 1}"
+    val prevV = if (c == 2) "v6" else s"v6_c${c - 1}"
+    def iter(t: Int): String = {
+      val pv = if (t == 1) s"v0_c$c" else s"v${t - 1}_c$c"
+      val vn = if (t == 6) s"v6_c$c" else s"v${t}_c$c"
+      s"""u${t}_c$c AS MATERIALIZED (
+  SELECT cv$c.i AS i, sum(cv$c.c * pv0.v) AS u
+  FROM cv$c JOIN $pv pv0 ON cv$c.j = pv0.i GROUP BY 1),
+$vn AS MATERIALIZED (
+  SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM u${t}_c$c) + 5e-11, 4) AS v
+  FROM u${t}_c$c)"""
+    }
+    s"""lam_c${c - 1} AS (SELECT round(sum(a.v * p.c * b.v) + 5e-11, 4) AS l
+  FROM $prevCov p JOIN $prevV a ON p.i = a.i JOIN $prevV b ON p.j = b.i),
+cv$c AS MATERIALIZED (
+  SELECT p.i AS i, p.j AS j,
+    round(p.c - lam_c${c - 1}.l * va.v * vb.v + 5e-11, 4) AS c
+  FROM $prevCov p JOIN $prevV va ON p.i = va.i JOIN $prevV vb ON p.j = vb.i, lam_c${c - 1}),
+v0_c$c AS (SELECT i, 1.0::DOUBLE AS v FROM m),
+${(1 to 6).map(iter).mkString(",\n")}"""
+  }
+
+  /** q192/q196 oracle: fit k components on label-0 rows only (the
+    * chain's `fitWhere` + deflation for c ≥ 2), rebuild the 4dp
+    * centering vector from the fit sums, score EVERY embedding by its
+    * squared k-dim reconstruction residual ||x−μ||² − Σ_c ((x−μ)·v_c)²,
+    * then report per-label error moments plus the detector's mid-rank
+    * AUC at flagging label ≠ 0. The residual is expanded to
+    * xx − 2xμ + μμ − Σ (xv_c − μv_c)² so both engines evaluate the same
+    * dot products; summation-order noise sits far below the 4dp quantum
+    * that rounds `err` before any ranking or aggregation.
+    */
+  private def reconAnomalySqlK(k: Int): String = {
+    def vName(c: Int) = if (c == 1) "v6" else s"v6_c$c"
+    val extra = (2 to k).map(pcaDeflateChain).map(s => s",\n$s").mkString
+    val mvCtes = (1 to k).map(c =>
+      s"""cmv$c AS (SELECT sum(mu.mu * ${vName(c)}.v) AS mv FROM mu JOIN ${vName(c)} ON mu.i = ${vName(c)}.i)""")
+      .mkString(",\n")
+    val xvSel = (1 to k).map(c => s"sum(x.v * ${vName(c)}.v) AS xv$c")
+      .mkString(",\n    ")
+    val vJoins = (1 to k).map(c => s" JOIN ${vName(c)} ON x.i = ${vName(c)}.i")
+      .mkString
+    val projTerms = (1 to k).map(c =>
+      s"""
+      - (sc.xv$c - cmv$c.mv) * (sc.xv$c - cmv$c.mv)""").mkString
+    val mvFrom = (1 to k).map(c => s"cmv$c").mkString(", ")
+    s"""WITH ${pcaChainCtes("label = 0")}$extra,
 mu AS MATERIALIZED (
   SELECT m.i AS i, round(m.s / nn.n + 5e-11, 4) AS mu FROM m, nn),
 cmm AS (SELECT sum(mu * mu) AS mm FROM mu),
-cmv AS (SELECT sum(mu.mu * v6.v) AS mv FROM mu JOIN v6 ON mu.i = v6.i),
+$mvCtes,
 sc AS MATERIALIZED (
   SELECT x.vec_id,
     sum(x.v * x.v) AS xx,
     sum(x.v * mu.mu) AS xm,
-    sum(x.v * v6.v) AS xv
-  FROM x JOIN mu ON x.i = mu.i JOIN v6 ON x.i = v6.i
+    $xvSel
+  FROM x JOIN mu ON x.i = mu.i$vJoins
   GROUP BY 1),
 er AS MATERIALIZED (
   SELECT CAST(e.label AS BIGINT) AS label,
-    round(sc.xx - 2 * sc.xm + cmm.mm
-      - (sc.xv - cmv.mv) * (sc.xv - cmv.mv) + 5e-11, 4) AS err
-  FROM sc JOIN embeddings e ON sc.vec_id = e.vec_id, cmm, cmv),
+    round(sc.xx - 2 * sc.xm + cmm.mm$projTerms + 5e-11, 4) AS err
+  FROM sc JOIN embeddings e ON sc.vec_id = e.vec_id, cmm, $mvFrom),
 rk AS (SELECT (label <> 0)::INT AS y,
     rank() OVER (ORDER BY err) + (count(*) OVER (PARTITION BY err) - 1)/2.0 AS midrank
   FROM er),
@@ -704,6 +768,7 @@ SELECT er.label, count(*) AS n,
   auc.auc AS auc
 FROM er, auc
 GROUP BY er.label, auc.auc"""
+  }
 
   private val lshPlanes = 8
   private val lshDim = 64
@@ -1131,7 +1196,8 @@ SELECT source, count(*) AS n_types, sum(cnt)::BIGINT AS n_tokens,
 FROM r GROUP BY source""",
     "q187_pca_power" -> pcaPowerSql,
     "q190_pca_project" -> pcaProjectSql,
-    "q192_recon_anomaly" -> reconAnomalySql,
+    "q192_recon_anomaly" -> reconAnomalySqlK(1),
+    "q196_recon_anomaly_k" -> reconAnomalySqlK(3),
     "q195_mixture_budget" ->
       """WITH b AS (
   SELECT source, CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,

@@ -34,8 +34,23 @@ object Pca {
       explainedRatio: Double, n: Long, d: Int,
       means: Array[Double] = Array.empty)
 
-  def topComponent(corpus: DataFrame, emb: Column, iters: Int): Component = {
-    require(iters >= 1, s"Pca.topComponent: iters must be >= 1, got $iters")
+  def topComponent(corpus: DataFrame, emb: Column, iters: Int): Component =
+    topComponents(corpus, emb, k = 1, iters).head
+
+  /** Top-k components via power iteration with Hotelling deflation —
+    * the k-dimensional "bottleneck" of the closed-form autoencoder
+    * stand-in. After each component, the (rounded) covariance is
+    * deflated with the ROUNDED λ and loadings — every input to the
+    * deflation is a 4dp-exact double, so both engines produce the
+    * bit-identical deflated matrix and walk the same chain for the next
+    * component. Still ONE distributed Gram pass total; the k eigensolves
+    * are O(k·d²) driver arithmetic. Requires k ≤ numerical rank: a
+    * deflated matrix whose power iterate collapses to zero norm raises.
+    */
+  def topComponents(corpus: DataFrame, emb: Column, k: Int, iters: Int)
+      : Seq[Component] = {
+    require(iters >= 1, s"Pca.topComponents: iters must be >= 1, got $iters")
+    require(k >= 1, s"Pca.topComponents: k must be >= 1, got $k")
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val g = corpus
       .agg(column(graft.functions.GramAgg(expression(emb))
@@ -43,7 +58,8 @@ object Pca {
       .head().getSeq[Double](0)
     val n = g(0)
     val d = g(1).toInt
-    require(d >= 2 && n >= 2, s"Pca.topComponent: need n >= 2, d >= 2 (n=$n, d=$d)")
+    require(d >= 2 && n >= 2, s"Pca.topComponents: need n >= 2, d >= 2 (n=$n, d=$d)")
+    require(k <= d, s"Pca.topComponents: k=$k exceeds dimensionality d=$d")
     // cov(i,j) = E[x_i x_j] − E[x_i]E[x_j] from the flat Gram layout
     // [n, d, sums, upper-triangle product sums], rounded to the quantum
     val c = Array.ofDim[Double](d, d)
@@ -53,16 +69,28 @@ object Pca {
       c(i)(j) = cij
       c(j)(i) = cij
     }
-    var v = Array.fill(d)(1.0)
-    for (_ <- 1 to iters) {
-      val u = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
-      val nm = math.sqrt(u.map(x => x * x).sum)
-      v = u.map(x => r6d(x / nm))
-    }
-    val lam = (for (i <- 0 until d; j <- 0 until d) yield v(i) * c(i)(j) * v(j)).sum
     val trace = (0 until d).map(i => c(i)(i)).sum
     val means = Array.tabulate(d)(i => r6d(g(2 + i) / n))
-    Component(v, r6d(lam), r6d(lam / trace), n.toLong, d, means)
+    (1 to k).map { comp =>
+      var v = Array.fill(d)(1.0)
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+        val nm = math.sqrt(u.map(x => x * x).sum)
+        require(nm > 0,
+          s"Pca.topComponents: power iterate collapsed at component $comp " +
+            "(zero-variance corpus or k above numerical rank)")
+        v = u.map(x => r6d(x / nm))
+      }
+      val lamRaw =
+        (for (i <- 0 until d; j <- 0 until d) yield v(i) * c(i)(j) * v(j)).sum
+      val lam = r6d(lamRaw)
+      // deflate IN PLACE with the rounded λ/v (4dp-exact inputs → the
+      // next component's matrix is bit-identical on any IEEE engine)
+      for (i <- 0 until d; j <- 0 until d)
+        c(i)(j) = r6d(c(i)(j) - lam * v(i) * v(j))
+      // ratio keeps the RAW Rayleigh quotient (the q187 oracle contract)
+      Component(v, lam, r6d(lamRaw / trace), n.toLong, d, means)
+    }
   }
 
   /** Squared reconstruction residual ||x−μ||² − ((x−μ)·v)² of an
@@ -73,16 +101,28 @@ object Pca {
     * against literal model arrays — a join-free narrow pass; the μμ/μv
     * constants are model-size driver arithmetic.
     */
-  def reconstructionError(emb: Column, c: Component): Column = {
+  def reconstructionError(emb: Column, c: Component): Column =
+    reconstructionError(emb, Seq(c))
+
+  /** k-component residual ||x−μ||² − Σ_c ((x−μ)·v_c)² — the k-dim
+    * bottleneck's reconstruction error (all components share the fit
+    * means). One extra ArrayDot kernel per component, still join-free.
+    */
+  def reconstructionError(emb: Column, cs: Seq[Component]): Column = {
     import org.apache.spark.sql.functions.{array, lit}
-    require(c.means.length == c.d,
-      s"reconstructionError: component carries ${c.means.length} means for d=${c.d}")
-    val vL = array(c.loadings.toIndexedSeq.map(lit): _*)
-    val mL = array(c.means.toIndexedSeq.map(lit): _*)
-    val mm = c.means.map(x => x * x).sum
-    val mv = c.means.zip(c.loadings).map { case (a, b) => a * b }.sum
-    val proj = Similarity.dot(emb, vL) - lit(mv)
-    Similarity.dot(emb, emb) - lit(2.0) * Similarity.dot(emb, mL) + lit(mm) -
-      proj * proj
+    require(cs.nonEmpty, "reconstructionError: no components")
+    val m = cs.head.means
+    require(m.length == cs.head.d,
+      s"reconstructionError: component carries ${m.length} means for d=${cs.head.d}")
+    val mL = array(m.toIndexedSeq.map(lit): _*)
+    val mm = m.map(x => x * x).sum
+    val base = Similarity.dot(emb, emb) - lit(2.0) * Similarity.dot(emb, mL) +
+      lit(mm)
+    cs.foldLeft(base) { (acc, c) =>
+      val vL = array(c.loadings.toIndexedSeq.map(lit): _*)
+      val mv = m.zip(c.loadings).map { case (a, b) => a * b }.sum
+      val proj = Similarity.dot(emb, vL) - lit(mv)
+      acc - proj * proj
+    }
   }
 }

@@ -347,13 +347,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("recon anomaly: scoring pass is join-free; only the 1-row AUC broadcasts") {
-    val p = plan(graft.queries.ScaleQueries.defs("q192_recon_anomaly")(spark, sf))
-    // model arrays are literals -> the err scan never shuffle-joins; the
-    // single-row AUC attaches via broadcast
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"scoring must not shuffle-join:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"AUC must attach via broadcast:\n$p")
+    for (q <- Seq("q192_recon_anomaly", "q196_recon_anomaly_k")) {
+      val p = plan(graft.queries.ScaleQueries.defs(q)(spark, sf))
+      // model arrays are literals -> the err scan never shuffle-joins; the
+      // single-row AUC attaches via broadcast
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q scoring must not shuffle-join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q AUC must attach via broadcast:\n$p")
+    }
   }
 
   test("markov nll: transition model broadcasts; events shuffle once on customer") {

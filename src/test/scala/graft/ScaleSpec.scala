@@ -406,6 +406,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(c.means.toSeq == Seq(0.0, 0.0), c.means.toSeq.toString)
   }
 
+  test("topComponents: deflation recovers orthogonal axes; full-rank reconstruction nulls the residual") {
+    // axis-aligned corpus: cov = diag(10/6, 2/6); deflation must hand
+    // component 2 the minor axis, and k=2 reconstruction is lossless
+    val pts = Seq((2f, 0f), (-2f, 0f), (1f, 0f), (-1f, 0f), (0f, 1f), (0f, -1f))
+    val df = pts.map { case (a, b) => Tuple1(Array(a, b)) }.toDF("embedding")
+    val cs = graft.scale.Pca.topComponents(df, col("embedding"), k = 2, iters = 6)
+    assert(cs.length == 2)
+    assert(math.abs(math.abs(cs(0).loadings(0)) - 1.0) < 0.01 &&
+      math.abs(cs(0).loadings(1)) < 0.01, cs(0).loadings.toSeq.toString)
+    assert(math.abs(cs(1).loadings(0)) < 0.01 &&
+      math.abs(math.abs(cs(1).loadings(1)) - 1.0) < 0.01, cs(1).loadings.toSeq.toString)
+    assert(math.abs(cs(0).lambda - 10.0 / 6) < 0.01, cs(0).lambda.toString)
+    assert(math.abs(cs(1).lambda - 2.0 / 6) < 0.01, cs(1).lambda.toString)
+    val errs = df.select(
+      graft.scale.Pca.reconstructionError(col("embedding"), cs).as("e"))
+      .collect().map(_.getDouble(0))
+    errs.foreach(e => assert(math.abs(e) < 0.01, e.toString))
+    // zero-variance corpus: the power iterate collapses and is rejected
+    val const = Seq.fill(4)(Tuple1(Array(1f, 1f))).toDF("embedding")
+    val err = intercept[IllegalArgumentException] {
+      graft.scale.Pca.topComponents(const, col("embedding"), k = 1, iters = 3)
+    }
+    assert(err.getMessage.contains("collapsed"), err.getMessage)
+  }
+
   test("Pca.reconstructionError: zero on the component line, exact off it") {
     // fit on t·(3,4): loadings (0.6, 0.8), means (0,0). On-line points
     // reconstruct exactly; the orthogonal point (-4,3) keeps its full
