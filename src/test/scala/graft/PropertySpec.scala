@@ -318,6 +318,15 @@ class PropertySpec extends AnyFunSuite {
         assert(err >= -2e-3 * (1 + norm2) && err <= norm2 * (1 + 2e-3) + 1e-9,
           s"err $err outside [0, $norm2] band")
       }
+      // a wider bottleneck reconstructs at least as well (up to the
+      // rounded-deflation band): err_k=2 <= err_k=1 everywhere
+      val cs2 = graft.scale.Pca.topComponents(df, col("embedding"), k = 2, iters = 4)
+      val got2 = df.select(
+        graft.scale.Pca.reconstructionError(col("embedding"), cs2).as("err"))
+        .collect().map(_.getDouble(0))
+      got.zip(got2).foreach { case (e1, e2) =>
+        assert(e2 <= e1 + 2e-3 * (1 + math.abs(e1)), s"k=2 err $e2 > k=1 err $e1")
+      }
     }
   }
 
