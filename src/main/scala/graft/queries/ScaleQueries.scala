@@ -619,16 +619,23 @@ tok${t + 1} AS MATERIALIZED (
     * level (not inline in the map) so the interpolated builder stays a
     * plain expression.
     */
+  /** One rounded power-iteration step (u = C·v, v = round(u/‖u‖)) as two
+    * CTEs — the SINGLE recipe both the base chain (suffix "") and every
+    * deflation chain (suffix "_c{c}") instantiate, so the normalization/
+    * rounding convention can never diverge between components.
+    */
+  private def pcaIterCte(cov: String, sfx: String)(t: Int): String = {
+    val pv = s"v${t - 1}$sfx"
+    s"""u$t$sfx AS MATERIALIZED (
+  SELECT $cov.i AS i, sum($cov.c * pv0.v) AS u
+  FROM $cov JOIN $pv pv0 ON $cov.j = pv0.i GROUP BY 1),
+v$t$sfx AS MATERIALIZED (
+  SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM u$t$sfx) + 5e-11, 4) AS v
+  FROM u$t$sfx)"""
+  }
+
   private def pcaChainCtes(fitWhere: String): String = {
-    def iter(t: Int): String = {
-      val pv = "v" + (t - 1)
-      s"""u$t AS MATERIALIZED (
-  SELECT cv.i AS i, sum(cv.c * pv0.v) AS u
-  FROM cv JOIN $pv pv0 ON cv.j = pv0.i GROUP BY 1),
-v$t AS MATERIALIZED (
-  SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM u$t) + 5e-11, 4) AS v
-  FROM u$t)"""
-    }
+    val iter = pcaIterCte("cv", "") _
     // with no fit filter, xf IS x — don't materialize the unnest twice
     val xfCte =
       if (fitWhere == "TRUE") "xf AS (SELECT * FROM x)"
@@ -694,16 +701,7 @@ GROUP BY 1"""
   private def pcaDeflateChain(c: Int): String = {
     val prevCov = if (c == 2) "cv" else s"cv${c - 1}"
     val prevV = if (c == 2) "v6" else s"v6_c${c - 1}"
-    def iter(t: Int): String = {
-      val pv = if (t == 1) s"v0_c$c" else s"v${t - 1}_c$c"
-      val vn = if (t == 6) s"v6_c$c" else s"v${t}_c$c"
-      s"""u${t}_c$c AS MATERIALIZED (
-  SELECT cv$c.i AS i, sum(cv$c.c * pv0.v) AS u
-  FROM cv$c JOIN $pv pv0 ON cv$c.j = pv0.i GROUP BY 1),
-$vn AS MATERIALIZED (
-  SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM u${t}_c$c) + 5e-11, 4) AS v
-  FROM u${t}_c$c)"""
-    }
+    val iter = pcaIterCte(s"cv$c", s"_c$c") _
     s"""lam_c${c - 1} AS (SELECT round(sum(a.v * p.c * b.v) + 5e-11, 4) AS l
   FROM $prevCov p JOIN $prevV a ON p.i = a.i JOIN $prevV b ON p.j = b.i),
 cv$c AS MATERIALIZED (

@@ -85,9 +85,11 @@ object Pca {
         (for (i <- 0 until d; j <- 0 until d) yield v(i) * c(i)(j) * v(j)).sum
       val lam = r6d(lamRaw)
       // deflate IN PLACE with the rounded λ/v (4dp-exact inputs → the
-      // next component's matrix is bit-identical on any IEEE engine)
-      for (i <- 0 until d; j <- 0 until d)
-        c(i)(j) = r6d(c(i)(j) - lam * v(i) * v(j))
+      // next component's matrix is bit-identical on any IEEE engine);
+      // skipped after the last component — nothing reads it
+      if (comp < k)
+        for (i <- 0 until d; j <- 0 until d)
+          c(i)(j) = r6d(c(i)(j) - lam * v(i) * v(j))
       // ratio keeps the RAW Rayleigh quotient (the q187 oracle contract)
       Component(v, lam, r6d(lamRaw / trace), n.toLong, d, means)
     }
@@ -114,6 +116,11 @@ object Pca {
     val m = cs.head.means
     require(m.length == cs.head.d,
       s"reconstructionError: component carries ${m.length} means for d=${cs.head.d}")
+    cs.foreach { c =>
+      require(c.d == cs.head.d && java.util.Arrays.equals(c.means, m),
+        "reconstructionError: components come from different fits " +
+          s"(d=${c.d} vs ${cs.head.d} or differing means)")
+    }
     val mL = array(m.toIndexedSeq.map(lit): _*)
     val mm = m.map(x => x * x).sum
     val base = Similarity.dot(emb, emb) - lit(2.0) * Similarity.dot(emb, mL) +

@@ -357,13 +357,14 @@ class MarkovScoreProcessor(model: graft.ops.AmlPatterns.MarkovModel)
   override def handleInputRows(key: Long, rows: Iterator[StreamTxn],
                                timerValues: TimerValues): Iterator[MarkovScore] = {
     var p = if (prev.exists()) prev.get() else null
-    // full-payload tiebreak keeps the emitted sequence DETERMINISTIC when
-    // a customer has same-timestamp events (arrival order varies run to
-    // run). The batch q193 tiebreaks on transaction_id, which the stream
-    // record does not carry — batch-vs-stream parity is therefore exact
-    // whenever per-customer timestamps are unique (microsecond event
-    // time; the equality spec asserts this of its fixture) and
-    // deterministic-but-order-convention on tied ones.
+    // full-payload tiebreak fixes the order of same-timestamp events
+    // WITHIN a micro-batch (shuffle arrival order varies run to run);
+    // tied events split across micro-batches still score in arrival
+    // order — no stream can reorder across batches it has already
+    // emitted. The batch q193 tiebreaks on transaction_id, which the
+    // stream record does not carry, so batch-vs-stream parity is exact
+    // exactly when per-customer timestamps are unique (microsecond
+    // event time; the equality spec asserts this of its fixture).
     val out = rows.toArray
       .sortBy(e => (e.ts_micros, e.merchant_id, e.amount, e.ip_address))
       .flatMap { e =>
