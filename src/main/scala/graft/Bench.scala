@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +50,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(line)
+    // the driver's captured tail truncates long JSON lines (BENCH_r06
+    // kept only q36-q99) — also write the full per-query artifact to a
+    // stable file so no round loses its numbers
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

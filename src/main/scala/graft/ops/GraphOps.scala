@@ -63,38 +63,62 @@ object GraphOps {
   }
 
   /** Fraud-ring communities: connected components of the bipartite
-    * customer–merchant graph via GraphX (the AML use of "who transacts
-    * through the same counterparties"). Vertex ids are assigned by a
-    * deterministic sort+index so component labels are stable run to run.
+    * customer–merchant graph (the AML use of "who transacts through the
+    * same counterparties"). Vertex ids are `xxhash64(node)` — no global
+    * sort, no dictionary, no joins on the encode side; ONE aggregate
+    * audits the hash for collisions (64-bit space vs entity-scale vertex
+    * sets — a hit is astronomically unlikely, but correctness never rides
+    * on luck: a collision falls back to the sorted-name dictionary path).
+    * The emitted component label is VID-SCHEME-INDEPENDENT — the smallest
+    * customer id in the component (every component of this bipartite
+    * graph contains a customer) — so both paths are bit-identical and the
+    * oracle never sees the internal ids.
     * Output: customer -> (component_id, component_size in customers).
     */
   def communities(tx: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
     val spark = tx.sparkSession
     import spark.implicits._
-    val edges = symmetricEdges(tx).where(col("src") < col("dst"))
+    // consumed twice (collision audit + encode): checkpoint the groupBy
+    val edges = symmetricEdges(tx).where(col("src") < col("dst")).localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct().orderBy(col("node"))
-      .rdd.map(_.getString(0)).zipWithIndex()
-    // name->vid resolution by distributed joins, not a driver-collected
-    // dictionary — at corpus scale the vertex set doesn't fit one heap
-    val edgeRdd = edges.select(col("src"), col("dst")).rdd
-      .map(r => (r.getString(0), r.getString(1)))
-      .join(nodes)
-      .map { case (_, (dstName, srcVid)) => (dstName, srcVid) }
-      .join(nodes)
-      .map { case (_, (srcVid, dstVid)) => (srcVid, dstVid) }
-    // adaptive CC: local union-find for sparse graphs, GraphX above the
-    // threshold — identical min-vid labels either way (ops/Components)
-    val cc = Components.run(edgeRdd)
-    val names = nodes.map(_.swap) // (vid, node)
-    val labeled = names.join(cc).map { case (_, (node, comp)) => (node, comp) }
-    val customers = labeled.filter(_._1.startsWith("c:"))
-      .map { case (node, comp) => (node.stripPrefix("c:").toLong, comp) }
-    val sizes = customers.map { case (_, comp) => (comp, 1L) }.reduceByKey(_ + _)
-    customers.map { case (cid, comp) => (comp, cid) }.join(sizes)
-      .map { case (comp, (cid, size)) => (cid, comp, size) }
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val audit = nodes
+      .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col("node"))).as("h"))
+      .head()
+    // (customer_id, raw CC label) under whichever vid scheme ran; the
+    // adaptive CC (ops/Components: local union-find below 500k edges,
+    // GraphX above) labels by min vid either way
+    val custLabels: org.apache.spark.rdd.RDD[(Long, Long)] =
+      if (audit.getLong(0) == audit.getLong(1)) {
+        val cc = Components.run(edges
+          .select(xxhash64(col("src")), xxhash64(col("dst")))
+          .rdd.map(r => (r.getLong(0), r.getLong(1))))
+        // decode needs only the customer side, and a customer's vid is
+        // recomputable from its id — one join, zero dictionaries
+        val custVid = tx.select(col("customer_id")).distinct()
+          .select(xxhash64(concat(lit("c:"), col("customer_id"))).as("vid"),
+            col("customer_id"))
+          .rdd.map(r => (r.getLong(0), r.getLong(1)))
+        custVid.join(cc).map { case (_, (cid, raw)) => (cid, raw) }
+      } else {
+        // collision fallback: sorted-name dense vids via distributed joins
+        val dict = nodes.orderBy(col("node")).rdd.map(_.getString(0)).zipWithIndex()
+        val cc = Components.run(edges.select(col("src"), col("dst")).rdd
+          .map(r => (r.getString(0), r.getString(1)))
+          .join(dict)
+          .map { case (_, (dstName, srcVid)) => (dstName, srcVid) }
+          .join(dict)
+          .map { case (_, (srcVid, dstVid)) => (srcVid, dstVid) })
+        dict.filter(_._1.startsWith("c:"))
+          .map { case (node, vid) => (vid, node.stripPrefix("c:").toLong) }
+          .join(cc).map { case (_, (cid, raw)) => (cid, raw) }
+      }
+    // canonical relabel: per raw label, (min customer id, customer count)
+    // in one reduce; one component-scale join attaches them
+    val byRaw = custLabels.map { case (cid, raw) => (raw, (cid, 1L)) }
+      .reduceByKey((a, b) => (math.min(a._1, b._1), a._2 + b._2))
+    custLabels.map(_.swap).join(byRaw)
+      .map { case (_, (cid, (comp, size))) => (cid, comp, size) }
       .toDF("customer_id", "component_id", "component_size")
   }
 

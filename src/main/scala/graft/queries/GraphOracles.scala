@@ -33,19 +33,22 @@ object GraphOracles {
 edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
 nodes AS (SELECT DISTINCT src AS node FROM edges)"""
 
-  /** q49: GraphX connectedComponents parity (component id = min vid over
-    * sorted-name vertex ids; size counted over customers only).
+  /** q49: connected-components parity with `GraphOps.communities`.
+    * Component id = the smallest CUSTOMER id in the component — the
+    * vid-scheme-independent label both engine paths (xxhash64 fast path,
+    * dictionary fallback) emit; size counted over customers only.
     */
   val communitiesSql: String =
     s"""WITH RECURSIVE $graphCtes,
-idx AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS vid FROM nodes),
 reach(src, node) AS (
   SELECT node, node FROM nodes
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.node),
 comp AS (
-  SELECT r.src AS node, min(i.vid) AS component_id
-  FROM reach r JOIN idx i ON i.node = r.node GROUP BY r.src),
+  SELECT r.src AS node,
+    min(CASE WHEN r.node LIKE 'c:%' THEN CAST(substr(r.node, 3) AS BIGINT) END)
+      AS component_id
+  FROM reach r GROUP BY r.src),
 cust AS (
   SELECT CAST(substr(node, 3) AS BIGINT) AS customer_id, component_id
   FROM comp WHERE node LIKE 'c:%'),

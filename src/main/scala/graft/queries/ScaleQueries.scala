@@ -378,7 +378,10 @@ sig AS (SELECT doc_id,
       val base = Tables.documents(s, dir)
         .groupBy(col("source"))
         .agg(sum(TextOps.nTokens(col("text"))).as("tokens"))
-        .withColumn("wraw", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+        // uncapped suffix (oracle parity: DuckDB substr(source, 4) runs
+        // to end-of-string — a fixed-length cap would silently diverge on
+        // longer source ids)
+        .withColumn("wraw", expr("substring(source, 4)").cast("long") % 4 + 1)
       val sw = base.agg(sum(col("wraw")).as("sw"))
       val withRatio = base.crossJoin(broadcast(sw))
         .withColumn("ratio", col("tokens").cast("double") * col("sw") / col("wraw"))

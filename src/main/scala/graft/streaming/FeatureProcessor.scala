@@ -5,10 +5,14 @@ import org.apache.spark.sql.streaming._
 import java.time.{Instant, ZoneOffset}
 
 /** Streaming input event (the reference's transaction record mapped onto
-  * the engine's canonical columns).
+  * the engine's canonical columns). `transaction_id` carries the batch
+  * tables' unique event id so order-sensitive processors can tiebreak
+  * same-timestamp events exactly like their batch twins; synthetic
+  * fixtures that don't care may leave the default.
   */
 case class StreamTxn(customer_id: Long, ts_micros: Long, amount: Double,
-                     merchant_id: String, ip_address: String)
+                     merchant_id: String, ip_address: String,
+                     transaction_id: Long = 0L)
 
 /** Shared streaming/batch numeric conventions. */
 object StreamConv {
@@ -357,16 +361,16 @@ class MarkovScoreProcessor(model: graft.ops.AmlPatterns.MarkovModel)
   override def handleInputRows(key: Long, rows: Iterator[StreamTxn],
                                timerValues: TimerValues): Iterator[MarkovScore] = {
     var p = if (prev.exists()) prev.get() else null
-    // full-payload tiebreak fixes the order of same-timestamp events
-    // WITHIN a micro-batch (shuffle arrival order varies run to run);
-    // tied events split across micro-batches still score in arrival
-    // order — no stream can reorder across batches it has already
-    // emitted. The batch q193 tiebreaks on transaction_id, which the
-    // stream record does not carry, so batch-vs-stream parity is exact
-    // exactly when per-customer timestamps are unique (microsecond
-    // event time; the equality spec asserts this of its fixture).
+    // (ts, transaction_id) tiebreak matches the batch q193 order exactly
+    // when the feed carries the batch event ids (the serving path does);
+    // the payload fallback then fixes same-timestamp order for synthetic
+    // fixtures that leave transaction_id at its default. Ties split
+    // ACROSS micro-batches still score in arrival order — no stream can
+    // reorder batches it has already emitted — so exact parity needs the
+    // tied pair to land in one micro-batch (or unique per-customer
+    // timestamps, which the equality spec asserts of its fixture).
     val out = rows.toArray
-      .sortBy(e => (e.ts_micros, e.merchant_id, e.amount, e.ip_address))
+      .sortBy(e => (e.ts_micros, e.transaction_id, e.merchant_id, e.amount, e.ip_address))
       .flatMap { e =>
         val r = Option(p).map(pm =>
           MarkovScore(key, e.ts_micros, pm, e.merchant_id, model.nll(pm, e.merchant_id)))

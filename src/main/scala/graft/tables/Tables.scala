@@ -13,15 +13,30 @@ import org.apache.spark.sql.functions._
   * event_timestamp.
   */
 object Tables {
-  /** Parquet timestamps written without isAdjustedToUTC (DuckDB-style
-    * naive micros) must read as session-TZ TIMESTAMP, not TIMESTAMP_NTZ:
-    * the engine pins every session to UTC, so the LTZ read is the
-    * identity on the stored micros and matches DuckDB's naive view —
-    * while an NTZ column would poison `unix_micros`/interval arithmetic
-    * throughout the feature operators.
+  /** Constant session-wide parquet read pins (the UTC-pin convention —
+    * these values NEVER vary, so there is no call-order dependence to
+    * inherit; Spark 4.1 exposes no per-read option for either key):
+    *   - inferTimestampNTZ=false: timestamps written without
+    *     isAdjustedToUTC (DuckDB-style naive micros) must read as
+    *     session-TZ TIMESTAMP, not TIMESTAMP_NTZ — under the engine's
+    *     fixed UTC session the LTZ read is the identity on the stored
+    *     micros and matches DuckDB's naive view, while an NTZ column
+    *     would poison `unix_micros`/interval arithmetic throughout.
+    *   - nanosAsLong=true: TIMESTAMP(NANOS) parquet (one of the driver's
+    *     events.ts layouts) reads as a long instead of erroring; see
+    *     [[events]] for the ns->us dispatch.
+    * The mainline session builders (Bench/Verify/Soak/Timing) set both at
+    * construction; this guard covers sessions built elsewhere (specs) and
+    * writes only when the value actually differs.
     */
+  def pinParquetConfs(spark: SparkSession): Unit =
+    Seq("spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true").foreach {
+      case (k, v) => if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    pinParquetConfs(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -37,7 +52,6 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     val ts = raw.schema("ts").dataType match {
       case LongType         => timestamp_micros(expr("ts DIV 1000"))

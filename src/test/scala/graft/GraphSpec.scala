@@ -25,6 +25,9 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L)._1 == got(2L)._1 && got(1L)._2 == 2L)
     assert(got(3L)._1 == got(4L)._1 && got(4L)._1 == got(5L)._1 && got(3L)._2 == 3L)
     assert(got(1L)._1 != got(3L)._1)
+    // canonical labels: the smallest customer id in each component —
+    // independent of the internal vertex-id scheme (hash or dictionary)
+    assert(got(1L)._1 == 1L && got(3L)._1 == 3L)
   }
 
   test("label propagation: bicliques keep their min label; a weak bridge does not merge them") {

@@ -25,7 +25,8 @@ class OnlineSpec extends AnyFunSuite {
     import spark.implicits._
     val events = Generator.burst(spark, customerId = 7L)
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), lit("10.0.0.1").as("ip_address"))
+        col("amount"), col("merchant_id"), lit("10.0.0.1").as("ip_address"),
+        col("transaction_id"))
       .as[StreamTxn].collect().sortBy(_.ts_micros)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

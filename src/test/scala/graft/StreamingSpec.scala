@@ -42,7 +42,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[StreamTxn].collect().sortBy(_.ts_micros)
 
     val split = tx.map(_.ts_micros).apply(tx.length / 2)
@@ -170,7 +170,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[graft.streaming.StreamTxn].collect().sortBy(_.ts_micros)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -199,7 +199,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[graft.streaming.StreamTxn].collect().sortBy(_.ts_micros)
     val split = tx.map(_.ts_micros).apply(tx.length / 2)
     val (b1, b2) = tx.partition(_.ts_micros <= split)
@@ -245,7 +245,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[graft.streaming.StreamTxn].collect().sortBy(_.ts_micros)
     val split = tx.map(_.ts_micros).apply(tx.length / 2)
     val (b1, b2) = tx.partition(_.ts_micros <= split)
@@ -322,7 +322,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.NoveltyProcessor
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[StreamTxn].collect().sortBy(_.ts_micros)
     val split = tx.map(_.ts_micros).apply(tx.length / 2)
     val (b1, b2) = tx.partition(_.ts_micros <= split)
@@ -371,7 +371,8 @@ class StreamingSpec extends AnyFunSuite {
       timestamp_micros(col("ts_micros")))
     val stream = fixture
       .select(col("customer_id"), col("ts_micros"), col("amount"),
-        col("merchant_id"), lit("ip").as("ip_address")).as[StreamTxn]
+        col("merchant_id"), lit("ip").as("ip_address"),
+        col("transaction_id")).as[StreamTxn]
       .collect().sortBy(_.ts_micros)
     val (b1, b2) = stream.partition(_.ts_micros <= 1200L * 1000000L)
 
@@ -402,7 +403,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.StructuringProcessor
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[StreamTxn].collect().sortBy(_.ts_micros)
     val split = tx.map(_.ts_micros).apply(tx.length / 2)
     val (b1, b2) = tx.partition(_.ts_micros <= split)
@@ -485,7 +486,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[StreamTxn].collect().sortBy(_.ts_micros)
     // the processor orders by ts within a customer; the fixture must have
     // no same-customer ts ties or batch (ts, txn_id) order could diverge
@@ -541,7 +542,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
       .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
-        col("amount"), col("merchant_id"), col("ip_address"))
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
       .as[StreamTxn].collect().sortBy(_.ts_micros)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[StreamTxn]
