@@ -438,6 +438,136 @@ FROM events"""
         .unionByName(row("left", m.left, sideAcc(m.left)))
         .unionByName(row("right", m.right, sideAcc(m.right)))
     },
+    // exact greedy depth-3 CART: the q185 chain one level deeper — root,
+    // both children, then ALL FOUR grandchildren in one fused 4-group
+    // leaf-membership pass (scoring/Trees.fitDepth3: 3 candidate passes
+    // for 7 exact splits). One greedy level closer to the reference's
+    // depth-6/10 forest members (models/advanced_models.py:228-231);
+    // the oracle replays the identical greedy chain with per-leaf
+    // filtered argmins.
+    "q197_depth3_tree" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // 3 fused passes
+      val m = graft.scoring.Trees.fitDepth3(f, Seq("value", "hb", "dowi"), col("y"))
+      def row(node: String, sp: graft.scoring.Trees.Split, acc: Double) =
+        s.range(1).select(lit(node).as("node"), lit(sp.feature).as("feature"),
+          r6(lit(sp.threshold)).as("threshold"), lit(sp.gini).as("gini"),
+          lit(sp.nLeft).as("n_left"), lit(sp.posLeft).as("pos_left"),
+          lit(sp.nRight).as("n_right"), lit(sp.posRight).as("pos_right"),
+          lit(acc).as("acc"))
+      def own(sp: graft.scoring.Trees.Split): Double =
+        KMeansOps.r6d(sp.correct.toDouble / sp.n)
+      Seq(row("root", m.root, m.trainAccuracy),
+        row("left", m.left, own(m.left)), row("right", m.right, own(m.right)),
+        row("ll", m.ll, own(m.ll)), row("lr", m.lr, own(m.lr)),
+        row("rl", m.rl, own(m.rl)), row("rr", m.rr, own(m.rr)))
+        .reduce(_.unionByName(_))
+    },
+    // deterministic 5-tree mini-forest (the reference's RandomForest
+    // slot, models/advanced_models.py:228-252, RNG-free): each depth-2
+    // member trains on its own md5 row subsample (~2/3 of the 80% train
+    // slice) with a rotated 2-of-3 feature subset; majority vote over
+    // the held-out 20%. The WHOLE forest fits in two fused grouped
+    // candidate passes (scoring/Forest) — fit cost independent of
+    // forest size; report = per-tree chains + per-tree and ensemble
+    // held-out accuracy + vote-score AUC.
+    "q198_mini_forest" -> { (s, dir) =>
+      val allF = Seq("value", "hb", "dowi")
+      val trees = 5
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "rf", 5))
+        .localCheckpoint() // two fused passes + two scoring scans
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      def member(t: Int) =
+        graft.scale.Splits.bucket(col("event_id"), s"rf$t", 3) =!= 0
+      def featsOf(t: Int) = allF.patch(t % allF.size, Nil, 1)
+      val forest = graft.scoring.Forest.fit(train, allF, col("y"),
+        trees, member, featsOf)
+      val votes = graft.scoring.Forest.votes(forest)
+      val treeAccs = forest.map(t =>
+        r6(avg((graft.scoring.Trees.predict(t.depth2) === col("y"))
+          .cast("double"))).as(s"acc${t.tree}"))
+      val aggs = Seq(count(lit(1)).as("n_val"),
+        r6(avg(((votes >= 3).cast("long") === col("y")).cast("double")))
+          .as("ens_val_acc")) ++ treeAccs
+      val aggRow = valid.agg(aggs.head, aggs.tail: _*)
+      val aucRow = graft.feedback.Drift.auc(
+          valid.select(col("y"), votes.cast("double").as("s")),
+          col("y") === 1L, col("s"))
+        .select(r6(col("auc")).as("ens_val_auc"))
+      val base = aggRow.crossJoin(aucRow)
+      forest.map { t =>
+        base.select(lit(t.tree).as("tree"),
+          lit(t.root.feature).as("feature"), r6(lit(t.root.threshold)).as("threshold"),
+          lit(t.root.gini).as("gini"),
+          lit(t.left.feature).as("feature_l"), r6(lit(t.left.threshold)).as("threshold_l"),
+          lit(t.right.feature).as("feature_r"), r6(lit(t.right.threshold)).as("threshold_r"),
+          col(s"acc${t.tree}").as("tree_val_acc"),
+          col("ens_val_acc"), col("ens_val_auc"), col("n_val"))
+      }.reduce(_.unionByName(_))
+    },
+    // per-instance TreeSHAP over the q180 boosted chain (the reference's
+    // explain_prediction, explainability/shap_explainer.py:78-126): for
+    // an additive model of single-feature stumps the exact Shapley value
+    // is closed-form — phi_f(x) = sum over stumps on f of
+    // (leaf(x) - E[leaf]) with E over the training population — so the
+    // per-row explanation is a literal CASE chain plus ONE population
+    // aggregate (per-stump left counts), and the values sum EXACTLY to
+    // score - base_value (the additivity_gap column hash-gates it at 0).
+    "q199_tree_shap" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // fit + pop + scoring
+      val m = graft.scoring.Boosting.fit(f, feats, col("y"), rounds = 3, rate = 0.5)
+      val cntAggs = count(lit(1)).as("n") +:
+        m.rounds.zipWithIndex.map { case (st, j) =>
+          sum(when(col(st.feature).cast("double") <= st.threshold, 1L)
+            .otherwise(0L)).as(s"cl$j")
+        }
+      val pop = f.agg(cntAggs.head, cntAggs.tail: _*)
+      def g(j: Int): Column = { val st = m.rounds(j)
+        when(col(st.feature).cast("double") <= lit(st.threshold), lit(st.vl))
+          .otherwise(lit(st.vr)) }
+      def eg(j: Int): Column = { val st = m.rounds(j)
+        (col(s"cl$j") * lit(st.vl) + (col("n") - col(s"cl$j")) * lit(st.vr)) /
+          col("n") }
+      val idx = m.rounds.indices
+      val sc = idx.foldLeft(lit(m.f0): Column)((acc, j) => acc + g(j))
+      val bs = idx.foldLeft(lit(m.f0): Column)((acc, j) => acc + eg(j))
+      // the oracle can't know the fitted features at SQL-build time, so
+      // its phi terms are CASE-guarded over every round; mirror the same
+      // j-ordered fold with literal-0 non-matching terms (bit-identical:
+      // x + 0.0 is exact and no term is -0.0)
+      def phi(fname: String): Column =
+        idx.foldLeft(lit(0.0): Column)((acc, j) =>
+          acc + (if (m.rounds(j).feature == fname) g(j) - eg(j) else lit(0.0)))
+      val (pv, ph, pd) = (phi("value"), phi("hb"), phi("dowi"))
+      val (av, ah, ad) = (abs(r6(pv)), abs(r6(ph)), abs(r6(pd)))
+      f.crossJoin(broadcast(pop)).select(col("event_id"),
+        r6(sc).as("score"), r6(bs).as("base_value"),
+        r6(pv).as("phi_value"), r6(ph).as("phi_hb"), r6(pd).as("phi_dowi"),
+        when(av >= ah && av >= ad, "value").when(ah >= ad, "hb")
+          .otherwise("dowi").as("top_factor"),
+        r6(sc - bs - pv - ph - pd).as("additivity_gap"))
+    },
+    // 2-layer MLP forward pass with literal weights over the embedding
+    // column (the serving surface of the reference's neural members,
+    // models/advanced_models.py:74-106,256): 8 hidden ArrayDot kernels +
+    // a literal output fold — join-free, shuffle-free, whole-stage
+    // codegen. Hidden activations round through the 4dp quantum before
+    // layer 2 (the iterative-rounding recipe across LAYERS) so the
+    // oracle's unnest-sum replay walks the identical chain.
+    "q200_mlp_forward" -> { (s, dir) =>
+      val net = graft.scoring.Mlp.deterministic(d = 64, hidden = 8)
+      val base = Tables.embeddings(s, dir)
+      val withH = (0 until net.hidden).foldLeft(base)((acc, j) =>
+        acc.withColumn(s"h$j",
+          graft.scoring.Mlp.hiddenCol(net, col("embedding"), j)))
+      val z = graft.scoring.Mlp.logit(net, j => col(s"h$j"))
+      val p = r6(graft.scoring.Mlp.sigmoid(z))
+      withH.select(col("vec_id") +: col("label") +:
+        (0 until net.hidden).map(j => col(s"h$j")) :+
+        r6(z).as("logit") :+ p.as("prob") :+ (p > 0.5).as("pred"): _*)
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -1127,6 +1257,219 @@ SELECT 'right' AS node, bestr.feature, round(bestr.threshold + 5e-11, 4) AS thre
   bestr.gini AS gini, bestr.n_left, bestr.pos_left, bestr.n_right, bestr.pos_right,
   ${accOf("bestr")} AS acc
 FROM bestr"""
+    },
+    "q197_depth3_tree" -> {
+      // replay of the depth-3 greedy chain: the q185 recipe with one
+      // more level — per depth-2 leaf, a filtered candidate table and
+      // the same (4dp gini, feature, threshold) argmin. The fused
+      // 4-group Spark pass is candidate-identical (ModelsSpec).
+      val fs = Seq("value", "hb", "dowi")
+      def sideOn(src: String, best: String) = s"""(CASE $best.feature
+    WHEN 'value' THEN CAST($src.value AS DOUBLE)
+    WHEN 'hb' THEN CAST($src.hb AS DOUBLE)
+    ELSE CAST($src.dowi AS DOUBLE) END)"""
+      def bestOf(src: String, name: String) =
+        s"""$name AS MATERIALIZED (
+  SELECT feature, threshold, round(gini + 5e-11, 4) AS gini,
+    n_left, pos_left, n_right, pos_right
+  FROM $src ORDER BY round(gini + 5e-11, 4), feature, threshold LIMIT 1)"""
+      def cands(src: String, pfx: String) =
+        fs.map(f => stumpCand(f, src, s"${pfx}_$f")).mkString(",\n") +
+          s",\nall$pfx AS (${fs.map(f => s"SELECT * FROM ${pfx}_$f").mkString(" UNION ALL ")})"
+      def accOf(t: String) =
+        s"""round(CAST(greatest($t.pos_left, $t.n_left - $t.pos_left)
+      + greatest($t.pos_right, $t.n_right - $t.pos_right) AS DOUBLE)
+    / ($t.n_left + $t.n_right) + 5e-11, 4)"""
+      def nodeRow(node: String, best: String) =
+        s"""SELECT '$node' AS node, $best.feature, round($best.threshold + 5e-11, 4) AS threshold,
+  $best.gini AS gini, $best.n_left, $best.pos_left, $best.n_right, $best.pos_right,
+  ${accOf(best)} AS acc
+FROM $best"""
+      val grandCorrect = Seq("bestll", "bestlr", "bestrl", "bestrr").map(b =>
+        s"greatest($b.pos_left, $b.n_left - $b.pos_left) + greatest($b.pos_right, $b.n_right - $b.pos_right)")
+        .mkString("\n      + ")
+      s"""WITH f AS MATERIALIZED ($featSql),
+${cands("f", "cand")},
+${bestOf("allcand", "root")},
+fl AS MATERIALIZED (SELECT f.* FROM f, root WHERE ${sideOn("f", "root")} <= root.threshold),
+fr AS MATERIALIZED (SELECT f.* FROM f, root WHERE ${sideOn("f", "root")} > root.threshold),
+${cands("fl", "candl")},
+${bestOf("allcandl", "bestl")},
+${cands("fr", "candr")},
+${bestOf("allcandr", "bestr")},
+fll AS MATERIALIZED (SELECT fl.* FROM fl, bestl WHERE ${sideOn("fl", "bestl")} <= bestl.threshold),
+flr AS MATERIALIZED (SELECT fl.* FROM fl, bestl WHERE ${sideOn("fl", "bestl")} > bestl.threshold),
+frl AS MATERIALIZED (SELECT fr.* FROM fr, bestr WHERE ${sideOn("fr", "bestr")} <= bestr.threshold),
+frr AS MATERIALIZED (SELECT fr.* FROM fr, bestr WHERE ${sideOn("fr", "bestr")} > bestr.threshold),
+${cands("fll", "candll")},
+${bestOf("allcandll", "bestll")},
+${cands("flr", "candlr")},
+${bestOf("allcandlr", "bestlr")},
+${cands("frl", "candrl")},
+${bestOf("allcandrl", "bestrl")},
+${cands("frr", "candrr")},
+${bestOf("allcandrr", "bestrr")}
+SELECT 'root' AS node, root.feature, round(root.threshold + 5e-11, 4) AS threshold,
+  root.gini AS gini, root.n_left, root.pos_left, root.n_right, root.pos_right,
+  round(CAST($grandCorrect AS DOUBLE)
+    / (root.n_left + root.n_right) + 5e-11, 4) AS acc
+FROM root, bestll, bestlr, bestrl, bestrr
+UNION ALL
+${nodeRow("left", "bestl")}
+UNION ALL
+${nodeRow("right", "bestr")}
+UNION ALL
+${nodeRow("ll", "bestll")}
+UNION ALL
+${nodeRow("lr", "bestlr")}
+UNION ALL
+${nodeRow("rl", "bestrl")}
+UNION ALL
+${nodeRow("rr", "bestrr")}"""
+    },
+    "q198_mini_forest" -> {
+      // per-tree replay: md5 row subsample of the 80% train slice, the
+      // tree's 2-feature root argmin, side tables by the root literal,
+      // per-side argmins; then every tree's vote as a nested CASE over
+      // the held-out slice. The fused 2-pass Spark fit is per-group
+      // candidate-identical (ModelsSpec).
+      val allF = Seq("value", "hb", "dowi")
+      val trees = 5
+      def featsOf(t: Int) = allF.patch(t % allF.size, Nil, 1)
+      def sideOn(src: String, best: String) = s"""(CASE $best.feature
+    WHEN 'value' THEN CAST($src.value AS DOUBLE)
+    WHEN 'hb' THEN CAST($src.hb AS DOUBLE)
+    ELSE CAST($src.dowi AS DOUBLE) END)"""
+      def bestOf(src: String, name: String) =
+        s"""$name AS MATERIALIZED (
+  SELECT feature, threshold, round(gini + 5e-11, 4) AS gini,
+    n_left, pos_left, n_right, pos_right
+  FROM $src ORDER BY round(gini + 5e-11, 4), feature, threshold LIMIT 1)"""
+      val treeCtes = (0 until trees).map { t =>
+        val fsT = featsOf(t)
+        def cands(src: String, tag: String) =
+          fsT.map(f => stumpCand(f, src, s"c$t${tag}_$f")).mkString(",\n") +
+            s",\nall$t$tag AS (${fsT.map(f => s"SELECT * FROM c$t${tag}_$f").mkString(" UNION ALL ")})"
+        s"""tr$t AS MATERIALIZED (
+  SELECT * FROM trn
+  WHERE ('0x' || substr(md5('rf$t:' || event_id), 1, 8))::UBIGINT % 3 <> 0),
+${cands(s"tr$t", "r")},
+${bestOf(s"all${t}r", s"root$t")},
+fl$t AS MATERIALIZED (SELECT tr$t.* FROM tr$t, root$t WHERE ${sideOn(s"tr$t", s"root$t")} <= root$t.threshold),
+fr$t AS MATERIALIZED (SELECT tr$t.* FROM tr$t, root$t WHERE ${sideOn(s"tr$t", s"root$t")} > root$t.threshold),
+${cands(s"fl$t", "l")},
+${bestOf(s"all${t}l", s"bestl$t")},
+${cands(s"fr$t", "c")},
+${bestOf(s"all${t}c", s"bestr$t")}"""
+      }.mkString(",\n")
+      def leaf(b: String, side: String) =
+        s"(CASE WHEN $b.pos_$side*2 > $b.n_$side THEN 1 ELSE 0 END)"
+      def vote(t: Int) =
+        s"""CASE WHEN ${sideOn("vld", s"root$t")} <= root$t.threshold
+      THEN (CASE WHEN ${sideOn("vld", s"bestl$t")} <= bestl$t.threshold
+        THEN ${leaf(s"bestl$t", "left")} ELSE ${leaf(s"bestl$t", "right")} END)
+      ELSE (CASE WHEN ${sideOn("vld", s"bestr$t")} <= bestr$t.threshold
+        THEN ${leaf(s"bestr$t", "left")} ELSE ${leaf(s"bestr$t", "right")} END) END"""
+      val joins = (0 until trees)
+        .map(t => s" CROSS JOIN root$t CROSS JOIN bestl$t CROSS JOIN bestr$t").mkString
+      val vsum = (0 until trees).map(t => s"v$t").mkString(" + ")
+      val rows = (0 until trees).map(t =>
+        s"""SELECT $t AS tree, root$t.feature, round(root$t.threshold + 5e-11, 4) AS threshold,
+  root$t.gini AS gini,
+  bestl$t.feature AS feature_l, round(bestl$t.threshold + 5e-11, 4) AS threshold_l,
+  bestr$t.feature AS feature_r, round(bestr$t.threshold + 5e-11, 4) AS threshold_r,
+  a.acc$t AS tree_val_acc, a.ens_acc AS ens_val_acc,
+  round(u.auc + 5e-11, 4) AS ens_val_auc, a.n_val
+FROM a CROSS JOIN u CROSS JOIN root$t CROSS JOIN bestl$t CROSS JOIN bestr$t""")
+      s"""WITH fb AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5('rf:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM fb),
+trn AS MATERIALIZED (SELECT * FROM fp WHERE vb5 <> 0),
+vld AS MATERIALIZED (SELECT * FROM fp WHERE vb5 = 0),
+$treeCtes,
+sc AS MATERIALIZED (
+  SELECT vld.y, ${(0 until trees).map(t => s"(${vote(t)}) AS v$t").mkString(",\n    ")}
+  FROM vld$joins),
+scv AS (SELECT y, CAST($vsum AS DOUBLE) AS s FROM sc),
+${gbMidrankAuc("", "scv")},
+a AS (SELECT count(*) AS n_val,
+  round(avg(CASE WHEN (CASE WHEN $vsum >= 3 THEN 1 ELSE 0 END) = y THEN 1.0 ELSE 0.0 END) + 5e-11, 4) AS ens_acc,
+  ${(0 until trees).map(t => s"round(avg(CASE WHEN v$t = y THEN 1.0 ELSE 0.0 END) + 5e-11, 4) AS acc$t").mkString(",\n  ")}
+  FROM sc)
+${rows.mkString("\nUNION ALL\n")}"""
+    },
+    "q199_tree_shap" -> {
+      // the q180 chain replay + ONE population aggregate (per-stump left
+      // counts) -> closed-form additive SHAP: phi terms are CASE-guarded
+      // over every round (the oracle can't know the fitted features at
+      // SQL-build time); the Spark fold mirrors the same j-ordered sum
+      // with literal-0 non-matching terms, so every unrounded
+      // intermediate is bit-identical.
+      val T = 3
+      val scJoins = (1 to T).map(j => s" CROSS JOIN best$j b$j").mkString
+      val clCols = (1 to T).map(j =>
+        s",\n    sum(CASE WHEN ${gbFv(j, "fb")} <= b$j.t THEN 1 ELSE 0 END) AS cl$j").mkString
+      val egDefs = (1 to T).map(j =>
+        s"(pop.cl$j*b$j.vl + (pop.n - pop.cl$j)*b$j.vr)/pop.n AS eg$j").mkString(",\n    ")
+      def gTerm(j: Int) = s"(CASE WHEN ${gbFv(j, "fb")} <= b$j.t THEN b$j.vl ELSE b$j.vr END)"
+      def phiExpr(fname: String) = (1 to T).map(j =>
+        s"(CASE WHEN b$j.f = '$fname' THEN ${gTerm(j)} - e.eg$j ELSE 0.0 END)")
+        .mkString("0.0 + ", " + ", "")
+      def r4(x: String) = s"round($x + 5e-11, 4)"
+      s"""WITH fb AS MATERIALIZED ($featSql),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
+${gbRoundCtes(T, "fb")},
+pop AS (
+  SELECT count(*) AS n$clCols
+  FROM fb$scJoins),
+e AS (
+  SELECT ${egDefs}
+  FROM pop$scJoins),
+sc AS MATERIALIZED (
+  SELECT fb.event_id,
+    ${gbScoreExpr(T, "fb")} AS s,
+    f0.v + e.eg1 + e.eg2 + e.eg3 AS b,
+    ${phiExpr("value")} AS pv,
+    ${phiExpr("hb")} AS ph,
+    ${phiExpr("dowi")} AS pd
+  FROM fb CROSS JOIN f0 CROSS JOIN e$scJoins)
+SELECT event_id, ${r4("s")} AS score, ${r4("b")} AS base_value,
+  ${r4("pv")} AS phi_value, ${r4("ph")} AS phi_hb, ${r4("pd")} AS phi_dowi,
+  CASE WHEN abs(${r4("pv")}) >= abs(${r4("ph")}) AND abs(${r4("pv")}) >= abs(${r4("pd")}) THEN 'value'
+       WHEN abs(${r4("ph")}) >= abs(${r4("pd")}) THEN 'hb'
+       ELSE 'dowi' END AS top_factor,
+  ${r4("s - b - pv - ph - pd")} AS additivity_gap
+FROM sc"""
+    },
+    "q200_mlp_forward" -> {
+      // the identical literal net in SQL integer arithmetic: dyadic
+      // weights from the same index formulas, hidden sums via
+      // unnest+group (order noise << the r6 nudge), hidden rounded to
+      // the quantum before the j-ordered literal output fold.
+      val net = graft.scoring.Mlp.deterministic(d = 64, hidden = 8)
+      val H = net.hidden
+      val pivots = (0 until H).map(j => s"max(CASE WHEN j = $j THEN h END) AS h$j")
+      val zExpr = (0 until H).foldLeft(net.b2.toString)((acc, j) =>
+        s"$acc + (${net.w2(j)})*h$j")
+      s"""WITH x AS (
+  SELECT vec_id, label, CAST(i AS BIGINT) - 1 AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) AS t(i)),
+w1 AS (SELECT j, pos, CAST((3*j + 5*pos + 1) % 13 - 6 AS DOUBLE)/16.0 AS w
+  FROM range(8) t1(j), range(64) t2(pos)),
+b1 AS (SELECT j, CAST((7*j) % 5 - 2 AS DOUBLE)/16.0 AS b FROM range(8) t3(j)),
+hr AS (SELECT x.vec_id, x.label, w1.j, sum(x.v * w1.w) AS sv
+  FROM x JOIN w1 USING (pos) GROUP BY 1, 2, 3),
+h AS (SELECT hr.vec_id, hr.label, hr.j,
+  round(greatest(0.0, b1.b + hr.sv) + 5e-11, 4) AS h
+  FROM hr JOIN b1 USING (j)),
+p AS (SELECT vec_id, label, ${pivots.mkString(",\n  ")} FROM h GROUP BY 1, 2),
+z AS (SELECT *, $zExpr AS zz FROM p)
+SELECT vec_id, label, ${(0 until H).map(j => s"h$j").mkString(", ")},
+  round(zz + 5e-11, 4) AS logit,
+  round(1.0/(1.0 + exp(-zz)) + 5e-11, 4) AS prob,
+  round(1.0/(1.0 + exp(-zz)) + 5e-11, 4) > 0.5 AS pred
+FROM z"""
     },
     "q171_stump_bagging" -> {
       val fs = Seq("value", "hb", "dowi")

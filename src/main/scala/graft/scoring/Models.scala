@@ -82,10 +82,10 @@ object Models {
     require(folds >= 2, s"naiveBayesDeltaOof: folds must be >= 2, got $folds")
     val y = label.cast("int")
     val fold = foldCol.cast("int")
-    // rows whose fold is null or outside [0, folds) match the per-fold
-    // union's TRAIN side (fold =!= b admits them into every model — the
-    // conditional sums below reproduce that) but never its TEST side, so
-    // they must not surface as scored rows either
+    // rows with a NULL fold feed NO train model (`fold =!= b` evaluates
+    // to NULL, so the conditional sums skip them — test-verified); rows
+    // with an out-of-range integer fold feed EVERY model. Neither kind is
+    // a TEST row of any fold, so neither may surface as a scored row
     val inRange = fold.isNotNull && fold >= 0 && fold < folds
     val priorAggs = (0 until folds).flatMap { b =>
       Seq(sum(when(fold =!= b, y)).cast("double").as(s"__n1_$b"),
@@ -196,6 +196,21 @@ object Models {
   def stumpCandidatesSided(df: DataFrame, features: Seq[String],
       label: Column, sideCol: Column): DataFrame =
     groupedCandidates(df, features, label, 2, s => sideCol === s, "side")
+
+  /** General fused pass: `groups` parallel candidate tables from ONE
+    * distinct-value scan + ONE cumsum pipeline per feature; group g
+    * trains on the rows where `member(g)`. The depth-3 tree uses it with
+    * 4 leaf-membership groups, the deterministic forest with one
+    * row-sample membership per tree — same phantom-exclusion argument as
+    * the bagged/sided fits (candidates match the per-group filtered
+    * [[stumpCandidates]] exactly, ModelsSpec).
+    */
+  def stumpCandidatesGrouped(df: DataFrame, features: Seq[String],
+      label: Column, groups: Int, member: Int => Column,
+      out: String = "grp"): DataFrame = {
+    require(groups >= 2, s"stumpCandidatesGrouped: groups must be >= 2, got $groups")
+    groupedCandidates(df, features, label, groups, member, out)
+  }
 
   /** Shared fused fit: `groups` parallel candidate tables from one pass,
     * group g trained on rows where `member(g)`.

@@ -63,6 +63,59 @@ object Trees {
     Depth2(root, kids(0), kids(1))
   }
 
+  /** Fitted depth-3 tree: the depth-2 greedy chain plus one split per
+    * depth-2 leaf (ll/lr under the left child, rl/rr under the right).
+    */
+  final case class Depth3(root: Split, left: Split, right: Split,
+      ll: Split, lr: Split, rl: Split, rr: Split) {
+    /** Training accuracy of the eight majority-class leaves. */
+    def trainAccuracy: Double =
+      KMeansOps.r6d((ll.correct + lr.correct + rl.correct + rr.correct)
+        .toDouble / root.n)
+  }
+
+  /** Second application of the fused sided-pass recipe: the [[fitDepth2]]
+    * chain (2 table passes per feature), then ALL FOUR grandchildren in
+    * one 4-group [[Models.stumpCandidatesGrouped]] pass keyed by depth-2
+    * leaf membership — 3 candidate passes total for 7 exact greedy
+    * splits, vs 7 filtered fits done naively. Same determinism contract
+    * as depth 2 (thresholds re-enter as driver literals, argmins ordered
+    * by rounded gini/feature/threshold), so a DuckDB replay of the chain
+    * lands on the same tree. Preconditions: every depth-2 leaf must admit
+    * a split (≥2 distinct feature values on it) — `require`d loudly.
+    * Matches the reference's deeper-tree model family
+    * (`models/advanced_models.py:228-231`) one greedy level closer.
+    */
+  def fitDepth3(df: DataFrame, features: Seq[String], label: Column): Depth3 = {
+    val d2 = fitDepth2(df, features, label)
+    val leaf = leafIndex(d2)
+    val grands = Models.stumpCandidatesGrouped(df, features, label,
+        groups = 4, g => leaf === g, "leaf")
+      .groupBy(col("leaf")).agg(min(struct(
+        graft.queries.r6(col("gini")).as("gini"), col("feature"),
+        col("threshold"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"))).as("b"))
+      .select(col("leaf"), col("b.*")).collect()
+      .map(r => r.getInt(0) -> Split(r.getString(2), r.getDouble(3),
+        r.getDouble(1), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    require((0 to 3).forall(grands.contains),
+      s"fitDepth3: a depth-2 leaf admits no split (leaves fitted: ${grands.keys})")
+    Depth3(d2.root, d2.left, d2.right,
+      grands(0), grands(1), grands(2), grands(3))
+  }
+
+  /** Depth-2 leaf index (0..3) of a row under the fitted chain: left
+    * children first (root-left/child-left = 0), literal thresholds.
+    */
+  def leafIndex(m: Depth2): Column = {
+    def side(s: Split, lo: Int, hi: Int): Column =
+      when(col(s.feature).cast("double") <= lit(s.threshold), lit(lo))
+        .otherwise(lit(hi))
+    when(col(m.root.feature).cast("double") <= lit(m.root.threshold),
+      side(m.left, 0, 1)).otherwise(side(m.right, 2, 3))
+  }
+
   /** Deterministic best split of a candidate table: min by (rounded
     * gini, feature, threshold) via TakeOrdered — no global sort
     * materializes.
@@ -80,11 +133,23 @@ object Trees {
     * columns — a literal CASE chain, pure whole-stage-codegen projection.
     */
   def predict(m: Depth2): Column = {
-    def leafPred(s: Split): Column =
-      when(col(s.feature).cast("double") <= lit(s.threshold),
-        lit(if (s.posLeft * 2 > s.nLeft) 1L else 0L))
-        .otherwise(lit(if (s.posRight * 2 > s.nRight) 1L else 0L))
     when(col(m.root.feature).cast("double") <= lit(m.root.threshold),
       leafPred(m.left)).otherwise(leafPred(m.right))
   }
+
+  /** Majority-class prediction of a fitted depth-3 tree — the same
+    * literal CASE chain one level deeper.
+    */
+  def predict(m: Depth3): Column = {
+    def kid(s: Split, lo: Split, hi: Split): Column =
+      when(col(s.feature).cast("double") <= lit(s.threshold),
+        leafPred(lo)).otherwise(leafPred(hi))
+    when(col(m.root.feature).cast("double") <= lit(m.root.threshold),
+      kid(m.left, m.ll, m.lr)).otherwise(kid(m.right, m.rl, m.rr))
+  }
+
+  private def leafPred(s: Split): Column =
+    when(col(s.feature).cast("double") <= lit(s.threshold),
+      lit(if (s.posLeft * 2 > s.nLeft) 1L else 0L))
+      .otherwise(lit(if (s.posRight * 2 > s.nRight) 1L else 0L))
 }

@@ -461,6 +461,26 @@ object StreamingFeatures {
       .withColumn("model_probability", graft.scoring.Trainer.probability(model))
   }
 
+  /** The q180/q191 boosted stump chain served online (the staged model's
+    * streaming twin, like the trained LR above): the additive
+    * [[graft.scoring.Boosting.score]] is a literal when/otherwise CASE
+    * chain over the emitted feature columns — a stateless sink-side
+    * projection appended after the stateful processor (no extra state
+    * store, no shuffle). Every stump's feature must exist on the stream
+    * schema — rejected at plan-build time, not inside a running query.
+    * Batch-vs-stream equality is asserted in StreamingSpec.
+    */
+  def boostScoredFeatures(events: Dataset[StreamTxn],
+                          model: graft.scoring.Boosting.Model)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = customerFeatures(events).toDF()
+    val missing = model.rounds.map(_.feature).distinct
+      .filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"boostScoredFeatures: stump features absent from the stream: $missing")
+    feats.withColumn("boost_score", graft.scoring.Boosting.score(model))
+  }
+
   /** The q193 sequence scorer online: per-event transition NLL under the
     * offline-fitted [[graft.ops.AmlPatterns.MarkovModel]]. One value of
     * state per customer (the previous symbol); batch-vs-stream NLL

@@ -256,4 +256,81 @@ class ModelsSpec extends AnyFunSuite {
     val bins = Packing.binReport(d, Seq(col("doc_id")), col("tok"), 2048L).count()
     assert(bins == 5, s"$bins")
   }
+
+  test("stumpCandidatesGrouped(4 leaves) matches the filtered per-leaf fit") {
+    import spark.implicits._
+    // value 99 exists only in leaf 3 -> must never phantom-argmin leaves 0-2
+    val df = ((1 to 80).map(i => (i % 10 * 1.0, i % 4, if (i % 10 >= 5) 1 else 0)) :+
+      ((99.0, 3, 1))).toDF("x", "g", "y")
+    val fused = Models.stumpCandidatesGrouped(df, Seq("x"), col("y"),
+      groups = 4, g => col("g") === g, "leaf")
+    for (lf <- 0 until 4) {
+      val filt = Models.stumpCandidates(df.where(col("g") === lf), Seq("x"), col("y"))
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"), col("gini"))
+        .orderBy(col("threshold")).collect().toSeq
+      val fus = fused.where(col("leaf") === lf)
+        .select(col("threshold"), col("n_left"), col("pos_left"),
+          col("n_right"), col("pos_right"), col("gini"))
+        .orderBy(col("threshold")).collect().toSeq
+      val fusByT = fus.map(r => r.getDouble(0) -> r).toMap
+      filt.foreach { r =>
+        val m = fusByT(r.getDouble(0))
+        assert((1 to 4).forall(i => m.getLong(i) == r.getLong(i)) &&
+          m.getDouble(5) == r.getDouble(5), s"leaf $lf threshold ${r.getDouble(0)}")
+      }
+      def arg(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.minBy(r => (KMeansOps.r6d(r.getDouble(5)), r.getDouble(0)))
+      assert(arg(filt).getDouble(0) == arg(fus).getDouble(0), s"leaf $lf argmin")
+    }
+  }
+
+  test("fitDepth3 solves a 3-conjunct AND that depth 2 cannot") {
+    import spark.implicits._
+    // y = (x<=4 AND z<=5 AND w<=3) on a uniform 8x8x8 grid: greedy gini
+    // peels one conjunct per level, so depth 3 is exact and depth 2 isn't
+    val df = (for {
+      x <- 1 to 8; z <- 1 to 8; w <- 1 to 8
+    } yield (x.toDouble, z.toDouble, w.toDouble,
+      if (x <= 4 && z <= 5 && w <= 3) 1 else 0)).toDF("x", "z", "w", "y")
+    val feats = Seq("x", "z", "w")
+    val d2 = graft.scoring.Trees.fitDepth2(df, feats, col("y"))
+    assert(d2.trainAccuracy < 1.0, s"depth 2 unexpectedly exact: $d2")
+    val m = graft.scoring.Trees.fitDepth3(df, feats, col("y"))
+    assert(m.trainAccuracy == 1.0, s"expected exact fit, got $m")
+    // prefix property: the depth-3 chain extends the depth-2 chain
+    assert(m.root == d2.root && m.left == d2.left && m.right == d2.right)
+    // predict column agrees with the counts' claim everywhere
+    val acc = df.select(avg((graft.scoring.Trees.predict(m) === col("y"))
+      .cast("double"))).head().getDouble(0)
+    assert(acc == 1.0)
+    assert(m.root.n == 512L)
+  }
+
+  test("Forest.fit (two fused passes) matches per-tree fitDepth2 on each subsample") {
+    import spark.implicits._
+    val df = (for {
+      i <- 1 to 240
+    } yield (i % 10 * 1.0, i % 8 * 1.0, i % 6 * 1.0,
+      if ((i % 10 >= 5) ^ (i % 8 >= 4)) 1 else 0, i % 3)).toDF("x", "z", "w", "y", "b")
+    val allF = Seq("x", "z", "w")
+    def member(t: Int) = col("b") =!= t
+    def featsOf(t: Int) = allF.patch(t % 3, Nil, 1)
+    val forest = graft.scoring.Forest.fit(df, allF, col("y"),
+      trees = 3, member, featsOf)
+    assert(forest.map(_.tree) == Seq(0, 1, 2))
+    forest.foreach { t =>
+      val solo = graft.scoring.Trees.fitDepth2(
+        df.where(member(t.tree)), featsOf(t.tree), col("y"))
+      assert(t.root == solo.root && t.left == solo.left && t.right == solo.right,
+        s"tree ${t.tree}: fused $t vs solo $solo")
+      // the masked argmin never picks the dropped feature
+      val dropped = allF(t.tree % 3)
+      assert(Seq(t.root, t.left, t.right).forall(_.feature != dropped))
+    }
+    // votes column: 3 trees -> integer 0..3, majority at >= 2
+    val v = df.select(graft.scoring.Forest.votes(forest).as("v"))
+      .agg(min(col("v")), max(col("v"))).head()
+    assert(v.getLong(0) >= 0L && v.getLong(1) <= 3L)
+  }
 }

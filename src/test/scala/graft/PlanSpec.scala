@@ -399,4 +399,38 @@ class PlanSpec extends AnyFunSuite {
       s"explode should consume the aggregate output (plan order generate<-agg):\n$p")
     assert(!p.contains("SortMergeJoin"), s"no row-level self-join expected:\n$p")
   }
+
+  test("depth-3 tree report is pure model-state literals (zero exchanges)") {
+    // the 3 fused candidate passes collect 7 split rows at construction;
+    // the emitted report must plan as local literal rows
+    val p = plan(graft.queries.ModelQueries.defs("q197_depth3_tree")(spark, sf))
+    assert(!p.contains("Exchange") && !p.contains("Join"), s"report plan:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("Range"), p)
+  }
+
+  test("mini-forest: voting is literal CASE chains — only 1-row anchors join") {
+    // two fused passes collect 15 split rows at construction; the
+    // held-out scoring pass reads the fact slice once per aggregate with
+    // every model literal inline — no shuffle join anywhere
+    val p = plan(graft.queries.ModelQueries.defs("q198_mini_forest")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"forest scoring must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tree shap: per-row explanation is a literal projection over one broadcast pop row") {
+    val p = plan(graft.queries.ModelQueries.defs("q199_tree_shap")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shap scoring must not shuffle-join:\n$p")
+    // the single population-counts row attaches via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"pop row must broadcast:\n$p")
+  }
+
+  test("mlp forward pass is a pure narrow projection: no exchange, no join") {
+    val p = plan(graft.queries.ModelQueries.defs("q200_mlp_forward")(spark, sf))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"forward pass must stay scan->project:\n$p")
+    assert(p.contains("array_dot"), s"hidden units should be ArrayDot kernels:\n$p")
+  }
 }

@@ -582,4 +582,60 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("no_such_feature"))
   }
+
+  test("boosted stump chain scores the streaming feature vector identically to batch") {
+    import spark.implicits._
+    // the q180/q191 staged model served online: fit the chain on the
+    // batch feature view, then apply the same literal CASE chain to the
+    // streaming vector — scores agree wherever the feature vectors do
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: feats.map(col): _*)
+      .localCheckpoint() // read 3x/round by the boosting fit
+    val model = graft.scoring.Boosting.fit(
+      batchF, feats, col("amount") > 100, rounds = 3, rate = 0.5)
+    assert(model.rounds.size == 3)
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.boostScoredFeatures(input.toDS(), model)
+      .writeStream.format("memory").queryName("boosted").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    // the emitted column IS the chain: re-deriving it from the emitted
+    // (unrounded) feature columns is bitwise-identical
+    val served = spark.table("boosted")
+    assert(served.count() == tx.length)
+    assert(served.where(col("boost_score") =!=
+      graft.scoring.Boosting.score(model)).count() == 0)
+
+    // identical rounded feature grain on both paths -> identical scores
+    def scores(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select(col("customer_id") +: col("ts_micros") +:
+          feats.map(f => round(col(f), 6).as(f)): _*)
+        .withColumn("score", graft.scoring.Boosting.score(model))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("score")).toMap
+    val streamed = scores(served)
+    val batch = scores(batchF)
+    assert(streamed.size == batch.size)
+    val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => k }
+    assert(diffs.isEmpty, s"score mismatch at ${diffs.take(3)}")
+
+    // a chain whose stump reads a column the stream doesn't emit is
+    // rejected at plan-build time
+    val bogus = model.copy(rounds = model.rounds.head
+      .copy(feature = "no_such_feature") +: model.rounds.tail)
+    val err = intercept[IllegalArgumentException] {
+      StreamingFeatures.boostScoredFeatures(input.toDS(), bogus)
+    }
+    assert(err.getMessage.contains("no_such_feature"))
+  }
 }
