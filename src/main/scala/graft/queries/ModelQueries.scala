@@ -568,6 +568,34 @@ FROM events"""
         (0 until net.hidden).map(j => col(s"h$j")) :+
         r6(z).as("logit") :+ p.as("prob") :+ (p > 0.5).as("pred"): _*)
     },
+    // gradient-boosted DEPTH-2 TREES (the reference's actual GBM/XGB
+    // member shape — 4-leaf trees per round, models/advanced_models.py:
+    // 228-231 — one level beyond the q180 stump chain): 2 shrinkage-0.5
+    // rounds, each an exact depth-2 regression tree on the running
+    // residual via the fitDepth2 recipe (root pass + fused per-side
+    // child pass). Residual sums decompose into INTEGER leaf-membership
+    // cumsums (3 columns per prior round) + 4dp leaf-value literals, so
+    // the DuckDB oracle replays the identical chain.
+    "q201_boosted_trees" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // 2 passes/round + scoring
+      val m = graft.scoring.Boosting.fitTrees(f, Seq("value", "hb", "dowi"),
+        col("y"), rounds = 2, rate = 0.5)
+      val scored = f.select(col("y"), graft.scoring.Boosting.scoreTrees(m).as("s"))
+      val aucDf = graft.feedback.Drift.auc(scored, col("y") === 1L, col("s"))
+      val err = col("y").cast("double") - col("s")
+      val roundCols = m.rounds.zipWithIndex.flatMap { case (tr, i) =>
+        val t = i + 1
+        Seq(lit(tr.rootFeature).as(s"rf$t"), r6(lit(tr.rootThreshold)).as(s"rt$t"),
+          lit(tr.leftFeature).as(s"lf$t"), r6(lit(tr.leftThreshold)).as(s"lt$t"),
+          lit(tr.rightFeature).as(s"gf$t"), r6(lit(tr.rightThreshold)).as(s"gt$t"),
+          lit(tr.v0).as(s"v0_$t"), lit(tr.v1).as(s"v1_$t"),
+          lit(tr.v2).as(s"v2_$t"), lit(tr.v3).as(s"v3_$t"))
+      }
+      scored.agg(count(lit(1)).as("n"), r6(avg(err * err)).as("train_mse"))
+        .crossJoin(aucDf)
+        .select(col("n") +: lit(m.f0).as("f0") +: roundCols :+
+          col("train_mse") :+ r6(col("auc")).as("train_auc"): _*)
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -704,6 +732,137 @@ k_$f AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM l_$f)"""
 u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
     (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
       / (sum(y)*(count(*) - sum(y))) END AS auc FROM r$sfx)"""
+
+  /** Boosted depth-2 tree oracle builders (q201): per-round root pass +
+    * fused per-side child pass with leaf-membership residual terms —
+    * the exact expression order of `Boosting.fitTrees`. CTE contract:
+    * round j publishes `broot$j (f,t)`, `bl$j`/`br$j (f,t,vl,vr)`.
+    */
+  private def gbtFv(cte: String, src: String): String =
+    s"""(CASE WHEN $cte.f = 'value' THEN CAST($src.value AS DOUBLE)
+      WHEN $cte.f = 'hb' THEN CAST($src.hb AS DOUBLE)
+      ELSE CAST($src.dowi AS DOUBLE) END)"""
+
+  /** Leaf index 0..3 of a `src` row under round j's fitted tree. */
+  private def gbtLeaf(j: Int, src: String): String =
+    s"""(CASE WHEN ${gbtFv(s"broot$j", src)} <= broot$j.t
+    THEN (CASE WHEN ${gbtFv(s"bl$j", src)} <= bl$j.t THEN 0 ELSE 1 END)
+    ELSE (CASE WHEN ${gbtFv(s"br$j", src)} <= br$j.t THEN 2 ELSE 3 END) END)"""
+
+  private def gbtJoins(t: Int): String =
+    (1 until t).map(j => s" CROSS JOIN broot$j CROSS JOIN bl$j CROSS JOIN br$j").mkString
+
+  /** Residual-subtraction terms: prior round j's leaf values times the
+    * side's leaf-membership counts (`name(j, l)`; leaf 3 = n − others).
+    */
+  private def gbtResid(name: (Int, Int) => String, n: String, t: Int): String =
+    (1 until t).map(j =>
+      s" - (bl$j.vl*${name(j, 0)} + bl$j.vr*${name(j, 1)} + br$j.vl*${name(j, 2)} + br$j.vr*($n - ${name(j, 0)} - ${name(j, 1)} - ${name(j, 2)}))").mkString
+
+  private val gbtArgmax =
+    "ORDER BY round(sl*sl/nl + sr*sr/nr + 5e-11, 4) DESC, feature, threshold\n  LIMIT 1"
+
+  /** Round t of the boosted-tree chain over fact CTE `src`. */
+  private def gbtRound(t: Int, src: String): String = {
+    val joins = gbtJoins(t)
+    def gR(f: String) = {
+      val leafCols = (1 until t).flatMap(j => (0 to 2).map(l =>
+        s",\n    sum(CASE WHEN ${gbtLeaf(j, src)} = $l THEN 1 ELSE 0 END) AS c${j}_$l")).mkString
+      s"""gr${t}_$f AS (
+  SELECT CAST($f AS DOUBLE) AS threshold, count(*) AS n, sum(y) AS sy$leafCols
+  FROM $src$joins
+  GROUP BY 1)"""
+    }
+    def cR(f: String) = {
+      val cum = (1 until t).flatMap(j => (0 to 2).map(l =>
+        s",\n    CAST(sum(c${j}_$l) OVER w AS BIGINT) AS cll${j}_$l")).mkString
+      val tot = (1 until t).flatMap(j => (0 to 2).map(l =>
+        s",\n    CAST(sum(c${j}_$l) OVER () AS BIGINT) AS tcl${j}_$l")).mkString
+      s"""cr${t}_$f AS (
+  SELECT threshold,
+    CAST(sum(n) OVER w AS BIGINT) AS nl,
+    CAST(sum(sy) OVER w AS BIGINT) AS syl$cum,
+    CAST(sum(n) OVER () AS BIGINT) AS tn,
+    CAST(sum(sy) OVER () AS BIGINT) AS tsy$tot
+  FROM gr${t}_$f
+  WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+    }
+    def candR(f: String) =
+      s"""candr${t}_$f AS (
+  SELECT feature, threshold, nl, tn - nl AS nr, sl, stot - sl AS sr
+  FROM (
+    SELECT '$f' AS feature, threshold, nl, tn,
+      syl - nl*f0.v${gbtResid((j, l) => s"cll${j}_$l", "nl", t)} AS sl,
+      tsy - tn*f0.v${gbtResid((j, l) => s"tcl${j}_$l", "tn", t)} AS stot
+    FROM cr${t}_$f CROSS JOIN f0$joins)
+  WHERE nl > 0 AND nl < tn)"""
+    val brootCte = {
+      val union = gbFeatures.map(f => s"SELECT * FROM candr${t}_$f").mkString(" UNION ALL ")
+      s"""broot$t AS MATERIALIZED (
+  SELECT feature AS f, threshold AS t
+  FROM ($union)
+  $gbtArgmax)"""
+    }
+    val sideExpr = s"(CASE WHEN ${gbtFv(s"broot$t", src)} <= broot$t.t THEN 0 ELSE 1 END)"
+    def gC(f: String) = {
+      val cols = (0 to 1).flatMap { s =>
+        Seq(s",\n    sum(CASE WHEN $sideExpr = $s THEN 1 ELSE 0 END) AS n$s",
+          s",\n    sum(CASE WHEN $sideExpr = $s THEN y ELSE 0 END) AS sy$s") ++
+          (1 until t).flatMap(j => (0 to 2).map(l =>
+            s",\n    sum(CASE WHEN $sideExpr = $s AND ${gbtLeaf(j, src)} = $l THEN 1 ELSE 0 END) AS c${j}_${l}_$s"))
+      }.mkString
+      s"""gc${t}_$f AS (
+  SELECT CAST($f AS DOUBLE) AS threshold$cols
+  FROM $src CROSS JOIN broot$t$joins
+  GROUP BY 1)"""
+    }
+    def cC(f: String) = {
+      val cols = (0 to 1).flatMap { s =>
+        Seq(s",\n    CAST(sum(n$s) OVER w AS BIGINT) AS nl$s",
+          s",\n    CAST(sum(sy$s) OVER w AS BIGINT) AS syl$s",
+          s",\n    CAST(sum(n$s) OVER () AS BIGINT) AS tn$s",
+          s",\n    CAST(sum(sy$s) OVER () AS BIGINT) AS tsy$s") ++
+          (1 until t).flatMap(j => (0 to 2).flatMap(l => Seq(
+            s",\n    CAST(sum(c${j}_${l}_$s) OVER w AS BIGINT) AS cll${j}_${l}_$s",
+            s",\n    CAST(sum(c${j}_${l}_$s) OVER () AS BIGINT) AS tcl${j}_${l}_$s")))
+      }.mkString
+      s"""cc${t}_$f AS (
+  SELECT threshold$cols
+  FROM gc${t}_$f
+  WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+    }
+    def candC(f: String, s: Int) =
+      s"""candc${t}_${s}_$f AS (
+  SELECT feature, threshold, nl, tn - nl AS nr, sl, stot - sl AS sr
+  FROM (
+    SELECT '$f' AS feature, threshold, nl$s AS nl, tn$s AS tn,
+      syl$s - nl$s*f0.v${gbtResid((j, l) => s"cll${j}_${l}_$s", s"nl$s", t)} AS sl,
+      tsy$s - tn$s*f0.v${gbtResid((j, l) => s"tcl${j}_${l}_$s", s"tn$s", t)} AS stot
+    FROM cc${t}_$f CROSS JOIN f0$joins)
+  WHERE nl > 0 AND nl < tn)"""
+    def bSide(s: Int, name: String) = {
+      val union = gbFeatures.map(f => s"SELECT * FROM candc${t}_${s}_$f").mkString(" UNION ALL ")
+      s"""$name AS MATERIALIZED (
+  SELECT feature AS f, threshold AS t,
+    round(0.5 * (sl / nl) + 5e-11, 4) AS vl,
+    round(0.5 * (sr / nr) + 5e-11, 4) AS vr
+  FROM ($union)
+  $gbtArgmax)"""
+    }
+    (gbFeatures.map(gR) ++ gbFeatures.map(cR) ++ gbFeatures.map(candR) :+
+      brootCte) ++
+      (gbFeatures.map(gC) ++ gbFeatures.map(cC) ++
+        gbFeatures.map(f => candC(f, 0)) ++ gbFeatures.map(f => candC(f, 1)) ++
+        Seq(bSide(0, s"bl$t"), bSide(1, s"br$t"))) mkString ",\n"
+  }
+
+  /** Additive tree-model score f0 + rounds 1..T (nested leaf CASEs). */
+  private def gbtScore(T: Int, src: String): String =
+    (1 to T).map(j =>
+      s"""(CASE WHEN ${gbtFv(s"broot$j", src)} <= broot$j.t
+    THEN (CASE WHEN ${gbtFv(s"bl$j", src)} <= bl$j.t THEN bl$j.vl ELSE bl$j.vr END)
+    ELSE (CASE WHEN ${gbtFv(s"br$j", src)} <= br$j.t THEN br$j.vl ELSE br$j.vr END) END)""")
+      .mkString("f0.v + ", " + ", "")
 
   /** One stump-candidate CTE per feature: distinct-value class counts,
     * window cumsum, weighted Gini in the engine's exact expression order.
@@ -1441,6 +1600,29 @@ SELECT event_id, ${r4("s")} AS score, ${r4("b")} AS base_value,
        ELSE 'dowi' END AS top_factor,
   ${r4("s - b - pv - ph - pd")} AS additivity_gap
 FROM sc"""
+    },
+    "q201_boosted_trees" -> {
+      val T = 2
+      val joins = gbtJoins(T + 1) // all rounds' broot/bl/br
+      val outCols = (1 to T).map(t =>
+        s"""broot$t.f AS rf$t, round(broot$t.t + 5e-11, 4) AS rt$t,
+  bl$t.f AS lf$t, round(bl$t.t + 5e-11, 4) AS lt$t,
+  br$t.f AS gf$t, round(br$t.t + 5e-11, 4) AS gt$t,
+  bl$t.vl AS v0_$t, bl$t.vr AS v1_$t, br$t.vl AS v2_$t, br$t.vr AS v3_$t""")
+        .mkString(",\n  ")
+      s"""WITH fb AS MATERIALIZED ($featSql),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
+${(1 to T).map(t => gbtRound(t, "fb")).mkString(",\n")},
+sc AS MATERIALIZED (
+  SELECT fb.y, ${gbtScore(T, "fb")} AS s
+  FROM fb CROSS JOIN f0$joins),
+a AS (SELECT count(*) AS n,
+    round(avg((y - s)*(y - s)) + 5e-11, 4) AS train_mse FROM sc),
+${gbMidrankAuc("", "sc")}
+SELECT a.n, f0.v AS f0,
+  $outCols,
+  a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
+FROM a CROSS JOIN u CROSS JOIN f0$joins"""
     },
     "q200_mlp_forward" -> {
       // the identical literal net in SQL integer arithmetic: dyadic

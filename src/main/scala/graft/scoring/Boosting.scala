@@ -108,4 +108,165 @@ object Boosting {
       acc + when(col(st.feature).cast("double") <= lit(st.threshold),
         lit(st.vl)).otherwise(lit(st.vr))
     }
+
+  // ---------------------------------------------------------------------
+  // Boosted DEPTH-2 TREES — the reference's actual GradientBoosting/XGB
+  // member shape (4-leaf trees per round, `models/advanced_models.py:
+  // 228-231`), one level beyond the stump chain above. Same determinism
+  // recipe: after t rounds the model takes one value per combination of
+  // prior LEAF memberships, so every residual sum over a candidate side
+  // still decomposes into INTEGER cumulative counts (3 leaf-membership
+  // columns per prior round; the 4th leaf is n minus the others) plus
+  // 4dp-rounded leaf-value literals. Each round = TWO candidate passes
+  // (root, then both children fused per side) — the fitDepth2 recipe on
+  // the running residual.
+  // ---------------------------------------------------------------------
+
+  /** One fitted tree round: root split, per-side child splits, and the
+    * four SHRUNKEN leaf values (rate applied, rounded) in leaf order
+    * (root-left/child-left, root-left/child-right, root-right/child-left,
+    * root-right/child-right).
+    */
+  final case class TreeRound(rootFeature: String, rootThreshold: Double,
+      leftFeature: String, leftThreshold: Double,
+      rightFeature: String, rightThreshold: Double,
+      v0: Double, v1: Double, v2: Double, v3: Double) {
+    def leafValues: Seq[Double] = Seq(v0, v1, v2, v3)
+  }
+
+  /** Fitted additive tree model F(x) = f0 + Σ_t leaf value of round t. */
+  final case class TreeModel(f0: Double, rate: Double, rounds: Seq[TreeRound])
+
+  /** Leaf index (0..3) of a row under round `tr` — literal thresholds. */
+  private def leafIndex(tr: TreeRound): Column = {
+    def side(f: String, t: Double, lo: Int, hi: Int): Column =
+      when(col(f).cast("double") <= lit(t), lit(lo)).otherwise(lit(hi))
+    when(col(tr.rootFeature).cast("double") <= lit(tr.rootThreshold),
+      side(tr.leftFeature, tr.leftThreshold, 0, 1))
+      .otherwise(side(tr.rightFeature, tr.rightThreshold, 2, 3))
+  }
+
+  /** Fit `rounds` boosted depth-2 trees. The caller should cache or
+    * checkpoint `df`: each round reads it twice per feature (root +
+    * fused child pass). Every root side must admit a child split
+    * (`require`d loudly, as in Trees.fitDepth2).
+    */
+  def fitTrees(df: DataFrame, features: Seq[String], label: Column,
+      rounds: Int, rate: Double): TreeModel = {
+    require(rounds >= 1, s"Boosting.fitTrees: rounds must be >= 1, got $rounds")
+    val y = label.cast("long")
+    val base = df.agg(count(lit(1)).as("__n"), sum(y).as("__sy")).head()
+    val f0 = KMeansOps.r6d(base.getLong(1).toDouble / base.getLong(0))
+
+    // candidate table from a per-threshold count table: GlobalOrder
+    // integral cumsums + residual sums; phantoms (nl = 0 below a side's
+    // min value) and empty right sides filtered BEFORE the argmax — a
+    // 0/0 gain is NaN, which Spark's desc order would sort first
+    def candsFrom(per: DataFrame, f: String, nPrior: Int,
+        residSum: (Column, Column, (Int, Int) => Column) => Column): DataFrame = {
+      val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
+        Seq(col("__cn") -> "nl", col("__csy") -> "syl") ++
+          (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+            col(s"__c${r}_$l") -> s"cll${r}_$l")))
+      val totAggs = Seq(sum(col("__cn")).as("tn"), sum(col("__csy")).as("tsy")) ++
+        (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+          sum(col(s"__c${r}_$l")).as(s"tcl${r}_$l")))
+      val tot = per.agg(totAggs.head, totAggs.tail: _*)
+      cum.crossJoin(broadcast(tot))
+        .select(lit(f).as("feature"), col("threshold"), col("nl"), col("tn"),
+          residSum(col("syl"), col("nl"),
+            (r, l) => col(s"cll${r}_$l")).as("sl"),
+          residSum(col("tsy"), col("tn"),
+            (r, l) => col(s"tcl${r}_$l")).as("stot"))
+        .where(col("nl") > 0 && col("nl") < col("tn"))
+        .select(col("feature"), col("threshold"), col("nl"),
+          (col("tn") - col("nl")).as("nr"),
+          col("sl"), (col("stot") - col("sl")).as("sr"))
+    }
+
+    def argmaxGain(cands: DataFrame) =
+      cands.select(col("feature"), col("threshold"),
+          graft.queries.r6(col("sl") * col("sl") / col("nl") +
+            col("sr") * col("sr") / col("nr")).as("gain"),
+          graft.queries.r6(lit(rate) * (col("sl") / col("nl"))).as("vl"),
+          graft.queries.r6(lit(rate) * (col("sr") / col("nr"))).as("vr"))
+        .orderBy(col("gain").desc, col("feature"), col("threshold"))
+        .limit(1).head()
+
+    var fitted = List.empty[TreeRound] // reverse fit order
+    for (_ <- 1 to rounds) {
+      val prior = fitted.reverse
+      // residual sum over a set from its integer leaf-membership counts
+      // (leaf 3 = n − c0 − c1 − c2) + rounded leaf-value literals — the
+      // oracle writes the same expression in the same associativity
+      def residSum(sy: Column, n: Column, c: (Int, Int) => Column): Column =
+        prior.zipWithIndex.foldLeft(sy - n * lit(f0)) { case (acc, (tr, r)) =>
+          acc - (lit(tr.v0) * c(r, 0) + lit(tr.v1) * c(r, 1) +
+            lit(tr.v2) * c(r, 2) +
+            lit(tr.v3) * (n - c(r, 0) - c(r, 1) - c(r, 2)))
+        }
+      def leafCountAggs(member: Column): Seq[(Column, String)] =
+        prior.zipWithIndex.flatMap { case (tr, r) =>
+          (0 to 2).map { l =>
+            sum(when(member && leafIndex(tr) === l, 1L).otherwise(0L)) ->
+              s"c${r}_$l"
+          }
+        }
+
+      // pass 1: root candidates (whole table)
+      val rootCands = features.map { f =>
+        val aggs = Seq(sum(when(lit(true), 1L).otherwise(0L)).as("__cn"),
+          sum(when(lit(true), y).otherwise(lit(0L))).as("__csy")) ++
+          leafCountAggs(lit(true)).map { case (c, nm) => c.as(s"__$nm") }
+        val per = df.groupBy(col(f).cast("double").as("threshold"))
+          .agg(aggs.head, aggs.tail: _*)
+        candsFrom(per, f, prior.size, residSum)
+      }.reduce(_.unionByName(_))
+      val rootBest = argmaxGain(rootCands)
+      val (rootF, rootT) = (rootBest.getString(0), rootBest.getDouble(1))
+      val side = when(col(rootF).cast("double") <= lit(rootT), 0).otherwise(1)
+
+      // pass 2: BOTH children fused — ONE distinct-value groupBy per
+      // feature carries both sides' conditional sums (checkpointed so
+      // the per-side cumsum pipelines re-read the tiny value table, not
+      // the fact table)
+      val childCands = features.map { f =>
+        val aggs = (0 to 1).flatMap { s =>
+          Seq(sum(when(side === s, 1L).otherwise(0L)).as(s"__cn$s"),
+            sum(when(side === s, y).otherwise(lit(0L))).as(s"__csy$s")) ++
+            leafCountAggs(side === s).map { case (c, nm) => c.as(s"__${nm}_$s") }
+        }
+        val per = df.groupBy(col(f).cast("double").as("threshold"))
+          .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+        (0 to 1).map { s =>
+          val renamed = per.select(col("threshold") +:
+            (Seq(col(s"__cn$s").as("__cn"), col(s"__csy$s").as("__csy")) ++
+              prior.indices.flatMap(r => (0 to 2).map(l =>
+                col(s"__c${r}_${l}_$s").as(s"__c${r}_$l")))): _*)
+          candsFrom(renamed, f, prior.size, residSum)
+            .select(lit(s).as("side"), col("*"))
+        }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_)).localCheckpoint() // tiny: distinct values × 2
+      def childBest(s: Int) = argmaxGain(childCands.where(col("side") === s))
+      val lb = childBest(0)
+      val rb = childBest(1)
+      fitted = TreeRound(rootF, rootT,
+        lb.getString(0), lb.getDouble(1), rb.getString(0), rb.getDouble(1),
+        lb.getAs[Double]("vl"), lb.getAs[Double]("vr"),
+        rb.getAs[Double]("vl"), rb.getAs[Double]("vr")) :: fitted
+    }
+    TreeModel(f0, rate, fitted.reverse)
+  }
+
+  /** F(x) of the tree model — nested literal CASE chains, pure
+    * projection.
+    */
+  def scoreTrees(m: TreeModel): Column =
+    m.rounds.foldLeft(lit(m.f0)) { (acc, tr) =>
+      def side(f: String, t: Double, lo: Double, hi: Double): Column =
+        when(col(f).cast("double") <= lit(t), lit(lo)).otherwise(lit(hi))
+      acc + when(col(tr.rootFeature).cast("double") <= lit(tr.rootThreshold),
+        side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
+        .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
+    }
 }

@@ -481,6 +481,25 @@ object StreamingFeatures {
     feats.withColumn("boost_score", graft.scoring.Boosting.score(model))
   }
 
+  /** The q198 forest served online: vote count + majority flag appended
+    * to the feature stream as `trees` literal CASE chains (stateless,
+    * sink-side — the same contract as [[boostScoredFeatures]]).
+    */
+  def forestScoredFeatures(events: Dataset[StreamTxn],
+                           forest: Seq[graft.scoring.Forest.FTree])
+      : org.apache.spark.sql.DataFrame = {
+    require(forest.nonEmpty, "forestScoredFeatures: empty forest")
+    val feats = customerFeatures(events).toDF()
+    val missing = forest
+      .flatMap(t => Seq(t.root.feature, t.left.feature, t.right.feature))
+      .distinct.filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"forestScoredFeatures: tree features absent from the stream: $missing")
+    val v = graft.scoring.Forest.votes(forest)
+    feats.withColumn("forest_votes", v)
+      .withColumn("forest_flag", v * 2 > forest.size)
+  }
+
   /** The q193 sequence scorer online: per-event transition NLL under the
     * offline-fitted [[graft.ops.AmlPatterns.MarkovModel]]. One value of
     * state per customer (the previous symbol); batch-vs-stream NLL

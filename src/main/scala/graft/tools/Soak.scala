@@ -183,6 +183,45 @@ object Soak {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // round-7 model layer: the boosted chain / depth-3 tree / whole-
+    // forest fits at k-fold rows. Candidate tables grow with DISTINCT
+    // VALUES (not rows) and driver state stays O(model), so each fit
+    // should scale like one partial-aggregated scan per candidate pass
+    val wideCk = wideY.localCheckpoint() // each fit re-reads per feature
+    time(s"boosting-${k}x-rows") {
+      val m = graft.scoring.Boosting.fit(wideCk, Seq("amount", "hb"),
+        col("y"), rounds = 3, rate = 0.5)
+      require(m.rounds.size == 3)
+    }
+    time(s"depth3-${k}x-rows") {
+      val m = graft.scoring.Trees.fitDepth3(wideCk, Seq("amount", "hb"), col("y"))
+      require(m.root.n > 0)
+    }
+    time(s"forest5-${k}x-rows") {
+      val f = graft.scoring.Forest.fit(wideCk, Seq("amount", "hb"), col("y"),
+        trees = 5,
+        t => graft.scale.Splits.bucket(col("transaction_id"), s"rf$t", 3) =!= 0,
+        _ => Seq("amount", "hb"))
+      require(f.size == 5)
+    }
+
+    // BPE merge chain at k-fold DISTINCT WORDS (suffix-salted replicas)
+    // and a production-ish round count: per-round cost is bound by
+    // corpus-wide window aggregates; the 1-row argmax per round is
+    // serial BY DESIGN, so wall-clock grows with ROUNDS, not corpus —
+    // the honest latency shape of vocabulary induction
+    time(s"bpe50-${k}x-words") {
+      val words = docs
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"), col("doc_id"))
+        .where(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .crossJoin(rep)
+        .select(concat(col("w"), lit("x"), col("rep").cast("string")).as("w"),
+          col("freq"))
+      val merges = graft.scale.Bpe.fit(words, col("w"), col("freq"), rounds = 50)
+      require(merges.size == 50)
+    }
+
     spark.stop()
   }
 }

@@ -64,4 +64,32 @@ class CentralitySpec extends AnyFunSuite {
     // only underestimate
     sampled.foreach { case (k, b) => assert(b <= exact.getOrElse(k, 0.0) + 1e-12) }
   }
+
+  test("auto-landmark branch: closeness is EXACT on the sampled sources, zero elsewhere") {
+    // the >maxExactSources auto branch takes the first k sorted node ids
+    // as sources; a source's closeness comes from its own full BFS, so it
+    // must EQUAL the exact run's value bit-for-bit — only non-source
+    // nodes degrade (to the 0.0 default). Betweenness stays a lower
+    // bound everywhere (non-negative contributions).
+    val tx = graft.tables.Tables.transactions(spark, "/root/testdata/sf0.001")
+    val k = 7
+    val auto = Centrality.customerCentralities(tx, maxExactSources = k)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Centrality.customerCentralities(tx)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // reproduce the source choice: first k of the sorted node strings
+    // ("c:..." sorts before "m:...", so they are the k smallest customer
+    // node STRINGS — string order, not numeric)
+    val sources = tx.select("customer_id").distinct()
+      .collect().map(r => r.getLong(0))
+      .map(id => s"c:$id" -> id).sortBy(_._1).take(k).map(_._2).toSet
+    assert(sources.size == k)
+    auto.foreach { case (cid, (clo, btw)) =>
+      if (sources(cid)) assert(clo == exact(cid)._1, s"source $cid closeness")
+      else assert(clo == 0.0, s"non-source $cid should default to 0.0")
+      assert(btw <= exact(cid)._2 + 1e-12, s"$cid betweenness bound")
+    }
+    // the sampled sources really do carry nonzero closeness
+    assert(sources.exists(s => auto(s)._1 > 0.0))
+  }
 }

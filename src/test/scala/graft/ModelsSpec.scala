@@ -307,6 +307,34 @@ class ModelsSpec extends AnyFunSuite {
     assert(m.root.n == 512L)
   }
 
+  test("fitTrees: one depth-2 round at rate 1 solves XOR exactly; rounds reduce MSE") {
+    import spark.implicits._
+    // y = (x<=4) XOR (z>5): one 4-leaf tree at rate 1.0 reproduces the
+    // label exactly (leaf value = mean residual = y - f0 on a pure leaf)
+    val df = (for {
+      rep <- 1 to 4; x <- 1 to 8; z <- 1 to 8
+    } yield (x.toDouble, z.toDouble,
+      if ((x <= 4) ^ (z > 5)) 1 else 0, rep)).toDF("x", "z", "y", "rep")
+    val m1 = graft.scoring.Boosting.fitTrees(df, Seq("x", "z"), col("y"),
+      rounds = 1, rate = 1.0)
+    assert(m1.f0 == 0.5)
+    val resid1 = df.select(
+      avg(pow(col("y").cast("double") -
+        graft.scoring.Boosting.scoreTrees(m1), 2)).as("mse")).head().getDouble(0)
+    assert(resid1 == 0.0, s"XOR should fit exactly, mse=$resid1, m=$m1")
+    // shrunken rounds: MSE strictly decreases round over round
+    val m2a = graft.scoring.Boosting.fitTrees(df, Seq("x", "z"), col("y"),
+      rounds = 1, rate = 0.5)
+    val m2b = graft.scoring.Boosting.fitTrees(df, Seq("x", "z"), col("y"),
+      rounds = 2, rate = 0.5)
+    def mse(m: graft.scoring.Boosting.TreeModel) = df.select(
+      avg(pow(col("y").cast("double") -
+        graft.scoring.Boosting.scoreTrees(m), 2))).head().getDouble(0)
+    assert(mse(m2b) < mse(m2a), s"${mse(m2b)} !< ${mse(m2a)}")
+    // round 2 of the shrunken chain extends round 1 unchanged
+    assert(m2b.rounds.head == m2a.rounds.head)
+  }
+
   test("Forest.fit (two fused passes) matches per-tree fitDepth2 on each subsample") {
     import spark.implicits._
     val df = (for {

@@ -427,6 +427,13 @@ class PlanSpec extends AnyFunSuite {
       s"pop row must broadcast:\n$p")
   }
 
+  test("boosted trees: scoring is a nested literal CASE projection — no shuffle join") {
+    val p = plan(graft.queries.ModelQueries.defs("q201_boosted_trees")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"boosted-tree scoring must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("mlp forward pass is a pure narrow projection: no exchange, no join") {
     val p = plan(graft.queries.ModelQueries.defs("q200_mlp_forward")(spark, sf))
     assert(!p.contains("Exchange") && !p.contains("Join"),

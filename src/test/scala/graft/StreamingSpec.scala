@@ -638,4 +638,48 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("no_such_feature"))
   }
+
+  test("forest votes the streaming feature vector identically to batch") {
+    import spark.implicits._
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: col("transaction_id") +: feats.map(col): _*)
+      .localCheckpoint() // two fused candidate passes re-read it
+    // full feature set per member: the low-cardinality count features
+    // leave single-valued root sides under 2-feature subsets at this SF
+    // (subset rotation is exercised in ModelsSpec); samples still differ
+    val forest = graft.scoring.Forest.fit(batchF, feats, col("amount") > 100,
+      trees = 3,
+      t => graft.scale.Splits.bucket(col("transaction_id"), s"sfor$t", 3) =!= 0,
+      _ => feats)
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.forestScoredFeatures(input.toDS(), forest)
+      .writeStream.format("memory").queryName("fvote").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val served = spark.table("fvote")
+    assert(served.count() == tx.length)
+    // votes re-derived from the emitted feature columns are identical,
+    // and the flag is exactly the majority condition
+    assert(served.where(col("forest_votes") =!=
+      graft.scoring.Forest.votes(forest)).count() == 0)
+    assert(served.where(col("forest_flag") =!=
+      (col("forest_votes") * 2 > forest.size)).count() == 0)
+    // votes are integer counts and match the batch vote distribution
+    def dist(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select(col("customer_id"), col("ts_micros"),
+          graft.scoring.Forest.votes(forest).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dist(served) == dist(batchF))
+  }
 }
