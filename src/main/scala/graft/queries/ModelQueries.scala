@@ -596,6 +596,103 @@ FROM events"""
         .select(col("n") +: lit(m.f0).as("f0") +: roundCols :+
           col("train_mse") :+ r6(col("auc")).as("train_auc"): _*)
     },
+    // level-wise exact greedy depth-5 CART (the PLANET recipe on the
+    // fused grouped pass — scoring/Trees.fitDepth): ONE candidate pass
+    // per LEVEL fits every live node, so the fact table is scanned
+    // depth × |features| times regardless of node count. Deterministic
+    // stopping (pure node or no candidate — both replayable from the
+    // parent split row), so the DuckDB chain replay lands on the same
+    // tree; closes the depth gap to the reference's depth-6/10 forest
+    // members (models/advanced_models.py:228-231). Report = every split
+    // node (path, split, exact counts, own-leaf accuracy) + the whole
+    // tree's terminal-leaf train accuracy on each row.
+    "q202_deep_tree" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // one pass per level
+      val m = graft.scoring.Trees.fitDepth(f, Seq("value", "hb", "dowi"),
+        col("y"), maxDepth = 5)
+      def own(sp: graft.scoring.Trees.Split): Double =
+        KMeansOps.r6d(sp.correct.toDouble / sp.n)
+      m.splits.toSeq.sortBy { case (p, _) => (p.length, p) }.map { case (p, sp) =>
+        s.range(1).select(
+          lit(if (p.isEmpty) "root" else p).as("node"),
+          lit(p.length.toLong).as("depth"),
+          lit(sp.feature).as("feature"), r6(lit(sp.threshold)).as("threshold"),
+          lit(sp.gini).as("gini"), lit(sp.nLeft).as("n_left"),
+          lit(sp.posLeft).as("pos_left"), lit(sp.nRight).as("n_right"),
+          lit(sp.posRight).as("pos_right"), lit(own(sp)).as("acc"),
+          lit(m.trainAccuracy).as("tree_acc"))
+      }.reduce(_.unionByName(_))
+    },
+    // gain-weighted feature importance of the depth-5 tree — sklearn
+    // feature_importances_ semantics at real depth (q184 is the depth-1
+    // twin): importance_f = Σ over split nodes on f of
+    // n_node/N · (node impurity − weighted child impurity), normalized.
+    // All terms recomputed UNROUNDED from the exact split counts (so
+    // every gain is ≥ 0 by construction on both engines); the model is
+    // ≤ 31 driver rows, the report 3 rows.
+    "q203_deep_importance" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint()
+      val m = graft.scoring.Trees.fitDepth(f, feats, col("y"), maxDepth = 5)
+      def g2(pos: Long, n: Long): Double = {
+        val q = pos.toDouble / n; 1.0 - q * q - (1.0 - q) * (1.0 - q)
+      }
+      def nodeStats(p: String): (Long, Long) =
+        if (p.isEmpty) (m.n, m.pos)
+        else {
+          val s0 = m.splits(p.init)
+          if (p.last == 'l') (s0.nLeft, s0.posLeft) else (s0.nRight, s0.posRight)
+        }
+      val gains = m.splits.toSeq.sortBy { case (p, _) => (p.length, p) }
+        .map { case (p, sp) =>
+          val (nn, np) = nodeStats(p)
+          sp.feature -> (nn.toDouble / m.n) * (g2(np, nn) -
+            (g2(sp.posLeft, sp.nLeft) * sp.nLeft / nn +
+              g2(sp.posRight, sp.nRight) * sp.nRight / nn))
+        }
+      val perFeat = feats.map(ft => (ft,
+        gains.count(_._1 == ft).toLong,
+        gains.collect { case (f0, g) if f0 == ft => g }.sum))
+      val total = perFeat.map(_._3).sum
+      perFeat.map { case (ft, cnt, g) =>
+        s.range(1).select(lit(ft).as("feature"), lit(cnt).as("n_splits"),
+          r6(lit(g)).as("gain"), r6(lit(g / total)).as("importance"))
+      }.reduce(_.unionByName(_))
+    },
+    // depth-3 deterministic forest: the q198 recipe with LEVEL-WISE
+    // members (Forest.fitDeep) — every live (tree, node) pair of a
+    // level is one group of a single fused candidate pass, so the 5-
+    // member depth-3 forest fits in 3 passes over the fact table (vs
+    // 5 × 3 solo). Same md5 row subsamples and rotated feature subsets
+    // as q198, same deterministic stopping as q202; report = every
+    // member's split table + per-member terminal-leaf train accuracy.
+    // (q198 carries the ensemble's held-out vote metrics; this query
+    // gates the deep members' exact structure.)
+    "q204_deep_forest" -> { (s, dir) =>
+      val allF = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "rf", 5))
+        .localCheckpoint() // one fused pass per level
+      val train = f.where(col("vb5") =!= 0)
+      def member(t: Int) =
+        graft.scale.Splits.bucket(col("event_id"), s"rf$t", 3) =!= 0
+      def featsOf(t: Int) = allF.patch(t % allF.size, Nil, 1)
+      val forest = graft.scoring.Forest.fitDeep(train, allF, col("y"),
+        trees = 5, maxDepth = 3, member, featsOf)
+      forest.flatMap { ft =>
+        ft.model.splits.toSeq.sortBy { case (p, _) => (p.length, p) }
+          .map { case (p, sp) =>
+            s.range(1).select(lit(ft.tree.toLong).as("tree"),
+              lit(if (p.isEmpty) "root" else p).as("node"),
+              lit(p.length.toLong).as("depth"),
+              lit(sp.feature).as("feature"), r6(lit(sp.threshold)).as("threshold"),
+              lit(sp.gini).as("gini"), lit(sp.nLeft).as("n_left"),
+              lit(sp.posLeft).as("pos_left"), lit(sp.nRight).as("n_right"),
+              lit(sp.posRight).as("pos_right"),
+              lit(ft.model.trainAccuracy).as("tree_acc"))
+          }
+      }.reduce(_.unionByName(_))
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -892,7 +989,172 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
   WHERE n_left < tn)"""
   }
 
+  /** Node paths of a depth-`depth` binary tree in BFS order — "" for
+    * the root, then 'l'/'r' per level.
+    */
+  private def deepNodePaths(depth: Int): Seq[String] = {
+    def level(d: Int): Seq[String] =
+      if (d == 0) Seq("") else level(d - 1).flatMap(p => Seq(p + "l", p + "r"))
+    (0 until depth).flatMap(level)
+  }
+
+  private def deepNm(p: String): String = if (p.isEmpty) "r0" else p
+
+  /** Depth-N tree oracle chain (q202/q203): the level-wise greedy fit as
+    * statically generated CTEs. Per node: a row-subset table (parent
+    * side filter), per-feature candidate CTEs, and a purity-gated argmin
+    * that goes EMPTY when the node must not split (pure side, or no
+    * candidate rows) — emptiness cascades to every descendant, the SQL
+    * twin of `Trees.fitDepth`'s deterministic stopping. Assumes the
+    * q180 feature trio and a `f_r0` fact CTE provided by the caller.
+    */
+  private def deepTreeCtes(depth: Int, fs: Seq[String] = gbFeatures,
+      pre: String = ""): String = {
+    def sideOn(src: String, best: String) = s"""(CASE $best.feature
+    WHEN 'value' THEN CAST($src.value AS DOUBLE)
+    WHEN 'hb' THEN CAST($src.hb AS DOUBLE)
+    ELSE CAST($src.dowi AS DOUBLE) END)"""
+    val nodes = deepNodePaths(depth).map { p =>
+      val n = pre + deepNm(p)
+      val fCte =
+        if (p.isEmpty) ""
+        else {
+          val par = pre + deepNm(p.init)
+          val op = if (p.last == 'l') "<=" else ">"
+          s"""f_$n AS MATERIALIZED (SELECT f_$par.* FROM f_$par, b_$par
+  WHERE ${sideOn(s"f_$par", s"b_$par")} $op b_$par.threshold),
+"""
+        }
+      val cands = fs.map(f => stumpCand(f, s"f_$n", s"c_${n}_$f")).mkString(",\n") +
+        s",\nac_$n AS (${fs.map(f => s"SELECT * FROM c_${n}_$f").mkString(" UNION ALL ")})"
+      val gate =
+        if (p.isEmpty)
+          s"st_${pre}r0 WHERE st_${pre}r0.pos > 0 AND st_${pre}r0.pos < st_${pre}r0.n"
+        else {
+          val par = pre + deepNm(p.init)
+          val side = if (p.last == 'l') "left" else "right"
+          s"b_$par WHERE b_$par.pos_$side > 0 AND b_$par.pos_$side < b_$par.n_$side"
+        }
+      s"""$fCte$cands,
+b_$n AS MATERIALIZED (
+  SELECT ac_$n.feature, ac_$n.threshold,
+    round(ac_$n.gini + 5e-11, 4) AS gini,
+    ac_$n.n_left, ac_$n.pos_left, ac_$n.n_right, ac_$n.pos_right
+  FROM ac_$n, $gate
+  ORDER BY round(ac_$n.gini + 5e-11, 4), ac_$n.feature, ac_$n.threshold LIMIT 1)"""
+    }.mkString(",\n")
+    s"""st_${pre}r0 AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM f_${pre}r0),
+$nodes"""
+  }
+
+  /** Terminal-leaf contribution rows of the fitted chain: a side of a
+    * split node counts iff its child did not itself split (its `b` CTE
+    * is empty, or the child sits past the last generated level).
+    */
+  private def deepLeafContrib(depth: Int, pre: String = ""): String =
+    deepNodePaths(depth).map { p =>
+      def side(s: String, childPath: String) = {
+        val cn = pre + deepNm(childPath)
+        if (childPath.length >= depth) s"greatest(pos_$s, n_$s - pos_$s)"
+        else
+          s"CASE WHEN NOT EXISTS (SELECT 1 FROM b_$cn) THEN greatest(pos_$s, n_$s - pos_$s) ELSE 0 END"
+      }
+      s"SELECT ${side("left", p + "l")} + ${side("right", p + "r")} AS c FROM b_${pre + deepNm(p)}"
+    }.mkString("\nUNION ALL\n")
+
   override val oracle: Map[String, String] = Map(
+    "q202_deep_tree" -> {
+      val depth = 5
+      def accOf(t: String) =
+        s"""round(CAST(greatest($t.pos_left, $t.n_left - $t.pos_left)
+      + greatest($t.pos_right, $t.n_right - $t.pos_right) AS DOUBLE)
+    / ($t.n_left + $t.n_right) + 5e-11, 4)"""
+      val rows = deepNodePaths(depth).map { p =>
+        val n = deepNm(p)
+        val label = if (p.isEmpty) "root" else p
+        s"""SELECT '$label' AS node, CAST(${p.length} AS BIGINT) AS depth, b_$n.feature,
+  round(b_$n.threshold + 5e-11, 4) AS threshold, b_$n.gini AS gini,
+  b_$n.n_left, b_$n.pos_left, b_$n.n_right, b_$n.pos_right,
+  ${accOf(s"b_$n")} AS acc, ta.tree_acc
+FROM b_$n, ta"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f_r0 AS MATERIALIZED ($featSql),
+${deepTreeCtes(depth)},
+ta AS (SELECT round(CAST(sum(c) AS DOUBLE) / (SELECT n FROM st_r0) + 5e-11, 4) AS tree_acc
+  FROM (${deepLeafContrib(depth)}))
+$rows"""
+    },
+    "q203_deep_importance" -> {
+      val depth = 5
+      def imp(pos: String, n: String) =
+        s"""(1.0 - (CAST($pos AS DOUBLE)/$n)*(CAST($pos AS DOUBLE)/$n)
+    - (1.0 - CAST($pos AS DOUBLE)/$n)*(1.0 - CAST($pos AS DOUBLE)/$n))"""
+      val gainRows = deepNodePaths(depth).map { p =>
+        val b = s"b_${deepNm(p)}"
+        val (nn, np, from) =
+          if (p.isEmpty) ("st_r0.n", "st_r0.pos", s"$b, st_r0")
+          else {
+            val par = s"b_${deepNm(p.init)}"
+            val side = if (p.last == 'l') "left" else "right"
+            (s"$par.n_$side", s"$par.pos_$side", s"$b, $par")
+          }
+        s"""SELECT $b.feature AS feature,
+  CAST($nn AS DOUBLE) / (SELECT n FROM st_r0)
+    * (${imp(np, nn)}
+      - (${imp(s"$b.pos_left", s"$b.n_left")} * $b.n_left / $nn
+        + ${imp(s"$b.pos_right", s"$b.n_right")} * $b.n_right / $nn)) AS gain
+FROM $from"""
+      }.mkString("\nUNION ALL\n")
+      val featRows = gbFeatures.map(f => s"SELECT '$f' AS feature").mkString(" UNION ALL ")
+      s"""WITH f_r0 AS MATERIALIZED ($featSql),
+${deepTreeCtes(depth)},
+gains AS ($gainRows),
+pf AS (SELECT fl.feature,
+    CAST(count(gains.feature) AS BIGINT) AS n_splits,
+    coalesce(sum(gains.gain), 0.0) AS g
+  FROM ($featRows) fl LEFT JOIN gains ON fl.feature = gains.feature
+  GROUP BY fl.feature),
+tt AS (SELECT sum(g) AS t FROM pf)
+SELECT feature, n_splits, round(g + 5e-11, 4) AS gain,
+  round(g / tt.t + 5e-11, 4) AS importance
+FROM pf, tt"""
+    },
+    "q204_deep_forest" -> {
+      // per-tree replay of the level-wise depth-3 chain: each member's
+      // md5 subsample of the 80% train slice feeds its own purity-gated
+      // node CTE cascade over its 2-feature subset; tree accuracy from
+      // the terminal-leaf contributions. The fused Spark fit is
+      // per-(tree, node) candidate-identical (ModelsSpec).
+      val allF = gbFeatures
+      val trees = 5
+      val depth = 3
+      def featsOf(t: Int) = allF.patch(t % allF.size, Nil, 1)
+      val treeCtes = (0 until trees).map { t =>
+        s"""f_t${t}r0 AS MATERIALIZED (
+  SELECT * FROM trn
+  WHERE ('0x' || substr(md5('rf$t:' || event_id), 1, 8))::UBIGINT % 3 <> 0),
+${deepTreeCtes(depth, featsOf(t), s"t$t")},
+ta_t$t AS (SELECT round(CAST(sum(c) AS DOUBLE) / (SELECT n FROM st_t${t}r0) + 5e-11, 4) AS tree_acc
+  FROM (${deepLeafContrib(depth, s"t$t")}))"""
+      }.mkString(",\n")
+      val rows = (0 until trees).flatMap { t =>
+        deepNodePaths(depth).map { p =>
+          val n = s"t$t" + deepNm(p)
+          val label = if (p.isEmpty) "root" else p
+          s"""SELECT CAST($t AS BIGINT) AS tree, '$label' AS node, CAST(${p.length} AS BIGINT) AS depth,
+  b_$n.feature, round(b_$n.threshold + 5e-11, 4) AS threshold, b_$n.gini AS gini,
+  b_$n.n_left, b_$n.pos_left, b_$n.n_right, b_$n.pos_right, ta_t$t.tree_acc
+FROM b_$n, ta_t$t"""
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH fb AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5('rf:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM fb),
+trn AS MATERIALIZED (SELECT * FROM fp WHERE vb5 <> 0),
+$treeCtes
+$rows"""
+    },
     "q167_naive_bayes" -> {
       val fs = Seq("hb", "dowi", "vb")
       s"""WITH f AS ($featSql),

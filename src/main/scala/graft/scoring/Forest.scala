@@ -77,6 +77,83 @@ object Forest {
   def votes(forest: Seq[FTree]): Column =
     forest.map(t => Trees.predict(t.depth2)).reduce(_ + _)
 
+  /** One fitted deep member: its feature subset and level-wise tree. */
+  final case class DeepFTree(tree: Int, feats: Seq[String],
+      model: Trees.DeepTree)
+
+  /** Depth-N forest: every member a [[Trees.fitDepth]]-style level-wise
+    * CART on its own md5 row subsample and feature subset, ALL members
+    * fitted together — one [[Models.stumpCandidatesGrouped]] pass per
+    * LEVEL carries every live (tree, node) pair as a group, so the fact
+    * table is scanned `maxDepth × |features|` times regardless of
+    * forest size or node count (the [[fit]] fusion at arbitrary depth,
+    * matching the reference's depth-6/10 members,
+    * `models/advanced_models.py:228-231`). Same deterministic stopping
+    * as `fitDepth` (pure node / no candidate), per-tree results equal
+    * the solo filtered fit exactly (ModelsSpec). Every tree must admit
+    * a root on its subset — `require`d loudly.
+    */
+  def fitDeep(df: DataFrame, allFeatures: Seq[String], label: Column,
+      trees: Int, maxDepth: Int, member: Int => Column,
+      featsOf: Int => Seq[String]): Seq[DeepFTree] = {
+    require(trees >= 2, s"Forest.fitDeep: trees must be >= 2, got $trees")
+    require(maxDepth >= 2 && maxDepth <= 10,
+      s"Forest.fitDeep: maxDepth must be in [2, 10], got $maxDepth")
+    def mask(grp: Column, treeOf: Int => Int, groups: Int): Column =
+      (0 until groups).map(g =>
+        grp === g && col("feature").isin(featsOf(treeOf(g)): _*)).reduce(_ || _)
+    val rootC = Models.stumpCandidatesGrouped(df, allFeatures, label,
+      trees, member, "grp")
+    val roots = argminPerGroup(rootC.where(mask(col("grp"), identity, trees)), "grp")
+    require((0 until trees).forall(roots.contains),
+      s"Forest.fitDeep: a tree admits no root split (fitted: ${roots.keys})")
+    var splits: Map[(Int, String), Split] =
+      roots.map { case (t, s) => (t, "") -> s }
+    def pathPred(t: Int, path: String): Column =
+      path.indices.map { i =>
+        val s = splits((t, path.take(i)))
+        if (path(i) == 'l') col(s.feature).cast("double") <= lit(s.threshold)
+        else col(s.feature).cast("double") > lit(s.threshold)
+      }.foldLeft(member(t))(_ && _)
+    def impureKids(t: Int, p: String, s: Split): Seq[(Int, String, Long, Long)] =
+      Seq((t, p + "l", s.nLeft, s.posLeft), (t, p + "r", s.nRight, s.posRight))
+        .filter { case (_, _, kn, kp) => kp > 0 && kp < kn }
+    var frontier = roots.toSeq.sortBy(_._1)
+      .flatMap { case (t, s) => impureKids(t, "", s) }
+    var level = 1
+    while (level < maxDepth && frontier.nonEmpty) {
+      val keys = frontier.map { case (t, p, _, _) => (t, p) }
+      val found: Map[(Int, String), Split] =
+        if (keys.size == 1) {
+          val (t, p) = keys.head
+          Trees.argminOpt(Models.stumpCandidates(
+            df.where(pathPred(t, p)), featsOf(t), label))
+            .map(keys.head -> _).toMap
+        } else
+          argminPerGroup(
+            Models.stumpCandidatesGrouped(df, allFeatures, label, keys.size,
+              g => pathPred(keys(g)._1, keys(g)._2), "grp")
+              .where(mask(col("grp"), g => keys(g)._1, keys.size)), "grp")
+            .map { case (g, s) => keys(g) -> s }
+      splits ++= found
+      frontier = found.toSeq.sortBy(_._1).flatMap { case ((t, p), s) =>
+        impureKids(t, p, s) }
+      level += 1
+    }
+    (0 until trees).map { t =>
+      val r = roots(t)
+      DeepFTree(t, featsOf(t), Trees.DeepTree(maxDepth, r.n,
+        r.posLeft + r.posRight,
+        splits.collect { case ((`t`, p), s) => p -> s }))
+    }
+  }
+
+  /** Majority vote count (0..trees) of a deep forest — `trees` literal
+    * CASE chains summed, pure projection.
+    */
+  def votesDeep(forest: Seq[DeepFTree]): Column =
+    forest.map(t => Trees.predict(t.model)).reduce(_ + _)
+
   /** Per-group deterministic argmin by (rounded gini, feature,
     * threshold) via min-struct — ONE collect of `groups` rows.
     */

@@ -105,6 +105,129 @@ object Trees {
       grands(0), grands(1), grands(2), grands(3))
   }
 
+  /** Fitted depth-N tree grown level-wise. `splits` is keyed by node
+    * path — "" for the root, then 'l'/'r' per level ("lr" = the right
+    * child of the root's left child). A path absent from the map is a
+    * terminal leaf; its class counts live on its parent's split row.
+    */
+  final case class DeepTree(maxDepth: Int, n: Long, pos: Long,
+      splits: Map[String, Split]) {
+    /** Terminal leaves as (path, n, pos): every side of a split node
+      * that did not itself split.
+      */
+    def leaves: Seq[(String, Long, Long)] = splits.toSeq.flatMap { case (p, s) =>
+      Seq((p + "l", s.nLeft, s.posLeft), (p + "r", s.nRight, s.posRight))
+    }.filterNot { case (p, _, _) => splits.contains(p) }.sortBy(_._1)
+    /** Training accuracy of the majority-class terminal leaves. */
+    def trainAccuracy: Double =
+      KMeansOps.r6d(leaves.map { case (_, ln, lp) =>
+        math.max(lp, ln - lp) }.sum.toDouble / n)
+  }
+
+  /** Level-wise exact greedy CART of arbitrary depth — the PLANET recipe
+    * (Panda et al., VLDB'09) on the fused grouped candidate pass: ONE
+    * [[Models.stumpCandidatesGrouped]] pass fits EVERY live node of a
+    * level (the fact table is scanned `maxDepth × |features|` times
+    * total, independent of node count), closing the remaining gap to the
+    * reference's depth-6/10 forest members (`models/advanced_models.py:
+    * 228-231`). Deterministic stopping, replayable by the SQL oracle:
+    * a node stops when it is pure (pos = 0 or pos = n — both engines
+    * read that off the parent's split row) or when no feature admits a
+    * candidate on its rows (< 2 distinct values — the empty-argmin
+    * case); gain-0 splits of impure nodes are kept, as in the depth-2/3
+    * fits. Argmins are (4dp gini, feature, threshold)-ordered and
+    * thresholds re-enter as driver literals, so a DuckDB replay of the
+    * chain lands on the identical tree. Driver state: ≤ 2^maxDepth − 1
+    * split rows.
+    */
+  def fitDepth(df: DataFrame, features: Seq[String], label: Column,
+      maxDepth: Int): DeepTree = {
+    require(maxDepth >= 2 && maxDepth <= 10,
+      s"fitDepth: maxDepth must be in [2, 10], got $maxDepth")
+    val root = argmin(Models.stumpCandidates(df, features, label))
+    var splits = Map("" -> root)
+    def pathPred(path: String): Column =
+      path.indices.map { i =>
+        val s = splits(path.take(i))
+        if (path(i) == 'l') col(s.feature).cast("double") <= lit(s.threshold)
+        else col(s.feature).cast("double") > lit(s.threshold)
+      }.reduce(_ && _)
+    def impureKids(p: String, s: Split): Seq[(String, Long, Long)] =
+      Seq((p + "l", s.nLeft, s.posLeft), (p + "r", s.nRight, s.posRight))
+        .filter { case (_, kn, kp) => kp > 0 && kp < kn }
+    var frontier = impureKids("", root)
+    var level = 1
+    while (level < maxDepth && frontier.nonEmpty) {
+      val paths = frontier.map(_._1)
+      val found: Map[String, Split] =
+        if (paths.size == 1)
+          argminOpt(Models.stumpCandidates(df.where(pathPred(paths.head)),
+            features, label)).map(paths.head -> _).toMap
+        else
+          argminPerGroup(Models.stumpCandidatesGrouped(df, features, label,
+            paths.size, g => pathPred(paths(g)), "node"), "node")
+            .map { case (g, s) => paths(g) -> s }
+      splits ++= found
+      frontier = found.toSeq.sortBy(_._1).flatMap { case (p, s) => impureKids(p, s) }
+      level += 1
+    }
+    DeepTree(maxDepth, root.n, root.posLeft + root.posRight, splits)
+  }
+
+  /** Majority-class prediction of a fitted depth-N tree — a literal CASE
+    * chain over the raw feature columns, pure whole-stage-codegen
+    * projection (the online serving form, like the depth-2/3 twins).
+    */
+  def predict(m: DeepTree): Column = {
+    def go(path: String, n: Long, pos: Long): Column = m.splits.get(path) match {
+      case Some(s) =>
+        when(col(s.feature).cast("double") <= lit(s.threshold),
+          go(path + "l", s.nLeft, s.posLeft))
+          .otherwise(go(path + "r", s.nRight, s.posRight))
+      case None => lit(if (pos * 2 > n) 1L else 0L)
+    }
+    go("", m.n, m.pos)
+  }
+
+  /** Terminal-leaf path of a row under the fitted tree — the same CASE
+    * chain emitting the leaf's path string instead of its class.
+    */
+  def leafPath(m: DeepTree): Column = {
+    def go(path: String): Column = m.splits.get(path) match {
+      case Some(s) =>
+        when(col(s.feature).cast("double") <= lit(s.threshold), go(path + "l"))
+          .otherwise(go(path + "r"))
+      case None => lit(path)
+    }
+    go("")
+  }
+
+  /** Best split per group of a grouped candidate table, deterministic
+    * under (4dp gini, feature, threshold) struct-min ordering. Groups
+    * with no real candidate are absent from the result.
+    */
+  private def argminPerGroup(cands: DataFrame, grp: String): Map[Int, Split] =
+    cands.groupBy(col(grp)).agg(min(struct(
+        graft.queries.r6(col("gini")).as("gini"), col("feature"),
+        col("threshold"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"))).as("b"))
+      .select(col(grp), col("b.*")).collect()
+      .map(r => r.getInt(0) -> Split(r.getString(2), r.getDouble(3),
+        r.getDouble(1), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+
+  /** [[argmin]] tolerating an empty candidate table (a node whose rows
+    * admit no split) — None marks the node terminal.
+    */
+  private[scoring] def argminOpt(cands: DataFrame): Option[Split] =
+    cands.select(col("feature"), col("threshold"),
+        graft.queries.r6(col("gini")).as("gini"), col("n_left"),
+        col("pos_left"), col("n_right"), col("pos_right"))
+      .orderBy(col("gini"), col("feature"), col("threshold")).limit(1)
+      .collect().headOption
+      .map(r => Split(r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+
   /** Depth-2 leaf index (0..3) of a row under the fitted chain: left
     * children first (root-left/child-left = 0), literal thresholds.
     */

@@ -500,6 +500,27 @@ object StreamingFeatures {
       .withColumn("forest_flag", v * 2 > forest.size)
   }
 
+  /** The q202 level-wise deep CART served online: majority-class
+    * prediction + terminal-leaf path appended to the feature stream as
+    * one literal CASE chain per column (stateless, sink-side — the same
+    * contract as [[forestScoredFeatures]]; the leaf path is the online
+    * twin of the reference's per-prediction explanation id). Every split
+    * feature must exist on the stream schema — rejected at plan-build
+    * time. Batch-vs-stream equality is asserted in StreamingSpec.
+    */
+  def deepTreeScoredFeatures(events: Dataset[StreamTxn],
+                             model: graft.scoring.Trees.DeepTree)
+      : org.apache.spark.sql.DataFrame = {
+    require(model.splits.nonEmpty, "deepTreeScoredFeatures: empty tree")
+    val feats = customerFeatures(events).toDF()
+    val missing = model.splits.values.map(_.feature).toSeq
+      .distinct.filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"deepTreeScoredFeatures: split features absent from the stream: $missing")
+    feats.withColumn("tree_pred", graft.scoring.Trees.predict(model))
+      .withColumn("tree_leaf", graft.scoring.Trees.leafPath(model))
+  }
+
   /** The q193 sequence scorer online: per-event transition NLL under the
     * offline-fitted [[graft.ops.AmlPatterns.MarkovModel]]. One value of
     * state per customer (the previous symbol); batch-vs-stream NLL

@@ -204,6 +204,21 @@ object Soak {
         _ => Seq("amount", "hb"))
       require(f.size == 5)
     }
+    // level-wise deep fits: one grouped candidate pass per LEVEL, so
+    // wall-clock should grow with depth x features (scans), not with
+    // node count (up to 31 nodes at depth 5, 7 x 5 for the deep forest)
+    time(s"depth5-${k}x-rows") {
+      val m = graft.scoring.Trees.fitDepth(wideCk, Seq("amount", "hb"),
+        col("y"), maxDepth = 5)
+      require(m.splits.nonEmpty)
+    }
+    time(s"deep-forest5x3-${k}x-rows") {
+      val f = graft.scoring.Forest.fitDeep(wideCk, Seq("amount", "hb"),
+        col("y"), trees = 5, maxDepth = 3,
+        t => graft.scale.Splits.bucket(col("transaction_id"), s"rf$t", 3) =!= 0,
+        _ => Seq("amount", "hb"))
+      require(f.size == 5)
+    }
 
     // BPE merge chain at k-fold DISTINCT WORDS (suffix-salted replicas)
     // and a production-ish round count: per-round cost is bound by

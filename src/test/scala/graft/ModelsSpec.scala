@@ -361,4 +361,95 @@ class ModelsSpec extends AnyFunSuite {
       .agg(min(col("v")), max(col("v"))).head()
     assert(v.getLong(0) >= 0L && v.getLong(1) <= 3L)
   }
+
+  test("Forest.fitDeep (one pass per level) matches per-tree fitDepth on each subsample") {
+    import spark.implicits._
+    val df = (for {
+      i <- 1 to 360
+    } yield (i % 10 * 1.0, i % 8 * 1.0, i % 6 * 1.0,
+      if ((i % 10 >= 5) ^ (i % 8 >= 4)) 1 else 0, i % 3)).toDF("x", "z", "w", "y", "b")
+    val allF = Seq("x", "z", "w")
+    def member(t: Int) = col("b") =!= t
+    def featsOf(t: Int) = allF.patch(t % 3, Nil, 1)
+    val forest = graft.scoring.Forest.fitDeep(df, allF, col("y"),
+      trees = 3, maxDepth = 3, member, featsOf)
+    assert(forest.map(_.tree) == Seq(0, 1, 2))
+    forest.foreach { t =>
+      val solo = graft.scoring.Trees.fitDepth(
+        df.where(member(t.tree)), featsOf(t.tree), col("y"), maxDepth = 3)
+      assert(t.model.splits == solo.splits,
+        s"tree ${t.tree}: fused ${t.model.splits} vs solo ${solo.splits}")
+      assert(t.model.trainAccuracy == solo.trainAccuracy)
+      val dropped = allF(t.tree % 3)
+      assert(t.model.splits.values.forall(_.feature != dropped))
+    }
+    // deep votes column stays in 0..trees
+    val v = df.select(graft.scoring.Forest.votesDeep(forest).as("v"))
+      .agg(min(col("v")), max(col("v"))).head()
+    assert(v.getLong(0) >= 0L && v.getLong(1) <= 3L)
+  }
+
+  test("fitDepth reproduces the special-cased depth-2/3 chains on impure-everywhere data") {
+    import spark.implicits._
+    // residue-mix label: every axis-aligned box holds both classes, so
+    // no purity stop fires and the level-wise chain must equal the
+    // unconditional depth-2/3 fits exactly
+    val df = (for {
+      x <- 1 to 8; z <- 1 to 8; w <- 1 to 8
+    } yield (x.toDouble, z.toDouble, w.toDouble,
+      if ((x * 3 + z * 5 + w * 7) % 11 < 4) 1 else 0)).toDF("x", "z", "w", "y")
+    val feats = Seq("x", "z", "w")
+    val d2 = graft.scoring.Trees.fitDepth2(df, feats, col("y"))
+    val g2 = graft.scoring.Trees.fitDepth(df, feats, col("y"), maxDepth = 2)
+    assert(g2.splits == Map("" -> d2.root, "l" -> d2.left, "r" -> d2.right))
+    val d3 = graft.scoring.Trees.fitDepth3(df, feats, col("y"))
+    val g3 = graft.scoring.Trees.fitDepth(df, feats, col("y"), maxDepth = 3)
+    assert(g3.splits == Map("" -> d3.root, "l" -> d3.left, "r" -> d3.right,
+      "ll" -> d3.ll, "lr" -> d3.lr, "rl" -> d3.rl, "rr" -> d3.rr))
+    assert(g3.trainAccuracy == d3.trainAccuracy)
+  }
+
+  test("fitDepth stops at pure leaves; leaves partition the table") {
+    import spark.implicits._
+    // the 3-conjunct AND peels one conjunct per level with a PURE
+    // complement side each time: the exact tree is a 3-split chain
+    // (root, l, ll), and maxDepth=6 must grow nothing beyond it
+    val df = (for {
+      x <- 1 to 8; z <- 1 to 8; w <- 1 to 8
+    } yield (x.toDouble, z.toDouble, w.toDouble,
+      if (x <= 4 && z <= 5 && w <= 3) 1 else 0)).toDF("x", "z", "w", "y")
+    val feats = Seq("x", "z", "w")
+    val m = graft.scoring.Trees.fitDepth(df, feats, col("y"), maxDepth = 6)
+    assert(m.splits.keySet == Set("", "l", "ll"),
+      s"expected the 3-split chain, got ${m.splits.keys}")
+    assert(m.trainAccuracy == 1.0)
+    assert(m.leaves.map(_._2).sum == 512L)
+    // predict column agrees with the leaf-count accuracy everywhere
+    val acc = df.select(avg((graft.scoring.Trees.predict(m) === col("y"))
+      .cast("double"))).head().getDouble(0)
+    assert(acc == 1.0)
+    // leafPath lands every row on a terminal leaf with matching counts
+    val byLeaf = df.groupBy(graft.scoring.Trees.leafPath(m).as("p"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(byLeaf.toSeq == m.leaves, s"$byLeaf vs ${m.leaves}")
+  }
+
+  test("fitDepth single-live-node level uses the solo pass and matches a filtered fit") {
+    import spark.implicits._
+    // root splits x; the right side is all-negative (pure), so level 1
+    // has exactly ONE live node -> exercises the frontier-size-1 branch
+    val df = (for {
+      x <- 1 to 8; z <- 1 to 8
+    } yield (x.toDouble, z.toDouble,
+      if (x <= 2 && z <= 2) 1 else 0)).toDF("x", "z", "y")
+    val m = graft.scoring.Trees.fitDepth(df, Seq("x", "z"), col("y"), maxDepth = 3)
+    val root = m.splits("")
+    assert(root.feature == "x" && root.threshold == 2.0, s"$root")
+    assert(!m.splits.contains("r"), "pure right side must not split")
+    val solo = graft.scoring.Trees.fitDepth2(
+      df.where(col("x") <= 2.0), Seq("x", "z"), col("y"))
+    assert(m.splits("l") == solo.root)
+    assert(m.trainAccuracy == 1.0)
+  }
 }

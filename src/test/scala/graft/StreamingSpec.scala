@@ -682,4 +682,48 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(dist(served) == dist(batchF))
   }
+
+  test("deep tree predicts the streaming feature vector identically to batch") {
+    import spark.implicits._
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: feats.map(col): _*)
+      .localCheckpoint() // one candidate pass per level re-reads it
+    val model = graft.scoring.Trees.fitDepth(batchF, feats,
+      col("amount") > 100, maxDepth = 4)
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.deepTreeScoredFeatures(input.toDS(), model)
+      .writeStream.format("memory").queryName("dtree").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val served = spark.table("dtree")
+    assert(served.count() == tx.length)
+    // prediction and leaf path re-derived from the emitted feature
+    // columns are identical — the sink-side CASE chains add nothing
+    assert(served.where(col("tree_pred") =!=
+      graft.scoring.Trees.predict(model)).count() == 0)
+    assert(served.where(col("tree_leaf") =!=
+      graft.scoring.Trees.leafPath(model)).count() == 0)
+    // every served row lands on a terminal leaf of the fitted tree
+    val leafSet = model.leaves.map(_._1).toSet
+    val servedLeaves = served.select(col("tree_leaf")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(servedLeaves.subsetOf(leafSet), s"$servedLeaves not in $leafSet")
+    // batch-vs-stream prediction distribution matches exactly
+    def dist(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select(col("customer_id"), col("ts_micros"),
+          graft.scoring.Trees.predict(model).as("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dist(served) == dist(batchF))
+  }
 }
