@@ -693,6 +693,60 @@ FROM events"""
           }
       }.reduce(_.unionByName(_))
     },
+    // LIME local surrogate (the reference's LIMEExplainer slot,
+    // explainability/shap_explainer.py:255-304): per-transaction linear
+    // surrogate of the q201 boosted depth-2 TREE model (the one family
+    // member with feature interactions, so surrogate fidelity is a real
+    // measurement). Neighborhood = the COMPLETE 2^3 factorial of
+    // keep-vs-mask patterns (masked feature -> 4dp-rounded population
+    // mean), uniform kernel — the exact least-squares surrogate over the
+    // full local neighborhood, to which the reference's sampled
+    // kernelized LIME converges as sigma -> inf; on the +/-1 coding of a
+    // complete factorial the weighted fit is closed-form (beta_j = the
+    // signed pattern-score mean), so the whole query is ONE shuffle-free
+    // projection: 8 score expressions per row, betas / intercept /
+    // fidelity R^2 as row-local folds. The DuckDB oracle replays the
+    // identical fold order, so every unrounded intermediate is
+    // bit-identical.
+    "q205_lime_local" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // fit + bg + scoring
+      val m = graft.scoring.Boosting.fitTrees(f, feats, col("y"),
+        rounds = 2, rate = 0.5)
+      val bgNames = Seq("bgv", "bgh", "bgd")
+      val bg = f.agg(r6(avg(col("value"))).as("bgv"),
+        r6(avg(col("hb"))).as("bgh"), r6(avg(col("dowi"))).as("bgd"))
+      // masked value of feature `fname` under keep/mask pattern p
+      // (bit j of p = keep feature j)
+      def mcol(p: Int, fname: String): Column = {
+        val j = feats.indexOf(fname)
+        if (((p >> j) & 1) == 1) col(fname).cast("double")
+        else col(bgNames(j))
+      }
+      def scoreP(p: Int): Column =
+        m.rounds.foldLeft(lit(m.f0): Column) { (acc, tr) =>
+          def side(fn: String, t: Double, lo: Double, hi: Double): Column =
+            when(mcol(p, fn) <= lit(t), lit(lo)).otherwise(lit(hi))
+          acc + when(mcol(p, tr.rootFeature) <= lit(tr.rootThreshold),
+            side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
+            .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
+        }
+      val out = graft.scoring.Lime.surrogate(
+        f.crossJoin(broadcast(bg)), k = 3, scoreP)
+      val (av, ah, ad) =
+        (abs(r6(col("__b0"))), abs(r6(col("__b1"))), abs(r6(col("__b2"))))
+      out.select(col("event_id"),
+        r6(col("__s7")).as("prediction"),
+        r6(col("__b")).as("intercept"),
+        r6(col("__b0")).as("lime_value"),
+        r6(col("__b1")).as("lime_hb"),
+        r6(col("__b2")).as("lime_dowi"),
+        r6(col("__b") + col("__b0") + col("__b1") + col("__b2")).as("local_pred"),
+        r6(when(col("__sst") > 0, lit(1.0) - col("__sse") / col("__sst"))
+          .otherwise(lit(1.0))).as("fidelity_r2"),
+        when(av >= ah && av >= ad, "value").when(ah >= ad, "hb")
+          .otherwise("dowi").as("top_factor"))
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -1885,6 +1939,65 @@ SELECT a.n, f0.v AS f0,
   $outCols,
   a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
 FROM a CROSS JOIN u CROSS JOIN f0$joins"""
+    },
+    "q205_lime_local" -> {
+      // masked-pattern replay of the q201 chain: 8 factorial score
+      // expressions per row (identical CASE structure, identical fold
+      // order), closed-form betas as signed p-ordered sums, fidelity
+      // R^2 from the same left-associative squared-residual folds.
+      val T = 2
+      val joins = gbtJoins(T + 1)
+      def bit(p: Int, j: Int): Boolean = ((p >> j) & 1) == 1
+      def mv(p: Int) = if (bit(p, 0)) "CAST(fb.value AS DOUBLE)" else "bg.bgv"
+      def mh(p: Int) = if (bit(p, 1)) "CAST(fb.hb AS DOUBLE)" else "bg.bgh"
+      def md(p: Int) = if (bit(p, 2)) "CAST(fb.dowi AS DOUBLE)" else "bg.bgd"
+      def mFv(cte: String, p: Int) =
+        s"""(CASE WHEN $cte.f = 'value' THEN ${mv(p)}
+      WHEN $cte.f = 'hb' THEN ${mh(p)}
+      ELSE ${md(p)} END)"""
+      def mScore(p: Int) = (1 to T).map(j =>
+        s"""(CASE WHEN ${mFv(s"broot$j", p)} <= broot$j.t
+    THEN (CASE WHEN ${mFv(s"bl$j", p)} <= bl$j.t THEN bl$j.vl ELSE bl$j.vr END)
+    ELSE (CASE WHEN ${mFv(s"br$j", p)} <= br$j.t THEN br$j.vl ELSE br$j.vr END) END)""")
+        .mkString("f0.v + ", " + ", "")
+      def sgnStr(p: Int, j: Int) = if (bit(p, j)) "+" else "-"
+      def betaSql(j: Int) =
+        "(" + (1 until 8).foldLeft("-s0")((acc, p) =>
+          s"$acc ${sgnStr(p, j)} s$p") + ")/8"
+      def fittedSql(p: Int) =
+        s"(b ${sgnStr(p, 0)} b0 ${sgnStr(p, 1)} b1 ${sgnStr(p, 2)} b2)"
+      val sse = (0 until 8).map(p =>
+        s"(s$p - ${fittedSql(p)})*(s$p - ${fittedSql(p)})").mkString(" + ")
+      val sst = (0 until 8).map(p => s"(s$p - b)*(s$p - b)").mkString(" + ")
+      def r4(x: String) = s"round($x + 5e-11, 4)"
+      val scCols = (0 until 8).map(p => s"    ${mScore(p)} AS s$p").mkString(",\n")
+      s"""WITH fb AS MATERIALIZED ($featSql),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
+${(1 to T).map(t => gbtRound(t, "fb")).mkString(",\n")},
+bg AS (SELECT ${r4("avg(value)")} AS bgv, ${r4("avg(hb)")} AS bgh,
+  ${r4("avg(dowi)")} AS bgd FROM fb),
+sc AS MATERIALIZED (
+  SELECT fb.event_id,
+$scCols
+  FROM fb CROSS JOIN f0 CROSS JOIN bg$joins),
+su AS (
+  SELECT event_id, s0, s1, s2, s3, s4, s5, s6, s7,
+    (s0 + s1 + s2 + s3 + s4 + s5 + s6 + s7)/8 AS b,
+    ${betaSql(0)} AS b0, ${betaSql(1)} AS b1, ${betaSql(2)} AS b2
+  FROM sc),
+fi AS (
+  SELECT event_id, s7, b, b0, b1, b2,
+    $sse AS sse,
+    $sst AS sst
+  FROM su)
+SELECT event_id, ${r4("s7")} AS prediction, ${r4("b")} AS intercept,
+  ${r4("b0")} AS lime_value, ${r4("b1")} AS lime_hb, ${r4("b2")} AS lime_dowi,
+  ${r4("b + b0 + b1 + b2")} AS local_pred,
+  round(CASE WHEN sst > 0 THEN 1.0 - sse/sst ELSE 1.0 END + 5e-11, 4) AS fidelity_r2,
+  CASE WHEN abs(${r4("b0")}) >= abs(${r4("b1")}) AND abs(${r4("b0")}) >= abs(${r4("b2")}) THEN 'value'
+       WHEN abs(${r4("b1")}) >= abs(${r4("b2")}) THEN 'hb'
+       ELSE 'dowi' END AS top_factor
+FROM fi"""
     },
     "q200_mlp_forward" -> {
       // the identical literal net in SQL integer arithmetic: dyadic

@@ -1,8 +1,8 @@
 package graft
 
 import graft.scale.Packing
-import graft.scoring.{KMeansOps, Models}
-import org.apache.spark.sql.SparkSession
+import graft.scoring.{KMeansOps, Lime, Models}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -451,5 +451,69 @@ class ModelsSpec extends AnyFunSuite {
       df.where(col("x") <= 2.0), Seq("x", "z"), col("y"))
     assert(m.splits("l") == solo.root)
     assert(m.trainAccuracy == 1.0)
+  }
+
+  test("Lime.surrogate is the exact least-squares fit over the factorial") {
+    import spark.implicits._
+    // synthetic per-row "model scores" over the 2^3 neighborhood:
+    // additive part (a·bit0 + c·bit2) + an interaction term (bit0·bit1)
+    // whose weight varies per row — deterministic, no RNG
+    val df = (1 to 20).map(i => (i.toLong, i * 0.13, i * 0.07, (i % 5) * 0.11))
+      .toDF("id", "a", "c", "w")
+    def score(p: Int): Column = {
+      def b(j: Int) = if (Lime.keeps(p, j)) 1.0 else 0.0
+      lit(0.25) + col("a") * b(0) + col("c") * b(2) +
+        col("w") * lit(b(0) * b(1))
+    }
+    val out = Lime.surrogate(df, k = 3, score).collect()
+    for (r <- out) {
+      val s = (0 until 8).map(p => r.getAs[Double](s"__s$p"))
+      val b = r.getAs[Double]("__b")
+      val betas = (0 until 3).map(j => r.getAs[Double](s"__b$j"))
+      def fit(p: Int) = (0 until 3).foldLeft(b)((acc, j) =>
+        acc + (if (Lime.keeps(p, j)) betas(j) else -betas(j)))
+      val resid = (0 until 8).map(p => s(p) - fit(p))
+      // defining property of least squares on the ±1 design: residuals
+      // are orthogonal to the intercept AND every pattern column
+      assert(math.abs(resid.sum) < 1e-9, s"Σr=${resid.sum}")
+      for (j <- 0 until 3) {
+        val dot = (0 until 8).map(p =>
+          resid(p) * (if (Lime.keeps(p, j)) 1.0 else -1.0)).sum
+        assert(math.abs(dot) < 1e-9, s"Σr·x$j=$dot")
+      }
+      // optimality: any coordinate perturbation strictly increases SSE
+      val sse = r.getAs[Double]("__sse")
+      val sst = r.getAs[Double]("__sst")
+      for (j <- 0 until 3; eps <- Seq(0.01, -0.01)) {
+        val pert = (0 until 8).map { p =>
+          val f = fit(p) + (if (Lime.keeps(p, j)) eps else -eps)
+          val d = s(p) - f; d * d
+        }.sum
+        assert(pert > sse, s"perturbed $pert !> $sse")
+      }
+      assert(sse >= 0 && sse <= sst + 1e-12, s"sse=$sse sst=$sst")
+      // the interaction is invisible to the main effects beyond its
+      // mean: surrogate misfit equals w²·(8 − 4)/… > 0 whenever w ≠ 0
+      val w = r.getAs[Double]("w")
+      if (w == 0.0) assert(sse < 1e-18)
+      else assert(sse > 1e-6, s"interaction w=$w should leave misfit, sse=$sse")
+    }
+  }
+
+  test("Lime.surrogate reproduces an exactly additive model with R² = 1") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 3.0), (2L, -1.0, 0.5)).toDF("id", "u", "v")
+    // additive in the keep-bits: contributions u (bit 0) and v (bit 1)
+    def score(p: Int): Column =
+      lit(1.0) + (if (Lime.keeps(p, 0)) col("u") else lit(0.0)) +
+        (if (Lime.keeps(p, 1)) col("v") else lit(0.0))
+    val out = Lime.surrogate(df, k = 2, score).collect()
+    for (r <- out) {
+      assert(r.getAs[Double]("__sse") == 0.0)
+      // local_pred at the all-keep corner equals the true score
+      val full = r.getAs[Double]("__b") +
+        r.getAs[Double]("__b0") + r.getAs[Double]("__b1")
+      assert(math.abs(full - r.getAs[Double]("__s3")) < 1e-12)
+    }
   }
 }
