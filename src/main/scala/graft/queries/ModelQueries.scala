@@ -747,6 +747,141 @@ FROM events"""
         when(av >= ah && av >= ad, "value").when(ah >= ad, "hb")
           .otherwise("dowi").as("top_factor"))
     },
+    // continuous-learning cycle (the reference's ContinuousLearning
+    // Pipeline.run_continuous_learning_cycle + ModelRetrainer.
+    // should_retrain, feedback/feedback_system.py:241-283,455-512):
+    // ONE cycle report row — drift gate (the q43 windowed-AUC check),
+    // feedback volume + accuracy gates in the reference's priority
+    // order, then the retrain step itself: a closed-form naive-Bayes
+    // refit on the md5-80% of the recent feedback window, challenger
+    // AUC vs the incumbent score on the shared held-out 20%, and the
+    // promote decision. Every model is aggregation-shaped (likelihood
+    // tables broadcast, AUC via the distinct-value cumsum); the cycle
+    // adds no driver state beyond 1-row aggregates.
+    "q206_learning_cycle" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val drift = graft.feedback.Drift.aucDriftWindowed(ev,
+        col("event_type") === "error", col("value"), col("ts"))
+      val bounds = ev.agg(max(unix_micros(col("ts"))).as("max_tm"))
+      val recent = ev.crossJoin(broadcast(bounds))
+        .where(unix_micros(col("ts")) > col("max_tm") - lit(604800000000L))
+        .select(col("event_id"),
+          hour(col("ts")).as("hb"),
+          pmod(intDiv(unix_micros(col("ts")), lit(86400000000L)), lit(7L)).as("dowi"),
+          least(floor(col("value") / 100).cast("long"), lit(5L)).as("vb"),
+          col("value"),
+          (col("event_type") === "error").cast("long").as("y"))
+        .withColumn("rb5", graft.scale.Splits.bucket(col("event_id"), "retrain", 5))
+        .localCheckpoint() // volume/accuracy + NB train/test + two AUCs
+      val stats = recent.agg(count(lit(1)).as("n_feedback"),
+        graft.feedback.Drift.accuracy(col("value") > 100.0, col("y") === 1L).as("acc"))
+      val train = recent.where(col("rb5") =!= 0)
+      val test = recent.where(col("rb5") === 0)
+      val oldAuc = graft.feedback.Drift.auc(test, col("y") === 1L, col("value"))
+        .select(col("auc").as("old_auc"))
+      val nb = Models.naiveBayesDelta(train, test, Seq("hb", "dowi", "vb"), col("y"))
+      val newAuc = graft.feedback.Drift.auc(nb, col("y") === 1L, col("delta"))
+        .select(col("auc").as("new_auc"))
+      val row = drift.crossJoin(stats).crossJoin(oldAuc).crossJoin(newAuc)
+      val sufficient = col("n_feedback") >= 100
+      val lowAcc = r6(col("acc")) < 0.85
+      val shouldRetrain = sufficient && (col("drift_detected") || lowAcc)
+      val improvement = r6(col("new_auc") - col("old_auc"))
+      row.select(
+        col("n_feedback"),
+        r6(col("auc_recent")).as("auc_recent"),
+        r6(col("auc_prior")).as("auc_prior"),
+        r6(col("degradation")).as("degradation"), col("drift_detected"),
+        r6(col("acc")).as("feedback_accuracy"),
+        shouldRetrain.as("should_retrain"),
+        when(!sufficient, "insufficient_feedback")
+          .when(col("drift_detected"), "performance_drift")
+          .when(lowAcc, "low_accuracy")
+          .otherwise("no_retraining_needed").as("reason"),
+        r6(col("old_auc")).as("old_auc"), r6(col("new_auc")).as("new_auc"),
+        improvement.as("improvement"),
+        (shouldRetrain && improvement > 0).as("promote"))
+    },
+    // random-search hyperparameter study (the reference's
+    // AutoMLOptimizer/optuna surface, models/advanced_models.py:309-361,
+    // made deterministic): 6 trials sample (learning_rate, iters) from
+    // md5 bits — CONTINUOUS rate draws, not a grid — all trained
+    // simultaneously by the q183 fused-gradient trainer (the study costs
+    // max(iters) passes); each trial reports held-out AUC, is_best
+    // marks the deterministic argmax, and the optuna-style param
+    // importances are |Spearman rank correlation| of each
+    // hyperparameter with the objective across trials (computed with
+    // window-free triangular midranks; rank sums are exact binary
+    // halves, so both engines agree bit-for-bit before rounding).
+    "q207_random_search" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val trials = (0 until 6).map { t =>
+        val lr = graft.scoring.KMeansOps.r6d(
+          0.05 + 1.95 * (graft.scale.Splits.bucketLocal("lr", t.toString, 10000) / 10000.0))
+        val it = 3 + graft.scale.Splits.bucketLocal("it", t.toString, 10).toInt
+        (t, lr, it)
+      }
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "rsval", 5))
+        .localCheckpoint() // max(iters) GD passes + per-trial AUC reads
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      val models = graft.scoring.Trainer.fitLogisticGrid(train, feats, col("y"),
+        trials.map(_._2).distinct, trials.map(_._3).distinct.sorted)
+      val cells = trials.map { case (t, lr, it) =>
+        val m = models((lr, it))
+        val scored = valid.select(col("y"),
+          graft.scoring.Trainer.margin(m).as("margin"))
+        val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
+        scored.agg(count(lit(1)).as("n_val")).crossJoin(auc)
+          .select(lit(t.toLong).as("trial") +: lit(lr).as("lr") +:
+            lit(it.toLong).as("iters") +: col("n_val") +:
+            // rank/argmax on the UNROUNDED auc: the midrank identity is
+            // exact half-integer arithmetic over one division, so the
+            // raw value is engine-identical (given identical margin
+            // ranks, which the rounded hash already requires) — and it
+            // discriminates trials the 4dp quantum would tie
+            col("auc").as("__ar") +:
+            r6(col("auc")).as("auc") +: r6(lit(m.intercept)).as("intercept") +:
+            feats.zip(m.weights).map { case (c, w) => r6(lit(w)).as(s"w_$c") }: _*)
+      }.reduce(_.unionByName(_)).localCheckpoint() // ranks + importances re-read
+      val keep = Seq("trial", "lr", "iters", "n_val", "auc", "intercept",
+        "w_value", "w_hb", "w_dowi").map(col)
+      val c2 = cells.select(col("trial").as("__t2"), col("lr").as("__l2"),
+        col("iters").as("__i2"), col("__ar").as("__a2"))
+      def midrank(other: Column, own: Column): Column =
+        sum(when(other < own, 1L).otherwise(0L)) +
+          (sum(when(other === own, 1L).otherwise(0L)) + 1) / 2.0
+      val rks = cells.crossJoin(c2).groupBy(keep :+ col("__ar"): _*)
+        .agg(midrank(col("__l2"), col("lr")).as("r_lr"),
+          midrank(col("__i2"), col("iters")).as("r_it"),
+          midrank(col("__a2"), col("__ar")).as("r_auc"),
+          sum(when(col("__a2") > col("__ar") ||
+            (col("__a2") === col("__ar") && col("__t2") < col("trial")), 1L)
+            .otherwise(0L)).as("__nb"))
+        .localCheckpoint() // tiny (one row per trial); read for sp + output
+      val sp = rks.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("r_lr")).as("sl"), sum(col("r_it")).as("si"),
+        sum(col("r_auc")).as("sa"),
+        sum(col("r_lr") * col("r_auc")).as("sla"),
+        sum(col("r_it") * col("r_auc")).as("sia"),
+        sum(col("r_lr") * col("r_lr")).as("sll"),
+        sum(col("r_it") * col("r_it")).as("sii"),
+        sum(col("r_auc") * col("r_auc")).as("saa"))
+      def spearman(sx: Column, sxx: Column, sxa: Column): Column = {
+        val (n, sa, saa) = (col("n"), col("sa"), col("saa"))
+        when(n * sxx - sx * sx > 0 && n * saa - sa * sa > 0,
+          abs((n * sxa - sx * sa) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * saa - sa * sa))))
+      }
+      val imp = sp.select(
+        spearman(col("sl"), col("sll"), col("sla")).as("__implr"),
+        spearman(col("si"), col("sii"), col("sia")).as("__impit"))
+      rks.crossJoin(broadcast(imp)).select(keep ++ Seq(
+        (col("__nb") === 0).as("is_best"),
+        r6(col("__implr")).as("imp_lr"),
+        r6(col("__impit")).as("imp_iters")): _*)
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -1939,6 +2074,162 @@ SELECT a.n, f0.v AS f0,
   $outCols,
   a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
 FROM a CROSS JOIN u CROSS JOIN f0$joins"""
+    },
+    "q207_random_search" -> {
+      // per-trial unrolled-GD chains (the q183 technique) with the
+      // learning rate flowing from a trials CTE (derived from the SAME
+      // md5 bits as the Scala draw, so no double-to-string round trip);
+      // trial iteration counts are builder-computed integers. Ranks and
+      // Spearman importances replay the exact triangular-midrank /
+      // moment formulas.
+      val feats = Seq("value", "hb", "dowi")
+      val idx = feats.indices
+      val trialIts = (0 until 6).map(t => 3 + graft.scale.Splits.bucketLocal("it", t.toString, 10).toInt)
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      def chain(t: Int): String = {
+        val i0 = s"i0_r$t AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val iters = (1 to trialIts(t)).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - tt.lr*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - tt.lr*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b, tt.lr"
+          s"i${k}_r$t AS MATERIALIZED (SELECT $upd\n  FROM d, i${k - 1}_r$t i, t$t tt GROUP BY $grp)"
+        }.mkString(",\n")
+        s"t$t AS (SELECT lr FROM trl WHERE t = $t),\n$i0,\n$iters"
+      }
+      def cell(t: Int): String = {
+        val w = s"i${trialIts(t)}_r$t"
+        s"""sc_$t AS (SELECT d.y, ${marginOf(w)} AS sv FROM dv d, $w),
+rk_$t AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM sc_$t),
+au_$t AS (SELECT count(*) AS n,
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM rk_$t)"""
+      }
+      def cellRow(t: Int): String = {
+        val w = s"i${trialIts(t)}_r$t"
+        val ws = feats.zipWithIndex.map { case (c, i) =>
+          s"round($w.w$i + 5e-11, 4) AS w_$c" }.mkString(", ")
+        s"""SELECT $t AS trial, tt.lr, ${trialIts(t)} AS iters, a.n AS n_val, a.auc AS aucr, round(a.auc + 5e-11, 4) AS auc,
+  round($w.b + 5e-11, 4) AS intercept, $ws
+FROM au_$t a, $w, t$t tt"""
+      }
+      def mrk(v: String) =
+        s"sum(CASE WHEN c2.$v < c.$v THEN 1 ELSE 0 END) + (sum(CASE WHEN c2.$v = c.$v THEN 1 ELSE 0 END) + 1)/2.0"
+      def spear(sx: String, sxx: String, sxa: String) =
+        s"""CASE WHEN n*$sxx - $sx*$sx > 0 AND n*saa - sa*sa > 0 THEN
+    abs((n*$sxa - $sx*sa)/(sqrt(n*$sxx - $sx*$sx)*sqrt(n*saa - sa*sa))) END"""
+      s"""WITH fb AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
+    y::DOUBLE AS y,
+    ('0x' || substr(md5('rsval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM fb),
+trl AS (
+  SELECT t, round(0.05 + 1.95*(((('0x' || substr(md5('lr:' || t), 1, 8))::UBIGINT % 10000))/10000.0) + 5e-11, 4) AS lr
+  FROM (SELECT unnest(range(6)) AS t)),
+tr AS (SELECT * FROM fp WHERE vb5 <> 0),
+s AS (SELECT $statSel FROM tr),
+d AS MATERIALIZED (SELECT $stdSel, y FROM tr, s),
+dv AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM fp WHERE vb5 = 0) t, s),
+${(0 until 6).map(chain).mkString(",\n")},
+${(0 until 6).map(cell).mkString(",\n")},
+cells AS MATERIALIZED (
+${(0 until 6).map(cellRow).mkString("\nUNION ALL\n")}),
+rks AS MATERIALIZED (
+  SELECT c.trial, c.lr, c.iters, c.n_val, c.auc, c.intercept, c.w_value, c.w_hb, c.w_dowi,
+    ${mrk("lr")} AS r_lr,
+    ${mrk("iters")} AS r_it,
+    ${mrk("aucr")} AS r_auc,
+    sum(CASE WHEN c2.aucr > c.aucr OR (c2.aucr = c.aucr AND c2.trial < c.trial) THEN 1 ELSE 0 END) AS nb
+  FROM cells c CROSS JOIN cells c2
+  GROUP BY c.trial, c.lr, c.iters, c.n_val, c.aucr, c.auc, c.intercept, c.w_value, c.w_hb, c.w_dowi),
+sp AS (SELECT count(*)::DOUBLE AS n, sum(r_lr) AS sl, sum(r_it) AS si, sum(r_auc) AS sa,
+    sum(r_lr*r_auc) AS sla, sum(r_it*r_auc) AS sia, sum(r_lr*r_lr) AS sll,
+    sum(r_it*r_it) AS sii, sum(r_auc*r_auc) AS saa
+  FROM rks),
+imp AS (SELECT
+  ${spear("sl", "sll", "sla")} AS implr,
+  ${spear("si", "sii", "sia")} AS impit
+  FROM sp)
+SELECT r.trial, r.lr, r.iters, r.n_val, r.auc, r.intercept, r.w_value, r.w_hb, r.w_dowi,
+  r.nb = 0 AS is_best,
+  round(imp.implr + 5e-11, 4) AS imp_lr, round(imp.impit + 5e-11, 4) AS imp_iters
+FROM rks r CROSS JOIN imp"""
+    },
+    "q206_learning_cycle" -> {
+      // q43's drift CTEs + the recent-slice feature projection + the
+      // q167 NB replay on the md5 train/test split + two mid-rank AUCs
+      // over the shared held-out slice; gates combined in the
+      // reference's priority order.
+      val fs = Seq("hb", "dowi", "vb")
+      def r4(x: String) = s"round($x + 5e-11, 4)"
+      val gates = s"st.n_feedback >= 100 AND (dr.drift_detected OR ${r4("st.acc")} < 0.85)"
+      s"""WITH b AS (SELECT max(epoch_us(ts)) AS max_tm FROM events),
+t AS (
+  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y, value AS s,
+    CASE WHEN epoch_us(ts) > max_tm - 604800000000 THEN 'recent'
+         WHEN epoch_us(ts) > max_tm - 1209600000000 THEN 'prior' END AS period
+  FROM events CROSS JOIN b),
+tt AS (SELECT * FROM t WHERE period IS NOT NULL),
+rk AS (SELECT period, y,
+    rank() OVER (PARTITION BY period ORDER BY s) + (count(*) OVER (PARTITION BY period, s) - 1)/2.0 AS midrank
+  FROM tt),
+pp AS (SELECT period,
+    (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+      / (sum(y)*(count(*) - sum(y))) AS auc,
+    count(*) AS n
+  FROM rk GROUP BY period),
+dr AS (
+  SELECT rec.auc AS auc_recent, pri.auc AS auc_prior,
+    pri.auc - rec.auc AS degradation,
+    (rec.n + pri.n >= 50 AND rec.n >= 20 AND pri.n >= 20 AND pri.auc - rec.auc > 0.05) AS drift_detected
+  FROM (SELECT * FROM pp WHERE period = 'recent') rec
+  CROSS JOIN (SELECT * FROM pp WHERE period = 'prior') pri),
+rec AS MATERIALIZED (
+  SELECT event_id, hour(ts) AS hb,
+    (epoch_us(ts) // 86400000000) % 7 AS dowi,
+    least(CAST(floor(value/100) AS BIGINT), 5) AS vb, value,
+    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+    ('0x' || substr(md5('retrain:' || event_id), 1, 8))::UBIGINT % 5 AS rb5
+  FROM events CROSS JOIN b
+  WHERE epoch_us(ts) > max_tm - 604800000000),
+st AS (SELECT count(*) AS n_feedback,
+  avg(CASE WHEN (value > 100.0) = (y = 1) THEN 1.0 ELSE 0.0 END) AS acc FROM rec),
+tr AS (SELECT * FROM rec WHERE rb5 <> 0),
+te AS (SELECT * FROM rec WHERE rb5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${fs.map(nbLike).mkString(",\n")},
+scnb AS (
+  SELECT te.y,
+    ln(pr.n1/pr.n0) + ${fs.map(nbTerm).mkString("\n      + ")} AS delta
+  FROM te
+  CROSS JOIN pr ${fs.map(f => s"CROSS JOIN k_$f").mkString(" ")}
+  ${fs.map(f => s"LEFT JOIN l_$f ON te.$f = l_$f.v").mkString("\n  ")}),
+o1 AS (SELECT y, value AS s FROM te),
+${gbMidrankAuc("o", "o1")},
+n1 AS (SELECT y, delta AS s FROM scnb),
+${gbMidrankAuc("nw", "n1")}
+SELECT st.n_feedback,
+  ${r4("dr.auc_recent")} AS auc_recent, ${r4("dr.auc_prior")} AS auc_prior,
+  ${r4("dr.degradation")} AS degradation, dr.drift_detected,
+  ${r4("st.acc")} AS feedback_accuracy,
+  ($gates) AS should_retrain,
+  CASE WHEN NOT st.n_feedback >= 100 THEN 'insufficient_feedback'
+       WHEN dr.drift_detected THEN 'performance_drift'
+       WHEN ${r4("st.acc")} < 0.85 THEN 'low_accuracy'
+       ELSE 'no_retraining_needed' END AS reason,
+  ${r4("uo.auc")} AS old_auc, ${r4("unw.auc")} AS new_auc,
+  ${r4("unw.auc - uo.auc")} AS improvement,
+  (($gates) AND ${r4("unw.auc - uo.auc")} > 0) AS promote
+FROM st CROSS JOIN dr CROSS JOIN uo CROSS JOIN unw"""
     },
     "q205_lime_local" -> {
       // masked-pattern replay of the q201 chain: 8 factorial score

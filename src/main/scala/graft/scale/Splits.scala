@@ -14,6 +14,18 @@ object Splits {
     conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % n
 
+  /** Driver-side twin of [[bucket]] for values that must exist in Scala
+    * before a plan is built (hyperparameter draws, per-tree subsample
+    * salts): first 8 md5 hex chars of `"salt:id"` as an unsigned int,
+    * mod n — bit-identical to the column expression and to the oracle's
+    * `('0x'||substr(md5(salt||':'||id),1,8))::UBIGINT % n`.
+    */
+  def bucketLocal(salt: String, id: String, n: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$id".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % n
+  }
+
   /** 80/10/10 train/valid/test assignment. */
   def assign(b: Column): Column =
     when(b < 80, "train").when(b < 90, "valid").otherwise("test")

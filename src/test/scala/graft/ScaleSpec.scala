@@ -467,4 +467,19 @@ class ScaleSpec extends AnyFunSuite {
     // final bare 'a' of banana/bandana and adds ana: {b,an,ana,d,aa}
     assert(ms.map(_.vocabAfter) == Seq(4L, 5L, 5L), ms.toString)
   }
+
+  test("Splits.bucketLocal equals the bucket column for every salt/id/n tried") {
+    // the driver-side md5 draw (hyperparameter sampling, q207) must
+    // agree with the distributed expression the oracle replays
+    val ids = (0L to 50L) ++ Seq(999999L, 123456789L)
+    val df = ids.toDF("id")
+    for ((salt, n) <- Seq(("lr", 10000), ("it", 10), ("split", 100), ("rsval", 5))) {
+      val dist = df.select(col("id"), Splits.bucket(col("id"), salt, n).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.foreach { id =>
+        assert(Splits.bucketLocal(salt, id.toString, n) == dist(id),
+          s"salt=$salt n=$n id=$id")
+      }
+    }
+  }
 }
