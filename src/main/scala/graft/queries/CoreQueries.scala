@@ -3,6 +3,7 @@ package graft.queries
 import graft.ops.{CoreFeatures => F, Trailing}
 import graft.scoring.Risk
 import graft.tables.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Core per-entity trailing-window features (SURVEY §2.3 A1–A14) and the
@@ -30,6 +31,7 @@ object CoreQueries extends QueryPack {
   private lazy val featureCte: String =
     s"""f AS MATERIALIZED (
   SELECT event_id AS transaction_id, user_id AS customer_id, value AS amount,
+    event_type,
     sum(value) OVER w60s AS txn_amount_sum_60s,
     sum(value) OVER w5m AS txn_amount_sum_5m,
     sum(value) OVER w1h AS txn_amount_sum_1h,
@@ -121,6 +123,39 @@ object CoreQueries extends QueryPack {
     // in) — the data-grounded ranking of which model terms actually move
     // scores. One aggregate over the shared feature view; the 14-row
     // melt happens on the single agg row, not per input row.
+    // per-feature target correlation ranking (the reference notebook's
+    // `X.corrwith(y).sort_values(key=abs)` screen, notebooks/
+    // aml_analysis.ipynb cell 9): Pearson correlation of every
+    // multi-window feature with the suspicion label in ONE aggregate
+    // over the shared feature frame, melted to rows, ranked by |corr|
+    // (4dp, feature-name tie-break) with a window-free triangular join.
+    "q208_target_correlation" -> { (s, dir) =>
+      val fnames = Seq("amount", "txn_amount_sum_60s", "txn_amount_sum_5m",
+        "txn_amount_sum_1h", "txn_count_60s", "txn_count_5m",
+        "txn_count_10m", "txn_count_1h", "unique_ips_1h",
+        "unique_merchants_1h", "velocity_score_1h",
+        "amount_deviation_score_1h", "night_txn_count_24h",
+        "weekend_txn_count_7d", "avg_txn_amount_1h")
+      def deNaN(c: Column) = when(isnan(c), lit(null)).otherwise(c)
+      val feats = F.customerFeatures(Tables.transactions(s, dir))
+        .withColumn("y", (col("merchant_id") === "error").cast("double"))
+      val aggs = fnames.map(f =>
+        deNaN(corr(col(f).cast("double"), col("y"))).as(s"c_$f"))
+      val cs = feats.agg(aggs.head, aggs.tail: _*)
+      val melted = cs.select(explode(array(fnames.map(f =>
+          struct(lit(f).as("feature"), col(s"c_$f").as("c"))): _*)).as("e"))
+        .select(col("e.feature"), r6(col("e.c")).as("target_corr"),
+          coalesce(abs(r6(col("e.c"))), lit(-1.0)).as("abs_corr"))
+        .localCheckpoint() // 15 rows; read twice for the triangular rank
+      val o = melted.select(col("feature").as("__f2"), col("abs_corr").as("__a2"))
+      melted.crossJoin(o)
+        .groupBy(col("feature"), col("target_corr"), col("abs_corr"))
+        .agg(sum(when(col("__a2") > col("abs_corr") ||
+          (col("__a2") === col("abs_corr") && col("__f2") < col("feature")), 1L)
+          .otherwise(0L)).as("__nb"))
+        .select(col("feature"), col("target_corr"), col("abs_corr"),
+          (col("__nb") + 1).as("rank"))
+    },
     "q161_feature_importance" -> { (s, dir) =>
       val feats = F.customerFeatures(Tables.transactions(s, dir))
       val aggs = Risk.model.map { case (f, wgt, norm) =>
@@ -176,6 +211,27 @@ FROM events ${windowClause("w1h")}""",
   count(*) FILTER (WHERE isodow(ts) >= 6) OVER w7d AS weekend_txn_count_7d,
   round(avg(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1.0 ELSE 0.0 END) OVER w24h+ 5e-11, 4) AS business_hours_ratio_24h
 FROM events ${windowClause("w24h", "w7d")}""",
+    "q208_target_correlation" -> {
+      val fnames = Seq("amount", "txn_amount_sum_60s", "txn_amount_sum_5m",
+        "txn_amount_sum_1h", "txn_count_60s", "txn_count_5m",
+        "txn_count_10m", "txn_count_1h", "unique_ips_1h",
+        "unique_merchants_1h", "velocity_score_1h",
+        "amount_deviation_score_1h", "night_txn_count_24h",
+        "weekend_txn_count_7d", "avg_txn_amount_1h")
+      val corrSel = fnames.map(f => s"corr($f, y) AS c_$f").mkString(",\n    ")
+      val melt = fnames.map(f =>
+        s"SELECT '$f' AS feature, round(c_$f + 5e-11, 4) AS target_corr, coalesce(abs(round(c_$f + 5e-11, 4)), -1.0) AS abs_corr FROM c")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $featureCte,
+lab AS (SELECT f.*, CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y FROM f),
+c AS (SELECT
+    $corrSel
+  FROM lab),
+m AS ($melt)
+SELECT m.feature, m.target_corr, m.abs_corr,
+  CAST(1 + sum(CASE WHEN m2.abs_corr > m.abs_corr OR (m2.abs_corr = m.abs_corr AND m2.feature < m.feature) THEN 1 ELSE 0 END) AS BIGINT) AS rank
+FROM m CROSS JOIN m m2
+GROUP BY m.feature, m.target_corr, m.abs_corr""" },
     "q161_feature_importance" -> {
       val stdCols = Risk.model.zipWithIndex.map { case ((f, wgt, n), i) =>
         s"stddev_pop(least($f / $n, 1.0) * $wgt) AS s$i"
