@@ -156,6 +156,59 @@ object CoreQueries extends QueryPack {
         .select(col("feature"), col("target_corr"), col("abs_corr"),
           (col("__nb") + 1).as("rank"))
     },
+    // univariate feature selection (the notebook's SelectKBest(f_classif)
+    // screen, notebooks/aml_analysis.ipynb cell 2 + sklearn
+    // feature_selection): one-way ANOVA F-statistic of every window
+    // feature against the binary label — closed form from per-class
+    // count/sum/sumsq, so ALL features screen in ONE conditional
+    // aggregate; ranked by 4dp F desc (feature-name tie-break,
+    // triangular join), selected = top-5 like SelectKBest(k=5).
+    "q209_select_kbest" -> { (s, dir) =>
+      val fnames = Seq("amount", "txn_amount_sum_60s", "txn_amount_sum_5m",
+        "txn_amount_sum_1h", "txn_count_60s", "txn_count_5m",
+        "txn_count_10m", "txn_count_1h", "unique_ips_1h",
+        "unique_merchants_1h", "velocity_score_1h",
+        "amount_deviation_score_1h", "night_txn_count_24h",
+        "weekend_txn_count_7d", "avg_txn_amount_1h")
+      val feats = F.customerFeatures(Tables.transactions(s, dir))
+        .withColumn("y", (col("merchant_id") === "error").cast("int"))
+      val aggs =
+        Seq(sum(when(col("y") === 0, 1L).otherwise(0L)).cast("double").as("n0"),
+          sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double").as("n1")) ++
+        fnames.flatMap { f =>
+          val x = col(f).cast("double")
+          Seq(sum(when(col("y") === 0, x)).as(s"s0_$f"),
+            sum(when(col("y") === 1, x)).as(s"s1_$f"),
+            sum(when(col("y") === 0, x * x)).as(s"q0_$f"),
+            sum(when(col("y") === 1, x * x)).as(s"q1_$f"))
+        }
+      val mom = feats.agg(aggs.head, aggs.tail: _*)
+      def fstat(f: String): Column = {
+        val (n0, n1) = (col("n0"), col("n1"))
+        val (s0, s1) = (col(s"s0_$f"), col(s"s1_$f"))
+        val (q0, q1) = (col(s"q0_$f"), col(s"q1_$f"))
+        val m0 = s0 / n0
+        val m1 = s1 / n1
+        val m = (s0 + s1) / (n0 + n1)
+        val ssb = n0 * (m0 - m) * (m0 - m) + n1 * (m1 - m) * (m1 - m)
+        val ssw = (q0 - n0 * m0 * m0) + (q1 - n1 * m1 * m1)
+        when(n0 > 1 && n1 > 1 && ssw > 0,
+          ssb / (ssw / (n0 + n1 - 2)))
+      }
+      val melted = mom.select(explode(array(fnames.map(f =>
+          struct(lit(f).as("feature"), fstat(f).as("fv"))): _*)).as("e"))
+        .select(col("e.feature"), r6(col("e.fv")).as("f_stat"),
+          coalesce(r6(col("e.fv")), lit(-1.0)).as("__fr"))
+        .localCheckpoint() // 15 rows; read twice for the triangular rank
+      val o = melted.select(col("feature").as("__f2"), col("__fr").as("__v2"))
+      melted.crossJoin(o)
+        .groupBy(col("feature"), col("f_stat"), col("__fr"))
+        .agg(sum(when(col("__v2") > col("__fr") ||
+          (col("__v2") === col("__fr") && col("__f2") < col("feature")), 1L)
+          .otherwise(0L)).as("__nb"))
+        .select(col("feature"), col("f_stat"), (col("__nb") + 1).as("rank"),
+          (col("__nb") + 1 <= 5).as("selected"))
+    },
     "q161_feature_importance" -> { (s, dir) =>
       val feats = F.customerFeatures(Tables.transactions(s, dir))
       val aggs = Risk.model.map { case (f, wgt, norm) =>
@@ -232,6 +285,43 @@ SELECT m.feature, m.target_corr, m.abs_corr,
   CAST(1 + sum(CASE WHEN m2.abs_corr > m.abs_corr OR (m2.abs_corr = m.abs_corr AND m2.feature < m.feature) THEN 1 ELSE 0 END) AS BIGINT) AS rank
 FROM m CROSS JOIN m m2
 GROUP BY m.feature, m.target_corr, m.abs_corr""" },
+    "q209_select_kbest" -> {
+      val fnames = Seq("amount", "txn_amount_sum_60s", "txn_amount_sum_5m",
+        "txn_amount_sum_1h", "txn_count_60s", "txn_count_5m",
+        "txn_count_10m", "txn_count_1h", "unique_ips_1h",
+        "unique_merchants_1h", "velocity_score_1h",
+        "amount_deviation_score_1h", "night_txn_count_24h",
+        "weekend_txn_count_7d", "avg_txn_amount_1h")
+      val momSel = (Seq(
+        "CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0",
+        "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1") ++
+        fnames.flatMap { f =>
+          val x = s"CAST($f AS DOUBLE)"
+          Seq(s"sum(CASE WHEN y = 0 THEN $x END) AS s0_$f",
+            s"sum(CASE WHEN y = 1 THEN $x END) AS s1_$f",
+            s"sum(CASE WHEN y = 0 THEN $x*$x END) AS q0_$f",
+            s"sum(CASE WHEN y = 1 THEN $x*$x END) AS q1_$f")
+        }).mkString(",\n    ")
+      def fstat(f: String) = {
+        val (s0, s1, q0, q1) = (s"s0_$f", s"s1_$f", s"q0_$f", s"q1_$f")
+        s"""CASE WHEN n0 > 1 AND n1 > 1 AND (($q0 - n0*($s0/n0)*($s0/n0)) + ($q1 - n1*($s1/n1)*($s1/n1))) > 0 THEN
+      (n0*($s0/n0 - ($s0 + $s1)/(n0 + n1))*($s0/n0 - ($s0 + $s1)/(n0 + n1)) + n1*($s1/n1 - ($s0 + $s1)/(n0 + n1))*($s1/n1 - ($s0 + $s1)/(n0 + n1)))
+        / ((($q0 - n0*($s0/n0)*($s0/n0)) + ($q1 - n1*($s1/n1)*($s1/n1))) / (n0 + n1 - 2)) END"""
+      }
+      val melt = fnames.map(f =>
+        s"SELECT '$f' AS feature, round(${fstat(f)} + 5e-11, 4) AS f_stat, coalesce(round(${fstat(f)} + 5e-11, 4), -1.0) AS fr FROM c")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $featureCte,
+lab AS (SELECT f.*, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y FROM f),
+c AS (SELECT
+    $momSel
+  FROM lab),
+m AS ($melt)
+SELECT m.feature, m.f_stat,
+  CAST(1 + sum(CASE WHEN m2.fr > m.fr OR (m2.fr = m.fr AND m2.feature < m.feature) THEN 1 ELSE 0 END) AS BIGINT) AS rank,
+  CAST(1 + sum(CASE WHEN m2.fr > m.fr OR (m2.fr = m.fr AND m2.feature < m.feature) THEN 1 ELSE 0 END) AS BIGINT) <= 5 AS selected
+FROM m CROSS JOIN m m2
+GROUP BY m.feature, m.f_stat, m.fr""" },
     "q161_feature_importance" -> {
       val stdCols = Risk.model.zipWithIndex.map { case ((f, wgt, n), i) =>
         s"stddev_pop(least($f / $n, 1.0) * $wgt) AS s$i"

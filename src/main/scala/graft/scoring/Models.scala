@@ -143,12 +143,34 @@ object Models {
     * Output: feature, threshold (double), n_left/pos_left/n_right/
     * pos_right (exact longs), gini (double, unrounded).
     */
+  /** Melted single-pass candidate base shared by the stump/tree fits:
+    * ONE fact-table scan and ONE (feature, threshold) shuffle feed every
+    * feature's distinct-value count table, localCheckpoint'ed so the
+    * per-feature cumsum pipelines — which each consume it several times
+    * (bucket-boundary probe, local window, per-bucket totals, grand
+    * totals) — re-read a (Σ distinct values)-sized table instead of
+    * re-scanning and re-shuffling the fact table once per consumer.
+    * `keep` columns (label, membership flags) are evaluated BEFORE the
+    * explode so row-level expressions see the original row once.
+    */
+  private def meltedPer(df: DataFrame, features: Seq[String],
+      keep: Seq[Column], keepNames: Seq[String],
+      aggs: Seq[Column]): DataFrame =
+    df.select(keep :+ explode(array(features.map(f =>
+        struct(lit(f).as("f"), col(f).cast("double").as("t"))): _*)).as("__e"): _*)
+      .select(col("__e.f").as("__feat") +: col("__e.t").as("threshold") +:
+        keepNames.map(col): _*)
+      .groupBy(col("__feat"), col("threshold"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+
   def stumpCandidates(df: DataFrame, features: Seq[String],
       label: Column): DataFrame = {
     val y = label.cast("long")
+    val per0 = meltedPer(df, features, Seq(y.as("__y")), Seq("__y"),
+      Seq(count(lit(1)).as("__n"), sum(col("__y")).as("__p")))
     features.map { f =>
-      val per = df.groupBy(col(f).cast("double").as("threshold"))
-        .agg(count(lit(1)).as("__n"), sum(y).as("__p"))
+      val per = per0.where(col("__feat") === f).drop("__feat")
       val tot = per.agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
       val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
         Seq(col("__n") -> "n_left", col("__p") -> "pos_left"))
@@ -219,12 +241,14 @@ object Models {
       label: Column, groups: Int, member: Int => Column,
       groupOut: String): DataFrame = {
     val y = label.cast("long")
+    val aggs = (0 until groups).flatMap(b => Seq(
+      sum(when(col(s"__m$b"), 1L).otherwise(0L)).as(s"__n$b"),
+      sum(when(col(s"__m$b"), col("__y")).otherwise(lit(0L))).as(s"__p$b")))
+    val per0 = meltedPer(df, features,
+      (0 until groups).map(b => member(b).as(s"__m$b")) :+ y.as("__y"),
+      (0 until groups).map(b => s"__m$b") :+ "__y", aggs)
     features.map { f =>
-      val aggs = (0 until groups).flatMap(b => Seq(
-        sum(when(member(b), 1L).otherwise(0L)).as(s"__n$b"),
-        sum(when(member(b), y).otherwise(lit(0L))).as(s"__p$b")))
-      val per = df.groupBy(col(f).cast("double").as("threshold"))
-        .agg(aggs.head, aggs.tail: _*)
+      val per = per0.where(col("__feat") === f).drop("__feat")
       val totAggs = (0 until groups).flatMap(b => Seq(
         sum(col(s"__n$b")).as(s"__tn$b"), sum(col(s"__p$b")).as(s"__tp$b")))
       val tot = per.agg(totAggs.head, totAggs.tail: _*)
