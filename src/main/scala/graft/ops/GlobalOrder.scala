@@ -168,6 +168,66 @@ object GlobalOrder {
     }.drop(BKT)
   }
 
+  /** PER-PARTITION running sums under a shared bucket layout: the
+    * [[withCumSums]] machinery with every window / total / offset scoped
+    * by `partNames` — ONE boundary probe, ONE bucket shuffle, ONE
+    * offset join for ALL partitions, instead of one full pipeline per
+    * partition value (the fused tree fits run one pipeline per LEVEL
+    * where the per-feature form ran |features|).
+    *
+    * Bucket boundaries come from the COMBINED first-order-key
+    * distribution, so each (partition, bucket) cell is that partition's
+    * contiguous key range — cumsums stay exact and bit-identical to the
+    * per-partition [[withCumSums]] (integral sums only, same guard).
+    * Balance note: a partition whose keys concentrate in few buckets
+    * (e.g. a 24-value categorical next to a continuous column) yields
+    * small skewed cells — bounded by that partition's distinct-value
+    * count, which is exactly the table the per-partition form would
+    * single-pipeline anyway.
+    */
+  def withCumSumsBy(df: DataFrame, partNames: Seq[String],
+      order: Seq[Column], sums: Seq[(Column, String)],
+      sampleMod: Int = 64): DataFrame = {
+    require(partNames.nonEmpty, "withCumSumsBy: need partition columns")
+    df.select(sums.map { case (e, out) => e.as(out) }: _*).schema.foreach { f =>
+      require(f.dataType != org.apache.spark.sql.types.DoubleType &&
+              f.dataType != org.apache.spark.sql.types.FloatType,
+        s"withCumSumsBy(${f.name}): float/double running sums re-associate " +
+        "across buckets; sum exact integers/decimals and divide at the end")
+    }
+    val part = partNames.map(col)
+    val b = bucketed(df, order, sampleMod)
+    val wLoc = Window.partitionBy(part :+ col(BKT): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(b) { case (d, (e, out)) =>
+      d.withColumn(out, sum(e).over(wLoc))
+    }
+    val aggExprs = sums.flatMap { case (e, out) =>
+      Seq(sum(e).as(s"__t_$out"), count(e).as(s"__n_$out")) }
+    val totals = b.groupBy(part :+ col(BKT): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val sumCols = sums.flatMap(s => Seq(s"__t_${s._2}", s"__n_${s._2}"))
+    val other = totals.select(
+      partNames.map(n => col(n).as(s"__p2_$n")) ++
+        (col(BKT).as("__b2") +: sumCols.map(c => col(c).as(s"__x_$c"))): _*)
+    val joinCond = partNames.map(n => col(s"__p2_$n") === col(n))
+      .reduce(_ && _) && col("__b2") < col(BKT)
+    val side = totals.join(other, joinCond, "left")
+      .groupBy(part ++ (col(BKT) +: sumCols.map(col)): _*)
+      .agg(
+        coalesce(sum(col(s"__x_${sumCols.head}")), lit(0L)).as(s"__off_${sumCols.head}"),
+        sumCols.tail.map(c => coalesce(sum(col(s"__x_$c")), lit(0L)).as(s"__off_$c")): _*)
+      .select(part ++ (col(BKT) +: sumCols.map(c => col(s"__off_$c"))): _*)
+    val withOff = local.join(broadcast(side), partNames :+ BKT)
+    sums.foldLeft(withOff) { case (d, (_, out)) =>
+      val off = col(s"__off___t_$out")
+      val priorN = col(s"__off___n_$out")
+      d.withColumn(out,
+          when(col(out).isNotNull, col(out) + off)
+            .otherwise(when(priorN > 0, off)))
+        .drop(s"__off___t_$out", s"__off___n_$out")
+    }.drop(BKT)
+  }
+
   /** Exact SQL `NTILE(k)` bucket from a global row number and total count:
     * the first `n % k` buckets get `n div k + 1` rows, the rest `n div k`.
     */

@@ -56,36 +56,47 @@ object Boosting {
     var fitted = List.empty[Stump] // reverse fit order
     for (_ <- 1 to rounds) {
       val prior = fitted.reverse
-      val cands = features.map { f =>
-        val aggs = Seq(count(lit(1)).as("__cn"), sum(y).as("__csy")) ++
-          prior.zipWithIndex.map { case (st, j) =>
-            sum(when(col(st.feature).cast("double") <= st.threshold, 1L)
-              .otherwise(0L)).as(s"__cc$j")
-          }
-        val per = df.groupBy(col(f).cast("double").as("threshold"))
-          .agg(aggs.head, aggs.tail: _*)
-        val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
-          Seq(col("__cn") -> "nl", col("__csy") -> "syl") ++
-            prior.indices.map(j => col(s"__cc$j") -> s"cll$j"))
-        val totAggs = Seq(sum(col("__cn")).as("tn"), sum(col("__csy")).as("tsy")) ++
-          prior.indices.map(j => sum(col(s"__cc$j")).as(s"tcl$j"))
-        val tot = per.agg(totAggs.head, totAggs.tail: _*)
-        // residual sum over a side from its integer counts + rounded
-        // literals — the oracle writes the same expression in the same
-        // associativity
-        def residSum(sy: Column, n: Column, cl: Int => Column): Column =
-          prior.zipWithIndex.foldLeft(sy - n * lit(f0)) { case (acc, (st, j)) =>
-            acc - (lit(st.vl) * cl(j) + lit(st.vr) * (n - cl(j)))
-          }
-        cum.crossJoin(broadcast(tot))
-          .select(lit(f).as("feature"), col("threshold"), col("nl"), col("tn"),
-            residSum(col("syl"), col("nl"), j => col(s"cll$j")).as("sl"),
-            residSum(col("tsy"), col("tn"), j => col(s"tcl$j")).as("stot"))
-          .where(col("nl") < col("tn")) // right side non-empty
-          .select(col("feature"), col("threshold"), col("nl"),
-            (col("tn") - col("nl")).as("nr"),
-            col("sl"), (col("stot") - col("sl")).as("sr"))
-      }.reduce(_.unionByName(_))
+      // ONE melted (feature, value) scan + ONE partitioned cumsum
+      // pipeline per round (the Models.meltedPer recipe): prior-round
+      // left-membership flags evaluate on the original row BEFORE the
+      // explode, counts stay integers, so candidates are bit-identical
+      // to the per-feature form the oracle replays.
+      val melted = df.select(
+        (y.as("__y") +: prior.zipWithIndex.map { case (st, j) =>
+          (col(st.feature).cast("double") <= st.threshold).as(s"__pf$j")
+        }) :+ explode(array(features.map(f =>
+          struct(lit(f).as("f"), col(f).cast("double").as("t"))): _*)).as("__e"): _*)
+      val aggs = Seq(count(lit(1)).as("__cn"), sum(col("__y")).as("__csy")) ++
+        prior.indices.map(j =>
+          sum(when(col(s"__pf$j"), 1L).otherwise(0L)).as(s"__cc$j"))
+      val per = melted
+        .select(col("__e.f").as("__feat") +: col("__e.t").as("threshold") +:
+          col("__y") +: prior.indices.map(j => col(s"__pf$j")): _*)
+        .groupBy(col("__feat"), col("threshold"))
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint() // cumsum + totals re-read the value table
+      val cum = graft.ops.GlobalOrder.withCumSumsBy(per, Seq("__feat"),
+        Seq(col("threshold")),
+        Seq(col("__cn") -> "nl", col("__csy") -> "syl") ++
+          prior.indices.map(j => col(s"__cc$j") -> s"cll$j"))
+      val totAggs = Seq(sum(col("__cn")).as("tn"), sum(col("__csy")).as("tsy")) ++
+        prior.indices.map(j => sum(col(s"__cc$j")).as(s"tcl$j"))
+      val tot = per.groupBy(col("__feat")).agg(totAggs.head, totAggs.tail: _*)
+      // residual sum over a side from its integer counts + rounded
+      // literals — the oracle writes the same expression in the same
+      // associativity
+      def residSum(sy: Column, n: Column, cl: Int => Column): Column =
+        prior.zipWithIndex.foldLeft(sy - n * lit(f0)) { case (acc, (st, j)) =>
+          acc - (lit(st.vl) * cl(j) + lit(st.vr) * (n - cl(j)))
+        }
+      val cands = cum.join(broadcast(tot), "__feat")
+        .select(col("__feat").as("feature"), col("threshold"), col("nl"), col("tn"),
+          residSum(col("syl"), col("nl"), j => col(s"cll$j")).as("sl"),
+          residSum(col("tsy"), col("tn"), j => col(s"tcl$j")).as("stot"))
+        .where(col("nl") < col("tn")) // right side non-empty
+        .select(col("feature"), col("threshold"), col("nl"),
+          (col("tn") - col("nl")).as("nr"),
+          col("sl"), (col("stot") - col("sl")).as("sr"))
 
       val best = cands.select(col("feature"), col("threshold"),
           graft.queries.r6(col("sl") * col("sl") / col("nl") +
@@ -158,22 +169,24 @@ object Boosting {
     val base = df.agg(count(lit(1)).as("__n"), sum(y).as("__sy")).head()
     val f0 = KMeansOps.r6d(base.getLong(1).toDouble / base.getLong(0))
 
-    // candidate table from a per-threshold count table: GlobalOrder
-    // integral cumsums + residual sums; phantoms (nl = 0 below a side's
-    // min value) and empty right sides filtered BEFORE the argmax — a
+    // candidate table from the fused melted count table (__feat,
+    // threshold, counts): ONE partitioned cumsum pipeline for every
+    // feature + residual sums; phantoms (nl = 0 below a side's min
+    // value) and empty right sides filtered BEFORE the argmax — a
     // 0/0 gain is NaN, which Spark's desc order would sort first
-    def candsFrom(per: DataFrame, f: String, nPrior: Int,
+    def candsFromAll(perAll: DataFrame, nPrior: Int,
         residSum: (Column, Column, (Int, Int) => Column) => Column): DataFrame = {
-      val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
+      val cum = graft.ops.GlobalOrder.withCumSumsBy(perAll, Seq("__feat"),
+        Seq(col("threshold")),
         Seq(col("__cn") -> "nl", col("__csy") -> "syl") ++
           (0 until nPrior).flatMap(r => (0 to 2).map(l =>
             col(s"__c${r}_$l") -> s"cll${r}_$l")))
       val totAggs = Seq(sum(col("__cn")).as("tn"), sum(col("__csy")).as("tsy")) ++
         (0 until nPrior).flatMap(r => (0 to 2).map(l =>
           sum(col(s"__c${r}_$l")).as(s"tcl${r}_$l")))
-      val tot = per.agg(totAggs.head, totAggs.tail: _*)
-      cum.crossJoin(broadcast(tot))
-        .select(lit(f).as("feature"), col("threshold"), col("nl"), col("tn"),
+      val tot = perAll.groupBy(col("__feat")).agg(totAggs.head, totAggs.tail: _*)
+      cum.join(broadcast(tot), "__feat")
+        .select(col("__feat").as("feature"), col("threshold"), col("nl"), col("tn"),
           residSum(col("syl"), col("nl"),
             (r, l) => col(s"cll${r}_$l")).as("sl"),
           residSum(col("tsy"), col("tn"),
@@ -183,6 +196,17 @@ object Boosting {
           (col("tn") - col("nl")).as("nr"),
           col("sl"), (col("stot") - col("sl")).as("sr"))
     }
+    // melted per-threshold count table: `flags` evaluate on the original
+    // row BEFORE the explode; aggs reference them by name
+    def meltedCounts(flags: Seq[Column], aggs: Seq[Column],
+        flagNames: Seq[String]): DataFrame =
+      df.select((y.as("__y") +: flags) :+ explode(array(features.map(f =>
+          struct(lit(f).as("f"), col(f).cast("double").as("t"))): _*)).as("__e"): _*)
+        .select(col("__e.f").as("__feat") +: col("__e.t").as("threshold") +:
+          col("__y") +: flagNames.map(col): _*)
+        .groupBy(col("__feat"), col("threshold"))
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint() // cumsum + totals re-read the value table
 
     def argmaxGain(cands: DataFrame) =
       cands.select(col("feature"), col("threshold"),
@@ -205,47 +229,43 @@ object Boosting {
             lit(tr.v2) * c(r, 2) +
             lit(tr.v3) * (n - c(r, 0) - c(r, 1) - c(r, 2)))
         }
-      def leafCountAggs(member: Column): Seq[(Column, String)] =
-        prior.zipWithIndex.flatMap { case (tr, r) =>
-          (0 to 2).map { l =>
-            sum(when(member && leafIndex(tr) === l, 1L).otherwise(0L)) ->
-              s"c${r}_$l"
-          }
-        }
+      val leafFlags = prior.zipWithIndex.flatMap { case (tr, r) =>
+        (0 to 2).map(l => (leafIndex(tr) === l).as(s"__lf${r}_$l"))
+      }
+      val leafFlagNames = prior.indices.flatMap(r =>
+        (0 to 2).map(l => s"__lf${r}_$l"))
 
-      // pass 1: root candidates (whole table)
-      val rootCands = features.map { f =>
-        val aggs = Seq(sum(when(lit(true), 1L).otherwise(0L)).as("__cn"),
-          sum(when(lit(true), y).otherwise(lit(0L))).as("__csy")) ++
-          leafCountAggs(lit(true)).map { case (c, nm) => c.as(s"__$nm") }
-        val per = df.groupBy(col(f).cast("double").as("threshold"))
-          .agg(aggs.head, aggs.tail: _*)
-        candsFrom(per, f, prior.size, residSum)
-      }.reduce(_.unionByName(_))
+      // pass 1: root candidates (whole table), every feature in one
+      // melted scan + one partitioned cumsum pipeline
+      val rootAggs = Seq(count(lit(1)).as("__cn"), sum(col("__y")).as("__csy")) ++
+        prior.indices.flatMap(r => (0 to 2).map(l =>
+          sum(when(col(s"__lf${r}_$l"), 1L).otherwise(0L)).as(s"__c${r}_$l")))
+      val rootCands = candsFromAll(
+        meltedCounts(leafFlags, rootAggs, leafFlagNames), prior.size, residSum)
       val rootBest = argmaxGain(rootCands)
       val (rootF, rootT) = (rootBest.getString(0), rootBest.getDouble(1))
       val side = when(col(rootF).cast("double") <= lit(rootT), 0).otherwise(1)
 
-      // pass 2: BOTH children fused — ONE distinct-value groupBy per
-      // feature carries both sides' conditional sums (checkpointed so
-      // the per-side cumsum pipelines re-read the tiny value table, not
-      // the fact table)
-      val childCands = features.map { f =>
-        val aggs = (0 to 1).flatMap { s =>
-          Seq(sum(when(side === s, 1L).otherwise(0L)).as(s"__cn$s"),
-            sum(when(side === s, y).otherwise(lit(0L))).as(s"__csy$s")) ++
-            leafCountAggs(side === s).map { case (c, nm) => c.as(s"__${nm}_$s") }
-        }
-        val per = df.groupBy(col(f).cast("double").as("threshold"))
-          .agg(aggs.head, aggs.tail: _*).localCheckpoint()
-        (0 to 1).map { s =>
-          val renamed = per.select(col("threshold") +:
-            (Seq(col(s"__cn$s").as("__cn"), col(s"__csy$s").as("__csy")) ++
-              prior.indices.flatMap(r => (0 to 2).map(l =>
-                col(s"__c${r}_${l}_$s").as(s"__c${r}_$l")))): _*)
-          candsFrom(renamed, f, prior.size, residSum)
-            .select(lit(s).as("side"), col("*"))
-        }.reduce(_.unionByName(_))
+      // pass 2: BOTH children fused — one melted scan carries both
+      // sides' conditional sums; the per-side cumsum pipelines re-read
+      // the checkpointed value table, not the fact table
+      val sideFlags = (0 to 1).map(s => (side === s).as(s"__sd$s"))
+      val childAggs = (0 to 1).flatMap { s =>
+        Seq(sum(when(col(s"__sd$s"), 1L).otherwise(0L)).as(s"__cn$s"),
+          sum(when(col(s"__sd$s"), col("__y")).otherwise(lit(0L))).as(s"__csy$s")) ++
+          prior.indices.flatMap(r => (0 to 2).map(l =>
+            sum(when(col(s"__sd$s") && col(s"__lf${r}_$l"), 1L).otherwise(0L))
+              .as(s"__c${r}_${l}_$s")))
+      }
+      val perC = meltedCounts(leafFlags ++ sideFlags, childAggs,
+        leafFlagNames ++ Seq("__sd0", "__sd1"))
+      val childCands = (0 to 1).map { s =>
+        val renamed = perC.select(col("__feat") +: col("threshold") +:
+          (Seq(col(s"__cn$s").as("__cn"), col(s"__csy$s").as("__csy")) ++
+            prior.indices.flatMap(r => (0 to 2).map(l =>
+              col(s"__c${r}_${l}_$s").as(s"__c${r}_$l")))): _*)
+        candsFromAll(renamed, prior.size, residSum)
+          .select(lit(s).as("side"), col("*"))
       }.reduce(_.unionByName(_)).localCheckpoint() // tiny: distinct values × 2
       def childBest(s: Int) = argmaxGain(childCands.where(col("side") === s))
       val lb = childBest(0)

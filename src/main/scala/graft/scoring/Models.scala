@@ -169,21 +169,20 @@ object Models {
     val y = label.cast("long")
     val per0 = meltedPer(df, features, Seq(y.as("__y")), Seq("__y"),
       Seq(count(lit(1)).as("__n"), sum(col("__y")).as("__p")))
-    features.map { f =>
-      val per = per0.where(col("__feat") === f).drop("__feat")
-      val tot = per.agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
-      val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
-        Seq(col("__n") -> "n_left", col("__p") -> "pos_left"))
-      cum.crossJoin(broadcast(tot))
-        .where(col("n_left") < col("__tn")) // right side non-empty
-        .select(lit(f).as("feature"), col("threshold"),
-          col("n_left"), col("pos_left"),
-          (col("__tn") - col("n_left")).as("n_right"),
-          (col("__tp") - col("pos_left")).as("pos_right"),
-          (giniOf(col("pos_left"), col("n_left")) * col("n_left") / col("__tn") +
-            giniOf(col("__tp") - col("pos_left"), col("__tn") - col("n_left")) *
-              (col("__tn") - col("n_left")) / col("__tn")).as("gini"))
-    }.reduce(_.unionByName(_))
+    val tot = per0.groupBy(col("__feat"))
+      .agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
+    val cum = graft.ops.GlobalOrder.withCumSumsBy(per0, Seq("__feat"),
+      Seq(col("threshold")),
+      Seq(col("__n") -> "n_left", col("__p") -> "pos_left"))
+    cum.join(broadcast(tot), "__feat")
+      .where(col("n_left") < col("__tn")) // right side non-empty
+      .select(col("__feat").as("feature"), col("threshold"),
+        col("n_left"), col("pos_left"),
+        (col("__tn") - col("n_left")).as("n_right"),
+        (col("__tp") - col("pos_left")).as("pos_right"),
+        (giniOf(col("pos_left"), col("n_left")) * col("n_left") / col("__tn") +
+          giniOf(col("__tp") - col("pos_left"), col("__tn") - col("n_left")) *
+            (col("__tn") - col("n_left")) / col("__tn")).as("gini"))
   }
 
   /** Bagged twin of [[stumpCandidates]], fused: ONE distinct-value
@@ -247,31 +246,29 @@ object Models {
     val per0 = meltedPer(df, features,
       (0 until groups).map(b => member(b).as(s"__m$b")) :+ y.as("__y"),
       (0 until groups).map(b => s"__m$b") :+ "__y", aggs)
-    features.map { f =>
-      val per = per0.where(col("__feat") === f).drop("__feat")
-      val totAggs = (0 until groups).flatMap(b => Seq(
-        sum(col(s"__n$b")).as(s"__tn$b"), sum(col(s"__p$b")).as(s"__tp$b")))
-      val tot = per.agg(totAggs.head, totAggs.tail: _*)
-      val cum = graft.ops.GlobalOrder.withCumSums(per, Seq(col("threshold")),
-        (0 until groups).flatMap(b =>
-          Seq(col(s"__n$b") -> s"__nl$b", col(s"__p$b") -> s"__pl$b")))
-      val grpStructs = (0 until groups).map(b => struct(
-        lit(b).as("grp"), col(s"__nl$b").as("nl"), col(s"__pl$b").as("pl"),
-        col(s"__tn$b").as("tn"), col(s"__tp$b").as("tp")))
-      cum.crossJoin(broadcast(tot))
-        .select(col("threshold"), explode(array(grpStructs: _*)).as("s"))
-        // real candidates only: left side non-empty (phantoms below the
-        // group's min value have nl = 0 — not thresholds of the filtered
-        // fit) and right side non-empty (the group's max value)
-        .where(col("s.nl") > 0 && col("s.nl") < col("s.tn"))
-        .select(col("s.grp").as(groupOut), lit(f).as("feature"), col("threshold"),
-          col("s.nl").as("n_left"), col("s.pl").as("pos_left"),
-          (col("s.tn") - col("s.nl")).as("n_right"),
-          (col("s.tp") - col("s.pl")).as("pos_right"),
-          (giniOf(col("s.pl"), col("s.nl")) * col("s.nl") / col("s.tn") +
-            giniOf(col("s.tp") - col("s.pl"), col("s.tn") - col("s.nl")) *
-              (col("s.tn") - col("s.nl")) / col("s.tn")).as("gini"))
-    }.reduce(_.unionByName(_))
+    val totAggs = (0 until groups).flatMap(b => Seq(
+      sum(col(s"__n$b")).as(s"__tn$b"), sum(col(s"__p$b")).as(s"__tp$b")))
+    val tot = per0.groupBy(col("__feat")).agg(totAggs.head, totAggs.tail: _*)
+    val cum = graft.ops.GlobalOrder.withCumSumsBy(per0, Seq("__feat"),
+      Seq(col("threshold")),
+      (0 until groups).flatMap(b =>
+        Seq(col(s"__n$b") -> s"__nl$b", col(s"__p$b") -> s"__pl$b")))
+    val grpStructs = (0 until groups).map(b => struct(
+      lit(b).as("grp"), col(s"__nl$b").as("nl"), col(s"__pl$b").as("pl"),
+      col(s"__tn$b").as("tn"), col(s"__tp$b").as("tp")))
+    cum.join(broadcast(tot), "__feat")
+      .select(col("__feat"), col("threshold"), explode(array(grpStructs: _*)).as("s"))
+      // real candidates only: left side non-empty (phantoms below the
+      // group's min value have nl = 0 — not thresholds of the filtered
+      // fit) and right side non-empty (the group's max value)
+      .where(col("s.nl") > 0 && col("s.nl") < col("s.tn"))
+      .select(col("s.grp").as(groupOut), col("__feat").as("feature"), col("threshold"),
+        col("s.nl").as("n_left"), col("s.pl").as("pos_left"),
+        (col("s.tn") - col("s.nl")).as("n_right"),
+        (col("s.tp") - col("s.pl")).as("pos_right"),
+        (giniOf(col("s.pl"), col("s.nl")) * col("s.nl") / col("s.tn") +
+          giniOf(col("s.tp") - col("s.pl"), col("s.tn") - col("s.nl")) *
+            (col("s.tn") - col("s.nl")) / col("s.tn")).as("gini"))
   }
 
   /** Gini impurity 1 − p² − (1−p)² of a side with `pos` positives out of
