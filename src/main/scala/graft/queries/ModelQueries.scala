@@ -882,6 +882,43 @@ FROM events"""
         r6(col("__implr")).as("imp_lr"),
         r6(col("__impit")).as("imp_iters")): _*)
     },
+    // recursive feature elimination (the notebook's third selector,
+    // notebooks/aml_analysis.ipynb cell 2 / sklearn RFE): fit the
+    // fused-gradient logistic model, drop the feature with the smallest
+    // 4dp |standardized weight| (feature-order tie-break), refit on the
+    // survivors — two elimination rounds over 4 features, then a final
+    // fit. The DuckDB oracle replays each stage as a masked GD chain:
+    // a dropped feature's weight is pinned to literal 0.0 by a CASE on
+    // the argmin scalar, which is arithmetically identical to refitting
+    // without it. Rankings follow sklearn's ranking_ (selected = 1,
+    // later drops rank better).
+    "q210_rfe" -> { (s, dir) =>
+      val allF = Seq("value", "hb", "dowi", "vb")
+      val f = eventFeatures(s, dir).localCheckpoint() // 3 fits × 6 GD passes
+      def rounded(m: graft.scoring.Trainer.LogisticModel): Map[String, Double] =
+        m.features.zip(m.weights.map(graft.scoring.KMeansOps.r6d)).toMap
+      var kept = allF
+      var drops = List.empty[(String, Int)] // (feature, round)
+      for (round <- 1 to 2) {
+        val m = graft.scoring.Trainer.fitLogistic(f, kept, col("y"),
+          iters = 6, lr = 0.5)
+        val rw = rounded(m)
+        val drop = kept.minBy(ft => (math.abs(rw(ft)), allF.indexOf(ft)))
+        drops ::= ((drop, round))
+        kept = kept.filterNot(_ == drop)
+      }
+      val rwf = rounded(graft.scoring.Trainer.fitLogistic(f, kept, col("y"),
+        iters = 6, lr = 0.5))
+      val byFeat = drops.toMap
+      allF.map { ft =>
+        val round = byFeat.getOrElse(ft, 0)
+        s.range(1).select(lit(ft).as("feature"),
+          lit(round == 0).as("selected"),
+          lit(round.toLong).as("elim_round"),
+          lit(if (round == 0) 1L else (4 - round).toLong).as("ranking"),
+          lit(if (round == 0) rwf(ft) else 0.0).as("final_weight"))
+      }.reduce(_.unionByName(_))
+    },
     // deterministic bagged-stump ensemble (the reference's RF/ensemble
     // slot, RNG-free): 3 leave-one-fold-out bags via the md5 split
     // bucket, the exact CART stump per bag, majority vote over the full
@@ -2074,6 +2111,72 @@ SELECT a.n, f0.v AS f0,
   $outCols,
   a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
 FROM a CROSS JOIN u CROSS JOIN f0$joins"""
+    },
+    "q210_rfe" -> {
+      // three masked unrolled-GD chains: the argmin scalar d1/d2 pins a
+      // dropped feature's weight to literal 0.0 inside each update CASE
+      // (arithmetically identical to refitting without the feature);
+      // argmins compare 4dp |weights| with lowest-index tie-break,
+      // mirroring the Scala minBy.
+      val idx = 0 until 4
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      def chain(sfx: String, iters: Int, masks: Seq[String]): String = {
+        val mjoin = masks.map(m => s", $m").mkString
+        def isDropped(j: Int) = masks.map(m => s"$m.d = $j").mkString(" OR ")
+        val i0 = s"i0_$sfx AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val its = (1 to iters).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map { i =>
+            val base = s"i.w$i - 0.5*avg(($p - d.y) * d.x$i)"
+            if (masks.isEmpty) s"$base AS w$i"
+            else s"CASE WHEN ${isDropped(i)} THEN 0.0 ELSE $base END AS w$i"
+          }.mkString(",\n    ") + s",\n    i.b - 0.5*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b" +
+            masks.map(m => s", $m.d").mkString
+          s"i${k}_$sfx AS MATERIALIZED (SELECT $upd\n  FROM d, i${k - 1}_$sfx i$mjoin GROUP BY $grp)"
+        }.mkString(",\n")
+        s"$i0,\n$its"
+      }
+      def absW(src: String, j: Int) = s"abs(round($src.w$j + 5e-11, 4))"
+      def argminCte(name: String, src: String, masks: Seq[String]): String = {
+        def a(j: Int) =
+          if (masks.isEmpty) absW(src, j)
+          else s"CASE WHEN ${masks.map(m => s"$m.d = $j").mkString(" OR ")} THEN 'infinity'::DOUBLE ELSE ${absW(src, j)} END"
+        val sels = (0 until 4).map(j => s"${a(j)} AS a$j").mkString(", ")
+        val from = (src +: masks).mkString(", ")
+        s"""$name AS (
+  SELECT CASE WHEN a0 <= a1 AND a0 <= a2 AND a0 <= a3 THEN 0
+              WHEN a1 <= a2 AND a1 <= a3 THEN 1
+              WHEN a2 <= a3 THEN 2 ELSE 3 END AS d
+  FROM (SELECT $sels FROM $from))"""
+      }
+      val fnames = Seq("value", "hb", "dowi", "vb")
+      val rows = fnames.zipWithIndex.map { case (f, j) =>
+        s"""SELECT '$f' AS feature,
+  ($j <> d1.d AND $j <> d2.d) AS selected,
+  CAST(CASE WHEN $j = d1.d THEN 1 WHEN $j = d2.d THEN 2 ELSE 0 END AS BIGINT) AS elim_round,
+  CAST(CASE WHEN $j = d1.d THEN 3 WHEN $j = d2.d THEN 2 ELSE 1 END AS BIGINT) AS ranking,
+  CASE WHEN $j = d1.d OR $j = d2.d THEN 0.0 ELSE round(w.w$j + 5e-11, 4) END AS final_weight
+FROM i6_c w, d1, d2"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH fb AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+    CAST(dowi AS DOUBLE) AS x2, CAST(vb AS DOUBLE) AS x3, y::DOUBLE AS y
+  FROM fb),
+s AS (SELECT $statSel FROM fp),
+d AS MATERIALIZED (SELECT $stdSel, y FROM fp, s),
+${chain("a", 6, Nil)},
+${argminCte("d1", "i6_a", Nil)},
+${chain("b", 6, Seq("d1"))},
+${argminCte("d2", "i6_b", Seq("d1"))},
+${chain("c", 6, Seq("d1", "d2"))}
+$rows"""
     },
     "q207_random_search" -> {
       // per-trial unrolled-GD chains (the q183 technique) with the

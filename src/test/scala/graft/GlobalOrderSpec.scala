@@ -50,6 +50,32 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("withCumSumsBy matches per-partition withCumSums and the partitioned window") {
+    // 3 partitions with very different key distributions (continuous,
+    // 13-value categorical, constant) sharing one bucket layout
+    val df = spark.range(6000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"),
+      when(col("id") % 3 === 0, (col("id") * 2654435761L % 9973).cast("double"))
+        .when(col("id") % 3 === 1, (col("id") % 13).cast("double"))
+        .otherwise(lit(5.0)).as("v"))
+    val got = GlobalOrder.withCumSumsBy(df, Seq("g"),
+      Seq(col("v").asc, col("id").asc), Seq((col("id"), "cs"), (lit(1L), "rk")))
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"), sum(col("id")).over(w).as("tcs"),
+      count(lit(1)).over(w).as("trk"))
+    assert(got.join(want, "id")
+      .where(col("cs") =!= col("tcs") || col("rk") =!= col("trk")).count() == 0)
+    // and bit-identical to running the single-partition machinery per slice
+    for (g <- Seq("0", "1", "2")) {
+      val solo = GlobalOrder.withCumSums(df.where(col("g") === g),
+        Seq(col("v").asc, col("id").asc), Seq((col("id"), "cs2")))
+      assert(got.where(col("g") === g)
+        .join(solo.select(col("id"), col("cs2")), "id")
+        .where(col("cs") =!= col("cs2")).count() == 0, s"slice $g")
+    }
+  }
+
   test("withCumSums matches the single-sort running sum exactly") {
     val got = GlobalOrder.withCumSums(data,
       Seq(col("v").asc, col("id").asc), Seq((col("id"), "cs"), (lit(1L), "rk")))
