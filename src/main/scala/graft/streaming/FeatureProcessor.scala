@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming._
 import java.time.{Instant, ZoneOffset}
 
@@ -519,6 +519,65 @@ object StreamingFeatures {
       s"deepTreeScoredFeatures: split features absent from the stream: $missing")
     feats.withColumn("tree_pred", graft.scoring.Trees.predict(model))
       .withColumn("tree_leaf", graft.scoring.Trees.leafPath(model))
+  }
+
+  /** The q205 LIME surrogate served online: per-event local explanation
+    * of the boosted depth-2 tree model — the complete 2^k masked
+    * factorial scored per row, closed-form betas / intercept / fidelity
+    * R² as row-local folds ([[graft.scoring.Lime]]). Stateless and
+    * sink-side like the other served models (the model AND the
+    * population background are literals fitted offline), so each
+    * prediction ships with its explanation — the reference's
+    * predict-with-explanation contract (`api/main.py:211-244`) at
+    * stream rates. Split features must be inside the explained feature
+    * set and on the stream schema — rejected at plan-build time.
+    */
+  def limeScoredFeatures(events: Dataset[StreamTxn],
+                         model: graft.scoring.Boosting.TreeModel,
+                         features: Seq[String], bg: Seq[Double])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(features.nonEmpty && features.size <= 8 &&
+      features.size == bg.size,
+      s"limeScoredFeatures: need 1..8 features with matching background, " +
+        s"got ${features.size} features / ${bg.size} background values")
+    val splitFeats = model.rounds
+      .flatMap(t => Seq(t.rootFeature, t.leftFeature, t.rightFeature)).distinct
+    val outside = splitFeats.filterNot(features.contains)
+    require(outside.isEmpty,
+      s"limeScoredFeatures: split features outside the explained set: $outside")
+    val feats = customerFeatures(events).toDF()
+    val missing = features.filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"limeScoredFeatures: features absent from the stream: $missing")
+    val k = features.size
+    def mcol(p: Int, fname: String): Column = {
+      val j = features.indexOf(fname)
+      if (graft.scoring.Lime.keeps(p, j)) col(fname).cast("double")
+      else lit(bg(j))
+    }
+    def scoreP(p: Int): Column =
+      model.rounds.foldLeft(lit(model.f0): Column) { (acc, tr) =>
+        def side(fn: String, t: Double, lo: Double, hi: Double): Column =
+          when(mcol(p, fn) <= lit(t), lit(lo)).otherwise(lit(hi))
+        acc + when(mcol(p, tr.rootFeature) <= lit(tr.rootThreshold),
+          side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
+          .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
+      }
+    val out = graft.scoring.Lime.surrogate(feats, k, scoreP)
+    val named = out
+      .withColumn("lime_pred", col(s"__s${(1 << k) - 1}"))
+      .withColumn("lime_intercept", col("__b"))
+      .withColumn("lime_r2",
+        when(col("__sst") > 0, lit(1.0) - col("__sse") / col("__sst"))
+          .otherwise(lit(1.0)))
+    val withBetas = features.zipWithIndex.foldLeft(named) { case (d, (f, j)) =>
+      d.withColumn(s"lime_$f", col(s"__b$j"))
+    }
+    withBetas.drop(
+      (0 until (1 << k)).map(p => s"__s$p") ++
+        (0 until k).map(j => s"__b$j") ++
+        Seq("__b", "__sse", "__sst"): _*)
   }
 
   /** The q193 sequence scorer online: per-event transition NLL under the

@@ -3,7 +3,7 @@ package graft
 import graft.ops.CoreFeatures
 import graft.streaming.{MarkovScore, StreamTxn, StreamingFeatures}
 import graft.tables.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -681,6 +681,77 @@ class StreamingSpec extends AnyFunSuite {
           graft.scoring.Forest.votes(forest).as("v"))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(dist(served) == dist(batchF))
+  }
+
+  test("LIME explanations ship with streamed predictions, batch == stream") {
+    import spark.implicits._
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: feats.map(col): _*)
+      .localCheckpoint() // fit passes + the batch-side comparison re-read it
+    val model = graft.scoring.Boosting.fitTrees(batchF, feats,
+      col("amount") > 100, rounds = 2, rate = 0.5)
+    val bgRow = batchF.agg(
+      graft.queries.r6(avg(col(feats(0)).cast("double"))),
+      graft.queries.r6(avg(col(feats(1)).cast("double"))),
+      graft.queries.r6(avg(col(feats(2)).cast("double")))).head()
+    val bg = (0 until 3).map(bgRow.getDouble)
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.limeScoredFeatures(input.toDS(), model, feats, bg)
+      .writeStream.format("memory").queryName("lime").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val served = spark.table("lime")
+    assert(served.count() == tx.length)
+    // additive identity of the surrogate at the all-keep corner:
+    // intercept + Σ betas == local prediction whenever the fit is exact,
+    // and R² stays in [0, 1]
+    val rows = served.select(col("lime_pred"), col("lime_intercept"),
+      col(s"lime_${feats(0)}"), col(s"lime_${feats(1)}"),
+      col(s"lime_${feats(2)}"), col("lime_r2")).collect()
+    rows.foreach { r =>
+      val localPred = r.getDouble(1) + r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      val r2 = r.getDouble(5)
+      assert(r2 >= -1e-12 && r2 <= 1.0 + 1e-12, s"r2=$r2")
+      if (r2 == 1.0)
+        assert(math.abs(localPred - r.getDouble(0)) < 1e-9,
+          s"exact surrogate must interpolate: $localPred vs ${r.getDouble(0)}")
+    }
+    // batch-vs-stream equality of the full explanation vector
+    def dist(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Double)] = {
+      def mcol(p: Int, fname: String): Column = {
+        val j = feats.indexOf(fname)
+        if (graft.scoring.Lime.keeps(p, j)) col(fname).cast("double")
+        else lit(bg(j))
+      }
+      def scoreP(p: Int): Column =
+        model.rounds.foldLeft(lit(model.f0): Column) { (acc, tr) =>
+          def side(fn: String, t: Double, lo: Double, hi: Double): Column =
+            when(mcol(p, fn) <= lit(t), lit(lo)).otherwise(lit(hi))
+          acc + when(mcol(p, tr.rootFeature) <= lit(tr.rootThreshold),
+            side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
+            .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
+        }
+      graft.scoring.Lime.surrogate(df, 3, scoreP)
+        .select(col("customer_id"), col("ts_micros"), col("__s7"), col("__b0"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    }
+    val streamSide = served
+      .select(col("customer_id"), col("ts_micros"), col("lime_pred"),
+        col(s"lime_${feats(0)}"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(streamSide == dist(batchF))
   }
 
   test("deep tree predicts the streaming feature vector identically to batch") {
