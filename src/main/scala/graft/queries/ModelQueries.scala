@@ -882,6 +882,63 @@ FROM events"""
         r6(col("__implr")).as("imp_lr"),
         r6(col("__impit")).as("imp_iters")): _*)
     },
+    // successive-halving hyperparameter search (the modern AutoML
+    // scheduler next to q183's grid and q207's random search — sklearn
+    // HalvingGridSearchCV semantics with iterations as the resource,
+    // deterministic): rung 1 trains all 6 md5-drawn learning rates for
+    // 3 GD iterations, the top 3 by held-out AUC advance and REFIT at 6
+    // iterations, the winner refits at 12 (refit-per-rung is sklearn's
+    // own behavior). Each rung is ONE fused-gradient fit for all its
+    // survivors, so halving's economics show up as shrinking aggregate
+    // WIDTH. Survival is decided on the raw midrank AUC (exact
+    // half-integer arithmetic — engine-identical), trial-index
+    // tie-break; the oracle trains every candidate at every rung and
+    // surfaces rows through the same rank predicates.
+    "q211_halving_search" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val lrs = (0 until 6).map(t => graft.scoring.KMeansOps.r6d(
+        0.05 + 1.95 * (graft.scale.Splits.bucketLocal("lr", t.toString, 10000) / 10000.0)))
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "rsval", 5))
+        .localCheckpoint() // 3 rung fits + per-cell AUC reads
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      def aucOf(m: graft.scoring.Trainer.LogisticModel): Option[Double] = {
+        val scored = valid.select(col("y"),
+          graft.scoring.Trainer.margin(m).as("margin"))
+        val row = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
+          .head()
+        if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      }
+      // rung: refit `cands` from zero for `iters`, return per-trial AUC
+      def rung(cands: Seq[Int], iters: Int): Seq[(Int, Option[Double])] = {
+        val ms = graft.scoring.Trainer.fitLogisticGrid(train, feats, col("y"),
+          cands.map(lrs).distinct, Seq(iters))
+        cands.map(t => t -> aucOf(ms((lrs(t), iters))))
+      }
+      // survival on the RAW midrank AUC (exact arithmetic), trial
+      // tie-break; a degenerate single-class AUC sorts last
+      def top(scored: Seq[(Int, Option[Double])], k: Int): Seq[Int] =
+        scored.sortBy { case (t, a) => (-a.getOrElse(-1.0), t) }
+          .take(k).map(_._1).sorted
+      val r1 = rung(0 until 6, 3)
+      val s1 = top(r1, 3)
+      val r2 = rung(s1, 6)
+      val s2 = top(r2, 1)
+      val r3 = rung(s2, 12)
+      val (a1, a2m, a3m) = (r1.toMap, r2.toMap, r3.toMap)
+      def aucCol(v: Option[Option[Double]]): Column =
+        v.flatten.map(x => r6(lit(x))).getOrElse(lit(null).cast("double"))
+      (0 until 6).map { t =>
+        val reached = if (s2.contains(t)) 3 else if (s1.contains(t)) 2 else 1
+        s.range(1).select(lit(t.toLong).as("trial"), lit(lrs(t)).as("lr"),
+          lit(reached.toLong).as("rung_reached"),
+          aucCol(Some(a1(t))).as("auc_r1"),
+          aucCol(if (reached >= 2) Some(a2m(t)) else None).as("auc_r2"),
+          aucCol(if (reached >= 3) Some(a3m(t)) else None).as("auc_r3"),
+          lit(s2.contains(t)).as("selected"))
+      }.reduce(_.unionByName(_))
+    },
     // recursive feature elimination (the notebook's third selector,
     // notebooks/aml_analysis.ipynb cell 2 / sklearn RFE): fit the
     // fused-gradient logistic model, drop the feature with the smallest
@@ -2112,6 +2169,79 @@ SELECT a.n, f0.v AS f0,
   a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
 FROM a CROSS JOIN u CROSS JOIN f0$joins"""
     },
+    "q211_halving_search" -> {
+      // ONE 12-iteration chain per trial serves every rung (a
+      // refit-from-zero at 3/6 iterations IS the 12-chain's prefix);
+      // rung survival via triangular rank predicates on the raw
+      // midrank AUC, so non-surviving rows never surface their deeper
+      // cells even though the oracle computes them.
+      val feats = Seq("value", "hb", "dowi")
+      val idx = feats.indices
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def marginOf(it: String) =
+        idx.map(i => s"$it.w$i * d.x$i").mkString(" + ") + s" + $it.b"
+      def chain(t: Int): String = {
+        val i0 = s"i0_r$t AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val iters = (1 to 12).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - tt.lr*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - tt.lr*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b, tt.lr"
+          s"i${k}_r$t AS MATERIALIZED (SELECT $upd\n  FROM d, i${k - 1}_r$t i, t$t tt GROUP BY $grp)"
+        }.mkString(",\n")
+        s"t$t AS (SELECT lr FROM trl WHERE t = $t),\n$i0,\n$iters"
+      }
+      def aucBlock(t: Int, it: Int): String =
+        s"""sc_${t}_$it AS (SELECT d.y, ${marginOf(s"i${it}_r$t")} AS sv FROM dv d, i${it}_r$t),
+rk_${t}_$it AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM sc_${t}_$it),
+au_${t}_$it AS (SELECT CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM rk_${t}_$it)"""
+      val cellRows = (0 until 6).map(t =>
+        s"""SELECT $t AS trial, tt.lr, au_${t}_3.auc AS a1, au_${t}_6.auc AS a2, au_${t}_12.auc AS a3
+FROM au_${t}_3, au_${t}_6, au_${t}_12, t$t tt""").mkString("\nUNION ALL\n")
+      def better(a: String, b: String, t2: String, t1: String) =
+        s"(coalesce($a,-1.0) > coalesce($b,-1.0) OR (coalesce($a,-1.0) = coalesce($b,-1.0) AND $t2 < $t1))"
+      def r4(x: String) = s"round($x + 5e-11, 4)"
+      s"""WITH fb AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT event_id, CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+    CAST(dowi AS DOUBLE) AS x2, y::DOUBLE AS y,
+    ('0x' || substr(md5('rsval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM fb),
+trl AS (
+  SELECT t, round(0.05 + 1.95*(((('0x' || substr(md5('lr:' || t), 1, 8))::UBIGINT % 10000))/10000.0) + 5e-11, 4) AS lr
+  FROM (SELECT unnest(range(6)) AS t)),
+tr AS (SELECT * FROM fp WHERE vb5 <> 0),
+s AS (SELECT $statSel FROM tr),
+d AS MATERIALIZED (SELECT $stdSel, y FROM tr, s),
+dv AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM fp WHERE vb5 = 0) t, s),
+${(0 until 6).map(chain).mkString(",\n")},
+${(for { t <- 0 until 6; it <- Seq(3, 6, 12) } yield aucBlock(t, it)).mkString(",\n")},
+cells AS MATERIALIZED (
+$cellRows),
+rk1 AS MATERIALIZED (
+  SELECT c.trial, c.lr, c.a1, c.a2, c.a3,
+    sum(CASE WHEN ${better("c2.a1", "c.a1", "c2.trial", "c.trial")} THEN 1 ELSE 0 END) AS nb1
+  FROM cells c CROSS JOIN cells c2
+  GROUP BY c.trial, c.lr, c.a1, c.a2, c.a3),
+rk2 AS MATERIALIZED (
+  SELECT r.trial, r.lr, r.a1, r.a2, r.a3, r.nb1,
+    sum(CASE WHEN c2.nb1 < 3 AND ${better("c2.a2", "r.a2", "c2.trial", "r.trial")} THEN 1 ELSE 0 END) AS nb2
+  FROM rk1 r CROSS JOIN rk1 c2
+  GROUP BY r.trial, r.lr, r.a1, r.a2, r.a3, r.nb1)
+SELECT CAST(trial AS BIGINT) AS trial, lr,
+  CAST(CASE WHEN nb1 < 3 AND nb2 = 0 THEN 3 WHEN nb1 < 3 THEN 2 ELSE 1 END AS BIGINT) AS rung_reached,
+  ${r4("a1")} AS auc_r1,
+  CASE WHEN nb1 < 3 THEN ${r4("a2")} END AS auc_r2,
+  CASE WHEN nb1 < 3 AND nb2 = 0 THEN ${r4("a3")} END AS auc_r3,
+  (nb1 < 3 AND nb2 = 0) AS selected
+FROM rk2""" },
     "q210_rfe" -> {
       // three masked unrolled-GD chains: the argmin scalar d1/d2 pins a
       // dropped feature's weight to literal 0.0 inside each update CASE
