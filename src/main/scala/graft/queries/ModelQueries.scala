@@ -903,18 +903,21 @@ FROM events"""
         .localCheckpoint() // 3 rung fits + per-cell AUC reads
       val train = f.where(col("vb5") =!= 0)
       val valid = f.where(col("vb5") === 0)
-      def aucOf(m: graft.scoring.Trainer.LogisticModel): Option[Double] = {
-        val scored = valid.select(col("y"),
-          graft.scoring.Trainer.margin(m).as("margin"))
-        val row = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
-          .head()
-        if (row.isNullAt(0)) None else Some(row.getDouble(0))
-      }
-      // rung: refit `cands` from zero for `iters`, return per-trial AUC
+      // rung: refit `cands` from zero for `iters`; every candidate's
+      // held-out AUC lands in ONE union-collect (one job per rung, not
+      // one per candidate)
       def rung(cands: Seq[Int], iters: Int): Seq[(Int, Option[Double])] = {
         val ms = graft.scoring.Trainer.fitLogisticGrid(train, feats, col("y"),
           cands.map(lrs).distinct, Seq(iters))
-        cands.map(t => t -> aucOf(ms((lrs(t), iters))))
+        cands.map { t =>
+          val m = ms((lrs(t), iters))
+          val scored = valid.select(col("y"),
+            graft.scoring.Trainer.margin(m).as("margin"))
+          graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
+            .select(lit(t).as("t"), col("auc"))
+        }.reduce(_.unionByName(_)).collect()
+          .map(r => r.getInt(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
       }
       // survival on the RAW midrank AUC (exact arithmetic), trial
       // tie-break; a degenerate single-class AUC sorts last
