@@ -156,4 +156,38 @@ class AmlFeatureStore(spark: SparkSession) {
   def packSequences(docs: DataFrame, order: Seq[Column], tokens: Column,
       binSize: Long): DataFrame =
     graft.scale.Packing.binReport(docs, order, tokens, binSize)
+
+  /** Round-7 tree family (the reference's strongest members,
+    * `models/advanced_models.py:228-231,252`): gradient-boosted depth-2
+    * trees, level-wise depth-N CART, and a deterministic deep forest
+    * (md5 row subsamples + rotated leave-one-out feature subsets per
+    * member). Every fit is a fixed number of fused candidate passes —
+    * only argmax rows reach the driver.
+    */
+  def boostTrees(train: DataFrame, features: Seq[String], label: Column,
+      rounds: Int = 2, rate: Double = 0.5): graft.scoring.Boosting.TreeModel =
+    graft.scoring.Boosting.fitTrees(train, features, label, rounds, rate)
+  def deepTree(train: DataFrame, features: Seq[String], label: Column,
+      maxDepth: Int = 5): graft.scoring.Trees.DeepTree =
+    graft.scoring.Trees.fitDepth(train, features, label, maxDepth)
+  def deepForest(train: DataFrame, id: Column, features: Seq[String],
+      label: Column, trees: Int = 5, maxDepth: Int = 3)
+      : Seq[graft.scoring.Forest.DeepFTree] =
+    graft.scoring.Forest.fitDeep(train, features, label, trees, maxDepth,
+      t => graft.scale.Splits.bucket(id, s"rf$t", 3) =!= 0,
+      t => features.patch(t % features.size, Nil, 1))
+
+  /** Per-row LIME explanation of a boosted tree model (the reference's
+    * LIMEExplainer, `explainability/shap_explainer.py:255-304`): appends
+    * prediction, per-feature surrogate weights, intercept, and fidelity
+    * R² — one shuffle-free projection; also servable on the streaming
+    * path ([[graft.streaming.StreamingFeatures.limeScoredFeatures]]).
+    */
+  def explainLocal(df: DataFrame, model: graft.scoring.Boosting.TreeModel,
+      features: Seq[String], background: Seq[Double]): DataFrame = {
+    require(features.size == background.size,
+      s"explainLocal: ${features.size} features vs ${background.size} background values")
+    graft.scoring.Lime.explainTree(df, model, features,
+      j => org.apache.spark.sql.functions.lit(background(j)))
+  }
 }

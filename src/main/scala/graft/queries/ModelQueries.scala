@@ -716,21 +716,8 @@ FROM events"""
       val bgNames = Seq("bgv", "bgh", "bgd")
       val bg = f.agg(r6(avg(col("value"))).as("bgv"),
         r6(avg(col("hb"))).as("bgh"), r6(avg(col("dowi"))).as("bgd"))
-      // masked value of feature `fname` under keep/mask pattern p
-      // (bit j of p = keep feature j)
-      def mcol(p: Int, fname: String): Column = {
-        val j = feats.indexOf(fname)
-        if (((p >> j) & 1) == 1) col(fname).cast("double")
-        else col(bgNames(j))
-      }
-      def scoreP(p: Int): Column =
-        m.rounds.foldLeft(lit(m.f0): Column) { (acc, tr) =>
-          def side(fn: String, t: Double, lo: Double, hi: Double): Column =
-            when(mcol(p, fn) <= lit(t), lit(lo)).otherwise(lit(hi))
-          acc + when(mcol(p, tr.rootFeature) <= lit(tr.rootThreshold),
-            side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
-            .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
-        }
+      val scoreP = graft.scoring.Lime.maskedTreeScore(m, feats,
+        j => col(bgNames(j))) _
       val out = graft.scoring.Lime.surrogate(
         f.crossJoin(broadcast(bg)), k = 3, scoreP)
       val (av, ah, ad) =

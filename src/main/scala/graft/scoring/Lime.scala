@@ -31,6 +31,56 @@ object Lime {
   /** Pattern p keeps feature j iff bit j of p is set. */
   def keeps(p: Int, j: Int): Boolean = ((p >> j) & 1) == 1
 
+  /** Pattern-p score of a boosted depth-2 tree model over MASKED
+    * features: a kept feature reads its column, a masked one reads
+    * `bgCol(j)` (a literal for serving, a broadcast 1-row column for
+    * the oracle-gated batch query). The CASE structure and fold order
+    * are the ones the DuckDB replay mirrors.
+    */
+  def maskedTreeScore(m: Boosting.TreeModel, features: Seq[String],
+      bgCol: Int => Column)(p: Int): Column = {
+    def mcol(fname: String): Column = {
+      val j = features.indexOf(fname)
+      require(j >= 0, s"Lime.maskedTreeScore: split feature $fname not in $features")
+      if (keeps(p, j)) col(fname).cast("double") else bgCol(j)
+    }
+    m.rounds.foldLeft(lit(m.f0): Column) { (acc, tr) =>
+      def side(fn: String, t: Double, lo: Double, hi: Double): Column =
+        when(mcol(fn) <= lit(t), lit(lo)).otherwise(lit(hi))
+      acc + when(mcol(tr.rootFeature) <= lit(tr.rootThreshold),
+        side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
+        .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
+    }
+  }
+
+  /** [[surrogate]] over [[maskedTreeScore]] with the serving column
+    * names: appends `lime_pred` (the model's own score at the all-keep
+    * corner), `lime_<feature>` surrogate weights, `lime_intercept`, and
+    * `lime_r2` (surrogate fidelity; 1.0 when the model is locally
+    * constant), dropping the internals. Shared by the batch facade and
+    * the streaming serving path.
+    */
+  def explainTree(df: DataFrame, model: Boosting.TreeModel,
+      features: Seq[String], bgCol: Int => Column): DataFrame = {
+    require(features.nonEmpty && features.size <= 8,
+      s"Lime.explainTree: need 1..8 features, got ${features.size}")
+    val k = features.size
+    val out = surrogate(df, k, maskedTreeScore(model, features, bgCol))
+    val named = out
+      .withColumn("lime_pred", col(s"__s${(1 << k) - 1}"))
+      .withColumn("lime_intercept", col("__b"))
+      .withColumn("lime_r2",
+        when(col("__sst") > 0, lit(1.0) - col("__sse") / col("__sst"))
+          .otherwise(lit(1.0)))
+    val withBetas = features.zipWithIndex.foldLeft(named) { case (d, (f, j)) =>
+      d.withColumn(s"lime_$f", col(s"__b$j"))
+    }
+    withBetas.drop(
+      (0 until (1 << k)).map(p => s"__s$p") ++
+        (0 until k).map(j => s"__b$j") ++
+        Seq("__b", "__sse", "__sst"): _*)
+  }
+
   /** Appends the surrogate columns for the 2^k factorial of `s(p)`
     * score expressions: `<pre>b` (intercept), `<pre>b$j` (per-feature
     * surrogate weight), `<pre>sse` / `<pre>sst` (surrogate residual /

@@ -550,34 +550,7 @@ object StreamingFeatures {
     val missing = features.filterNot(feats.columns.contains)
     require(missing.isEmpty,
       s"limeScoredFeatures: features absent from the stream: $missing")
-    val k = features.size
-    def mcol(p: Int, fname: String): Column = {
-      val j = features.indexOf(fname)
-      if (graft.scoring.Lime.keeps(p, j)) col(fname).cast("double")
-      else lit(bg(j))
-    }
-    def scoreP(p: Int): Column =
-      model.rounds.foldLeft(lit(model.f0): Column) { (acc, tr) =>
-        def side(fn: String, t: Double, lo: Double, hi: Double): Column =
-          when(mcol(p, fn) <= lit(t), lit(lo)).otherwise(lit(hi))
-        acc + when(mcol(p, tr.rootFeature) <= lit(tr.rootThreshold),
-          side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
-          .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
-      }
-    val out = graft.scoring.Lime.surrogate(feats, k, scoreP)
-    val named = out
-      .withColumn("lime_pred", col(s"__s${(1 << k) - 1}"))
-      .withColumn("lime_intercept", col("__b"))
-      .withColumn("lime_r2",
-        when(col("__sst") > 0, lit(1.0) - col("__sse") / col("__sst"))
-          .otherwise(lit(1.0)))
-    val withBetas = features.zipWithIndex.foldLeft(named) { case (d, (f, j)) =>
-      d.withColumn(s"lime_$f", col(s"__b$j"))
-    }
-    withBetas.drop(
-      (0 until (1 << k)).map(p => s"__s$p") ++
-        (0 until k).map(j => s"__b$j") ++
-        Seq("__b", "__sse", "__sst"): _*)
+    graft.scoring.Lime.explainTree(feats, model, features, j => lit(bg(j)))
   }
 
   /** The q193 sequence scorer online: per-event transition NLL under the

@@ -128,4 +128,34 @@ class FacadeSpec extends AnyFunSuite {
     val seq = store.sequenceAnomaly(tx).head()
     assert(seq.getLong(1) == 2) // A->B, B->A
   }
+
+  test("round-7 tree family and LIME explainer are reachable through the facade") {
+    import spark.implicits._
+    val store = new AmlFeatureStore(spark)
+    // y = (x<=4) XOR (z>5): interactions, so the boosted TREE learns it
+    // while a linear surrogate cannot fit it perfectly everywhere
+    val df = (for { rep <- 1 to 4; x <- 1 to 8; z <- 1 to 8 }
+      yield (((rep * 64) + (x * 8) + z).toLong, x.toDouble, z.toDouble,
+        if ((x <= 4) ^ (z > 5)) 1 else 0)).toDF("id", "x", "z", "y")
+
+    val bt = store.boostTrees(df, Seq("x", "z"), col("y"), rounds = 1, rate = 1.0)
+    assert(bt.rounds.size == 1 && bt.f0 == 0.5)
+
+    val dt = store.deepTree(df, Seq("x", "z"), col("y"), maxDepth = 3)
+    assert(dt.splits.contains("") && dt.splits.size >= 3)
+
+    val forest = store.deepForest(df, col("id"), Seq("x", "z"), col("y"),
+      trees = 2, maxDepth = 2)
+    assert(forest.size == 2 && forest.forall(_.model.splits.contains("")))
+
+    val explained = store.explainLocal(df, bt, Seq("x", "z"), Seq(4.5, 4.5))
+    assert(explained.columns.toSet.intersect(
+      Set("lime_pred", "lime_x", "lime_z", "lime_intercept", "lime_r2")).size == 5)
+    val r = explained.select(min(col("lime_r2")), max(col("lime_r2")),
+      count(when(col("lime_r2") < 0.999999, 1))).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0)
+    // the XOR tree has a genuine interaction: some rows' linear
+    // surrogate must be an imperfect fit
+    assert(r.getLong(2) > 0, "expected imperfect local fits on XOR")
+  }
 }

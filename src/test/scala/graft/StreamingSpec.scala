@@ -729,19 +729,8 @@ class StreamingSpec extends AnyFunSuite {
     }
     // batch-vs-stream equality of the full explanation vector
     def dist(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Double)] = {
-      def mcol(p: Int, fname: String): Column = {
-        val j = feats.indexOf(fname)
-        if (graft.scoring.Lime.keeps(p, j)) col(fname).cast("double")
-        else lit(bg(j))
-      }
-      def scoreP(p: Int): Column =
-        model.rounds.foldLeft(lit(model.f0): Column) { (acc, tr) =>
-          def side(fn: String, t: Double, lo: Double, hi: Double): Column =
-            when(mcol(p, fn) <= lit(t), lit(lo)).otherwise(lit(hi))
-          acc + when(mcol(p, tr.rootFeature) <= lit(tr.rootThreshold),
-            side(tr.leftFeature, tr.leftThreshold, tr.v0, tr.v1))
-            .otherwise(side(tr.rightFeature, tr.rightThreshold, tr.v2, tr.v3))
-        }
+      val scoreP = graft.scoring.Lime.maskedTreeScore(model, feats,
+        j => lit(bg(j))) _
       graft.scoring.Lime.surrogate(df, 3, scoreP)
         .select(col("customer_id"), col("ts_micros"), col("__s7"), col("__b0"))
         .collect()
