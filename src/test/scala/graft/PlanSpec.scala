@@ -440,4 +440,31 @@ class PlanSpec extends AnyFunSuite {
       s"forward pass must stay scan->project:\n$p")
     assert(p.contains("array_dot"), s"hidden units should be ArrayDot kernels:\n$p")
   }
+
+  test("LIME: 8 factorial scores + surrogate are one broadcast-joined projection") {
+    // after the (driver-side) fit, the whole explainer is row-local
+    // arithmetic over the fact scan plus ONE broadcast 1-row background —
+    // no shuffle join, no sort, no window
+    val p = plan(graft.queries.ModelQueries.defs("q205_lime_local")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"LIME scoring must not shuffle-join:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"background row must broadcast:\n$p")
+  }
+
+  test("target-correlation and ANOVA screens rank via a broadcast triangular join") {
+    // the 15-feature moment collection is ONE aggregate (all corr/F
+    // inputs are parallel agg columns — the melt is 15 rows); the final
+    // visible plan is the tiny triangular rank join, which must
+    // broadcast, never shuffle or sort
+    for (q <- Seq("q208_target_correlation", "q209_select_kbest")) {
+      val p = plan(graft.queries.CoreQueries.defs(q)(spark, sf))
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q feature screen must not shuffle-join:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q rank join must broadcast:\n$p")
+      assert(!p.contains("WindowExec"), s"$q must stay window-free:\n$p")
+    }
+  }
 }
