@@ -929,6 +929,50 @@ FROM events"""
           lit(s2.contains(t)).as("selected"))
       }.reduce(_.unionByName(_))
     },
+    // model performance history (the reference's model_performance table
+    // + get_model_performance_history, feedback/feedback_system.py:
+    // 130-156): one row per event-time week ("model version", 0 = most
+    // recent), the reference's metric columns (AUC / accuracy /
+    // precision / recall / F1) from ONE grouped pass + a per-week
+    // midrank AUC, week-over-week delta via a tiny shifted self-join,
+    // the q43 degradation flag against the prior version, and the
+    // worst-version marker — the ops view a model registry serves.
+    "q212_performance_history" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(max(unix_micros(col("ts"))).as("max_tm"))
+      val wk = ev.crossJoin(broadcast(b))
+        .select(floor((col("max_tm") - unix_micros(col("ts"))) /
+            lit(604800000000L)).cast("long").as("week"),
+          col("value").as("sc"),
+          (col("event_type") === "error").cast("int").as("y"))
+      val aucDf = graft.feedback.Drift.groupedAuc(wk, col("week"),
+          col("y") === 1, col("sc"))
+        .select(col("g").as("week"), col("auc"))
+      val conf = wk.groupBy(col("week")).agg(
+        count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+        sum(when(col("sc") > 100.0 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("sc") > 100.0 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!(col("sc") > 100.0) && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+      val per = conf.join(broadcast(aucDf), "week").localCheckpoint() // tiny
+      val prior = per.select((col("week") - 1).as("week"),
+        col("auc").as("__prev"))
+      val mn = per.agg(min(r6(col("auc"))).as("__mn"))
+      per.join(broadcast(prior), Seq("week"), "left")
+        .crossJoin(broadcast(mn))
+        .select(col("week"), col("n"), col("n_pos"),
+          r6(col("auc")).as("auc"),
+          r6((col("n") - col("fp") - col("fn")).cast("double") / col("n")).as("accuracy"),
+          r6(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")))).as("prec"),
+          r6(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")))).as("rec"),
+          r6(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")))).as("f1"),
+          r6(col("auc") - col("__prev")).as("delta_auc"),
+          when(col("__prev").isNotNull, col("__prev") - col("auc") > 0.05)
+            .otherwise(lit(false)).as("degraded"),
+          coalesce(r6(col("auc")) === col("__mn"), lit(false)).as("is_worst"))
+    },
     // recursive feature elimination (the notebook's third selector,
     // notebooks/aml_analysis.ipynb cell 2 / sklearn RFE): fit the
     // fused-gradient logistic model, drop the feature with the smallest
@@ -2158,6 +2202,39 @@ SELECT a.n, f0.v AS f0,
   $outCols,
   a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
 FROM a CROSS JOIN u CROSS JOIN f0$joins"""
+    },
+    "q212_performance_history" -> {
+      def r4(x: String) = s"round($x + 5e-11, 4)"
+      s"""WITH b AS (SELECT max(epoch_us(ts)) AS max_tm FROM events),
+wk AS (
+  SELECT CAST(floor((max_tm - epoch_us(ts)) / 604800000000) AS BIGINT) AS week,
+    value AS sc, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events CROSS JOIN b),
+r AS (SELECT week, y,
+    rank() OVER (PARTITION BY week ORDER BY sc) + (count(*) OVER (PARTITION BY week, sc) - 1)/2.0 AS midrank
+  FROM wk),
+pp AS (SELECT week,
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+        / (sum(y)*(count(*) - sum(y))) END AS auc
+  FROM r GROUP BY week),
+cf AS (SELECT week, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+    sum(CASE WHEN sc > 100.0 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN sc > 100.0 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN NOT (sc > 100.0) AND y = 1 THEN 1 ELSE 0 END) AS fn
+  FROM wk GROUP BY week),
+per AS (SELECT cf.*, pp.auc FROM cf JOIN pp USING (week)),
+pri AS (SELECT week - 1 AS week, auc AS prev FROM per),
+mn AS (SELECT min(${r4("auc")}) AS mn FROM per)
+SELECT p.week, p.n, p.n_pos, ${r4("p.auc")} AS auc,
+  ${r4("(p.n - p.fp - p.fn)::DOUBLE / p.n")} AS accuracy,
+  ${r4("CASE WHEN p.tp + p.fp > 0 THEN p.tp::DOUBLE / (p.tp + p.fp) END")} AS prec,
+  ${r4("CASE WHEN p.tp + p.fn > 0 THEN p.tp::DOUBLE / (p.tp + p.fn) END")} AS rec,
+  ${r4("CASE WHEN 2*p.tp + p.fp + p.fn > 0 THEN 2.0*p.tp / (2*p.tp + p.fp + p.fn) END")} AS f1,
+  ${r4("p.auc - pri.prev")} AS delta_auc,
+  CASE WHEN pri.prev IS NOT NULL THEN pri.prev - p.auc > 0.05 ELSE false END AS degraded,
+  coalesce(${r4("p.auc")} = mn.mn, false) AS is_worst
+FROM per p LEFT JOIN pri USING (week) CROSS JOIN mn"""
     },
     "q211_halving_search" -> {
       // ONE 12-iteration chain per trial serves every rung (a

@@ -41,6 +41,39 @@ object ServingQueries extends QueryPack {
   }
 
   override val defs: Map[String, Q] = Map(
+    // feature-freshness / staleness report (the pipeline-lag surface of
+    // the reference's monitoring loop, scripts/monitoring.py, minus
+    // psutil): per customer, staleness = corpus max event time minus the
+    // customer's last event; bucketed SLA histogram with shares and
+    // per-bucket moments, plus the exact global p50/p95 staleness — the
+    // view an online feature store alerts on. One groupBy(customer) +
+    // tiny broadcast aggregates.
+    "q213_feature_freshness" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(max(unix_micros(col("ts"))).as("max_tm"))
+      val st = ev.groupBy(col("user_id").as("customer_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_tm"))
+        .crossJoin(broadcast(b))
+        .select((col("max_tm") - col("last_tm")).as("us"))
+        .select(col("us"), (col("us") / lit(1000000.0)).as("stale_s"),
+          when(col("us") < 3600000000L, "lt_1h")
+            .when(col("us") < 86400000000L, "lt_24h")
+            .when(col("us") < 604800000000L, "lt_7d")
+            .otherwise("stale").as("bucket"))
+        .localCheckpoint() // histogram + totals + percentiles re-read it
+      val tot = st.agg(count(lit(1)).cast("double").as("__t"),
+        expr("percentile(stale_s, array(0.5D, 0.95D))").as("__p"))
+      st.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_customers"),
+          r6(avg(col("stale_s"))).as("avg_staleness_s"),
+          r6(max(col("stale_s"))).as("max_staleness_s"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_customers"),
+          r6(col("n_customers") / col("__t")).as("share"),
+          col("avg_staleness_s"), col("max_staleness_s"),
+          r6(col("__p").getItem(0)).as("p50_s"),
+          r6(col("__p").getItem(1)).as("p95_s"))
+    },
     "q39_explanations" -> { (s, dir) =>
       // scalar (comma-joined) so the driver's sort+hash compare can handle
       // the column — arrays are unhashable on the oracle side
@@ -117,6 +150,28 @@ object ServingQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q213_feature_freshness" ->
+      """WITH b AS (SELECT max(epoch_us(ts)) AS max_tm FROM events),
+st AS (
+  SELECT max_tm - max(epoch_us(ts)) AS us,
+    (max_tm - max(epoch_us(ts))) / 1000000.0 AS stale_s
+  FROM events CROSS JOIN b GROUP BY user_id, max_tm),
+bk AS (
+  SELECT CASE WHEN us < 3600000000 THEN 'lt_1h'
+              WHEN us < 86400000000 THEN 'lt_24h'
+              WHEN us < 604800000000 THEN 'lt_7d'
+              ELSE 'stale' END AS bucket, stale_s
+  FROM st),
+tot AS (SELECT count(*)::DOUBLE AS t,
+  quantile_cont(stale_s, 0.5) AS p50, quantile_cont(stale_s, 0.95) AS p95 FROM bk)
+SELECT bucket, count(*) AS n_customers,
+  round(count(*) / tot.t + 5e-11, 4) AS share,
+  round(avg(stale_s) + 5e-11, 4) AS avg_staleness_s,
+  round(max(stale_s) + 5e-11, 4) AS max_staleness_s,
+  round(tot.p50 + 5e-11, 4) AS p50_s,
+  round(tot.p95 + 5e-11, 4) AS p95_s
+FROM bk CROSS JOIN tot
+GROUP BY bucket, tot.t, tot.p50, tot.p95""",
     "q41_dbscan" -> GraphOracles.dbscanSql,
     "q72_frame_sample" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
