@@ -973,6 +973,52 @@ FROM events"""
             .otherwise(lit(false)).as("degraded"),
           coalesce(r6(col("auc")) === col("__mn"), lit(false)).as("is_worst"))
     },
+    // EXACT interventional SHAP for the boosted depth-2 TREES (the
+    // interaction-aware extension of q199's stump-chain SHAP — the
+    // reference explains its tree ensembles per instance,
+    // explainability/shap_explainer.py:78-126). Each round is a
+    // 3-player slot game whose conditional expectations reduce to FIVE
+    // population counts (scoring/TreeShap): the whole explainer is ONE
+    // population aggregate + per-row literal arithmetic, zero shuffle.
+    // Feature credit = sum of its slots' phis (equal to feature-level
+    // Shapley when the fitted slots are distinct, the case at every
+    // driver SF); efficiency Σphi = score − base holds identically, so
+    // the additivity gap is hash-gated as a 0.0 column like q199.
+    "q214_deep_tree_shap" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // fit + pop + scoring
+      val m = graft.scoring.Boosting.fitTrees(f, feats, col("y"),
+        rounds = 2, rate = 0.5)
+      val aggs = count(lit(1)).as("nn") +: m.rounds.zipWithIndex.flatMap {
+        case (tr, i) => graft.scoring.TreeShap.countAggs(tr, i + 1)
+      }
+      val pop = f.agg(aggs.head, aggs.tail: _*)
+      val per = m.rounds.zipWithIndex.map { case (tr, i) =>
+        val t = i + 1
+        graft.scoring.TreeShap.roundPhis(tr, col(s"naL_$t"), col(s"nbL_$t"),
+          col(s"ncL_$t"), col(s"nabLL_$t"), col(s"nacGL_$t"), col("nn"))
+      }
+      // the oracle can't know the fitted features at SQL-build time, so
+      // its phi terms are CASE-guarded per slot; mirror the same
+      // (round, root/left/right)-ordered fold with literal-0 terms
+      def phiFor(fname: String): Column =
+        m.rounds.zipWithIndex.foldLeft(lit(0.0): Column) { case (acc, (tr, i)) =>
+          val (pa, pb, pc, _, _) = per(i)
+          acc + (if (tr.rootFeature == fname) pa else lit(0.0)) +
+            (if (tr.leftFeature == fname) pb else lit(0.0)) +
+            (if (tr.rightFeature == fname) pc else lit(0.0))
+        }
+      val score = per.map(_._5).foldLeft(lit(m.f0): Column)(_ + _)
+      val bs = per.map(_._4).foldLeft(lit(m.f0): Column)(_ + _)
+      val (pv, ph, pd) = (phiFor("value"), phiFor("hb"), phiFor("dowi"))
+      val (av, ah, ad) = (abs(r6(pv)), abs(r6(ph)), abs(r6(pd)))
+      f.crossJoin(broadcast(pop)).select(col("event_id"),
+        r6(score).as("score"), r6(bs).as("base_value"),
+        r6(pv).as("phi_value"), r6(ph).as("phi_hb"), r6(pd).as("phi_dowi"),
+        when(av >= ah && av >= ad, "value").when(ah >= ad, "hb")
+          .otherwise("dowi").as("top_factor"),
+        r6(score - bs - pv - ph - pd).as("additivity_gap"))
+    },
     // recursive feature elimination (the notebook's third selector,
     // notebooks/aml_analysis.ipynb cell 2 / sklearn RFE): fit the
     // fused-gradient logistic model, drop the feature with the smallest
@@ -2202,6 +2248,84 @@ SELECT a.n, f0.v AS f0,
   $outCols,
   a.train_mse, round(u.auc + 5e-11, 4) AS train_auc
 FROM a CROSS JOIN u CROSS JOIN f0$joins"""
+    },
+    "q214_deep_tree_shap" -> {
+      // the q201 chain replay + ONE population-count row -> per-slot
+      // interventional Shapley as literal arithmetic; every expression
+      // mirrors scoring/TreeShap's fold order exactly, with slot
+      // attribution CASE-guarded on the fitted feature names.
+      val T = 2
+      val joins = gbtJoins(T + 1)
+      def fvA(t: Int) = gbtFv(s"broot$t", "fb")
+      def fvB(t: Int) = gbtFv(s"bl$t", "fb")
+      def fvC(t: Int) = gbtFv(s"br$t", "fb")
+      def popCounts(t: Int): String = {
+        val (xa, xb, xc) = (s"${fvA(t)} <= broot$t.t",
+          s"${fvB(t)} <= bl$t.t", s"${fvC(t)} <= br$t.t")
+        s"""sum(CASE WHEN $xa THEN 1 ELSE 0 END) AS naL_$t,
+    sum(CASE WHEN $xb THEN 1 ELSE 0 END) AS nbL_$t,
+    sum(CASE WHEN $xc THEN 1 ELSE 0 END) AS ncL_$t,
+    sum(CASE WHEN ($xa) AND ($xb) THEN 1 ELSE 0 END) AS nabLL_$t,
+    sum(CASE WHEN (NOT ($xa)) AND ($xc) THEN 1 ELSE 0 END) AS nacGL_$t"""
+      }
+      // per-round textual twins of TreeShap.roundPhis
+      def sqlRound(t: Int): (String, String, String, String, String) = {
+        val (v0, v1, v2, v3) = (s"bl$t.vl", s"bl$t.vr", s"br$t.vl", s"br$t.vr")
+        val xa = s"${fvA(t)} <= broot$t.t"
+        val xb = s"${fvB(t)} <= bl$t.t"
+        val xc = s"${fvC(t)} <= br$t.t"
+        val vLx = s"(CASE WHEN $xb THEN $v0 ELSE $v1 END)"
+        val vRx = s"(CASE WHEN $xc THEN $v2 ELSE $v3 END)"
+        val fx = s"(CASE WHEN $xa THEN $vLx ELSE $vRx END)"
+        val (naL, nbL, ncL, nab, nac, n) = (s"pop.naL_$t", s"pop.nbL_$t",
+          s"pop.ncL_$t", s"pop.nabLL_$t", s"pop.nacGL_$t", "pop.nn")
+        val e0 = s"(($nab*$v0 + ($naL - $nab)*$v1 + $nac*$v2 + ($n - $naL - $nac)*$v3) / $n)"
+        val eL = s"(($nbL*$v0 + ($n - $nbL)*$v1) / $n)"
+        val eR = s"(($ncL*$v2 + ($n - $ncL)*$v3) / $n)"
+        val eA = s"(CASE WHEN $xa THEN $eL ELSE $eR END)"
+        val eB = s"(($naL*$vLx + $nac*$v2 + ($n - $naL - $nac)*$v3) / $n)"
+        val eC = s"(($nab*$v0 + ($naL - $nab)*$v1 + ($n - $naL)*$vRx) / $n)"
+        val eAB = s"(CASE WHEN $xa THEN $vLx ELSE $eR END)"
+        val eAC = s"(CASE WHEN $xa THEN $eL ELSE $vRx END)"
+        val eBC = s"(($naL*$vLx + ($n - $naL)*$vRx) / $n)"
+        def phi(s1: String, s0: String, d1a: String, d1b: String,
+            d0a: String, d0b: String, s3: String, s2: String) =
+          s"(($s1 - $s0)/3 + ($d1a - $d1b)/6 + ($d0a - $d0b)/6 + ($s3 - $s2)/3)"
+        (phi(eA, e0, eAB, eB, eAC, eC, fx, eBC),
+          phi(eB, e0, eAB, eA, eBC, eC, fx, eAC),
+          phi(eC, e0, eAC, eA, eBC, eB, fx, eAB), e0, fx)
+      }
+      val rounds = (1 to T).map(t => t -> sqlRound(t)).toMap
+      def phiExpr(fname: String): String =
+        (1 to T).map { t =>
+          val (pa, pb, pc, _, _) = rounds(t)
+          s"""(CASE WHEN broot$t.f = '$fname' THEN $pa ELSE 0.0 END) + (CASE WHEN bl$t.f = '$fname' THEN $pb ELSE 0.0 END) + (CASE WHEN br$t.f = '$fname' THEN $pc ELSE 0.0 END)"""
+        }.mkString("0.0 + ", " + ", "")
+      val scoreExpr = (1 to T).map(t => rounds(t)._5).mkString("f0.v + ", " + ", "")
+      val baseExpr = (1 to T).map(t => rounds(t)._4).mkString("f0.v + ", " + ", "")
+      def r4(x: String) = s"round($x + 5e-11, 4)"
+      s"""WITH fb AS MATERIALIZED ($featSql),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
+${(1 to T).map(t => gbtRound(t, "fb")).mkString(",\n")},
+pop AS (
+  SELECT count(*) AS nn,
+    ${(1 to T).map(popCounts).mkString(",\n    ")}
+  FROM fb$joins),
+sc AS MATERIALIZED (
+  SELECT fb.event_id,
+    $scoreExpr AS s,
+    $baseExpr AS b,
+    ${phiExpr("value")} AS pv,
+    ${phiExpr("hb")} AS ph,
+    ${phiExpr("dowi")} AS pd
+  FROM fb CROSS JOIN f0 CROSS JOIN pop$joins)
+SELECT event_id, ${r4("s")} AS score, ${r4("b")} AS base_value,
+  ${r4("pv")} AS phi_value, ${r4("ph")} AS phi_hb, ${r4("pd")} AS phi_dowi,
+  CASE WHEN abs(${r4("pv")}) >= abs(${r4("ph")}) AND abs(${r4("pv")}) >= abs(${r4("pd")}) THEN 'value'
+       WHEN abs(${r4("ph")}) >= abs(${r4("pd")}) THEN 'hb'
+       ELSE 'dowi' END AS top_factor,
+  ${r4("s - b - pv - ph - pd")} AS additivity_gap
+FROM sc"""
     },
     "q212_performance_history" -> {
       def r4(x: String) = s"round($x + 5e-11, 4)"

@@ -500,6 +500,66 @@ class ModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("TreeShap.roundPhis == brute-force slot-Shapley over the empirical joint") {
+    import spark.implicits._
+    import graft.scoring.{Boosting, TreeShap}
+    // deliberately ugly joint distribution (correlated features, ties)
+    val rows = (1 to 40).map(i =>
+      ((i * 7 % 13).toDouble, (i * 5 % 11).toDouble, (i * 3 % 7).toDouble))
+    val df = rows.toDF("x", "z", "w")
+    // two rounds: distinct slots, and a DUPLICATED-feature round
+    // (left slot reads the root's feature) — the slot game must stay
+    // exact in both
+    val trees = Seq(
+      Boosting.TreeRound("x", 6.0, "z", 4.0, "w", 3.0, 0.1, -0.2, 0.3, -0.4),
+      Boosting.TreeRound("x", 5.0, "x", 2.0, "z", 7.0, 0.25, -0.15, 0.05, -0.3))
+    def slotVal(r: (Double, Double, Double), f: String): Double =
+      f match { case "x" => r._1; case "z" => r._2; case "w" => r._3 }
+    def treeEval(tr: Boosting.TreeRound,
+        a: Double, b: Double, c: Double): Double =
+      if (a <= tr.rootThreshold) { if (b <= tr.leftThreshold) tr.v0 else tr.v1 }
+      else { if (c <= tr.rightThreshold) tr.v2 else tr.v3 }
+    // brute force: E[S] = mean over background rows of the mixed eval
+    def bruteE(tr: Boosting.TreeRound, x: (Double, Double, Double),
+        s: Set[Int]): Double =
+      rows.map { z =>
+        val a = if (s(0)) slotVal(x, tr.rootFeature) else slotVal(z, tr.rootFeature)
+        val b = if (s(1)) slotVal(x, tr.leftFeature) else slotVal(z, tr.leftFeature)
+        val c = if (s(2)) slotVal(x, tr.rightFeature) else slotVal(z, tr.rightFeature)
+        treeEval(tr, a, b, c)
+      }.sum / rows.size
+    def brutePhi(tr: Boosting.TreeRound, x: (Double, Double, Double),
+        i: Int): Double = {
+      val others = (0 until 3).filterNot(_ == i)
+      val subsets = Seq(Set.empty[Int], Set(others(0)), Set(others(1)),
+        others.toSet)
+      subsets.map { s =>
+        val wgt = s.size match { case 0 => 1.0 / 3; case 1 => 1.0 / 6; case 2 => 1.0 / 3 }
+        wgt * (bruteE(tr, x, s + i) - bruteE(tr, x, s))
+      }.sum
+    }
+    for ((tr, ti) <- trees.zipWithIndex) {
+      val aggs = TreeShap.countAggs(tr, 1)
+      val pop = df.agg((count(lit(1)).as("nn") +: aggs).head,
+        (count(lit(1)).as("nn") +: aggs).tail: _*)
+      val (pa, pb, pc, e0, fx) = TreeShap.roundPhis(tr, col("naL_1"),
+        col("nbL_1"), col("ncL_1"), col("nabLL_1"), col("nacGL_1"), col("nn"))
+      val got = df.crossJoin(broadcast(pop))
+        .select(col("x"), col("z"), col("w"), pa.as("pa"), pb.as("pb"),
+          pc.as("pc"), e0.as("e0"), fx.as("fx")).collect()
+      for (r <- got) {
+        val x = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        val (gpa, gpb, gpc) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(math.abs(gpa - brutePhi(tr, x, 0)) < 1e-12, s"tree $ti phiA at $x")
+        assert(math.abs(gpb - brutePhi(tr, x, 1)) < 1e-12, s"tree $ti phiB at $x")
+        assert(math.abs(gpc - brutePhi(tr, x, 2)) < 1e-12, s"tree $ti phiC at $x")
+        // efficiency: slot phis sum to prediction minus expectation
+        assert(math.abs((gpa + gpb + gpc) - (r.getDouble(7) - r.getDouble(6))) < 1e-12)
+        assert(math.abs(r.getDouble(6) - bruteE(tr, x, Set.empty)) < 1e-12)
+      }
+    }
+  }
+
   test("Lime.surrogate reproduces an exactly additive model with R² = 1") {
     import spark.implicits._
     val df = Seq((1L, 2.0, 3.0), (2L, -1.0, 0.5)).toDF("id", "u", "v")
