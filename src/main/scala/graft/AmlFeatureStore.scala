@@ -157,6 +157,13 @@ class AmlFeatureStore(spark: SparkSession) {
       binSize: Long): DataFrame =
     graft.scale.Packing.binReport(docs, order, tokens, binSize)
 
+  /** The feast-registry surface (`feature_repo/definitions.py`): catalog
+    * rows derived from the live serving-view schemas — the
+    * feature-discovery + schema-contract view ([[graft.schema.FeatureRegistry]]).
+    */
+  def featureCatalog(tx: DataFrame): DataFrame =
+    graft.schema.FeatureRegistry.catalog(tx)
+
   /** Round-7 tree family (the reference's strongest members,
     * `models/advanced_models.py:228-231,252`): gradient-boosted depth-2
     * trees, level-wise depth-N CART, and a deterministic deep forest

@@ -41,6 +41,17 @@ object ServingQueries extends QueryPack {
   }
 
   override val defs: Map[String, Q] = Map(
+    // feature catalog (the feast registry surface, feature_repo/
+    // definitions.py: FeatureView declarations with entity / TTL /
+    // field / dtype): rows derive from the ACTUAL serving-view schemas
+    // (customerFeatures / merchantFeatures applied to the live
+    // transaction frame), so this query is the schema CONTRACT — a
+    // renamed or retyped serving column flips the hash and fails the
+    // correctness gate, exactly what a registry is for. The reference's
+    // three FeatureView groupings are preserved as view_name.
+    "q215_feature_catalog" -> { (s, dir) =>
+      graft.schema.FeatureRegistry.catalog(Tables.transactions(s, dir))
+    },
     // feature-freshness / staleness report (the pipeline-lag surface of
     // the reference's monitoring loop, scripts/monitoring.py, minus
     // psutil): per customer, staleness = corpus max event time minus the
@@ -150,6 +161,33 @@ object ServingQueries extends QueryPack {
     })
 
   override val oracle: Map[String, String] = Map(
+    "q215_feature_catalog" -> {
+      // the EXPECTED contract, hardcoded independently of the engine's
+      // schemas — dtype drift on either side breaks the hash
+      val rows = Seq(
+        ("customer_transaction_features", "customer_id",
+          Seq("txn_amount_sum_60s" -> "double", "txn_amount_sum_5m" -> "double",
+            "txn_amount_sum_1h" -> "double", "txn_count_60s" -> "bigint",
+            "txn_count_5m" -> "bigint", "txn_count_10m" -> "bigint",
+            "txn_count_1h" -> "bigint", "unique_merchants_1h" -> "bigint",
+            "avg_txn_amount_1h" -> "double", "max_txn_amount_1h" -> "double")),
+        ("customer_behavioral_features", "customer_id",
+          Seq("unique_ips_1h" -> "bigint", "night_txn_count_24h" -> "bigint",
+            "weekend_txn_count_7d" -> "bigint", "velocity_score_1h" -> "double",
+            "amount_deviation_score_1h" -> "double")),
+        ("merchant_transaction_features", "merchant_id",
+          Seq("merchant_txn_count_1h" -> "bigint",
+            "merchant_txn_amount_sum_1h" -> "double",
+            "merchant_unique_customers_1h" -> "bigint",
+            "merchant_avg_txn_amount_1h" -> "double")))
+      val vals = rows.flatMap { case (view, entity, fields) =>
+        fields.map { case (f, dt) =>
+          s"('$view', '$entity', CAST(24 AS BIGINT), '$f', '$dt')"
+        }
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+  $vals) AS t(view_name, entity, ttl_hours, field, dtype)"""
+    },
     "q213_feature_freshness" ->
       """WITH b AS (SELECT max(epoch_us(ts)) AS max_tm FROM events),
 st AS (
