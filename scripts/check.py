@@ -28,6 +28,11 @@ def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # the driver hashes RENDERED values, so -0.0 != +0.0 there even
+        # though Python == treats them equal — compare signbit when both
+        # are zero to reproduce the driver's semantics locally
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     return a == b
 

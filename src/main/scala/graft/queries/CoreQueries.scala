@@ -144,8 +144,8 @@ object CoreQueries extends QueryPack {
       val cs = feats.agg(aggs.head, aggs.tail: _*)
       val melted = cs.select(explode(array(fnames.map(f =>
           struct(lit(f).as("feature"), col(s"c_$f").as("c"))): _*)).as("e"))
-        .select(col("e.feature"), r6(col("e.c")).as("target_corr"),
-          coalesce(abs(r6(col("e.c"))), lit(-1.0)).as("abs_corr"))
+        .select(col("e.feature"), r6z(col("e.c")).as("target_corr"),
+          coalesce(abs(r6z(col("e.c"))), lit(-1.0)).as("abs_corr"))
         .localCheckpoint() // 15 rows; read twice for the triangular rank
       val o = melted.select(col("feature").as("__f2"), col("abs_corr").as("__a2"))
       melted.crossJoin(o)
@@ -273,7 +273,7 @@ FROM events ${windowClause("w24h", "w7d")}""",
         "weekend_txn_count_7d", "avg_txn_amount_1h")
       val corrSel = fnames.map(f => s"corr($f, y) AS c_$f").mkString(",\n    ")
       val melt = fnames.map(f =>
-        s"SELECT '$f' AS feature, round(c_$f + 5e-11, 4) AS target_corr, coalesce(abs(round(c_$f + 5e-11, 4)), -1.0) AS abs_corr FROM c")
+        s"SELECT '$f' AS feature, round(c_$f + 5e-11, 4) + 0.0 AS target_corr, coalesce(abs(round(c_$f + 5e-11, 4)) + 0.0, -1.0) AS abs_corr FROM c")
         .mkString("\nUNION ALL\n")
       s"""WITH $featureCte,
 lab AS (SELECT f.*, CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y FROM f),

@@ -412,7 +412,7 @@ object DomainQueries extends QueryPack {
           col("a.day") === col("b.day") && col("a.m") < col("b.m"))
         .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
         .agg(count(lit(1)).as("n_days"),
-          r6(corr(col("a.c"), col("b.c"))).as("day_corr"))
+          r6z(corr(col("a.c"), col("b.c"))).as("day_corr"))
     },
     // per-merchant user saturation curve: new vs cumulative distinct
     // users by week (first-touch attribution, exact integers)
@@ -667,7 +667,7 @@ object DomainQueries extends QueryPack {
       daily.withColumn("prev", lag(col("cnt"), 1).over(w))
         .where(col("prev").isNotNull)
         .groupBy(col("event_type").as("merchant_id"))
-        .agg(r6(corr(col("cnt").cast("double"), col("prev").cast("double")))
+        .agg(r6z(corr(col("cnt").cast("double"), col("prev").cast("double")))
           .as("lag1_autocorr"),
           count(lit(1)).as("n_pairs"))
     },
@@ -945,7 +945,7 @@ SELECT round(jsd + 5e-11, 4) AS jsd, jsd > 0.1 AS drift_detected FROM j""",
     "q138_cross_correlation" ->
       """WITH d AS (SELECT event_type AS m, ts::DATE AS day, count(*) AS c FROM events GROUP BY 1, 2)
 SELECT a.m AS m1, b.m AS m2, count(*) AS n_days,
-  round(corr(a.c, b.c) + 5e-11, 4) AS day_corr
+  round(corr(a.c, b.c) + 5e-11, 4) + 0.0 AS day_corr
 FROM d a JOIN d b ON a.day = b.day AND a.m < b.m
 GROUP BY 1, 2""",
     "q139_saturation" ->
@@ -1416,7 +1416,7 @@ p AS (SELECT event_type, cnt,
         lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
       FROM d)
 SELECT event_type AS merchant_id,
-  round(corr(cnt, prev) + 5e-11, 4) AS lag1_autocorr,
+  round(corr(cnt, prev) + 5e-11, 4) + 0.0 AS lag1_autocorr,
   count(*) AS n_pairs
 FROM p WHERE prev IS NOT NULL GROUP BY 1""",
     "q100_cusum" ->

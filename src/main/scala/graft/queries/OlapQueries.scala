@@ -136,9 +136,9 @@ object OlapQueries extends QueryPack {
         .select(col("user_id"), col("value"),
           hour(col("ts")).cast("double").as("h"))
       ev.groupBy(col("user_id"))
-        .agg(r6(deNaN(corr(col("value"), col("h")))).as("corr_amount_hour"),
-          r6(covar_samp(col("value"), col("h"))).as("covar_samp_ah"),
-          r6(covar_pop(col("value"), col("h"))).as("covar_pop_ah"),
+        .agg(r6z(deNaN(corr(col("value"), col("h")))).as("corr_amount_hour"),
+          r6z(covar_samp(col("value"), col("h"))).as("covar_samp_ah"),
+          r6z(covar_pop(col("value"), col("h"))).as("covar_pop_ah"),
           count(lit(1)).as("n"))
     },
     // funnel conversion: click -> purchase within 30 min, computed with a
@@ -324,9 +324,9 @@ FROM a LEFT JOIN b ON a.user_id = b.u2 AND b.tm2 > a.tm AND b.tm2 <= a.tm + 3000
 GROUP BY 1""",
     "q64_bivariate" ->
       """SELECT user_id,
-  round(corr(value, hour(ts)::DOUBLE) + 5e-11, 4) AS corr_amount_hour,
-  round(covar_samp(value, hour(ts)::DOUBLE) + 5e-11, 4) AS covar_samp_ah,
-  round(covar_pop(value, hour(ts)::DOUBLE) + 5e-11, 4) AS covar_pop_ah,
+  round(corr(value, hour(ts)::DOUBLE) + 5e-11, 4) + 0.0 AS corr_amount_hour,
+  round(covar_samp(value, hour(ts)::DOUBLE) + 5e-11, 4) + 0.0 AS covar_samp_ah,
+  round(covar_pop(value, hour(ts)::DOUBLE) + 5e-11, 4) + 0.0 AS covar_pop_ah,
   count(*) AS n
 FROM events GROUP BY 1""",
     "q68_funnel" ->

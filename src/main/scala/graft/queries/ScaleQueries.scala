@@ -273,7 +273,7 @@ sig AS (SELECT doc_id,
         .orderBy(r6(abs(col("corr"))).desc, col("i").asc, col("j").asc)
         .limit(40)
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          r6(col("corr")).as("corr"))
+          r6z(col("corr")).as("corr"))
     },
     // top principal component of the embedding corpus (scale/Pca):
     // ONE mergeable GramAgg pass reduces n×d to a d(d+3)/2 buffer, then
@@ -1185,7 +1185,7 @@ FROM agg CROSS JOIN d""",
   FROM embeddings),
 c AS (SELECT a.i AS i, b.i AS j, corr(a.v, b.v) AS corr
       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i GROUP BY 1, 2)
-SELECT i::BIGINT AS i, j::BIGINT AS j, round(corr + 5e-11, 4) AS corr
+SELECT i::BIGINT AS i, j::BIGINT AS j, round(corr + 5e-11, 4) + 0.0 AS corr
 FROM c ORDER BY round(abs(corr) + 5e-11, 4) DESC, i ASC, j ASC LIMIT 40""",
     "q150_zipf_slope" ->
       """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),

@@ -47,4 +47,14 @@ package object queries {
     * noise reaches ~1e-5 — nudge sized accordingly.
     */
   def r2(c: Column): Column = rnd(c + lit(1e-4), 1e2)
+
+  /** Zero-sign-normalized 4 dp round for outputs whose TRUE value can sit
+    * at ~0 with engine-dependent sign (corr / slope of uncorrelated
+    * columns): the two engines' co-moment noise straddles zero, so one
+    * rounds to -0.0 and the other to +0.0 — equal under ==, different
+    * under the driver's rendered-value hash. `+ 0.0` maps IEEE -0.0 to
+    * +0.0 and is the identity for every other value. The oracle SQL twin
+    * must apply the same `+ 0.0` after its round().
+    */
+  def r6z(c: Column): Column = rnd(c + lit(5e-11), 1e4) + lit(0.0)
 }
