@@ -1096,6 +1096,41 @@ FROM events"""
         r6(avg((ens === col("y")).cast("double"))).as("ens_acc"),
         count(lit(1)).as("n"))
       scored.agg(aggs.head, aggs.tail: _*)
+    },
+    // AdaBoost-SAMME stumps (the reference's AdaBoostClassifier ensemble
+    // slot, models/advanced_models.py:17): 4 adaptive-reweighting rounds
+    // on the md5 80% train slice. Sample weights never materialize —
+    // each round's fused candidate pass counts integers per (feature,
+    // threshold, miss-pattern) cell and folds the ≤2^r pattern-weight
+    // literals after aggregation (scoring/AdaBoost), so the DuckDB
+    // oracle replays the identical weight chain. Report: per-round stump
+    // + weighted err + vote alpha + staged train/held-out error.
+    "q216_adaboost" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "abval", 5))
+        .localCheckpoint() // read once per boosting round + 2 staged scans
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      val m = graft.scoring.AdaBoost.fit(train, feats, col("y"), rounds = 4)
+      def staged(df: org.apache.spark.sql.DataFrame, pfx: String) = {
+        val aggs = count(lit(1)).as(s"${pfx}n") +: (1 to 4).map(t =>
+          sum((graft.scoring.AdaBoost.classify(m.take(t)) =!= col("y"))
+            .cast("long")).as(s"${pfx}m$t"))
+        df.agg(aggs.head, aggs.tail: _*)
+      }
+      val rows = (1 to 4).map { t =>
+        val r = m(t - 1)
+        struct(lit(t.toLong).as("round"), lit(r.feature).as("feature"),
+          r6(lit(r.threshold)).as("threshold"),
+          lit(r.leftLabel).as("left_label"),
+          lit(r.rightLabel).as("right_label"),
+          r6(lit(r.err)).as("err"), lit(r.alpha).as("alpha"),
+          r6(col(s"tm$t").cast("double") / col("tn")).as("train_err"),
+          r6(col(s"vm$t").cast("double") / col("vn")).as("val_err"))
+      }
+      staged(train, "t").crossJoin(staged(valid, "v"))
+        .select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     })
 
   /** One naive-Bayes likelihood CTE pair per feature. */
@@ -1218,6 +1253,104 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
   private def gbtResid(name: (Int, Int) => String, n: String, t: Int): String =
     (1 until t).map(j =>
       s" - (bl$j.vl*${name(j, 0)} + bl$j.vr*${name(j, 1)} + br$j.vl*${name(j, 2)} + br$j.vr*($n - ${name(j, 0)} - ${name(j, 1)} - ${name(j, 2)}))").mkString
+
+  /** AdaBoost-SAMME oracle builders (q216): round-by-round replay of
+    * scoring/AdaBoost — integer counts per (threshold × miss-pattern)
+    * cell, window cumsums, pattern weights as ascending products of the
+    * prior rounds' 4 dp beta literals, the weighted-error argmin, and
+    * the staged vote errors. CTE contract: round t publishes
+    * `ab$t (f, t, ll, rl, err, beta, a)`.
+    */
+  private def abMiss(j: Int, src: String): String =
+    s"(CASE WHEN (CASE WHEN ${gbtFv(s"ab$j", src)} <= ab$j.t THEN ab$j.ll ELSE ab$j.rl END) <> $src.y THEN 1 ELSE 0 END)"
+
+  /** Row's miss-pattern id under the first `p` rounds (0 when p = 0). */
+  private def abPat(p: Int, src: String): String =
+    if (p == 0) "0"
+    else (1 to p).map(j => s"${abMiss(j, src)} * ${1 << (j - 1)}").mkString(" + ")
+
+  /** Pattern g's weight: ascending product of the set bits' betas. */
+  private def abW(g: Int, p: Int): String = {
+    val bits = (1 to p).filter(j => (g & (1 << (j - 1))) != 0)
+    if (bits.isEmpty) "CAST(1.0 AS DOUBLE)"
+    else bits.map(j => s"ab$j.beta").mkString(" * ")
+  }
+
+  /** Round t of the SAMME chain over fact CTE `src`. */
+  private def abRound(t: Int, src: String): String = {
+    val p = t - 1
+    val pats = 1 << p
+    val joins = (1 to p).map(j => s" CROSS JOIN ab$j").mkString
+    val pat = abPat(p, src)
+    def gCte(f: String) = {
+      val cols = (0 until pats).map(g => s""",
+    sum(CASE WHEN ($pat) = $g THEN 1 ELSE 0 END) AS n$g,
+    sum(CASE WHEN ($pat) = $g AND $src.y = 1 THEN 1 ELSE 0 END) AS p$g""").mkString
+      s"""abg${t}_$f AS (
+  SELECT CAST($f AS DOUBLE) AS threshold$cols
+  FROM $src$joins
+  GROUP BY 1)"""
+    }
+    def cCte(f: String) = {
+      val cum = (0 until pats).map(g => s""",
+    CAST(sum(n$g) OVER w AS BIGINT) AS nl$g,
+    CAST(sum(p$g) OVER w AS BIGINT) AS pl$g""").mkString
+      val tot = (0 until pats).map(g => s""",
+    CAST(sum(n$g) OVER () AS BIGINT) AS tn$g,
+    CAST(sum(p$g) OVER () AS BIGINT) AS tp$g""").mkString
+      s"""abc${t}_$f AS (
+  SELECT threshold$cum$tot
+  FROM abg${t}_$f
+  WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+    }
+    def candCte(f: String) = {
+      def ws(term: Int => String) =
+        (0 until pats).map(g => s"(${abW(g, p)}) * (${term(g)})").mkString(" + ")
+      val nlAll = (0 until pats).map(g => s"nl$g").mkString(" + ")
+      val tnAll = (0 until pats).map(g => s"tn$g").mkString(" + ")
+      s"""abcand${t}_$f AS (
+  SELECT '$f' AS feature, threshold,
+    ${ws(g => s"pl$g")} AS wlp,
+    ${ws(g => s"nl$g - pl$g")} AS wln,
+    ${ws(g => s"tp$g - pl$g")} AS wrp,
+    ${ws(g => s"(tn$g - tp$g) - (nl$g - pl$g)")} AS wrn
+  FROM abc${t}_$f$joins
+  WHERE $nlAll < $tnAll)"""
+    }
+    val union = gbFeatures.map(f => s"SELECT * FROM abcand${t}_$f")
+      .mkString(" UNION ALL ")
+    val bestCte = s"""ab$t AS MATERIALIZED (
+  SELECT feature AS f, threshold AS t,
+    CASE WHEN wlp > wln THEN 1 ELSE 0 END AS ll,
+    CASE WHEN wrp > wrn THEN 1 ELSE 0 END AS rl,
+    err,
+    round((1 - err) / err + 5e-11, 4) AS beta,
+    round(ln(round((1 - err) / err + 5e-11, 4)) + 5e-11, 4) AS a
+  FROM (SELECT feature, threshold, wlp, wln, wrp, wrn,
+      (least(wlp, wln) + least(wrp, wrn)) / (((wlp + wln) + wrp) + wrn) AS err
+    FROM ($union))
+  ORDER BY round(err + 5e-11, 4) ASC, feature ASC, threshold ASC
+  LIMIT 1)"""
+    (gbFeatures.map(gCte) ++ gbFeatures.map(cCte) ++ gbFeatures.map(candCte) :+
+      bestCte).mkString(",\n")
+  }
+
+  /** Staged signed vote of rounds 1..t (sign-flip form, not multiply —
+    * the operation chain of AdaBoost.voteScore).
+    */
+  private def abVote(t: Int, src: String): String =
+    (1 to t).map(j =>
+      s"(CASE WHEN (CASE WHEN ${gbtFv(s"ab$j", src)} <= ab$j.t THEN ab$j.ll ELSE ab$j.rl END) = 1 THEN ab$j.a ELSE -ab$j.a END)")
+      .mkString(" + ")
+
+  /** Staged misclassification counts of rounds 1..t over CTE `src`. */
+  private def abStage(t: Int, src: String, name: String): String = {
+    val joins = (1 to t).map(j => s" CROSS JOIN ab$j").mkString
+    s"""$name AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN (CASE WHEN ${abVote(t, src)} > 0 THEN 1 ELSE 0 END) <> $src.y THEN 1 ELSE 0 END) AS m
+  FROM $src$joins)"""
+  }
 
   private val gbtArgmax =
     "ORDER BY round(sl*sl/nl + sr*sr/nr + 5e-11, 4) DESC, feature, threshold\n  LIMIT 1"
@@ -2778,5 +2911,27 @@ a AS (
 SELECT b0.f0, b0.t0, b0.g0, b1.f1, b1.t1, b1.g1, b2.f2, b2.t2, b2.g2,
   a.ens_acc, a.n
 FROM a CROSS JOIN best0 b0 CROSS JOIN best1 b1 CROSS JOIN best2 b2"""
+    },
+    "q216_adaboost" -> {
+      val T = 4
+      val stages = (1 to T).flatMap(t =>
+        Seq(abStage(t, "abtr", s"abst$t"), abStage(t, "abvl", s"absv$t")))
+        .mkString(",\n")
+      val rows = (1 to T).map(t =>
+        s"""SELECT $t AS round, ab$t.f AS feature, round(ab$t.t + 5e-11, 4) AS threshold,
+  ab$t.ll AS left_label, ab$t.rl AS right_label,
+  round(ab$t.err + 5e-11, 4) AS err, ab$t.a AS alpha,
+  round(CAST(abst$t.m AS DOUBLE) / abst$t.n + 5e-11, 4) AS train_err,
+  round(CAST(absv$t.m AS DOUBLE) / absv$t.n + 5e-11, 4) AS val_err
+FROM ab$t CROSS JOIN abst$t CROSS JOIN absv$t""")
+      s"""WITH abf0 AS ($featSql),
+abfp AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5('abval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM abf0),
+abtr AS MATERIALIZED (SELECT * FROM abfp WHERE vb5 <> 0),
+abvl AS MATERIALIZED (SELECT * FROM abfp WHERE vb5 = 0),
+${(1 to T).map(t => abRound(t, "abtr")).mkString(",\n")},
+$stages
+${rows.mkString("\nUNION ALL\n")}"""
     })
 }

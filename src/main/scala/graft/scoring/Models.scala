@@ -153,7 +153,7 @@ object Models {
     * `keep` columns (label, membership flags) are evaluated BEFORE the
     * explode so row-level expressions see the original row once.
     */
-  private def meltedPer(df: DataFrame, features: Seq[String],
+  private[scoring] def meltedPer(df: DataFrame, features: Seq[String],
       keep: Seq[Column], keepNames: Seq[String],
       aggs: Seq[Column]): DataFrame =
     df.select(keep :+ explode(array(features.map(f =>
