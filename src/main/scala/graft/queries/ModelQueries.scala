@@ -1131,7 +1131,78 @@ FROM events"""
       }
       staged(train, "t").crossJoin(staged(valid, "v"))
         .select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    },
+    // class-weighted logistic GD (the reference's class_weight=
+    // 'balanced' / scale_pos_weight=10 hyperparameter surface,
+    // models/advanced_models.py:228-229): positive rows' gradient
+    // contributions scale by pos_weight; both settings train in ONE
+    // fused aggregate per GD step (Trainer.fitLogisticWeighted).
+    // Report: per-setting fitted weights + held-out AUC and the
+    // 0.5-threshold operating point — the minority-recall shift class
+    // weighting exists to buy.
+    "q217_weighted_logistic" -> { (s, dir) =>
+      wlrQuery(s, dir, "wlr", Seq(1.0, 10.0), withBest = false)
+    },
+    // pos_weight hyperparameter search over {1, 5, 10} (the reference's
+    // imbalance-handling knob swept like its AutoML grid): the fused
+    // sweep costs the passes of ONE fit; cells ranked by rounded
+    // held-out F1 (pos_weight tie-break) via a window-free triangular
+    // join — the same search surface as q183's (lr × iters) grid.
+    "q219_posweight_search" -> { (s, dir) =>
+      wlrQuery(s, dir, "pws", Seq(1.0, 5.0, 10.0), withBest = true)
     })
+
+  /** Shared engine side of q217/q219: fused class-weight sweep + per-
+    * setting held-out operating metrics (margin > 0 alert point);
+    * `withBest` keeps the rounded-F1 column and ranks cells via a
+    * window-free triangular join.
+    */
+  private def wlrQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+      salt: String, pws: Seq[Double], withBest: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = Seq("value", "hb", "dowi")
+    val f = eventFeatures(s, dir)
+      .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), salt, 5))
+      .localCheckpoint() // stats + 6 GD passes + per-setting metric reads
+    val train = f.where(col("vb5") =!= 0)
+    val valid = f.where(col("vb5") === 0)
+    val ms = graft.scoring.Trainer.fitLogisticWeighted(train, feats, col("y"),
+      pws, iters = 6, lr = 0.5)
+    val cells = pws.zip(ms).map { case (pw, m) =>
+      val scored = valid.select(col("y"),
+        graft.scoring.Trainer.margin(m).as("margin"))
+      val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
+      val pred = (col("margin") > 0).cast("long")
+      val p = col("__tp").cast("double") / col("__alerts")
+      val r = col("__tp").cast("double") / col("__pos")
+      scored.agg(count(lit(1)).as("n_val"), sum(col("y")).as("__pos"),
+          sum(pred).as("__alerts"),
+          sum(when(col("y") === 1L && col("margin") > 0, 1L).otherwise(0L))
+            .as("__tp"),
+          sum((pred === col("y")).cast("long")).as("__ok"))
+        .crossJoin(auc)
+        .select(lit(pw).as("pos_weight") +: col("n_val") +:
+          r6(col("auc")).as("auc") +: r6(r).as("rec") +:
+          r6(when(col("__alerts") > 0, p)).as("prec") +:
+          r6(col("__ok").cast("double") / col("n_val")).as("accuracy") +:
+          r6(when(col("__tp") > 0, lit(2.0) * p * r / (p + r))
+            .otherwise(lit(0.0))).as("f1") +:
+          r6(lit(m.intercept)).as("intercept") +:
+          feats.zip(m.weights).map { case (c2, w) => r6(lit(w)).as(s"w_$c2") }: _*)
+    }.reduce(_.unionByName(_))
+    if (!withBest) cells.drop("f1")
+    else {
+      val better = cells.select(col("pos_weight").as("__p2"), col("f1").as("__f2"))
+      val keys = Seq("pos_weight", "n_val", "auc", "rec", "prec", "accuracy",
+        "f1", "intercept", "w_value", "w_hb", "w_dowi")
+      cells.join(better,
+          col("__f2") > col("f1") || (col("__f2") === col("f1") &&
+            col("__p2") < col("pos_weight")), "left")
+        .groupBy(keys.map(col): _*)
+        .agg(count(col("__p2")).as("__nb"))
+        .select(keys.map(col) :+ (col("__nb") === 0).as("is_best"): _*)
+    }
+  }
 
   /** One naive-Bayes likelihood CTE pair per feature. */
   private def nbLike(f: String): String =
@@ -1350,6 +1421,91 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
   SELECT count(*) AS n,
     sum(CASE WHEN (CASE WHEN ${abVote(t, src)} > 0 THEN 1 ELSE 0 END) <> $src.y THEN 1 ELSE 0 END) AS m
   FROM $src$joins)"""
+  }
+
+  /** Class-weighted logistic oracle (q217/q219): the q183 unrolled-GD
+    * chain with per-setting positive-class weights — weighted gradient
+    * sums normalized by the exact weighted row count, margin terms in
+    * Trainer.fitLogisticWeighted's fold order (intercept first). Emits
+    * one row per setting; `withBest` appends the rounded-F1 triangular
+    * rank.
+    */
+  private def wlrSql(salt: String, pws: Seq[String], withBest: Boolean): String = {
+    val iters = 6
+    val idx = 0 to 2
+    val statSel = idx.map(i =>
+      s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+      .mkString(",\n    ")
+    val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+    def cwOf(k: Int) =
+      s"(CASE WHEN d.y = 1.0 THEN CAST(${pws(k)} AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)"
+    val wsSel = pws.indices.map(k => s"sum(${cwOf(k)}) AS ws$k").mkString(", ")
+    def chain(k: Int): String = {
+      val i0 = s"i0_k$k AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+      val its = (1 to iters).map { t =>
+        val m = s"i.b + ${idx.map(i => s"i.w$i * d.x$i").mkString(" + ")}"
+        val p = s"1.0/(1.0 + exp(-($m)))"
+        val err = s"(($p - d.y) * ${cwOf(k)})"
+        val upd = idx.map(i =>
+          s"i.w$i - 0.5*(sum($err * d.x$i) / ws.ws$k) AS w$i").mkString(",\n    ") +
+          s",\n    i.b - 0.5*(sum($err) / ws.ws$k) AS b"
+        s"i${t}_k$k AS MATERIALIZED (SELECT $upd\n  FROM d, i${t - 1}_k$k i, ws GROUP BY i.w0, i.w1, i.w2, i.b, ws.ws$k)"
+      }.mkString(",\n")
+      s"$i0,\n$its"
+    }
+    def cell(k: Int): String =
+      s"""sc$k AS MATERIALIZED (
+  SELECT t.y, (i.b + i.w0*t.x0 + i.w1*t.x1 + i.w2*t.x2) AS sv
+  FROM dv t, i${iters}_k$k i),
+${gbMidrankAuc(s"w$k", s"(SELECT CAST(y AS INT) AS y, sv AS s FROM sc$k)")},
+mt$k AS (SELECT count(*) AS n_val,
+    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+    CAST(sum(CASE WHEN sv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS alerts,
+    CAST(sum(CASE WHEN y = 1.0 AND sv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN (CASE WHEN sv > 0 THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS ok
+  FROM sc$k)"""
+    def row(k: Int): String = {
+      val p = "CAST(mt.tp AS DOUBLE) / mt.alerts"
+      val r = "CAST(mt.tp AS DOUBLE) / mt.pos"
+      s"""SELECT CAST(${pws(k)} AS DOUBLE) AS pos_weight, mt.n_val,
+  round(uw$k.auc + 5e-11, 4) AS auc,
+  round($r + 5e-11, 4) AS rec,
+  round((CASE WHEN mt.alerts > 0 THEN $p END) + 5e-11, 4) AS prec,
+  round(CAST(mt.ok AS DOUBLE) / mt.n_val + 5e-11, 4) AS accuracy,
+  round((CASE WHEN mt.tp > 0 THEN 2.0*($p)*($r)/(($p) + ($r)) ELSE 0.0 END) + 5e-11, 4) AS f1,
+  round(i.b + 5e-11, 4) AS intercept,
+  round(i.w0 + 5e-11, 4) AS w_value,
+  round(i.w1 + 5e-11, 4) AS w_hb,
+  round(i.w2 + 5e-11, 4) AS w_dowi
+FROM mt$k mt CROSS JOIN uw$k CROSS JOIN i${iters}_k$k i"""
+    }
+    val cellsSel =
+      if (withBest)
+        """SELECT c.pos_weight, c.n_val, c.auc, c.rec, c.prec, c.accuracy, c.f1,
+  c.intercept, c.w_value, c.w_hb, c.w_dowi,
+  (SELECT count(*) FROM cells c2
+   WHERE c2.f1 > c.f1 OR (c2.f1 = c.f1 AND c2.pos_weight < c.pos_weight)) = 0 AS is_best
+FROM cells c"""
+      else
+        """SELECT pos_weight, n_val, auc, rec, prec, accuracy, intercept,
+  w_value, w_hb, w_dowi
+FROM cells"""
+    s"""WITH wfb AS ($featSql),
+wfp AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
+    y::DOUBLE AS y,
+    ('0x' || substr(md5('$salt:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM wfb),
+wtr AS (SELECT * FROM wfp WHERE vb5 <> 0),
+s AS (SELECT $statSel FROM wtr),
+d AS MATERIALIZED (SELECT $stdSel, y FROM wtr, s),
+dv AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM wfp WHERE vb5 = 0) t, s),
+ws AS (SELECT $wsSel FROM d),
+${pws.indices.map(chain).mkString(",\n")},
+${pws.indices.map(cell).mkString(",\n")},
+cells AS MATERIALIZED (
+${pws.indices.map(row).mkString("\nUNION ALL\n")})
+$cellsSel"""
   }
 
   private val gbtArgmax =
@@ -2933,5 +3089,9 @@ abvl AS MATERIALIZED (SELECT * FROM abfp WHERE vb5 = 0),
 ${(1 to T).map(t => abRound(t, "abtr")).mkString(",\n")},
 $stages
 ${rows.mkString("\nUNION ALL\n")}"""
-    })
+    },
+    "q217_weighted_logistic" ->
+      wlrSql("wlr", Seq("1.0", "10.0"), withBest = false),
+    "q219_posweight_search" ->
+      wlrSql("pws", Seq("1.0", "5.0", "10.0"), withBest = true))
 }

@@ -199,6 +199,73 @@ object Trainer {
     } finally data.unpersist()
   }
 
+  /** Class-weighted twin of [[fitLogistic]] — the reference trains with
+    * `class_weight='balanced'` / `scale_pos_weight=10`
+    * (`models/advanced_models.py:228-229`); this is that hyperparameter
+    * surface for the engine's logistic trainer. Positive rows' gradient
+    * contributions scale by posWeight:
+    * `w ← w − lr · Σ c_i·x_i·(σ−y) / Σ c_i`, `c_i = posWeight` when
+    * y=1 else 1. ALL weight settings train SIMULTANEOUSLY — one fused
+    * aggregate per GD step carries every setting's weighted gradient
+    * sums (the [[fitLogisticGrid]] fusion), so a k-point sweep costs the
+    * same passes as one fit. Standardization stays class-blind
+    * (sklearn's scaler is). The weighted row-count Σc_i is exact when
+    * posWeight is integral-valued (sums of exact doubles), keeping the
+    * normalizer bit-stable across engines; returns one model per
+    * setting, in `posWeights` order.
+    */
+  def fitLogisticWeighted(train: DataFrame, features: Seq[String],
+      label: Column, posWeights: Seq[Double], iters: Int = 20,
+      lr: Double = 0.5): Seq[LogisticModel] = {
+    require(posWeights.nonEmpty && posWeights.forall(_ > 0.0),
+      s"fitLogisticWeighted: posWeights must be positive, got $posWeights")
+    require(iters >= 1, s"fitLogisticWeighted: iters must be >= 1, got $iters")
+    val d = features.size
+    val statAggs = features.flatMap { f =>
+      Seq(avg(col(f).cast("double")).as(s"m_$f"),
+        stddev_pop(col(f).cast("double")).as(s"s_$f"))
+    }
+    val st = train.agg(statAggs.head, statAggs.tail: _*).head()
+    val means = features.indices.map(i => Option(st.get(2 * i))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0))
+    val stds = features.indices.map { i =>
+      val s = Option(st.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      if (s > 0.0) s else 1.0
+    }
+    val xs = features.zipWithIndex.map { case (f, i) =>
+      ((col(f).cast("double") - lit(means(i))) / lit(stds(i))).as(s"__x$i")
+    }
+    val data = train.select(label.cast("double").as("__y") +: xs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def cw(k: Int): Column =
+        when(col("__y") === 1.0, lit(posWeights(k))).otherwise(lit(1.0))
+      // per-setting weighted row count — constant across iterations
+      val wsAggs = posWeights.indices.map(k => sum(cw(k)).as(s"ws$k"))
+      val wsRow = data.agg(wsAggs.head, wsAggs.tail: _*).head()
+      val wsum = posWeights.indices.map(wsRow.getDouble)
+      val w = Array.fill(posWeights.size, d)(0.0)
+      val b = Array.fill(posWeights.size)(0.0)
+      for (_ <- 1 to iters) {
+        val gAggs = posWeights.indices.flatMap { k =>
+          val margin = (0 until d).map(i => col(s"__x$i") * lit(w(k)(i)))
+            .foldLeft(lit(b(k)))(_ + _)
+          val err = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")) * cw(k)
+          (0 until d).map(i =>
+            (sum(err * col(s"__x$i")) / lit(wsum(k))).as(s"g_${k}_$i")) :+
+            (sum(err) / lit(wsum(k))).as(s"gb_$k")
+        }
+        val g = data.agg(gAggs.head, gAggs.tail: _*).head()
+        for (k <- posWeights.indices) {
+          for (i <- 0 until d) w(k)(i) -= lr * g.getDouble(k * (d + 1) + i)
+          b(k) -= lr * g.getDouble(k * (d + 1) + d)
+        }
+      }
+      posWeights.indices.map(k => LogisticModel(features, means, stds,
+        w(k).clone().toSeq, b(k), iters, lr))
+    } finally data.unpersist()
+  }
+
   /** Linear margin w·standardize(x) + b over the RAW feature columns —
     * monotone in the predicted probability, so ranking metrics (AUC) can
     * skip the sigmoid.

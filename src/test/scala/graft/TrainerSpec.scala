@@ -65,4 +65,28 @@ class TrainerSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("iters"))
   }
+
+  test("fitLogisticWeighted: posWeight=1 reproduces the unweighted fit; upweighting shifts toward the positive class") {
+    import spark.implicits._
+    // imbalanced fixture: 1 positive per 10 rows, positives at high x1
+    val imb = (1 to 400).map { i =>
+      val x1 = (i % 21) - 10.0
+      (x1, if (i % 10 == 0 && x1 > 3) 1.0 else 0.0)
+    }.toDF("x1", "y")
+    val Seq(m1, m10) = Trainer.fitLogisticWeighted(imb, Seq("x1"), col("y"),
+      Seq(1.0, 10.0), iters = 6, lr = 0.5)
+    val base = Trainer.fitLogistic(imb, Seq("x1"), col("y"), iters = 6, lr = 0.5)
+    // posWeight = 1: sum(1·g)/sum(1) is arithmetically avg(g) — the
+    // weighted path must reproduce the plain fit to summation noise
+    m1.weights.zip(base.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"w: $a vs $b")
+    }
+    assert(math.abs(m1.intercept - base.intercept) < 1e-12)
+    // upweighting positives raises the intercept (more rows predicted
+    // positive) and cannot weaken the positive signal weight
+    assert(m10.intercept > m1.intercept)
+    assert(m10.weights.head >= m1.weights.head)
+    // both settings train on identical standardization moments
+    assert(m10.means == m1.means && m10.stds == m1.stds)
+  }
 }
