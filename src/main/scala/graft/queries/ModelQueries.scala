@@ -1143,6 +1143,29 @@ FROM events"""
     "q217_weighted_logistic" -> { (s, dir) =>
       wlrQuery(s, dir, "wlr", Seq(1.0, 10.0), withBest = false)
     },
+    // deterministic SMOTE (the reference's prepare_data default,
+    // models/advanced_models.py:395-407): synthesize interpolated
+    // minority rows — per-parent neighbor and λ are md5 draws, k-NN
+    // runs in md5 shards on 4dp z-scores (scale/Smote), reps sized to
+    // approach balance (⌊(neg−pos)/pos⌋, capped). Output = the
+    // synthetic rows themselves (parents, chosen neighbor, λ,
+    // interpolated features) + the class-balance report columns.
+    "q218_smote" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // counts + minority slice
+      val cnt = f.agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
+      val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
+      val m = math.max(1L, math.min(10L, (nn - np) / np)).toInt
+      val syn = graft.scale.Smote.synthesize(f.where(col("y") === 1L),
+        col("event_id"), feats, k = 5, reps = m, shards = 8, salt = "smote")
+      syn.select(col("parent_id"), col("nbr_id"), col("rep"),
+        r6(col("lam")).as("lam"),
+        r6(col("s_value")).as("s_value"), r6(col("s_hb")).as("s_hb"),
+        r6(col("s_dowi")).as("s_dowi"),
+        lit(np).as("n_pos"), lit(nn).as("n_neg"),
+        lit(np * (m + 1)).as("n_pos_after"))
+    },
     // pos_weight hyperparameter search over {1, 5, 10} (the reference's
     // imbalance-handling knob swept like its AutoML grid): the fused
     // sweep costs the passes of ONE fit; cells ranked by rounded
@@ -3092,6 +3115,52 @@ ${rows.mkString("\nUNION ALL\n")}"""
     },
     "q217_weighted_logistic" ->
       wlrSql("wlr", Seq("1.0", "10.0"), withBest = false),
+    "q218_smote" -> {
+      // scale/Smote's chain replayed: minority md5 shards, 4dp z-score
+      // distances, per-parent md5 neighbor/λ draws, raw-space
+      // interpolation; reps bounded by the balance quotient
+      val idx = 0 to 2
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(", ")
+      val zSel = idx.map(i => s"round((x$i - m$i)/s$i + 5e-11, 4) AS z$i")
+        .mkString(", ")
+      val d2 = idx.map(i => s"((q.z$i - c.z$i)*(q.z$i - c.z$i))").mkString(" + ")
+      val synthSel = Seq("value", "hb", "dowi").zipWithIndex.map { case (f, i) =>
+        s"round(q.x$i + p.lam*(n.x$i - q.x$i) + 5e-11, 4) AS s_$f" }.mkString(",\n  ")
+      s"""WITH sf AS ($featSql),
+smi AS MATERIALIZED (
+  SELECT event_id AS pid,
+    ('0x' || substr(md5('smote:s:' || event_id), 1, 8))::UBIGINT % 8 AS shard,
+    CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2
+  FROM sf WHERE y = 1),
+sct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM sf),
+scm AS (SELECT greatest(1, least(10, (nn - np) // np)) AS m FROM sct),
+sst AS (SELECT $statSel FROM smi),
+sz AS MATERIALIZED (SELECT pid, shard, x0, x1, x2, $zSel FROM smi, sst),
+ssc AS (SELECT q.shard, q.pid AS qid, c.pid AS nid, $d2 AS d2
+  FROM sz c JOIN sz q ON c.shard = q.shard AND c.pid <> q.pid),
+snb AS MATERIALIZED (SELECT qid, nid, rnk FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY shard, qid ORDER BY d2 ASC, nid ASC) AS rnk
+    FROM ssc)
+  WHERE rnk <= 5),
+sreps AS (SELECT unnest(range(10)) AS rep),
+spick AS (SELECT nb.qid, nb.nid, r.rep,
+    CAST(('0x' || substr(md5('smote:l' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 10000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS lam
+  FROM snb nb, sreps r, scm
+  WHERE r.rep < scm.m
+    AND nb.rnk = ('0x' || substr(md5('smote:n' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 5 + 1)
+SELECT p.qid AS parent_id, p.nid AS nbr_id, CAST(p.rep AS BIGINT) AS rep,
+  round(p.lam + 5e-11, 4) AS lam,
+  $synthSel,
+  ct.np AS n_pos, ct.nn AS n_neg, ct.np * (cm.m + 1) AS n_pos_after
+FROM spick p
+JOIN sz q ON q.pid = p.qid
+JOIN sz n ON n.pid = p.nid
+CROSS JOIN sct ct CROSS JOIN scm cm"""
+    },
     "q219_posweight_search" ->
       wlrSql("pws", Seq("1.0", "5.0", "10.0"), withBest = true))
 }

@@ -1,0 +1,97 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.r6
+
+/** Deterministic SMOTE (synthetic minority oversampling) — the engine
+  * twin of the reference's default `prepare_data` rebalancing
+  * (`models/advanced_models.py:395-407`: every training run balances
+  * with SMOTE before fitting). The q86 rebalance covers the
+  * downsample+weight half; this synthesizes the interpolated minority
+  * rows the reference actually trains on.
+  *
+  * RNG-free: every stochastic choice of the classic algorithm — which
+  * of the k nearest minority neighbors, and the interpolation factor
+  * λ ∈ [0, 1) — is an md5 draw keyed on the parent row id
+  * ([[Splits.bucket]]), so the synthesized set is a pure function of
+  * the input: replayable by the DuckDB oracle, stable across
+  * partitionings and reruns.
+  *
+  * Scale shape: k-NN runs inside md5 SHARDS of the minority set —
+  * candidate pairs are minority²/shards and the ranking window is
+  * partitioned by (shard, parent), so there is no all-pairs blow-up and
+  * no single-partition window. Sharding trades exact global k-NN for
+  * bounded work the way the LSH/IVF ANN kernels do ([[Similarity]]);
+  * neighbors stay near-minority points, which is all SMOTE's statistics
+  * need. At larger minority counts, raise `shards` (work per shard is
+  * (minority/shards)²) or swap the shard join for the LSH-banded
+  * candidate generation. Distances use 4 dp-rounded minority z-scores
+  * so neighbor ORDER is engine-exact; interpolation runs in raw feature
+  * space like sklearn's.
+  */
+object Smote {
+
+  /** Synthesize `reps` rows per minority row of `minority`: for rep r,
+    * parent row p draws neighbor rank md5-mod-k and factor
+    * λ = md5-mod-10000 / 10000, and emits
+    * `x_new = x_p + λ·(x_nbr − x_p)` per feature. Returns
+    * (parent_id, nbr_id, rep, lam, s_<feature>…) with raw-space
+    * interpolated features — the caller rounds at its output contract.
+    * Parents in a shard with no other member (or fewer members than the
+    * drawn rank) synthesize nothing rather than erroring.
+    */
+  def synthesize(minority: DataFrame, id: Column, features: Seq[String],
+      k: Int = 5, reps: Int = 1, shards: Int = 8,
+      salt: String = "smote"): DataFrame = {
+    require(k >= 1, s"Smote.synthesize: k must be >= 1, got $k")
+    require(reps >= 1 && reps <= 10,
+      s"Smote.synthesize: reps must be in [1,10], got $reps")
+    require(shards >= 1, s"Smote.synthesize: shards must be >= 1, got $shards")
+    val statAggs = features.flatMap(f => Seq(
+      avg(col(f).cast("double")).as(s"__m_$f"),
+      coalesce(nullif(stddev_pop(col(f).cast("double")), lit(0.0)), lit(1.0))
+        .as(s"__s_$f")))
+    val st = minority.agg(statAggs.head, statAggs.tail: _*)
+    val z = minority.crossJoin(broadcast(st)).select(
+      id.as("__pid") +: Splits.bucket(id, s"$salt:s", shards).as("__shard") +:
+        (features.map(f => col(f).cast("double").as(s"__x_$f")) ++
+          features.map(f => r6((col(f).cast("double") - col(s"__m_$f")) /
+            col(s"__s_$f")).as(s"__z_$f"))): _*)
+      .localCheckpoint() // scored twice (q/c sides) + 2 feature back-joins
+    val q = z.select(col("__shard").as("__qs") +: col("__pid").as("__qid") +:
+      features.map(f => col(s"__z_$f").as(s"__zq_$f")): _*)
+    val c = z.select(col("__shard").as("__cs") +: col("__pid").as("__nid") +:
+      features.map(f => col(s"__z_$f").as(s"__zn_$f")): _*)
+    val d2 = features.map { f =>
+      val d = col(s"__zq_$f") - col(s"__zn_$f"); d * d
+    }.reduce(_ + _)
+    // narrow (parent, neighbor, distance) rows through the shuffle; the
+    // feature columns re-join AFTER the top-k cut
+    val scored = c.join(broadcast(q),
+        col("__cs") === col("__qs") && col("__nid") =!= col("__qid"))
+      .select(col("__qs").as("__shard"), col("__qid"), col("__nid"),
+        d2.as("__d2"))
+    val w = Window.partitionBy(col("__shard"), col("__qid"))
+      .orderBy(col("__d2").asc, col("__nid").asc)
+    val nbrs = scored.withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") <= k)
+      .select(col("__qid"), col("__nid"), col("__rnk"))
+      .localCheckpoint() // re-read once per rep
+    val qx = z.select(col("__pid").as("__qid") +:
+      features.map(f => col(s"__x_$f").as(s"__xq_$f")): _*)
+    val nx = z.select(col("__pid").as("__nid") +:
+      features.map(f => col(s"__x_$f").as(s"__xn_$f")): _*)
+    (0 until reps).map { r =>
+      val lam = Splits.bucket(col("__qid"), s"$salt:l$r", 10000)
+        .cast("double") / lit(10000.0)
+      nbrs.where(col("__rnk") === Splits.bucket(col("__qid"), s"$salt:n$r", k) + 1)
+        .join(broadcast(qx), "__qid").join(broadcast(nx), "__nid")
+        .select(col("__qid").as("parent_id") +: col("__nid").as("nbr_id") +:
+          lit(r.toLong).as("rep") +: lam.as("lam") +:
+          features.map(f => (col(s"__xq_$f") +
+            lam * (col(s"__xn_$f") - col(s"__xq_$f"))).as(s"s_$f")): _*)
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.scale.{Smote, Splits}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic-SMOTE contracts: every synthetic point lies on the
+  * segment between its parents, draws replay from md5, and the chosen
+  * neighbor really is the md5-drawn rank within the parent's shard.
+  */
+class SmoteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def minority = {
+    import spark.implicits._
+    (1 to 80).map { i =>
+      (i.toLong, (i % 17) * 1.5, ((i * 3) % 11).toDouble)
+    }.toDF("id", "a", "b")
+  }
+
+  test("every synthetic point lies on the segment between its parents") {
+    val syn = Smote.synthesize(minority, col("id"), Seq("a", "b"),
+      k = 3, reps = 2, shards = 4, salt = "t")
+    val src = minority.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = syn.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pid, nid) = (r.getLong(0), r.getLong(1))
+      val lam = r.getDouble(3)
+      assert(lam >= 0.0 && lam < 1.0, s"lam $lam")
+      assert(pid != nid)
+      val (pa, pb) = src(pid)
+      val (na, nb) = src(nid)
+      val (sa, sb) = (r.getDouble(4), r.getDouble(5))
+      assert(sa >= math.min(pa, na) - 1e-12 && sa <= math.max(pa, na) + 1e-12,
+        s"s_a $sa outside [$pa, $na]")
+      assert(sb >= math.min(pb, nb) - 1e-12 && sb <= math.max(pb, nb) + 1e-12,
+        s"s_b $sb outside [$pb, $nb]")
+      // exact interpolation identity, not just betweenness
+      assert(math.abs(sa - (pa + lam * (na - pa))) < 1e-12)
+      assert(math.abs(sb - (pb + lam * (nb - pb))) < 1e-12)
+    }
+  }
+
+  test("draws are md5-deterministic: two runs emit identical rows") {
+    def run() = Smote.synthesize(minority, col("id"), Seq("a", "b"),
+      k = 3, reps = 2, shards = 4, salt = "t")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(run().toSeq == run().toSeq)
+  }
+
+  test("chosen neighbor is the md5-drawn rank of the shard-local exact k-NN") {
+    val k = 3
+    val syn = Smote.synthesize(minority, col("id"), Seq("a", "b"),
+      k = k, reps = 1, shards = 4, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force replay: shard-local 4dp-z distances, (d2, id) order
+    val rows = minority.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def stats(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.size
+      (m, if (math.sqrt(v) > 0) math.sqrt(v) else 1.0)
+    }
+    val (ma, sa) = stats(rows.map(_._2).toSeq)
+    val (mb, sb) = stats(rows.map(_._3).toSeq)
+    def z(r: (Long, Double, Double)) =
+      (graft.scoring.KMeansOps.r6d((r._2 - ma) / sa),
+        graft.scoring.KMeansOps.r6d((r._3 - mb) / sb))
+    val byShard = rows.groupBy(r => Splits.bucketLocal("t:s", r._1.toString, 4))
+    byShard.values.foreach { shard =>
+      shard.foreach { p =>
+        val (zpa, zpb) = z(p)
+        val nn = shard.filter(_._1 != p._1).map { c =>
+          val (zca, zcb) = z(c)
+          val d2 = (zpa - zca) * (zpa - zca) + (zpb - zcb) * (zpb - zcb)
+          (d2, c._1)
+        }.sorted.take(k)
+        val drawn = Splits.bucketLocal("t:n0", p._1.toString, k).toInt
+        if (drawn < nn.size)
+          assert(syn(p._1) == nn(drawn)._2, s"parent ${p._1}")
+        else
+          assert(!syn.contains(p._1), s"parent ${p._1} should emit nothing")
+      }
+    }
+  }
+}
