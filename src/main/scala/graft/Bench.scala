@@ -2,6 +2,42 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // bench-serialization guard: a concurrent Spark/sbt JVM steals cores
+    // and poisons the medians (the repo's documented contamination rule —
+    // round 7 shipped a 280s-vs-242s artifact conflict this guard would
+    // have refused). Only JVMs count (first argv token is the java
+    // binary), so shell/driver wrappers that merely mention the class
+    // name don't trip it.
+    // self AND its ancestors are exempt (a forked-sbt launch must not
+    // trip on its own parent JVM)
+    val exempt = {
+      var set = Set(ProcessHandle.current().pid())
+      var p = ProcessHandle.current()
+      while (p.parent().isPresent) { p = p.parent().get(); set += p.pid() }
+      set
+    }
+    val busy = Option(new java.io.File("/proc").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .toSeq.filter(f => f.getName.forall(_.isDigit) &&
+        !exempt.contains(f.getName.toLong))
+      .flatMap { d =>
+        try {
+          val cmd = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(d.getPath, "cmdline")), "UTF-8")
+            .split('\u0000').toSeq
+          val isJvm = cmd.headOption.exists(_.endsWith("java"))
+          val sparkish = cmd.exists(a => a.contains("org.apache.spark") ||
+            a.contains("graft.") || a.contains("sbt-launch"))
+          if (isJvm && sparkish) Some(s"pid ${d.getName}: ${cmd.take(4).mkString(" ").take(160)}")
+          else None
+        } catch { case _: Throwable => None }
+      }
+    if (busy.nonEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_FORCE")) {
+      System.err.println("[bench] REFUSING to start: concurrent Spark/sbt JVM(s) would contaminate the medians:")
+      busy.foreach(b => System.err.println(s"[bench]   $b"))
+      System.err.println("[bench] stop them (or set SPARK_GRAFT_BENCH_FORCE=1 to override)")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -237,6 +237,43 @@ object Soak {
       require(merges.size == 50)
     }
 
+    // round-8 model layer at k-fold rows:
+    // LIME local surrogates: the 2^d factorial surrogate is a row-local
+    // fold over literal-CASE masked scores — zero shuffle beyond the
+    // boosted-tree FIT it explains, so wall-clock should track the fit
+    time(s"lime-${k}x-rows") {
+      val m = graft.scoring.Boosting.fitTrees(wideCk, Seq("amount", "hb"),
+        col("y"), rounds = 2, rate = 0.5)
+      val bg = wideCk.agg(avg(col("amount")).as("bg0"), avg(col("hb")).as("bg1"))
+      val sp = graft.scoring.Lime.maskedTreeScore(m, Seq("amount", "hb"),
+        j => col(s"bg$j")) _
+      graft.scoring.Lime.surrogate(wideCk.crossJoin(broadcast(bg)), k = 2, sp)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // AdaBoost-SAMME: pattern-count candidate passes — per-round cost is
+    // one scan + one (feature, threshold) shuffle regardless of rows;
+    // the pattern column count doubles per round but stays integer aggs
+    time(s"adaboost3-${k}x-rows") {
+      val m = graft.scoring.AdaBoost.fit(wideCk, Seq("amount", "hb"),
+        col("y"), rounds = 3)
+      require(m.size == 3)
+    }
+    // class-weighted logistic sweep: 3 settings' gradients in one fused
+    // aggregate per GD step — flat in settings, linear-ish in rows
+    time(s"weighted-lr-${k}x-rows") {
+      val ms = graft.scoring.Trainer.fitLogisticWeighted(wideCk,
+        Seq("amount", "hb"), col("y"), Seq(1.0, 5.0, 10.0), iters = 6, lr = 0.5)
+      require(ms.size == 3)
+    }
+    // deterministic SMOTE: shard-local k-NN bounds candidate pairs at
+    // minority²/shards; scale shards with k² so per-shard work is flat
+    time(s"smote-${k}x-rows") {
+      val minority = wideCk.where(col("y") === 1L)
+      graft.scale.Smote.synthesize(minority, col("transaction_id"),
+          Seq("amount", "hb"), k = 5, reps = 2, shards = 8 * k * k)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }

@@ -158,4 +158,38 @@ class FacadeSpec extends AnyFunSuite {
     // surrogate must be an imperfect fit
     assert(r.getLong(2) > 0, "expected imperfect local fits on XOR")
   }
+
+  test("feature registry locks the ONLINE path: streaming emit schema derives from the catalog") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tx = Seq((1L, 7L, "m1", 100.0, "ip1",
+      Timestamp.valueOf("2024-01-06 12:00:00")))
+      .toDF("transaction_id", "customer_id", "merchant_id", "amount",
+        "ip_address", "event_timestamp")
+    val cat = graft.schema.FeatureRegistry.catalog(tx)
+      .collect().map(r => (r.getString(0), r.getString(3), r.getString(4)))
+    val streamSchema = org.apache.spark.sql.Encoders
+      .product[graft.streaming.StreamFeatures].schema
+    val streamTypes = streamSchema.fields
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    // every catalog field of the customer views must exist on the
+    // streaming emit schema with the SAME dtype — the registry gates
+    // the online path, not just batch
+    val customerFields = cat.filter(_._1.startsWith("customer_"))
+    assert(customerFields.length == 15)
+    customerFields.foreach { case (view, field, dtype) =>
+      assert(streamTypes.contains(field),
+        s"$view.$field missing from StreamFeatures")
+      assert(streamTypes(field) == dtype,
+        s"$view.$field: stream ${streamTypes(field)} != catalog $dtype")
+    }
+    // inversely: every emitted non-key feature column is declared in
+    // the registry — nothing serves online without a catalog row
+    val keys = Set("customer_id", "ts_micros", "amount")
+    val declared = customerFields.map(_._2).toSet
+    streamSchema.fields.map(_.name).filterNot(keys).foreach { f =>
+      assert(declared.contains(f),
+        s"StreamFeatures.$f emitted online but undeclared in the registry")
+    }
+  }
 }
