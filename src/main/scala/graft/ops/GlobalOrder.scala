@@ -209,15 +209,23 @@ object GlobalOrder {
     val other = totals.select(
       partNames.map(n => col(n).as(s"__p2_$n")) ++
         (col(BKT).as("__b2") +: sumCols.map(c => col(c).as(s"__x_$c"))): _*)
-    val joinCond = partNames.map(n => col(s"__p2_$n") === col(n))
+    // null-safe (<=>) key equality throughout: a NULL partition-key
+    // value forms its own cumsum group (matching window PARTITION BY
+    // semantics) instead of being silently dropped by the offset join
+    // and the final equi-join
+    val joinCond = partNames.map(n => col(s"__p2_$n") <=> col(n))
       .reduce(_ && _) && col("__b2") < col(BKT)
     val side = totals.join(other, joinCond, "left")
       .groupBy(part ++ (col(BKT) +: sumCols.map(col)): _*)
       .agg(
         coalesce(sum(col(s"__x_${sumCols.head}")), lit(0L)).as(s"__off_${sumCols.head}"),
         sumCols.tail.map(c => coalesce(sum(col(s"__x_$c")), lit(0L)).as(s"__off_$c")): _*)
-      .select(part ++ (col(BKT) +: sumCols.map(c => col(s"__off_$c"))): _*)
-    val withOff = local.join(broadcast(side), partNames :+ BKT)
+      .select(partNames.map(n => col(n).as(s"__s2_$n")) ++
+        (col(BKT).as("__sb") +: sumCols.map(c => col(s"__off_$c"))): _*)
+    val offCond = partNames.map(n => col(s"__s2_$n") <=> col(n))
+      .reduce(_ && _) && col("__sb") === col(BKT)
+    val withOff = local.join(broadcast(side), offCond)
+      .drop(partNames.map(n => s"__s2_$n"): _*).drop("__sb")
     sums.foldLeft(withOff) { case (d, (_, out)) =>
       val off = col(s"__off___t_$out")
       val priorN = col(s"__off___n_$out")

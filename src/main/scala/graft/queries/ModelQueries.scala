@@ -1166,6 +1166,62 @@ FROM events"""
         lit(np).as("n_pos"), lit(nn).as("n_neg"),
         lit(np * (m + 1)).as("n_pos_after"))
     },
+    // the reference's ACTUAL training flow (prepare_data balances with
+    // SMOTE by default, then fits — models/advanced_models.py:395-470):
+    // fit the logistic trainer on the train slice vs on train ∪
+    // synthetic-minority, score both on the SAME held-out slice; the
+    // report is the recall/precision shift oversampling buys at the 0.5
+    // operating point. Oracle replays the SMOTE chain AND both GD
+    // chains end-to-end — the full prepare→fit→evaluate composition.
+    "q220_smote_train" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "smtr", 5))
+        .localCheckpoint() // counts + smote + 2 fits + metric reads
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      val cnt = train.agg(
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
+      val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
+      val m = math.max(1L, math.min(10L, (nn - np) / np)).toInt
+      val syn = graft.scale.Smote.synthesize(train.where(col("y") === 1L),
+        col("event_id"), feats, k = 5, reps = m, shards = 8, salt = "smtr")
+      val base = train.select(col("value").cast("double").as("value"),
+        col("hb").cast("double").as("hb"),
+        col("dowi").cast("double").as("dowi"), col("y"))
+      val aug = base.unionByName(syn.select(col("s_value").as("value"),
+        col("s_hb").as("hb"), col("s_dowi").as("dowi"), lit(1L).as("y")))
+        .localCheckpoint() // stats + 6 GD passes re-read it
+      val mb = graft.scoring.Trainer.fitLogistic(base, feats, col("y"),
+        iters = 6, lr = 0.5)
+      val ma = graft.scoring.Trainer.fitLogistic(aug, feats, col("y"),
+        iters = 6, lr = 0.5)
+      Seq(("baseline", base, mb), ("smote", aug, ma)).map {
+        case (variant, tr, mm) =>
+          val scored = valid.select(col("y"),
+            graft.scoring.Trainer.margin(mm).as("margin"))
+          val auc = graft.feedback.Drift.auc(scored, col("y") === 1L,
+            col("margin"))
+          val pred = (col("margin") > 0).cast("long")
+          val nTr = tr.agg(count(lit(1)).as("n_train"))
+          scored.agg(count(lit(1)).as("n_val"), sum(col("y")).as("__pos"),
+              sum(pred).as("__alerts"),
+              sum(when(col("y") === 1L && col("margin") > 0, 1L).otherwise(0L))
+                .as("__tp"),
+              sum((pred === col("y")).cast("long")).as("__ok"))
+            .crossJoin(auc).crossJoin(broadcast(nTr))
+            .select(lit(variant).as("variant") +: col("n_train") +:
+              col("n_val") +: r6(col("auc")).as("auc") +:
+              r6(col("__tp").cast("double") / col("__pos")).as("rec") +:
+              r6(when(col("__alerts") > 0,
+                col("__tp").cast("double") / col("__alerts"))).as("prec") +:
+              r6(col("__ok").cast("double") / col("n_val")).as("accuracy") +:
+              r6(lit(mm.intercept)).as("intercept") +:
+              feats.zip(mm.weights).map { case (c2, w) =>
+                r6(lit(w)).as(s"w_$c2") }: _*)
+      }.reduce(_.unionByName(_))
+    },
     // pos_weight hyperparameter search over {1, 5, 10} (the reference's
     // imbalance-handling knob swept like its AutoML grid): the fused
     // sweep costs the passes of ONE fit; cells ranked by rounded
@@ -1444,6 +1500,53 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
   SELECT count(*) AS n,
     sum(CASE WHEN (CASE WHEN ${abVote(t, src)} > 0 THEN 1 ELSE 0 END) <> $src.y THEN 1 ELSE 0 END) AS m
   FROM $src$joins)"""
+  }
+
+  /** SMOTE oracle chain (q218/q220) over fact CTE `src` (must expose
+    * event_id, value, hb, dowi, y) — scale/Smote's chain replayed:
+    * minority md5 shards, 4 dp z-score distances, per-parent md5
+    * neighbor/λ draws, raw-space interpolation; reps bounded by the
+    * balance quotient. Publishes `sct` (np, nn), `scm` (m), and
+    * `smsyn` (qid, nid, rep, lam, sx0..sx2 — RAW interpolated
+    * features) as its last CTE; callers append `,` + further CTEs.
+    */
+  private def smoteCtes(src: String, salt: String): String = {
+    val idx = 0 to 2
+    val statSel = idx.map(i =>
+      s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+      .mkString(", ")
+    val zSel = idx.map(i => s"round((x$i - m$i)/s$i + 5e-11, 4) AS z$i")
+      .mkString(", ")
+    val d2 = idx.map(i => s"((q.z$i - c.z$i)*(q.z$i - c.z$i))").mkString(" + ")
+    val synSel = idx.map(i => s"q.x$i + p.lam*(n.x$i - q.x$i) AS sx$i")
+      .mkString(", ")
+    s"""smi AS MATERIALIZED (
+  SELECT event_id AS pid,
+    ('0x' || substr(md5('$salt:s:' || event_id), 1, 8))::UBIGINT % 8 AS shard,
+    CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2
+  FROM $src WHERE y = 1),
+sct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM $src),
+scm AS (SELECT greatest(1, least(10, (nn - np) // np)) AS m FROM sct),
+sst AS (SELECT $statSel FROM smi),
+sz AS MATERIALIZED (SELECT pid, shard, x0, x1, x2, $zSel FROM smi, sst),
+ssc AS (SELECT q.shard, q.pid AS qid, c.pid AS nid, $d2 AS d2
+  FROM sz c JOIN sz q ON c.shard = q.shard AND c.pid <> q.pid),
+snb AS MATERIALIZED (SELECT qid, nid, rnk FROM (
+    SELECT qid, nid,
+      row_number() OVER (PARTITION BY shard, qid ORDER BY d2 ASC, nid ASC) AS rnk
+    FROM ssc)
+  WHERE rnk <= 5),
+sreps AS (SELECT unnest(range(10)) AS rep),
+spick AS (SELECT nb.qid, nb.nid, r.rep,
+    CAST(('0x' || substr(md5('$salt:l' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 10000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS lam
+  FROM snb nb, sreps r, scm
+  WHERE r.rep < scm.m
+    AND nb.rnk = ('0x' || substr(md5('$salt:n' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 5 + 1),
+smsyn AS MATERIALIZED (SELECT p.qid, p.nid, p.rep, p.lam, $synSel
+  FROM spick p
+  JOIN sz q ON q.pid = p.qid
+  JOIN sz n ON n.pid = p.nid)"""
   }
 
   /** Class-weighted logistic oracle (q217/q219): the q183 unrolled-GD
@@ -3116,51 +3219,85 @@ ${rows.mkString("\nUNION ALL\n")}"""
     "q217_weighted_logistic" ->
       wlrSql("wlr", Seq("1.0", "10.0"), withBest = false),
     "q218_smote" -> {
-      // scale/Smote's chain replayed: minority md5 shards, 4dp z-score
-      // distances, per-parent md5 neighbor/λ draws, raw-space
-      // interpolation; reps bounded by the balance quotient
+      val synthSel = Seq("value", "hb", "dowi").zipWithIndex.map { case (f, i) =>
+        s"round(sx$i + 5e-11, 4) AS s_$f" }.mkString(",\n  ")
+      s"""WITH sf AS ($featSql),
+${smoteCtes("sf", "smote")}
+SELECT sy.qid AS parent_id, sy.nid AS nbr_id, CAST(sy.rep AS BIGINT) AS rep,
+  round(sy.lam + 5e-11, 4) AS lam,
+  $synthSel,
+  ct.np AS n_pos, ct.nn AS n_neg, ct.np * (cm.m + 1) AS n_pos_after
+FROM smsyn sy
+CROSS JOIN sct ct CROSS JOIN scm cm"""
+    },
+    "q219_posweight_search" ->
+      wlrSql("pws", Seq("1.0", "5.0", "10.0"), withBest = true),
+    "q220_smote_train" -> {
+      // end-to-end prepare→fit→evaluate replay: the smoteCtes chain on
+      // the train slice, then TWO unrolled-GD chains (baseline vs
+      // SMOTE-augmented, each standardized by ITS OWN train moments,
+      // margin terms in fitLogistic's fold order), one metric cell each
       val idx = 0 to 2
       val statSel = idx.map(i =>
         s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
         .mkString(", ")
-      val zSel = idx.map(i => s"round((x$i - m$i)/s$i + 5e-11, 4) AS z$i")
-        .mkString(", ")
-      val d2 = idx.map(i => s"((q.z$i - c.z$i)*(q.z$i - c.z$i))").mkString(" + ")
-      val synthSel = Seq("value", "hb", "dowi").zipWithIndex.map { case (f, i) =>
-        s"round(q.x$i + p.lam*(n.x$i - q.x$i) + 5e-11, 4) AS s_$f" }.mkString(",\n  ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def chain(p: String, src: String): String = {
+        val i0 = s"i0_$p AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS b)"
+        val its = (1 to 6).map { t =>
+          val mg = s"i.b + ${idx.map(i => s"i.w$i * d.x$i").mkString(" + ")}"
+          val pr = s"1.0/(1.0 + exp(-($mg)))"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*avg(($pr - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - 0.5*avg($pr - d.y) AS b"
+          s"i${t}_$p AS MATERIALIZED (SELECT $upd\n  FROM $src d, i${t - 1}_$p i GROUP BY i.w0, i.w1, i.w2, i.b)"
+        }.mkString(",\n")
+        s"$i0,\n$its"
+      }
+      def cell(p: String, stCte: String): String =
+        s"""dv_$p AS MATERIALIZED (SELECT $stdSel, y FROM vraw t, $stCte),
+sc_$p AS MATERIALIZED (SELECT t.y, (i.b + i.w0*t.x0 + i.w1*t.x1 + i.w2*t.x2) AS sv FROM dv_$p t, i6_$p i),
+${gbMidrankAuc(p, s"(SELECT CAST(y AS INT) AS y, sv AS s FROM sc_$p)")},
+mt_$p AS (SELECT count(*) AS n_val,
+    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+    CAST(sum(CASE WHEN sv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS alerts,
+    CAST(sum(CASE WHEN y = 1.0 AND sv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN (CASE WHEN sv > 0 THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS ok
+  FROM sc_$p)"""
+      def row(p: String, variant: String, trainCte: String): String =
+        s"""SELECT '$variant' AS variant,
+  (SELECT count(*) FROM $trainCte) AS n_train, mt.n_val,
+  round(u$p.auc + 5e-11, 4) AS auc,
+  round(CAST(mt.tp AS DOUBLE) / mt.pos + 5e-11, 4) AS rec,
+  round((CASE WHEN mt.alerts > 0 THEN CAST(mt.tp AS DOUBLE) / mt.alerts END) + 5e-11, 4) AS prec,
+  round(CAST(mt.ok AS DOUBLE) / mt.n_val + 5e-11, 4) AS accuracy,
+  round(i.b + 5e-11, 4) AS intercept,
+  round(i.w0 + 5e-11, 4) AS w_value,
+  round(i.w1 + 5e-11, 4) AS w_hb,
+  round(i.w2 + 5e-11, 4) AS w_dowi
+FROM mt_$p mt CROSS JOIN u$p CROSS JOIN i6_$p i"""
       s"""WITH sf AS ($featSql),
-smi AS MATERIALIZED (
-  SELECT event_id AS pid,
-    ('0x' || substr(md5('smote:s:' || event_id), 1, 8))::UBIGINT % 8 AS shard,
-    CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2
-  FROM sf WHERE y = 1),
-sct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
-    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM sf),
-scm AS (SELECT greatest(1, least(10, (nn - np) // np)) AS m FROM sct),
-sst AS (SELECT $statSel FROM smi),
-sz AS MATERIALIZED (SELECT pid, shard, x0, x1, x2, $zSel FROM smi, sst),
-ssc AS (SELECT q.shard, q.pid AS qid, c.pid AS nid, $d2 AS d2
-  FROM sz c JOIN sz q ON c.shard = q.shard AND c.pid <> q.pid),
-snb AS MATERIALIZED (SELECT qid, nid, rnk FROM (
-    SELECT qid, nid,
-      row_number() OVER (PARTITION BY shard, qid ORDER BY d2 ASC, nid ASC) AS rnk
-    FROM ssc)
-  WHERE rnk <= 5),
-sreps AS (SELECT unnest(range(10)) AS rep),
-spick AS (SELECT nb.qid, nb.nid, r.rep,
-    CAST(('0x' || substr(md5('smote:l' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 10000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS lam
-  FROM snb nb, sreps r, scm
-  WHERE r.rep < scm.m
-    AND nb.rnk = ('0x' || substr(md5('smote:n' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 5 + 1)
-SELECT p.qid AS parent_id, p.nid AS nbr_id, CAST(p.rep AS BIGINT) AS rep,
-  round(p.lam + 5e-11, 4) AS lam,
-  $synthSel,
-  ct.np AS n_pos, ct.nn AS n_neg, ct.np * (cm.m + 1) AS n_pos_after
-FROM spick p
-JOIN sz q ON q.pid = p.qid
-JOIN sz n ON n.pid = p.nid
-CROSS JOIN sct ct CROSS JOIN scm cm"""
-    },
-    "q219_posweight_search" ->
-      wlrSql("pws", Seq("1.0", "5.0", "10.0"), withBest = true))
+sfp AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5('smtr:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM sf),
+strn AS MATERIALIZED (SELECT * FROM sfp WHERE vb5 <> 0),
+${smoteCtes("strn", "smtr")},
+db AS MATERIALIZED (SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+  CAST(dowi AS DOUBLE) AS x2, y::DOUBLE AS y FROM strn),
+da AS MATERIALIZED (SELECT * FROM db
+  UNION ALL SELECT sx0, sx1, sx2, CAST(1.0 AS DOUBLE) FROM smsyn),
+stb AS (SELECT $statSel FROM db),
+sta AS (SELECT $statSel FROM da),
+zb AS MATERIALIZED (SELECT $stdSel, y FROM db, stb),
+za AS MATERIALIZED (SELECT $stdSel, y FROM da, sta),
+vraw AS (SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+  CAST(dowi AS DOUBLE) AS x2, y::DOUBLE AS y FROM sfp WHERE vb5 = 0),
+${chain("b", "zb")},
+${chain("a", "za")},
+${cell("b", "stb")},
+${cell("a", "sta")}
+${row("b", "baseline", "db")}
+UNION ALL
+${row("a", "smote", "da")}"""
+    })
 }

@@ -252,10 +252,16 @@ object Soak {
     }
     // AdaBoost-SAMME: pattern-count candidate passes — per-round cost is
     // one scan + one (feature, threshold) shuffle regardless of rows;
-    // the pattern column count doubles per round but stays integer aggs
+    // the pattern column count doubles per round but stays integer aggs.
+    // The soak label gets 1-in-9 deterministic noise: y = amount>250 is
+    // a function of a FEATURE, and SAMME (correctly) refuses separable
+    // data (round-1 err would be 0)
     time(s"adaboost3-${k}x-rows") {
-      val m = graft.scoring.AdaBoost.fit(wideCk, Seq("amount", "hb"),
-        col("y"), rounds = 3)
+      val noisy = wideCk.withColumn("yn",
+        ((col("y") === 1L) =!= (pmod(col("transaction_id"), lit(9L)) === 0L))
+          .cast("long"))
+      val m = graft.scoring.AdaBoost.fit(noisy, Seq("amount", "hb"),
+        col("yn"), rounds = 3)
       require(m.size == 3)
     }
     // class-weighted logistic sweep: 3 settings' gradients in one fused

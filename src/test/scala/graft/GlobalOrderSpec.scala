@@ -76,6 +76,21 @@ class GlobalOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("withCumSumsBy keeps NULL partition-key rows as their own group") {
+    // a nullable partition key must not silently lose rows (the joins
+    // are null-safe): NULL forms one group, like window PARTITION BY
+    val df = spark.range(300).select(col("id"),
+      when(col("id") % 3 === 0, col("id") % 2).cast("string").as("g"),
+      col("id").as("v"))
+    val got = GlobalOrder.withCumSumsBy(df, Seq("g"),
+      Seq(col("v").asc), Seq((lit(1L), "rk")), sampleMod = 8)
+    assert(got.count() == 300, "rows with NULL keys were dropped")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"), count(lit(1)).over(w).as("trk"))
+    assert(got.join(want, "id").where(col("rk") =!= col("trk")).count() == 0)
+  }
+
   test("withCumSums matches the single-sort running sum exactly") {
     val got = GlobalOrder.withCumSums(data,
       Seq(col("v").asc, col("id").asc), Seq((col("id"), "cs"), (lit(1L), "rk")))
