@@ -1157,8 +1157,13 @@ FROM events"""
         sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
       val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
       val m = math.max(1L, math.min(10L, (nn - np) / np)).toInt
+      // shard count targets ~1M candidate pairs (minority²/shards) so
+      // the k-NN stays flat as the minority grows; the oracle derives
+      // the same count from its np scalar
+      val shards = math.max(1L, math.min(1024L, np * np / 1000000L)).toInt
       val syn = graft.scale.Smote.synthesize(f.where(col("y") === 1L),
-        col("event_id"), feats, k = 5, reps = m, shards = 8, salt = "smote")
+        col("event_id"), feats, k = 5, reps = m, shards = shards,
+        salt = "smote")
       syn.select(col("parent_id"), col("nbr_id"), col("rep"),
         r6(col("lam")).as("lam"),
         r6(col("s_value")).as("s_value"), r6(col("s_hb")).as("s_hb"),
@@ -1185,8 +1190,10 @@ FROM events"""
         sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
       val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
       val m = math.max(1L, math.min(10L, (nn - np) / np)).toInt
+      val shards = math.max(1L, math.min(1024L, np * np / 1000000L)).toInt
       val syn = graft.scale.Smote.synthesize(train.where(col("y") === 1L),
-        col("event_id"), feats, k = 5, reps = m, shards = 8, salt = "smtr")
+        col("event_id"), feats, k = 5, reps = m, shards = shards,
+        salt = "smtr")
       val base = train.select(col("value").cast("double").as("value"),
         col("hb").cast("double").as("hb"),
         col("dowi").cast("double").as("dowi"), col("y"))
@@ -1520,14 +1527,15 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
     val d2 = idx.map(i => s"((q.z$i - c.z$i)*(q.z$i - c.z$i))").mkString(" + ")
     val synSel = idx.map(i => s"q.x$i + p.lam*(n.x$i - q.x$i) AS sx$i")
       .mkString(", ")
-    s"""smi AS MATERIALIZED (
-  SELECT event_id AS pid,
-    ('0x' || substr(md5('$salt:s:' || event_id), 1, 8))::UBIGINT % 8 AS shard,
-    CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2
-  FROM $src WHERE y = 1),
-sct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    s"""sct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
     CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM $src),
 scm AS (SELECT greatest(1, least(10, (nn - np) // np)) AS m FROM sct),
+sshard AS (SELECT greatest(1, least(1024, (np * np) // 1000000)) AS s FROM sct),
+smi AS MATERIALIZED (
+  SELECT event_id AS pid,
+    ('0x' || substr(md5('$salt:s:' || event_id), 1, 8))::UBIGINT % ss.s AS shard,
+    CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2
+  FROM $src, sshard ss WHERE y = 1),
 sst AS (SELECT $statSel FROM smi),
 sz AS MATERIALIZED (SELECT pid, shard, x0, x1, x2, $zSel FROM smi, sst),
 ssc AS (SELECT q.shard, q.pid AS qid, c.pid AS nid, $d2 AS d2

@@ -45,10 +45,24 @@ object Smote {
   def synthesize(minority: DataFrame, id: Column, features: Seq[String],
       k: Int = 5, reps: Int = 1, shards: Int = 8,
       salt: String = "smote"): DataFrame = {
-    require(k >= 1, s"Smote.synthesize: k must be >= 1, got $k")
     require(reps >= 1 && reps <= 10,
       s"Smote.synthesize: reps must be in [1,10], got $reps")
-    require(shards >= 1, s"Smote.synthesize: shards must be >= 1, got $shards")
+    synthesizeBy(minority, id, features, lit(reps.toLong), k, reps, shards, salt)
+  }
+
+  /** Per-parent-count twin of [[synthesize]] (the ADASYN shape): `gCol`
+    * evaluates on each minority row to its synthetic-row count, clamped
+    * to [0, maxReps]; parents with 0 emit nothing. Draw strings are
+    * identical to [[synthesize]]'s (`salt:n<rep>:<id>` / `salt:l<rep>:
+    * <id>`), so a constant `gCol` reproduces it exactly.
+    */
+  def synthesizeBy(minority: DataFrame, id: Column, features: Seq[String],
+      gCol: Column, k: Int = 5, maxReps: Int = 10, shards: Int = 8,
+      salt: String = "smote"): DataFrame = {
+    require(k >= 1, s"Smote.synthesizeBy: k must be >= 1, got $k")
+    require(maxReps >= 1 && maxReps <= 10,
+      s"Smote.synthesizeBy: maxReps must be in [1,10], got $maxReps")
+    require(shards >= 1, s"Smote.synthesizeBy: shards must be >= 1, got $shards")
     val statAggs = features.flatMap(f => Seq(
       avg(col(f).cast("double")).as(s"__m_$f"),
       coalesce(nullif(stddev_pop(col(f).cast("double")), lit(0.0)), lit(1.0))
@@ -56,6 +70,8 @@ object Smote {
     val st = minority.agg(statAggs.head, statAggs.tail: _*)
     val z = minority.crossJoin(broadcast(st)).select(
       id.as("__pid") +: Splits.bucket(id, s"$salt:s", shards).as("__shard") +:
+        greatest(lit(0L), least(gCol.cast("long"), lit(maxReps.toLong)))
+          .as("__g") +:
         (features.map(f => col(f).cast("double").as(s"__x_$f")) ++
           features.map(f => r6((col(f).cast("double") - col(s"__m_$f")) /
             col(s"__s_$f")).as(s"__z_$f"))): _*)
@@ -78,20 +94,24 @@ object Smote {
     val nbrs = scored.withColumn("__rnk", row_number().over(w))
       .where(col("__rnk") <= k)
       .select(col("__qid"), col("__nid"), col("__rnk"))
-      .localCheckpoint() // re-read once per rep
-    val qx = z.select(col("__pid").as("__qid") +:
+    val qx = z.select(col("__pid").as("__qid") +: col("__g") +:
       features.map(f => col(s"__x_$f").as(s"__xq_$f")): _*)
     val nx = z.select(col("__pid").as("__nid") +:
       features.map(f => col(s"__x_$f").as(s"__xn_$f")): _*)
-    (0 until reps).map { r =>
-      val lam = Splits.bucket(col("__qid"), s"$salt:l$r", 10000)
-        .cast("double") / lit(10000.0)
-      nbrs.where(col("__rnk") === Splits.bucket(col("__qid"), s"$salt:n$r", k) + 1)
-        .join(broadcast(qx), "__qid").join(broadcast(nx), "__nid")
-        .select(col("__qid").as("parent_id") +: col("__nid").as("nbr_id") +:
-          lit(r.toLong).as("rep") +: lam.as("lam") +:
-          features.map(f => (col(s"__xq_$f") +
-            lam * (col(s"__xn_$f") - col(s"__xq_$f"))).as(s"s_$f")): _*)
-    }.reduce(_.unionByName(_))
+    // md5 draws keyed on (salt, rep, parent id) — the literal strings
+    // "salt:n<rep>:<id>" / "salt:l<rep>:<id>" the oracle rebuilds
+    def draw(tag: String, mod: Int): Column =
+      conv(substring(md5(concat(lit(s"$salt:$tag"), col("__rep").cast("string"),
+        lit(":"), col("__qid").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % mod
+    val reps = minority.sparkSession.range(maxReps).select(col("id").as("__rep"))
+    val lam = draw("l", 10000).cast("double") / lit(10000.0)
+    nbrs.join(broadcast(qx), "__qid").crossJoin(broadcast(reps))
+      .where(col("__rep") < col("__g") && col("__rnk") === draw("n", k) + 1)
+      .join(broadcast(nx), "__nid")
+      .select(col("__qid").as("parent_id") +: col("__nid").as("nbr_id") +:
+        col("__rep").as("rep") +: lam.as("lam") +:
+        features.map(f => (col(s"__xq_$f") +
+          lam * (col(s"__xn_$f") - col(s"__xq_$f"))).as(s"s_$f")): _*)
   }
 }
