@@ -1229,6 +1229,47 @@ FROM events"""
                 r6(lit(w)).as(s"w_$c2") }: _*)
       }.reduce(_.unionByName(_))
     },
+    // ADASYN (the reference's second prepare_data sampler,
+    // models/advanced_models.py:398): density-ADAPTIVE oversampling —
+    // each minority parent's synthetic count is proportional to the
+    // majority share among its k nearest neighbors in the FULL
+    // both-class space (hard-to-learn parents synthesize more). The
+    // density k-NN and the synthesis k-NN both run shard-local; the
+    // allocation (G·Δ_i) div ΣΔ (capped) is exact integer arithmetic,
+    // so the oracle replays it bit-for-bit.
+    "q221_adasyn" -> { (s, dir) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // counts + 2 kNN passes
+      val cnt = f.agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
+      val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
+      val g = nn - np
+      val n = np + nn
+      val sD = math.max(1L, math.min(1024L, np * n / 1000000L)).toInt
+      val sS = math.max(1L, math.min(1024L, np * np / 1000000L)).toInt
+      val deltas = graft.scale.Smote.adasynCounts(f, col("event_id"), feats,
+        col("y"), k = 5, shards = sD, salt = "adasyn")
+        .localCheckpoint() // sum + parent join + output join re-read it
+      val sumD = deltas.agg(coalesce(sum(col("delta")), lit(0L)))
+        .head().getLong(0)
+      def gExpr: Column =
+        if (sumD == 0L) lit(0L)
+        else least(lit(10L),
+          intDiv(lit(g) * coalesce(col("delta"), lit(0L)), lit(sumD)))
+      val minor = f.where(col("y") === 1L)
+        .join(broadcast(deltas), col("event_id") === col("__did"), "left")
+      val syn = graft.scale.Smote.synthesizeBy(minor, col("event_id"), feats,
+        gExpr, k = 5, maxReps = 10, shards = sS, salt = "adasyn")
+      syn.join(broadcast(deltas), syn("parent_id") === deltas("__did"), "left")
+        .select(col("parent_id"), col("nbr_id"), col("rep"),
+          r6(col("lam")).as("lam"),
+          r6(col("s_value")).as("s_value"), r6(col("s_hb")).as("s_hb"),
+          r6(col("s_dowi")).as("s_dowi"),
+          coalesce(col("delta"), lit(0L)).as("delta"), gExpr.as("g"),
+          lit(np).as("n_pos"), lit(nn).as("n_neg"),
+          lit(g).as("g_total"), lit(sumD).as("sum_delta"))
+    },
     // pos_weight hyperparameter search over {1, 5, 10} (the reference's
     // imbalance-handling knob swept like its AutoML grid): the fused
     // sweep costs the passes of ONE fit; cells ranked by rounded
@@ -1517,7 +1558,8 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
     * `smsyn` (qid, nid, rep, lam, sx0..sx2 — RAW interpolated
     * features) as its last CTE; callers append `,` + further CTEs.
     */
-  private def smoteCtes(src: String, salt: String): String = {
+  private def smoteCtes(src: String, salt: String,
+      repBound: String = "scm.m", gJoin: String = ""): String = {
     val idx = 0 to 2
     val statSel = idx.map(i =>
       s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
@@ -1548,8 +1590,8 @@ snb AS MATERIALIZED (SELECT qid, nid, rnk FROM (
 sreps AS (SELECT unnest(range(10)) AS rep),
 spick AS (SELECT nb.qid, nb.nid, r.rep,
     CAST(('0x' || substr(md5('$salt:l' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 10000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS lam
-  FROM snb nb, sreps r, scm
-  WHERE r.rep < scm.m
+  FROM snb nb, sreps r, scm$gJoin
+  WHERE r.rep < $repBound
     AND nb.rnk = ('0x' || substr(md5('$salt:n' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 5 + 1),
 smsyn AS MATERIALIZED (SELECT p.qid, p.nid, p.rep, p.lam, $synSel
   FROM spick p
@@ -3240,6 +3282,57 @@ CROSS JOIN sct ct CROSS JOIN scm cm"""
     },
     "q219_posweight_search" ->
       wlrSql("pws", Seq("1.0", "5.0", "10.0"), withBest = true),
+    "q221_adasyn" -> {
+      // density pass (full-set moments, 'adasyn:d' shards) → exact
+      // integer allocation → the shared smoteCtes synthesis chain with
+      // the per-parent rep bound
+      val idx = 0 to 2
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(", ")
+      val zSel = idx.map(i => s"round((x$i - m$i)/s$i + 5e-11, 4) AS z$i")
+        .mkString(", ")
+      val d2 = idx.map(i => s"((q.z$i - c.z$i)*(q.z$i - c.z$i))").mkString(" + ")
+      val synthSel = Seq("value", "hb", "dowi").zipWithIndex.map { case (f, i) =>
+        s"round(sy.sx$i + 5e-11, 4) AS s_$f" }.mkString(",\n  ")
+      s"""WITH sf AS ($featSql),
+adct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM sf),
+adsh AS (SELECT greatest(1, least(1024, (np * (np + nn)) // 1000000)) AS s FROM adct),
+adraw AS (SELECT event_id, y, CAST(value AS DOUBLE) AS x0,
+    CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2 FROM sf),
+adst AS (SELECT $statSel FROM adraw),
+adz AS MATERIALIZED (SELECT event_id AS pid, y,
+    ('0x' || substr(md5('adasyn:d:' || event_id), 1, 8))::UBIGINT % ss.s AS shard,
+    $zSel
+  FROM adraw, adsh ss, adst),
+adnn AS (SELECT qid, cy FROM (
+    SELECT q.pid AS qid, c.y AS cy,
+      row_number() OVER (PARTITION BY q.shard, q.pid ORDER BY $d2 ASC, c.pid ASC) AS rnk
+    FROM adz c JOIN adz q ON c.shard = q.shard AND c.pid <> q.pid AND q.y = 1)
+  WHERE rnk <= 5),
+addl AS MATERIALIZED (SELECT qid AS did,
+    CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta
+  FROM adnn GROUP BY 1),
+adsum AS (SELECT CAST(coalesce(sum(delta), 0) AS BIGINT) AS sd FROM addl),
+adgt AS MATERIALIZED (SELECT m.pid AS did, coalesce(d.delta, 0) AS delta,
+    CASE WHEN s.sd > 0
+      THEN least(10, ((ct.nn - ct.np) * coalesce(d.delta, 0)) // s.sd)
+      ELSE 0 END AS g
+  FROM (SELECT event_id AS pid FROM sf WHERE y = 1) m
+  LEFT JOIN addl d ON d.did = m.pid
+  CROSS JOIN adct ct CROSS JOIN adsum s),
+${smoteCtes("sf", "adasyn", repBound = "ag.g",
+        gJoin = " JOIN adgt ag ON ag.did = nb.qid")}
+SELECT sy.qid AS parent_id, sy.nid AS nbr_id, CAST(sy.rep AS BIGINT) AS rep,
+  round(sy.lam + 5e-11, 4) AS lam,
+  $synthSel,
+  ag.delta AS delta, ag.g AS g,
+  ct.np AS n_pos, ct.nn AS n_neg, (ct.nn - ct.np) AS g_total, s.sd AS sum_delta
+FROM smsyn sy
+JOIN adgt ag ON ag.did = sy.qid
+CROSS JOIN adct ct CROSS JOIN adsum s"""
+    },
     "q220_smote_train" -> {
       // end-to-end prepare→fit→evaluate replay: the smoteCtes chain on
       // the train slice, then TWO unrolled-GD chains (baseline vs

@@ -114,4 +114,53 @@ object Smote {
         features.map(f => (col(s"__xq_$f") +
           lam * (col(s"__xn_$f") - col(s"__xq_$f"))).as(s"s_$f")): _*)
   }
+
+  /** ADASYN density weights: for each minority row of `all` (rows where
+    * `label` = 1), Δ = the MAJORITY count among its k nearest neighbors
+    * in the full both-class space — the learning-difficulty weight that
+    * decides how many synthetics each parent generates (He et al. 2008;
+    * the reference's `ADASYN(random_state=42)` slot,
+    * `models/advanced_models.py:398`). Same shard-local 4 dp-z k-NN
+    * shape as the synthesis search, but z-moments come from the FULL
+    * set (candidates are both classes) and the salt namespace is
+    * `salt:d`. Returns (__did, delta); parents alone in their shard are
+    * absent (the caller coalesces to 0).
+    */
+  def adasynCounts(all: DataFrame, id: Column, features: Seq[String],
+      label: Column, k: Int = 5, shards: Int = 8,
+      salt: String = "adasyn"): DataFrame = {
+    require(k >= 1, s"Smote.adasynCounts: k must be >= 1, got $k")
+    require(shards >= 1, s"Smote.adasynCounts: shards must be >= 1, got $shards")
+    val y = label.cast("long")
+    val statAggs = features.flatMap(f => Seq(
+      avg(col(f).cast("double")).as(s"__m_$f"),
+      coalesce(nullif(stddev_pop(col(f).cast("double")), lit(0.0)), lit(1.0))
+        .as(s"__s_$f")))
+    val st = all.agg(statAggs.head, statAggs.tail: _*)
+    val z = all.crossJoin(broadcast(st)).select(
+      id.as("__pid") +: y.as("__y") +:
+        Splits.bucket(id, s"$salt:d", shards).as("__shard") +:
+        features.map(f => r6((col(f).cast("double") - col(s"__m_$f")) /
+          col(s"__s_$f")).as(s"__z_$f")): _*)
+      .localCheckpoint() // scored twice (query/candidate sides)
+    val q = z.where(col("__y") === 1L)
+      .select(col("__shard").as("__qs") +: col("__pid").as("__qid") +:
+        features.map(f => col(s"__z_$f").as(s"__zq_$f")): _*)
+    val c = z.select(col("__shard").as("__cs") +: col("__pid").as("__nid") +:
+      col("__y").as("__cy") +:
+      features.map(f => col(s"__z_$f").as(s"__zn_$f")): _*)
+    val d2 = features.map { f =>
+      val d = col(s"__zq_$f") - col(s"__zn_$f"); d * d
+    }.reduce(_ + _)
+    val scored = c.join(broadcast(q),
+        col("__cs") === col("__qs") && col("__nid") =!= col("__qid"))
+      .select(col("__qs").as("__shard"), col("__qid"), col("__nid"),
+        col("__cy"), d2.as("__d2"))
+    val w = Window.partitionBy(col("__shard"), col("__qid"))
+      .orderBy(col("__d2").asc, col("__nid").asc)
+    scored.withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") <= k)
+      .groupBy(col("__qid").as("__did"))
+      .agg(sum(when(col("__cy") === 0L, 1L).otherwise(0L)).as("delta"))
+  }
 }

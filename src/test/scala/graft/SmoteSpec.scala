@@ -56,6 +56,44 @@ class SmoteSpec extends AnyFunSuite {
     assert(run().toSeq == run().toSeq)
   }
 
+  test("adasynCounts matches a brute-force shard-local majority count") {
+    import spark.implicits._
+    // two interleaved classes: minority (y=1) points sit at every 4th
+    // position, so their neighborhoods mix both classes
+    val rows = (1 to 120).map { i =>
+      (i.toLong, (i % 23) * 1.0, ((i * 5) % 17) * 1.0, if (i % 4 == 0) 1L else 0L)
+    }
+    val df = rows.toDF("id", "a", "b", "y")
+    val got = Smote.adasynCounts(df, col("id"), Seq("a", "b"), col("y"),
+      k = 3, shards = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def stats(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+      (m, if (sd > 0) sd else 1.0)
+    }
+    val (ma, sa) = stats(rows.map(_._2))
+    val (mb, sb) = stats(rows.map(_._3))
+    def z(r: (Long, Double, Double, Long)) =
+      (graft.scoring.KMeansOps.r6d((r._2 - ma) / sa),
+        graft.scoring.KMeansOps.r6d((r._3 - mb) / sb))
+    val byShard = rows.groupBy(r => Splits.bucketLocal("t:d", r._1.toString, 4))
+    byShard.values.foreach { shard =>
+      shard.filter(_._4 == 1L).foreach { p =>
+        val (zpa, zpb) = z(p)
+        val nn = shard.filter(_._1 != p._1).map { c =>
+          val (zca, zcb) = z(c)
+          ((zpa - zca) * (zpa - zca) + (zpb - zcb) * (zpb - zcb), c._1, c._4)
+        }.sorted.take(3)
+        val delta = nn.count(_._3 == 0L)
+        if (nn.nonEmpty)
+          assert(got(p._1) == delta, s"parent ${p._1}")
+        else
+          assert(!got.contains(p._1))
+      }
+    }
+  }
+
   test("chosen neighbor is the md5-drawn rank of the shard-local exact k-NN") {
     val k = 3
     val syn = Smote.synthesize(minority, col("id"), Seq("a", "b"),
