@@ -1270,6 +1270,30 @@ FROM events"""
           lit(np).as("n_pos"), lit(nn).as("n_neg"),
           lit(g).as("g_total"), lit(sumD).as("sum_delta"))
     },
+    // Tomek links (the undersampling half of the reference's third
+    // prepare_data sampler, SMOTETomek — models/advanced_models.py:400):
+    // cross-class MUTUAL 1-NN pairs; removing the majority member
+    // cleans the class boundary after oversampling. Mutual pairs are
+    // disjoint, so removed = links. Shard-local 1-NN (exact Tomek at
+    // one shard; shards sized to ~2M candidate pairs at scale).
+    "q222_tomek_links" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // counts + 1-NN pass
+      val cnt = f.agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
+      val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
+      val n = np + nn
+      val sT = math.max(1L, math.min(4096L, n * n / 2000000L)).toInt
+      val links = graft.scale.Smote.tomekLinks(f, col("event_id"), feats,
+        col("y"), shards = sT, salt = "tomek")
+        .localCheckpoint() // counted + re-read for the report
+      val nl = links.agg(count(lit(1)).as("n_links"))
+      links.crossJoin(broadcast(nl))
+        .select(col("minority_id"), col("majority_id"),
+          r6(col("link_d2")).as("link_dist"),
+          col("n_links"), lit(nn).as("n_neg_before"),
+          (lit(nn) - col("n_links")).as("n_neg_after"))
+    },
     // pos_weight hyperparameter search over {1, 5, 10} (the reference's
     // imbalance-handling knob swept like its AutoML grid): the fused
     // sweep costs the passes of ONE fit; cells ranked by rounded
@@ -3332,6 +3356,43 @@ SELECT sy.qid AS parent_id, sy.nid AS nbr_id, CAST(sy.rep AS BIGINT) AS rep,
 FROM smsyn sy
 JOIN adgt ag ON ag.did = sy.qid
 CROSS JOIN adct ct CROSS JOIN adsum s"""
+    },
+    "q222_tomek_links" -> {
+      val idx = 0 to 2
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(", ")
+      val zSel = idx.map(i => s"round((x$i - m$i)/s$i + 5e-11, 4) AS z$i")
+        .mkString(", ")
+      val d2 = idx.map(i => s"((q.z$i - c.z$i)*(q.z$i - c.z$i))").mkString(" + ")
+      s"""WITH sf AS ($featSql),
+tkct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM sf),
+tksh AS (SELECT greatest(1, least(4096, ((np + nn) * (np + nn)) // 2000000)) AS s FROM tkct),
+tkraw AS (SELECT event_id, y, CAST(value AS DOUBLE) AS x0,
+    CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2 FROM sf),
+tkst AS (SELECT $statSel FROM tkraw),
+tkz AS MATERIALIZED (SELECT event_id AS pid, y,
+    ('0x' || substr(md5('tomek:d:' || event_id), 1, 8))::UBIGINT % ss.s AS shard,
+    $zSel
+  FROM tkraw, tksh ss, tkst),
+tksc AS (SELECT q.shard, q.pid AS qid, q.y AS qy, c.pid AS nid, $d2 AS d2
+  FROM tkz c JOIN tkz q ON c.shard = q.shard AND c.pid <> q.pid),
+tknn AS MATERIALIZED (SELECT qid, qy, nid, d2 FROM (
+    SELECT qid, qy, nid, d2,
+      row_number() OVER (PARTITION BY shard, qid ORDER BY d2 ASC, nid ASC) AS rnk
+    FROM tksc)
+  WHERE rnk = 1),
+tklk AS MATERIALIZED (SELECT
+    CASE WHEN a.qy = 1 THEN a.qid ELSE b.qid END AS minority_id,
+    CASE WHEN a.qy = 1 THEN b.qid ELSE a.qid END AS majority_id,
+    a.d2 AS link_d2
+  FROM tknn a JOIN tknn b
+    ON a.nid = b.qid AND b.nid = a.qid AND a.qid < b.qid AND a.qy <> b.qy),
+tknl AS (SELECT CAST(count(*) AS BIGINT) AS n_links FROM tklk)
+SELECT l.minority_id, l.majority_id, round(l.link_d2 + 5e-11, 4) AS link_dist,
+  nl.n_links, ct.nn AS n_neg_before, ct.nn - nl.n_links AS n_neg_after
+FROM tklk l CROSS JOIN tknl nl CROSS JOIN tkct ct"""
     },
     "q220_smote_train" -> {
       // end-to-end prepare→fit→evaluate replay: the smoteCtes chain on

@@ -163,4 +163,62 @@ object Smote {
       .groupBy(col("__qid").as("__did"))
       .agg(sum(when(col("__cy") === 0L, 1L).otherwise(0L)).as("delta"))
   }
+
+  /** Tomek links: cross-class MUTUAL nearest-neighbor pairs — the
+    * borderline/noise pairs `SMOTETomek` removes after oversampling
+    * (`models/advanced_models.py:400`; removal keeps the majority
+    * member out of training). Mutual 1-NN pairs are disjoint (each row
+    * has one nearest neighbor), so removed-majority count = link count.
+    *
+    * 1-NN runs shard-local like the rest of the family (full-set 4 dp-z
+    * moments, `salt:d` namespace): with one shard this IS the exact
+    * Tomek definition; at scale the caller sizes shards to bound
+    * n²/shards candidate pairs and the operator becomes shard-local
+    * links — the same exactness trade the sharded k-NN family makes.
+    * Returns (minority_id, majority_id, link_d2).
+    */
+  def tomekLinks(all: DataFrame, id: Column, features: Seq[String],
+      label: Column, shards: Int, salt: String = "tomek"): DataFrame = {
+    require(shards >= 1, s"Smote.tomekLinks: shards must be >= 1, got $shards")
+    val y = label.cast("long")
+    val statAggs = features.flatMap(f => Seq(
+      avg(col(f).cast("double")).as(s"__m_$f"),
+      coalesce(nullif(stddev_pop(col(f).cast("double")), lit(0.0)), lit(1.0))
+        .as(s"__s_$f")))
+    val st = all.agg(statAggs.head, statAggs.tail: _*)
+    val z = all.crossJoin(broadcast(st)).select(
+      id.as("__pid") +: y.as("__y") +:
+        Splits.bucket(id, s"$salt:d", shards).as("__shard") +:
+        features.map(f => r6((col(f).cast("double") - col(s"__m_$f")) /
+          col(s"__s_$f")).as(s"__z_$f")): _*)
+      .localCheckpoint() // scored twice (query/candidate sides)
+    val q = z.select(col("__shard").as("__qs") +: col("__pid").as("__qid") +:
+      col("__y").as("__qy") +:
+      features.map(f => col(s"__z_$f").as(s"__zq_$f")): _*)
+    val c = z.select(col("__shard").as("__cs") +: col("__pid").as("__nid") +:
+      features.map(f => col(s"__z_$f").as(s"__zn_$f")): _*)
+    val d2 = features.map { f =>
+      val d = col(s"__zq_$f") - col(s"__zn_$f"); d * d
+    }.reduce(_ + _)
+    val scored = c.join(broadcast(q),
+        col("__cs") === col("__qs") && col("__nid") =!= col("__qid"))
+      .select(col("__qs").as("__shard"), col("__qid"), col("__qy"),
+        col("__nid"), d2.as("__d2"))
+    val w = Window.partitionBy(col("__shard"), col("__qid"))
+      .orderBy(col("__d2").asc, col("__nid").asc)
+    val nn1 = scored.withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") === 1)
+      .select(col("__qid"), col("__qy"), col("__nid"), col("__d2"))
+      .localCheckpoint() // self-joined below
+    val b = nn1.select(col("__qid").as("__bq"), col("__qy").as("__by"),
+      col("__nid").as("__bn"))
+    nn1.join(b, col("__nid") === col("__bq") && col("__bn") === col("__qid") &&
+        col("__qid") < col("__bq") && col("__qy") =!= col("__by"))
+      .select(
+        when(col("__qy") === 1L, col("__qid")).otherwise(col("__bq"))
+          .as("minority_id"),
+        when(col("__qy") === 1L, col("__bq")).otherwise(col("__qid"))
+          .as("majority_id"),
+        col("__d2").as("link_d2"))
+  }
 }

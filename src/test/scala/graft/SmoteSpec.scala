@@ -129,4 +129,43 @@ class SmoteSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tomekLinks with one shard is EXACT: matches brute-force mutual cross-class 1-NN") {
+    import spark.implicits._
+    val rows = (1 to 60).map { i =>
+      (i.toLong, (i % 13) * 2.0, ((i * 7) % 19) * 1.0, if (i % 3 == 0) 1L else 0L)
+    }
+    val df = rows.toDF("id", "a", "b", "y")
+    val got = Smote.tomekLinks(df, col("id"), Seq("a", "b"), col("y"),
+      shards = 1, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stats(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+      (m, if (sd > 0) sd else 1.0)
+    }
+    val (ma, sa) = stats(rows.map(_._2))
+    val (mb, sb) = stats(rows.map(_._3))
+    def z(r: (Long, Double, Double, Long)) =
+      (graft.scoring.KMeansOps.r6d((r._2 - ma) / sa),
+        graft.scoring.KMeansOps.r6d((r._3 - mb) / sb))
+    def nn1(p: (Long, Double, Double, Long)): Long = {
+      val (zpa, zpb) = z(p)
+      rows.filter(_._1 != p._1).map { c =>
+        val (zca, zcb) = z(c)
+        ((zpa - zca) * (zpa - zca) + (zpb - zcb) * (zpb - zcb), c._1)
+      }.min._2
+    }
+    val byId = rows.map(r => r._1 -> r).toMap
+    val want = (for {
+      p <- rows
+      q = byId(nn1(p))
+      if nn1(q) == p._1 && p._4 != q._4 && p._1 < q._1
+    } yield if (p._4 == 1L) (p._1, q._1) else (q._1, p._1)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture produced no links — strengthen it")
+    // mutual pairs are disjoint: no id appears in two links
+    val ids = got.toSeq.flatMap(p => Seq(p._1, p._2))
+    assert(ids.distinct.size == ids.size)
+  }
 }
