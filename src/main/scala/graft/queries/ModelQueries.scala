@@ -1135,13 +1135,17 @@ FROM events"""
     // class-weighted logistic GD (the reference's class_weight=
     // 'balanced' / scale_pos_weight=10 hyperparameter surface,
     // models/advanced_models.py:228-229): positive rows' gradient
-    // contributions scale by pos_weight; both settings train in ONE
-    // fused aggregate per GD step (Trainer.fitLogisticWeighted).
-    // Report: per-setting fitted weights + held-out AUC and the
-    // 0.5-threshold operating point — the minority-recall shift class
-    // weighting exists to buy.
+    // contributions scale by pos_weight; ALL settings train in ONE
+    // fused aggregate per GD step (Trainer.fitLogisticWeighted). The
+    // third setting is the DATA-DERIVED balanced ratio n_neg/n_pos of
+    // the train slice — exactly the reference's retrainer
+    // (scale_pos_weight = len(y==0)/len(y==1),
+    // feedback/feedback_system.py:329). Report: per-setting fitted
+    // weights + held-out AUC and the 0.5-threshold operating point —
+    // the minority-recall shift class weighting exists to buy.
     "q217_weighted_logistic" -> { (s, dir) =>
-      wlrQuery(s, dir, "wlr", Seq(1.0, 10.0), withBest = false)
+      wlrQuery(s, dir, "wlr", Seq(1.0, 10.0), withBest = false,
+        withBalanced = true)
     },
     // deterministic SMOTE (the reference's prepare_data default,
     // models/advanced_models.py:395-407): synthesize interpolated
@@ -1309,14 +1313,20 @@ FROM events"""
     * window-free triangular join.
     */
   private def wlrQuery(s: org.apache.spark.sql.SparkSession, dir: String,
-      salt: String, pws: Seq[Double], withBest: Boolean)
-      : org.apache.spark.sql.DataFrame = {
+      salt: String, pwsBase: Seq[Double], withBest: Boolean,
+      withBalanced: Boolean = false): org.apache.spark.sql.DataFrame = {
     val feats = Seq("value", "hb", "dowi")
     val f = eventFeatures(s, dir)
       .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), salt, 5))
       .localCheckpoint() // stats + 6 GD passes + per-setting metric reads
     val train = f.where(col("vb5") =!= 0)
     val valid = f.where(col("vb5") === 0)
+    val pws = if (!withBalanced) pwsBase else {
+      val cnt = train.agg(
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
+      pwsBase :+ cnt.getLong(1).toDouble / cnt.getLong(0)
+    }
     val ms = graft.scoring.Trainer.fitLogisticWeighted(train, feats, col("y"),
       pws, iters = 6, lr = 0.5)
     val cells = pws.zip(ms).map { case (pw, m) =>
@@ -1697,6 +1707,8 @@ wfp AS MATERIALIZED (
     ('0x' || substr(md5('$salt:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
   FROM wfb),
 wtr AS (SELECT * FROM wfp WHERE vb5 <> 0),
+wct AS (SELECT CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM wtr),
 s AS (SELECT $statSel FROM wtr),
 d AS MATERIALIZED (SELECT $stdSel, y FROM wtr, s),
 dv AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM wfp WHERE vb5 = 0) t, s),
@@ -3291,7 +3303,12 @@ $stages
 ${rows.mkString("\nUNION ALL\n")}"""
     },
     "q217_weighted_logistic" ->
-      wlrSql("wlr", Seq("1.0", "10.0"), withBest = false),
+      // the third setting is the data-derived balanced ratio — a scalar
+      // subquery over the train-slice counts CTE, the SQL twin of the
+      // collected n_neg/n_pos literal on the Spark side
+      wlrSql("wlr",
+        Seq("1.0", "10.0", "(SELECT CAST(nn AS DOUBLE) / np FROM wct)"),
+        withBest = false),
     "q218_smote" -> {
       val synthSel = Seq("value", "hb", "dowi").zipWithIndex.map { case (f, i) =>
         s"round(sx$i + 5e-11, 4) AS s_$f" }.mkString(",\n  ")

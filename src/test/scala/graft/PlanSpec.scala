@@ -453,6 +453,44 @@ class PlanSpec extends AnyFunSuite {
       s"background row must broadcast:\n$p")
   }
 
+  test("SMOTE family: shard-keyed broadcast k-NN, partitioned ranking window, no cartesian product") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case w: WindowExec => Seq(w)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
+    }
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      (i.toLong, (i % 17) * 1.5, ((i * 3) % 11).toDouble,
+        if (i % 4 == 0) 1L else 0L)
+    }.toDF("id", "a", "b", "y")
+    val plans = Seq(
+      graft.scale.Smote.synthesize(df.where(col("y") === 1L), col("id"),
+        Seq("a", "b"), k = 3, reps = 2, shards = 4, salt = "ps"),
+      graft.scale.Smote.adasynCounts(df, col("id"), Seq("a", "b"), col("y"),
+        k = 3, shards = 4, salt = "ps"),
+      graft.scale.Smote.tomekLinks(df, col("id"), Seq("a", "b"), col("y"),
+        shards = 4, salt = "ps"))
+    plans.foreach { out =>
+      val p = plan(out)
+      // the minority^2 blow-up guard: every candidate pair comes from a
+      // shard-keyed equi-join, never a cross product
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"), s"kNN side must broadcast:\n$p")
+      // ranking never funnels through one task
+      out.collect()
+      val unpart = windows(out.queryExecution.executedPlan)
+        .filter(_.partitionSpec.isEmpty)
+      assert(unpart.isEmpty, unpart.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+  }
+
   test("target-correlation and ANOVA screens rank via a broadcast triangular join") {
     // the 15-feature moment collection is ONE aggregate (all corr/F
     // inputs are parallel agg columns — the melt is 15 rows); the final
