@@ -279,6 +279,26 @@ object Soak {
           Seq("amount", "hb"), k = 5, reps = 2, shards = 8 * k * k)
         .write.format("noop").mode("overwrite").save()
     }
+    // ADASYN density pass + Tomek links: same pairs-constant shard
+    // policy as the queries (shards sized from the row counts so the
+    // candidate-pair budget stays ~5M at any k) — wall-clock should be
+    // flat while per-shard membership shrinks, the documented trade
+    val cntR8 = wideCk.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("n")).head()
+    val (npR8, nR8) = (cntR8.getLong(0), cntR8.getLong(1))
+    time(s"adasyn-density-${k}x-rows") {
+      val sD = math.max(1L, npR8 * nR8 / 5000000L).toInt
+      graft.scale.Smote.adasynCounts(wideCk, col("transaction_id"),
+          Seq("amount", "hb"), col("y"), k = 5, shards = sD)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"tomek-links-${k}x-rows") {
+      val sT = math.max(1L, nR8 * nR8 / 5000000L).toInt
+      graft.scale.Smote.tomekLinks(wideCk, col("transaction_id"),
+          Seq("amount", "hb"), col("y"), shards = sT)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     spark.stop()
   }
