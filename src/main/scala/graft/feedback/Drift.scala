@@ -58,6 +58,50 @@ object Drift {
           (sum(col("y")) * (count(lit(1)) - sum(col("y"))))).as("auc"))
   }
 
+  /** Exact average precision — sklearn's `average_precision_score`
+    * (`models/advanced_models.py:495`, the metric `evaluate_all_models`
+    * reports next to ROC-AUC): the step-wise PR-curve area
+    * `AP = Σ_t (R_t − R_{t−1})·P_t` over DISTINCT scores descending,
+    * factored as `Σ_t Δtp_t·(tp_t / n_t) / pos` (the oracle uses the
+    * same factored form, so the float chain matches). One
+    * groupBy(score) + GlobalOrder integer cumsums — no single-partition
+    * window at any score cardinality; single-class inputs emit NULL.
+    */
+  def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val perValue = df.select(label.cast("int").as("y"), score.as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("yp"))
+    val cum = graft.ops.GlobalOrder.withCumSums(perValue,
+      Seq(col("s").desc), Seq((col("c"), "cn"), (col("yp"), "ctp")))
+    cum.agg(
+      when(sum(col("yp")) > 0 && sum(col("yp")) < sum(col("c")),
+        sum(col("yp").cast("double") *
+          (col("ctp").cast("double") / col("cn"))) /
+          sum(col("yp")).cast("double")).as("ap"))
+  }
+
+  /** Per-group twin of [[averagePrecision]]: same step-wise AP with the
+    * cumulation partitioned by the group key — one exchange, segment
+    * cardinality rows out. Single-class groups emit NULL.
+    */
+  def groupedAveragePrecision(df: DataFrame, group: Column, label: Column,
+      score: Column): DataFrame = {
+    val perValue = df.select(group.as("g"), label.cast("int").as("y"), score.as("s"))
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("yp"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("cn", sum(col("c")).over(w))
+      .withColumn("ctp", sum(col("yp")).over(w))
+    cum.groupBy(col("g")).agg(
+      sum(col("c")).as("n"), sum(col("yp")).as("n_pos"),
+      when(sum(col("yp")) > 0 && sum(col("yp")) < sum(col("c")),
+        sum(col("yp").cast("double") *
+          (col("ctp").cast("double") / col("cn"))) /
+          sum(col("yp")).cast("double")).as("ap"))
+  }
+
   /** Windowed AUC drift (A35; reference `feedback_system.py:166-202`):
     * AUC over the trailing 7 days vs the 7 days before, relative to the
     * data's max timestamp. Drift when recent AUC degrades by more than

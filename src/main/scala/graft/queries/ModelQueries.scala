@@ -1298,6 +1298,59 @@ FROM events"""
           col("n_links"), lit(nn).as("n_neg_before"),
           (lit(nn) - col("n_links")).as("n_neg_after"))
     },
+    // linear SVM by full-batch hinge subgradient (the stacking list's
+    // SVC member, models/advanced_models.py:255 — kernel SVMs sit
+    // outside the determinism contract like TF training; the linear
+    // margin-trained separator fills the slot): 6 steps, each ONE
+    // aggregate of the violator-masked subgradient; report = fitted
+    // hyperplane + held-out AUC, hinge loss, and 0-margin accuracy.
+    "q223_linear_svm" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "svm", 5))
+        .localCheckpoint() // stats + 6 GD passes + metric reads
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      val m = graft.scoring.Trainer.fitLinearSvm(train, feats, col("y"),
+        iters = 6, lr = 0.5, lambda = 0.01)
+      val scored = valid.select(col("y"),
+        graft.scoring.Trainer.margin(m).as("margin"))
+      val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
+      val yy = col("y").cast("double") * 2.0 - 1.0
+      val pred = (col("margin") > 0).cast("long")
+      scored.agg(count(lit(1)).as("n_val"),
+          r6(avg(greatest(lit(0.0), lit(1.0) - yy * col("margin"))))
+            .as("hinge_loss"),
+          r6(avg((pred === col("y")).cast("double"))).as("accuracy"))
+        .crossJoin(auc)
+        .select(col("n_val") +: r6(col("auc")).as("auc") +:
+          col("hinge_loss") +: col("accuracy") +:
+          r6(lit(m.intercept)).as("intercept") +:
+          feats.zip(m.weights).map { case (c2, w) =>
+            r6(lit(w)).as(s"w_$c2") }: _*)
+    },
+    // exact average precision (sklearn average_precision_score — the
+    // metric evaluate_all_models reports next to ROC-AUC,
+    // models/advanced_models.py:495): step-wise PR-curve area from
+    // integer tp/n cumsums over distinct scores, overall (segment -1,
+    // GlobalOrder — no single-partition window) and per day-of-week
+    // segment (partitioned windows), each next to its mid-rank AUC.
+    "q224_average_precision" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // 4 metric passes
+      val lbl = col("y") === 1L
+      val overall = graft.feedback.Drift.averagePrecision(f, lbl, col("value"))
+        .crossJoin(graft.feedback.Drift.auc(f, lbl, col("value")))
+        .crossJoin(f.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos")))
+        .select(lit(-1L).as("segment"), col("n"), col("n_pos"),
+          r6(col("ap")).as("ap"), r6(col("auc")).as("auc"))
+      val grouped = graft.feedback.Drift
+        .groupedAveragePrecision(f, col("dowi"), lbl, col("value"))
+        .join(graft.feedback.Drift.groupedAuc(f, col("dowi"), lbl, col("value"))
+          .select(col("g").as("g2"), col("auc")), col("g") === col("g2"))
+        .select(col("g").as("segment"), col("n"), col("n_pos"),
+          r6(col("ap")).as("ap"), r6(col("auc")).as("auc"))
+      overall.unionByName(grouped)
+    },
     // pos_weight hyperparameter search over {1, 5, 10} (the reference's
     // imbalance-handling knob swept like its AutoML grid): the fused
     // sweep costs the passes of ONE fit; cells ranked by rounded
@@ -3373,6 +3426,101 @@ SELECT sy.qid AS parent_id, sy.nid AS nbr_id, CAST(sy.rep AS BIGINT) AS rep,
 FROM smsyn sy
 JOIN adgt ag ON ag.did = sy.qid
 CROSS JOIN adct ct CROSS JOIN adsum s"""
+    },
+    "q223_linear_svm" -> {
+      // hinge-subgradient chain unrolled: violator-masked averages,
+      // margin terms in fitLinearSvm's fold order (intercept first),
+      // L2 shrink 1e-2 and rate 0.5 as literals
+      val idx = 0 to 2
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(", ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      val chain = {
+        val i0 = s"sv0 AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val its = (1 to 6).map { t =>
+          val m = s"i.b + ${idx.map(i => s"i.w$i * d.x$i").mkString(" + ")}"
+          val yy = "(d.y * 2.0 - 1.0)"
+          val viol = s"($yy * ($m)) < 1.0"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*(1e-2*i.w$i - avg(CASE WHEN $viol THEN $yy * d.x$i ELSE 0.0 END)) AS w$i")
+            .mkString(",\n    ") +
+            s",\n    i.b + 0.5*avg(CASE WHEN $viol THEN $yy ELSE 0.0 END) AS b"
+          s"sv$t AS MATERIALIZED (SELECT $upd\n  FROM svd d, sv${t - 1} i GROUP BY i.w0, i.w1, i.w2, i.b)"
+        }.mkString(",\n")
+        s"$i0,\n$its"
+      }
+      s"""WITH svb AS ($featSql),
+svp AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
+    y::DOUBLE AS y,
+    ('0x' || substr(md5('svm:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM svb),
+svtr AS (SELECT * FROM svp WHERE vb5 <> 0),
+svs AS (SELECT $statSel FROM svtr),
+svd AS MATERIALIZED (SELECT $stdSel, y FROM svtr, svs),
+svv AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM svp WHERE vb5 = 0) t, svs),
+$chain,
+svsc AS MATERIALIZED (
+  SELECT t.y, (i.b + i.w0*t.x0 + i.w1*t.x1 + i.w2*t.x2) AS sv
+  FROM svv t, sv6 i),
+${gbMidrankAuc("sv", "(SELECT CAST(y AS INT) AS y, sv AS s FROM svsc)")},
+svmt AS (SELECT count(*) AS n_val,
+    round(avg(greatest(0.0, 1.0 - (y * 2.0 - 1.0) * sv)) + 5e-11, 4) AS hinge_loss,
+    round(avg(CASE WHEN (CASE WHEN sv > 0 THEN 1.0 ELSE 0.0 END) = y THEN 1.0 ELSE 0.0 END) + 5e-11, 4) AS accuracy
+  FROM svsc)
+SELECT mt.n_val, round(usv.auc + 5e-11, 4) AS auc, mt.hinge_loss, mt.accuracy,
+  round(i.b + 5e-11, 4) AS intercept,
+  round(i.w0 + 5e-11, 4) AS w_value,
+  round(i.w1 + 5e-11, 4) AS w_hb,
+  round(i.w2 + 5e-11, 4) AS w_dowi
+FROM svmt mt CROSS JOIN usv CROSS JOIN sv6 i"""
+    },
+    "q224_average_precision" -> {
+      // factored step-wise AP on both engines: sum(yp * (ctp/cn)) / pos
+      // over distinct scores descending; overall + per-dowi segments,
+      // each with the mid-rank AUC twin
+      s"""WITH af AS ($featSql),
+apg0 AS (SELECT value AS s, count(*) AS c, CAST(sum(y) AS BIGINT) AS yp
+  FROM af GROUP BY 1),
+apc0 AS (SELECT *, CAST(sum(c) OVER w AS BIGINT) AS cn,
+    CAST(sum(yp) OVER w AS BIGINT) AS ctp
+  FROM apg0
+  WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+apa0 AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(yp) AS BIGINT) AS n_pos,
+    CASE WHEN sum(yp) > 0 AND sum(yp) < sum(c) THEN
+      sum(CAST(yp AS DOUBLE) * (CAST(ctp AS DOUBLE) / cn)) / CAST(sum(yp) AS DOUBLE)
+    END AS ap
+  FROM apc0),
+${gbMidrankAuc("ap0", "(SELECT y, value AS s FROM af)")},
+apgg AS (SELECT dowi AS g, value AS s, count(*) AS c, CAST(sum(y) AS BIGINT) AS yp
+  FROM af GROUP BY 1, 2),
+apcg AS (SELECT *, CAST(sum(c) OVER w AS BIGINT) AS cn,
+    CAST(sum(yp) OVER w AS BIGINT) AS ctp
+  FROM apgg
+  WINDOW w AS (PARTITION BY g ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+apag AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, CAST(sum(yp) AS BIGINT) AS n_pos,
+    CASE WHEN sum(yp) > 0 AND sum(yp) < sum(c) THEN
+      sum(CAST(yp AS DOUBLE) * (CAST(ctp AS DOUBLE) / cn)) / CAST(sum(yp) AS DOUBLE)
+    END AS ap
+  FROM apcg GROUP BY g),
+aprg AS (SELECT dowi AS g, y,
+    rank() OVER (PARTITION BY dowi ORDER BY value) +
+      (count(*) OVER (PARTITION BY dowi, value) - 1)/2.0 AS midrank
+  FROM af),
+apug AS (SELECT g,
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0)
+        / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM aprg GROUP BY g)
+SELECT CAST(-1 AS BIGINT) AS segment, a.n, a.n_pos,
+  round(a.ap + 5e-11, 4) AS ap, round(u.auc + 5e-11, 4) AS auc
+FROM apa0 a CROSS JOIN uap0 u
+UNION ALL
+SELECT g AS segment, a.n, a.n_pos,
+  round(a.ap + 5e-11, 4) AS ap, round(u.auc + 5e-11, 4) AS auc
+FROM apag a JOIN apug u USING (g)"""
     },
     "q222_tomek_links" -> {
       val idx = 0 to 2

@@ -266,6 +266,56 @@ object Trainer {
     } finally data.unpersist()
   }
 
+  /** Full-batch subgradient linear SVM (hinge loss + L2) — the engine
+    * twin of the reference's stacking-list `SVC` member
+    * (`models/advanced_models.py:255`). Kernel SVMs sit outside the
+    * engine's determinism contract the way TensorFlow training does; a
+    * margin-trained linear separator fills the slot with the same fused
+    * reduction shape as [[fitLogistic]] — each step is ONE aggregate of
+    * the violator-masked subgradient
+    * `w ← w − lr·(λ·w − avg(1[y′·m<1]·y′·x))`, `b ← b + lr·avg(1[...]·y′)`
+    * with `y′ = 2y − 1`. Returns a [[LogisticModel]] (same
+    * standardization + linear-margin shape, so [[margin]] scores it).
+    */
+  def fitLinearSvm(train: DataFrame, features: Seq[String], label: Column,
+      iters: Int = 6, lr: Double = 0.5, lambda: Double = 0.01): LogisticModel = {
+    require(iters >= 1, s"fitLinearSvm: iters must be >= 1, got $iters")
+    val d = features.size
+    val statAggs = features.flatMap { f =>
+      Seq(avg(col(f).cast("double")).as(s"m_$f"),
+        stddev_pop(col(f).cast("double")).as(s"s_$f"))
+    }
+    val st = train.agg(statAggs.head, statAggs.tail: _*).head()
+    val means = features.indices.map(i => Option(st.get(2 * i))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0))
+    val stds = features.indices.map { i =>
+      val s = Option(st.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      if (s > 0.0) s else 1.0
+    }
+    val xs = features.zipWithIndex.map { case (f, i) =>
+      ((col(f).cast("double") - lit(means(i))) / lit(stds(i))).as(s"__x$i")
+    }
+    val data = train.select(label.cast("double").as("__y") +: xs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Array.fill(d)(0.0)
+      var b = 0.0
+      for (_ <- 1 to iters) {
+        val margin = (0 until d).map(i => col(s"__x$i") * lit(w(i)))
+          .foldLeft(lit(b))(_ + _)
+        val yy = col("__y") * 2.0 - 1.0
+        val viol = yy * margin < 1.0
+        val gAggs = (0 until d).map(i =>
+          avg(when(viol, yy * col(s"__x$i")).otherwise(lit(0.0))).as(s"g$i")) :+
+          avg(when(viol, yy).otherwise(lit(0.0))).as("gb")
+        val g = data.agg(gAggs.head, gAggs.tail: _*).head()
+        for (i <- 0 until d) w(i) -= lr * (lambda * w(i) - g.getDouble(i))
+        b += lr * g.getDouble(d)
+      }
+      LogisticModel(features, means, stds, w.toSeq, b, iters, lr)
+    } finally data.unpersist()
+  }
+
   /** Linear margin w·standardize(x) + b over the RAW feature columns —
     * monotone in the predicted probability, so ranking metrics (AUC) can
     * skip the sigmoid.

@@ -49,6 +49,35 @@ class FeedbackSpec extends AnyFunSuite {
     assert(out("c").isNullAt(3) && out("c").getLong(1) == 2L)
   }
 
+  test("average precision matches the hand-computed sklearn values") {
+    import spark.implicits._
+    // ranking 1,0,1,0 by score: AP = (1·(1/1) + 1·(2/3)) / 2 = 5/6
+    val df = Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6)).toDF("y", "s")
+    val ap = Drift.averagePrecision(df, col("y") === 1, col("s"))
+      .head().getDouble(0)
+    assert(math.abs(ap - 5.0 / 6.0) < 1e-12, s"got $ap")
+    // perfect ranking -> 1; inverted -> base-rate-ish; ties collapse to
+    // one threshold step (all 4 rows at one score: AP = pos/n)
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("y", "s")
+    assert(Drift.averagePrecision(perfect, col("y") === 1, col("s"))
+      .head().getDouble(0) == 1.0)
+    val tied = Seq((1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)).toDF("y", "s")
+    assert(math.abs(Drift.averagePrecision(tied, col("y") === 1, col("s"))
+      .head().getDouble(0) - 0.5) < 1e-12)
+    // single class -> NULL
+    val single = Seq((1, 0.5), (1, 0.6)).toDF("y", "s")
+    assert(Drift.averagePrecision(single, col("y") === 1, col("s"))
+      .head().isNullAt(0))
+    // grouped twin equals per-group separate calls
+    val g = Seq(("a", 1, 0.9), ("a", 0, 0.8), ("a", 1, 0.7), ("a", 0, 0.6),
+      ("b", 1, 0.9), ("b", 1, 0.8), ("b", 0, 0.2), ("b", 0, 0.1))
+      .toDF("g", "y", "s")
+    val grouped = Drift.groupedAveragePrecision(g, col("g"), col("y") === 1, col("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(grouped("a") - 5.0 / 6.0) < 1e-12)
+    assert(grouped("b") == 1.0)
+  }
+
   test("jsd: zero for identical samples, approaches ln 2 for disjoint ones") {
     import spark.implicits._
     val same = (1 to 1000).flatMap(i => Seq((i % 100 * 1.0, true), (i % 100 * 1.0, false)))

@@ -66,6 +66,26 @@ class TrainerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("iters"))
   }
 
+  test("fitLinearSvm learns the separable fixture: signal weight positive, margin ranks y, hinge loss falls") {
+    import spark.implicits._
+    def hinge(m: Trainer.LogisticModel): Double =
+      fixture.select(greatest(lit(0.0),
+        lit(1.0) - (col("y") * 2.0 - 1.0) * Trainer.margin(m)).as("h"))
+        .agg(avg(col("h"))).as[Double].head()
+    val m = Trainer.fitLinearSvm(fixture, Seq("x1", "x2", "x3"), col("y"),
+      iters = 8, lr = 0.5, lambda = 0.01)
+    assert(m.weights.head > 0.5, s"signal weight ${m.weights.head}")
+    assert(math.abs(m.weights(1)) < 0.1, s"distractor ${m.weights(1)}")
+    // constant column x3: std pinned to 1, zero z -> zero weight
+    assert(m.weights(2) == 0.0)
+    val auc = graft.feedback.Drift.auc(
+      fixture.select(col("y"), Trainer.margin(m).as("s")),
+      col("y") === 1.0, col("s")).head().getDouble(0)
+    assert(auc > 0.99, s"auc $auc")
+    assert(hinge(m) < hinge(Trainer.fitLinearSvm(fixture, Seq("x1", "x2", "x3"),
+      col("y"), iters = 1, lr = 0.5, lambda = 0.01)))
+  }
+
   test("fitLogisticWeighted: posWeight=1 reproduces the unweighted fit; upweighting shifts toward the positive class") {
     import spark.implicits._
     // imbalanced fixture: 1 positive per 10 rows, positives at high x1
