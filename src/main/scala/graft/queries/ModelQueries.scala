@@ -1351,6 +1351,51 @@ FROM events"""
           r6(col("ap")).as("ap"), r6(col("auc")).as("auc"))
       overall.unionByName(grouped)
     },
+    // edited nearest neighbours (the last imblearn member the reference
+    // imports, models/advanced_models.py:43): remove majority rows
+    // whose 3-NN contains ANY minority neighbor (kind_sel='all') — the
+    // noise/boundary cleaning undersampler. Reuses the shared k-NN
+    // opposite-class counter with majority parents.
+    "q225_enn" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // counts + kNN pass
+      val cnt = f.agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
+      val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
+      val n = np + nn
+      val sE = math.max(1L, math.min(8192L, nn * n / 2000000L)).toInt
+      val removed = graft.scale.Smote.knnOppositeCounts(f, col("event_id"),
+          feats, col("y"), parentIs = 0L, k = 3, shards = sE, salt = "enn")
+        .where(col("delta") >= 1L) // kind_sel='all': any disagreement
+        .localCheckpoint() // counted + re-read for the report
+      val nr = removed.agg(count(lit(1)).as("n_removed"))
+      removed.crossJoin(broadcast(nr))
+        .select(col("__did").as("event_id"),
+          col("delta").as("minority_neighbors"),
+          col("n_removed"), lit(nn).as("n_neg_before"),
+          (lit(nn) - col("n_removed")).as("n_neg_after"))
+    },
+    // deterministic RandomUnderSampler (models/advanced_models.py:43):
+    // keep every minority row and the np majority rows with the
+    // SMALLEST md5 draws — an exact, partitioning-independent sample of
+    // size n_pos via the GlobalOrder rank (no single-task sort).
+    "q226_random_undersample" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // counts + rank pass
+      val cnt = f.agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("nn")).head()
+      val (np, nn) = (cnt.getLong(0), cnt.getLong(1))
+      val maj = f.where(col("y") === 0L)
+        .select(col("event_id"),
+          conv(substring(md5(concat(lit("rus:"),
+            col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+      graft.ops.GlobalOrder.withRowNumber(maj,
+          Seq(col("h").asc, col("event_id").asc), "rus_rank")
+        .where(col("rus_rank") <= np)
+        .select(col("event_id"), col("rus_rank"),
+          lit(np).as("n_pos"), lit(nn).as("n_neg_before"),
+          lit(np).as("n_kept"))
+    },
     // pos_weight hyperparameter search over {1, 5, 10} (the reference's
     // imbalance-handling knob swept like its AutoML grid): the fused
     // sweep costs the passes of ONE fit; cells ranked by rounded
@@ -3476,6 +3521,52 @@ SELECT mt.n_val, round(usv.auc + 5e-11, 4) AS auc, mt.hinge_loss, mt.accuracy,
   round(i.w2 + 5e-11, 4) AS w_dowi
 FROM svmt mt CROSS JOIN usv CROSS JOIN sv6 i"""
     },
+    "q225_enn" -> {
+      val idx = 0 to 2
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(", ")
+      val zSel = idx.map(i => s"round((x$i - m$i)/s$i + 5e-11, 4) AS z$i")
+        .mkString(", ")
+      val d2 = idx.map(i => s"((q.z$i - c.z$i)*(q.z$i - c.z$i))").mkString(" + ")
+      s"""WITH sf AS ($featSql),
+ect AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM sf),
+esh AS (SELECT greatest(1, least(8192, (nn * (np + nn)) // 2000000)) AS s FROM ect),
+eraw AS (SELECT event_id, y, CAST(value AS DOUBLE) AS x0,
+    CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2 FROM sf),
+est AS (SELECT $statSel FROM eraw),
+ez AS MATERIALIZED (SELECT event_id AS pid, y,
+    ('0x' || substr(md5('enn:d:' || event_id), 1, 8))::UBIGINT % ss.s AS shard,
+    $zSel
+  FROM eraw, esh ss, est),
+enn0 AS (SELECT qid, cy FROM (
+    SELECT q.pid AS qid, c.y AS cy,
+      row_number() OVER (PARTITION BY q.shard, q.pid ORDER BY $d2 ASC, c.pid ASC) AS rnk
+    FROM ez c JOIN ez q ON c.shard = q.shard AND c.pid <> q.pid AND q.y = 0)
+  WHERE rnk <= 3),
+erm AS MATERIALIZED (SELECT qid,
+    CAST(sum(CASE WHEN cy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS delta
+  FROM enn0 GROUP BY 1
+  HAVING sum(CASE WHEN cy <> 0 THEN 1 ELSE 0 END) >= 1),
+ern AS (SELECT CAST(count(*) AS BIGINT) AS n_removed FROM erm)
+SELECT e.qid AS event_id, e.delta AS minority_neighbors, r.n_removed,
+  ct.nn AS n_neg_before, ct.nn - r.n_removed AS n_neg_after
+FROM erm e CROSS JOIN ern r CROSS JOIN ect ct"""
+    },
+    "q226_random_undersample" ->
+      s"""WITH sf AS ($featSql),
+rct AS (SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM sf),
+rmj AS (SELECT event_id,
+    ('0x' || substr(md5('rus:' || event_id), 1, 8))::UBIGINT AS h
+  FROM sf WHERE y = 0),
+rrk AS (SELECT event_id,
+    row_number() OVER (ORDER BY h ASC, event_id ASC) AS rus_rank FROM rmj)
+SELECT r.event_id, CAST(r.rus_rank AS BIGINT) AS rus_rank,
+  ct.np AS n_pos, ct.nn AS n_neg_before, ct.np AS n_kept
+FROM rrk r CROSS JOIN rct ct
+WHERE r.rus_rank <= ct.np""",
     "q224_average_precision" -> {
       // factored step-wise AP on both engines: sum(yp * (ctp/cn)) / pos
       // over distinct scores descending; overall + per-dowi segments,

@@ -128,9 +128,24 @@ object Smote {
     */
   def adasynCounts(all: DataFrame, id: Column, features: Seq[String],
       label: Column, k: Int = 5, shards: Int = 8,
+      salt: String = "adasyn"): DataFrame =
+    knnOppositeCounts(all, id, features, label, parentIs = 1L, k, shards, salt)
+
+  /** Shared k-NN opposite-class counter: for each row whose `label`
+    * equals `parentIs`, the count of OPPOSITE-class rows among its k
+    * nearest neighbors in the full both-class space (shard-local,
+    * full-set 4 dp-z moments, `salt:d` namespace). `parentIs = 1` is
+    * the ADASYN density weight; `parentIs = 0` is the ENN cleaning
+    * evidence (a majority row's minority neighbors,
+    * `EditedNearestNeighbours` — `models/advanced_models.py:43`).
+    * Returns (__did, delta); parents alone in their shard are absent.
+    */
+  def knnOppositeCounts(all: DataFrame, id: Column, features: Seq[String],
+      label: Column, parentIs: Long, k: Int = 5, shards: Int = 8,
       salt: String = "adasyn"): DataFrame = {
-    require(k >= 1, s"Smote.adasynCounts: k must be >= 1, got $k")
-    require(shards >= 1, s"Smote.adasynCounts: shards must be >= 1, got $shards")
+    require(k >= 1, s"Smote.knnOppositeCounts: k must be >= 1, got $k")
+    require(shards >= 1,
+      s"Smote.knnOppositeCounts: shards must be >= 1, got $shards")
     val y = label.cast("long")
     val statAggs = features.flatMap(f => Seq(
       avg(col(f).cast("double")).as(s"__m_$f"),
@@ -143,7 +158,7 @@ object Smote {
         features.map(f => r6((col(f).cast("double") - col(s"__m_$f")) /
           col(s"__s_$f")).as(s"__z_$f")): _*)
       .localCheckpoint() // scored twice (query/candidate sides)
-    val q = z.where(col("__y") === 1L)
+    val q = z.where(col("__y") === parentIs)
       .select(col("__shard").as("__qs") +: col("__pid").as("__qid") +:
         features.map(f => col(s"__z_$f").as(s"__zq_$f")): _*)
     val c = z.select(col("__shard").as("__cs") +: col("__pid").as("__nid") +:
@@ -161,7 +176,7 @@ object Smote {
     scored.withColumn("__rnk", row_number().over(w))
       .where(col("__rnk") <= k)
       .groupBy(col("__qid").as("__did"))
-      .agg(sum(when(col("__cy") === 0L, 1L).otherwise(0L)).as("delta"))
+      .agg(sum(when(col("__cy") =!= parentIs, 1L).otherwise(0L)).as("delta"))
   }
 
   /** Tomek links: cross-class MUTUAL nearest-neighbor pairs — the

@@ -77,19 +77,25 @@ class SmoteSpec extends AnyFunSuite {
     def z(r: (Long, Double, Double, Long)) =
       (graft.scoring.KMeansOps.r6d((r._2 - ma) / sa),
         graft.scoring.KMeansOps.r6d((r._3 - mb) / sb))
+    // the ENN direction (majority parents counting minority neighbors)
+    // shares the kernel — verify both sides of knnOppositeCounts
+    val gotEnn = Smote.knnOppositeCounts(df, col("id"), Seq("a", "b"),
+      col("y"), parentIs = 0L, k = 3, shards = 4, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byShard = rows.groupBy(r => Splits.bucketLocal("t:d", r._1.toString, 4))
     byShard.values.foreach { shard =>
-      shard.filter(_._4 == 1L).foreach { p =>
+      shard.foreach { p =>
         val (zpa, zpb) = z(p)
         val nn = shard.filter(_._1 != p._1).map { c =>
           val (zca, zcb) = z(c)
           ((zpa - zca) * (zpa - zca) + (zpb - zcb) * (zpb - zcb), c._1, c._4)
         }.sorted.take(3)
-        val delta = nn.count(_._3 == 0L)
+        val (want, side) = if (p._4 == 1L) (got, "adasyn") else (gotEnn, "enn")
+        val delta = nn.count(_._3 != p._4)
         if (nn.nonEmpty)
-          assert(got(p._1) == delta, s"parent ${p._1}")
+          assert(want(p._1) == delta, s"$side parent ${p._1}")
         else
-          assert(!got.contains(p._1))
+          assert(!want.contains(p._1))
       }
     }
   }
