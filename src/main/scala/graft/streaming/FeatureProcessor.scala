@@ -481,6 +481,27 @@ object StreamingFeatures {
     feats.withColumn("boost_score", graft.scoring.Boosting.score(model))
   }
 
+  /** The q216 AdaBoost-SAMME ensemble served online: signed weighted
+    * vote + 0/1 class appended to the feature stream as literal CASE
+    * chains over the fitted stumps and 4 dp alphas (stateless,
+    * sink-side — the same contract as [[boostScoredFeatures]]). Every
+    * stump's feature must exist on the stream schema — rejected at
+    * plan-build time. Batch-vs-stream equality is asserted in
+    * StreamingSpec.
+    */
+  def adaBoostScoredFeatures(events: Dataset[StreamTxn],
+                             rounds: Seq[graft.scoring.AdaBoost.Round])
+      : org.apache.spark.sql.DataFrame = {
+    require(rounds.nonEmpty, "adaBoostScoredFeatures: empty ensemble")
+    val feats = customerFeatures(events).toDF()
+    val missing = rounds.map(_.feature).distinct
+      .filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"adaBoostScoredFeatures: stump features absent from the stream: $missing")
+    feats.withColumn("ada_vote", graft.scoring.AdaBoost.voteScore(rounds))
+      .withColumn("ada_class", graft.scoring.AdaBoost.classify(rounds))
+  }
+
   /** The q198 forest served online: vote count + majority flag appended
     * to the feature stream as `trees` literal CASE chains (stateless,
     * sink-side — the same contract as [[boostScoredFeatures]]).

@@ -639,6 +639,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no_such_feature"))
   }
 
+  test("AdaBoost ensemble votes the streaming feature vector identically to batch") {
+    import spark.implicits._
+    // the q216 SAMME chain served online: fit on the batch view with a
+    // 1-in-9 noisy label (SAMME refuses separable data), then apply the
+    // same literal stump/alpha chain to the streaming vector
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: feats.map(col): _*)
+      .localCheckpoint() // one candidate pass per boosting round
+    val label = ((col("txn_amount_sum_1h") > 200) =!=
+      (pmod(col("ts_micros"), lit(9L)) === 0L)).cast("long")
+    val model = graft.scoring.AdaBoost.fit(batchF, feats, label, rounds = 2)
+    assert(model.size == 2 && model.forall(r => r.err > 0.0 && r.err < 0.5))
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.adaBoostScoredFeatures(input.toDS(), model)
+      .writeStream.format("memory").queryName("adaboosted").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    // the emitted columns ARE the chain: re-deriving them from the
+    // emitted feature columns is bitwise-identical
+    val served = spark.table("adaboosted")
+    assert(served.count() == tx.length)
+    assert(served.where(col("ada_vote") =!=
+      graft.scoring.AdaBoost.voteScore(model)).count() == 0)
+    assert(served.where(col("ada_class") =!=
+      graft.scoring.AdaBoost.classify(model)).count() == 0)
+
+    // identical feature grain on both paths -> identical classes
+    def classes(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select(col("customer_id"), col("ts_micros"),
+          graft.scoring.AdaBoost.classify(model).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = classes(served)
+    val batch = classes(batchF)
+    assert(streamed.size == batch.size)
+    val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => k }
+    assert(diffs.isEmpty, s"class mismatch at ${diffs.take(3)}")
+
+    // a stump on a column the stream doesn't emit is rejected at
+    // plan-build time
+    val bogus = model.head.copy(feature = "no_such_feature") +: model.tail
+    val err = intercept[IllegalArgumentException] {
+      StreamingFeatures.adaBoostScoredFeatures(input.toDS(), bogus)
+    }
+    assert(err.getMessage.contains("no_such_feature"))
+  }
+
   test("forest votes the streaming feature vector identically to batch") {
     import spark.implicits._
     val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
