@@ -80,6 +80,91 @@ object Drift {
           sum(col("yp")).cast("double")).as("ap"))
   }
 
+  /** Exact ROC curve point table — sklearn `roc_curve(y, score)`
+    * (`models/advanced_models.py:27`, consumed by `evaluate_all_models`
+    * and the notebook's threshold plots): one row per kept distinct
+    * score descending with (threshold, fpr, tpr), plus sklearn's
+    * artificial leading point (threshold = +inf, 0, 0).
+    *
+    * `dropIntermediate` (sklearn's default) removes interior points that
+    * are collinear on BOTH axes — kept iff the second difference of the
+    * fp or tp cumsum is nonzero, endpoints always kept; the dropped
+    * points change no plot. Scale shape: distinct-score cumsums via
+    * GlobalOrder (no single-task sort), and the second differences come
+    * from two equi-joins of the value table to itself on the GlobalOrder
+    * row index — curve-table-sized shuffles, never row-sized.
+    * Single-class inputs emit NULL on the undefined axis (sklearn warns
+    * and emits NaN).
+    */
+  def rocCurve(df: DataFrame, label: Column, score: Column,
+      dropIntermediate: Boolean = true): DataFrame = {
+    val perValue = df.select(label.cast("int").as("y"), score.cast("double").as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("yp"))
+    val cum = graft.ops.GlobalOrder.withCumSums(perValue,
+      Seq(col("s").desc), Seq((col("c"), "cn"), (col("yp"), "ctp"),
+        (lit(1L), "idx")))
+    val tot = perValue.agg(sum(col("c")).as("n"), sum(col("yp")).as("p"),
+      count(lit(1)).as("nv"))
+    val pts = cum.select(col("idx"), col("s"), col("ctp").as("tps"),
+      (col("cn") - col("ctp")).as("fps"))
+    val kept =
+      if (!dropIntermediate) pts
+      else {
+        val pr = pts.select(col("idx").as("pi"), col("tps").as("ptps"),
+          col("fps").as("pfps"))
+        val nx = pts.select(col("idx").as("ni"), col("tps").as("ntps"),
+          col("fps").as("nfps"))
+        pts.join(pr, col("idx") - 1 === col("pi"), "left")
+          .join(nx, col("idx") + 1 === col("ni"), "left")
+          .where(col("pi").isNull || col("ni").isNull ||
+            col("nfps") - col("fps") * 2 + col("pfps") =!= 0 ||
+            col("ntps") - col("tps") * 2 + col("ptps") =!= 0)
+          .select(col("idx"), col("s"), col("tps"), col("fps"))
+      }
+    val lead = df.sparkSession.range(1).select(
+      lit(Double.PositiveInfinity).as("threshold"),
+      lit(0L).as("tps"), lit(0L).as("fps"))
+    lead.unionByName(kept.select(col("s").as("threshold"), col("tps"), col("fps")))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        when(col("n") - col("p") > 0,
+          col("fps").cast("double") / (col("n") - col("p"))).as("fpr"),
+        when(col("p") > 0, col("tps").cast("double") / col("p")).as("tpr"))
+  }
+
+  /** Exact precision–recall curve point table — sklearn
+    * `precision_recall_curve(y, score)` (`models/advanced_models.py:28`):
+    * one row per distinct score descending down to the FIRST threshold
+    * attaining full recall (sklearn's `searchsorted` cut — below it
+    * recall is constant 1), plus the appended terminal point
+    * (threshold = NULL, precision 1, recall 0). precision = tp/(tp+fp)
+    * = ctp/cn at each distinct-score cut; same GlobalOrder cumsum shape
+    * as [[averagePrecision]] (its AP is exactly this curve's step area).
+    * No-positive inputs emit NULL recall (sklearn warns).
+    */
+  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val perValue = df.select(label.cast("int").as("y"), score.cast("double").as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("yp"))
+    val cum = graft.ops.GlobalOrder.withCumSums(perValue,
+      Seq(col("s").desc), Seq((col("c"), "cn"), (col("yp"), "ctp"),
+        (lit(1L), "idx")))
+    val tot = perValue.agg(sum(col("c")).as("n"), sum(col("yp")).as("p"))
+    val withTot = cum.crossJoin(broadcast(tot))
+    val lastIdx = withTot.where(col("ctp") === col("p"))
+      .agg(min(col("idx")).as("last_idx"))
+    val body = withTot.crossJoin(broadcast(lastIdx))
+      .where(col("idx") <= col("last_idx"))
+      .select(col("s").as("threshold"),
+        (col("ctp").cast("double") / col("cn")).as("precision"),
+        when(col("p") > 0, col("ctp").cast("double") / col("p")).as("recall"))
+    val terminal = df.sparkSession.range(1).select(
+      lit(null).cast("double").as("threshold"),
+      lit(1.0).as("precision"), lit(0.0).as("recall"))
+    body.unionByName(terminal)
+  }
+
   /** Per-group twin of [[averagePrecision]]: same step-wise AP with the
     * cumulation partitioned by the group key — one exchange, segment
     * cardinality rows out. Single-class groups emit NULL.

@@ -1173,7 +1173,9 @@ FROM events"""
         r6(col("s_value")).as("s_value"), r6(col("s_hb")).as("s_hb"),
         r6(col("s_dowi")).as("s_dowi"),
         lit(np).as("n_pos"), lit(nn).as("n_neg"),
-        lit(np * (m + 1)).as("n_pos_after"))
+        // nominal TARGET np*(m+1), not the achieved count — singleton-
+        // shard parents (documented Smote behavior) may emit fewer
+        lit(np * (m + 1)).as("n_pos_target"))
     },
     // the reference's ACTUAL training flow (prepare_data balances with
     // SMOTE by default, then fits — models/advanced_models.py:395-470):
@@ -1403,6 +1405,27 @@ FROM events"""
     // join — the same search surface as q183's (lr × iters) grid.
     "q219_posweight_search" -> { (s, dir) =>
       wlrQuery(s, dir, "pws", Seq(1.0, 5.0, 10.0), withBest = true)
+    },
+    // exact ROC curve point table (sklearn roc_curve with its default
+    // drop_intermediate and the artificial +inf leading point —
+    // models/advanced_models.py:27, the notebook's threshold plots):
+    // per kept distinct score descending, (threshold, fpr, tpr) from
+    // the same integer cumsums as q224's AP. fpr/tpr are single
+    // divisions of exact integers, so no rounding is needed for the
+    // hash gate.
+    "q227_roc_curve" -> { (s, dir) =>
+      val f = eventFeatures(s, dir)
+      graft.feedback.Drift.rocCurve(f, col("y") === 1L, col("value"))
+    },
+    // exact precision-recall curve point table (sklearn
+    // precision_recall_curve — models/advanced_models.py:28): distinct
+    // scores descending down to the first full-recall threshold
+    // (sklearn's searchsorted cut), plus the terminal
+    // (NULL, precision 1, recall 0) point. q224's AP is exactly this
+    // curve's step area.
+    "q228_pr_curve" -> { (s, dir) =>
+      val f = eventFeatures(s, dir)
+      graft.feedback.Drift.prCurve(f, col("y") === 1L, col("value"))
     })
 
   /** Shared engine side of q217/q219: fused class-weight sweep + per-
@@ -1691,7 +1714,7 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
     * features) as its last CTE; callers append `,` + further CTEs.
     */
   private def smoteCtes(src: String, salt: String,
-      repBound: String = "scm.m", gJoin: String = ""): String = {
+      repBound: String = "scm.m", gJoin: String = "", k: Int = 5): String = {
     val idx = 0 to 2
     val statSel = idx.map(i =>
       s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
@@ -1718,13 +1741,13 @@ snb AS MATERIALIZED (SELECT qid, nid, rnk FROM (
     SELECT qid, nid,
       row_number() OVER (PARTITION BY shard, qid ORDER BY d2 ASC, nid ASC) AS rnk
     FROM ssc)
-  WHERE rnk <= 5),
+  WHERE rnk <= $k),
 sreps AS (SELECT unnest(range(10)) AS rep),
 spick AS (SELECT nb.qid, nb.nid, r.rep,
     CAST(('0x' || substr(md5('$salt:l' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 10000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS lam
   FROM snb nb, sreps r, scm$gJoin
   WHERE r.rep < $repBound
-    AND nb.rnk = ('0x' || substr(md5('$salt:n' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % 5 + 1),
+    AND nb.rnk = ('0x' || substr(md5('$salt:n' || r.rep || ':' || nb.qid), 1, 8))::UBIGINT % $k + 1),
 smsyn AS MATERIALIZED (SELECT p.qid, p.nid, p.rep, p.lam, $synSel
   FROM spick p
   JOIN sz q ON q.pid = p.qid
@@ -3415,7 +3438,7 @@ ${smoteCtes("sf", "smote")}
 SELECT sy.qid AS parent_id, sy.nid AS nbr_id, CAST(sy.rep AS BIGINT) AS rep,
   round(sy.lam + 5e-11, 4) AS lam,
   $synthSel,
-  ct.np AS n_pos, ct.nn AS n_neg, ct.np * (cm.m + 1) AS n_pos_after
+  ct.np AS n_pos, ct.nn AS n_neg, ct.np * (cm.m + 1) AS n_pos_target
 FROM smsyn sy
 CROSS JOIN sct ct CROSS JOIN scm cm"""
     },
@@ -3567,6 +3590,53 @@ SELECT r.event_id, CAST(r.rus_rank AS BIGINT) AS rus_rank,
   ct.np AS n_pos, ct.nn AS n_neg_before, ct.np AS n_kept
 FROM rrk r CROSS JOIN rct ct
 WHERE r.rus_rank <= ct.np""",
+    "q227_roc_curve" ->
+      // sklearn roc_curve: distinct scores descending, drop_intermediate
+      // keeps corners (2nd difference of fp or tp cumsum nonzero) plus
+      // endpoints, artificial +inf / (0,0) leading point
+      s"""WITH rf AS ($featSql),
+rpv AS (SELECT CAST(value AS DOUBLE) AS s, count(*) AS c,
+    CAST(sum(y) AS BIGINT) AS yp
+  FROM rf GROUP BY 1),
+rcm AS (SELECT s, CAST(sum(c) OVER w AS BIGINT) AS cn,
+    CAST(sum(yp) OVER w AS BIGINT) AS ctp,
+    CAST(row_number() OVER (ORDER BY s DESC) AS BIGINT) AS idx
+  FROM rpv
+  WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+rtt AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(yp) AS BIGINT) AS p FROM rpv),
+rpt AS (SELECT idx, s, ctp AS tps, cn - ctp AS fps FROM rcm),
+rkp AS (SELECT p.idx, p.s, p.tps, p.fps FROM rpt p
+  LEFT JOIN rpt pr ON pr.idx = p.idx - 1
+  LEFT JOIN rpt nx ON nx.idx = p.idx + 1
+  WHERE pr.idx IS NULL OR nx.idx IS NULL
+     OR (nx.fps - 2*p.fps + pr.fps) <> 0 OR (nx.tps - 2*p.tps + pr.tps) <> 0)
+SELECT u.threshold,
+  CASE WHEN t.n - t.p > 0 THEN CAST(u.fps AS DOUBLE) / (t.n - t.p) END AS fpr,
+  CASE WHEN t.p > 0 THEN CAST(u.tps AS DOUBLE) / t.p END AS tpr
+FROM (SELECT CAST('inf' AS DOUBLE) AS threshold, CAST(0 AS BIGINT) AS tps,
+        CAST(0 AS BIGINT) AS fps
+      UNION ALL SELECT s, tps, fps FROM rkp) u
+CROSS JOIN rtt t""",
+    "q228_pr_curve" ->
+      // sklearn precision_recall_curve: rows down to the first
+      // full-recall threshold, terminal (NULL, 1, 0) appended
+      s"""WITH pf AS ($featSql),
+ppv AS (SELECT CAST(value AS DOUBLE) AS s, count(*) AS c,
+    CAST(sum(y) AS BIGINT) AS yp
+  FROM pf GROUP BY 1),
+pcm AS (SELECT s, CAST(sum(c) OVER w AS BIGINT) AS cn,
+    CAST(sum(yp) OVER w AS BIGINT) AS ctp,
+    CAST(row_number() OVER (ORDER BY s DESC) AS BIGINT) AS idx
+  FROM ppv
+  WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ptt AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(yp) AS BIGINT) AS p FROM ppv),
+pli AS (SELECT min(idx) AS last_idx FROM pcm, ptt WHERE ctp = p)
+SELECT s AS threshold, CAST(ctp AS DOUBLE) / cn AS "precision",
+  CASE WHEN t.p > 0 THEN CAST(ctp AS DOUBLE) / t.p END AS recall
+FROM pcm CROSS JOIN ptt t CROSS JOIN pli
+WHERE idx <= last_idx
+UNION ALL
+SELECT CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)""",
     "q224_average_precision" -> {
       // factored step-wise AP on both engines: sum(yp * (ctp/cn)) / pos
       // over distinct scores descending; overall + per-dowi segments,

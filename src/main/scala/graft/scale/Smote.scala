@@ -30,6 +30,15 @@ import graft.queries.r6
   * candidate generation. Distances use 4 dp-rounded minority z-scores
   * so neighbor ORDER is engine-exact; interpolation runs in raw feature
   * space like sklearn's.
+  *
+  * Memory shape: [[synthesize]]/[[synthesizeBy]] broadcast only
+  * minority-bounded sides (the same bound sklearn's in-memory SMOTE
+  * assumes), while [[knnOppositeCounts]] and [[tomekLinks]] — whose
+  * query side can be the majority class (ENN) or the entire dataset
+  * (Tomek) — join shuffle-side on the shard key, so executor memory is
+  * bounded by a shard partition, not the full query projection. The
+  * shard count bounds candidate PAIRS; the shuffle bounds MEMORY —
+  * both are needed for the 100 TB story.
   */
 object Smote {
 
@@ -167,7 +176,15 @@ object Smote {
     val d2 = features.map { f =>
       val d = col(s"__zq_$f") - col(s"__zn_$f"); d * d
     }.reduce(_ + _)
-    val scored = c.join(broadcast(q),
+    // shuffle-side on the shard key, NOT broadcast: for ENN (parentIs = 0)
+    // the query side is the MAJORITY class — an O(dataset) projection that
+    // no shard count shrinks, so a forced broadcast would OOM executors at
+    // scale. The shuffle_hash hint keeps the hash-join shape without
+    // pinning the build side in every executor; AQE may still demote to
+    // broadcast at runtime when the side is genuinely small (ADASYN's
+    // minority queries), which is adaptive rather than forced. Sharding
+    // bounds the PAIR count (n²/shards); the shuffle bounds the MEMORY.
+    val scored = c.join(q.hint("shuffle_hash"),
         col("__cs") === col("__qs") && col("__nid") =!= col("__qid"))
       .select(col("__qs").as("__shard"), col("__qid"), col("__nid"),
         col("__cy"), d2.as("__d2"))
@@ -215,7 +232,10 @@ object Smote {
     val d2 = features.map { f =>
       val d = col(s"__zq_$f") - col(s"__zn_$f"); d * d
     }.reduce(_ + _)
-    val scored = c.join(broadcast(q),
+    // shuffle-side on the shard key, NOT broadcast: here the query side is
+    // EVERY row (both classes), so a forced broadcast is an O(dataset)
+    // executor-memory bill no shard count reduces. See knnOppositeCounts.
+    val scored = c.join(q.hint("shuffle_hash"),
         col("__cs") === col("__qs") && col("__nid") =!= col("__qid"))
       .select(col("__qs").as("__shard"), col("__qid"), col("__qy"),
         col("__nid"), d2.as("__d2"))

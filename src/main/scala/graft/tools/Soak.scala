@@ -299,6 +299,16 @@ object Soak {
           Seq("amount", "hb"), col("y"), shards = sT)
         .write.format("noop").mode("overwrite").save()
     }
+    // ENN (majority parents): the query side is the MAJORITY class —
+    // since round 9 this joins shuffle-side on the shard key, so the
+    // executor footprint is one shard partition, not a forced broadcast
+    // of the majority projection
+    time(s"enn-${k}x-rows") {
+      val sE = math.max(1L, (nR8 - npR8) * nR8 / 5000000L).toInt
+      graft.scale.Smote.knnOppositeCounts(wideCk, col("transaction_id"),
+          Seq("amount", "hb"), col("y"), parentIs = 0L, k = 3, shards = sE)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     spark.stop()
   }

@@ -49,6 +49,56 @@ class FeedbackSpec extends AnyFunSuite {
     assert(out("c").isNullAt(3) && out("c").getLong(1) == 2L)
   }
 
+  test("roc curve matches sklearn roc_curve: docs example, ties, drop_intermediate, single-class") {
+    import spark.implicits._
+    def points(df: org.apache.spark.sql.DataFrame) =
+      Drift.rocCurve(df, col("y") === 1, col("s")).collect()
+        .map(r => (r.getDouble(0),
+          if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))
+        .sortBy(t => -t._1).toList
+    // sklearn docs example: fpr [0,0,.5,.5,1], tpr [0,.5,.5,1,1],
+    // thresholds [inf,.8,.4,.35,.1]
+    val docs = Seq((0, 0.1), (0, 0.4), (1, 0.35), (1, 0.8)).toDF("y", "s")
+    assert(points(docs) == List(
+      (Double.PositiveInfinity, 0.0, 0.0), (0.8, 0.0, 0.5),
+      (0.4, 0.5, 0.5), (0.35, 0.5, 1.0), (0.1, 1.0, 1.0)))
+    // score ties collapse to one threshold row
+    val ties = Seq((1, 0.5), (0, 0.5), (1, 0.3), (0, 0.3), (0, 0.1)).toDF("y", "s")
+    assert(points(ties) == List(
+      (Double.PositiveInfinity, 0.0, 0.0), (0.5, 1.0 / 3, 0.5),
+      (0.3, 2.0 / 3, 1.0), (0.1, 1.0, 1.0)))
+    // collinear interior points dropped (sklearn drop_intermediate):
+    // monotone negatives leave only the endpoints
+    val mono = Seq((0, 0.1), (0, 0.2), (0, 0.3), (1, 0.9)).toDF("y", "s")
+    assert(points(mono) == List(
+      (Double.PositiveInfinity, 0.0, 0.0), (0.9, 0.0, 1.0), (0.1, 1.0, 1.0)))
+    assert(Drift.rocCurve(mono, col("y") === 1, col("s"),
+      dropIntermediate = false).count() == 5)
+    // single class: undefined axis is NULL (sklearn warns + emits NaN)
+    val neg = Seq((0, 0.1), (0, 0.9)).toDF("y", "s")
+    assert(points(neg).forall(_._3 == null))
+    val pos = Seq((1, 0.1), (1, 0.9)).toDF("y", "s")
+    assert(points(pos).forall(_._2 == null))
+  }
+
+  test("pr curve matches sklearn precision_recall_curve: docs example + full-recall cut") {
+    import spark.implicits._
+    val docs = Seq((0, 0.1), (0, 0.4), (1, 0.35), (1, 0.8)).toDF("y", "s")
+    val rows = Drift.prCurve(docs, col("y") === 1, col("s")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getDouble(0),
+        r.getDouble(1), r.getDouble(2))).toSet
+    // sklearn: precision [2/3, .5, 1, 1], recall [1, .5, .5, 0],
+    // thresholds [.35, .4, .8] — the 0.1 row is cut (recall constant 1
+    // below the first full-recall threshold), terminal (1, 0) appended
+    assert(rows == Set((0.35, 2.0 / 3, 1.0), (0.4, 0.5, 0.5),
+      (0.8, 1.0, 0.5), (null, 1.0, 0.0)))
+    // AP consistency: the step area of this curve IS averagePrecision
+    val ap = Drift.averagePrecision(docs, col("y") === 1, col("s"))
+      .head().getDouble(0)
+    assert(math.abs(ap - (0.5 * 1.0 + 0.5 * (2.0 / 3))) < 1e-12)
+  }
+
   test("average precision matches the hand-computed sklearn values") {
     import spark.implicits._
     // ranking 1,0,1,0 by score: AP = (1·(1/1) + 1·(2/3)) / 2 = 5/6

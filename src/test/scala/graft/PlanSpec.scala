@@ -453,7 +453,7 @@ class PlanSpec extends AnyFunSuite {
       s"background row must broadcast:\n$p")
   }
 
-  test("SMOTE family: shard-keyed broadcast k-NN, partitioned ranking window, no cartesian product") {
+  test("SMOTE family: shard-keyed k-NN joins, partitioned ranking window, no cartesian product") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -470,24 +470,38 @@ class PlanSpec extends AnyFunSuite {
       (i.toLong, (i % 17) * 1.5, ((i * 3) % 11).toDouble,
         if (i % 4 == 0) 1L else 0L)
     }.toDF("id", "a", "b", "y")
-    val plans = Seq(
-      graft.scale.Smote.synthesize(df.where(col("y") === 1L), col("id"),
-        Seq("a", "b"), k = 3, reps = 2, shards = 4, salt = "ps"),
+    val smote = graft.scale.Smote.synthesize(df.where(col("y") === 1L),
+      col("id"), Seq("a", "b"), k = 3, reps = 2, shards = 4, salt = "ps")
+    val shuffled = Seq(
       graft.scale.Smote.adasynCounts(df, col("id"), Seq("a", "b"), col("y"),
         k = 3, shards = 4, salt = "ps"),
       graft.scale.Smote.tomekLinks(df, col("id"), Seq("a", "b"), col("y"),
         shards = 4, salt = "ps"))
-    plans.foreach { out =>
+    (smote +: shuffled).foreach { out =>
       val p = plan(out)
       // the minority^2 blow-up guard: every candidate pair comes from a
       // shard-keyed equi-join, never a cross product
       assert(!p.contains("CartesianProduct"), p)
-      assert(p.contains("BroadcastHashJoin"), s"kNN side must broadcast:\n$p")
       // ranking never funnels through one task
       out.collect()
       val unpart = windows(out.queryExecution.executedPlan)
         .filter(_.partitionSpec.isEmpty)
       assert(unpart.isEmpty, unpart.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+    // synthesize may broadcast: its k-NN sides are minority-bounded (the
+    // same assumption sklearn's in-memory SMOTE makes)
+    assert(plan(smote).contains("BroadcastHashJoin"),
+      s"minority-bounded sides should broadcast:\n${plan(smote)}")
+    // ENN/Tomek must NOT force-broadcast their query side — it can be the
+    // majority class or the whole dataset; the PLANNER must pick a
+    // shuffle-side join on the shard key. Assert on the pre-AQE static
+    // plan: AQE demoting a genuinely small side to broadcast at runtime is
+    // adaptive (good), but a static broadcast would be forced at any scale.
+    shuffled.foreach { out =>
+      val p = out.queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+        s"opposite-class kNN join must be shuffle-side on the shard key:\n$p")
     }
   }
 
