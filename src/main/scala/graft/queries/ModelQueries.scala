@@ -1426,6 +1426,34 @@ FROM events"""
     "q228_pr_curve" -> { (s, dir) =>
       val f = eventFeatures(s, dir)
       graft.feedback.Drift.prCurve(f, col("y") === 1L, col("value"))
+    },
+    // best-first (leaf-wise) CART, max_leaves = 8 under a depth-5 cap —
+    // the LightGBM growth strategy (models/advanced_models.py:35): each
+    // expansion splits the single leaf with the highest root-weighted
+    // impurity decrease, so depth concentrates where the impurity is
+    // (unlike q202's level-wise PLANET growth). Report: the expansion
+    // ORDER itself plus each split's counts/gain and the terminal
+    // accuracy; the oracle materializes the full depth-capped greedy
+    // lattice (node candidates depend only on the node's path) and
+    // replays the selection as a bitmask cascade.
+    "q229_leafwise_tree" -> { (s, dir) =>
+      val f = eventFeatures(s, dir).localCheckpoint() // 1-2 passes per expansion
+      val m = graft.scoring.Trees.fitBestFirst(f, gbFeatures, col("y"),
+        maxLeaves = 8, maxDepth = 5)
+      val nLeaves = m.tree.leaves.size.toLong
+      m.order.zipWithIndex.map { case (p, i) =>
+        val sp = m.tree.splits(p)
+        s.range(1).select(
+          lit(i.toLong).as("ord"),
+          lit(if (p.isEmpty) "root" else p).as("node"),
+          lit(p.length.toLong).as("depth"),
+          lit(sp.feature).as("feature"), r6(lit(sp.threshold)).as("threshold"),
+          lit(sp.gini).as("gini"), lit(sp.nLeft).as("n_left"),
+          lit(sp.posLeft).as("pos_left"), lit(sp.nRight).as("n_right"),
+          lit(sp.posRight).as("pos_right"), lit(m.gains(p)).as("gain"),
+          lit(nLeaves).as("n_leaves"),
+          lit(m.tree.trainAccuracy).as("tree_acc"))
+      }.reduce(_.unionByName(_))
     })
 
   /** Shared engine side of q217/q219: fused class-weight sweep + per-
@@ -3637,6 +3665,85 @@ FROM pcm CROSS JOIN ptt t CROSS JOIN pli
 WHERE idx <= last_idx
 UNION ALL
 SELECT CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)""",
+    "q229_leafwise_tree" -> {
+      // best-first replay: the q202 lattice CTEs give every potential
+      // node's candidate split (a node's subset depends only on its
+      // path), a gains table prices each node, and maxLeaves-2 bitmask
+      // steps re-run the expansion (argmax rounded gain, path
+      // tie-break; root pre-selected as bit 0)
+      val depth = 5
+      val maxLeaves = 8
+      val paths = deepNodePaths(depth)
+      val bit = paths.zipWithIndex.toMap
+      def imp(pos: String, n: String) =
+        s"""(1.0 - (CAST($pos AS DOUBLE)/$n)*(CAST($pos AS DOUBLE)/$n)
+    - (1.0 - CAST($pos AS DOUBLE)/$n)*(1.0 - CAST($pos AS DOUBLE)/$n))"""
+      val gainRows = paths.map { p =>
+        val b = s"b_${deepNm(p)}"
+        val (nn, np, from) =
+          if (p.isEmpty) ("st_r0.n", "st_r0.pos", s"$b, st_r0")
+          else {
+            val par = s"b_${deepNm(p.init)}"
+            val side = if (p.last == 'l') "left" else "right"
+            (s"$par.n_$side", s"$par.pos_$side", s"$b, $par")
+          }
+        val ppos = if (p.isEmpty) 0 else bit(p.init)
+        s"""SELECT '${deepNm(p)}' AS nm, CAST(${bit(p)} AS BIGINT) AS pos,
+  CAST($ppos AS BIGINT) AS ppos,
+  round(CAST($nn AS DOUBLE) / (SELECT n FROM st_r0)
+    * (${imp(np, nn)}
+      - (${imp(s"$b.pos_left", s"$b.n_left")} * $b.n_left / $nn
+        + ${imp(s"$b.pos_right", s"$b.n_right")} * $b.n_right / $nn)) + 5e-11, 4) AS rgain
+FROM $from"""
+      }.mkString("\nUNION ALL\n")
+      // every cascade CTE is MATERIALIZED: un-materialized, DuckDB
+      // inlines m_{t-1} (referenced 3x per step) recursively — an
+      // exponential plan blowup
+      val steps = (1 to maxLeaves - 2).map { t =>
+        s"""e$t AS MATERIALIZED (SELECT g.nm, g.pos, g.rgain FROM gains g, m${t - 1}
+  WHERE ((m${t - 1}.mask >> g.pos) & 1) = 0 AND ((m${t - 1}.mask >> g.ppos) & 1) = 1
+  ORDER BY g.rgain DESC, g.nm LIMIT 1),
+m$t AS MATERIALIZED (SELECT CASE WHEN EXISTS (SELECT 1 FROM e$t)
+    THEN (SELECT mask FROM m${t - 1}) | (CAST(1 AS BIGINT) << (SELECT pos FROM e$t))
+    ELSE (SELECT mask FROM m${t - 1}) END AS mask)"""
+      }.mkString(",\n")
+      val selRows = (1 to maxLeaves - 2).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS ord, (SELECT nm FROM e$t) AS nm WHERE EXISTS (SELECT 1 FROM e$t)")
+        .mkString("\nUNION ALL\n")
+      val mf = s"m${maxLeaves - 2}"
+      def selected(p: String): String =
+        if (p.length >= depth) "FALSE"
+        else s"((($mf.mask) >> ${bit(p)}) & 1) = 1"
+      val leafRows = paths.map { p =>
+        val b = s"b_${deepNm(p)}"
+        s"""SELECT CASE WHEN ${selected(p)} THEN
+    (CASE WHEN NOT (${selected(p + "l")}) THEN greatest($b.pos_left, $b.n_left - $b.pos_left) ELSE 0 END)
+    + (CASE WHEN NOT (${selected(p + "r")}) THEN greatest($b.pos_right, $b.n_right - $b.pos_right) ELSE 0 END)
+  ELSE 0 END AS c FROM $b, $mf"""
+      }.mkString("\nUNION ALL\n")
+      val outRows = paths.map { p =>
+        val n = deepNm(p)
+        val label = if (p.isEmpty) "root" else p
+        s"""SELECT sel.ord, '$label' AS node, CAST(${p.length} AS BIGINT) AS depth,
+  b_$n.feature, round(b_$n.threshold + 5e-11, 4) AS threshold, b_$n.gini AS gini,
+  b_$n.n_left, b_$n.pos_left, b_$n.n_right, b_$n.pos_right,
+  g.rgain AS gain, nl.n_leaves, ta.tree_acc
+FROM b_$n, sel, gains g, nl, ta
+WHERE sel.nm = '$n' AND g.nm = '$n'"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f_r0 AS MATERIALIZED ($featSql),
+${deepTreeCtes(depth)},
+gains AS MATERIALIZED ($gainRows),
+m0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS mask),
+$steps,
+sel AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS ord, 'r0' AS nm
+UNION ALL
+$selRows),
+nl AS MATERIALIZED (SELECT CAST(count(*) + 1 AS BIGINT) AS n_leaves FROM sel),
+ta AS MATERIALIZED (SELECT round(CAST(sum(c) AS DOUBLE) / (SELECT n FROM st_r0) + 5e-11, 4) AS tree_acc
+  FROM ($leafRows))
+$outRows"""
+    },
     "q224_average_precision" -> {
       // factored step-wise AP on both engines: sum(yp * (ctp/cn)) / pos
       // over distinct scores descending; overall + per-dowi segments,

@@ -174,6 +174,115 @@ object Trees {
     DeepTree(maxDepth, root.n, root.posLeft + root.posRight, splits)
   }
 
+  /** Best-first (leaf-wise) fit result: the tree (reusing [[DeepTree]] —
+    * every path-keyed accessor, predictor and leaf enumeration applies
+    * unchanged), the expansion order ("" first), and each expanded
+    * node's root-weighted impurity decrease.
+    */
+  final case class BestFirstTree(tree: DeepTree, order: Seq[String],
+      gains: Map[String, Double])
+
+  /** Best-first (leaf-wise, max_leaves-bounded) exact greedy CART — the
+    * LightGBM growth strategy (`models/advanced_models.py:35` trains the
+    * `lgb` zoo member next to the level-wise forests): instead of
+    * splitting every node of a level, repeatedly split the SINGLE leaf
+    * whose best candidate buys the largest root-weighted impurity
+    * decrease, until the tree has `maxLeaves` leaves (or no leaf admits
+    * a split). At equal leaf budget this concentrates depth where the
+    * impurity is, which is the whole point of the leaf-wise family.
+    *
+    * Determinism/replayability contract (same as [[fitDepth]]): within a
+    * node the argmin is (4dp gini, feature, threshold)-ordered; ACROSS
+    * leaves the expansion picks the highest 4dp-rounded gain
+    * gain(p) = n_p/N · (g(p) − Σ_side n_side/n_p · g(side)) with
+    * path-ascending tie-break — every term recomputed from the exact
+    * split counts (the q203 importance formula), so a DuckDB replay of
+    * the full candidate lattice + the same selection rule lands on the
+    * identical tree. Gain-0 splits of impure leaves stay eligible (they
+    * expand last), mirroring the level-wise family's stopping.
+    *
+    * A key best-first property makes the SQL replay tractable: a node's
+    * candidate split depends only on its own row subset (fixed by its
+    * PATH, not by expansion order), so the oracle can materialize the
+    * full depth-capped greedy lattice once and replay only the
+    * selection. `maxDepth` bounds that lattice (LightGBM's max_depth
+    * guard); candidates are fitted lazily — the two children of each
+    * expansion in one fused grouped pass, ≤ 2·(maxLeaves−1) node fits
+    * total regardless of lattice size. Driver state: ≤ maxLeaves−1
+    * split rows.
+    */
+  def fitBestFirst(df: DataFrame, features: Seq[String], label: Column,
+      maxLeaves: Int, maxDepth: Int): BestFirstTree = {
+    require(maxLeaves >= 2 && maxLeaves <= 64,
+      s"fitBestFirst: maxLeaves must be in [2, 64], got $maxLeaves")
+    require(maxDepth >= 2 && maxDepth <= 6,
+      s"fitBestFirst: maxDepth must be in [2, 6], got $maxDepth")
+    def g2(pos: Long, n: Long): Double = {
+      val q = pos.toDouble / n; 1.0 - q * q - (1.0 - q) * (1.0 - q)
+    }
+    val root = argmin(Models.stumpCandidates(df, features, label))
+    val bigN = root.n
+    var splits = Map("" -> root)
+    var order = Vector("")
+    var gains = Map("" -> KMeansOps.r6d(
+      (g2(root.posLeft + root.posRight, bigN) -
+        (g2(root.posLeft, root.nLeft) * root.nLeft / bigN +
+          g2(root.posRight, root.nRight) * root.nRight / bigN))))
+    def pathPred(path: String): Column =
+      path.indices.map { i =>
+        val s = splits(path.take(i))
+        if (path(i) == 'l') col(s.feature).cast("double") <= lit(s.threshold)
+        else col(s.feature).cast("double") > lit(s.threshold)
+      }.reduce(_ && _)
+    def kidStats(p: String): (Long, Long) = {
+      val s = splits(p.init)
+      if (p.last == 'l') (s.nLeft, s.posLeft) else (s.nRight, s.posRight)
+    }
+    def gainOf(p: String, s: Split): Double = {
+      val (nn, np) = kidStats(p)
+      KMeansOps.r6d((nn.toDouble / bigN) * (g2(np, nn) -
+        (g2(s.posLeft, s.nLeft) * s.nLeft / nn +
+          g2(s.posRight, s.nRight) * s.nRight / nn)))
+    }
+    // candidate splits of current unexpanded leaves, keyed by path
+    var pending = Map.empty[String, Split]
+    def evaluate(paths: Seq[String]): Unit = {
+      val found: Map[String, Split] =
+        if (paths.isEmpty) Map.empty
+        else if (paths.size == 1)
+          argminOpt(Models.stumpCandidates(df.where(pathPred(paths.head)),
+            features, label)).map(paths.head -> _).toMap
+        else
+          Models.stumpCandidatesGrouped(df, features, label, paths.size,
+            g => pathPred(paths(g)), "node")
+            .groupBy(col("node")).agg(min(struct(
+              graft.queries.r6(col("gini")).as("gini"), col("feature"),
+              col("threshold"), col("n_left"), col("pos_left"),
+              col("n_right"), col("pos_right"))).as("b"))
+            .select(col("node"), col("b.*")).collect()
+            .map(r => paths(r.getInt(0)) -> Split(r.getString(2),
+              r.getDouble(3), r.getDouble(1), r.getLong(4), r.getLong(5),
+              r.getLong(6), r.getLong(7))).toMap
+      pending ++= found
+    }
+    def eligibleKids(p: String, s: Split): Seq[String] =
+      Seq((p + "l", s.nLeft, s.posLeft), (p + "r", s.nRight, s.posRight))
+        .collect { case (kp, kn, kpn)
+          if kpn > 0 && kpn < kn && kp.length < maxDepth => kp }
+    evaluate(eligibleKids("", root))
+    while (splits.size + 1 < maxLeaves && pending.nonEmpty) {
+      val (p, s) = pending.toSeq
+        .minBy { case (p0, s0) => (-gainOf(p0, s0), p0) }
+      splits += p -> s
+      order :+= p
+      gains += p -> gainOf(p, s)
+      pending -= p
+      evaluate(eligibleKids(p, s))
+    }
+    BestFirstTree(DeepTree(maxDepth, bigN, root.posLeft + root.posRight,
+      splits), order, gains)
+  }
+
   /** Majority-class prediction of a fitted depth-N tree — a literal CASE
     * chain over the raw feature columns, pure whole-stage-codegen
     * projection (the online serving form, like the depth-2/3 twins).

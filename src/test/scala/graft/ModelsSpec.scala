@@ -453,6 +453,76 @@ class ModelsSpec extends AnyFunSuite {
     assert(m.trainAccuracy == 1.0)
   }
 
+  test("fitBestFirst grows leaf-wise: depth chases impurity, budget and order hold") {
+    import spark.implicits._
+    // the 3-conjunct AND again: ALL impurity lives down the x<=4 branch
+    // (each complement side is pure), so best-first must expand the
+    // chain root -> l -> ll and stop — identical to the exact tree —
+    // while never splitting a pure side
+    val and3 = (for {
+      x <- 1 to 8; z <- 1 to 8; w <- 1 to 8
+    } yield (x.toDouble, z.toDouble, w.toDouble,
+      if (x <= 4 && z <= 5 && w <= 3) 1 else 0)).toDF("x", "z", "w", "y")
+    val feats = Seq("x", "z", "w")
+    val m = graft.scoring.Trees.fitBestFirst(and3, feats, col("y"),
+      maxLeaves = 8, maxDepth = 5)
+    assert(m.order == Seq("", "l", "ll"), s"expansion order ${m.order}")
+    assert(m.tree.trainAccuracy == 1.0)
+    // structural invariants: order aligns with splits, every expanded
+    // node's parent expanded EARLIER, leaf budget respected
+    assert(m.order.toSet == m.tree.splits.keySet)
+    m.order.zipWithIndex.foreach { case (p, i) =>
+      if (p.nonEmpty) assert(m.order.indexOf(p.init) < i, s"$p before parent")
+    }
+    assert(m.tree.leaves.size <= 8)
+    assert(m.tree.leaves.map(_._2).sum == 512L)
+    // gains: the root-weighted impurity decrease of a PURE-children
+    // split equals the parent's own impurity share; all gains positive
+    assert(m.gains.values.forall(_ > 0), s"${m.gains}")
+    // impure-everywhere data: the leaf budget binds below the depth
+    // cap, leaves land exactly on maxLeaves, and predict() partitions
+    val noisy = (for {
+      x <- 1 to 16; z <- 1 to 16
+    } yield (x.toDouble, z.toDouble,
+      (x * 7 + z * 3) % 5 match { case 0 | 1 => 1; case _ => 0 }))
+      .toDF("x", "z", "y")
+    val m2 = graft.scoring.Trees.fitBestFirst(noisy, Seq("x", "z"), col("y"),
+      maxLeaves = 6, maxDepth = 5)
+    assert(m2.tree.leaves.size == 6, s"${m2.tree.leaves}")
+    assert(m2.order.size == 5 && m2.order.head == "")
+    val byLeaf = noisy.groupBy(graft.scoring.Trees.leafPath(m2.tree).as("p"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(byLeaf.toSeq == m2.tree.leaves, s"$byLeaf vs ${m2.tree.leaves}")
+    // the FIRST non-root expansion is the pending node with the larger
+    // gain of the root's two children — verify against solo refits
+    val root = m2.tree.splits("")
+    def g2(pos: Long, n: Long) = {
+      val q = pos.toDouble / n; 1.0 - q * q - (1.0 - q) * (1.0 - q)
+    }
+    def gainOfSolo(p: String): Double = {
+      val (nn, np) = if (p == "l") (root.nLeft, root.posLeft)
+        else (root.nRight, root.posRight)
+      val pred =
+        if (p == "l") col(root.feature).cast("double") <= root.threshold
+        else col(root.feature).cast("double") > root.threshold
+      val r = graft.scoring.Models.stumpCandidates(noisy.where(pred),
+          Seq("x", "z"), col("y"))
+        .select(col("n_left"), col("pos_left"), col("n_right"),
+          col("pos_right"), graft.queries.r6(col("gini")).as("g"),
+          col("feature"), col("threshold"))
+        .orderBy(col("g"), col("feature"), col("threshold")).limit(1).head()
+      val (snl, spl, snr, spr) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      graft.scoring.KMeansOps.r6d((nn.toDouble / m2.tree.n) * (g2(np, nn) -
+        (g2(spl, snl) * snl / nn + g2(spr, snr) * snr / nn)))
+    }
+    val firstPick = m2.order(1)
+    val other = if (firstPick == "l") "r" else "l"
+    assert(gainOfSolo(firstPick) >= gainOfSolo(other),
+      s"picked $firstPick: ${gainOfSolo(firstPick)} vs ${gainOfSolo(other)}")
+  }
+
   test("Lime.surrogate is the exact least-squares fit over the factorial") {
     import spark.implicits._
     // synthetic per-row "model scores" over the 2^3 neighborhood:
