@@ -1454,6 +1454,115 @@ FROM events"""
           lit(nLeaves).as("n_leaves"),
           lit(m.tree.trainAccuracy).as("tree_acc"))
       }.reduce(_.unionByName(_))
+    },
+    // model persistence round trip (the reference's joblib save/load
+    // lifecycle, models/advanced_models.py:9 — every train_* saves its
+    // estimator and the retrainer reloads it): fit one model per
+    // scoring/ModelStore family, export to the narrow versioned model
+    // table, WRITE parquet, READ it back, rebuild each model via the
+    // *Of readers, then score every (fitted, rebuilt) pair on the same
+    // frame in ONE aggregate — n_agree counts exact score equality
+    // (doubles are IEEE-exact through DataFrame literals and parquet,
+    // so any serializer/reader defect shows as n_agree < n_scored and
+    // breaks the hash gate). Output = the re-export of the REBUILT
+    // models (read → rebuild → export must be a fixpoint of export);
+    // the oracle replays every family's training chain and the table
+    // layout. Boosted-tree threshold packs (hex double bits) decode
+    // into t1..t3 for the compare; tree rows carry their split feature
+    // in k2 as-is.
+    "q230_model_store" -> { (s, dir) =>
+      import s.implicits._
+      import graft.scoring._
+      val feats = gbFeatures
+      val f = eventFeatures(s, dir).localCheckpoint() // 8 fits + parity pass
+      val lrM = Trainer.fitLogistic(f, feats, col("y"), iters = 6, lr = 0.5)
+      val wlrM = Trainer.fitLogisticWeighted(f, feats, col("y"), Seq(5.0),
+        iters = 6, lr = 0.5).head
+      val svmM = Trainer.fitLinearSvm(f, feats, col("y"), iters = 6,
+        lr = 0.5, lambda = 0.01)
+      val abM = AdaBoost.fit(f, feats, col("y"), rounds = 3)
+      val bstM = Boosting.fit(f, feats, col("y"), rounds = 3, rate = 0.5)
+      val btrM = Boosting.fitTrees(f, feats, col("y"), rounds = 2, rate = 0.5)
+      val dtM = Trees.fitDepth(f, feats, col("y"), maxDepth = 2)
+      val bftM = Trees.fitBestFirst(f, feats, col("y"),
+        maxLeaves = 3, maxDepth = 2)
+      val exported =
+        ModelStore.logisticRows("lr", 1, lrM) ++
+          ModelStore.logisticRows("wlr", 1, wlrM) ++
+          ModelStore.logisticRows("svm", 1, svmM) ++
+          ModelStore.adaBoostRows("ab", 1, abM) ++
+          ModelStore.boostingRows("bst", 1, bstM) ++
+          ModelStore.boostedTreesRows("btr", 1, btrM) ++
+          ModelStore.deepTreeRows("dt", 1, dtM) ++
+          ModelStore.deepTreeRows("bft", 1, bftM.tree)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q230_models").toString
+      ModelStore.table(s, exported).write.mode("overwrite").parquet(path)
+      val back = s.read.parquet(path)
+      def slice(id: String) = ModelStore.rowsOf(back, id, 1)
+      val lrR = ModelStore.logisticOf(slice("lr"))
+      val wlrR = ModelStore.logisticOf(slice("wlr"))
+      val svmR = ModelStore.logisticOf(slice("svm"))
+      val abR = ModelStore.adaBoostOf(slice("ab"))
+      val bstR = ModelStore.boostingOf(slice("bst"))
+      val btrR = ModelStore.boostedTreesOf(slice("btr"))
+      val dtR = ModelStore.deepTreeOf(slice("dt"))
+      val bftR = ModelStore.deepTreeOf(slice("bft"))
+      // score both paths through ALIASED columns (a direct expr <=> expr
+      // on structurally identical trees trips Spark's trivially-true-
+      // predicate warning — here identical trees are the success case)
+      val pairs = Seq[(String, Column, Column)](
+        ("lr", Trainer.margin(lrM), Trainer.margin(lrR)),
+        ("wlr", Trainer.margin(wlrM), Trainer.margin(wlrR)),
+        ("svm", Trainer.margin(svmM), Trainer.margin(svmR)),
+        ("ab", AdaBoost.classify(abM).cast("double"),
+          AdaBoost.classify(abR).cast("double")),
+        ("bst", Boosting.score(bstM), Boosting.score(bstR)),
+        ("btr", Boosting.scoreTrees(btrM), Boosting.scoreTrees(btrR)),
+        ("dt", Trees.predict(dtM).cast("double"),
+          Trees.predict(dtR).cast("double")),
+        ("bft", Trees.predict(bftM.tree).cast("double"),
+          Trees.predict(bftR).cast("double")))
+      val scored = f.select(pairs.flatMap { case (n, a, b) =>
+        Seq(a.as(s"__a_$n"), b.as(s"__b_$n")) }: _*)
+      val ag = scored.agg(count(lit(1)).as("n"),
+        pairs.map { case (n, _, _) =>
+          sum((col(s"__a_$n") <=> col(s"__b_$n")).cast("long")).as(n) }: _*)
+        .head()
+      val nScored = ag.getLong(0)
+      val agree = Map("lr" -> ag.getLong(1), "wlr" -> ag.getLong(2),
+        "svm" -> ag.getLong(3), "ab" -> ag.getLong(4), "bst" -> ag.getLong(5),
+        "btr" -> ag.getLong(6), "dt" -> ag.getLong(7), "bft" -> ag.getLong(8))
+      // re-export the rebuilt models: the output rows prove the full
+      // export → disk → import → export cycle, not just the disk read
+      val reexported =
+        ModelStore.logisticRows("lr", 1, lrR) ++
+          ModelStore.logisticRows("wlr", 1, wlrR) ++
+          ModelStore.logisticRows("svm", 1, svmR) ++
+          ModelStore.adaBoostRows("ab", 1, abR) ++
+          ModelStore.boostingRows("bst", 1, bstR) ++
+          ModelStore.boostedTreesRows("btr", 1, btrR) ++
+          ModelStore.deepTreeRows("dt", 1, dtR) ++
+          ModelStore.deepTreeRows("bft", 1, bftR)
+      val btrThr: Map[Long, (Double, Double, Double)] =
+        btrR.rounds.zipWithIndex.map { case (t, i) =>
+          i.toLong -> ((t.rootThreshold, t.leftThreshold, t.rightThreshold))
+        }.toMap
+      def r6o(v: Option[Double]) = v.map(KMeansOps.r6d)
+      val out = reexported.map { r =>
+        val isBtr = r.kind == "boost_trees" && r.part == "round"
+        val ts = if (isBtr) Some(btrThr(r.idx)) else None
+        (r.model_id, r.version, r.kind, r.part, r.idx, r.k,
+          if (isBtr) None else r.k2,
+          r6o(r.v1), r6o(r.v2), r6o(r.v3), r6o(r.v4),
+          r.c1, r.c2, r.c3, r.c4,
+          ts.map(t => KMeansOps.r6d(t._1)), ts.map(t => KMeansOps.r6d(t._2)),
+          ts.map(t => KMeansOps.r6d(t._3)),
+          nScored, agree(r.model_id))
+      }
+      out.toDF("model_id", "version", "kind", "part", "idx", "k", "k2",
+        "v1", "v2", "v3", "v4", "c1", "c2", "c3", "c4", "t1", "t2", "t3",
+        "n_scored", "n_agree")
     })
 
   /** Shared engine side of q217/q219: fused class-weight sweep + per-
@@ -3743,6 +3852,148 @@ nl AS MATERIALIZED (SELECT CAST(count(*) + 1 AS BIGINT) AS n_leaves FROM sel),
 ta AS MATERIALIZED (SELECT round(CAST(sum(c) AS DOUBLE) / (SELECT n FROM st_r0) + 5e-11, 4) AS tree_acc
   FROM ($leafRows))
 $outRows"""
+    },
+    "q230_model_store" -> {
+      // every family's training chain replayed on the FULL fact table,
+      // then formatted as the ModelStore row layout the engine re-exports
+      // after its disk round trip. n_agree = n_scored asserts the
+      // engine's exact (fitted vs rebuilt) score parity.
+      val idx = 0 to 2
+      val feats = gbFeatures
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(", ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      // weighted logistic GD chain (pw = 1 is the plain trainer)
+      def lrChain(pfx: String, pw: String): String = {
+        val cw = s"(CASE WHEN d.y = 1.0 THEN CAST($pw AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)"
+        val i0 = s"${pfx}0 AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val its = (1 to 6).map { t =>
+          val m = s"i.b + ${idx.map(i => s"i.w$i * d.x$i").mkString(" + ")}"
+          val err = s"((1.0/(1.0 + exp(-($m))) - d.y) * $cw)"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*(sum($err * d.x$i) / ws.w) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - 0.5*(sum($err) / ws.w) AS b"
+          s"${pfx}$t AS MATERIALIZED (SELECT $upd\n  FROM qd d, ${pfx}${t - 1} i, ${pfx}ws ws GROUP BY i.w0, i.w1, i.w2, i.b, ws.w)"
+        }.mkString(",\n")
+        s"${pfx}ws AS (SELECT sum(CASE WHEN y = 1.0 THEN CAST($pw AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) AS w FROM qd),\n$i0,\n$its"
+      }
+      // hinge-subgradient SVM chain (q223's, on the full fact)
+      val svmChain = {
+        val i0 = s"qs0 AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val its = (1 to 6).map { t =>
+          val m = s"i.b + ${idx.map(i => s"i.w$i * d.x$i").mkString(" + ")}"
+          val yy = "(d.y * 2.0 - 1.0)"
+          val viol = s"($yy * ($m)) < 1.0"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*(1e-2*i.w$i - avg(CASE WHEN $viol THEN $yy * d.x$i ELSE 0.0 END)) AS w$i")
+            .mkString(",\n    ") +
+            s",\n    i.b + 0.5*avg(CASE WHEN $viol THEN $yy ELSE 0.0 END) AS b"
+          s"qs$t AS MATERIALIZED (SELECT $upd\n  FROM qd d, qs${t - 1} i GROUP BY i.w0, i.w1, i.w2, i.b)"
+        }.mkString(",\n")
+        s"$i0,\n$its"
+      }
+      def rr(e: String) = s"round($e + 5e-11, 4)"
+      // one output row in the ModelStore layout; `from` empty = constants
+      def orow(mid: String, kind: String, part: String, idxE: String,
+          kE: String = "NULL", k2E: String = "NULL", v1: String = "NULL",
+          v2: String = "NULL", v3: String = "NULL", v4: String = "NULL",
+          c1: String = "NULL", c2: String = "NULL", c3: String = "NULL",
+          c4: String = "NULL", t1: String = "NULL", t2: String = "NULL",
+          t3: String = "NULL", from: String = ""): String =
+        s"""SELECT '$mid' AS model_id, CAST(1 AS BIGINT) AS version,
+  '$kind' AS kind, '$part' AS part, CAST($idxE AS BIGINT) AS idx,
+  CAST($kE AS VARCHAR) AS k, CAST($k2E AS VARCHAR) AS k2,
+  CAST($v1 AS DOUBLE) AS v1, CAST($v2 AS DOUBLE) AS v2,
+  CAST($v3 AS DOUBLE) AS v3, CAST($v4 AS DOUBLE) AS v4,
+  CAST($c1 AS BIGINT) AS c1, CAST($c2 AS BIGINT) AS c2,
+  CAST($c3 AS BIGINT) AS c3, CAST($c4 AS BIGINT) AS c4,
+  CAST($t1 AS DOUBLE) AS t1, CAST($t2 AS DOUBLE) AS t2,
+  CAST($t3 AS DOUBLE) AS t3, mc.n AS n_scored, mc.n AS n_agree
+FROM ${if (from.isEmpty) "mcnt mc" else s"$from CROSS JOIN mcnt mc"}"""
+      def logisticRows(mid: String, chain: String): Seq[String] =
+        orow(mid, "logistic", "meta", "0", v1 = rr("i.b"), v2 = "0.5",
+          c1 = "6", from = s"${chain}6 i") +:
+          idx.map(i => orow(mid, "logistic", "feature", i.toString,
+            kE = s"'${feats(i)}'", v1 = rr(s"st.m$i"), v2 = rr(s"st.s$i"),
+            v3 = rr(s"i.w$i"), from = s"${chain}6 i CROSS JOIN qst st"))
+      val abRows = (1 to 3).map(t =>
+        orow("ab", "adaboost", "round", (t - 1).toString, kE = s"ab$t.f",
+          v1 = rr(s"ab$t.t"), v2 = rr(s"ab$t.err"), v3 = s"ab$t.beta",
+          v4 = s"ab$t.a", c1 = s"ab$t.ll", c2 = s"ab$t.rl", from = s"ab$t"))
+      val bstRows =
+        orow("bst", "boost_stumps", "meta", "0", v1 = "f0.v", v2 = "0.5",
+          from = "f0") +:
+          (1 to 3).map(t => orow("bst", "boost_stumps", "round",
+            (t - 1).toString, kE = s"b.f", v1 = rr("b.t"), v2 = "b.vl",
+            v3 = "b.vr", from = s"best$t b"))
+      val btrRows =
+        orow("btr", "boost_trees", "meta", "0", v1 = "f0.v", v2 = "0.5",
+          from = "f0") +:
+          (1 to 2).map(t => orow("btr", "boost_trees", "round",
+            (t - 1).toString,
+            kE = s"broot$t.f || ',' || bl$t.f || ',' || br$t.f",
+            v1 = s"bl$t.vl", v2 = s"bl$t.vr", v3 = s"br$t.vl",
+            v4 = s"br$t.vr", t1 = rr(s"broot$t.t"), t2 = rr(s"bl$t.t"),
+            t3 = rr(s"br$t.t"),
+            from = s"broot$t CROSS JOIN bl$t CROSS JOIN br$t"))
+      def treeMeta(mid: String) = orow(mid, "tree", "meta", "0",
+        c1 = "st.n", c2 = "st.pos", c3 = "2", from = "st_mr0 st")
+      val dtRows = Seq(treeMeta("dt"),
+        orow("dt", "tree", "split", "t.idx", kE = "t.k", k2E = "t.feature",
+          v1 = rr("t.threshold"), v2 = "t.gini", c1 = "t.n_left",
+          c2 = "t.pos_left", c3 = "t.n_right", c4 = "t.pos_right",
+          from = "mtsi t"))
+      val bftRows = Seq(treeMeta("bft"),
+        orow("bft", "tree", "split", "0", kE = "''", k2E = "t.feature",
+          v1 = rr("t.threshold"), v2 = "t.gini", c1 = "t.n_left",
+          c2 = "t.pos_left", c3 = "t.n_right", c4 = "t.pos_right",
+          from = "b_mr0 t"),
+        orow("bft", "tree", "split", "1", kE = "t.k", k2E = "t.feature",
+          v1 = rr("t.threshold"), v2 = "t.gini", c1 = "t.n_left",
+          c2 = "t.pos_left", c3 = "t.n_right", c4 = "t.pos_right",
+          from = "bpick t"))
+      def gimp(p: String, n: String) =
+        s"""(1.0 - (CAST($p AS DOUBLE)/$n)*(CAST($p AS DOUBLE)/$n)
+    - (1.0 - CAST($p AS DOUBLE)/$n)*(1.0 - CAST($p AS DOUBLE)/$n))"""
+      // best-first (maxLeaves = 3): root + the higher-gain child — the
+      // fitBestFirst gain formula on the depth-2 lattice's b_ CTEs
+      def gainSide(path: String, b: String, side: String): String =
+        s"""SELECT '$path' AS k, c.feature, c.threshold, c.gini,
+  c.n_left, c.pos_left, c.n_right, c.pos_right,
+  round((CAST(r.n_$side AS DOUBLE) / st.n)
+    * (${gimp(s"r.pos_$side", s"r.n_$side")}
+      - (${gimp("c.pos_left", "c.n_left")} * c.n_left / r.n_$side
+        + ${gimp("c.pos_right", "c.n_right")} * c.n_right / r.n_$side))
+    + 5e-11, 4) AS gain
+FROM $b c, b_mr0 r, st_mr0 st"""
+      val allRows = (logisticRows("lr", "ql") ++ logisticRows("wlr", "qw") ++
+        logisticRows("svm", "qs") ++ abRows ++ bstRows ++ btrRows ++
+        dtRows ++ bftRows).mkString("\nUNION ALL\n")
+      s"""WITH mf AS MATERIALIZED ($featSql),
+mcnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mf),
+qraw AS (SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+  CAST(dowi AS DOUBLE) AS x2, y::DOUBLE AS y FROM mf),
+qst AS (SELECT $statSel FROM qraw),
+qd AS MATERIALIZED (SELECT $stdSel, y FROM qraw, qst),
+${lrChain("ql", "1.0")},
+${lrChain("qw", "5.0")},
+$svmChain,
+${(1 to 3).map(t => abRound(t, "mf")).mkString(",\n")},
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM mf),
+${gbRoundCtes(3, "mf")},
+${(1 to 2).map(t => gbtRound(t, "mf")).mkString(",\n")},
+f_mr0 AS MATERIALIZED (SELECT * FROM mf),
+${deepTreeCtes(2, gbFeatures, "m")},
+mts AS (SELECT '' AS k, feature, threshold, gini, n_left, pos_left, n_right, pos_right FROM b_mr0
+  UNION ALL SELECT 'l', feature, threshold, gini, n_left, pos_left, n_right, pos_right FROM b_ml
+  UNION ALL SELECT 'r', feature, threshold, gini, n_left, pos_left, n_right, pos_right FROM b_mr),
+mtsi AS (SELECT *, CAST(row_number() OVER (ORDER BY length(k), k) - 1 AS BIGINT) AS idx FROM mts),
+bgain AS (${gainSide("l", "b_ml", "left")}
+UNION ALL
+${gainSide("r", "b_mr", "right")}),
+bpick AS MATERIALIZED (SELECT * FROM bgain ORDER BY gain DESC, k ASC LIMIT 1)
+$allRows"""
     },
     "q224_average_precision" -> {
       // factored step-wise AP on both engines: sum(yp * (ctp/cn)) / pos

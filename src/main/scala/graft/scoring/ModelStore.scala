@@ -122,7 +122,13 @@ object ModelStore {
   // ---- boosted depth-2 trees ----
 
   def boostedTreesRows(id: String, ver: Long,
-      m: Boosting.TreeModel): Seq[ModelRow] =
+      m: Boosting.TreeModel): Seq[ModelRow] = {
+    // the three feature names pack comma-joined into one slot; a comma
+    // inside a name would mis-split on read (thresholds are immune —
+    // hex-bit packed). Reject at export, not corrupt at import.
+    m.rounds.flatMap(t => Seq(t.rootFeature, t.leftFeature, t.rightFeature))
+      .foreach(f => require(!f.contains(","),
+        s"ModelStore.boostedTreesRows: feature name '$f' contains a comma"))
     row(id, ver, "boost_trees", "meta", v1 = Some(m.f0),
       v2 = Some(m.rate)) +:
       m.rounds.zipWithIndex.map { case (t, i) =>
@@ -131,6 +137,7 @@ object ModelStore {
           k2 = Some(s"${j(t.rootThreshold)},${j(t.leftThreshold)},${j(t.rightThreshold)}"),
           v1 = Some(t.v0), v2 = Some(t.v1), v3 = Some(t.v2), v4 = Some(t.v3))
       }
+  }
 
   def boostedTreesOf(rows: Seq[ModelRow]): Boosting.TreeModel = {
     val meta = one(rows, "boost_trees", "meta")
@@ -180,10 +187,11 @@ object ModelStore {
 
   private def parts(rows: Seq[ModelRow], kind: String,
       part: String): Seq[ModelRow] = {
-    val found = rows.filter(r => r.kind == kind && r.part == part)
-      .sortBy(_.idx)
-    require(found.isEmpty || rows.forall(_.kind == kind),
-      s"ModelStore: mixed kinds in one slice: ${rows.map(_.kind).distinct}")
-    found
+    // guard BEFORE filtering: a wrong-kind slice must fail with the
+    // diagnostic mixed-kinds error, not a downstream "got 0 rows"
+    require(rows.forall(_.kind == kind),
+      s"ModelStore: expected kind '$kind', slice holds: " +
+        rows.map(_.kind).distinct.mkString(", "))
+    rows.filter(r => r.kind == kind && r.part == part).sortBy(_.idx)
   }
 }

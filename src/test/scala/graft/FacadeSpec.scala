@@ -192,4 +192,82 @@ class FacadeSpec extends AnyFunSuite {
         s"StreamFeatures.$f emitted online but undeclared in the registry")
     }
   }
+
+  test("ModelStore disk round-trip: every family rebuilds == and scores identically") {
+    import spark.implicits._
+    import graft.scoring._
+    val df = (for { rep <- 1 to 3; x <- 1 to 8; z <- 1 to 8 }
+      yield (((rep * 64) + (x * 8) + z).toLong, x.toDouble, z.toDouble,
+        (x * 64 + z * 8 + rep).toDouble % 11,
+        if ((x <= 4) ^ (z > 5)) 1 else 0)).toDF("id", "x", "z", "w", "y")
+      .localCheckpoint()
+    val feats = Seq("x", "z", "w")
+    val lrM = Trainer.fitLogistic(df, feats, col("y"), iters = 4, lr = 0.5)
+    val wlrM = Trainer.fitLogisticWeighted(df, feats, col("y"), Seq(3.0),
+      iters = 4, lr = 0.5).head
+    val svmM = Trainer.fitLinearSvm(df, feats, col("y"), iters = 4,
+      lr = 0.5, lambda = 0.01)
+    val abM = AdaBoost.fit(df, feats, col("y"), rounds = 2)
+    val bstM = Boosting.fit(df, feats, col("y"), rounds = 3, rate = 0.5)
+    val btrM = Boosting.fitTrees(df, feats, col("y"), rounds = 2, rate = 0.5)
+    val dtM = Trees.fitDepth(df, feats, col("y"), maxDepth = 3)
+    val bftM = Trees.fitBestFirst(df, feats, col("y"),
+      maxLeaves = 4, maxDepth = 3)
+    val rows =
+      ModelStore.logisticRows("lr", 1, lrM) ++
+        ModelStore.logisticRows("wlr", 1, wlrM) ++
+        ModelStore.logisticRows("svm", 1, svmM) ++
+        ModelStore.adaBoostRows("ab", 1, abM) ++
+        ModelStore.boostingRows("bst", 1, bstM) ++
+        ModelStore.boostedTreesRows("btr", 1, btrM) ++
+        ModelStore.deepTreeRows("dt", 1, dtM) ++
+        ModelStore.deepTreeRows("bft", 1, bftM.tree) ++
+        // a second logistic version: latestVersion must pick it up
+        ModelStore.logisticRows("lr", 2, svmM)
+    val dir = java.nio.file.Files.createTempDirectory("graft-modelstore")
+      .toString
+    ModelStore.table(spark, rows).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+
+    // exact case-class equality after the disk trip (doubles bit-exact)
+    assert(ModelStore.logisticOf(ModelStore.rowsOf(back, "lr", 1)) == lrM)
+    assert(ModelStore.logisticOf(ModelStore.rowsOf(back, "wlr", 1)) == wlrM)
+    assert(ModelStore.logisticOf(ModelStore.rowsOf(back, "svm", 1)) == svmM)
+    assert(ModelStore.adaBoostOf(ModelStore.rowsOf(back, "ab", 1)) == abM)
+    assert(ModelStore.boostingOf(ModelStore.rowsOf(back, "bst", 1)) == bstM)
+    assert(ModelStore.boostedTreesOf(ModelStore.rowsOf(back, "btr", 1)) == btrM)
+    assert(ModelStore.deepTreeOf(ModelStore.rowsOf(back, "dt", 1)) == dtM)
+    assert(ModelStore.deepTreeOf(ModelStore.rowsOf(back, "bft", 1)) == bftM.tree)
+
+    assert(ModelStore.latestVersion(back, "lr") == Some(2L))
+    assert(ModelStore.latestVersion(back, "absent") == None)
+    assert(ModelStore.logisticOf(ModelStore.rowsOf(back, "lr", 2)) == svmM)
+
+    // score parity of both paths on the training frame, per family
+    val btrR = ModelStore.boostedTreesOf(ModelStore.rowsOf(back, "btr", 1))
+    val parity = df.select(
+        Trainer.margin(lrM).as("a1"),
+        Trainer.margin(ModelStore.logisticOf(ModelStore.rowsOf(back, "lr", 1)))
+          .as("b1"),
+        Boosting.scoreTrees(btrM).as("a2"), Boosting.scoreTrees(btrR).as("b2"),
+        Trees.predict(dtM).cast("double").as("a3"),
+        Trees.predict(ModelStore.deepTreeOf(ModelStore.rowsOf(back, "dt", 1)))
+          .cast("double").as("a4"))
+      .agg(sum((col("a1") =!= col("b1")).cast("long")),
+        sum((col("a2") =!= col("b2")).cast("long")),
+        sum((col("a3") =!= col("a4")).cast("long"))).head()
+    assert((0 to 2).forall(i => parity.getLong(i) == 0L), parity)
+
+    // wrong-kind slice fails with the diagnostic mixed-kinds error
+    val e1 = intercept[IllegalArgumentException] {
+      ModelStore.adaBoostOf(ModelStore.rowsOf(back, "lr", 1))
+    }
+    assert(e1.getMessage.contains("expected kind"))
+    // comma in a feature name is rejected at export, not corrupted
+    val e2 = intercept[IllegalArgumentException] {
+      ModelStore.boostedTreesRows("bad", 1, btrM.copy(rounds =
+        Seq(btrM.rounds.head.copy(rootFeature = "a,b"))))
+    }
+    assert(e2.getMessage.contains("comma"))
+  }
 }
