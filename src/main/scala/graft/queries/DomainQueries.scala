@@ -276,6 +276,38 @@ object DomainQueries extends QueryPack {
         .select(col("fold"), col("n"), col("pos"),
           r6(col("pos").cast("double") / col("n")).as("pos_rate"))
     },
+    // class-STRATIFIED k-fold (the reference's StratifiedKFold(5),
+    // models/advanced_models.py:24,263): rows rank within their class by
+    // salted md5 and fold = (rank-1) mod k, so per-fold class counts
+    // differ by at most 1 — exact ratio preservation q123's plain
+    // md5-bucket folds only approximate. Output = every row's
+    // assignment + its fold's class-balance audit columns.
+    "q231_stratified_kfold" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        (col("event_type") === "error").cast("long").as("y"))
+      val folded = Splits.stratifiedKfold(ev, col("event_id"), col("y"),
+        k = 5, salt = "skf")
+      val per = folded.groupBy(col("fold"))
+        .agg(count(lit(1)).as("fold_n"), sum(col("y")).as("fold_pos"))
+      folded.join(broadcast(per), "fold")
+        .select(col("event_id"), col("y"), col("fold"),
+          col("fold_n"), col("fold_pos"))
+    },
+    // stratified 80/20 train/test split (train_test_split(...,
+    // stratify=y), models/advanced_models.py:384): fold 0 of the
+    // 5-fold stratified assignment is the hold-out, so both sides
+    // carry the class ratio exactly (±1 row)
+    "q232_stratified_split" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        (col("event_type") === "error").cast("long").as("y"))
+      Splits.stratifiedKfold(ev, col("event_id"), col("y"),
+          k = 5, salt = "stsp")
+        .withColumn("split", when(col("fold") === 0, "test").otherwise("train"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .select(col("split"), col("n"), col("n_pos"),
+          r6(col("n_pos").cast("double") / col("n")).as("pos_rate"))
+    },
     // GROUPED k-fold (entity-safe CV): the fold is a function of the
     // USER, so all of a user's events share a fold and per-user trailing
     // features can never leak across the train/test boundary — the
@@ -1168,6 +1200,30 @@ w AS (SELECT user_id, c,
 SELECT user_id AS customer_id, max(n)::BIGINT AS n_transitions,
   round(0 - sum((c::DOUBLE / n) * log2(c::DOUBLE / ca)) + 5e-11, 4) AS cond_entropy
 FROM w GROUP BY 1""",
+    "q231_stratified_kfold" ->
+      """WITH b AS (SELECT event_id,
+  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y FROM events),
+r AS (SELECT event_id, CAST(y AS BIGINT) AS y,
+  CAST((row_number() OVER (PARTITION BY y
+    ORDER BY ('0x' || substr(md5('skf:' || event_id), 1, 8))::UBIGINT,
+      event_id) - 1) % 5 AS BIGINT) AS fold
+  FROM b),
+p AS (SELECT fold, count(*) AS fold_n, CAST(sum(y) AS BIGINT) AS fold_pos
+  FROM r GROUP BY 1)
+SELECT r.event_id, r.y, r.fold, p.fold_n, p.fold_pos
+FROM r JOIN p USING (fold)""",
+    "q232_stratified_split" ->
+      """WITH b AS (SELECT event_id,
+  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y FROM events),
+r AS (SELECT CAST(y AS BIGINT) AS y,
+  CAST((row_number() OVER (PARTITION BY y
+    ORDER BY ('0x' || substr(md5('stsp:' || event_id), 1, 8))::UBIGINT,
+      event_id) - 1) % 5 AS BIGINT) AS fold
+  FROM b)
+SELECT CASE WHEN fold = 0 THEN 'test' ELSE 'train' END AS split,
+  count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+  round(CAST(sum(y) AS DOUBLE) / count(*) + 5e-11, 4) AS pos_rate
+FROM r GROUP BY 1""",
     "q123_kfold" ->
       """WITH b AS (
   SELECT ('0x' || substr(md5('fold:' || event_id), 1, 8))::UBIGINT % 5 AS fold, value

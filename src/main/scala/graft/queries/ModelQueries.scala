@@ -212,8 +212,12 @@ FROM events"""
     "q182_stacked_ensemble" -> { (s, dir) =>
       val nbFeats = Seq("hb", "dowi", "vb")
       val lrFeats = Seq("value", "hb", "dowi")
-      val f = eventFeatures(s, dir)
-        .withColumn("fold", graft.scale.Splits.bucket(col("event_id"), "stack", 3))
+      // CLASS-STRATIFIED OOF folds (StratifiedKFold is what the
+      // reference's stacking loop actually uses,
+      // models/advanced_models.py:24,263): every fold carries the class
+      // ratio exactly, so no base learner trains on a class-skewed slice
+      val f = graft.scale.Splits.stratifiedKfold(eventFeatures(s, dir),
+          col("event_id"), col("y"), k = 3, salt = "stack")
         .localCheckpoint()
       // per-fold best stump from ONE fused candidate pass (bag == fold)
       val cands = Models.stumpCandidatesBagged(f, lrFeats, col("y"),
@@ -2446,7 +2450,9 @@ au_$name AS (SELECT CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
   END AS auc FROM rk_$name)"""
       s"""WITH fb AS MATERIALIZED (
   SELECT e.*, CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
-    ('0x' || substr(md5('stack:' || event_id), 1, 8))::UBIGINT % 3 AS fold
+    (row_number() OVER (PARTITION BY y
+      ORDER BY ('0x' || substr(md5('stack:' || event_id), 1, 8))::UBIGINT,
+        event_id) - 1) % 3 AS fold
   FROM ($featSql) e),
 ${(0 until 3).map(foldBlock).mkString(",\n")},
 oof AS MATERIALIZED (

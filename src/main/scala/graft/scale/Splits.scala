@@ -85,6 +85,36 @@ object Splits {
       salt: String = "fold"): org.apache.spark.sql.DataFrame =
     df.withColumn("fold", bucket(id, salt, k))
 
+  /** Class-STRATIFIED deterministic k-fold — the engine twin of the
+    * reference's `StratifiedKFold(n_splits=5)` (`models/
+    * advanced_models.py:24,263`) and of `train_test_split(...,
+    * stratify=y)` (`:384`, fold 0 as the hold-out): rows are ranked
+    * WITHIN their class by (salted md5, id) and fold = (rank − 1) mod k,
+    * so every fold's class counts differ by at most 1 per class — the
+    * class ratio is preserved exactly, which the plain md5-bucket
+    * [[kfold]] only approximates.
+    *
+    * Scale shape: the within-class rank comes from
+    * [[graft.ops.GlobalOrder.withCumSumsBy]] partitioned on the label —
+    * the md5 key (uniform) drives the range bucketing, so no
+    * single-task window appears even though there are only two classes
+    * (a `Window.partitionBy(label)` would funnel each class through ONE
+    * task). Same determinism contract as [[kfold]]: RNG-free,
+    * partitioning-independent, engine-portable.
+    */
+  def stratifiedKfold(df: org.apache.spark.sql.DataFrame, id: Column,
+      label: Column, k: Int, salt: String = "skfold"): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"stratifiedKfold: k must be >= 2, got $k")
+    val h = conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val ranked = graft.ops.GlobalOrder.withCumSumsBy(
+      df.withColumn("__sk_y", label).withColumn("__sk_h", h),
+      Seq("__sk_y"), Seq(col("__sk_h").asc, id.asc),
+      Seq((lit(1L), "__sk_rk")))
+    ranked.withColumn("fold", (col("__sk_rk") - 1) % k)
+      .drop("__sk_y", "__sk_h", "__sk_rk")
+  }
+
   /** Deterministic class rebalance: keep every positive row, hash-sample
     * negatives at `keep`/`n` (same md5-bucket mechanism as [[bucket]], so
     * the subsample is stable across engines and runs), and attach the

@@ -363,6 +363,30 @@ class DomainSpec extends AnyFunSuite {
     assert(a.values.forall(n => n > 120 && n < 280)) // md5 spread
   }
 
+  test("stratified kfold: per-fold class counts differ by <= 1, deterministic, repartition-stable") {
+    // 983 negatives + 17 positives (both indivisible by 5): exact
+    // stratification must put ceil/floor counts per fold for EACH class
+    val df = (1L to 1000L).map(i => (i, if (i % 59 == 0) 1L else 0L))
+      .toDF("id", "y")
+    def run(parts: Int) = Splits.stratifiedKfold(
+        df.repartition(parts), col("id"), col("y"), k = 5)
+      .groupBy(col("fold"), col("y")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = run(4)
+    assert(a == run(13)) // partitioning-independent
+    assert(a.values.sum == 1000L)
+    for (y <- Seq(0L, 1L)) {
+      val counts = (0L to 4L).map(f => a.getOrElse((f, y), 0L))
+      assert(counts.max - counts.min <= 1,
+        s"class $y per-fold counts not within 1: $counts")
+    }
+    // every fold's positive share ~ global share by construction
+    assert((0L to 4L).forall(f => a((f, 1L)) >= 3L && a((f, 1L)) <= 4L))
+    // fold 0 as hold-out = the stratified 80/20 split: both sides exact
+    val nTest = (0L to 1L).map(y => a((0L, y))).sum
+    assert(nTest >= 199 && nTest <= 201)
+  }
+
   test("ip churn: alternation counts every switch, distinct count stays small") {
     val tx = Seq(
       (1L, 1L, "a", 0L), (1L, 2L, "b", 10L), (1L, 3L, "a", 20L), (1L, 4L, "b", 30L),
