@@ -502,6 +502,31 @@ object StreamingFeatures {
       .withColumn("ada_class", graft.scoring.AdaBoost.classify(rounds))
   }
 
+  /** The q223 linear-SVM separator served online (and, because
+    * [[graft.scoring.Trainer.fitLogisticWeighted]] returns the same
+    * [[graft.scoring.Trainer.LogisticModel]] shape, the q217
+    * class-weighted scorer serves through [[scoredCustomerFeatures]]
+    * unchanged — StreamingSpec pins both paths): the hinge-trained
+    * hyperplane is a literal linear margin over the emitted feature
+    * columns plus the 0-margin class — a stateless sink-side projection
+    * (no state store, no shuffle), exactly the `/predict` contract the
+    * reference serves every fitted model behind (`api/main.py:106-145`).
+    * No probability column: a hinge margin has no calibrated sigmoid,
+    * so emitting one would misrepresent the model. Feature presence is
+    * rejected at plan-build time.
+    */
+  def svmScoredFeatures(events: Dataset[StreamTxn],
+                        model: graft.scoring.Trainer.LogisticModel)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = customerFeatures(events).toDF()
+    val missing = model.features.filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"svmScoredFeatures: model features absent from the stream: $missing")
+    feats.withColumn("svm_margin", graft.scoring.Trainer.margin(model))
+      .withColumn("svm_class", (org.apache.spark.sql.functions
+        .col("svm_margin") > 0).cast("long"))
+  }
+
   /** The q198 forest served online: vote count + majority flag appended
     * to the feature stream as `trees` literal CASE chains (stateless,
     * sink-side — the same contract as [[boostScoredFeatures]]).

@@ -583,6 +583,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no_such_feature"))
   }
 
+  test("weighted-LR and linear-SVM scorers serve the stream identically to batch (q217/q223 twins)") {
+    import spark.implicits._
+    // the two remaining fitted-model families behind the reference's
+    // /predict: the class-weighted logistic (q217's model — same
+    // LogisticModel shape, served by scoredCustomerFeatures) and the
+    // hinge-trained linear SVM (q223's — svmScoredFeatures, margin +
+    // 0-margin class, no fake probability)
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: feats.map(col): _*)
+    val wlr = graft.scoring.Trainer.fitLogisticWeighted(
+      batchF, feats, col("amount") > 100, Seq(5.0), iters = 4, lr = 0.5).head
+    val svm = graft.scoring.Trainer.fitLinearSvm(
+      batchF, feats, col("amount") > 100, iters = 4, lr = 0.5, lambda = 0.01)
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val inW = MemoryStream[StreamTxn]
+    val qW = StreamingFeatures.scoredCustomerFeatures(inW.toDS(), wlr)
+      .writeStream.format("memory").queryName("served_wlr").outputMode("append").start()
+    try { inW.addData(tx.toIndexedSeq); qW.processAllAvailable() } finally qW.stop()
+    val inS = MemoryStream[StreamTxn]
+    val qS = StreamingFeatures.svmScoredFeatures(inS.toDS(), svm)
+      .writeStream.format("memory").queryName("served_svm").outputMode("append").start()
+    try { inS.addData(tx.toIndexedSeq); qS.processAllAvailable() } finally qS.stop()
+
+    def scores(df: org.apache.spark.sql.DataFrame, m: graft.scoring.Trainer.LogisticModel)
+        : Map[(Long, Long), Double] =
+      df.select(col("customer_id") +: col("ts_micros") +:
+          feats.map(f => round(col(f), 6).as(f)): _*)
+        .withColumn("score", graft.scoring.Trainer.margin(m))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("score")).toMap
+
+    for ((name, m) <- Seq("served_wlr" -> wlr, "served_svm" -> svm)) {
+      val served = spark.table(name)
+      val streamed = scores(served, m)
+      val batch = scores(batchF, m)
+      assert(streamed.size == batch.size, name)
+      val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => k }
+      assert(diffs.isEmpty, s"$name margin mismatch at ${diffs.take(3)}")
+    }
+    // the SVM emit carries margin + hard class and nothing pretending to
+    // be a probability
+    val svmServed = spark.table("served_svm")
+    assert(svmServed.columns.contains("svm_margin") &&
+      svmServed.columns.contains("svm_class") &&
+      !svmServed.columns.exists(_.contains("probability")))
+    assert(svmServed.where(col("svm_class") =!=
+      (col("svm_margin") > 0).cast("long")).count() == 0)
+    // plan-build-time feature gate, as for every served model
+    val bogus = svm.copy(features = Seq("txn_count_1h", "no_such_feature"),
+      means = Seq(0.0, 0.0), stds = Seq(1.0, 1.0), weights = Seq(1.0, 1.0))
+    val err = intercept[IllegalArgumentException] {
+      StreamingFeatures.svmScoredFeatures(inS.toDS(), bogus)
+    }
+    assert(err.getMessage.contains("no_such_feature"))
+  }
+
   test("boosted stump chain scores the streaming feature vector identically to batch") {
     import spark.implicits._
     // the q180/q191 staged model served online: fit the chain on the
