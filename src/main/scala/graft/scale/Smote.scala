@@ -27,7 +27,9 @@ import graft.queries.r6
   * neighbors stay near-minority points, which is all SMOTE's statistics
   * need. At larger minority counts, raise `shards` (work per shard is
   * (minority/shards)²) or swap the shard join for the LSH-banded
-  * candidate generation. Distances use 4 dp-rounded minority z-scores
+  * candidate generation ([[synthesizeBanded]] — hyperplane-signature
+  * bands via [[Similarity.planeCoef]], locality-aligned instead of
+  * random). Distances use 4 dp-rounded minority z-scores
   * so neighbor ORDER is engine-exact; interpolation runs in raw feature
   * space like sklearn's.
   *
@@ -68,22 +70,70 @@ object Smote {
   def synthesizeBy(minority: DataFrame, id: Column, features: Seq[String],
       gCol: Column, k: Int = 5, maxReps: Int = 10, shards: Int = 8,
       salt: String = "smote"): DataFrame = {
+    require(shards >= 1, s"Smote.synthesizeBy: shards must be >= 1, got $shards")
+    synthesizeWith(minority, id, features, gCol, k, maxReps,
+      Splits.bucket(col("__pid"), s"$salt:s", shards), salt)
+  }
+
+  /** LSH-BANDED twin of [[synthesizeBy]] — the alternative candidate
+    * generation the shard kernel's scaladoc promises for very large
+    * minority sets: instead of md5 shards (random, locality-blind),
+    * rows group by the random-hyperplane signature of their 4 dp
+    * z-vector ([[Similarity.planeCoef]]'s deterministic planes — the
+    * ANN kernels' banding, reused verbatim), so every candidate pair
+    * shares a locality band and the k-NN search examines genuinely
+    * NEAR candidates rather than a uniform sample. Work per band is
+    * (band size)²; `planes` doubles the band count per unit, the same
+    * lever as `shards` but locality-aligned. Draw strings, distance
+    * grain, interpolation and output schema are identical to the shard
+    * kernel's — with `planes = 0` (one band) the two are the SAME exact
+    * kernel, which the spec asserts literally.
+    */
+  def synthesizeBanded(minority: DataFrame, id: Column,
+      features: Seq[String], gCol: Column, k: Int = 5, maxReps: Int = 10,
+      planes: Int = 8, salt: String = "smote"): DataFrame = {
+    require(planes >= 0 && planes <= 16,
+      s"Smote.synthesizeBanded: planes must be in [0,16], got $planes")
+    synthesizeWith(minority, id, features, gCol, k, maxReps,
+      bandSignature(features, planes), salt)
+  }
+
+  /** Hyperplane-sign signature of the 4 dp z-vector (`__z_<f>` columns):
+    * bit p = sign of the projection onto [[Similarity.planeCoef]]'s
+    * deterministic plane p. 0 planes = the single band 0.
+    */
+  private def bandSignature(features: Seq[String], planes: Int): Column =
+    if (planes == 0) lit(0L)
+    else (0 until planes).map { p =>
+      val proj = features.zipWithIndex.map { case (f, d) =>
+        col(s"__z_$f") * lit(Similarity.planeCoef(p, d)) }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Shared synthesis kernel: `shardCol` evaluates over the projected
+    * frame (`__pid`, raw `__x_<f>`, 4 dp z `__z_<f>`) to the candidate
+    * group — an md5 shard ([[synthesizeBy]]) or a locality band
+    * ([[synthesizeBanded]]).
+    */
+  private def synthesizeWith(minority: DataFrame, id: Column,
+      features: Seq[String], gCol: Column, k: Int, maxReps: Int,
+      shardCol: Column, salt: String): DataFrame = {
     require(k >= 1, s"Smote.synthesizeBy: k must be >= 1, got $k")
     require(maxReps >= 1 && maxReps <= 10,
       s"Smote.synthesizeBy: maxReps must be in [1,10], got $maxReps")
-    require(shards >= 1, s"Smote.synthesizeBy: shards must be >= 1, got $shards")
     val statAggs = features.flatMap(f => Seq(
       avg(col(f).cast("double")).as(s"__m_$f"),
       coalesce(nullif(stddev_pop(col(f).cast("double")), lit(0.0)), lit(1.0))
         .as(s"__s_$f")))
     val st = minority.agg(statAggs.head, statAggs.tail: _*)
     val z = minority.crossJoin(broadcast(st)).select(
-      id.as("__pid") +: Splits.bucket(id, s"$salt:s", shards).as("__shard") +:
+      id.as("__pid") +:
         greatest(lit(0L), least(gCol.cast("long"), lit(maxReps.toLong)))
           .as("__g") +:
         (features.map(f => col(f).cast("double").as(s"__x_$f")) ++
           features.map(f => r6((col(f).cast("double") - col(s"__m_$f")) /
             col(s"__s_$f")).as(s"__z_$f"))): _*)
+      .withColumn("__shard", shardCol)
       .localCheckpoint() // scored twice (q/c sides) + 2 feature back-joins
     val q = z.select(col("__shard").as("__qs") +: col("__pid").as("__qid") +:
       features.map(f => col(s"__z_$f").as(s"__zq_$f")): _*)

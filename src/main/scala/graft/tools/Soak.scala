@@ -299,6 +299,18 @@ object Soak {
           Seq("amount", "hb"), col("y"), shards = sT)
         .write.format("noop").mode("overwrite").save()
     }
+    // LSH-banded SMOTE: the locality-aligned alternative to md5 shards —
+    // planes scale with log2(minority) so expected band membership stays
+    // flat, the banded kernel's lever for very large minority sets
+    time(s"smote-banded-${k}x-rows") {
+      val minority = wideCk.where(col("y") === 1L)
+      val planes = math.min(16,
+        math.max(4, (math.log(npR8.toDouble.max(2.0)) / math.log(2.0)).toInt - 6))
+      graft.scale.Smote.synthesizeBanded(minority, col("transaction_id"),
+          Seq("amount", "hb"), gCol = lit(2L), k = 5, maxReps = 2,
+          planes = planes)
+        .write.format("noop").mode("overwrite").save()
+    }
     // ENN (majority parents): the query side is the MAJORITY class —
     // since round 9 this joins shuffle-side on the shard key, so the
     // executor footprint is one shard partition, not a forced broadcast

@@ -174,4 +174,44 @@ class SmoteSpec extends AnyFunSuite {
     val ids = got.toSeq.flatMap(p => Seq(p._1, p._2))
     assert(ids.distinct.size == ids.size)
   }
+
+  test("banded kernel with 0 planes IS the exact (one-shard) kernel, row for row") {
+    // one band == one shard: identical candidates, identical md5 draws,
+    // identical interpolation — the literal equality the banded
+    // kernel's contract promises
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    val sharded = Smote.synthesize(minority, col("id"), Seq("a", "b"),
+      k = 3, reps = 2, shards = 1, salt = "t").collect().map(key).toSet
+    val banded = Smote.synthesizeBanded(minority, col("id"), Seq("a", "b"),
+      gCol = lit(2L), k = 3, maxReps = 2, planes = 0, salt = "t")
+      .collect().map(key).toSet
+    assert(banded == sharded && banded.nonEmpty)
+  }
+
+  test("banded kernel groups by locality: neighbors come from the parent's cluster") {
+    import spark.implicits._
+    // two well-separated clusters; hyperplane bands must never pair
+    // points across them (a random md5 shard would), so every synthetic
+    // row interpolates WITHIN its parent's cluster
+    val df = ((1 to 40).map(i => (i.toLong, 0.0 + (i % 5) * 0.1, 0.0 + (i % 7) * 0.1)) ++
+      (41 to 80).map(i => (i.toLong, 100.0 + (i % 5) * 0.1, 100.0 + (i % 7) * 0.1)))
+      .toDF("id", "a", "b")
+    val syn = Smote.synthesizeBanded(df, col("id"), Seq("a", "b"),
+      gCol = lit(2L), k = 3, maxReps = 2, planes = 4, salt = "loc")
+      .collect()
+    assert(syn.nonEmpty)
+    syn.foreach { r =>
+      val (pid, nid) = (r.getLong(0), r.getLong(1))
+      assert((pid <= 40) == (nid <= 40),
+        s"cross-cluster pair $pid -> $nid under locality bands")
+    }
+    // determinism across physical layouts
+    val again = Smote.synthesizeBanded(df.repartition(7), col("id"),
+      Seq("a", "b"), gCol = lit(2L), k = 3, maxReps = 2, planes = 4,
+      salt = "loc").collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(again.map(key).toSet == syn.map(key).toSet)
+  }
 }
