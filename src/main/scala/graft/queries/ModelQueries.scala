@@ -1117,13 +1117,14 @@ FROM events"""
       val train = f.where(col("vb5") =!= 0)
       val valid = f.where(col("vb5") === 0)
       val m = graft.scoring.AdaBoost.fit(train, feats, col("y"), rounds = 4)
+      val mT = m.size // early-stop may fit fewer rounds; report what exists
       def staged(df: org.apache.spark.sql.DataFrame, pfx: String) = {
-        val aggs = count(lit(1)).as(s"${pfx}n") +: (1 to 4).map(t =>
+        val aggs = count(lit(1)).as(s"${pfx}n") +: (1 to mT).map(t =>
           sum((graft.scoring.AdaBoost.classify(m.take(t)) =!= col("y"))
             .cast("long")).as(s"${pfx}m$t"))
         df.agg(aggs.head, aggs.tail: _*)
       }
-      val rows = (1 to 4).map { t =>
+      val rows = (1 to mT).map { t =>
         val r = m(t - 1)
         struct(lit(t.toLong).as("round"), lit(r.feature).as("feature"),
           r6(lit(r.threshold)).as("threshold"),
@@ -1813,13 +1814,20 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
     }
     val union = gbFeatures.map(f => s"SELECT * FROM abcand${t}_$f")
       .mkString(" UNION ALL ")
+    // beta/a carry sklearn's separable early-stop semantics: a perfect
+    // round (err <= 0) votes with weight 1 and ends the fit, so its
+    // effective beta/alpha are 1.0 (nullif keeps the dead branch from
+    // dividing by zero); rounds evaluated after a stop are filtered out
+    // by the caller's abFlags gate
     val bestCte = s"""ab$t AS MATERIALIZED (
   SELECT feature AS f, threshold AS t,
     CASE WHEN wlp > wln THEN 1 ELSE 0 END AS ll,
     CASE WHEN wrp > wrn THEN 1 ELSE 0 END AS rl,
     err,
-    round((1 - err) / err + 5e-11, 4) AS beta,
-    round(ln(round((1 - err) / err + 5e-11, 4)) + 5e-11, 4) AS a
+    CASE WHEN err <= 0 THEN CAST(1.0 AS DOUBLE)
+      ELSE round((1 - err) / nullif(err, 0) + 5e-11, 4) END AS beta,
+    CASE WHEN err <= 0 THEN CAST(1.0 AS DOUBLE)
+      ELSE round(ln(round((1 - err) / nullif(err, 0) + 5e-11, 4)) + 5e-11, 4) END AS a
   FROM (SELECT feature, threshold, wlp, wln, wrp, wrn,
       (least(wlp, wln) + least(wrp, wrn)) / (((wlp + wln) + wrp) + wrn) AS err
     FROM ($union))
@@ -1828,6 +1836,22 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
     (gbFeatures.map(gCte) ++ gbFeatures.map(cCte) ++ gbFeatures.map(candCte) :+
       bestCte).mkString(",\n")
   }
+
+  /** Per-round keep flags replaying AdaBoost.fit's early-stop: round t
+    * is kept iff every prior round CONTINUED (0 < err < 0.5) and round t
+    * itself is either a continuing round or the terminal perfect one
+    * (err <= 0, kept with weight 1). A round with err >= 0.5 and every
+    * round after any stop is dropped — exactly the engine's fit loop.
+    */
+  private def abFlags(T: Int): String =
+    s"""abfl AS (SELECT ${(1 to T).map(j =>
+      s"(SELECT coalesce(err > 0 AND err < 0.5, FALSE) FROM ab$j) AS ok$j, " +
+        s"(SELECT coalesce(err <= 0, FALSE) FROM ab$j) AS pf$j").mkString(",\n  ")})"""
+
+  /** WHERE gate for round t's output row under [[abFlags]]. */
+  private def abKeep(t: Int): String =
+    ((1 until t).map(j => s"abfl.ok$j") :+ s"(abfl.ok$t OR abfl.pf$t)")
+      .mkString(" AND ")
 
   /** Staged signed vote of rounds 1..t (sign-flip form, not multiply —
     * the operation chain of AdaBoost.voteScore).
@@ -3555,7 +3579,8 @@ FROM a CROSS JOIN best0 b0 CROSS JOIN best1 b1 CROSS JOIN best2 b2"""
   round(ab$t.err + 5e-11, 4) AS err, ab$t.a AS alpha,
   round(CAST(abst$t.m AS DOUBLE) / abst$t.n + 5e-11, 4) AS train_err,
   round(CAST(absv$t.m AS DOUBLE) / absv$t.n + 5e-11, 4) AS val_err
-FROM ab$t CROSS JOIN abst$t CROSS JOIN absv$t""")
+FROM ab$t CROSS JOIN abst$t CROSS JOIN absv$t CROSS JOIN abfl
+WHERE ${abKeep(t)}""")
       s"""WITH abf0 AS ($featSql),
 abfp AS MATERIALIZED (
   SELECT *, ('0x' || substr(md5('abval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
@@ -3563,6 +3588,7 @@ abfp AS MATERIALIZED (
 abtr AS MATERIALIZED (SELECT * FROM abfp WHERE vb5 <> 0),
 abvl AS MATERIALIZED (SELECT * FROM abfp WHERE vb5 = 0),
 ${(1 to T).map(t => abRound(t, "abtr")).mkString(",\n")},
+${abFlags(T)},
 $stages
 ${rows.mkString("\nUNION ALL\n")}"""
     },
@@ -3926,7 +3952,8 @@ FROM ${if (from.isEmpty) "mcnt mc" else s"$from CROSS JOIN mcnt mc"}"""
       val abRows = (1 to 3).map(t =>
         orow("ab", "adaboost", "round", (t - 1).toString, kE = s"ab$t.f",
           v1 = rr(s"ab$t.t"), v2 = rr(s"ab$t.err"), v3 = s"ab$t.beta",
-          v4 = s"ab$t.a", c1 = s"ab$t.ll", c2 = s"ab$t.rl", from = s"ab$t"))
+          v4 = s"ab$t.a", c1 = s"ab$t.ll", c2 = s"ab$t.rl",
+          from = s"ab$t CROSS JOIN abfl") + s"\nWHERE ${abKeep(t)}")
       val bstRows =
         orow("bst", "boost_stumps", "meta", "0", v1 = "f0.v", v2 = "0.5",
           from = "f0") +:
@@ -3986,6 +4013,7 @@ ${lrChain("ql", "1.0")},
 ${lrChain("qw", "5.0")},
 $svmChain,
 ${(1 to 3).map(t => abRound(t, "mf")).mkString(",\n")},
+${abFlags(3)},
 f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM mf),
 ${gbRoundCtes(3, "mf")},
 ${(1 to 2).map(t => gbtRound(t, "mf")).mkString(",\n")},

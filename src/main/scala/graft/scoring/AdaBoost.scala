@@ -55,11 +55,15 @@ object AdaBoost {
   def classify(rounds: Seq[Round]): Column =
     when(voteScore(rounds) > 0, lit(1L)).otherwise(lit(0L))
 
-  /** Fit `rounds` SAMME rounds on `df` over numeric `features` with 0/1
-    * `label`. Requires every round's best weighted error to stay inside
-    * (0, 0.5) — err ≥ 0.5 means boosting is exhausted (sklearn stops
-    * there too) and err = 0 makes the vote infinite; both fail loudly
-    * rather than silently diverging from the oracle replay.
+  /** Fit up to `rounds` SAMME rounds on `df` over numeric `features`
+    * with 0/1 `label`, with sklearn's early-stops: a round whose best
+    * weighted error is 0 (separable slice) is KEPT with vote weight 1
+    * and ends the fit; a round whose best error reaches 0.5 (boosting
+    * exhausted) is DISCARDED and ends the fit — raising only when it
+    * was the first round (no better-than-chance stump exists at all).
+    * The returned ensemble may therefore be shorter than `rounds`;
+    * callers and the oracle replay derive the kept length from the
+    * same stop rule.
     */
   def fit(df: DataFrame, features: Seq[String], label: Column,
       rounds: Int): Seq[Round] = {
@@ -67,7 +71,8 @@ object AdaBoost {
       s"AdaBoost.fit: pattern table is 2^rounds — rounds must be in [1,6], got $rounds")
     val y = label.cast("long")
     var fitted = Vector.empty[Round]
-    for (_ <- 1 to rounds) {
+    var stop = false
+    for (_ <- 1 to rounds if !stop) {
       val p = fitted.size
       val pats = 1 << p
       // row's miss-pattern id under the prior rounds (0 when p = 0)
@@ -119,14 +124,31 @@ object AdaBoost {
       val (blp, bln, brp, brn) = (best.getDouble(2), best.getDouble(3),
         best.getDouble(4), best.getDouble(5))
       val err = best.getDouble(6)
-      require(err > 0.0 && err < 0.5,
-        s"AdaBoost.fit: round ${p + 1} best weighted err=$err outside (0, 0.5) " +
-        "— boosting exhausted or separable; reduce rounds")
-      val beta = KMeansOps.r6d((1.0 - err) / err)
-      fitted :+= Round(feat, thr,
-        leftLabel = if (blp > bln) 1 else 0,
-        rightLabel = if (brp > brn) 1 else 0,
-        err = err, beta = beta, alpha = KMeansOps.r6d(math.log(beta)))
+      if (err <= 0.0) {
+        // separable slice: keep the perfect learner with vote weight 1
+        // and stop — sklearn's early-stop (`_boost_discrete` returns
+        // weight 1.0 on estimator_error <= 0 and the fit loop breaks).
+        // beta is never consumed (no later round exists); stored as 1.0.
+        fitted :+= Round(feat, thr,
+          leftLabel = if (blp > bln) 1 else 0,
+          rightLabel = if (brp > brn) 1 else 0,
+          err = err, beta = 1.0, alpha = 1.0)
+        stop = true
+      } else if (err >= 0.5) {
+        // boosting exhausted (no better-than-chance stump under the
+        // current weights): sklearn discards the round and stops, and
+        // raises only when it was the FIRST round — mirror both.
+        require(fitted.nonEmpty,
+          s"AdaBoost.fit: first round's best weighted err=$err >= 0.5 " +
+          "— no better-than-chance stump exists")
+        stop = true
+      } else {
+        val beta = KMeansOps.r6d((1.0 - err) / err)
+        fitted :+= Round(feat, thr,
+          leftLabel = if (blp > bln) 1 else 0,
+          rightLabel = if (brp > brn) 1 else 0,
+          err = err, beta = beta, alpha = KMeansOps.r6d(math.log(beta)))
+      }
     }
     fitted
   }
