@@ -16,7 +16,7 @@ object Bench {
       while (p.parent().isPresent) { p = p.parent().get(); set += p.pid() }
       set
     }
-    val busy = Option(new java.io.File("/proc").listFiles())
+    val suspects = Option(new java.io.File("/proc").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .toSeq.filter(f => f.getName.forall(_.isDigit) &&
         !exempt.contains(f.getName.toLong))
@@ -28,10 +28,37 @@ object Bench {
           val isJvm = cmd.headOption.exists(_.endsWith("java"))
           val sparkish = cmd.exists(a => a.contains("org.apache.spark") ||
             a.contains("graft.") || a.contains("sbt-launch"))
-          if (isJvm && sparkish) Some(s"pid ${d.getName}: ${cmd.take(4).mkString(" ").take(160)}")
+          if (isJvm && sparkish) Some(d.getName.toLong ->
+            s"pid ${d.getName}: ${cmd.take(4).mkString(" ").take(160)}")
           else None
         } catch { case _: Throwable => None }
       }
+    // a DORMANT sbt/Spark shell steals nothing — refuse only on JVMs
+    // actually burning CPU (round-9's driver artifact regressed 54% from
+    // ambient contention the old name-only guard could not distinguish
+    // from an idle shell). Sample utime+stime (/proc/<pid>/stat fields
+    // 14/15, clock ticks) across a 1.5 s window; > ~0.3 CPU-s of growth
+    // marks the JVM active (an idle sbt ticks a few ms of GC at most).
+    def cpuTicks(pid: Long): Option[Long] =
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
+        // comm may contain spaces/parens: count fields after the ')'
+        val rest = stat.substring(stat.lastIndexOf(')') + 2).split(' ')
+        Some(rest(11).toLong + rest(12).toLong) // utime + stime
+      } catch { case _: Throwable => None }
+    val busy = if (suspects.isEmpty) Seq.empty else {
+      val before = suspects.flatMap { case (pid, desc) =>
+        cpuTicks(pid).map(t => (pid, desc, t)) }
+      Thread.sleep(1500)
+      before.flatMap { case (pid, desc, t0) =>
+        cpuTicks(pid) match {
+          case Some(t1) if t1 - t0 > 30 => // ~0.3 CPU-s at HZ=100
+            Some(s"$desc (+${t1 - t0} ticks/1.5s)")
+          case _ => None // exited or dormant: harmless
+        }
+      }
+    }
     if (busy.nonEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_FORCE")) {
       System.err.println("[bench] REFUSING to start: concurrent Spark/sbt JVM(s) would contaminate the medians:")
       busy.foreach(b => System.err.println(s"[bench]   $b"))
@@ -81,12 +108,22 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }.takeWhile(_ >= 0).toSeq // first failure poisons the query: -1
-      name -> (if (times.size < reps) -1.0 else times.sorted.apply(reps / 2))
+      val ok = times.size == reps
+      (name, if (ok) times.sorted.apply(reps / 2) else -1.0,
+        if (ok) times.min else -1.0, if (ok) times.max else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double) = "%.4f".format(v)
+    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    // per-query min/max next to the median: a wide spread flags ambient
+    // contention for that query, so a single contaminated rep can be
+    // adjudicated from the artifact instead of poisoning a round-over-
+    // round comparison (the round-9 phantom +54% failure mode)
+    val disp = results.map { case (k, _, mn, mx) =>
+      s"\"" + k + s"""\":{"min":${f(mn)},"max":${f(mx)}}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // the driver's captured tail truncates long JSON lines (BENCH_r06
     // kept only q36-q99) — also write the full per-query artifact to a
