@@ -1480,11 +1480,11 @@ FROM events"""
       import graft.scoring._
       val feats = gbFeatures
       val f = eventFeatures(s, dir).localCheckpoint() // 8 fits + parity pass
-      val lrM = Trainer.fitLogistic(f, feats, col("y"), iters = 6, lr = 0.5)
-      val wlrM = Trainer.fitLogisticWeighted(f, feats, col("y"), Seq(5.0),
-        iters = 6, lr = 0.5).head
-      val svmM = Trainer.fitLinearSvm(f, feats, col("y"), iters = 6,
-        lr = 0.5, lambda = 0.01)
+      // the linear trio trains in ONE shared scan per GD step
+      // (fitLinearFamily is bit-equal to the solo fits — TrainerSpec)
+      val Seq(lrM, wlrM, svmM) = Trainer.fitLinearFamily(f, feats, col("y"),
+        Seq(Trainer.LinearMember.Logistic, Trainer.LinearMember.Weighted(5.0),
+          Trainer.LinearMember.Svm(0.01)), iters = 6, lr = 0.5)
       val abM = AdaBoost.fit(f, feats, col("y"), rounds = 3)
       val bstM = Boosting.fit(f, feats, col("y"), rounds = 3, rate = 0.5)
       val btrM = Boosting.fitTrees(f, feats, col("y"), rounds = 2, rate = 0.5)

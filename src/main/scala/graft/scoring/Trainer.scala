@@ -316,6 +316,114 @@ object Trainer {
     } finally data.unpersist()
   }
 
+  /** One member of a linear family trained in [[fitLinearFamily]]'s
+    * SHARED scan. Each member's gradient formula is kept literally
+    * identical to its solo trainer so the fused fit is bit-equal to
+    * fitting the members separately (TrainerSpec asserts case-class
+    * equality) — fusing only removes Spark passes, never changes math.
+    */
+  sealed trait LinearMember
+  object LinearMember {
+    /** Plain logistic GD — the [[fitLogistic]] member. */
+    case object Logistic extends LinearMember
+    /** Class-weighted logistic — the [[fitLogisticWeighted]] member. */
+    final case class Weighted(posWeight: Double) extends LinearMember
+    /** Hinge + L2 linear SVM — the [[fitLinearSvm]] member. */
+    final case class Svm(lambda: Double) extends LinearMember
+  }
+
+  /** Fit a whole linear-model family — any mix of plain logistic,
+    * class-weighted logistic and linear-SVM members — in the passes of
+    * ONE fit: a single cached standardized projection (the members share
+    * features, so the projection is shared), one fused stats pass that
+    * also carries every weighted member's normalizer Σc_i, and ONE
+    * aggregate per GD step computing every member's (d+1)-gradient as
+    * parallel columns (the [[fitLogisticGrid]]/[[fitLogisticWeighted]]
+    * fusion, extended across loss functions). At 100 TB this turns
+    * k·(iters+2) full scans into (iters+2): training the reference's
+    * model zoo (`models/advanced_models.py` fits LR, weighted LR and an
+    * SVM on the same frame) costs the scans of one model.
+    *
+    * Returns one [[LogisticModel]] per member, in `members` order,
+    * bit-identical to that member's solo trainer on the same frame.
+    */
+  def fitLinearFamily(train: DataFrame, features: Seq[String], label: Column,
+      members: Seq[LinearMember], iters: Int = 6, lr: Double = 0.5)
+      : Seq[LogisticModel] = {
+    require(members.nonEmpty, "fitLinearFamily: members must be non-empty")
+    require(iters >= 1, s"fitLinearFamily: iters must be >= 1, got $iters")
+    val d = features.size
+    // weighted members' normalizers fold into the (class-blind) stats
+    // pass: Σc_i over train equals fitLogisticWeighted's Σc_i over its
+    // projection (same rows, same order, exact-integral weights)
+    val wks = members.zipWithIndex.collect {
+      case (LinearMember.Weighted(_), k) => k }
+    val statAggs = features.flatMap { f =>
+      Seq(avg(col(f).cast("double")).as(s"m_$f"),
+        stddev_pop(col(f).cast("double")).as(s"s_$f"))
+    } ++ members.zipWithIndex.collect {
+      case (LinearMember.Weighted(pw), k) =>
+        sum(when(label.cast("double") === 1.0, lit(pw)).otherwise(lit(1.0)))
+          .as(s"ws$k")
+    }
+    val st = train.agg(statAggs.head, statAggs.tail: _*).head()
+    val means = features.indices.map(i => Option(st.get(2 * i))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0))
+    val stds = features.indices.map { i =>
+      val s = Option(st.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      if (s > 0.0) s else 1.0
+    }
+    val wsum: Map[Int, Double] =
+      wks.zipWithIndex.map { case (k, j) => k -> st.getDouble(2 * d + j) }.toMap
+    val xs = features.zipWithIndex.map { case (f, i) =>
+      ((col(f).cast("double") - lit(means(i))) / lit(stds(i))).as(s"__x$i")
+    }
+    val data = train.select(label.cast("double").as("__y") +: xs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Array.fill(members.size, d)(0.0)
+      val b = Array.fill(members.size)(0.0)
+      for (_ <- 1 to iters) {
+        val gAggs = members.zipWithIndex.flatMap { case (mem, k) =>
+          val margin = (0 until d).map(i => col(s"__x$i") * lit(w(k)(i)))
+            .foldLeft(lit(b(k)))(_ + _)
+          mem match {
+            case LinearMember.Logistic =>
+              val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")
+              (0 until d).map(i =>
+                avg(err * col(s"__x$i")).as(s"g_${k}_$i")) :+
+                avg(err).as(s"gb_$k")
+            case LinearMember.Weighted(pw) =>
+              val cw = when(col("__y") === 1.0, lit(pw)).otherwise(lit(1.0))
+              val err = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")) * cw
+              (0 until d).map(i =>
+                (sum(err * col(s"__x$i")) / lit(wsum(k))).as(s"g_${k}_$i")) :+
+                (sum(err) / lit(wsum(k))).as(s"gb_$k")
+            case LinearMember.Svm(_) =>
+              val yy = col("__y") * 2.0 - 1.0
+              val viol = yy * margin < 1.0
+              (0 until d).map(i =>
+                avg(when(viol, yy * col(s"__x$i")).otherwise(lit(0.0)))
+                  .as(s"g_${k}_$i")) :+
+                avg(when(viol, yy).otherwise(lit(0.0))).as(s"gb_$k")
+          }
+        }
+        val g = data.agg(gAggs.head, gAggs.tail: _*).head()
+        members.zipWithIndex.foreach {
+          case (LinearMember.Svm(lambda), k) =>
+            for (i <- 0 until d)
+              w(k)(i) -= lr * (lambda * w(k)(i) - g.getDouble(k * (d + 1) + i))
+            b(k) += lr * g.getDouble(k * (d + 1) + d)
+          case (_, k) =>
+            for (i <- 0 until d) w(k)(i) -= lr * g.getDouble(k * (d + 1) + i)
+            b(k) -= lr * g.getDouble(k * (d + 1) + d)
+        }
+      }
+      members.indices.map(k => LogisticModel(features, means, stds,
+        w(k).clone().toSeq, b(k), iters, lr))
+    } finally data.unpersist()
+  }
+
   /** Linear margin w·standardize(x) + b over the RAW feature columns —
     * monotone in the predicted probability, so ranking metrics (AUC) can
     * skip the sigmoid.

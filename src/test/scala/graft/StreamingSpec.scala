@@ -907,4 +907,45 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(dist(served) == dist(batchF))
   }
+
+  test("best-first (leaf-wise) tree serves through the deep-tree path with batch parity") {
+    import spark.implicits._
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h", "unique_ips_1h")
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        col("amount") +: feats.map(col): _*)
+      .localCheckpoint()
+    val bft = graft.scoring.Trees.fitBestFirst(batchF, feats,
+      col("amount") > 100, maxLeaves = 4, maxDepth = 3)
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    // a BestFirstTree IS a DeepTree (path-keyed splits) — the existing
+    // serving path takes it unchanged, closing /predict parity for the
+    // leaf-wise growth strategy too
+    val query = StreamingFeatures.deepTreeScoredFeatures(input.toDS(), bft.tree)
+      .writeStream.format("memory").queryName("bftree").outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val served = spark.table("bftree")
+    assert(served.count() == tx.length)
+    assert(served.where(col("tree_pred") =!=
+      graft.scoring.Trees.predict(bft.tree)).count() == 0)
+    val leafSet = bft.tree.leaves.map(_._1).toSet
+    val servedLeaves = served.select(col("tree_leaf")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(servedLeaves.subsetOf(leafSet), s"$servedLeaves not in $leafSet")
+    def dist(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select(col("customer_id"), col("ts_micros"),
+          graft.scoring.Trees.predict(bft.tree).as("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dist(served) == dist(batchF))
+  }
 }

@@ -109,4 +109,32 @@ class TrainerSpec extends AnyFunSuite {
     // both settings train on identical standardization moments
     assert(m10.means == m1.means && m10.stds == m1.stds)
   }
+
+  test("fitLinearFamily: fused trio is bit-identical to the solo fits") {
+    import Trainer.LinearMember
+    val feats = Seq("x1", "x2", "x3")
+    val Seq(lrF, wlrF, svmF) = Trainer.fitLinearFamily(fixture, feats,
+      col("y"), Seq(LinearMember.Logistic, LinearMember.Weighted(5.0),
+        LinearMember.Svm(0.01)), iters = 6, lr = 0.5)
+    val lrS = Trainer.fitLogistic(fixture, feats, col("y"), iters = 6, lr = 0.5)
+    val wlrS = Trainer.fitLogisticWeighted(fixture, feats, col("y"),
+      Seq(5.0), iters = 6, lr = 0.5).head
+    val svmS = Trainer.fitLinearSvm(fixture, feats, col("y"), iters = 6,
+      lr = 0.5, lambda = 0.01)
+    // case-class equality = exact doubles: the fused scan may remove
+    // passes but must never perturb a single bit of any member
+    assert(lrF == lrS, s"logistic: $lrF vs $lrS")
+    assert(wlrF == wlrS, s"weighted: $wlrF vs $wlrS")
+    assert(svmF == svmS, s"svm: $svmF vs $svmS")
+  }
+
+  test("fitLinearFamily: empty members and iters = 0 are refused") {
+    intercept[IllegalArgumentException] {
+      Trainer.fitLinearFamily(fixture, Seq("x1"), col("y"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Trainer.fitLinearFamily(fixture, Seq("x1"), col("y"),
+        Seq(Trainer.LinearMember.Logistic), iters = 0)
+    }
+  }
 }
