@@ -1568,6 +1568,45 @@ FROM events"""
       out.toDF("model_id", "version", "kind", "part", "idx", "k", "k2",
         "v1", "v2", "v3", "v4", "c1", "c2", "c3", "c4", "t1", "t2", "t3",
         "n_scored", "n_agree")
+    },
+    // reliability diagram + Brier score + ECE of the served posterior —
+    // sklearn calibration_curve(strategy='uniform', n_bins=20) over the
+    // q167 naive-Bayes model's held-out posterior sigmoid(delta):
+    // bin id = searchsorted-left on the internal edges (count of edges
+    // strictly below p), computed on the 4dp-ROUNDED probability so the
+    // bin is engine-exact (exp() may differ at ulp scale); per-bin
+    // mean predicted probability vs empirical positive fraction, plus
+    // the global Brier score avg((p-y)^2) and the bin-count-weighted
+    // expected calibration error — the probability-quality twin of the
+    // ranking metrics (q227 ROC / q228 PR / q224 AP). The NB posterior
+    // is the calibration target because its bucketized likelihoods give
+    // the score real spread (a weakly-fit linear margin concentrates in
+    // one bin). Oracle replays the NB likelihood tables (the q167
+    // machinery) and the same edge counting.
+    "q233_calibration" -> { (s, dir) =>
+      val fs = Seq("hb", "dowi", "vb")
+      val f = eventFeatures(s, dir)
+      val train = f.where(col("event_id") % 5 =!= 0)
+      val test = f.where(col("event_id") % 5 === 0)
+      val scored = graft.scoring.Models
+        .naiveBayesDelta(train, test, fs, col("y"))
+        .select(col("y").cast("double").as("y"),
+          r6(lit(1.0) / (lit(1.0) + exp(-col("delta")))).as("p"))
+      val bin = (1 to 19).map(j =>
+        when(col("p") > lit(j / 20.0), 1L).otherwise(0L)).reduce(_ + _)
+      val brier = scored.agg(
+        r6(avg((col("p") - col("y")) * (col("p") - col("y")))).as("brier"))
+      val bins = scored.withColumn("bin", bin)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), r6(avg(col("p"))).as("mean_pred"),
+          r6(avg(col("y"))).as("frac_pos"))
+        .localCheckpoint() // read twice: the rows + the ECE fold
+      // expected calibration error over the ROUNDED bin values — a
+      // bin-count-weighted fold of an at-most-5-row table
+      val ece = bins.agg(r6(
+        sum(col("n") * abs(col("frac_pos") - col("mean_pred"))) /
+          sum(col("n"))).as("ece"))
+      bins.crossJoin(broadcast(brier)).crossJoin(broadcast(ece))
     })
 
   /** Shared engine side of q217/q219: fused class-weight sweep + per-
@@ -4179,5 +4218,37 @@ ${cell("a", "sta")}
 ${row("b", "baseline", "db")}
 UNION ALL
 ${row("a", "smote", "da")}"""
+    },
+    "q233_calibration" -> {
+      // NB likelihood-table replay (the q167 machinery), then sklearn's
+      // uniform-bin searchsorted-left edge counting on the 4dp-rounded
+      // held-out posterior + Brier score + ECE
+      val fs = Seq("hb", "dowi", "vb")
+      val edges = (1 to 19).map(j =>
+        s"CASE WHEN p > ${j / 20.0} THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH f AS ($featSql),
+tr AS (SELECT * FROM f WHERE event_id % 5 <> 0),
+te AS (SELECT * FROM f WHERE event_id % 5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${fs.map(nbLike).mkString(",\n")},
+scd AS (
+  SELECT te.y,
+    ln(pr.n1/pr.n0) + ${fs.map(nbTerm).mkString("\n      + ")} AS delta
+  FROM te
+  CROSS JOIN pr ${fs.map(f => s"CROSS JOIN k_$f").mkString(" ")}
+  ${fs.map(f => s"LEFT JOIN l_$f ON te.$f = l_$f.v").mkString("\n  ")}),
+sc AS MATERIALIZED (
+  SELECT y::DOUBLE AS y,
+    round(1.0/(1.0 + exp(-delta)) + 5e-11, 4) AS p
+  FROM scd),
+br AS (SELECT round(avg((p - y)*(p - y)) + 5e-11, 4) AS brier FROM sc),
+bt AS MATERIALIZED (
+  SELECT ($edges) AS bin, count(*) AS n,
+    round(avg(p) + 5e-11, 4) AS mean_pred,
+    round(avg(y) + 5e-11, 4) AS frac_pos
+  FROM sc GROUP BY 1),
+ec AS (SELECT round(sum(n * abs(frac_pos - mean_pred)) / sum(n) + 5e-11, 4) AS ece FROM bt)
+SELECT bt.bin, bt.n, bt.mean_pred, bt.frac_pos, br.brier, ec.ece
+FROM bt, br, ec"""
     })
 }
