@@ -1583,6 +1583,89 @@ FROM events"""
     // the score real spread (a weakly-fit linear margin concentrates in
     // one bin). Oracle replays the NB likelihood tables (the q167
     // machinery) and the same edge counting.
+    // sklearn classification_report twin (`feedback/feedback_system.py:348`
+    // runs it on every retrained model's held-out predictions;
+    // `models/advanced_models.py:27` imports it): per-class precision /
+    // recall / F1 / support of the q167 naive-Bayes held-out 0.5-point
+    // predictions, plus the macro (unweighted) and support-weighted
+    // average rows and the global accuracy column — the full
+    // output_dict=True surface as a 4-row table. ONE confusion aggregate
+    // (4 integer cells) feeds every row; sklearn's zero_division=0
+    // convention on empty denominators. Scale shape: the scored side is
+    // the broadcast-model NB projection (never shuffles), the report is
+    // driver arithmetic on a 1-row localCheckpoint.
+    "q234_classification_report" -> { (s, dir) =>
+      val fs = Seq("hb", "dowi", "vb")
+      val f = eventFeatures(s, dir)
+      val train = f.where(col("event_id") % 5 =!= 0)
+      val test = f.where(col("event_id") % 5 === 0)
+      val scored = Models.naiveBayesDelta(train, test, fs, col("y"))
+        .select(col("y"), (r6(col("delta")) > 0).cast("long").as("pred"))
+      val cm = scored.agg(
+        sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L)).as("tn"))
+        .localCheckpoint() // the four report rows re-read the 1-row confusion
+      def f1Of(p: Column, r: Column): Column =
+        when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0))
+      def safe(num: Column, den: Column): Column =
+        when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+      val p0 = safe(col("tn"), col("tn") + col("fn"))
+      val r0 = safe(col("tn"), col("tn") + col("fp"))
+      val p1 = safe(col("tp"), col("tp") + col("fp"))
+      val r1 = safe(col("tp"), col("tp") + col("fn"))
+      val s0 = col("tn") + col("fp")
+      val s1 = col("tp") + col("fn")
+      val n = s0 + s1
+      val acc = (col("tp") + col("tn")).cast("double") / n
+      def row(cls: String, p: Column, r: Column, f1: Column, sup: Column) =
+        cm.select(lit(cls).as("cls"), r6(p).as("prec"), r6(r).as("rec"),
+          r6(f1).as("f1"), sup.cast("long").as("support"), r6(acc).as("accuracy"))
+      row("0", p0, r0, f1Of(p0, r0), s0)
+        .unionByName(row("1", p1, r1, f1Of(p1, r1), s1))
+        .unionByName(row("macro avg", (p0 + p1) / 2, (r0 + r1) / 2,
+          (f1Of(p0, r0) + f1Of(p1, r1)) / 2, n))
+        .unionByName(row("weighted avg",
+          (p0 * s0 + p1 * s1) / n, (r0 * s0 + r1 * s1) / n,
+          (f1Of(p0, r0) * s0 + f1Of(p1, r1) * s1) / n, n))
+    },
+    // Platt scaling (sigmoid calibration) of the naive-Bayes posterior —
+    // the `CalibratedClassifierCV(method='sigmoid')` twin of q233's
+    // diagnostic curve (sklearn's calibration module sits next to the
+    // reference's metric imports, `models/advanced_models.py:26-28`):
+    // the held-out 20% splits into a calibration half (event_id%10=0)
+    // and an evaluation half (%10=5); a 1-d logistic GD fit maps the
+    // 4dp-ROUNDED NB delta to a calibrated probability (rounding the
+    // score first makes the GD input engine-exact — ln() may differ at
+    // ulp scale); report = calibrator slope/intercept + the evaluation
+    // half's Brier score before vs after calibration. Scale shape: the
+    // NB projection localCheckpoints once (model fit + both Brier reads);
+    // the calibration fit is the q165 one-aggregate-per-step reduction on
+    // a single feature.
+    "q235_platt_scaling" -> { (s, dir) =>
+      val fs = Seq("hb", "dowi", "vb")
+      val f = eventFeatures(s, dir)
+      val train = f.where(col("event_id") % 5 =!= 0)
+      val held = f.where(col("event_id") % 5 === 0)
+      val scored = Models.naiveBayesDelta(train, held, fs, col("y"))
+        .select(col("event_id"), col("y").cast("double").as("y"),
+          r6(col("delta")).as("d4"))
+        .localCheckpoint()
+      val cal = scored.where(col("event_id") % 10 === 0)
+      val ev = scored.where(col("event_id") % 10 === 5)
+      val m = graft.scoring.Trainer.fitLogistic(cal, Seq("d4"), col("y"),
+        iters = 8, lr = 0.5)
+      val pRaw = r6(lit(1.0) / (lit(1.0) + exp(-col("d4"))))
+      val pCal = r6(graft.scoring.Trainer.probability(m))
+      val evAgg = ev.agg(count(lit(1)).as("n_eval"),
+        r6(avg((pRaw - col("y")) * (pRaw - col("y")))).as("brier_raw"),
+        r6(avg((pCal - col("y")) * (pCal - col("y")))).as("brier_cal"))
+      cal.agg(count(lit(1)).as("n_cal")).crossJoin(evAgg)
+        .select(col("n_cal"), col("n_eval"),
+          r6(lit(m.weights.head)).as("a"), r6(lit(m.intercept)).as("b"),
+          col("brier_raw"), col("brier_cal"))
+    },
     "q233_calibration" -> { (s, dir) =>
       val fs = Seq("hb", "dowi", "vb")
       val f = eventFeatures(s, dir)
@@ -4218,6 +4301,99 @@ ${cell("a", "sta")}
 ${row("b", "baseline", "db")}
 UNION ALL
 ${row("a", "smote", "da")}"""
+    },
+    "q234_classification_report" -> {
+      // NB likelihood-table replay (the q167 machinery) -> 0.5-point
+      // predictions -> one confusion aggregate -> the four report rows
+      // with identical closed-form arithmetic
+      val fs = Seq("hb", "dowi", "vb")
+      s"""WITH f AS ($featSql),
+tr AS (SELECT * FROM f WHERE event_id % 5 <> 0),
+te AS (SELECT * FROM f WHERE event_id % 5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${fs.map(nbLike).mkString(",\n")},
+scd AS (
+  SELECT te.y,
+    ln(pr.n1/pr.n0) + ${fs.map(nbTerm).mkString("\n      + ")} AS delta
+  FROM te
+  CROSS JOIN pr ${fs.map(f => s"CROSS JOIN k_$f").mkString(" ")}
+  ${fs.map(f => s"LEFT JOIN l_$f ON te.$f = l_$f.v").mkString("\n  ")}),
+pd AS (SELECT y, CASE WHEN round(delta + 5e-11, 4) > 0 THEN 1 ELSE 0 END AS pred FROM scd),
+cm AS MATERIALIZED (SELECT
+  sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+  sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+  sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+  sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+  FROM pd),
+m AS MATERIALIZED (SELECT tp, fp, fn, tn,
+  tn + fp AS s0, tp + fn AS s1, tp + fp + fn + tn AS n,
+  CASE WHEN tn + fn > 0 THEN tn::DOUBLE/(tn + fn) ELSE 0.0 END AS p0,
+  CASE WHEN tn + fp > 0 THEN tn::DOUBLE/(tn + fp) ELSE 0.0 END AS r0,
+  CASE WHEN tp + fp > 0 THEN tp::DOUBLE/(tp + fp) ELSE 0.0 END AS p1,
+  CASE WHEN tp + fn > 0 THEN tp::DOUBLE/(tp + fn) ELSE 0.0 END AS r1,
+  (tp + tn)::DOUBLE/(tp + fp + fn + tn) AS acc
+  FROM cm),
+m2 AS MATERIALIZED (SELECT *,
+  CASE WHEN p0 + r0 > 0 THEN 2.0*p0*r0/(p0 + r0) ELSE 0.0 END AS f10,
+  CASE WHEN p1 + r1 > 0 THEN 2.0*p1*r1/(p1 + r1) ELSE 0.0 END AS f11
+  FROM m)
+SELECT '0' AS cls, round(p0 + 5e-11, 4) AS prec, round(r0 + 5e-11, 4) AS rec,
+  round(f10 + 5e-11, 4) AS f1, CAST(s0 AS BIGINT) AS support,
+  round(acc + 5e-11, 4) AS accuracy FROM m2
+UNION ALL
+SELECT '1', round(p1 + 5e-11, 4), round(r1 + 5e-11, 4),
+  round(f11 + 5e-11, 4), CAST(s1 AS BIGINT), round(acc + 5e-11, 4) FROM m2
+UNION ALL
+SELECT 'macro avg', round((p0 + p1)/2 + 5e-11, 4), round((r0 + r1)/2 + 5e-11, 4),
+  round((f10 + f11)/2 + 5e-11, 4), CAST(n AS BIGINT), round(acc + 5e-11, 4) FROM m2
+UNION ALL
+SELECT 'weighted avg', round((p0*s0 + p1*s1)/n + 5e-11, 4),
+  round((r0*s0 + r1*s1)/n + 5e-11, 4),
+  round((f10*s0 + f11*s1)/n + 5e-11, 4), CAST(n AS BIGINT),
+  round(acc + 5e-11, 4) FROM m2"""
+    },
+    "q235_platt_scaling" -> {
+      // NB replay -> 4dp-rounded delta -> cal/eval halves -> the q165
+      // unrolled-GD technique on the single calibration feature -> Brier
+      // before/after on the evaluation half
+      val fs = Seq("hb", "dowi", "vb")
+      val gd = (1 to 8).map { k =>
+        val p = s"1.0/(1.0 + exp(-(i.b + d.x*i.w)))"
+        s"""i$k AS MATERIALIZED (SELECT
+  i.w - 0.5*avg(($p - d.y) * d.x) AS w,
+  i.b - 0.5*avg($p - d.y) AS b
+  FROM dc d, i${k - 1} i GROUP BY i.w, i.b)"""
+      }.mkString(",\n")
+      s"""WITH f AS ($featSql),
+tr AS (SELECT * FROM f WHERE event_id % 5 <> 0),
+te AS (SELECT * FROM f WHERE event_id % 5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${fs.map(nbLike).mkString(",\n")},
+scd AS (
+  SELECT te.event_id, te.y,
+    ln(pr.n1/pr.n0) + ${fs.map(f => nbTerm(f)).mkString("\n      + ")} AS delta
+  FROM te
+  CROSS JOIN pr ${fs.map(f => s"CROSS JOIN k_$f").mkString(" ")}
+  ${fs.map(f => s"LEFT JOIN l_$f ON te.$f = l_$f.v").mkString("\n  ")}),
+sc AS MATERIALIZED (
+  SELECT event_id, y::DOUBLE AS y, round(delta + 5e-11, 4) AS d4 FROM scd),
+cal AS MATERIALIZED (SELECT * FROM sc WHERE event_id % 10 = 0),
+ev AS MATERIALIZED (SELECT * FROM sc WHERE event_id % 10 = 5),
+s0 AS MATERIALIZED (SELECT avg(d4) AS m,
+  coalesce(nullif(stddev_pop(d4), 0.0), 1.0) AS sd FROM cal),
+dc AS MATERIALIZED (SELECT (d4 - m)/sd AS x, y FROM cal, s0),
+i0 AS (SELECT 0.0 AS w, 0.0 AS b),
+$gd,
+br AS (SELECT count(*) AS n_eval,
+  round(avg((round(1.0/(1.0 + exp(-d.d4)) + 5e-11, 4) - d.y)
+          * (round(1.0/(1.0 + exp(-d.d4)) + 5e-11, 4) - d.y)) + 5e-11, 4) AS brier_raw,
+  round(avg((round(1.0/(1.0 + exp(-(i.b + (d.d4 - s.m)/s.sd*i.w))) + 5e-11, 4) - d.y)
+          * (round(1.0/(1.0 + exp(-(i.b + (d.d4 - s.m)/s.sd*i.w))) + 5e-11, 4) - d.y)) + 5e-11, 4) AS brier_cal
+  FROM ev d, i8 i, s0 s),
+nc AS (SELECT count(*) AS n_cal FROM cal)
+SELECT nc.n_cal, br.n_eval, round(i.w + 5e-11, 4) AS a,
+  round(i.b + 5e-11, 4) AS b, br.brier_raw, br.brier_cal
+FROM nc, br, i8 i"""
     },
     "q233_calibration" -> {
       // NB likelihood-table replay (the q167 machinery), then sklearn's
