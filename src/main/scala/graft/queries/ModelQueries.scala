@@ -1630,6 +1630,37 @@ FROM events"""
           (p0 * s0 + p1 * s1) / n, (r0 * s0 + r1 * s1) / n,
           (f1Of(p0, r0) * s0 + f1Of(p1, r1) * s1) / n, n))
     },
+    // cross_val_score(cv=5, scoring='roc_auc') twin — the exact call the
+    // reference makes at `feedback/feedback_system.py:343-344` and inside
+    // every optuna trial (`models/advanced_models.py:342-345`). sklearn's
+    // cv=5 on a CLASSIFIER means StratifiedKFold, so the folds come from
+    // `Splits.stratifiedKfold` (q231's machinery), the five
+    // leave-one-fold-out logistic fits from the FUSED CV trainer (one
+    // aggregate per GD step carries all five folds' gradients), and the
+    // report is one row per fold (held-out n/positives/AUC) plus the
+    // cv_scores.mean()/std() columns (np.std ddof=0) over the rounded
+    // per-fold AUCs. Scale shape: the feature frame localCheckpoints
+    // once; fit cost = 6 scans regardless of fold count.
+    "q236_cv_auc_score" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = graft.scale.Splits.stratifiedKfold(
+          eventFeatures(s, dir), col("event_id"), col("y"), k = 5, salt = "cvs")
+        .localCheckpoint()
+      val models = graft.scoring.Trainer.fitLogisticCV(
+        f, feats, col("y"), col("fold"), folds = 5, iters = 6, lr = 0.5)
+      val folds = models.zipWithIndex.map { case (m, k) =>
+        val scored = f.where(col("fold") === k)
+          .select(col("y"), graft.scoring.Trainer.margin(m).as("margin"))
+        val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
+        scored.agg(count(lit(1)).as("n_test"), sum(col("y")).as("n_pos"))
+          .crossJoin(auc)
+          .select(lit(k).as("fold"), col("n_test"), col("n_pos"),
+            r6(col("auc")).as("auc"))
+      }.reduce(_.unionByName(_)).localCheckpoint() // 5 rows; summary re-reads
+      val summary = folds.agg(r6(avg(col("auc"))).as("cv_mean"),
+        r6(stddev_pop(col("auc"))).as("cv_std"))
+      folds.crossJoin(broadcast(summary))
+    },
     // Platt scaling (sigmoid calibration) of the naive-Bayes posterior —
     // the `CalibratedClassifierCV(method='sigmoid')` twin of q233's
     // diagnostic curve (sklearn's calibration module sits next to the
@@ -4351,6 +4382,61 @@ SELECT 'weighted avg', round((p0*s0 + p1*s1)/n + 5e-11, 4),
   round((r0*s0 + r1*s1)/n + 5e-11, 4),
   round((f10*s0 + f11*s1)/n + 5e-11, 4), CAST(n AS BIGINT),
   round(acc + 5e-11, 4) FROM m2"""
+    },
+    "q236_cv_auc_score" -> {
+      // stratified fold assignment (q231's row_number CTE) -> the q172
+      // per-fold unrolled-GD replay on the event features -> per-fold
+      // midrank AUC -> mean/std over the rounded fold scores
+      val idx = 0 until 3
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      // b LEADS the sum — fitLogisticCV folds the margin from the
+      // intercept, so this text is bit-identical to the engine
+      def marginOf(it: String) =
+        s"$it.b + " + idx.map(i => s"$it.w$i * d.x$i").mkString(" + ")
+      def foldChain(f: Int): String = {
+        val i0 = s"i0_$f AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val iters = (1 to 6).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - 0.5*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+          s"i${k}_$f AS MATERIALIZED (SELECT $upd\n  FROM dtr_$f d, i${k - 1}_$f i GROUP BY $grp)"
+        }.mkString(",\n")
+        s"""tr_$f AS (SELECT * FROM fp WHERE fold <> $f),
+s_$f AS (SELECT $statSel FROM tr_$f),
+dtr_$f AS MATERIALIZED (SELECT $stdSel, y FROM tr_$f, s_$f),
+dte_$f AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM fp WHERE fold = $f) t, s_$f),
+$i0,
+$iters,
+sc_$f AS (SELECT d.y, ${marginOf(s"i6_$f")} AS sv FROM dte_$f d, i6_$f),
+r_$f AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM sc_$f),
+a_$f AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM r_$f)"""
+      }
+      def foldRow(f: Int): String =
+        s"SELECT $f AS fold, n AS n_test, npos AS n_pos, round(auc + 5e-11, 4) AS auc FROM a_$f"
+      s"""WITH f AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+    CAST(dowi AS DOUBLE) AS x2, CAST(y AS DOUBLE) AS y,
+    CAST((row_number() OVER (PARTITION BY y
+      ORDER BY ('0x' || substr(md5('cvs:' || event_id), 1, 8))::UBIGINT,
+        event_id) - 1) % 5 AS BIGINT) AS fold
+  FROM f),
+${(0 until 5).map(foldChain).mkString(",\n")},
+allf AS MATERIALIZED (
+${(0 until 5).map(foldRow).mkString("\nUNION ALL\n")}),
+sm AS (SELECT round(avg(auc) + 5e-11, 4) AS cv_mean,
+  round(stddev_pop(auc) + 5e-11, 4) AS cv_std FROM allf)
+SELECT allf.fold, allf.n_test, allf.n_pos, allf.auc, sm.cv_mean, sm.cv_std
+FROM allf, sm"""
     },
     "q235_platt_scaling" -> {
       // NB replay -> 4dp-rounded delta -> cal/eval halves -> the q165
