@@ -1630,6 +1630,41 @@ FROM events"""
           (p0 * s0 + p1 * s1) / n, (r0 * s0 + r1 * s1) / n,
           (f1Of(p0, r0) * s0 + f1Of(p1, r1) * s1) / n, n))
     },
+    // sklearn learning_curve twin (the diagnostic the reference's
+    // notebook runs next to its CV scores — model-zoo training with
+    // scan-efficient size sweeps): nested train subsets at 25/50/75/100%
+    // of the pool (md5 bucket < t, so each size CONTAINS the previous —
+    // sklearn's shuffled-prefix semantics, RNG-free), stratified fold 0
+    // held out for validation; ALL four sizes train simultaneously via
+    // the masked fused kernel (one aggregate per GD step carries every
+    // size's gradient), then each size reports train-side and
+    // validation-side AUC — the under/overfitting gap per data budget.
+    // At 100 TB the whole curve costs the scans of ONE fit.
+    "q237_learning_curve" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = graft.scale.Splits.stratifiedKfold(
+          eventFeatures(s, dir), col("event_id"), col("y"), k = 5, salt = "lc")
+        .withColumn("fb", graft.scale.Splits.bucket(col("event_id"), "lcf", 100))
+        .localCheckpoint()
+      val sizes = Seq(25, 50, 75, 100)
+      val masks = sizes.map(t => col("fold") =!= 0 && col("fb") < t)
+      val models = graft.scoring.Trainer.fitLogisticMasked(
+        f, feats, col("y"), masks, iters = 6, lr = 0.5)
+      val hold = f.where(col("fold") === 0)
+      sizes.zip(masks).zip(models).map { case ((t, mk), m) =>
+        val tr = f.where(mk)
+        val sTr = tr.select(col("y"), graft.scoring.Trainer.margin(m).as("margin"))
+        val sVa = hold.select(col("y"), graft.scoring.Trainer.margin(m).as("margin"))
+        val aucT = graft.feedback.Drift.auc(sTr, col("y") === 1L, col("margin"))
+          .select(r6(col("auc")).as("auc_train"))
+        val aucV = graft.feedback.Drift.auc(sVa, col("y") === 1L, col("margin"))
+          .select(r6(col("auc")).as("auc_val"))
+        tr.agg(count(lit(1)).as("n_train"), sum(col("y")).as("n_pos_train"))
+          .crossJoin(aucT).crossJoin(aucV)
+          .select(lit(t / 100.0).as("train_frac"), col("n_train"),
+            col("n_pos_train"), col("auc_train"), col("auc_val"))
+      }.reduce(_.unionByName(_))
+    },
     // cross_val_score(cv=5, scoring='roc_auc') twin — the exact call the
     // reference makes at `feedback/feedback_system.py:343-344` and inside
     // every optuna trial (`models/advanced_models.py:342-345`). sklearn's
@@ -4382,6 +4417,63 @@ SELECT 'weighted avg', round((p0*s0 + p1*s1)/n + 5e-11, 4),
   round((r0*s0 + r1*s1)/n + 5e-11, 4),
   round((f10*s0 + f11*s1)/n + 5e-11, 4), CAST(n AS BIGINT),
   round(acc + 5e-11, 4) FROM m2"""
+    },
+    "q237_learning_curve" -> {
+      // nested md5-prefix train subsets -> one unrolled-GD chain per
+      // size (stats from the masked slice) -> midrank AUC on the train
+      // slice AND the shared stratified fold-0 holdout
+      val idx = 0 until 3
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val stdSel = idx.map(i => s"(x$i - m$i)/s$i AS x$i").mkString(", ")
+      def marginOf(it: String) =
+        s"$it.b + " + idx.map(i => s"$it.w$i * d.x$i").mkString(" + ")
+      def aucBlock(tag: String, src: String): String =
+        s"""r_$tag AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM $src),
+a_$tag AS (SELECT
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM r_$tag)"""
+      def sizeChain(t: Int): String = {
+        val i0 = s"i0_$t AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+        val iters = (1 to 6).map { k =>
+          val p = s"1.0/(1.0 + exp(-(${marginOf("i")})))"
+          val upd = idx.map(i =>
+            s"i.w$i - 0.5*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+            s",\n    i.b - 0.5*avg($p - d.y) AS b"
+          val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+          s"i${k}_$t AS MATERIALIZED (SELECT $upd\n  FROM dtr_$t d, i${k - 1}_$t i GROUP BY $grp)"
+        }.mkString(",\n")
+        s"""tr_$t AS (SELECT * FROM fp WHERE fold <> 0 AND fb < $t),
+s_$t AS (SELECT $statSel FROM tr_$t),
+dtr_$t AS MATERIALIZED (SELECT $stdSel, y FROM tr_$t, s_$t),
+dho_$t AS MATERIALIZED (SELECT $stdSel, y FROM (SELECT * FROM fp WHERE fold = 0) t, s_$t),
+$i0,
+$iters,
+n_$t AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS npos FROM tr_$t),
+sct_$t AS (SELECT d.y, ${marginOf(s"i6_$t")} AS sv FROM dtr_$t d, i6_$t),
+scv_$t AS (SELECT d.y, ${marginOf(s"i6_$t")} AS sv FROM dho_$t d, i6_$t),
+${aucBlock(s"t$t", s"sct_$t")},
+${aucBlock(s"v$t", s"scv_$t")}"""
+      }
+      def sizeRow(t: Int): String =
+        s"""SELECT ${t / 100.0} AS train_frac, n_$t.n AS n_train, n_$t.npos AS n_pos_train,
+  round(a_t$t.auc + 5e-11, 4) AS auc_train, round(a_v$t.auc + 5e-11, 4) AS auc_val
+FROM n_$t, a_t$t, a_v$t"""
+      val sizes = Seq(25, 50, 75, 100)
+      s"""WITH f AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+    CAST(dowi AS DOUBLE) AS x2, CAST(y AS DOUBLE) AS y,
+    CAST((row_number() OVER (PARTITION BY y
+      ORDER BY ('0x' || substr(md5('lc:' || event_id), 1, 8))::UBIGINT,
+        event_id) - 1) % 5 AS BIGINT) AS fold,
+    ('0x' || substr(md5('lcf:' || event_id), 1, 8))::UBIGINT % 100 AS fb
+  FROM f),
+${sizes.map(sizeChain).mkString(",\n")}
+${sizes.map(sizeRow).mkString("\nUNION ALL\n")}"""
     },
     "q236_cv_auc_score" -> {
       // stratified fold assignment (q231's row_number CTE) -> the q172

@@ -78,8 +78,9 @@ object Trainer {
     * aggregate computing all folds' gradients as conditional averages
     * (`avg(when(fold =!= f, g))`), and the standardization stats job is
     * fused the same way. At 100 TB this is the difference between k and
-    * 1 scans per step; per-fold math is identical to filtering first
-    * (conditional avg ignores the excluded fold's rows exactly).
+    * 1 scans per step; per-fold math equals filtering first up to ~1 ulp
+    * (the plan shape perturbs double summation order — TrainerSpec pins
+    * agreement at 1e-12; the 4dp oracle gates absorb it).
     *
     * Returns one model per fold f, each trained on rows with
     * `foldCol =!= f` and standardized by that training subset's moments.
@@ -88,52 +89,71 @@ object Trainer {
       foldCol: Column, folds: Int, iters: Int = 20, lr: Double = 0.5)
       : Seq[LogisticModel] = {
     require(folds >= 2, s"fitLogisticCV: folds must be >= 2, got $folds")
-    require(iters >= 1, s"fitLogisticCV: iters must be >= 1, got $iters")
+    fitLogisticMasked(train, features, label,
+      (0 until folds).map(f => foldCol =!= f), iters, lr)
+  }
+
+  /** The general masked-subset kernel behind [[fitLogisticCV]]: fits one
+    * model per row MASK in the passes of ONE fit — every GD step is ONE
+    * aggregate computing all masks' gradients as conditional averages,
+    * and the standardization stats job is fused the same way. Per-mask
+    * math equals filtering first up to ~1 ulp (a NULL mask excludes the
+    * row; TrainerSpec pins 1e-12 agreement). CV is the
+    * `fold =!= f` instance; sklearn's learning_curve (nested train
+    * sizes) is the `bucket < t` instance. At 100 TB: k masks cost the
+    * scans of one fit.
+    */
+  def fitLogisticMasked(train: DataFrame, features: Seq[String], label: Column,
+      masks: Seq[Column], iters: Int = 20, lr: Double = 0.5)
+      : Seq[LogisticModel] = {
+    require(masks.nonEmpty, "fitLogisticMasked: masks must be non-empty")
+    require(iters >= 1, s"fitLogisticMasked: iters must be >= 1, got $iters")
     val d = features.size
-    def inFold(f: Int): Column = foldCol =!= f
-    // fused per-fold standardization moments: one pass, folds × 2d aggs
-    val statAggs = (0 until folds).flatMap { f =>
+    val k = masks.size
+    // fused per-mask standardization moments: one pass, masks × 2d aggs
+    val statAggs = masks.zipWithIndex.flatMap { case (mk, j) =>
       features.flatMap { c =>
-        Seq(avg(when(inFold(f), col(c).cast("double"))).as(s"m_${f}_$c"),
-          stddev_pop(when(inFold(f), col(c).cast("double"))).as(s"s_${f}_$c"))
+        Seq(avg(when(mk, col(c).cast("double"))).as(s"m_${j}_$c"),
+          stddev_pop(when(mk, col(c).cast("double"))).as(s"s_${j}_$c"))
       }
     }
     val st = train.agg(statAggs.head, statAggs.tail: _*).head()
-    val means = Array.tabulate(folds, d) { (f, i) =>
-      Option(st.get(2 * (f * d + i))).map(_.asInstanceOf[Double]).getOrElse(0.0) }
-    val stds = Array.tabulate(folds, d) { (f, i) =>
-      val s = Option(st.get(2 * (f * d + i) + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val means = Array.tabulate(k, d) { (j, i) =>
+      Option(st.get(2 * (j * d + i))).map(_.asInstanceOf[Double]).getOrElse(0.0) }
+    val stds = Array.tabulate(k, d) { (j, i) =>
+      val s = Option(st.get(2 * (j * d + i) + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       if (s > 0.0) s else 1.0
     }
-    // one cached projection carries every fold's standardized view: the
-    // raw doubles + the fold id (folds × d pre-standardized columns would
-    // also work but widens the cache; standardize in the aggregate)
+    // one cached projection carries every mask's standardized view: the
+    // raw doubles + the mask booleans (masks × d pre-standardized columns
+    // would also work but widens the cache; standardize in the aggregate)
     val data = train.select(
-      label.cast("double").as("__y") +: foldCol.as("__fold") +:
-        features.zipWithIndex.map { case (c, i) =>
-          col(c).cast("double").as(s"__r$i") }: _*)
+      label.cast("double").as("__y") +:
+        (masks.zipWithIndex.map { case (mk, j) => mk.as(s"__m$j") } ++
+          features.zipWithIndex.map { case (c, i) =>
+            col(c).cast("double").as(s"__r$i") }): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val w = Array.fill(folds, d)(0.0)
-      val b = Array.fill(folds)(0.0)
+      val w = Array.fill(k, d)(0.0)
+      val b = Array.fill(k)(0.0)
       for (_ <- 1 to iters) {
-        val gAggs = (0 until folds).flatMap { f =>
-          def x(i: Int) = (col(s"__r$i") - lit(means(f)(i))) / lit(stds(f)(i))
-          val margin = (0 until d).map(i => x(i) * lit(w(f)(i)))
-            .foldLeft(lit(b(f)))(_ + _)
+        val gAggs = (0 until k).flatMap { j =>
+          def x(i: Int) = (col(s"__r$i") - lit(means(j)(i))) / lit(stds(j)(i))
+          val margin = (0 until d).map(i => x(i) * lit(w(j)(i)))
+            .foldLeft(lit(b(j)))(_ + _)
           val err = lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y")
           (0 until d).map(i =>
-            avg(when(col("__fold") =!= f, err * x(i))).as(s"g_${f}_$i")) :+
-            avg(when(col("__fold") =!= f, err)).as(s"gb_$f")
+            avg(when(col(s"__m$j"), err * x(i))).as(s"g_${j}_$i")) :+
+            avg(when(col(s"__m$j"), err)).as(s"gb_$j")
         }
         val g = data.agg(gAggs.head, gAggs.tail: _*).head()
-        for (f <- 0 until folds) {
-          for (i <- 0 until d) w(f)(i) -= lr * g.getDouble(f * (d + 1) + i)
-          b(f) -= lr * g.getDouble(f * (d + 1) + d)
+        for (j <- 0 until k) {
+          for (i <- 0 until d) w(j)(i) -= lr * g.getDouble(j * (d + 1) + i)
+          b(j) -= lr * g.getDouble(j * (d + 1) + d)
         }
       }
-      (0 until folds).map(f => LogisticModel(features,
-        means(f).toSeq, stds(f).toSeq, w(f).toSeq, b(f), iters, lr))
+      (0 until k).map(j => LogisticModel(features,
+        means(j).toSeq, stds(j).toSeq, w(j).toSeq, b(j), iters, lr))
     } finally data.unpersist()
   }
 

@@ -137,4 +137,46 @@ class TrainerSpec extends AnyFunSuite {
         Seq(Trainer.LinearMember.Logistic), iters = 0)
     }
   }
+
+  // conditional (when(mask, ...)) and filtered-frame aggregation agree to
+  // ~1 ulp, not bit-exactly (Spark's plan shape perturbs double summation
+  // order) — the oracle gate's 4dp rounding absorbs this; the spec pins
+  // the same contract at 1e-12
+  private def close(a: Trainer.LogisticModel, b: Trainer.LogisticModel): Unit = {
+    assert(a.features == b.features && a.iters == b.iters && a.lr == b.lr)
+    def eps(x: Double, y: Double) =
+      assert(math.abs(x - y) <= 1e-12 * math.max(1.0, math.max(math.abs(x), math.abs(y))),
+        s"$x vs $y in\n$a\n$b")
+    a.means.zip(b.means).foreach((eps _).tupled)
+    a.stds.zip(b.stds).foreach((eps _).tupled)
+    a.weights.zip(b.weights).foreach((eps _).tupled)
+    eps(a.intercept, b.intercept)
+  }
+
+  test("fitLogisticMasked: each mask's model equals the solo fit on the filtered slice (1e-12)") {
+    val f = fixture.withColumn("half", (col("x2") > 0).cast("boolean"))
+    val masks = Seq(col("half"), lit(true))
+    val fused = Trainer.fitLogisticMasked(f, Seq("x1", "x2"), col("y"),
+      masks, iters = 8, lr = 0.5)
+    close(fused(0), Trainer.fitLogistic(f.where(col("half")), Seq("x1", "x2"),
+      col("y"), iters = 8, lr = 0.5))
+    close(fused(1), Trainer.fitLogistic(f, Seq("x1", "x2"), col("y"),
+      iters = 8, lr = 0.5))
+  }
+
+  test("fitLogisticCV delegates to the masked kernel: per-fold models equal solo fits on the complement (1e-12)") {
+    val f = fixture.withColumn("fold", (col("x2").cast("int") % 2 + 2) % 2)
+    val cv = Trainer.fitLogisticCV(f, Seq("x1", "x2"), col("y"),
+      col("fold"), folds = 2, iters = 5, lr = 0.5)
+    (0 until 2).foreach { k =>
+      close(cv(k), Trainer.fitLogistic(f.where(col("fold") =!= k),
+        Seq("x1", "x2"), col("y"), iters = 5, lr = 0.5))
+    }
+  }
+
+  test("fitLogisticMasked: empty masks are refused") {
+    intercept[IllegalArgumentException] {
+      Trainer.fitLogisticMasked(fixture, Seq("x1"), col("y"), Seq.empty)
+    }
+  }
 }
