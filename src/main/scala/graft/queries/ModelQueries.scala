@@ -1630,6 +1630,56 @@ FROM events"""
           (p0 * s0 + p1 * s1) / n, (r0 * s0 + r1 * s1) / n,
           (f1Of(p0, r0) * s0 + f1Of(p1, r1) * s1) / n, n))
     },
+    // sklearn permutation_importance twin (model-agnostic importances
+    // next to the reference's tree importances, `advanced_models.py`'s
+    // feature_importance surface): the held-out 20% is deterministically
+    // "shuffled" by a CYCLIC SHIFT in salted-md5 order — row at rank r
+    // takes feature values from rank r%n+1, a fixed-point-free
+    // permutation with zero RNG state, so both engines replay it — and
+    // each feature's importance is the held-out AUC drop when ONLY that
+    // feature is permuted. Scale shape: one GlobalOrder rank + ONE
+    // rank-shift equi-join produces every feature's donor values
+    // simultaneously; each variant is then a curve-sized AUC read of the
+    // same localCheckpointed frame.
+    "q238_permutation_importance" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+      val train = f.where(col("event_id") % 5 =!= 0)
+      val m = graft.scoring.Trainer.fitLogistic(train, feats, col("y"),
+        iters = 6, lr = 0.5)
+      val held = f.where(col("event_id") % 5 === 0)
+        .select(col("event_id") +: col("y") +: feats.map(col): _*)
+      val h = conv(substring(md5(concat(lit("perm:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val ranked = graft.ops.GlobalOrder.withCumSums(
+        held.withColumn("__h", h),
+        Seq(col("__h").asc, col("event_id").asc), Seq((lit(1L), "__rk")))
+      val donor = ranked.select(col("__rk").as("__dk"),
+        col("value").as("pv"), col("hb").as("ph"), col("dowi").as("pd"))
+      val n = held.count()
+      val pm = ranked.withColumn("__dk", col("__rk") % n + 1L)
+        .join(donor, "__dk")
+        .localCheckpoint() // base + 3 permuted AUC variants re-read it
+      val nTest = pm.agg(count(lit(1)).as("n_test"))
+      val baseAuc = graft.feedback.Drift.auc(
+          pm.select(col("y"), graft.scoring.Trainer.margin(m).as("margin")),
+          col("y") === 1L, col("margin"))
+        .select(r6(col("auc")).as("auc_base")).crossJoin(nTest)
+      val variants = Seq(
+        ("value", pm.select(col("y"), col("pv").as("value"), col("hb"), col("dowi"))),
+        ("hb", pm.select(col("y"), col("value"), col("ph").as("hb"), col("dowi"))),
+        ("dowi", pm.select(col("y"), col("value"), col("hb"), col("pd").as("dowi"))))
+      variants.map { case (name, v) =>
+        graft.feedback.Drift.auc(
+            v.select(col("y"), graft.scoring.Trainer.margin(m).as("margin")),
+            col("y") === 1L, col("margin"))
+          .select(r6(col("auc")).as("auc_perm"))
+          .crossJoin(broadcast(baseAuc))
+          .select(lit(name).as("feature"), col("n_test"), col("auc_base"),
+            col("auc_perm"),
+            r6(col("auc_base") - col("auc_perm")).as("importance"))
+      }.reduce(_.unionByName(_))
+    },
     // sklearn learning_curve twin (the diagnostic the reference's
     // notebook runs next to its CV scores — model-zoo training with
     // scan-efficient size sweeps): nested train subsets at 25/50/75/100%
@@ -4417,6 +4467,67 @@ SELECT 'weighted avg', round((p0*s0 + p1*s1)/n + 5e-11, 4),
   round((r0*s0 + r1*s1)/n + 5e-11, 4),
   round((f10*s0 + f11*s1)/n + 5e-11, 4), CAST(n AS BIGINT),
   round(acc + 5e-11, 4) FROM m2"""
+    },
+    "q238_permutation_importance" -> {
+      // GD-chain replay on the train slice -> md5-order cyclic-shift
+      // donor join -> baseline + one-feature-permuted midrank AUC each
+      val idx = 0 until 3
+      val statSel = idx.map(i =>
+        s"avg(x$i) AS m$i, coalesce(nullif(stddev_pop(x$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      def marginOf(v: String, h: String, dw: String) =
+        s"i6.b + i6.w0*(($v - s.m0)/s.s0) + i6.w1*(($h - s.m1)/s.s1) + i6.w2*(($dw - s.m2)/s.s2)"
+      val gd = (1 to 6).map { k =>
+        val p = "1.0/(1.0 + exp(-(i.b + i.w0 * d.x0 + i.w1 * d.x1 + i.w2 * d.x2)))"
+        val upd = idx.map(i =>
+          s"i.w$i - 0.5*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+          s",\n    i.b - 0.5*avg($p - d.y) AS b"
+        s"i$k AS MATERIALIZED (SELECT $upd\n  FROM dtr d, i${k - 1} i GROUP BY i.w0, i.w1, i.w2, i.b)"
+      }.mkString(",\n")
+      def aucBlock(tag: String, src: String): String =
+        s"""r_$tag AS (SELECT y, rank() OVER (ORDER BY sv) + (count(*) OVER (PARTITION BY sv) - 1)/2.0 AS midrank FROM $src),
+a_$tag AS (SELECT
+    CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+      (sum(CASE WHEN y = 1.0 THEN midrank END) - sum(y)*(sum(y) + 1)/2.0) / (sum(y)*(count(*) - sum(y)))
+    END AS auc
+  FROM r_$tag)"""
+      def row(name: String, tag: String): String =
+        s"""SELECT '$name' AS feature, nn.n AS n_test,
+  round(a_b.auc + 5e-11, 4) AS auc_base, round(a_$tag.auc + 5e-11, 4) AS auc_perm,
+  round(round(a_b.auc + 5e-11, 4) - round(a_$tag.auc + 5e-11, 4) + 5e-11, 4) AS importance
+FROM nn, a_b, a_$tag"""
+      s"""WITH f AS ($featSql),
+tr AS (SELECT CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1,
+  CAST(dowi AS DOUBLE) AS x2, CAST(y AS DOUBLE) AS y
+  FROM f WHERE event_id % 5 <> 0),
+s AS MATERIALIZED (SELECT $statSel FROM tr),
+dtr AS MATERIALIZED (SELECT (x0 - m0)/s0 AS x0, (x1 - m1)/s1 AS x1, (x2 - m2)/s2 AS x2, y FROM tr, s),
+i0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+$gd,
+held AS MATERIALIZED (SELECT event_id, CAST(y AS DOUBLE) AS y,
+  CAST(value AS DOUBLE) AS value, CAST(hb AS DOUBLE) AS hb,
+  CAST(dowi AS DOUBLE) AS dowi
+  FROM f WHERE event_id % 5 = 0),
+rkt AS MATERIALIZED (SELECT *, row_number() OVER (
+    ORDER BY ('0x' || substr(md5('perm:' || event_id), 1, 8))::UBIGINT,
+      event_id) AS r FROM held),
+nn AS (SELECT count(*) AS n FROM rkt),
+pm AS MATERIALIZED (
+  SELECT a.y, a.value, a.hb, a.dowi, b.value AS pv, b.hb AS ph, b.dowi AS pd
+  FROM rkt a CROSS JOIN nn JOIN rkt b ON b.r = a.r % nn.n + 1),
+scb AS (SELECT d.y, ${marginOf("d.value", "d.hb", "d.dowi")} AS sv FROM pm d, i6, s),
+scv AS (SELECT d.y, ${marginOf("d.pv", "d.hb", "d.dowi")} AS sv FROM pm d, i6, s),
+sch AS (SELECT d.y, ${marginOf("d.value", "d.ph", "d.dowi")} AS sv FROM pm d, i6, s),
+scw AS (SELECT d.y, ${marginOf("d.value", "d.hb", "d.pd")} AS sv FROM pm d, i6, s),
+${aucBlock("b", "scb")},
+${aucBlock("v", "scv")},
+${aucBlock("h", "sch")},
+${aucBlock("w", "scw")}
+${row("value", "v")}
+UNION ALL
+${row("hb", "h")}
+UNION ALL
+${row("dowi", "w")}"""
     },
     "q237_learning_curve" -> {
       // nested md5-prefix train subsets -> one unrolled-GD chain per
