@@ -1630,6 +1630,47 @@ FROM events"""
           (p0 * s0 + p1 * s1) / n, (r0 * s0 + r1 * s1) / n,
           (f1Of(p0, r0) * s0 + f1Of(p1, r1) * s1) / n, n))
     },
+    // sklearn partial_dependence twin (inspection surface next to the
+    // reference's SHAP/LIME explainers, `explainability/
+    // shap_explainer.py`): PDP of the q185 exact depth-2 CART's leaf
+    // positive-rate, method='brute' semantics — pd(g=v) = mean over the
+    // WHOLE population of the tree evaluated with feature g forced to v.
+    // Grid = the full small domains for hb (0-23) and dowi (0-6) plus
+    // the 4dp-rounded exact deciles of `value` (`percentile` ==
+    // quantile_cont, the q42 contract). Scale shape: the tree is
+    // literals, so ALL 40 grid cells are conditional averages in ONE
+    // population pass — no grid×population row blowup.
+    "q239_partial_dependence" -> { (s, dir) =>
+      import s.implicits._
+      val feats = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir).localCheckpoint() // fit + decile + PDP passes
+      val m = graft.scoring.Trees.fitDepth2(f, feats, col("y"))
+      val dec = f.agg(expr(
+        "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("p")).head().getSeq[Double](0)
+      val grid: Seq[(String, Double)] =
+        dec.map(v => "value" -> KMeansOps.r6d(v)) ++
+          (0 to 23).map(h => "hb" -> h.toDouble) ++
+          (0 to 6).map(d0 => "dowi" -> d0.toDouble)
+      def forced(g: String, v: Double, feat: String): Column =
+        if (feat == g) lit(v) else col(feat).cast("double")
+      def rate(pos: Long, n: Long): Double = pos.toDouble / n
+      def leafProba(g: String, v: Double): Column =
+        when(forced(g, v, m.root.feature) <= m.root.threshold,
+          when(forced(g, v, m.left.feature) <= m.left.threshold,
+            lit(rate(m.left.posLeft, m.left.nLeft)))
+            .otherwise(lit(rate(m.left.posRight, m.left.nRight))))
+          .otherwise(
+            when(forced(g, v, m.right.feature) <= m.right.threshold,
+              lit(rate(m.right.posLeft, m.right.nLeft)))
+              .otherwise(lit(rate(m.right.posRight, m.right.nRight))))
+      val aggs = grid.zipWithIndex.map { case ((g, v), i) =>
+        avg(leafProba(g, v)).as(s"pd_$i") }
+      val row = f.agg(aggs.head, aggs.tail: _*).head()
+      grid.zipWithIndex.map { case ((g, v), i) =>
+        (g, v, KMeansOps.r6d(row.getDouble(i)))
+      }.toDF("feature", "grid_value", "pd")
+    },
     // sklearn permutation_importance twin (model-agnostic importances
     // next to the reference's tree importances, `advanced_models.py`'s
     // feature_importance surface): the held-out 20% is deterministically
@@ -4467,6 +4508,64 @@ SELECT 'weighted avg', round((p0*s0 + p1*s1)/n + 5e-11, 4),
   round((r0*s0 + r1*s1)/n + 5e-11, 4),
   round((f10*s0 + f11*s1)/n + 5e-11, 4), CAST(n AS BIGINT),
   round(acc + 5e-11, 4) FROM m2"""
+    },
+    "q239_partial_dependence" -> {
+      // q185 tree replay (root/bestl/bestr argmin CTEs) -> grid CTE
+      // (static hb/dowi domains + rounded quantile_cont deciles) ->
+      // grid × population average of the leaf rate with the grid
+      // feature forced
+      val fs = Seq("value", "hb", "dowi")
+      def bestOf(src: String, name: String) =
+        s"""$name AS MATERIALIZED (
+  SELECT feature, threshold, round(gini + 5e-11, 4) AS gini,
+    n_left, pos_left, n_right, pos_right
+  FROM $src ORDER BY round(gini + 5e-11, 4), feature, threshold LIMIT 1)"""
+      // feature value of node's split feature, with the grid feature
+      // forced to g.v (the interventional substitution)
+      def fx(node: String) =
+        s"""(CASE $node.feature
+    WHEN 'value' THEN (CASE WHEN g.feature = 'value' THEN g.v ELSE CAST(f.value AS DOUBLE) END)
+    WHEN 'hb' THEN (CASE WHEN g.feature = 'hb' THEN g.v ELSE CAST(f.hb AS DOUBLE) END)
+    ELSE (CASE WHEN g.feature = 'dowi' THEN g.v ELSE CAST(f.dowi AS DOUBLE) END) END)"""
+      val sideExpr = """(CASE root.feature
+    WHEN 'value' THEN CAST(f.value AS DOUBLE)
+    WHEN 'hb' THEN CAST(f.hb AS DOUBLE)
+    ELSE CAST(f.dowi AS DOUBLE) END)"""
+      val decSel = (1 to 9).map(i =>
+        s"round(quantile_cont(value, 0.$i) + 5e-11, 4) AS q$i").mkString(",\n    ")
+      val gridRows =
+        (1 to 9).map(i => s"SELECT 'value' AS feature, q$i AS v FROM dq") ++
+          (0 to 23).map(h => s"SELECT 'hb', $h.0") ++
+          (0 to 6).map(d0 => s"SELECT 'dowi', $d0.0")
+      s"""WITH f AS MATERIALIZED ($featSql),
+${fs.map(f => stumpCand(f)).mkString(",\n")},
+allc AS (${fs.map(f => s"SELECT * FROM cand_$f").mkString(" UNION ALL ")}),
+${bestOf("allc", "root")},
+fl AS MATERIALIZED (SELECT f.* FROM f, root WHERE $sideExpr <= root.threshold),
+fr AS MATERIALIZED (SELECT f.* FROM f, root WHERE $sideExpr > root.threshold),
+${fs.map(f => stumpCand(f, "fl", s"candl_$f")).mkString(",\n")},
+alll AS (${fs.map(f => s"SELECT * FROM candl_$f").mkString(" UNION ALL ")}),
+${bestOf("alll", "bestl")},
+${fs.map(f => stumpCand(f, "fr", s"candr_$f")).mkString(",\n")},
+allr AS (${fs.map(f => s"SELECT * FROM candr_$f").mkString(" UNION ALL ")}),
+${bestOf("allr", "bestr")},
+dq AS (SELECT $decSel FROM f),
+grid AS MATERIALIZED (
+${gridRows.mkString("\nUNION ALL\n")}),
+pd0 AS (
+  SELECT g.feature, g.v,
+    avg(CASE WHEN ${fx("root")} <= root.threshold THEN
+        CASE WHEN ${fx("bestl")} <= bestl.threshold
+          THEN CAST(bestl.pos_left AS DOUBLE)/bestl.n_left
+          ELSE CAST(bestl.pos_right AS DOUBLE)/bestl.n_right END
+      ELSE
+        CASE WHEN ${fx("bestr")} <= bestr.threshold
+          THEN CAST(bestr.pos_left AS DOUBLE)/bestr.n_left
+          ELSE CAST(bestr.pos_right AS DOUBLE)/bestr.n_right END
+      END) AS pd
+  FROM f CROSS JOIN grid g CROSS JOIN root CROSS JOIN bestl CROSS JOIN bestr
+  GROUP BY 1, 2)
+SELECT feature, v AS grid_value, round(pd + 5e-11, 4) AS pd FROM pd0"""
     },
     "q238_permutation_importance" -> {
       // GD-chain replay on the train slice -> md5-order cyclic-shift
