@@ -40,6 +40,22 @@ sig AS (SELECT doc_id,
     "q28_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
     },
+    // exact duplicate-SPAN dedup (the C4/RefinedWeb exact-substring pass
+    // next to the fuzzy MinHash family, C4's any-repeat rule at k=8
+    // tokens): per doc, how many positional 8-gram spans repeat anywhere
+    // in the corpus and how many tokens sit under at least one such span
+    // (exact interval union); dup_frac is the per-doc duplicated-token
+    // share a cleaning pass would remove. One corpus-wide exchange (the
+    // span-count aggregation), no all-pairs joins.
+    "q240_dup_spans" -> { (s, dir) =>
+      Dedup.duplicateSpanReport(Tables.documents(s, dir), col("doc_id"),
+          col("text"), k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_dup_spans"), col("covered_tokens"),
+          r6(when(col("n_tokens") > 0,
+            col("covered_tokens").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0))).as("dup_frac"))
+    },
     // per-source quality caps (RefinedWeb-style curation): keep the top-k
     // highest-quality docs per source, report the kept/total mass and
     // quality lift per source. Ranking is one window PARTITIONED BY
@@ -862,6 +878,37 @@ FROM r GROUP BY 1""",
   count(*) OVER (PARTITION BY md5(text)) AS dup_count,
   substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
 FROM documents""",
+    // positional 8-gram spans -> global span counts -> duplicated spans
+    // joined back -> per-doc interval-union coverage via the running
+    // max-end window (same integer arithmetic as the engine)
+    "q240_dup_spans" ->
+      """WITH b AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+bn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM b),
+sp AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+    array_to_string(toks[i:i+7], ' ') AS span
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        FROM bn WHERE len(toks) >= 8)),
+c AS (SELECT span, count(*) AS c FROM sp GROUP BY 1),
+dup AS (SELECT sp.doc_id, sp.pos FROM sp JOIN c ON sp.span = c.span WHERE c.c > 1),
+cv AS (
+  SELECT doc_id,
+    greatest(0, (pos + 8) - greatest(pos,
+      coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS contrib
+  FROM dup),
+pd AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered_tokens,
+    count(*) AS n_dup_spans
+  FROM cv GROUP BY 1)
+SELECT bn.doc_id, bn.n_tokens,
+  greatest(bn.n_tokens - 7, 0) AS n_spans,
+  coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+  coalesce(pd.covered_tokens, 0) AS covered_tokens,
+  round(CASE WHEN bn.n_tokens > 0
+    THEN CAST(coalesce(pd.covered_tokens, 0) AS DOUBLE)/bn.n_tokens
+    ELSE 0.0 END + 5e-11, 4) AS dup_frac
+FROM bn LEFT JOIN pd ON bn.doc_id = pd.doc_id""",
     "q29_text_stats" ->
       """WITH b AS (
   SELECT doc_id, text,

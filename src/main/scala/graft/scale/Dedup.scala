@@ -32,6 +32,55 @@ object Dedup {
       TextOps.fingerprint(text).as("fingerprint"))
   }
 
+  /** Exact duplicate-SPAN report — the C4/RefinedWeb "exact substring
+    * dedup" pass next to the fuzzy (MinHash) family: every POSITIONAL
+    * k-token span is counted across the whole corpus (within-doc repeats
+    * included — C4's any-repeat rule); a span whose text occurs more
+    * than once anywhere is duplicated, and each doc reports how many of
+    * its tokens sit under at least one duplicated span. Coverage is an
+    * exact interval union: per doc, spans sorted by position, each
+    * contributing its end minus the farthest end already covered
+    * (clamped at its own start) — pure integer window arithmetic.
+    *
+    * Columns: doc_id, n_tokens, n_spans, n_dup_spans, covered_tokens.
+    * The reference has no exact-substring stage (engine extension for
+    * the pretraining pipeline).
+    *
+    * Scale shape: one narrow positional-shingle explode, ONE hash
+    * aggregation on the span text, one equi-join back on the span, and
+    * a per-doc window (documents are bounded, so the partition is too).
+    * No all-pairs joins; the span-count aggregation is the only
+    * corpus-wide exchange.
+    */
+  def duplicateSpanReport(docs: DataFrame, id: Column, text: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"duplicateSpanReport: k must be >= 2, got $k")
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    val base = docs.select(id.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+    val spans = base.where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => array_join(slice(col("toks"), i, lit(k)), " "))))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("span"))
+    val counts = spans.groupBy(col("span")).agg(count(lit(1)).as("__c"))
+    val dup = spans.join(counts.where(col("__c") > 1), "span")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = greatest(lit(0L), (col("pos") + lit(k.toLong)) -
+      greatest(col("pos"), coalesce(max(col("pos") + lit(k.toLong)).over(w), lit(0L))))
+    val perDoc = dup.select(col("doc_id"), contrib.as("__cv"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cv")).as("__covered"), count(lit(1)).as("__ndup"))
+    base.drop("toks").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_spans"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("__covered"), lit(0L)).as("covered_tokens"))
+  }
+
   /** Distinct lowercase word `n`-gram shingles per doc: (doc_id, shingle).
     * Docs with fewer than n tokens contribute no shingles.
     *

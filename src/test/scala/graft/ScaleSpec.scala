@@ -468,6 +468,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(ms.map(_.vocabAfter) == Seq(4L, 5L, 5L), ms.toString)
   }
 
+  test("duplicateSpanReport: hand-computed interval unions incl. overlap, within-doc repeats and short docs") {
+    val docs = Seq(
+      // "a b c d e f g h" repeats WITHIN the doc (pos 0 and 11):
+      // union [0,8) ∪ [11,19) = 16 covered of 20
+      (1L, "a b c d e f g h x y z a b c d e f g h q"),
+      // self-overlapping repeats: spans at pos 0,1,9,10 all duplicated,
+      // union covers every one of the 18 tokens
+      (2L, "p q r s t u v w x p q r s t u v w x"),
+      // unique 9-token doc: 2 spans, none duplicated
+      (3L, "one two three four five six seven eight nine"),
+      // short doc: no spans at all
+      (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanReport(docs, col("doc_id"), col("text"), k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((20L, 13L, 2L, 16L)), s"doc1 ${out(1L)}")
+    assert(out(2L) == ((18L, 11L, 4L, 18L)), s"doc2 ${out(2L)}")
+    assert(out(3L) == ((9L, 2L, 0L, 0L)), s"doc3 ${out(3L)}")
+    assert(out(4L) == ((3L, 0L, 0L, 0L)), s"doc4 ${out(4L)}")
+  }
+
   test("Splits.bucketLocal equals the bucket column for every salt/id/n tried") {
     // the driver-side md5 draw (hyperparameter sampling, q207) must
     // agree with the distributed expression the oracle replays
