@@ -139,8 +139,12 @@ FROM events"""
     // stays O(rounds); each stage's scoring is a literal CASE chain
     // over the validation slice.
     "q191_boosting_validation" -> { (s, dir) =>
-      val f = eventFeatures(s, dir)
-        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "gbval", 5))
+      // stratified fold-0 hold-out (train_test_split(..., stratify=y),
+      // models/advanced_models.py:384) — the q232 machinery, not the
+      // plain md5 bucket, so train/valid carry the class ratio exactly
+      val f = graft.scale.Splits.stratifiedKfold(eventFeatures(s, dir),
+          col("event_id"), col("y"), k = 5, salt = "gbval")
+        .withColumnRenamed("fold", "vb5")
         .localCheckpoint() // read 3x/round for the fit + staged scoring
       val train = f.where(col("vb5") =!= 0)
       val valid = f.where(col("vb5") === 0)
@@ -291,8 +295,10 @@ FROM events"""
     // validation slice plus the shared mid-rank AUC pass.
     "q194_model_leaderboard" -> { (s, dir) =>
       val sF = Seq("value", "hb", "dowi")
-      val f = eventFeatures(s, dir)
-        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "lead", 5))
+      // stratified fold-0 hold-out (stratify=y, the q232 machinery)
+      val f = graft.scale.Splits.stratifiedKfold(eventFeatures(s, dir),
+          col("event_id"), col("y"), k = 5, salt = "lead")
+        .withColumnRenamed("fold", "vb5")
         .localCheckpoint() // four fits + four scoring passes read it
       val train = f.where(col("vb5") =!= 0)
       val valid = f.where(col("vb5") === 0)
@@ -1111,8 +1117,10 @@ FROM events"""
     // + weighted err + vote alpha + staged train/held-out error.
     "q216_adaboost" -> { (s, dir) =>
       val feats = Seq("value", "hb", "dowi")
-      val f = eventFeatures(s, dir)
-        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "abval", 5))
+      // stratified fold-0 hold-out (stratify=y, the q232 machinery)
+      val f = graft.scale.Splits.stratifiedKfold(eventFeatures(s, dir),
+          col("event_id"), col("y"), k = 5, salt = "abval")
+        .withColumnRenamed("fold", "vb5")
         .localCheckpoint() // read once per boosting round + 2 staged scans
       val train = f.where(col("vb5") =!= 0)
       val valid = f.where(col("vb5") === 0)
@@ -1191,8 +1199,10 @@ FROM events"""
     // chains end-to-end — the full prepare→fit→evaluate composition.
     "q220_smote_train" -> { (s, dir) =>
       val feats = Seq("value", "hb", "dowi")
-      val f = eventFeatures(s, dir)
-        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "smtr", 5))
+      // stratified fold-0 hold-out (stratify=y, the q232 machinery)
+      val f = graft.scale.Splits.stratifiedKfold(eventFeatures(s, dir),
+          col("event_id"), col("y"), k = 5, salt = "smtr")
+        .withColumnRenamed("fold", "vb5")
         .localCheckpoint() // counts + smote + 2 fits + metric reads
       val train = f.where(col("vb5") =!= 0)
       val valid = f.where(col("vb5") === 0)
@@ -1648,10 +1658,13 @@ FROM events"""
       val dec = f.agg(expr(
         "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
         .as("p")).head().getSeq[Double](0)
+      // distinct: adjacent deciles of a skewed `value` can tie after
+      // rounding; the oracle's GROUP BY (feature, v) collapses them, so
+      // the engine grid must too
       val grid: Seq[(String, Double)] =
-        dec.map(v => "value" -> KMeansOps.r6d(v)) ++
+        (dec.map(v => "value" -> KMeansOps.r6d(v)) ++
           (0 to 23).map(h => "hb" -> h.toDouble) ++
-          (0 to 6).map(d0 => "dowi" -> d0.toDouble)
+          (0 to 6).map(d0 => "dowi" -> d0.toDouble)).distinct
       def forced(g: String, v: Double, feat: String): Column =
         if (feat == g) lit(v) else col(feat).cast("double")
       def rate(pos: Long, n: Long): Double = pos.toDouble / n
@@ -2920,7 +2933,9 @@ cm_$name AS (SELECT count(*) AS n_val,
 FROM cm_$name, au_$name"""
       s"""WITH fb AS MATERIALIZED (
   SELECT e.*, CAST(value AS DOUBLE) AS x0, CAST(hb AS DOUBLE) AS x1, CAST(dowi AS DOUBLE) AS x2,
-    ('0x' || substr(md5('lead:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+    (row_number() OVER (PARTITION BY y
+      ORDER BY ('0x' || substr(md5('lead:' || event_id), 1, 8))::UBIGINT,
+        event_id) - 1) % 5 AS vb5
   FROM ($featSql) e),
 tr AS MATERIALIZED (SELECT * FROM fb WHERE vb5 <> 0),
 va AS MATERIALIZED (SELECT * FROM fb WHERE vb5 = 0),
@@ -3006,7 +3021,9 @@ ${gbMidrankAuc(t.toString, s"sc$t")}"""
 FROM best$t b$t CROSS JOIN u$t""")
       s"""WITH fb0 AS ($featSql),
 fp AS MATERIALIZED (
-  SELECT *, ('0x' || substr(md5('gbval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  SELECT *, (row_number() OVER (PARTITION BY y
+    ORDER BY ('0x' || substr(md5('gbval:' || event_id), 1, 8))::UBIGINT,
+      event_id) - 1) % 5 AS vb5
   FROM fb0),
 fb AS MATERIALIZED (SELECT * FROM fp WHERE vb5 <> 0),
 vld AS MATERIALIZED (SELECT * FROM fp WHERE vb5 = 0),
@@ -3862,7 +3879,9 @@ FROM ab$t CROSS JOIN abst$t CROSS JOIN absv$t CROSS JOIN abfl
 WHERE ${abKeep(t)}""")
       s"""WITH abf0 AS ($featSql),
 abfp AS MATERIALIZED (
-  SELECT *, ('0x' || substr(md5('abval:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  SELECT *, (row_number() OVER (PARTITION BY y
+    ORDER BY ('0x' || substr(md5('abval:' || event_id), 1, 8))::UBIGINT,
+      event_id) - 1) % 5 AS vb5
   FROM abf0),
 abtr AS MATERIALIZED (SELECT * FROM abfp WHERE vb5 <> 0),
 abvl AS MATERIALIZED (SELECT * FROM abfp WHERE vb5 = 0),
@@ -4437,7 +4456,9 @@ mt_$p AS (SELECT count(*) AS n_val,
 FROM mt_$p mt CROSS JOIN u$p CROSS JOIN i6_$p i"""
       s"""WITH sf AS ($featSql),
 sfp AS MATERIALIZED (
-  SELECT *, ('0x' || substr(md5('smtr:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  SELECT *, (row_number() OVER (PARTITION BY y
+    ORDER BY ('0x' || substr(md5('smtr:' || event_id), 1, 8))::UBIGINT,
+      event_id) - 1) % 5 AS vb5
   FROM sf),
 strn AS MATERIALIZED (SELECT * FROM sfp WHERE vb5 <> 0),
 ${smoteCtes("strn", "smtr")},

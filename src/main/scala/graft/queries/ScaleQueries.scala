@@ -883,7 +883,9 @@ FROM documents""",
     // max-end window (same integer arithmetic as the engine)
     "q240_dup_spans" ->
       """WITH b AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+  SELECT doc_id,
+    coalesce(regexp_extract_all(lower(text), '\S+'), CAST([] AS VARCHAR[])) AS toks
+  FROM documents),
 bn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM b),
 sp AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,

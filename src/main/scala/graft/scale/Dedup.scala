@@ -55,7 +55,10 @@ object Dedup {
   def duplicateSpanReport(docs: DataFrame, id: Column, text: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"duplicateSpanReport: k must be >= 2, got $k")
-    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    // coalesce: a null text must read as 0 tokens (size(null) is -1),
+    // matching the oracle's coalesced token array
+    val toks = coalesce(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),
+      array().cast("array<string>"))
     val base = docs.select(id.as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         col("toks"))

@@ -387,6 +387,34 @@ class DomainSpec extends AnyFunSuite {
     assert(nTest >= 199 && nTest <= 201)
   }
 
+  test("stratified fold-0 hold-out: train/test class ratios identical (±1 row) for every legacy salt") {
+    // the q191/q194/q216/q220 consumers route through fold 0 of the
+    // 5-fold stratified assignment — pin that for each of their salts
+    // the train and test slices carry the SAME class ratio, which the
+    // plain md5 bucket they replaced only approximated
+    val df = (1L to 1000L).map(i => (i, if (i % 43 == 0) 1L else 0L))
+      .toDF("id", "y") // 23 positives, 977 negatives
+    for (salt <- Seq("gbval", "lead", "abval", "smtr")) {
+      val folded = Splits.stratifiedKfold(df, col("id"), col("y"), k = 5,
+        salt = salt)
+      val m = folded.withColumn("split",
+          when(col("fold") === 0, "test").otherwise("train"))
+        .groupBy(col("split"), col("y")).count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val (posT, negT) = (m(("test", 1L)), m(("test", 0L)))
+      val (posR, negR) = (m(("train", 1L)), m(("train", 0L)))
+      // test holds exactly ceil(n_y/5) or floor(n_y/5) of each class
+      assert(posT >= 4L && posT <= 5L, s"$salt: test pos $posT")
+      assert(negT >= 195L && negT <= 196L, s"$salt: test neg $negT")
+      val rT = posT.toDouble / (posT + negT)
+      val rR = posR.toDouble / (posR + negR)
+      // the ±1-row fold granularity bounds the drift at ~1.25/n_test;
+      // a plain md5 bucket has no such bound (binomial, ~3/n_test sd)
+      assert(math.abs(rT - rR) < 1.3 / (posT + negT),
+        s"$salt: ratios $rT vs $rR")
+    }
+  }
+
   test("ip churn: alternation counts every switch, distinct count stays small") {
     val tx = Seq(
       (1L, 1L, "a", 0L), (1L, 2L, "b", 10L), (1L, 3L, "a", 20L), (1L, 4L, "b", 30L),
