@@ -1836,6 +1836,30 @@ FROM events"""
           r6(lit(m.weights.head)).as("a"), r6(lit(m.intercept)).as("b"),
           col("brier_raw"), col("brier_cal"))
     },
+    // the SERVED calibrated-probability column, gated end-to-end (the
+    // reference's /predict risk_score, api/main.py:106-145): NB fit via
+    // the COLLECTED literal-chain model (Models.fitNaiveBayes — the same
+    // scorer the streaming path serves, bit-identical to the join form),
+    // Platt calibrator on the q235 cal slice, then every evaluation-
+    // slice event's raw + calibrated posterior. Scale shape: model-sized
+    // collects only (≤ dozens of likelihood rows/feature), then pure
+    // literal projections over the held slice.
+    "q241_platt_served" -> { (s, dir) =>
+      val fs = Seq("hb", "dowi", "vb")
+      val f = eventFeatures(s, dir)
+      val train = f.where(col("event_id") % 5 =!= 0)
+      val nb = graft.scoring.Models.fitNaiveBayes(train, fs, col("y"))
+      val scored = f.where(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("y"), r6(nb.delta).as("d4"))
+        .localCheckpoint() // calibrator GD passes + the eval projection
+      val cal = scored.where(col("event_id") % 10 === 0)
+      val m = graft.scoring.Trainer.fitLogistic(cal, Seq("d4"), col("y"),
+        iters = 8, lr = 0.5)
+      scored.where(col("event_id") % 10 === 5)
+        .select(col("event_id"), col("y"), col("d4"),
+          r6(lit(1.0) / (lit(1.0) + exp(-col("d4")))).as("p_raw"),
+          r6(graft.scoring.Trainer.probability(m)).as("risk_score"))
+    },
     "q233_calibration" -> { (s, dir) =>
       val fs = Seq("hb", "dowi", "vb")
       val f = eventFeatures(s, dir)
@@ -4803,6 +4827,43 @@ nc AS (SELECT count(*) AS n_cal FROM cal)
 SELECT nc.n_cal, br.n_eval, round(i.w + 5e-11, 4) AS a,
   round(i.b + 5e-11, 4) AS b, br.brier_raw, br.brier_cal
 FROM nc, br, i8 i"""
+    },
+    "q241_platt_served" -> locally {
+      // the q235 replay (NB -> 4dp delta -> cal-slice GD) emitting the
+      // EVAL rows themselves: per event the raw sigmoid posterior and
+      // the Platt-calibrated risk_score the streaming path serves
+      val fs = Seq("hb", "dowi", "vb")
+      val gd = (1 to 8).map { k =>
+        val p = s"1.0/(1.0 + exp(-(i.b + d.x*i.w)))"
+        s"""i$k AS MATERIALIZED (SELECT
+  i.w - 0.5*avg(($p - d.y) * d.x) AS w,
+  i.b - 0.5*avg($p - d.y) AS b
+  FROM dc d, i${k - 1} i GROUP BY i.w, i.b)"""
+      }.mkString(",\n")
+      s"""WITH f AS ($featSql),
+tr AS (SELECT * FROM f WHERE event_id % 5 <> 0),
+te AS (SELECT * FROM f WHERE event_id % 5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${fs.map(nbLike).mkString(",\n")},
+scd AS (
+  SELECT te.event_id, te.y,
+    ln(pr.n1/pr.n0) + ${fs.map(f => nbTerm(f)).mkString("\n      + ")} AS delta
+  FROM te
+  CROSS JOIN pr ${fs.map(f => s"CROSS JOIN k_$f").mkString(" ")}
+  ${fs.map(f => s"LEFT JOIN l_$f ON te.$f = l_$f.v").mkString("\n  ")}),
+sc AS MATERIALIZED (
+  SELECT event_id, CAST(y AS BIGINT) AS y, round(delta + 5e-11, 4) AS d4 FROM scd),
+cal AS MATERIALIZED (SELECT event_id, y::DOUBLE AS y, d4 FROM sc WHERE event_id % 10 = 0),
+s0 AS MATERIALIZED (SELECT avg(d4) AS m,
+  coalesce(nullif(stddev_pop(d4), 0.0), 1.0) AS sd FROM cal),
+dc AS MATERIALIZED (SELECT (d4 - m)/sd AS x, y FROM cal, s0),
+i0 AS (SELECT 0.0 AS w, 0.0 AS b),
+$gd
+SELECT e.event_id, e.y, e.d4,
+  round(1.0/(1.0 + exp(-e.d4)) + 5e-11, 4) AS p_raw,
+  round(1.0/(1.0 + exp(-(i.b + (e.d4 - s.m)/s.sd*i.w))) + 5e-11, 4) AS risk_score
+FROM sc e CROSS JOIN i8 i CROSS JOIN s0 s
+WHERE e.event_id % 10 = 5"""
     },
     "q233_calibration" -> {
       // NB likelihood-table replay (the q167 machinery), then sklearn's

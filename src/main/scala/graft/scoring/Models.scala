@@ -126,6 +126,71 @@ object Models {
           features.flatMap(f => Seq(s"__c1_${f}_$b", s"__c0_${f}_$b", s"__k_${f}_$b"))): _*)
   }
 
+  /** Collected categorical-NB model: the [[naiveBayesDelta]] likelihood
+    * tables pulled to the driver so the log-odds becomes a LITERAL
+    * Column — the servable form every other fitted family already has
+    * (stump/boost/forest CASE chains). `tables(f)` holds one
+    * (value, c1, c0) row per distinct training value of feature `f`;
+    * K_f = tables(f).size is the Laplace denominator.
+    *
+    * The collect is model-sized by contract: features must be
+    * small-cardinality integral buckets (the [[fitNaiveBayes]] cap
+    * rejects anything else), so the model is O(Σ cardinality) rows no
+    * matter how large the training table is.
+    */
+  final case class NbModel(features: Seq[String], n1: Double, n0: Double,
+      tables: Map[String, Seq[(Long, Double, Double)]]) {
+    /** The log-odds delta as a literal CASE chain over the feature
+      * columns — bit-identical to [[naiveBayesDelta]]'s join form (same
+      * doubles through the same JVM `log`/`+` sequence; ModelsSpec pins
+      * exact equality). Stateless: serving appends it to any frame that
+      * carries the feature columns.
+      */
+    def delta: Column = {
+      val terms = features.map { f =>
+        val rows = tables(f)
+        val k = rows.size.toDouble
+        // unseen value: pure-smoothing 1/(n_c+K) — the join form's
+        // coalesce(c, 0)+1 cell
+        val dflt = math.log(1.0 / (n1 + k)) - math.log(1.0 / (n0 + k))
+        rows.foldLeft(lit(dflt)) { case (acc, (v, c1, c0)) =>
+          when(col(f).cast("long") === v,
+            lit(math.log((c1 + 1.0) / (n1 + k)) -
+              math.log((c0 + 1.0) / (n0 + k)))).otherwise(acc)
+        }
+      }
+      terms.foldLeft(lit(math.log(n1 / n0)): Column)(_ + _)
+    }
+  }
+
+  /** Fit the collected form of [[naiveBayesDelta]]'s model: one 1-row
+    * prior aggregate plus one O(cardinality) likelihood collect per
+    * feature. Features must be non-null integral buckets; a feature
+    * whose training cardinality exceeds `maxCardinality` is rejected
+    * (the literal CASE chain — and the broadcast join it replaces —
+    * only makes sense for bucketed columns).
+    */
+  def fitNaiveBayes(train: DataFrame, features: Seq[String], label: Column,
+      maxCardinality: Int = 1024): NbModel = {
+    val y = label.cast("int")
+    val pr = train.agg(sum(y).cast("double").as("n1"),
+      (count(lit(1)) - sum(y)).cast("double").as("n0")).head()
+    val (n1, n0) = (pr.getDouble(0), pr.getDouble(1))
+    val tables = features.map { f =>
+      val rows = train.groupBy(col(f).cast("long").as("v"))
+        .agg(sum(y).cast("double").as("c1"),
+          (count(lit(1)) - sum(y)).cast("double").as("c0"))
+        .orderBy(col("v")).collect()
+      require(rows.length <= maxCardinality,
+        s"fitNaiveBayes: feature $f has ${rows.length} distinct values, " +
+          s"over the $maxCardinality driver-model cap; bucket it first")
+      require(rows.forall(!_.isNullAt(0)),
+        s"fitNaiveBayes: feature $f has null training values")
+      f -> rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    }.toMap
+    NbModel(features, n1, n0, tables)
+  }
+
   /** Exact single-split decision stump (depth-1 CART): evaluates EVERY
     * distinct value of every feature as a `x <= t` threshold and returns
     * the candidate table with weighted Gini impurity — the caller picks

@@ -527,6 +527,46 @@ object StreamingFeatures {
         .col("svm_margin") > 0).cast("long"))
   }
 
+  /** The q235 Platt-calibrated posterior served online — the reference's
+    * `/predict` returns a CALIBRATED-looking `risk_score`
+    * (`api/main.py:106-145`), so the serving path must emit the
+    * calibrator's sigmoid, not the raw NB posterior. The NB features are
+    * the event-level calendar/amount buckets (hb/dowi/vb — the q167/q235
+    * trio), derived statelessly from the emitted `ts_micros`/`amount`,
+    * then: `nb_delta` = the collected model's literal CASE chain
+    * ([[graft.scoring.Models.NbModel.delta]]), `d4` = its 4 dp rounding
+    * (the grain the calibrator was FIT on — q235's contract), and
+    * `risk_score` = σ(a·d4_std + b) through the fitted Platt
+    * [[graft.scoring.Trainer.LogisticModel]]. All literal projections:
+    * no state store, no shuffle beyond the feature processor's own.
+    * Feature presence for both models is rejected at plan-build time.
+    * Batch-vs-stream equality is asserted in StreamingSpec; the batch
+    * twin of the served column is gated end-to-end by q241.
+    */
+  def nbCalibratedScoredFeatures(events: Dataset[StreamTxn],
+      nb: graft.scoring.Models.NbModel,
+      calibrator: graft.scoring.Trainer.LogisticModel)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+    val feats = customerFeatures(events).toDF()
+      .withColumn("hb", hour(timestamp_micros(col("ts_micros"))))
+      .withColumn("dowi", pmod(intDiv(col("ts_micros"), lit(86400000000L)),
+        lit(7L)))
+      .withColumn("vb", least(floor(col("amount") / 100).cast("long"),
+        lit(5L)))
+    val missing = nb.features.filterNot(feats.columns.contains)
+    require(missing.isEmpty,
+      s"nbCalibratedScoredFeatures: NB features absent from the stream: $missing")
+    val withD = feats.withColumn("nb_delta", nb.delta)
+      .withColumn("d4", graft.queries.r6(col("nb_delta")))
+    val calMissing = calibrator.features.filterNot(withD.columns.contains)
+    require(calMissing.isEmpty,
+      s"nbCalibratedScoredFeatures: calibrator features absent: $calMissing")
+    withD.withColumn("risk_score",
+      graft.queries.r6(graft.scoring.Trainer.probability(calibrator)))
+  }
+
   /** The q198 forest served online: vote count + majority flag appended
     * to the feature stream as `trees` literal CASE chains (stateless,
     * sink-side — the same contract as [[boostScoredFeatures]]).

@@ -39,6 +39,32 @@ class ModelsSpec extends AnyFunSuite {
     assert(math.abs(out(0) + out(1)) < 1e-12)
   }
 
+  test("fitNaiveBayes literal chain equals the join-based naiveBayesDelta bitwise") {
+    import spark.implicits._
+    // two features, one value unseen in training (pure-smoothing cell)
+    val train = Seq(
+      (0L, 0L, 0), (0L, 1L, 0), (0L, 1L, 1), (1L, 0L, 1),
+      (1L, 1L, 1), (2L, 0L, 0), (2L, 1L, 0), (1L, 0L, 1)
+    ).toDF("a", "b", "y")
+    val test = Seq((0L, 0L), (1L, 1L), (2L, 0L), (9L, 1L), (0L, 7L))
+      .toDF("a", "b")
+    val m = Models.fitNaiveBayes(train, Seq("a", "b"), col("y"))
+    assert(m.tables("a").size == 3 && m.tables("b").size == 2)
+    // the literal CASE chain and the broadcast-join scorer are the SAME
+    // doubles through the same arithmetic — exact equality, no epsilon
+    val joined = Models.naiveBayesDelta(train, test, Seq("a", "b"), col("y"))
+      .select(col("a"), col("b"), col("delta"))
+    val mismatches = joined.withColumn("lit_delta", m.delta)
+      .where(col("delta") =!= col("lit_delta")).count()
+    assert(mismatches == 0)
+    // cardinality cap: a wide feature is rejected at fit time
+    val wide = (1L to 50L).map(i => (i, i % 2)).toDF("a", "y")
+    val err = intercept[IllegalArgumentException] {
+      Models.fitNaiveBayes(wide, Seq("a"), col("y"), maxCardinality = 10)
+    }
+    assert(err.getMessage.contains("driver-model cap"))
+  }
+
   test("naiveBayesDeltaOof matches three separate leave-one-fold-out fits bit-for-bit") {
     import spark.implicits._
     // two bucketed features, 3 folds, including a value ("b" = 9) that

@@ -647,6 +647,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no_such_feature"))
   }
 
+  test("Platt-calibrated NB posterior serves the stream identically to batch (q235/q241 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+    // batch twin of the served projection: the NB features derived from
+    // the raw event grain (hour / day-index / amount bucket), the
+    // collected literal-chain NB model, the 4dp delta the calibrator is
+    // fit on, and the calibrated risk_score
+    val batchE = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"),
+        unix_micros(col("event_timestamp")).as("ts_micros"), col("amount"))
+      .withColumn("hb", hour(timestamp_micros(col("ts_micros"))))
+      .withColumn("dowi", pmod(intDiv(col("ts_micros"), lit(86400000000L)),
+        lit(7L)))
+      .withColumn("vb", least(floor(col("amount") / 100).cast("long"), lit(5L)))
+    val nb = graft.scoring.Models.fitNaiveBayes(
+      batchE, Seq("hb", "dowi", "vb"), col("amount") > 100)
+    val batchScored = batchE.withColumn("d4", graft.queries.r6(nb.delta))
+    val calib = graft.scoring.Trainer.fitLogistic(
+      batchScored, Seq("d4"), col("amount") > 100, iters = 4, lr = 0.5)
+    val batch = batchScored
+      .withColumn("risk_score",
+        graft.queries.r6(graft.scoring.Trainer.probability(calib)))
+      .select(col("customer_id"), col("ts_micros"), col("d4"), col("risk_score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(_.ts_micros)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val query = StreamingFeatures.nbCalibratedScoredFeatures(input.toDS(), nb, calib)
+      .writeStream.format("memory").queryName("served_platt")
+      .outputMode("append").start()
+    try {
+      input.addData(tx.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val served = spark.table("served_platt")
+    // the emitted columns ARE the contract: d4 is the rounded literal
+    // chain, risk_score is the calibrator's rounded sigmoid over it
+    assert(served.where(col("d4") =!= graft.queries.r6(col("nb_delta"))).count() == 0)
+    assert(served.where(col("risk_score") =!= graft.queries.r6(
+      graft.scoring.Trainer.probability(calib))).count() == 0)
+    val streamed = served
+      .select(col("customer_id"), col("ts_micros"), col("d4"), col("risk_score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(streamed.size == batch.size)
+    val diffs = batch.collect { case (k, v) if streamed.get(k) != Some(v) => k }
+    assert(diffs.isEmpty, s"calibrated score mismatch at ${diffs.take(3)}")
+
+    // plan-build-time gates: NB features and calibrator features must
+    // exist on the (derived) stream schema
+    val badNb = nb.copy(features = Seq("hb", "no_such_bucket"))
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingFeatures.nbCalibratedScoredFeatures(input.toDS(), badNb, calib)
+    }
+    assert(e1.getMessage.contains("no_such_bucket"))
+    val badCal = calib.copy(features = Seq("not_d4"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingFeatures.nbCalibratedScoredFeatures(input.toDS(), nb, badCal)
+    }
+    assert(e2.getMessage.contains("not_d4"))
+  }
+
   test("boosted stump chain scores the streaming feature vector identically to batch") {
     import spark.implicits._
     // the q180/q191 staged model served online: fit the chain on the
