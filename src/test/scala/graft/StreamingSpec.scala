@@ -647,6 +647,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no_such_feature"))
   }
 
+  test("model hot-swap: a version promoted between micro-batches flips scores at the batch boundary") {
+    import spark.implicits._
+    import graft.scoring.{ModelStore, Trainer}
+    import graft.streaming.HotSwapLogistic
+    // the retrainer lifecycle: v1 serves, a new version lands in the
+    // store BETWEEN batches, the NEXT batch scores with it — no restart
+    val feats = Seq("txn_count_1h", "txn_amount_sum_1h")
+    val v1 = Trainer.LogisticModel(feats, Seq(0.0, 0.0), Seq(1.0, 1.0),
+      Seq(0.5, -0.25), 0.1, 1, 0.5)
+    val v2 = v1.copy(weights = Seq(-1.0, 2.0), intercept = -0.4)
+    val store = java.nio.file.Files.createTempDirectory("swapstore")
+      .resolve("models").toString
+    ModelStore.table(spark, ModelStore.logisticRows("fraud_lr", 1L, v1))
+      .write.parquet(store)
+    val swap = new HotSwapLogistic(store, "fraud_lr")
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(t => (t.ts_micros, t.transaction_id))
+    val (half1, half2) = tx.splitAt(tx.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val out = collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val query = StreamingFeatures.customerFeatures(input.toDS()).toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= swap.scoreBatch(b)
+          .select(col("customer_id"), col("ts_micros"), col("model_version"),
+            col("model_margin"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        ()
+      }
+      .start()
+    try {
+      input.addData(half1.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(1L))
+      // promote v2 between batches — the swap point
+      ModelStore.table(spark, ModelStore.logisticRows("fraud_lr", 2L, v2))
+        .write.mode("append").parquet(store)
+      input.addData(half2.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(2L))
+    } finally query.stop()
+
+    // batch twin on the SAME events: every row scored by the version
+    // serving at its batch, matching the batch scorer bitwise
+    val batchF = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id") +: unix_micros(col("event_timestamp")).as("ts_micros") +:
+        feats.map(col): _*)
+    val batchScores = batchF
+      .withColumn("m1", Trainer.margin(v1)).withColumn("m2", Trainer.margin(v2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getAs[Double]("m1"), r.getAs[Double]("m2"))))
+      .toMap
+    val half1Keys = half1.map(t => (t.customer_id, t.ts_micros)).toSet
+    assert(out.size == tx.length)
+    var flipped = 0
+    out.foreach { case (cid, ts, ver, margin) =>
+      val (m1, m2) = batchScores((cid, ts))
+      if (half1Keys.contains((cid, ts))) {
+        assert(ver == 1L && margin == m1, s"v1 row ($cid,$ts)")
+      } else {
+        assert(ver == 2L && margin == m2, s"v2 row ($cid,$ts)")
+        if (margin != m1) flipped += 1
+      }
+    }
+    // the promotion visibly changed the served scores, not just the stamp
+    assert(flipped > 0)
+  }
+
   test("Platt-calibrated NB posterior serves the stream identically to batch (q235/q241 twin)") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
