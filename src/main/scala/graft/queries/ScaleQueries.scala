@@ -56,6 +56,32 @@ sig AS (SELECT doc_id,
             col("covered_tokens").cast("double") / col("n_tokens"))
             .otherwise(lit(0.0))).as("dup_frac"))
     },
+    // fastText-style model-based quality filter (the RefinedWeb-stage
+    // sibling of q74's rule filter): hashed unigram+bigram frequencies
+    // (TextOps.hashedNgramFeatures, 16 md5 buckets, vocabulary-free)
+    // fed to the logistic GD trainer, distilling the q74 heuristic
+    // label on the md5-80% train slice; every doc then carries the
+    // learned quality margin + decision. Scale shape: featurization is
+    // one narrow per-row projection (no explode/shuffle), the fit is
+    // the q165 one-aggregate-per-step kernel over 16 columns.
+    "q242_hashed_quality" -> { (s, dir) =>
+      val B = 16
+      val t = col("text")
+      val y = when(TextOps.nTokens(t) < 20, 0L)
+        .when(TextOps.stopwordRatio(t) < 0.05, 0L).otherwise(1L)
+      val labels = Tables.documents(s, dir).select(col("doc_id"), y.as("y"))
+      val f = TextOps.hashedNgramFeatures(Tables.documents(s, dir),
+          col("doc_id"), col("text"), buckets = B)
+        .join(labels, "doc_id")
+        .localCheckpoint() // stats + 6 GD passes + the scoring pass
+      val feats = (0 until B).map(b => s"f$b")
+      val train = f.where(Splits.bucket(col("doc_id"), "hq", 5) =!= 0)
+      val m = graft.scoring.Trainer.fitLogistic(train, feats, col("y"),
+        iters = 6, lr = 0.5)
+      val s4 = r6(graft.scoring.Trainer.margin(m))
+      f.select(col("doc_id"), col("y"), s4.as("s"),
+        (s4 > 0).cast("long").as("pred"))
+    },
     // per-source quality caps (RefinedWeb-style curation): keep the top-k
     // highest-quality docs per source, report the kept/total mass and
     // quality lift per source. Ranking is one window PARTITIONED BY
@@ -911,6 +937,69 @@ SELECT bn.doc_id, bn.n_tokens,
     THEN CAST(coalesce(pd.covered_tokens, 0) AS DOUBLE)/bn.n_tokens
     ELSE 0.0 END + 5e-11, 4) AS dup_frac
 FROM bn LEFT JOIN pd ON bn.doc_id = pd.doc_id""",
+    "q242_hashed_quality" -> locally {
+      // hashed-gram frequency replay (unnest unigrams+bigrams, md5
+      // bucket, per-doc conditional sums), q74 label, md5 train slice,
+      // then the q165 unrolled-GD chain over the 16 bucket features and
+      // the per-doc rounded margin + decision
+      val B = 16
+      val iters = 6
+      val idx = 0 until B
+      val statSel = idx.map(i =>
+        s"avg(f$i) AS m$i, coalesce(nullif(stddev_pop(f$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val i0 = s"i0 AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+      def marginOf(it: String, d: String) =
+        idx.map(i => s"$it.w$i * $d.x$i").mkString(" + ") + s" + $it.b"
+      val iterCtes = (1 to iters).map { k =>
+        val p = s"1.0/(1.0 + exp(-(${marginOf("i", "d")})))"
+        val upd = idx.map(i =>
+          s"i.w$i - 0.5*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+          s",\n    i.b - 0.5*avg($p - d.y) AS b"
+        val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+        s"i$k AS MATERIALIZED (SELECT $upd\n  FROM d, i${k - 1} i GROUP BY $grp)"
+      }.mkString(",\n")
+      val pfSel = idx.map(i =>
+        s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END)::DOUBLE / count(*) AS f$i")
+        .mkString(",\n    ")
+      val featSel = idx.map(i => s"coalesce(pf.f$i, 0.0) AS f$i").mkString(", ")
+      val stdSel = idx.map(i => s"(t.f$i - m$i)/s$i AS x$i").mkString(", ")
+      s"""WITH tok AS (
+  SELECT doc_id,
+    coalesce(regexp_extract_all(lower(text), '\\S+'), CAST([] AS VARCHAR[])) AS toks
+  FROM documents),
+lab AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_extract_all(text, '\\S+')) < 20 THEN 0
+         WHEN len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+              / greatest(len(regexp_extract_all(text, '\\S+')), 1) < 0.05 THEN 0
+         ELSE 1 END AS y
+  FROM documents),
+g1 AS (SELECT doc_id, unnest(toks) AS g FROM tok),
+g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM tok WHERE len(toks) >= 2)),
+bk AS (SELECT doc_id, ('0x' || substr(md5('hng:' || g), 1, 8))::UBIGINT % $B AS b
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+pf AS (SELECT doc_id,
+    $pfSel
+  FROM bk GROUP BY doc_id),
+feats AS MATERIALIZED (
+  SELECT l.doc_id, CAST(l.y AS DOUBLE) AS y, $featSel
+  FROM lab l LEFT JOIN pf ON l.doc_id = pf.doc_id),
+tr AS (SELECT * FROM feats
+  WHERE ('0x' || substr(md5('hq:' || doc_id), 1, 8))::UBIGINT % 5 <> 0),
+s AS MATERIALIZED (SELECT $statSel FROM tr),
+d AS MATERIALIZED (SELECT ${idx.map(i => s"(f$i - m$i)/s$i AS x$i").mkString(", ")}, y FROM tr, s),
+$i0,
+$iterCtes,
+da AS (SELECT t.doc_id, t.y, $stdSel FROM feats t, s),
+sc AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+  round(${marginOf(s"i$iters", "da")} + 5e-11, 4) AS s
+  FROM da, i$iters)
+SELECT doc_id, y, s, CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM sc"""
+    },
     "q29_text_stats" ->
       """WITH b AS (
   SELECT doc_id, text,

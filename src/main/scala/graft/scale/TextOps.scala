@@ -285,6 +285,44 @@ object TextOps {
         col("n_distinct").cast("double") / col("n_trigrams")))
   }
 
+  /** fastText-style hashed n-gram features: per doc, the frequency of
+    * lowercase token unigrams + bigrams hashed into `buckets` md5
+    * buckets — the vocabulary-free bag-of-n-grams representation the
+    * model-based quality filters of the curation literature train on
+    * (RefinedWeb-style "train a cheap linear classifier on weak
+    * labels"). Output: doc_id, f0..f{B-1} (each = bucket count /
+    * total n-grams; a doc with no tokens is all-zero).
+    *
+    * Scale shape: one NARROW projection — grams, hashes, and the B
+    * frequencies are all per-row array arithmetic (no explode, no
+    * shuffle, no vocabulary state), so the featurizer runs at input
+    * bandwidth on any corpus size. The md5 bucket is engine-portable:
+    * `('0x'||substr(md5('hng:'||g),1,8))::UBIGINT % B` in ANSI SQL.
+    */
+  def hashedNgramFeatures(docs: DataFrame, id: Column, text: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"hashedNgramFeatures: buckets must be in [2,1024], got $buckets")
+    val toks = coalesce(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),
+      array().cast("array<string>"))
+    val base = docs.select(id.as("doc_id"), toks.as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => array_join(slice(col("toks"), i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val withH = base
+      .withColumn("grams", concat(col("toks"), bigrams))
+      .withColumn("hs", transform(col("grams"), g =>
+        conv(substring(md5(concat(lit("hng:"), g)), 1, 8), 16, 10)
+          .cast("long") % buckets))
+      .withColumn("ng", size(col("grams")))
+    val fcols = (0 until buckets).map(b =>
+      when(col("ng") > 0,
+        size(filter(col("hs"), h => h === b)).cast("double") / col("ng"))
+        .otherwise(lit(0.0)).as(s"f$b"))
+    withH.select(col("doc_id") +: fcols: _*)
+  }
+
   /** Composable (pure-DataFrame) twin of [[trigramDiversity]] — same
     * values via transform + array_distinct; kept as the cross-check.
     */

@@ -18,6 +18,36 @@ class ScaleSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("hashedNgramFeatures: frequencies are md5-bucketed gram counts; degenerate docs all-zero") {
+    val B = 16
+    val docs = Seq((1L, "A b a"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "xyz")).toDF("doc_id", "text")
+    val out = TextOps.hashedNgramFeatures(docs, col("doc_id"), col("text"), B)
+      .collect().map(r => r.getLong(0) ->
+        (0 until B).map(b => r.getDouble(1 + b))).toMap
+    // doc 1 grams (lowercased): a, b, a, "a b", "b a" — bucket =
+    // bucketLocal("hng", gram, 16), the column expression's driver twin
+    val grams = Seq("a", "b", "a", "a b", "b a")
+    val exp = grams.groupBy(g => Splits.bucketLocal("hng", g, B).toInt)
+      .view.mapValues(_.size / 5.0).toMap
+    (0 until B).foreach { b =>
+      assert(out(1L)(b) == exp.getOrElse(b, 0.0), s"doc1 bucket $b")
+    }
+    assert(math.abs(out(1L).sum - 1.0) < 1e-12)
+    // empty and null text: no grams, all-zero vector (not NaN/-1)
+    assert(out(2L).forall(_ == 0.0) && out(3L).forall(_ == 0.0))
+    // single token: one unigram, no bigram — its bucket holds frequency 1
+    val xb = Splits.bucketLocal("hng", "xyz", B).toInt
+    (0 until B).foreach { b =>
+      assert(out(4L)(b) == (if (b == xb) 1.0 else 0.0), s"doc4 bucket $b")
+    }
+    // bucket bounds guard
+    val err = intercept[IllegalArgumentException] {
+      TextOps.hashedNgramFeatures(docs, col("doc_id"), col("text"), 1)
+    }
+    assert(err.getMessage.contains("buckets"))
+  }
+
   test("simhash: identical texts get identical fingerprints; disjoint texts differ") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
