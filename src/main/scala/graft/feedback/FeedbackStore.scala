@@ -60,6 +60,36 @@ object FeedbackStore {
         Drift.accuracy(col("predicted_label"), col("actual_label")).as("accuracy"))
       .select(col("accuracy"), (col("accuracy") < 0.85).as("retrain_recommended"))
 
+  /** Validity of one feedback row under the reference table's insert
+    * contract (`feedback_system.py:41-46`): transaction_id, customer_id,
+    * predicted_score and predicted_label are NOT NULL; actual_label,
+    * analyst_id, confidence_level, comments, investigation_outcome are
+    * nullable and never reject a row.
+    */
+  def validFeedback: org.apache.spark.sql.Column =
+    col("transaction_id").isNotNull && col("customer_id").isNotNull &&
+      col("predicted_score").isNotNull && col("predicted_label").isNotNull
+
+  /** Batch-validated insert (`collect_feedback_batch`,
+    * `feedback_system.py:393-405`): the reference try-inserts each row
+    * and counts successes, skipping rows the table contract rejects.
+    * Set-at-a-time twin: one filter splits the batch, one aggregate is
+    * the returned count plus its rejection breakdown — no per-row
+    * driver loop, so the "batch" can be any size. Returns (accepted
+    * rows, 1-row report).
+    */
+  def collectBatch(batch: DataFrame): (DataFrame, DataFrame) = {
+    val ok = validFeedback
+    def miss(c: String) = sum((col(c).isNull).cast("long")).as(s"n_missing_$c")
+    val report = batch.agg(
+      count(lit(1)).as("n_batch"),
+      sum(ok.cast("long")).as("n_accepted"),
+      (count(lit(1)) - sum(ok.cast("long"))).as("n_rejected"),
+      miss("transaction_id"), miss("customer_id"),
+      miss("predicted_score"), miss("predicted_label"))
+    (batch.where(ok), report)
+  }
+
   /** Append model metrics / monitoring cycles as JSONL (SURVEY S11;
     * reference `scripts/monitoring.py:596-597`).
     */

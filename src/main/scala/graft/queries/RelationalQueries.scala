@@ -104,6 +104,28 @@ snap AS (
         .limit(5)
         .select(col("customer_id"), r6(col("total_amount")).as("total_amount"), col("txn_count"))
     },
+    // collect_feedback_batch (feedback_system.py:393-405): validated
+    // batch insert — rows violating the feedback table's NOT NULL
+    // contract are skipped exactly like the reference's per-row
+    // try/except, and the report is the returned count + rejection
+    // breakdown. The batch derives deterministically from events with
+    // injected violations (every 101st txn id, 89th score, 97th label
+    // missing; every 13th analyst missing — nullable, must NOT reject).
+    "q243_feedback_batch" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val batch = ev.select(
+        when(col("event_id") % 101 =!= 0,
+          concat(lit("txn_"), col("event_id"))).as("transaction_id"),
+        concat(lit("cust_"), col("user_id")).as("customer_id"),
+        when(col("event_id") % 89 =!= 0, col("value") / 1000.0)
+          .as("predicted_score"),
+        when(col("event_id") % 97 =!= 0, (col("value") > 300).cast("int"))
+          .as("predicted_label"),
+        (col("event_type") === "error").cast("int").as("actual_label"),
+        when(col("event_id") % 13 =!= 0,
+          concat(lit("analyst_"), col("event_id") % 7)).as("analyst_id"))
+      graft.feedback.FeedbackStore.collectBatch(batch)._2
+    },
     "q23_label_metrics" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val aucDf = Drift.auc(ev, col("event_type") === "error", col("value"))
@@ -330,6 +352,26 @@ SELECT decile::BIGINT AS decile, n, round(avg_score + 5e-11, 4) AS avg_score,
   round(pos_rate + 5e-11, 4) AS pos_rate, np AS n_pos,
   round(sum(np) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) / tp + 5e-11, 4) AS cum_gain
 FROM g CROSS JOIN t""",
+    "q243_feedback_batch" ->
+      """WITH b AS (
+  SELECT
+    CASE WHEN event_id % 101 <> 0 THEN 'txn_' || event_id END AS transaction_id,
+    'cust_' || user_id AS customer_id,
+    CASE WHEN event_id % 89 <> 0 THEN value/1000.0 END AS predicted_score,
+    CASE WHEN event_id % 97 <> 0 THEN (CASE WHEN value > 300 THEN 1 ELSE 0 END) END AS predicted_label
+  FROM events),
+v AS (SELECT *,
+  (transaction_id IS NOT NULL AND customer_id IS NOT NULL
+   AND predicted_score IS NOT NULL AND predicted_label IS NOT NULL) AS ok
+  FROM b)
+SELECT count(*) AS n_batch,
+  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+  CAST(sum(CASE WHEN transaction_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_transaction_id,
+  CAST(sum(CASE WHEN customer_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_customer_id,
+  CAST(sum(CASE WHEN predicted_score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_predicted_score,
+  CAST(sum(CASE WHEN predicted_label IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_predicted_label
+FROM v""",
     "q23_label_metrics" ->
       """WITH s AS (SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y, value AS sc FROM events),
 r AS (SELECT y, rank() OVER (ORDER BY sc) + (count(*) OVER (PARTITION BY sc) - 1)/2.0 AS midrank FROM s),

@@ -32,6 +32,33 @@ class FeedbackSpec extends AnyFunSuite {
     assert(spark.read.json(s"$dir/metrics").count() == 1)
   }
 
+  test("collectBatch: NOT NULL contract rejects, nullable columns never do, report partitions the batch") {
+    import spark.implicits._
+    val batch = Seq(
+      // fully valid
+      (Some("t1"), Some("c1"), Some(0.9), Some(1), Some("a1")),
+      // nullable analyst missing: still accepted
+      (Some("t2"), Some("c2"), Some(0.1), Some(0), None),
+      // each required column missing once: all rejected
+      (None, Some("c3"), Some(0.5), Some(1), Some("a3")),
+      (Some("t4"), None, Some(0.5), Some(0), Some("a4")),
+      (Some("t5"), Some("c5"), None, Some(1), Some("a5")),
+      (Some("t6"), Some("c6"), Some(0.5), None, Some("a6"))
+    ).toDF("transaction_id", "customer_id", "predicted_score",
+      "predicted_label", "analyst_id")
+    val (accepted, report) = FeedbackStore.collectBatch(batch)
+    val ids = accepted.select("transaction_id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("t1", "t2"))
+    val r = report.head()
+    assert(r.getLong(r.fieldIndex("n_batch")) == 6)
+    assert(r.getLong(r.fieldIndex("n_accepted")) == 2)
+    assert(r.getLong(r.fieldIndex("n_rejected")) == 4)
+    assert(r.getLong(r.fieldIndex("n_missing_transaction_id")) == 1)
+    assert(r.getLong(r.fieldIndex("n_missing_customer_id")) == 1)
+    assert(r.getLong(r.fieldIndex("n_missing_predicted_score")) == 1)
+    assert(r.getLong(r.fieldIndex("n_missing_predicted_label")) == 1)
+  }
+
   test("grouped auc: perfect separation 1, inverted 0, single-class NULL") {
     import spark.implicits._
     val df = Seq(
