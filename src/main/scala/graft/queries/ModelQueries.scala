@@ -1860,6 +1860,45 @@ FROM events"""
           r6(lit(1.0) / (lit(1.0) + exp(-col("d4")))).as("p_raw"),
           r6(graft.scoring.Trainer.probability(m)).as("risk_score"))
     },
+    // (rounds × learning-rate) grid over the boosted depth-2 trees —
+    // the reference's GridSearchCV/optuna sweep of XGBoost's
+    // n_estimators/learning_rate (models/advanced_models.py:309-361).
+    // The rounds axis is free (staged prefixes of each chain); the rate
+    // axis trains through Boosting.fitTreesGrid, whose melted candidate
+    // passes are SHARED across every rate cell — 2 fact scans per round
+    // for the whole grid. Cells score on the stratified fold-0 hold-out;
+    // rank = 1 + strictly-better count via a window-free 6×6 self-join.
+    "q244_gbt_grid" -> { (s, dir) =>
+      val feats = Seq("value", "hb", "dowi")
+      val rates = Seq(0.3, 0.5, 1.0)
+      val T = 2
+      val f = graft.scale.Splits.stratifiedKfold(eventFeatures(s, dir),
+          col("event_id"), col("y"), k = 5, salt = "gbtg")
+        .withColumnRenamed("fold", "vb5")
+        .localCheckpoint() // grid fit scans + per-cell staged scoring
+      val train = f.where(col("vb5") =!= 0)
+      val valid = f.where(col("vb5") === 0)
+      val models = graft.scoring.Boosting.fitTreesGrid(train, feats,
+        col("y"), rounds = T, rates = rates)
+      val nv = valid.agg(count(lit(1)).as("n_val"))
+      val cells = (for (m <- models; t <- 1 to T) yield {
+        val staged = m.copy(rounds = m.rounds.take(t))
+        graft.feedback.Drift.auc(
+            valid.select(col("y"),
+              graft.scoring.Boosting.scoreTrees(staged).as("sv")),
+            col("y") === 1L, col("sv"))
+          .crossJoin(broadcast(nv))
+          .select(r6(lit(m.rate)).as("rate"), lit(t.toLong).as("rounds"),
+            col("n_val"), r6(col("auc")).as("val_auc"))
+      }).reduce(_.unionByName(_)).localCheckpoint() // 6-row leaderboard
+      val o = cells.select(col("rate").as("r2"), col("rounds").as("t2"),
+        col("val_auc").as("a2"))
+      cells.join(o, col("a2") > col("val_auc") ||
+          (col("a2") === col("val_auc") && (col("r2") < col("rate") ||
+            (col("r2") === col("rate") && col("t2") < col("rounds")))), "left")
+        .groupBy(col("rate"), col("rounds"), col("n_val"), col("val_auc"))
+        .agg((count(col("r2")) + 1).as("rank"))
+    },
     "q233_calibration" -> { (s, dir) =>
       val fs = Seq("hb", "dowi", "vb")
       val f = eventFeatures(s, dir)
@@ -2049,21 +2088,26 @@ u$sfx AS (SELECT count(*) AS n, CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
       WHEN $cte.f = 'hb' THEN CAST($src.hb AS DOUBLE)
       ELSE CAST($src.dowi AS DOUBLE) END)"""
 
-  /** Leaf index 0..3 of a `src` row under round j's fitted tree. */
-  private def gbtLeaf(j: Int, src: String): String =
-    s"""(CASE WHEN ${gbtFv(s"broot$j", src)} <= broot$j.t
-    THEN (CASE WHEN ${gbtFv(s"bl$j", src)} <= bl$j.t THEN 0 ELSE 1 END)
-    ELSE (CASE WHEN ${gbtFv(s"br$j", src)} <= br$j.t THEN 2 ELSE 3 END) END)"""
+  /** Leaf index 0..3 of a `src` row under round j's fitted tree. The
+    * optional `pfx` namespaces the fitted-round CTEs so several chains
+    * (e.g. one per grid learning rate, q244) coexist in one query.
+    */
+  private def gbtLeaf(j: Int, src: String, pfx: String = ""): String =
+    s"""(CASE WHEN ${gbtFv(s"${pfx}broot$j", src)} <= ${pfx}broot$j.t
+    THEN (CASE WHEN ${gbtFv(s"${pfx}bl$j", src)} <= ${pfx}bl$j.t THEN 0 ELSE 1 END)
+    ELSE (CASE WHEN ${gbtFv(s"${pfx}br$j", src)} <= ${pfx}br$j.t THEN 2 ELSE 3 END) END)"""
 
-  private def gbtJoins(t: Int): String =
-    (1 until t).map(j => s" CROSS JOIN broot$j CROSS JOIN bl$j CROSS JOIN br$j").mkString
+  private def gbtJoins(t: Int, pfx: String = ""): String =
+    (1 until t).map(j =>
+      s" CROSS JOIN ${pfx}broot$j CROSS JOIN ${pfx}bl$j CROSS JOIN ${pfx}br$j").mkString
 
   /** Residual-subtraction terms: prior round j's leaf values times the
     * side's leaf-membership counts (`name(j, l)`; leaf 3 = n − others).
     */
-  private def gbtResid(name: (Int, Int) => String, n: String, t: Int): String =
+  private def gbtResid(name: (Int, Int) => String, n: String, t: Int,
+      pfx: String = ""): String =
     (1 until t).map(j =>
-      s" - (bl$j.vl*${name(j, 0)} + bl$j.vr*${name(j, 1)} + br$j.vl*${name(j, 2)} + br$j.vr*($n - ${name(j, 0)} - ${name(j, 1)} - ${name(j, 2)}))").mkString
+      s" - (${pfx}bl$j.vl*${name(j, 0)} + ${pfx}bl$j.vr*${name(j, 1)} + ${pfx}br$j.vl*${name(j, 2)} + ${pfx}br$j.vr*($n - ${name(j, 0)} - ${name(j, 1)} - ${name(j, 2)}))").mkString
 
   /** AdaBoost-SAMME oracle builders (q216): round-by-round replay of
     * scoring/AdaBoost — integer counts per (threshold × miss-pattern)
@@ -2326,12 +2370,13 @@ $cellsSel"""
     "ORDER BY round(sl*sl/nl + sr*sr/nr + 5e-11, 4) DESC, feature, threshold\n  LIMIT 1"
 
   /** Round t of the boosted-tree chain over fact CTE `src`. */
-  private def gbtRound(t: Int, src: String): String = {
-    val joins = gbtJoins(t)
+  private def gbtRound(t: Int, src: String, pfx: String = "",
+      rate: String = "0.5"): String = {
+    val joins = gbtJoins(t, pfx)
     def gR(f: String) = {
       val leafCols = (1 until t).flatMap(j => (0 to 2).map(l =>
-        s",\n    sum(CASE WHEN ${gbtLeaf(j, src)} = $l THEN 1 ELSE 0 END) AS c${j}_$l")).mkString
-      s"""gr${t}_$f AS (
+        s",\n    sum(CASE WHEN ${gbtLeaf(j, src, pfx)} = $l THEN 1 ELSE 0 END) AS c${j}_$l")).mkString
+      s"""${pfx}gr${t}_$f AS (
   SELECT CAST($f AS DOUBLE) AS threshold, count(*) AS n, sum(y) AS sy$leafCols
   FROM $src$joins
   GROUP BY 1)"""
@@ -2341,42 +2386,42 @@ $cellsSel"""
         s",\n    CAST(sum(c${j}_$l) OVER w AS BIGINT) AS cll${j}_$l")).mkString
       val tot = (1 until t).flatMap(j => (0 to 2).map(l =>
         s",\n    CAST(sum(c${j}_$l) OVER () AS BIGINT) AS tcl${j}_$l")).mkString
-      s"""cr${t}_$f AS (
+      s"""${pfx}cr${t}_$f AS (
   SELECT threshold,
     CAST(sum(n) OVER w AS BIGINT) AS nl,
     CAST(sum(sy) OVER w AS BIGINT) AS syl$cum,
     CAST(sum(n) OVER () AS BIGINT) AS tn,
     CAST(sum(sy) OVER () AS BIGINT) AS tsy$tot
-  FROM gr${t}_$f
+  FROM ${pfx}gr${t}_$f
   WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
     }
     def candR(f: String) =
-      s"""candr${t}_$f AS (
+      s"""${pfx}candr${t}_$f AS (
   SELECT feature, threshold, nl, tn - nl AS nr, sl, stot - sl AS sr
   FROM (
     SELECT '$f' AS feature, threshold, nl, tn,
-      syl - nl*f0.v${gbtResid((j, l) => s"cll${j}_$l", "nl", t)} AS sl,
-      tsy - tn*f0.v${gbtResid((j, l) => s"tcl${j}_$l", "tn", t)} AS stot
-    FROM cr${t}_$f CROSS JOIN f0$joins)
+      syl - nl*f0.v${gbtResid((j, l) => s"cll${j}_$l", "nl", t, pfx)} AS sl,
+      tsy - tn*f0.v${gbtResid((j, l) => s"tcl${j}_$l", "tn", t, pfx)} AS stot
+    FROM ${pfx}cr${t}_$f CROSS JOIN f0$joins)
   WHERE nl > 0 AND nl < tn)"""
     val brootCte = {
-      val union = gbFeatures.map(f => s"SELECT * FROM candr${t}_$f").mkString(" UNION ALL ")
-      s"""broot$t AS MATERIALIZED (
+      val union = gbFeatures.map(f => s"SELECT * FROM ${pfx}candr${t}_$f").mkString(" UNION ALL ")
+      s"""${pfx}broot$t AS MATERIALIZED (
   SELECT feature AS f, threshold AS t
   FROM ($union)
   $gbtArgmax)"""
     }
-    val sideExpr = s"(CASE WHEN ${gbtFv(s"broot$t", src)} <= broot$t.t THEN 0 ELSE 1 END)"
+    val sideExpr = s"(CASE WHEN ${gbtFv(s"${pfx}broot$t", src)} <= ${pfx}broot$t.t THEN 0 ELSE 1 END)"
     def gC(f: String) = {
       val cols = (0 to 1).flatMap { s =>
         Seq(s",\n    sum(CASE WHEN $sideExpr = $s THEN 1 ELSE 0 END) AS n$s",
           s",\n    sum(CASE WHEN $sideExpr = $s THEN y ELSE 0 END) AS sy$s") ++
           (1 until t).flatMap(j => (0 to 2).map(l =>
-            s",\n    sum(CASE WHEN $sideExpr = $s AND ${gbtLeaf(j, src)} = $l THEN 1 ELSE 0 END) AS c${j}_${l}_$s"))
+            s",\n    sum(CASE WHEN $sideExpr = $s AND ${gbtLeaf(j, src, pfx)} = $l THEN 1 ELSE 0 END) AS c${j}_${l}_$s"))
       }.mkString
-      s"""gc${t}_$f AS (
+      s"""${pfx}gc${t}_$f AS (
   SELECT CAST($f AS DOUBLE) AS threshold$cols
-  FROM $src CROSS JOIN broot$t$joins
+  FROM $src CROSS JOIN ${pfx}broot$t$joins
   GROUP BY 1)"""
     }
     def cC(f: String) = {
@@ -2389,26 +2434,26 @@ $cellsSel"""
             s",\n    CAST(sum(c${j}_${l}_$s) OVER w AS BIGINT) AS cll${j}_${l}_$s",
             s",\n    CAST(sum(c${j}_${l}_$s) OVER () AS BIGINT) AS tcl${j}_${l}_$s")))
       }.mkString
-      s"""cc${t}_$f AS (
+      s"""${pfx}cc${t}_$f AS (
   SELECT threshold$cols
-  FROM gc${t}_$f
+  FROM ${pfx}gc${t}_$f
   WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
     }
     def candC(f: String, s: Int) =
-      s"""candc${t}_${s}_$f AS (
+      s"""${pfx}candc${t}_${s}_$f AS (
   SELECT feature, threshold, nl, tn - nl AS nr, sl, stot - sl AS sr
   FROM (
     SELECT '$f' AS feature, threshold, nl$s AS nl, tn$s AS tn,
-      syl$s - nl$s*f0.v${gbtResid((j, l) => s"cll${j}_${l}_$s", s"nl$s", t)} AS sl,
-      tsy$s - tn$s*f0.v${gbtResid((j, l) => s"tcl${j}_${l}_$s", s"tn$s", t)} AS stot
-    FROM cc${t}_$f CROSS JOIN f0$joins)
+      syl$s - nl$s*f0.v${gbtResid((j, l) => s"cll${j}_${l}_$s", s"nl$s", t, pfx)} AS sl,
+      tsy$s - tn$s*f0.v${gbtResid((j, l) => s"tcl${j}_${l}_$s", s"tn$s", t, pfx)} AS stot
+    FROM ${pfx}cc${t}_$f CROSS JOIN f0$joins)
   WHERE nl > 0 AND nl < tn)"""
     def bSide(s: Int, name: String) = {
-      val union = gbFeatures.map(f => s"SELECT * FROM candc${t}_${s}_$f").mkString(" UNION ALL ")
+      val union = gbFeatures.map(f => s"SELECT * FROM ${pfx}candc${t}_${s}_$f").mkString(" UNION ALL ")
       s"""$name AS MATERIALIZED (
   SELECT feature AS f, threshold AS t,
-    round(0.5 * (sl / nl) + 5e-11, 4) AS vl,
-    round(0.5 * (sr / nr) + 5e-11, 4) AS vr
+    round($rate * (sl / nl) + 5e-11, 4) AS vl,
+    round($rate * (sr / nr) + 5e-11, 4) AS vr
   FROM ($union)
   $gbtArgmax)"""
     }
@@ -2416,15 +2461,15 @@ $cellsSel"""
       brootCte) ++
       (gbFeatures.map(gC) ++ gbFeatures.map(cC) ++
         gbFeatures.map(f => candC(f, 0)) ++ gbFeatures.map(f => candC(f, 1)) ++
-        Seq(bSide(0, s"bl$t"), bSide(1, s"br$t"))) mkString ",\n"
+        Seq(bSide(0, s"${pfx}bl$t"), bSide(1, s"${pfx}br$t"))) mkString ",\n"
   }
 
   /** Additive tree-model score f0 + rounds 1..T (nested leaf CASEs). */
-  private def gbtScore(T: Int, src: String): String =
+  private def gbtScore(T: Int, src: String, pfx: String = ""): String =
     (1 to T).map(j =>
-      s"""(CASE WHEN ${gbtFv(s"broot$j", src)} <= broot$j.t
-    THEN (CASE WHEN ${gbtFv(s"bl$j", src)} <= bl$j.t THEN bl$j.vl ELSE bl$j.vr END)
-    ELSE (CASE WHEN ${gbtFv(s"br$j", src)} <= br$j.t THEN br$j.vl ELSE br$j.vr END) END)""")
+      s"""(CASE WHEN ${gbtFv(s"${pfx}broot$j", src)} <= ${pfx}broot$j.t
+    THEN (CASE WHEN ${gbtFv(s"${pfx}bl$j", src)} <= ${pfx}bl$j.t THEN ${pfx}bl$j.vl ELSE ${pfx}bl$j.vr END)
+    ELSE (CASE WHEN ${gbtFv(s"${pfx}br$j", src)} <= ${pfx}br$j.t THEN ${pfx}br$j.vl ELSE ${pfx}br$j.vr END) END)""")
       .mkString("f0.v + ", " + ", "")
 
   /** One stump-candidate CTE per feature: distinct-value class counts,
@@ -4827,6 +4872,49 @@ nc AS (SELECT count(*) AS n_cal FROM cal)
 SELECT nc.n_cal, br.n_eval, round(i.w + 5e-11, 4) AS a,
   round(i.b + 5e-11, 4) AS b, br.brier_raw, br.brier_cal
 FROM nc, br, i8 i"""
+    },
+    "q244_gbt_grid" -> locally {
+      // per-rate replay of the q201 chain (prefixed CTE namespaces share
+      // one f0 and one stratified split), staged mid-rank AUC per
+      // (rate, rounds) cell, rank via a correlated strictly-better count
+      val T = 2
+      val rateCells = Seq("0.3" -> "ra_", "0.5" -> "rb_", "1.0" -> "rc_")
+      val chains = rateCells.map { case (rate, pfx) =>
+        (1 to T).map(t => gbtRound(t, "fb", pfx, rate)).mkString(",\n")
+      }.mkString(",\n")
+      val stages = rateCells.flatMap { case (_, pfx) =>
+        (1 to T).map { t =>
+          s"""sc$pfx$t AS MATERIALIZED (
+  SELECT vld.y, ${gbtScore(t, "vld", pfx)} AS s
+  FROM vld CROSS JOIN f0${gbtJoins(t + 1, pfx)}),
+${gbMidrankAuc(s"$pfx$t", s"sc$pfx$t")}"""
+        }
+      }.mkString(",\n")
+      val rows = rateCells.flatMap { case (rate, pfx) =>
+        (1 to T).map(t =>
+          s"""SELECT CAST($rate AS DOUBLE) AS rate, CAST($t AS BIGINT) AS rounds,
+  u$pfx$t.n AS n_val, round(u$pfx$t.auc + 5e-11, 4) AS val_auc
+FROM u$pfx$t""")
+      }.mkString("\nUNION ALL\n")
+      s"""WITH fb0 AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT *, (row_number() OVER (PARTITION BY y
+    ORDER BY ('0x' || substr(md5('gbtg:' || event_id), 1, 8))::UBIGINT,
+      event_id) - 1) % 5 AS vb5
+  FROM fb0),
+fb AS MATERIALIZED (SELECT * FROM fp WHERE vb5 <> 0),
+vld AS MATERIALIZED (SELECT * FROM fp WHERE vb5 = 0),
+f0 AS (SELECT round(sum(y)::DOUBLE / count(*) + 5e-11, 4) AS v FROM fb),
+$chains,
+$stages,
+cells AS MATERIALIZED (
+$rows)
+SELECT a.rate, a.rounds, a.n_val, a.val_auc,
+  CAST(1 + (SELECT count(*) FROM cells b
+    WHERE b.val_auc > a.val_auc
+       OR (b.val_auc = a.val_auc AND (b.rate < a.rate
+       OR (b.rate = a.rate AND b.rounds < a.rounds)))) AS BIGINT) AS rank
+FROM cells a"""
     },
     "q241_platt_served" -> locally {
       // the q235 replay (NB -> 4dp delta -> cal-slice GD) emitting the

@@ -278,6 +278,148 @@ object Boosting {
     TreeModel(f0, rate, fitted.reverse)
   }
 
+  /** (rounds × rate) hyperparameter grid over [[fitTrees]] with the
+    * FACT-TABLE passes shared across every rate cell — the engine twin
+    * of the reference's GridSearchCV/optuna sweep over XGBoost's
+    * n_estimators/learning_rate (`models/advanced_models.py:309-361`).
+    * The rounds dimension is free by construction (boosting is greedy:
+    * a T-round chain's first t rounds ARE the t-round fit, so staged
+    * prefixes evaluate every rounds cell); the rate dimension changes
+    * the residuals, so each rate needs its own chain — but the chains
+    * advance in LOCKSTEP, and each level's two melted scans (root +
+    * fused children) carry every rate's prior-leaf/side conditional
+    * sums at once. Total fact-table passes: 2 × rounds for the WHOLE
+    * grid, exactly a single [[fitTrees]]'s count; the per-rate cumsum
+    * pipelines and argmaxes read the checkpointed distinct-value table,
+    * not the fact table. Per-rate models are bit-identical to separate
+    * [[fitTrees]] calls (same integer counts through the same candidate
+    * expressions — ModelsSpec pins row equality).
+    */
+  def fitTreesGrid(df: DataFrame, features: Seq[String], label: Column,
+      rounds: Int, rates: Seq[Double]): Seq[TreeModel] = {
+    require(rounds >= 1, s"Boosting.fitTreesGrid: rounds must be >= 1, got $rounds")
+    require(rates.nonEmpty && rates.distinct.size == rates.size,
+      s"Boosting.fitTreesGrid: rates must be non-empty and distinct, got $rates")
+    val y = label.cast("long")
+    val base = df.agg(count(lit(1)).as("__n"), sum(y).as("__sy")).head()
+    val f0 = KMeansOps.r6d(base.getLong(1).toDouble / base.getLong(0))
+    val rs = rates.indices
+
+    def meltedCounts(flags: Seq[Column], aggs: Seq[Column],
+        flagNames: Seq[String]): DataFrame =
+      df.select((y.as("__y") +: flags) :+ explode(array(features.map(f =>
+          struct(lit(f).as("f"), col(f).cast("double").as("t"))): _*)).as("__e"): _*)
+        .select(col("__e.f").as("__feat") +: col("__e.t").as("threshold") +:
+          col("__y") +: flagNames.map(col): _*)
+        .groupBy(col("__feat"), col("threshold"))
+        .agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint() // every rate's cumsum/argmax re-reads this
+
+    def candsFromAll(perAll: DataFrame, nPrior: Int,
+        residSum: (Column, Column, (Int, Int) => Column) => Column): DataFrame = {
+      val cum = graft.ops.GlobalOrder.withCumSumsBy(perAll, Seq("__feat"),
+        Seq(col("threshold")),
+        Seq(col("__cn") -> "nl", col("__csy") -> "syl") ++
+          (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+            col(s"__c${r}_$l") -> s"cll${r}_$l")))
+      val totAggs = Seq(sum(col("__cn")).as("tn"), sum(col("__csy")).as("tsy")) ++
+        (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+          sum(col(s"__c${r}_$l")).as(s"tcl${r}_$l")))
+      val tot = perAll.groupBy(col("__feat")).agg(totAggs.head, totAggs.tail: _*)
+      cum.join(broadcast(tot), "__feat")
+        .select(col("__feat").as("feature"), col("threshold"), col("nl"), col("tn"),
+          residSum(col("syl"), col("nl"),
+            (r, l) => col(s"cll${r}_$l")).as("sl"),
+          residSum(col("tsy"), col("tn"),
+            (r, l) => col(s"tcl${r}_$l")).as("stot"))
+        .where(col("nl") > 0 && col("nl") < col("tn"))
+        .select(col("feature"), col("threshold"), col("nl"),
+          (col("tn") - col("nl")).as("nr"),
+          col("sl"), (col("stot") - col("sl")).as("sr"))
+    }
+
+    def argmaxGain(cands: DataFrame, rate: Double) =
+      cands.select(col("feature"), col("threshold"),
+          graft.queries.r6(col("sl") * col("sl") / col("nl") +
+            col("sr") * col("sr") / col("nr")).as("gain"),
+          graft.queries.r6(lit(rate) * (col("sl") / col("nl"))).as("vl"),
+          graft.queries.r6(lit(rate) * (col("sr") / col("nr"))).as("vr"))
+        .orderBy(col("gain").desc, col("feature"), col("threshold"))
+        .limit(1).head()
+
+    val fitted = Array.fill(rates.size)(List.empty[TreeRound])
+    for (_ <- 1 to rounds) {
+      val priors = fitted.map(_.reverse).toSeq
+      val nPrior = priors.head.size
+      def residSumOf(k: Int)(sy: Column, n: Column,
+          c: (Int, Int) => Column): Column =
+        priors(k).zipWithIndex.foldLeft(sy - n * lit(f0)) { case (acc, (tr, r)) =>
+          acc - (lit(tr.v0) * c(r, 0) + lit(tr.v1) * c(r, 1) +
+            lit(tr.v2) * c(r, 2) +
+            lit(tr.v3) * (n - c(r, 0) - c(r, 1) - c(r, 2)))
+        }
+      val leafFlags = rs.flatMap(k => priors(k).zipWithIndex.flatMap {
+        case (tr, r) =>
+          (0 to 2).map(l => (leafIndex(tr) === l).as(s"__lf${k}_${r}_$l"))
+      })
+      val leafFlagNames = rs.flatMap(k => priors(k).indices.flatMap(r =>
+        (0 to 2).map(l => s"__lf${k}_${r}_$l")))
+
+      // pass 1 (the round's FIRST shared fact scan): every rate's root
+      // candidates from one melted count table
+      val rootAggs = Seq(count(lit(1)).as("__cn"), sum(col("__y")).as("__csy")) ++
+        rs.flatMap(k => (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+          sum(when(col(s"__lf${k}_${r}_$l"), 1L).otherwise(0L))
+            .as(s"__c${k}_${r}_$l"))))
+      val perRoot = meltedCounts(leafFlags, rootAggs, leafFlagNames)
+      def rateSlice(src: DataFrame, cn: String, csy: String,
+          cName: (Int, Int) => String): DataFrame =
+        src.select(col("__feat") +: col("threshold") +:
+          (Seq(col(cn).as("__cn"), col(csy).as("__csy")) ++
+            (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+              col(cName(r, l)).as(s"__c${r}_$l")))): _*)
+      val rootBests = rs.map { k =>
+        argmaxGain(candsFromAll(
+          rateSlice(perRoot, "__cn", "__csy", (r, l) => s"__c${k}_${r}_$l"),
+          nPrior, residSumOf(k)), rates(k))
+      }
+      val sides = rs.map { k =>
+        when(col(rootBests(k).getString(0)).cast("double") <=
+          lit(rootBests(k).getDouble(1)), 0).otherwise(1)
+      }
+
+      // pass 2 (the round's SECOND shared fact scan): both children of
+      // every rate's root, all sides' conditional sums fused
+      val sideFlags = rs.flatMap(k =>
+        (0 to 1).map(s => (sides(k) === s).as(s"__sd${k}_$s")))
+      val childAggs = rs.flatMap { k =>
+        (0 to 1).flatMap { s =>
+          Seq(sum(when(col(s"__sd${k}_$s"), 1L).otherwise(0L)).as(s"__cn${k}_$s"),
+            sum(when(col(s"__sd${k}_$s"), col("__y")).otherwise(lit(0L)))
+              .as(s"__csy${k}_$s")) ++
+            (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+              sum(when(col(s"__sd${k}_$s") && col(s"__lf${k}_${r}_$l"), 1L)
+                .otherwise(0L)).as(s"__c${k}_${r}_${l}_$s")))
+        }
+      }
+      val perC = meltedCounts(leafFlags ++ sideFlags, childAggs,
+        leafFlagNames ++ rs.flatMap(k => Seq(s"__sd${k}_0", s"__sd${k}_1")))
+      rs.foreach { k =>
+        def childBest(s: Int) = argmaxGain(candsFromAll(
+          rateSlice(perC, s"__cn${k}_$s", s"__csy${k}_$s",
+            (r, l) => s"__c${k}_${r}_${l}_$s"),
+          nPrior, residSumOf(k)), rates(k))
+        val lb = childBest(0)
+        val rb = childBest(1)
+        fitted(k) = TreeRound(rootBests(k).getString(0), rootBests(k).getDouble(1),
+          lb.getString(0), lb.getDouble(1), rb.getString(0), rb.getDouble(1),
+          lb.getAs[Double]("vl"), lb.getAs[Double]("vr"),
+          rb.getAs[Double]("vl"), rb.getAs[Double]("vr")) :: fitted(k)
+      }
+    }
+    rates.indices.map(k => TreeModel(f0, rates(k), fitted(k).reverse))
+  }
+
   /** F(x) of the tree model — nested literal CASE chains, pure
     * projection.
     */

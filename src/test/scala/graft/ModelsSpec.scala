@@ -361,6 +361,28 @@ class ModelsSpec extends AnyFunSuite {
     assert(m2b.rounds.head == m2a.rounds.head)
   }
 
+  test("fitTreesGrid equals separate fitTrees per rate (shared fact passes, identical models)") {
+    import spark.implicits._
+    val df = (for {
+      rep <- 1 to 3; x <- 1 to 8; z <- 1 to 8
+    } yield (x.toDouble, z.toDouble,
+      if ((x <= 4) ^ (z > 5)) 1 else 0, rep)).toDF("x", "z", "y", "rep")
+    val rates = Seq(0.3, 0.5, 1.0)
+    val grid = graft.scoring.Boosting.fitTreesGrid(df, Seq("x", "z"), col("y"),
+      rounds = 2, rates = rates)
+    assert(grid.map(_.rate) == rates)
+    rates.zip(grid).foreach { case (rate, gm) =>
+      val solo = graft.scoring.Boosting.fitTrees(df, Seq("x", "z"), col("y"),
+        rounds = 2, rate = rate)
+      assert(gm == solo, s"rate $rate: grid $gm vs solo $solo")
+    }
+    // duplicate/empty rate guards
+    assert(intercept[IllegalArgumentException] {
+      graft.scoring.Boosting.fitTreesGrid(df, Seq("x", "z"), col("y"), 1,
+        Seq(0.5, 0.5))
+    }.getMessage.contains("distinct"))
+  }
+
   test("Forest.fit (two fused passes) matches per-tree fitDepth2 on each subsample") {
     import spark.implicits._
     val df = (for {
