@@ -1,0 +1,39 @@
+package graft
+
+import graft.Bench.{QBench, adopt, spreadExceeds}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's self-adjudication rule: a forced-contention measurement
+  * (wide rep spread) triggers the end-of-run retry, and adjudication
+  * adopts the smaller median — so a single ambient-load window can't
+  * poison the committed artifact.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("spreadExceeds: 3x spread triggers, tight spread and failures don't") {
+    // forced contention: one rep swept by a load window -> max/min = 10x
+    assert(spreadExceeds(QBench(med = 2.5, min = 1.0, max = 10.0)))
+    // boundary: exactly 3x does NOT trigger (strictly greater)
+    assert(!spreadExceeds(QBench(med = 2.0, min = 1.0, max = 3.0)))
+    assert(spreadExceeds(QBench(med = 2.0, min = 1.0, max = 3.0001)))
+    // steady-state queries stay untouched
+    assert(!spreadExceeds(QBench(med = 1.1, min = 1.0, max = 1.3)))
+    // a failed query (-1 sentinel) is never retried
+    assert(!spreadExceeds(QBench(med = -1.0, min = -1.0, max = -1.0)))
+    // degenerate zero-min never divides by zero
+    assert(!spreadExceeds(QBench(med = 0.0, min = 0.0, max = 1.0)))
+  }
+
+  test("adopt: contention inflates, so the smaller median wins; failed retries keep the first run") {
+    val contaminated = QBench(med = 9.0, min = 2.0, max = 30.0)
+    val clean = QBench(med = 2.1, min = 2.0, max = 2.3)
+    // the end-of-run retry lands outside the load window: adopted
+    assert(adopt(contaminated, clean) == clean)
+    // the retry itself hit contention (bigger median): first run kept
+    assert(adopt(clean, contaminated) == clean)
+    // retry crashed (-1): first run kept, never the sentinel
+    assert(adopt(contaminated, QBench(-1.0, -1.0, -1.0)) == contaminated)
+    // tie: keep the first run (stable artifact under re-runs)
+    assert(adopt(clean, clean.copy(max = 9.9)) == clean)
+  }
+}
