@@ -177,13 +177,16 @@ object Models {
       (count(lit(1)) - sum(y)).cast("double").as("n0")).head()
     val (n1, n0) = (pr.getDouble(0), pr.getDouble(1))
     val tables = features.map { f =>
+      // cap INSIDE the query (TakeOrdered of maxCardinality+1), so a
+      // high-cardinality feature is rejected after materializing at most
+      // cap+1 rows on the driver — not its full distinct-value table
       val rows = train.groupBy(col(f).cast("long").as("v"))
         .agg(sum(y).cast("double").as("c1"),
           (count(lit(1)) - sum(y)).cast("double").as("c0"))
-        .orderBy(col("v")).collect()
+        .orderBy(col("v")).limit(maxCardinality + 1).collect()
       require(rows.length <= maxCardinality,
-        s"fitNaiveBayes: feature $f has ${rows.length} distinct values, " +
-          s"over the $maxCardinality driver-model cap; bucket it first")
+        s"fitNaiveBayes: feature $f has more than $maxCardinality " +
+          "distinct values, over the driver-model cap; bucket it first")
       require(rows.forall(!_.isNullAt(0)),
         s"fitNaiveBayes: feature $f has null training values")
       f -> rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.scoring.{ModelStore, Trainer}
+import scala.util.control.NonFatal
+import graft.scoring.{AdaBoost, Boosting, ModelStore, Trainer, Trees}
 
 /** Micro-batch model hot-swap — the engine twin of the reference
   * retrainer's save-then-RELOAD lifecycle (`feedback/feedback_system.py:
@@ -39,20 +40,28 @@ final class HotSwapLogistic(storePath: String, modelId: String)
   def currentVersion: Option[Long] = Option(cached).map(_._1)
 
   /** Resolve the latest stored version, rebuilding the model only when
-    * the version moved since the last batch.
+    * the version moved since the last batch. Torn-read protection: a
+    * promotion is a non-atomic parquet append, so `latestVersion` can
+    * become visible while some of the new version's rows are not — any
+    * read or rebuild failure keeps serving the cached version for THIS
+    * batch and re-probes at the next (a batch never goes unscored, and
+    * a half-visible promotion never builds a truncated model when its
+    * partial slice fails `logisticOf`'s row-shape requires).
     */
-  def resolve(spark: org.apache.spark.sql.SparkSession)
-      : (Long, Trainer.LogisticModel) = {
-    val store = spark.read.parquet(storePath)
-    val latest = ModelStore.latestVersion(store, modelId).getOrElse(
-      throw new IllegalStateException(
-        s"HotSwapLogistic: no versions of '$modelId' in $storePath"))
+  def resolve(spark: SparkSession): (Long, Trainer.LogisticModel) = {
     val c = cached
-    if (c == null || c._1 != latest) {
-      val m = ModelStore.logisticOf(ModelStore.rowsOf(store, modelId, latest))
-      cached = (latest, m)
-    }
-    cached
+    try {
+      val store = spark.read.parquet(storePath)
+      val latest = ModelStore.latestVersion(store, modelId).getOrElse(
+        throw new IllegalStateException(
+          s"HotSwapLogistic: no versions of '$modelId' in $storePath"))
+      if (c == null || c._1 != latest) {
+        val m = ModelStore.logisticOf(
+          ServedModel.body(ModelStore.rowsOf(store, modelId, latest)))
+        cached = (latest, m)
+      }
+      cached
+    } catch { case NonFatal(_) if c != null => c }
   }
 
   /** foreachBatch body: score the micro-batch with the latest stored
@@ -70,5 +79,142 @@ final class HotSwapLogistic(storePath: String, modelId: String)
     batch.withColumn("model_version", lit(ver))
       .withColumn("model_margin", Trainer.margin(m))
       .withColumn("model_probability", Trainer.probability(m))
+  }
+}
+
+/** Kind-dispatched rebuild of ANY stored model family into its serving
+  * form — the engine twin of the reference retrainer's `joblib.load` of
+  * whatever estimator class was dumped (`feedback/feedback_system.py:
+  * 308-388` reloads every family it can retrain, not just the linear
+  * one). A stored (model_id, version) slice self-describes its family
+  * through the `kind` column, so a promotion may legally CHANGE family
+  * (logistic v1 → boosted trees v2) and the stream follows.
+  */
+object ServedModel {
+
+  /** A rebuilt serving model: the family tag, the feature columns its
+    * score chain reads, and the literal score `Column` itself — always
+    * a pure whole-stage-codegen projection (linear margin, vote chain,
+    * or nested CASE), never a join, so serving cost is O(model) at
+    * plan build and zero per row beyond the projection.
+    *
+    * `score` semantics are the family's native decision value (all
+    * DoubleType): logistic margin, AdaBoost signed vote, boosting F(x),
+    * deep-tree majority class as 0.0/1.0 — each bit-identical to the
+    * batch scorer it wraps (`Trainer.margin` / `AdaBoost.voteScore` /
+    * `Boosting.score` / `Boosting.scoreTrees` / `Trees.predict`).
+    */
+  final case class Built(kind: String, features: Seq[String], score: Column)
+
+  /** Opt-in torn-read guard: append ONE `manifest/count` row recording
+    * how many rows the version writes. A parquet append is not atomic —
+    * a concurrent reader can see the version's max(version) move while
+    * some of its row files are still invisible; the manifest lets
+    * [[of]] reject such a partial slice instead of silently building a
+    * truncated model. (Best-effort by construction: a torn read that
+    * hides the manifest row itself degrades to the un-guarded contract.)
+    */
+  def withManifest(rows: Seq[ModelStore.ModelRow]): Seq[ModelStore.ModelRow] = {
+    require(rows.nonEmpty, "ServedModel.withManifest: empty model")
+    val h = rows.head
+    require(rows.forall(r => r.model_id == h.model_id && r.version == h.version),
+      "ServedModel.withManifest: rows span multiple (model_id, version)")
+    rows :+ ModelStore.ModelRow(h.model_id, h.version, "manifest", "count",
+      0L, None, None, None, None, None, None, Some(rows.size.toLong),
+      None, None, None)
+  }
+
+  /** Strip (and, when present, enforce) the manifest row: the returned
+    * body is what the family `*Of` readers consume.
+    */
+  def body(rows: Seq[ModelStore.ModelRow]): Seq[ModelStore.ModelRow] = {
+    val (mans, rest) = rows.partition(_.kind == "manifest")
+    mans.foreach(m => require(m.c1.contains(rest.size.toLong),
+      s"ServedModel: torn read — manifest declares ${m.c1.getOrElse(-1L)} " +
+        s"rows, slice holds ${rest.size}"))
+    rest
+  }
+
+  /** Rebuild one (model_id, version) slice into its serving form,
+    * dispatching on the stored `kind`.
+    */
+  def of(rows: Seq[ModelStore.ModelRow]): Built = {
+    val b = body(rows)
+    require(b.nonEmpty, "ServedModel: empty model slice")
+    val kinds = b.map(_.kind).distinct
+    require(kinds.size == 1,
+      s"ServedModel: slice holds mixed kinds: ${kinds.mkString(", ")}")
+    kinds.head match {
+      case "logistic" =>
+        val m = ModelStore.logisticOf(b)
+        Built("logistic", m.features, Trainer.margin(m))
+      case "adaboost" =>
+        val rs = ModelStore.adaBoostOf(b)
+        Built("adaboost", rs.map(_.feature).distinct, AdaBoost.voteScore(rs))
+      case "boost_stumps" =>
+        val m = ModelStore.boostingOf(b)
+        Built("boost_stumps", m.rounds.map(_.feature).distinct,
+          Boosting.score(m))
+      case "boost_trees" =>
+        val m = ModelStore.boostedTreesOf(b)
+        Built("boost_trees",
+          m.rounds.flatMap(t =>
+            Seq(t.rootFeature, t.leftFeature, t.rightFeature)).distinct,
+          Boosting.scoreTrees(m))
+      case "tree" =>
+        val m = ModelStore.deepTreeOf(b)
+        Built("tree", m.splits.values.map(_.feature).toSeq.distinct.sorted,
+          Trees.predict(m).cast("double"))
+      case k => throw new IllegalArgumentException(
+        s"ServedModel: unknown stored model kind '$k'")
+    }
+  }
+}
+
+/** [[HotSwapLogistic]] generalized to the FULL stored zoo: per batch,
+  * re-resolve the latest version of `modelId` in the store, rebuild via
+  * [[ServedModel.of]] (kind-dispatched — the promoted version may be a
+  * different family than the one serving), and stamp every scored row
+  * with the version AND kind that produced it. Same cost model as the
+  * logistic wrapper: one 1-row max + (on version movement only) one
+  * model-sized collect per micro-batch; steady state is a footer read.
+  */
+final class HotSwapScorer(storePath: String, modelId: String)
+    extends Serializable {
+
+  @transient @volatile private var cached: (Long, ServedModel.Built) = _
+
+  def currentVersion: Option[Long] = Option(cached).map(_._1)
+  def currentKind: Option[String] = Option(cached).map(_._2.kind)
+
+  /** Resolve latest → serving form, with the torn-read fallback: any
+    * read/rebuild failure (including a manifest-count mismatch from a
+    * half-visible append) keeps the cached version serving this batch.
+    */
+  def resolve(spark: SparkSession): (Long, ServedModel.Built) = {
+    val c = cached
+    try {
+      val store = spark.read.parquet(storePath)
+      val latest = ModelStore.latestVersion(store, modelId).getOrElse(
+        throw new IllegalStateException(
+          s"HotSwapScorer: no versions of '$modelId' in $storePath"))
+      if (c == null || c._1 != latest)
+        cached = (latest, ServedModel.of(ModelStore.rowsOf(store, modelId, latest)))
+      cached
+    } catch { case NonFatal(_) if c != null => c }
+  }
+
+  /** foreachBatch body: score with the latest resolvable version.
+    * Feature presence re-checks on every batch — a promotion may change
+    * the feature set (or the family, and with it the columns read).
+    */
+  def scoreBatch(batch: DataFrame): DataFrame = {
+    val (ver, m) = resolve(batch.sparkSession)
+    val missing = m.features.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"HotSwapScorer: version $ver (${m.kind}) features absent from the batch: $missing")
+    batch.withColumn("model_version", lit(ver))
+      .withColumn("model_kind", lit(m.kind))
+      .withColumn("model_score", m.score)
   }
 }

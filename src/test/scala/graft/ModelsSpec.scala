@@ -694,4 +694,55 @@ class ModelsSpec extends AnyFunSuite {
       assert(math.abs(full - r.getAs[Double]("__s3")) < 1e-12)
     }
   }
+
+  test("ServedModel.of rebuilds every stored family into a bit-identical serving column") {
+    import spark.implicits._
+    import graft.scoring.{AdaBoost, Boosting, ModelStore, Trainer, Trees}
+    import graft.streaming.ServedModel
+    val df = Seq((1.0, 10.0), (2.5, 300.0), (4.0, 900.0), (0.0, 50.0))
+      .toDF("f1", "f2")
+    def scores(c: Column): Seq[Double] =
+      df.select(c.as("s")).collect().toSeq.map(_.getDouble(0))
+
+    val lr = Trainer.LogisticModel(Seq("f1", "f2"), Seq(1.5, 200.0),
+      Seq(0.8, 150.0), Seq(0.5, -0.25), 0.1, 6, 0.5)
+    val ab = Seq(AdaBoost.Round("f1", 2.0, 0, 1, 0.3, 2.3333, 0.8473))
+    val bst = Boosting.Model(0.4, 0.5,
+      Seq(Boosting.Stump("f2", 100.0, -0.1, 0.2)))
+    val btr = Boosting.TreeModel(0.25, 0.5, Seq(
+      Boosting.TreeRound("f1", 2.0, "f2", 100.0, "f2", 500.0,
+        0.1, -0.2, 0.3, -0.4)))
+    val dt = Trees.DeepTree(2, 4, 2, Map(
+      "" -> Trees.Split("f1", 2.0, 0.4, 2, 2, 2, 0),
+      "l" -> Trees.Split("f2", 100.0, 0.1, 1, 1, 1, 1)))
+
+    val cases = Seq[(String, Seq[ModelStore.ModelRow], Seq[String], Column)](
+      ("logistic", ModelStore.logisticRows("m", 1, lr), Seq("f1", "f2"),
+        Trainer.margin(lr)),
+      ("adaboost", ModelStore.adaBoostRows("m", 1, ab), Seq("f1"),
+        AdaBoost.voteScore(ab)),
+      ("boost_stumps", ModelStore.boostingRows("m", 1, bst), Seq("f2"),
+        Boosting.score(bst)),
+      ("boost_trees", ModelStore.boostedTreesRows("m", 1, btr),
+        Seq("f1", "f2"), Boosting.scoreTrees(btr)),
+      ("tree", ModelStore.deepTreeRows("m", 1, dt), Seq("f1", "f2"),
+        Trees.predict(dt).cast("double")))
+    for ((kind, rows, feats, twin) <- cases) {
+      // plain slice and manifest-guarded slice both rebuild
+      for (slice <- Seq(rows, ServedModel.withManifest(rows))) {
+        val built = ServedModel.of(slice)
+        assert(built.kind == kind && built.features == feats, kind)
+        assert(scores(built.score) == scores(twin), s"$kind score parity")
+      }
+      // torn slice: manifest count no longer matches -> loud reject
+      val torn = ServedModel.withManifest(rows).dropRight(2) :+
+        ServedModel.withManifest(rows).last
+      val e = intercept[IllegalArgumentException] { ServedModel.of(torn) }
+      assert(e.getMessage.contains("torn read"), kind)
+    }
+    val mixed = ModelStore.logisticRows("m", 1, lr) ++
+      ModelStore.adaBoostRows("m", 1, ab)
+    assert(intercept[IllegalArgumentException] { ServedModel.of(mixed) }
+      .getMessage.contains("mixed kinds"))
+  }
 }
