@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.scale.{Bpe, Dedup, Similarity, Splits, TextOps}
+import graft.scale.{Bpe, Dedup, Pii, Similarity, Splits, TextOps}
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,49 @@ object ScaleQueries extends QueryPack {
     */
   private def docsSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+
+  /** Deterministic PII fixture: the synthetic corpus carries no natural
+    * emails/phones/IPs/digit runs (verified: zero regex hits at every
+    * SF), so the PII queries gate the scrub battery on text AUGMENTED
+    * from doc_id arithmetic — the oracle rebuilds the identical string,
+    * making the redaction chain hash-checkable while the operator stays
+    * generic. Mods 3/5/7/11 interleave so docs carry 0–4 PII kinds.
+    */
+  private def piiAugmented = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@example.com now"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" call "), (id % 900 + 100).cast("string"),
+        lit("-"), ((id + 37) % 900 + 100).cast("string"), lit("-"),
+        (id % 9000 + 1000).cast("string"), lit(" today"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+        lit("."), ((id + 13) % 256).cast("string"), lit(".25 host")))
+        .otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" acct "),
+        lpad((id % 1000000).cast("string"), 12, "0"), lit(" ref")))
+        .otherwise(lit("")))
+  }
+
+  /** The oracle twin of [[piiAugmented]] (DuckDB string arithmetic). */
+  private val piiAugmentedSql =
+    """text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call ' || (doc_id % 900 + 100)::VARCHAR || '-' || ((doc_id + 37) % 900 + 100)::VARCHAR || '-' || (doc_id % 9000 + 1000)::VARCHAR || ' today' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id + 13) % 256)::VARCHAR || '.25 host' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' acct ' || lpad((doc_id % 1000000)::VARCHAR, 12, '0') || ' ref' ELSE '' END"""
+
+  /** Per-doc PII count columns over an augmented-text CTE `a(doc_id,
+    * source, t)` plus the 4-step redaction chain — generated from
+    * [[graft.scale.Pii.patterns]] so the oracle battery and the Spark
+    * battery are the same constants.
+    */
+  private val piiCountsSql: String = Pii.patterns.map { case (name, p, _) =>
+    s"len(regexp_extract_all(t, '$p'))::BIGINT AS n_${name}s"
+  }.mkString(",\n    ")
+  private val piiRedactSql: String = Pii.patterns.foldLeft("t") {
+    case (acc, (_, p, tok)) => s"regexp_replace($acc, '$p', '$tok', 'g')"
+  }
 
   /** Shared shingle CTEs (word 3-grams, lowercase, distinct per doc). */
   private val shingleCte =
@@ -39,6 +82,74 @@ sig AS (SELECT doc_id,
   override val defs: Map[String, Q] = Map(
     "q28_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+    },
+    // PII detect/redact (the curation stage between q74's heuristics and
+    // q242's learned filter): per doc, counts per detector on the
+    // original text + the fingerprint and length delta of the scrubbed
+    // text. One codegen regexp projection — no shuffle, no UDF.
+    "q245_pii_scrub" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+        .select(col("doc_id"), piiAugmented.as("t"))
+      val red = Pii.redact(col("t"))
+      val counts = Pii.patterns.map { case (name, p, _) =>
+        Pii.countOf(col("t"), p).as(s"n_${name}s")
+      }
+      d.select(col("doc_id") +: counts :+
+          substring(md5(red), 1, 16).as("redacted_fp") :+
+          (length(col("t")) - length(red)).cast("long").as("chars_delta"): _*)
+        .withColumn("has_pii",
+          Pii.patterns.map(p => col(s"n_${p._1}s")).reduce(_ + _) > 0)
+    },
+    // per-source PII incidence: the corpus-QA rollup a curation run
+    // reports before/after the scrub. One narrow projection + one
+    // source-keyed aggregation.
+    "q246_pii_incidence" -> { (s, dir) =>
+      val d = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), piiAugmented.as("t"))
+      val counts = Pii.patterns.map { case (name, p, _) =>
+        Pii.countOf(col("t"), p).as(s"n_${name}s")
+      }
+      val per = d.select(col("source") +: counts: _*)
+        .withColumn("total",
+          Pii.patterns.map(p => col(s"n_${p._1}s")).reduce(_ + _))
+      val aggs =
+        sum(when(col("total") > 0, 1L).otherwise(0L)).as("docs_with_pii") +:
+          Pii.patterns.map(p => sum(col(s"n_${p._1}s")).as(s"n_${p._1}s")) :+
+          r6(avg(col("total"))).as("avg_pii_per_doc")
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), aggs: _*)
+    },
+    // Gopher within-doc repetition report (Rae et al. 2021 table A1):
+    // top-2/3/4-gram char mass + duplicated-5-gram token coverage, with
+    // the paper's published thresholds as the flag.
+    "q247_doc_repetition" -> { (s, dir) =>
+      TextOps.gopherRepetition(docsSpread(s, dir), col("doc_id"), col("text"))
+    },
+    // CCNet-style per-source perplexity filter: score every doc with the
+    // q131 corpus-trigram LM, keep the top 70% per source (rounded score
+    // rank, doc_id tie-break), report kept/dropped token mass and the
+    // quality lift. One source-partitioned window + one aggregate.
+    "q248_perplexity_filter" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val lm = TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), r6(col("lm_score")).as("lm"))
+      val d = docs.select(col("doc_id"), col("source"),
+          TextOps.nTokens(col("text")).as("ntok"))
+        .join(lm, Seq("doc_id"), "left")
+      val ranked = d
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("lm").desc_nulls_last, col("doc_id"))))
+        .withColumn("nsrc",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+      val kept = col("lm").isNotNull && col("rk") <= ceil(col("nsrc") * 0.7)
+      ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("ntok")).otherwise(0L)).as("kept_tokens"),
+        sum(when(!kept, col("ntok")).otherwise(0L)).as("dropped_tokens"),
+        r6(avg(when(kept, col("lm")))).as("kept_avg_lm"),
+        r6(avg(col("lm"))).as("all_avg_lm"))
     },
     // exact duplicate-SPAN dedup (the C4/RefinedWeb exact-substring pass
     // next to the fuzzy MinHash family, C4's any-repeat rule at k=8
@@ -848,6 +959,103 @@ inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
   }
 
   override val oracle: Map[String, String] = Map(
+    "q245_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id, $piiAugmentedSql AS t FROM documents),
+c AS (SELECT doc_id, t,
+    $piiCountsSql,
+    $piiRedactSql AS red
+  FROM a)
+SELECT doc_id, n_emails, n_ipv4s, n_phones, n_digit_runs,
+  substr(md5(red), 1, 16) AS redacted_fp,
+  (length(t) - length(red))::BIGINT AS chars_delta,
+  (n_emails + n_ipv4s + n_phones + n_digit_runs) > 0 AS has_pii
+FROM c""",
+    "q246_pii_incidence" ->
+      s"""WITH a AS (SELECT doc_id, source, $piiAugmentedSql AS t FROM documents),
+c AS (SELECT doc_id, source,
+    $piiCountsSql
+  FROM a),
+p AS (SELECT *, n_emails + n_ipv4s + n_phones + n_digit_runs AS total FROM c)
+SELECT source, count(*) AS n_docs,
+  sum(CASE WHEN total > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+  sum(n_emails)::BIGINT AS n_emails, sum(n_ipv4s)::BIGINT AS n_ipv4s,
+  sum(n_phones)::BIGINT AS n_phones, sum(n_digit_runs)::BIGINT AS n_digit_runs,
+  round(avg(total) + 5e-11, 4) AS avg_pii_per_doc
+FROM p GROUP BY 1""",
+    "q247_doc_repetition" ->
+      """WITH b AS (SELECT doc_id,
+    coalesce(regexp_extract_all(lower(text), '\S+'), CAST([] AS VARCHAR[])) AS toks
+  FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(array_to_string(toks, '')) AS BIGINT) AS word_chars, toks
+  FROM b),
+g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             FROM base WHERE len(toks) >= 2)),
+g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             FROM base WHERE len(toks) >= 3)),
+g4 AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+             FROM base WHERE len(toks) >= 4)),
+t2 AS (SELECT doc_id, max(c * glen) AS mass FROM (
+        SELECT doc_id, count(*) AS c, length(gram) - 1 AS glen
+        FROM g2 GROUP BY doc_id, gram) GROUP BY 1),
+t3 AS (SELECT doc_id, max(c * glen) AS mass FROM (
+        SELECT doc_id, count(*) AS c, length(gram) - 2 AS glen
+        FROM g3 GROUP BY doc_id, gram) GROUP BY 1),
+t4 AS (SELECT doc_id, max(c * glen) AS mass FROM (
+        SELECT doc_id, count(*) AS c, length(gram) - 3 AS glen
+        FROM g4 GROUP BY doc_id, gram) GROUP BY 1),
+s5 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        array_to_string(toks[i:i+4], ' ') AS span
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+             FROM base WHERE len(toks) >= 5)),
+d5 AS (SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, span) AS c
+        FROM s5) WHERE c > 1),
+cv AS (SELECT doc_id,
+        greatest(0, (pos + 5) - greatest(pos,
+          coalesce(max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS contrib
+       FROM d5),
+p5 AS (SELECT doc_id, sum(contrib) AS dup5 FROM cv GROUP BY 1),
+f AS (SELECT base.doc_id, base.n_tokens,
+  round(coalesce(t2.mass::DOUBLE / base.word_chars, 0.0) + 5e-11, 4) AS top2_char_frac,
+  round(coalesce(t3.mass::DOUBLE / base.word_chars, 0.0) + 5e-11, 4) AS top3_char_frac,
+  round(coalesce(t4.mass::DOUBLE / base.word_chars, 0.0) + 5e-11, 4) AS top4_char_frac,
+  round(coalesce(p5.dup5::DOUBLE / base.n_tokens, 0.0) + 5e-11, 4) AS dup5_token_frac
+FROM base LEFT JOIN t2 ON base.doc_id = t2.doc_id
+  LEFT JOIN t3 ON base.doc_id = t3.doc_id
+  LEFT JOIN t4 ON base.doc_id = t4.doc_id
+  LEFT JOIN p5 ON base.doc_id = p5.doc_id)
+SELECT *, top2_char_frac > 0.20 OR top3_char_frac > 0.18
+  OR top4_char_frac > 0.16 OR dup5_token_frac > 0.15 AS gopher_flag
+FROM f""",
+    "q248_perplexity_filter" ->
+      """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+x AS (SELECT doc_id, substr(t, i, 3) AS tri
+      FROM b, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+c AS (SELECT tri, count(*) AS c FROM x GROUP BY 1),
+tt AS (SELECT sum(c)::DOUBLE AS tt FROM c),
+lm AS (SELECT x.doc_id, round(avg(ln(c.c::DOUBLE / tt.tt)) + 5e-11, 4) AS lm
+       FROM x JOIN c USING (tri) CROSS JOIN tt GROUP BY 1),
+d AS (SELECT doc_id, source,
+        len(regexp_extract_all(text, '\S+'))::BIGINT AS ntok
+      FROM documents),
+r AS (SELECT d.doc_id, d.source, d.ntok, lm.lm,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY lm.lm DESC NULLS LAST, d.doc_id) AS rk,
+        count(*) OVER (PARTITION BY d.source) AS nsrc
+      FROM d LEFT JOIN lm ON d.doc_id = lm.doc_id),
+k AS (SELECT *, (lm IS NOT NULL AND rk <= ceil(nsrc * 0.7)) AS kept FROM r)
+SELECT source, count(*) AS n_docs,
+  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  sum(CASE WHEN kept THEN ntok ELSE 0 END)::BIGINT AS kept_tokens,
+  sum(CASE WHEN NOT kept THEN ntok ELSE 0 END)::BIGINT AS dropped_tokens,
+  round(avg(CASE WHEN kept THEN lm END) + 5e-11, 4) AS kept_avg_lm,
+  round(avg(lm) + 5e-11, 4) AS all_avg_lm
+FROM k GROUP BY 1""",
     "q175_ann_recall" -> {
       s"""WITH qp AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 ex0 AS (SELECT qp.query_id, e.vec_id AS nbr_id,

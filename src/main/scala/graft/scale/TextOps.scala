@@ -232,6 +232,87 @@ object TextOps {
         .as("top_bigram_char_frac"))
   }
 
+  /** The full Gopher repetition battery (Rae et al. 2021, table A1) on
+    * word n-grams: per document, the character mass of the heaviest
+    * 2/3/4-gram and the fraction of tokens covered by duplicated
+    * 5-grams (exact interval union, the within-doc twin of the q240
+    * cross-corpus span report). `gopher_flag` applies the paper's
+    * published cut-offs — top-2-gram > 0.20, top-3 > 0.18, top-4 > 0.16,
+    * dup-5-gram coverage > 0.15 — on the ROUNDED fractions so the flag
+    * is engine-identical at the threshold boundary. (The paper's
+    * duplicate-LINE rules need line structure this corpus lacks;
+    * [[repetitionStats]] carries the unigram/dup-word siblings.)
+    *
+    * Char-mass convention matches [[repetitionStats]]: a gram's mass is
+    * its token characters times its count (separators excluded), over
+    * total word characters; the max is deterministic under count ties
+    * without a gram tie-break.
+    *
+    * Scale shape: one tagged explode + one (doc, gram) aggregation for
+    * the three top-mass orders, one positional explode + (doc, span)
+    * count window + doc-keyed union window for the coverage — every
+    * exchange is keyed by doc_id (or finer), so the operator is
+    * embarrassingly parallel across documents at any corpus size; no
+    * all-pairs, no corpus-wide state.
+    */
+  def gopherRepetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val toks = coalesce(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),
+      array().cast("array<string>"))
+    val base = docs.select(id.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(array_join(col("toks"), "")).cast("long").as("word_chars"))
+    // n=2..4 grams in ONE explode, tagged "n:" so a single (doc, gram)
+    // aggregation serves all three orders
+    def grams(n: Int) = when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat(lit(s"$n:"), array_join(slice(col("toks"), i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val top = base
+      .select(col("doc_id"), explode(concat(grams(2), grams(3), grams(4))).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), substring(col("tg"), 1, 1).cast("int").as("n"),
+        col("c"), (length(col("tg")) - 2).as("glen"))
+      // token chars of the gram = tagged length minus "n:" minus n-1 spaces
+      .select(col("doc_id"), col("n"),
+        (col("c") * (col("glen") - (col("n") - 1))).as("mass"))
+      .groupBy(col("doc_id")).agg(
+        max(when(col("n") === 2, col("mass"))).as("top2_chars"),
+        max(when(col("n") === 3, col("mass"))).as("top3_chars"),
+        max(when(col("n") === 4, col("mass"))).as("top4_chars"))
+    // duplicated positional 5-grams -> exact token interval union
+    val spans = base.where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => array_join(slice(col("toks"), i, lit(k)), " "))))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("span"))
+    val dup = spans
+      .withColumn("__c", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("span"))))
+      .where(col("__c") > 1)
+    val wcv = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = greatest(lit(0L), (col("pos") + lit(k.toLong)) -
+      greatest(col("pos"), coalesce(max(col("pos") + lit(k.toLong)).over(wcv), lit(0L))))
+    val cov = dup.select(col("doc_id"), contrib.as("__cv"))
+      .groupBy(col("doc_id")).agg(sum(col("__cv")).as("dup5_tokens"))
+    def frac(mass: Column, denom: Column): Column =
+      graft.queries.r6(coalesce(mass.cast("double") / denom, lit(0.0)))
+    val out = base.drop("toks")
+      .join(top, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        frac(col("top2_chars"), col("word_chars")).as("top2_char_frac"),
+        frac(col("top3_chars"), col("word_chars")).as("top3_char_frac"),
+        frac(col("top4_chars"), col("word_chars")).as("top4_char_frac"),
+        frac(col("dup5_tokens"), col("n_tokens")).as("dup5_token_frac"))
+    out.withColumn("gopher_flag",
+      col("top2_char_frac") > 0.20 || col("top3_char_frac") > 0.18 ||
+        col("top4_char_frac") > 0.16 || col("dup5_token_frac") > 0.15)
+  }
+
   /** Corpus-trigram language-model score: the mean log-probability of a
     * document's character trigrams under the corpus trigram distribution
     * — the SQL-exact miniature of the perplexity filter LLM pipelines

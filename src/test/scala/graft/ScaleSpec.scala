@@ -534,4 +534,76 @@ class ScaleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Pii: counts, redaction chain order, and boundary behavior on a hand fixture") {
+    import graft.scale.Pii
+    val docs = Seq(
+      (1L, "mail me at jo.na-84@sub.example.co.uk or jd@x.io thanks"),
+      (2L, "call 555-010-1234 or 555.010.9999 not 55-010-1234"),
+      (3L, "host 10.0.13.25 and 192.168.1.1, not 1.2.3"),
+      (4L, "acct 123456789 card 1234567890123456 short 12345678 long 12345678901234567"),
+      (5L, "clean text with no personal data at all"),
+      (6L, "mixed: a@b.co 1.2.3.4 111-222-3333 999999999"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        Pii.countOf(col("text"), Pii.emailPattern).as("e"),
+        Pii.countOf(col("text"), Pii.phonePattern).as("p"),
+        Pii.countOf(col("text"), Pii.ipv4Pattern).as("i"),
+        Pii.countOf(col("text"), Pii.digitRunPattern).as("d"),
+        Pii.redact(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(out(1)._1 == 2 && out(1)._5 ==
+      "mail me at <EMAIL> or <EMAIL> thanks")
+    // 55-010-1234: the leading group has 2 digits -> no match (\\b holds)
+    assert(out(2)._2 == 2 && out(2)._5 ==
+      "call <PHONE> or <PHONE> not 55-010-1234")
+    // 1.2.3 has three octets -> not an IPv4
+    assert(out(3)._3 == 2 && out(3)._5 ==
+      "host <IP> and <IP>, not 1.2.3")
+    // 9 and 16 digits match; 8 too short; 17 too long (\\b bounds the run)
+    assert(out(4)._4 == 2 && out(4)._5 ==
+      "acct <NUM> card <NUM> short 12345678 long 12345678901234567")
+    assert(out(5) == ((0L, 0L, 0L, 0L, "clean text with no personal data at all")))
+    // chain order: email first, then IP, then phone, then digit run —
+    // each replacement token is inert for every later pattern
+    assert(out(6) == ((1L, 1L, 1L, 1L, "mixed: <EMAIL> <IP> <PHONE> <NUM>")))
+  }
+
+  test("gopherRepetition: hand-computed gram masses, dup-5 interval union, and the published thresholds") {
+    // doc 1: "a b a b a b a b" (8 tokens, word_chars=8)
+    //   top 2-gram "a b" occurs 4x, mass 4*2=8 -> top2 = 8/8 = 1.0 (>0.20)
+    //   dup 5-grams: positions 0..3, spans alternate "a b a b a"/"b a b a b",
+    //   each occurring 2x -> all dup; union covers all 8 tokens -> dup5 = 1.0
+    // doc 2: 40 DISTINCT tokens (tok1..tok40) -> all gram counts 1, the
+    //   masses are just the longest gram's chars over 191 total: far
+    //   below every threshold, so a long organic doc must NOT flag
+    // doc 4: one token; no grams at all -> zero fracs
+    // doc 5: empty text; doc 6: null text -> no tokens, zero fracs
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (4L, "solo"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(out(1)._1 == 8L)
+    assert(out(1)._2 == 1.0, "top2: 'a b' 4 occurrences x 2 chars over 8 chars")
+    // top3 'a b a' at positions 0,2,4 -> 3x, mass 3*3=9 over 8 = 1.125
+    assert(out(1)._3 == 1.125)
+    // top4 'a b a b' at positions 0,2,4 -> 3x, mass 3*4=12 over 8 = 1.5
+    assert(out(1)._4 == 1.5)
+    assert(out(1)._5 == 1.0 && out(1)._6, "all 5-grams duplicated -> full coverage")
+    // doc 2: word_chars = 9*4 + 31*5 = 191; heaviest 2/3/4-gram = the
+    // all-5-char-token runs (10/15/20 chars); nothing flags
+    assert(out(2)._2 == 0.0524 && out(2)._3 == 0.0785 && out(2)._4 == 0.1047)
+    assert(out(2)._5 == 0.0 && !out(2)._6, "distinct tokens: no dup spans, no flag")
+    assert(out(4) == ((1L, 0.0, 0.0, 0.0, 0.0, false)))
+    assert(out(5) == ((0L, 0.0, 0.0, 0.0, 0.0, false)))
+    assert(out(6) == ((0L, 0.0, 0.0, 0.0, 0.0, false)))
+  }
 }
