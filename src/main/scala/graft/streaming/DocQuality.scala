@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.scale.TextOps
+import graft.scoring.Trainer
+
+/** One corpus document on the wire (the curation stream's row shape). */
+case class QualityDoc(doc_id: Long, text: String)
+
+/** The q242 hashed-n-gram quality classifier served on the document
+  * stream — closing the curation serving loop the way
+  * [[StreamingFeatures.nbCalibratedScoredFeatures]] closes the fraud
+  * one: the 16-bucket gram featurizer is a pure per-row projection
+  * (no explode, no shuffle, no vocabulary state) and the fitted model
+  * is 17 literals, so scoring a document stream needs NO state store
+  * and no join — a stateless sink-side map at any ingest rate.
+  * Batch==stream parity is pinned in StreamingSpec; the batch twin of
+  * the served margin is gated end-to-end by q242.
+  */
+object DocQuality {
+
+  /** Append the learned quality margin (4 dp, the q242 grain) and the
+    * keep decision to a document stream. Feature presence is rejected
+    * at plan-build time, as for every served model.
+    */
+  def hashedQualityScoredDocs(docs: Dataset[QualityDoc],
+      model: Trainer.LogisticModel, buckets: Int): DataFrame = {
+    val f = TextOps.hashedNgramFeatures(docs.toDF(), col("doc_id"),
+      col("text"), buckets)
+    val missing = model.features.filterNot(f.columns.contains)
+    require(missing.isEmpty,
+      s"hashedQualityScoredDocs: model features absent from the stream: $missing")
+    f.select(col("doc_id"),
+        graft.queries.r6(Trainer.margin(model)).as("hq_margin"))
+      .withColumn("hq_keep", col("hq_margin") > 0)
+  }
+}

@@ -1089,4 +1089,140 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(dist(served) == dist(batchF))
   }
+
+  test("hot-swap zoo: AdaBoost v1 -> torn boosted-tree v2 rejected -> clean v3 flips family at the batch boundary") {
+    import spark.implicits._
+    import graft.scoring.{AdaBoost, Boosting, ModelStore}
+    import graft.streaming.{HotSwapScorer, ServedModel}
+    // v1: a SAMME stump ensemble; v3: a boosted depth-2 TREE model — the
+    // reference retrainer reloads whatever family won the retrain
+    // (`feedback/feedback_system.py:308-388`), so a promotion may change
+    // estimator class and the stream must follow without a restart
+    val ab = Seq(
+      AdaBoost.Round("txn_count_1h", 2.0, 0, 1, 0.3, 2.3333, 0.8473),
+      AdaBoost.Round("txn_amount_sum_1h", 500.0, 1, 0, 0.4, 1.5, 0.4055))
+    val btr = Boosting.TreeModel(0.25, 0.5, Seq(
+      Boosting.TreeRound("txn_count_1h", 1.0,
+        "txn_amount_sum_1h", 250.0, "txn_amount_sum_1h", 800.0,
+        0.1, -0.2, 0.3, -0.4),
+      Boosting.TreeRound("txn_amount_sum_1h", 100.0,
+        "txn_count_1h", 2.0, "txn_count_1h", 3.0,
+        -0.05, 0.15, -0.25, 0.35)))
+    val store = java.nio.file.Files.createTempDirectory("zoostore")
+      .resolve("models").toString
+    ModelStore.table(spark, ServedModel.withManifest(
+        ModelStore.adaBoostRows("fraud", 1L, ab)))
+      .write.parquet(store)
+    val swap = new HotSwapScorer(store, "fraud")
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(t => (t.ts_micros, t.transaction_id))
+    val third = tx.length / 3
+    val (part1, rest) = tx.splitAt(third)
+    val (part2, part3) = rest.splitAt(third)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val out = collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double)]()
+    val query = StreamingFeatures.customerFeatures(input.toDS()).toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= swap.scoreBatch(b)
+          .select(col("customer_id"), col("ts_micros"), col("model_version"),
+            col("model_kind"), col("model_score"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+            r.getDouble(4)))
+        ()
+      }
+      .start()
+    try {
+      input.addData(part1.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(1L) && swap.currentKind == Some("adaboost"))
+      // TORN promotion: version 2 lands with one round row missing but
+      // its manifest declaring the full count — the swap must reject the
+      // partial slice and keep serving v1 for the whole batch
+      val v2full = ServedModel.withManifest(
+        ModelStore.boostedTreesRows("fraud", 2L, btr))
+      ModelStore.table(spark,
+          v2full.filterNot(r => r.part == "round" && r.idx == 1L))
+        .write.mode("append").parquet(store)
+      input.addData(part2.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(1L) && swap.currentKind == Some("adaboost"),
+        "torn v2 must not serve")
+      // clean promotion: v3 = the complete tree model — next batch flips
+      ModelStore.table(spark, ServedModel.withManifest(
+          ModelStore.boostedTreesRows("fraud", 3L, btr)))
+        .write.mode("append").parquet(store)
+      input.addData(part3.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(3L) && swap.currentKind == Some("boost_trees"))
+    } finally query.stop()
+
+    // batch twin: every row scored by the family serving at its batch,
+    // bitwise-equal to that family's batch scorer column
+    val batchScores = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        AdaBoost.voteScore(ab).as("vote"), Boosting.scoreTrees(btr).as("fx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val v1Keys = (part1 ++ part2).map(t => (t.customer_id, t.ts_micros)).toSet
+    assert(out.size == tx.length)
+    var flipped = 0
+    out.foreach { case (cid, ts, ver, kind, score) =>
+      val (vote, fx) = batchScores((cid, ts))
+      if (v1Keys.contains((cid, ts))) {
+        assert(ver == 1L && kind == "adaboost" && score == vote, s"v1 row ($cid,$ts)")
+      } else {
+        assert(ver == 3L && kind == "boost_trees" && score == fx, s"v3 row ($cid,$ts)")
+        if (score != vote) flipped += 1
+      }
+    }
+    assert(flipped > 0)
+  }
+
+  test("hashed-quality classifier served on the doc stream == batch scorer (bitwise)") {
+    import spark.implicits._
+    import graft.scale.{Splits, TextOps}
+    import graft.streaming.{DocQuality, QualityDoc}
+    val B = 16
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
+    // fit exactly the q242 chain on the batch side (train slice via the
+    // md5 split); the stream only SERVES the fitted literals
+    val t = col("text")
+    val y = when(TextOps.nTokens(t) < 20, 0L)
+      .when(TextOps.stopwordRatio(t) < 0.05, 0L).otherwise(1L)
+    val f = TextOps.hashedNgramFeatures(docsB, col("doc_id"), col("text"), B)
+      .join(docsB.select(col("doc_id"), y.as("y")), "doc_id")
+    val m = graft.scoring.Trainer.fitLogistic(
+      f.where(Splits.bucket(col("doc_id"), "hq", 5) =!= 0),
+      (0 until B).map(b => s"f$b"), col("y"), iters = 6, lr = 0.5)
+
+    val docs = docsB.select(col("doc_id"), col("text"))
+      .as[QualityDoc].collect().sortBy(_.doc_id)
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.hashedQualityScoredDocs(input.toDS(), m, B)
+      .writeStream.format("memory").queryName("hq").outputMode("append").start()
+    try {
+      input.addData(half1.toIndexedSeq); query.processAllAvailable()
+      input.addData(half2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("hq").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val batch = TextOps.hashedNgramFeatures(docsB, col("doc_id"), col("text"), B)
+      .select(col("doc_id"),
+        graft.queries.r6(graft.scoring.Trainer.margin(m)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.size == docs.length && batch.size == docs.length)
+    batch.foreach { case (id, s) =>
+      assert(streamed(id) == ((s, s > 0)), s"doc $id")
+    }
+    // the model must actually separate: both decisions present
+    assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
+  }
 }
