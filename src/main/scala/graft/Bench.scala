@@ -23,6 +23,44 @@ object Bench {
   def adopt(first: QBench, retry: QBench): QBench =
     if (!retry.ok || retry.med >= first.med) first else retry
 
+  /** Round-robin rep loop: run every item's rep 1, then every item's
+    * rep 2, … — so one ambient-contention window can no longer inflate
+    * ALL reps of one query (the round-11 driver artifact's failure
+    * mode: 22 retries fired and 21 queries still read >2× because the
+    * consecutive rep loop kept each query inside a single window).
+    * Interleaved, a window of length W poisons at most one rep of
+    * ~W/suite-wall queries and the median absorbs it.
+    *
+    * `run` returns elapsed seconds or a negative sentinel on failure; a
+    * failed item skips its remaining reps and records -1 (same contract
+    * as the consecutive loop). Returns items in input order.
+    */
+  def runInterleaved[T](items: Seq[T], reps: Int)(run: (T, Int) => Double)
+      : Seq[(T, QBench)] = {
+    val times = Array.fill(items.size)(List.empty[Double])
+    val failed = Array.fill(items.size)(false)
+    for (r <- 0 until reps; i <- items.indices if !failed(i)) {
+      val t = run(items(i), r)
+      if (t < 0) failed(i) = true else times(i) = t :: times(i)
+    }
+    items.indices.map { i =>
+      val ok = !failed(i) && times(i).size == reps
+      val ts = times(i).sorted
+      items(i) -> QBench(if (ok) ts(reps / 2) else -1.0,
+        if (ok) ts.min else -1.0, if (ok) ts.max else -1.0)
+    }
+  }
+
+  /** First field of /proc/loadavg (1-min load), or -1 outside Linux —
+    * stamped per rep round so the artifact carries the ambient-load
+    * context each rep ran under.
+    */
+  def loadavg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split(' ').head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     // bench-serialization guard: a concurrent Spark/sbt JVM steals cores
     // and poisons the medians (the repo's documented contamination rule —
@@ -123,23 +161,34 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     def f(v: Double) = "%.4f".format(v)
     def f2(v: Double) = "%.2f".format(v)
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+    }
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QBench = {
-      val times = Iterator.range(0, reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
-      }.takeWhile(_ >= 0).toSeq // first failure poisons the query: -1
+      // consecutive reps — used only for the end-of-run retry of a
+      // single suspect (interleaving is meaningless for one query)
+      val times = Iterator.range(0, reps).map(_ => timeOne(name, fn))
+        .takeWhile(_ >= 0).toSeq // first failure poisons the query: -1
       val ok = times.size == reps
       QBench(if (ok) times.sorted.apply(reps / 2) else -1.0,
         if (ok) times.min else -1.0, if (ok) times.max else -1.0)
     }
-    val firsts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, measure(name, fn))
-    }
+    // main pass: INTERLEAVED rep rounds (see runInterleaved), with the
+    // 1-min loadavg stamped at each round boundary
+    val repLoads = Array.fill(reps)(-1.0)
+    var lastRep = -1
+    val firsts = runInterleaved(
+      SparkEntry.queries.toSeq.sortBy(_._1), reps) { case ((name, fn), r) =>
+      if (r != lastRep) { repLoads(r) = loadavg(); lastRep = r }
+      timeOne(name, fn)
+    }.map { case ((name, fn), b) => (name, fn, b) }
     // self-adjudication: any clean query whose spread exceeds 3x re-runs
     // ONCE at the end of the run (by then the contention window that
     // inflated it has had the whole suite's wall time to pass) and the
@@ -168,7 +217,8 @@ object Bench {
         s"""\":{"first":${f(a.med)},"retry":${f(b.med)},"adopted":${f(adopt(a, b).med)}}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.med).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"retried":$retr,"sf":"$sfDir","reps":$reps}"""
+    val loads = repLoads.map(f2).mkString("[", ",", "]") // per rep round
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"retried":$retr,"loadavg":$loads,"retry_loadavg":${f2(loadavg())},"sf":"$sfDir","reps":$reps}"""
     println(line)
     // the driver's captured tail truncates long JSON lines (BENCH_r06
     // kept only q36-q99) — also write the full per-query artifact to a

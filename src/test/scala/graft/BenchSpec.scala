@@ -1,6 +1,6 @@
 package graft
 
-import graft.Bench.{QBench, adopt, spreadExceeds}
+import graft.Bench.{QBench, adopt, loadavg, runInterleaved, spreadExceeds}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench's self-adjudication rule: a forced-contention measurement
@@ -35,5 +35,31 @@ class BenchSpec extends AnyFunSuite {
     assert(adopt(contaminated, QBench(-1.0, -1.0, -1.0)) == contaminated)
     // tie: keep the first run (stable artifact under re-runs)
     assert(adopt(clean, clean.copy(max = 9.9)) == clean)
+  }
+
+  test("runInterleaved: round-robin order, per-query stats, failure skips remaining reps") {
+    val order = collection.mutable.ArrayBuffer[(String, Int)]()
+    // q2 fails at rep 1 -> its rep 2 must never run; q1/q3 complete
+    val fake = Map(
+      ("q1", 0) -> 1.0, ("q2", 0) -> 5.0, ("q3", 0) -> 2.0,
+      ("q1", 1) -> 1.2, ("q2", 1) -> -1.0, ("q3", 1) -> 2.2,
+      ("q1", 2) -> 1.1, ("q3", 2) -> 2.1)
+    val out = runInterleaved(Seq("q1", "q2", "q3"), 3) { (q, r) =>
+      order += ((q, r)); fake((q, r))
+    }
+    // rep-major order: ALL queries' rep r before any query's rep r+1 —
+    // the property that spreads one contention window across queries
+    assert(order.toSeq == Seq(("q1", 0), ("q2", 0), ("q3", 0),
+      ("q1", 1), ("q2", 1), ("q3", 1), ("q1", 2), ("q3", 2)))
+    val m = out.toMap
+    assert(m("q1") == QBench(1.1, 1.0, 1.2))
+    assert(m("q2") == QBench(-1.0, -1.0, -1.0), "failure poisons the query")
+    assert(m("q3") == QBench(2.1, 2.0, 2.2))
+    // input order preserved for the artifact
+    assert(out.map(_._1) == Seq("q1", "q2", "q3"))
+  }
+
+  test("loadavg: reads a non-negative 1-min load on Linux") {
+    assert(loadavg() >= 0.0)
   }
 }
