@@ -163,120 +163,13 @@ object Boosting {
     * (`require`d loudly, as in Trees.fitDepth2).
     */
   def fitTrees(df: DataFrame, features: Seq[String], label: Column,
-      rounds: Int, rate: Double): TreeModel = {
-    require(rounds >= 1, s"Boosting.fitTrees: rounds must be >= 1, got $rounds")
-    val y = label.cast("long")
-    val base = df.agg(count(lit(1)).as("__n"), sum(y).as("__sy")).head()
-    val f0 = KMeansOps.r6d(base.getLong(1).toDouble / base.getLong(0))
-
-    // candidate table from the fused melted count table (__feat,
-    // threshold, counts): ONE partitioned cumsum pipeline for every
-    // feature + residual sums; phantoms (nl = 0 below a side's min
-    // value) and empty right sides filtered BEFORE the argmax — a
-    // 0/0 gain is NaN, which Spark's desc order would sort first
-    def candsFromAll(perAll: DataFrame, nPrior: Int,
-        residSum: (Column, Column, (Int, Int) => Column) => Column): DataFrame = {
-      val cum = graft.ops.GlobalOrder.withCumSumsBy(perAll, Seq("__feat"),
-        Seq(col("threshold")),
-        Seq(col("__cn") -> "nl", col("__csy") -> "syl") ++
-          (0 until nPrior).flatMap(r => (0 to 2).map(l =>
-            col(s"__c${r}_$l") -> s"cll${r}_$l")))
-      val totAggs = Seq(sum(col("__cn")).as("tn"), sum(col("__csy")).as("tsy")) ++
-        (0 until nPrior).flatMap(r => (0 to 2).map(l =>
-          sum(col(s"__c${r}_$l")).as(s"tcl${r}_$l")))
-      val tot = perAll.groupBy(col("__feat")).agg(totAggs.head, totAggs.tail: _*)
-      cum.join(broadcast(tot), "__feat")
-        .select(col("__feat").as("feature"), col("threshold"), col("nl"), col("tn"),
-          residSum(col("syl"), col("nl"),
-            (r, l) => col(s"cll${r}_$l")).as("sl"),
-          residSum(col("tsy"), col("tn"),
-            (r, l) => col(s"tcl${r}_$l")).as("stot"))
-        .where(col("nl") > 0 && col("nl") < col("tn"))
-        .select(col("feature"), col("threshold"), col("nl"),
-          (col("tn") - col("nl")).as("nr"),
-          col("sl"), (col("stot") - col("sl")).as("sr"))
-    }
-    // melted per-threshold count table: `flags` evaluate on the original
-    // row BEFORE the explode; aggs reference them by name
-    def meltedCounts(flags: Seq[Column], aggs: Seq[Column],
-        flagNames: Seq[String]): DataFrame =
-      df.select((y.as("__y") +: flags) :+ explode(array(features.map(f =>
-          struct(lit(f).as("f"), col(f).cast("double").as("t"))): _*)).as("__e"): _*)
-        .select(col("__e.f").as("__feat") +: col("__e.t").as("threshold") +:
-          col("__y") +: flagNames.map(col): _*)
-        .groupBy(col("__feat"), col("threshold"))
-        .agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint() // cumsum + totals re-read the value table
-
-    def argmaxGain(cands: DataFrame) =
-      cands.select(col("feature"), col("threshold"),
-          graft.queries.r6(col("sl") * col("sl") / col("nl") +
-            col("sr") * col("sr") / col("nr")).as("gain"),
-          graft.queries.r6(lit(rate) * (col("sl") / col("nl"))).as("vl"),
-          graft.queries.r6(lit(rate) * (col("sr") / col("nr"))).as("vr"))
-        .orderBy(col("gain").desc, col("feature"), col("threshold"))
-        .limit(1).head()
-
-    var fitted = List.empty[TreeRound] // reverse fit order
-    for (_ <- 1 to rounds) {
-      val prior = fitted.reverse
-      // residual sum over a set from its integer leaf-membership counts
-      // (leaf 3 = n − c0 − c1 − c2) + rounded leaf-value literals — the
-      // oracle writes the same expression in the same associativity
-      def residSum(sy: Column, n: Column, c: (Int, Int) => Column): Column =
-        prior.zipWithIndex.foldLeft(sy - n * lit(f0)) { case (acc, (tr, r)) =>
-          acc - (lit(tr.v0) * c(r, 0) + lit(tr.v1) * c(r, 1) +
-            lit(tr.v2) * c(r, 2) +
-            lit(tr.v3) * (n - c(r, 0) - c(r, 1) - c(r, 2)))
-        }
-      val leafFlags = prior.zipWithIndex.flatMap { case (tr, r) =>
-        (0 to 2).map(l => (leafIndex(tr) === l).as(s"__lf${r}_$l"))
-      }
-      val leafFlagNames = prior.indices.flatMap(r =>
-        (0 to 2).map(l => s"__lf${r}_$l"))
-
-      // pass 1: root candidates (whole table), every feature in one
-      // melted scan + one partitioned cumsum pipeline
-      val rootAggs = Seq(count(lit(1)).as("__cn"), sum(col("__y")).as("__csy")) ++
-        prior.indices.flatMap(r => (0 to 2).map(l =>
-          sum(when(col(s"__lf${r}_$l"), 1L).otherwise(0L)).as(s"__c${r}_$l")))
-      val rootCands = candsFromAll(
-        meltedCounts(leafFlags, rootAggs, leafFlagNames), prior.size, residSum)
-      val rootBest = argmaxGain(rootCands)
-      val (rootF, rootT) = (rootBest.getString(0), rootBest.getDouble(1))
-      val side = when(col(rootF).cast("double") <= lit(rootT), 0).otherwise(1)
-
-      // pass 2: BOTH children fused — one melted scan carries both
-      // sides' conditional sums; the per-side cumsum pipelines re-read
-      // the checkpointed value table, not the fact table
-      val sideFlags = (0 to 1).map(s => (side === s).as(s"__sd$s"))
-      val childAggs = (0 to 1).flatMap { s =>
-        Seq(sum(when(col(s"__sd$s"), 1L).otherwise(0L)).as(s"__cn$s"),
-          sum(when(col(s"__sd$s"), col("__y")).otherwise(lit(0L))).as(s"__csy$s")) ++
-          prior.indices.flatMap(r => (0 to 2).map(l =>
-            sum(when(col(s"__sd$s") && col(s"__lf${r}_$l"), 1L).otherwise(0L))
-              .as(s"__c${r}_${l}_$s")))
-      }
-      val perC = meltedCounts(leafFlags ++ sideFlags, childAggs,
-        leafFlagNames ++ Seq("__sd0", "__sd1"))
-      val childCands = (0 to 1).map { s =>
-        val renamed = perC.select(col("__feat") +: col("threshold") +:
-          (Seq(col(s"__cn$s").as("__cn"), col(s"__csy$s").as("__csy")) ++
-            prior.indices.flatMap(r => (0 to 2).map(l =>
-              col(s"__c${r}_${l}_$s").as(s"__c${r}_$l")))): _*)
-        candsFromAll(renamed, prior.size, residSum)
-          .select(lit(s).as("side"), col("*"))
-      }.reduce(_.unionByName(_)).localCheckpoint() // tiny: distinct values × 2
-      def childBest(s: Int) = argmaxGain(childCands.where(col("side") === s))
-      val lb = childBest(0)
-      val rb = childBest(1)
-      fitted = TreeRound(rootF, rootT,
-        lb.getString(0), lb.getDouble(1), rb.getString(0), rb.getDouble(1),
-        lb.getAs[Double]("vl"), lb.getAs[Double]("vr"),
-        rb.getAs[Double]("vl"), rb.getAs[Double]("vr")) :: fitted
-    }
-    TreeModel(f0, rate, fitted.reverse)
-  }
+      rounds: Int, rate: Double): TreeModel =
+    // one-rate slice of the grid fitter: the chains are bit-identical
+    // (ModelsSpec pinned the two implementations equal for a round
+    // before the solo body was retired — round-11 ADVICE: any future
+    // rounding/tie-break/associativity fix must land in ONE place),
+    // and the pass count is the same (2 melted fact scans per round)
+    fitTreesGrid(df, features, label, rounds, Seq(rate)).head
 
   /** (rounds × rate) hyperparameter grid over [[fitTrees]] with the
     * FACT-TABLE passes shared across every rate cell — the engine twin
