@@ -35,4 +35,21 @@ object DocQuality {
         graft.queries.r6(Trainer.margin(model)).as("hq_margin"))
       .withColumn("hq_keep", col("hq_margin") > 0)
   }
+
+  /** The q245 PII scrub served on the document stream: per-detector
+    * counts + the redacted text, as the same stateless codegen regexp
+    * projection the batch operator compiles to — an ingest-side scrub
+    * that never lands raw PII in the feature store. Batch==stream
+    * parity in StreamingSpec.
+    */
+  def piiScrubbedDocs(docs: Dataset[QualityDoc]): DataFrame = {
+    import graft.scale.Pii
+    val counts = Pii.patterns.map { case (name, p, _) =>
+      Pii.countOf(col("text"), p).as(s"n_${name}s")
+    }
+    docs.toDF().select(col("doc_id") +: counts :+
+        Pii.redact(col("text")).as("redacted_text"): _*)
+      .withColumn("has_pii",
+        Pii.patterns.map(p => col(s"n_${p._1}s")).reduce(_ + _) > 0)
+  }
 }

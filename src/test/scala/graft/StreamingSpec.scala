@@ -1225,4 +1225,33 @@ class StreamingSpec extends AnyFunSuite {
     // the model must actually separate: both decisions present
     assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
   }
+
+  test("PII scrub served on the doc stream == batch battery (counts + redacted text)") {
+    import spark.implicits._
+    import graft.scale.Pii
+    import graft.streaming.{DocQuality, QualityDoc}
+    val docs = Seq(
+      QualityDoc(1L, "mail jo@x.io from 10.0.13.25 acct 123456789012"),
+      QualityDoc(2L, "call 555-010-1234 twice: 555-010-1234"),
+      QualityDoc(3L, "no pii here at all"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.piiScrubbedDocs(input.toDS())
+      .writeStream.format("memory").queryName("pii").outputMode("append").start()
+    try {
+      input.addData(docs.take(2)); query.processAllAvailable()
+      input.addData(docs.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("pii").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = DocQuality.piiScrubbedDocs(docs.toDS())
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch && streamed.size == 3)
+    assert(streamed(1).last == true &&
+      streamed(1)(4) == "mail <EMAIL> from <IP> acct <NUM>")
+    assert(streamed(2)(4) == "call <PHONE> twice: <PHONE>")
+    assert(streamed(3).last == false)
+    // battery constants are the shared Pii object, not a stream copy
+    assert(Pii.patterns.size == 4)
+  }
 }
