@@ -151,6 +151,45 @@ sig AS (SELECT doc_id,
         r6(avg(when(kept, col("lm")))).as("kept_avg_lm"),
         r6(avg(col("lm"))).as("all_avg_lm"))
     },
+    // the CURATION FUNNEL — the whole cleaning pipeline composed end to
+    // end, per source: heuristic gate (q74) -> Gopher repetition gate
+    // (q247) -> per-source perplexity cut (q248), with doc and token
+    // mass surviving each cumulative stage. This is the report a 100 TB
+    // curation run publishes; every stage is the already-gated operator,
+    // joined doc-keyed, one source window for the perplexity rank.
+    "q249_curation_funnel" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val t = col("text")
+      val base = docs.select(col("doc_id"), col("source"),
+        TextOps.nTokens(t).as("ntok"),
+        (!(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05)).as("h"))
+      val rep = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("gopher_flag"))
+      val lm = TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), r6(col("lm_score")).as("lm"))
+      val ranked = base
+        .join(rep, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("lm").desc_nulls_last, col("doc_id"))))
+        .withColumn("nsrc",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+      val s1 = col("h")
+      val s2 = s1 && !coalesce(col("gopher_flag"), lit(false))
+      val s3 = s2 && col("lm").isNotNull &&
+        col("rk") <= ceil(col("nsrc") * 0.7)
+      ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        sum(when(s1, 1L).otherwise(0L)).as("docs_heuristic"),
+        sum(when(s1, col("ntok")).otherwise(0L)).as("tokens_heuristic"),
+        sum(when(s2, 1L).otherwise(0L)).as("docs_repetition"),
+        sum(when(s2, col("ntok")).otherwise(0L)).as("tokens_repetition"),
+        sum(when(s3, 1L).otherwise(0L)).as("docs_final"),
+        sum(when(s3, col("ntok")).otherwise(0L)).as("tokens_final"),
+        r6(sum(when(s3, col("ntok")).otherwise(0L)).cast("double") /
+          sum(col("ntok"))).as("survival_rate"))
+    },
     // exact duplicate-SPAN dedup (the C4/RefinedWeb exact-substring pass
     // next to the fuzzy MinHash family, C4's any-repeat rule at k=8
     // tokens): per doc, how many positional 8-gram spans repeat anywhere
@@ -958,6 +997,61 @@ inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
           GROUP BY 1, 2)"""
   }
 
+  /** Shared Gopher-fraction CTE chain (ends in `grf`: doc_id, n_tokens,
+    * rounded top-2/3/4 char + dup-5 token fractions) — used by the q247
+    * report and the q249 funnel so the two oracles replay ONE battery.
+    */
+  private val gopherCtesSql =
+    """grb AS (SELECT doc_id,
+    coalesce(regexp_extract_all(lower(text), '\S+'), CAST([] AS VARCHAR[])) AS toks
+  FROM documents),
+grbase AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(array_to_string(toks, '')) AS BIGINT) AS word_chars, toks
+  FROM grb),
+g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             FROM grbase WHERE len(toks) >= 2)),
+g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             FROM grbase WHERE len(toks) >= 3)),
+g4 AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+             FROM grbase WHERE len(toks) >= 4)),
+t2 AS (SELECT doc_id, max(c * glen) AS mass FROM (
+        SELECT doc_id, count(*) AS c, length(gram) - 1 AS glen
+        FROM g2 GROUP BY doc_id, gram) GROUP BY 1),
+t3 AS (SELECT doc_id, max(c * glen) AS mass FROM (
+        SELECT doc_id, count(*) AS c, length(gram) - 2 AS glen
+        FROM g3 GROUP BY doc_id, gram) GROUP BY 1),
+t4 AS (SELECT doc_id, max(c * glen) AS mass FROM (
+        SELECT doc_id, count(*) AS c, length(gram) - 3 AS glen
+        FROM g4 GROUP BY doc_id, gram) GROUP BY 1),
+s5 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        array_to_string(toks[i:i+4], ' ') AS span
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+             FROM grbase WHERE len(toks) >= 5)),
+d5 AS (SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, span) AS c
+        FROM s5) WHERE c > 1),
+cv AS (SELECT doc_id,
+        greatest(0, (pos + 5) - greatest(pos,
+          coalesce(max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS contrib
+       FROM d5),
+p5 AS (SELECT doc_id, sum(contrib) AS dup5 FROM cv GROUP BY 1),
+grf AS (SELECT grbase.doc_id, grbase.n_tokens,
+  round(coalesce(t2.mass::DOUBLE / grbase.word_chars, 0.0) + 5e-11, 4) AS top2_char_frac,
+  round(coalesce(t3.mass::DOUBLE / grbase.word_chars, 0.0) + 5e-11, 4) AS top3_char_frac,
+  round(coalesce(t4.mass::DOUBLE / grbase.word_chars, 0.0) + 5e-11, 4) AS top4_char_frac,
+  round(coalesce(p5.dup5::DOUBLE / grbase.n_tokens, 0.0) + 5e-11, 4) AS dup5_token_frac
+FROM grbase LEFT JOIN t2 ON grbase.doc_id = t2.doc_id
+  LEFT JOIN t3 ON grbase.doc_id = t3.doc_id
+  LEFT JOIN t4 ON grbase.doc_id = t4.doc_id
+  LEFT JOIN p5 ON grbase.doc_id = p5.doc_id)"""
+
+  private val gopherFlagSql =
+    "top2_char_frac > 0.20 OR top3_char_frac > 0.18 OR top4_char_frac > 0.16 OR dup5_token_frac > 0.15"
+
   override val oracle: Map[String, String] = Map(
     "q245_pii_scrub" ->
       s"""WITH a AS (SELECT doc_id, $piiAugmentedSql AS t FROM documents),
@@ -983,55 +1077,45 @@ SELECT source, count(*) AS n_docs,
   round(avg(total) + 5e-11, 4) AS avg_pii_per_doc
 FROM p GROUP BY 1""",
     "q247_doc_repetition" ->
-      """WITH b AS (SELECT doc_id,
-    coalesce(regexp_extract_all(lower(text), '\S+'), CAST([] AS VARCHAR[])) AS toks
+      s"""WITH $gopherCtesSql
+SELECT *, $gopherFlagSql AS gopher_flag
+FROM grf""",
+    "q249_curation_funnel" ->
+      s"""WITH $gopherCtesSql,
+hb AS (SELECT doc_id, source,
+  len(regexp_extract_all(text, '\\S+'))::BIGINT AS ntok,
+  NOT (len(regexp_extract_all(text, '\\S+')) < 20
+    OR len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\\S+')), 1) < 0.05) AS h
   FROM documents),
-base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-    CAST(length(array_to_string(toks, '')) AS BIGINT) AS word_chars, toks
-  FROM b),
-g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
-       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-             FROM base WHERE len(toks) >= 2)),
-g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
-       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
-             FROM base WHERE len(toks) >= 3)),
-g4 AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
-       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
-             FROM base WHERE len(toks) >= 4)),
-t2 AS (SELECT doc_id, max(c * glen) AS mass FROM (
-        SELECT doc_id, count(*) AS c, length(gram) - 1 AS glen
-        FROM g2 GROUP BY doc_id, gram) GROUP BY 1),
-t3 AS (SELECT doc_id, max(c * glen) AS mass FROM (
-        SELECT doc_id, count(*) AS c, length(gram) - 2 AS glen
-        FROM g3 GROUP BY doc_id, gram) GROUP BY 1),
-t4 AS (SELECT doc_id, max(c * glen) AS mass FROM (
-        SELECT doc_id, count(*) AS c, length(gram) - 3 AS glen
-        FROM g4 GROUP BY doc_id, gram) GROUP BY 1),
-s5 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        array_to_string(toks[i:i+4], ' ') AS span
-       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
-             FROM base WHERE len(toks) >= 5)),
-d5 AS (SELECT doc_id, pos FROM (
-        SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, span) AS c
-        FROM s5) WHERE c > 1),
-cv AS (SELECT doc_id,
-        greatest(0, (pos + 5) - greatest(pos,
-          coalesce(max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS contrib
-       FROM d5),
-p5 AS (SELECT doc_id, sum(contrib) AS dup5 FROM cv GROUP BY 1),
-f AS (SELECT base.doc_id, base.n_tokens,
-  round(coalesce(t2.mass::DOUBLE / base.word_chars, 0.0) + 5e-11, 4) AS top2_char_frac,
-  round(coalesce(t3.mass::DOUBLE / base.word_chars, 0.0) + 5e-11, 4) AS top3_char_frac,
-  round(coalesce(t4.mass::DOUBLE / base.word_chars, 0.0) + 5e-11, 4) AS top4_char_frac,
-  round(coalesce(p5.dup5::DOUBLE / base.n_tokens, 0.0) + 5e-11, 4) AS dup5_token_frac
-FROM base LEFT JOIN t2 ON base.doc_id = t2.doc_id
-  LEFT JOIN t3 ON base.doc_id = t3.doc_id
-  LEFT JOIN t4 ON base.doc_id = t4.doc_id
-  LEFT JOIN p5 ON base.doc_id = p5.doc_id)
-SELECT *, top2_char_frac > 0.20 OR top3_char_frac > 0.18
-  OR top4_char_frac > 0.16 OR dup5_token_frac > 0.15 AS gopher_flag
-FROM f""",
+lmb AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
+lmx AS (SELECT doc_id, substr(t, i, 3) AS tri
+        FROM lmb, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+lmc AS (SELECT tri, count(*) AS c FROM lmx GROUP BY 1),
+lmtt AS (SELECT sum(c)::DOUBLE AS tt FROM lmc),
+lm AS (SELECT lmx.doc_id, round(avg(ln(lmc.c::DOUBLE / lmtt.tt)) + 5e-11, 4) AS lm
+       FROM lmx JOIN lmc USING (tri) CROSS JOIN lmtt GROUP BY 1),
+gfl AS (SELECT doc_id, $gopherFlagSql AS gflag FROM grf),
+r AS (SELECT hb.doc_id, hb.source, hb.ntok, hb.h, gfl.gflag, lm.lm,
+        row_number() OVER (PARTITION BY hb.source
+          ORDER BY lm.lm DESC NULLS LAST, hb.doc_id) AS rk,
+        count(*) OVER (PARTITION BY hb.source) AS nsrc
+      FROM hb LEFT JOIN gfl ON hb.doc_id = gfl.doc_id
+        LEFT JOIN lm ON hb.doc_id = lm.doc_id),
+k AS (SELECT *, h AS s1,
+        (h AND NOT coalesce(gflag, false)) AS s2,
+        (h AND NOT coalesce(gflag, false)
+          AND lm IS NOT NULL AND rk <= ceil(nsrc * 0.7)) AS s3
+      FROM r)
+SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+  sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS docs_heuristic,
+  sum(CASE WHEN s1 THEN ntok ELSE 0 END)::BIGINT AS tokens_heuristic,
+  sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS docs_repetition,
+  sum(CASE WHEN s2 THEN ntok ELSE 0 END)::BIGINT AS tokens_repetition,
+  sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS docs_final,
+  sum(CASE WHEN s3 THEN ntok ELSE 0 END)::BIGINT AS tokens_final,
+  round(sum(CASE WHEN s3 THEN ntok ELSE 0 END)::DOUBLE / sum(ntok) + 5e-11, 4) AS survival_rate
+FROM k GROUP BY 1""",
     "q248_perplexity_filter" ->
       """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
 x AS (SELECT doc_id, substr(t, i, 3) AS tri
