@@ -231,14 +231,32 @@ object Boosting {
           col("sl"), (col("stot") - col("sl")).as("sr"))
     }
 
-    def argmaxGain(cands: DataFrame, rate: Double) =
-      cands.select(col("feature"), col("threshold"),
+    // ONE action for ALL branches' argmaxes: each branch's candidate
+    // pipeline is tagged and unioned, and the per-branch best split is
+    // a min(struct(-gain, feature, threshold, …)) aggregate — the same
+    // comparator as a per-branch TakeOrdered (gain desc, then feature,
+    // then threshold; doubles through the same Spark ordering, and the
+    // (feature, threshold) tail is unique per branch so the struct min
+    // is total) — bit-identical picks while the grid's 3·|rates| argmax
+    // jobs per round collapse to TWO (one root, one children).
+    case class Best(feature: String, threshold: Double, vl: Double, vr: Double)
+    def bestMany(branches: Seq[(Int, DataFrame, Double)]): Map[Int, Best] = {
+      val tagged = branches.map { case (tag, cands, rate) =>
+        cands.select(lit(tag).as("__tag"), col("feature"), col("threshold"),
           graft.queries.r6(col("sl") * col("sl") / col("nl") +
             col("sr") * col("sr") / col("nr")).as("gain"),
           graft.queries.r6(lit(rate) * (col("sl") / col("nl"))).as("vl"),
           graft.queries.r6(lit(rate) * (col("sr") / col("nr"))).as("vr"))
-        .orderBy(col("gain").desc, col("feature"), col("threshold"))
-        .limit(1).head()
+      }.reduce(_.unionByName(_))
+      tagged.groupBy(col("__tag"))
+        .agg(min(struct(negate(col("gain")).as("ng"), col("feature"),
+          col("threshold"), col("vl"), col("vr"))).as("m"))
+        .collect().map { r =>
+          val m = r.getStruct(1)
+          r.getInt(0) -> Best(m.getString(1), m.getDouble(2),
+            m.getDouble(3), m.getDouble(4))
+        }.toMap
+    }
 
     val fitted = Array.fill(rates.size)(List.empty[TreeRound])
     for (_ <- 1 to rounds) {
@@ -271,14 +289,13 @@ object Boosting {
           (Seq(col(cn).as("__cn"), col(csy).as("__csy")) ++
             (0 until nPrior).flatMap(r => (0 to 2).map(l =>
               col(cName(r, l)).as(s"__c${r}_$l")))): _*)
-      val rootBests = rs.map { k =>
-        argmaxGain(candsFromAll(
+      val rootBests = bestMany(rs.map(k => (k,
+        candsFromAll(
           rateSlice(perRoot, "__cn", "__csy", (r, l) => s"__c${k}_${r}_$l"),
-          nPrior, residSumOf(k)), rates(k))
-      }
+          nPrior, residSumOf(k)), rates(k))))
       val sides = rs.map { k =>
-        when(col(rootBests(k).getString(0)).cast("double") <=
-          lit(rootBests(k).getDouble(1)), 0).otherwise(1)
+        when(col(rootBests(k).feature).cast("double") <=
+          lit(rootBests(k).threshold), 0).otherwise(1)
       }
 
       // pass 2 (the round's SECOND shared fact scan): both children of
@@ -297,17 +314,17 @@ object Boosting {
       }
       val perC = meltedCounts(leafFlags ++ sideFlags, childAggs,
         leafFlagNames ++ rs.flatMap(k => Seq(s"__sd${k}_0", s"__sd${k}_1")))
-      rs.foreach { k =>
-        def childBest(s: Int) = argmaxGain(candsFromAll(
+      val childBests = bestMany(rs.flatMap(k => (0 to 1).map(s =>
+        (k * 2 + s, candsFromAll(
           rateSlice(perC, s"__cn${k}_$s", s"__csy${k}_$s",
             (r, l) => s"__c${k}_${r}_${l}_$s"),
-          nPrior, residSumOf(k)), rates(k))
-        val lb = childBest(0)
-        val rb = childBest(1)
-        fitted(k) = TreeRound(rootBests(k).getString(0), rootBests(k).getDouble(1),
-          lb.getString(0), lb.getDouble(1), rb.getString(0), rb.getDouble(1),
-          lb.getAs[Double]("vl"), lb.getAs[Double]("vr"),
-          rb.getAs[Double]("vl"), rb.getAs[Double]("vr")) :: fitted(k)
+          nPrior, residSumOf(k)), rates(k)))))
+      rs.foreach { k =>
+        val lb = childBests(k * 2)
+        val rb = childBests(k * 2 + 1)
+        fitted(k) = TreeRound(rootBests(k).feature, rootBests(k).threshold,
+          lb.feature, lb.threshold, rb.feature, rb.threshold,
+          lb.vl, lb.vr, rb.vl, rb.vr) :: fitted(k)
       }
     }
     rates.indices.map(k => TreeModel(f0, rates(k), fitted(k).reverse))
