@@ -322,6 +322,25 @@ object Soak {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // round-12 curation operators at k-fold corpus: the PII battery is
+    // a pure regexp projection (exactly linear, zero exchange); Gopher
+    // repetition is explode + (doc, gram)/(doc, span) aggs — every
+    // exchange doc-keyed, linear in docs; the trigram LM is one explode
+    // + one dictionary-sized count join (the q248 filter adds only a
+    // source-partitioned window on top of doc-level rows)
+    time(s"pii-scrub-${k}x-docs")(
+      docs.select(col("doc_id") +:
+          graft.scale.Pii.patterns.map { case (n, p, _) =>
+            graft.scale.Pii.countOf(col("text"), p).as(s"n_${n}s") } :+
+          graft.scale.Pii.redact(col("text")).as("red"): _*)
+        .write.format("noop").mode("overwrite").save())
+    time(s"gopher-repetition-${k}x-docs")(
+      graft.scale.TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
+        .write.format("noop").mode("overwrite").save())
+    time(s"trigram-lm-${k}x-docs")(
+      graft.scale.TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
+        .write.format("noop").mode("overwrite").save())
+
     spark.stop()
   }
 }
