@@ -150,6 +150,51 @@ object ModelStore {
       })
   }
 
+  // ---- categorical NB + Platt calibrator (the q241 served pair) ----
+
+  /** Persist the served calibrated-probability pair: NB priors +
+    * per-feature likelihood tables + the 1-feature Platt calibrator.
+    * Layout: one `prior` row (n1/n0), one `cal_meta` + one
+    * `cal_feature` row (the logistic layout, 1 feature), and one `like`
+    * row per (feature, value) cell — `c2` carries the feature's
+    * POSITION so the rebuilt `NbModel.features` order (and with it the
+    * delta's term-summation order, which the bitwise contract pins) is
+    * exactly the fitted one.
+    */
+  def nbPlattRows(id: String, ver: Long, nb: Models.NbModel,
+      cal: Trainer.LogisticModel): Seq[ModelRow] = {
+    require(cal.features.size == 1,
+      s"ModelStore.nbPlattRows: the Platt calibrator is 1-feature, got ${cal.features}")
+    val like = nb.features.zipWithIndex.flatMap { case (f, fi) =>
+      nb.tables(f).zipWithIndex.map { case ((v, c1cnt, c0cnt), vi) =>
+        row(id, ver, "nb_platt", "like", idx = fi.toLong * 1000000L + vi,
+          k = Some(f), v1 = Some(c1cnt), v2 = Some(c0cnt),
+          c1 = Some(v), c2 = Some(fi.toLong))
+      }
+    }
+    Seq(
+      row(id, ver, "nb_platt", "prior", v1 = Some(nb.n1), v2 = Some(nb.n0)),
+      row(id, ver, "nb_platt", "cal_meta", v1 = Some(cal.intercept),
+        v2 = Some(cal.lr), c1 = Some(cal.iters.toLong)),
+      row(id, ver, "nb_platt", "cal_feature", k = Some(cal.features.head),
+        v1 = Some(cal.means.head), v2 = Some(cal.stds.head),
+        v3 = Some(cal.weights.head))) ++ like
+  }
+
+  def nbPlattOf(rows: Seq[ModelRow]): (Models.NbModel, Trainer.LogisticModel) = {
+    val prior = one(rows, "nb_platt", "prior")
+    val meta = one(rows, "nb_platt", "cal_meta")
+    val cf = one(rows, "nb_platt", "cal_feature")
+    val like = parts(rows, "nb_platt", "like")
+    val features = like.sortBy(_.c2.get).map(_.k.get).distinct
+    val tables = features.map(f => f ->
+      like.filter(_.k.get == f).sortBy(_.idx)
+        .map(r => (r.c1.get, r.v1.get, r.v2.get))).toMap
+    (Models.NbModel(features, prior.v1.get, prior.v2.get, tables),
+      Trainer.LogisticModel(Seq(cf.k.get), Seq(cf.v1.get), Seq(cf.v2.get),
+        Seq(cf.v3.get), meta.v1.get, meta.c1.get.toInt, meta.v2.get))
+  }
+
   // ---- path-keyed deep trees (level-wise and best-first) ----
 
   def deepTreeRows(id: String, ver: Long, m: Trees.DeepTree): Seq[ModelRow] =

@@ -165,6 +165,19 @@ object ServedModel {
         val m = ModelStore.deepTreeOf(b)
         Built("tree", m.splits.values.map(_.feature).toSeq.distinct.sorted,
           Trees.predict(m).cast("double"))
+      case "nb_platt" =>
+        // the q241 served pair: NB log-odds -> 4 dp rounding (the grain
+        // the calibrator was FIT on) -> standardized Platt sigmoid, all
+        // in the exact operation order of the streaming scorer
+        // (`StreamingFeatures.nbCalibratedScoredFeatures`) so the served
+        // probability is bit-identical; emitted at the 4 dp serving
+        // grain, the q241 contract
+        val (nb, cal) = ModelStore.nbPlattOf(b)
+        val d4 = graft.queries.r6(nb.delta)
+        val margin = lit(cal.intercept) +
+          ((d4 - lit(cal.means.head)) / lit(cal.stds.head)) * lit(cal.weights.head)
+        Built("nb_platt", nb.features,
+          graft.queries.r6(lit(1.0) / (lit(1.0) + exp(-margin))))
       case k => throw new IllegalArgumentException(
         s"ServedModel: unknown stored model kind '$k'")
     }

@@ -745,4 +745,33 @@ class ModelsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] { ServedModel.of(mixed) }
       .getMessage.contains("mixed kinds"))
   }
+
+  test("ServedModel nb_platt: the stored pair rebuilds and serves the exact q241 probability") {
+    import spark.implicits._
+    import graft.scoring.{ModelStore, Trainer}
+    import graft.streaming.ServedModel
+    val df = Seq((1L, 10L), (2L, 300L), (1L, 300L), (4L, 10L))
+      .toDF("f1", "f2")
+    val nb = Models.NbModel(Seq("f1", "f2"), 6.0, 4.0, Map(
+      "f1" -> Seq((1L, 2.0, 1.0), (2L, 4.0, 3.0)),
+      "f2" -> Seq((10L, 3.0, 2.0), (300L, 3.0, 2.0))))
+    val cal = Trainer.LogisticModel(Seq("d4"), Seq(0.1), Seq(0.9),
+      Seq(1.5), -0.2, 6, 0.5)
+    val rows = ModelStore.nbPlattRows("m", 1, nb, cal)
+    // disk-shape round trip: the rebuilt pair is == the fitted one
+    // (feature ORDER included — the delta's summation order depends on it)
+    val (nb2, cal2) = ModelStore.nbPlattOf(rows)
+    assert(nb2 == nb && cal2 == cal)
+    for (slice <- Seq(rows, ServedModel.withManifest(rows))) {
+      val built = ServedModel.of(slice)
+      assert(built.kind == "nb_platt" && built.features == Seq("f1", "f2"))
+      // twin: the nbCalibrated serving chain (d4 column -> Platt sigmoid,
+      // both 4 dp) — must be bit-identical
+      val twin = df.withColumn("d4", graft.queries.r6(nb.delta))
+        .select(graft.queries.r6(Trainer.probability(cal)).as("p"))
+        .collect().toSeq.map(_.getDouble(0))
+      val got = df.select(built.score.as("p")).collect().toSeq.map(_.getDouble(0))
+      assert(got == twin)
+    }
+  }
 }

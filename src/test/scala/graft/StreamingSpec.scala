@@ -1254,4 +1254,75 @@ class StreamingSpec extends AnyFunSuite {
     // battery constants are the shared Pii object, not a stream copy
     assert(Pii.patterns.size == 4)
   }
+
+  test("hot-swap to nb_platt: the served calibrated pair promotes mid-stream like any family") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
+    import graft.scoring.{ModelStore, Trainer}
+    import graft.streaming.{HotSwapScorer, ServedModel}
+    def buckets(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("hb", hour(timestamp_micros(col("ts_micros"))))
+      .withColumn("dowi", pmod(intDiv(col("ts_micros"), lit(86400000000L)), lit(7L)))
+      .withColumn("vb", least(floor(col("amount") / 100).cast("long"), lit(5L)))
+    val batchE = buckets(Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"),
+        unix_micros(col("event_timestamp")).as("ts_micros"), col("amount")))
+    val nb = graft.scoring.Models.fitNaiveBayes(
+      batchE, Seq("hb", "dowi", "vb"), col("amount") > 100)
+    val calib = graft.scoring.Trainer.fitLogistic(
+      batchE.withColumn("d4", graft.queries.r6(nb.delta)),
+      Seq("d4"), col("amount") > 100, iters = 4, lr = 0.5)
+    val lr = Trainer.LogisticModel(Seq("txn_count_1h"), Seq(0.0), Seq(1.0),
+      Seq(0.5), 0.1, 1, 0.5)
+    val store = java.nio.file.Files.createTempDirectory("nbstore")
+      .resolve("models").toString
+    ModelStore.table(spark, ServedModel.withManifest(
+        ModelStore.logisticRows("served", 1L, lr)))
+      .write.parquet(store)
+    val swap = new HotSwapScorer(store, "served")
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(t => (t.ts_micros, t.transaction_id))
+    val (half1, half2) = tx.splitAt(tx.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val out = collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+    val query = StreamingFeatures.customerFeatures(input.toDS()).toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the serving wiring derives the NB buckets statelessly before
+        // the swap point, so a promoted nb_platt finds its features
+        out ++= swap.scoreBatch(buckets(b))
+          .select(col("customer_id"), col("ts_micros"), col("model_kind"),
+            col("model_score"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        ()
+      }
+      .start()
+    try {
+      input.addData(half1.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentKind == Some("logistic"))
+      ModelStore.table(spark, ServedModel.withManifest(
+          ModelStore.nbPlattRows("served", 2L, nb, calib)))
+        .write.mode("append").parquet(store)
+      input.addData(half2.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentKind == Some("nb_platt") && swap.currentVersion == Some(2L))
+    } finally query.stop()
+
+    // batch twin: v2 rows carry the q241 calibrated probability bitwise
+    val batchP = batchE.withColumn("d4", graft.queries.r6(nb.delta))
+      .select(col("customer_id"), col("ts_micros"),
+        graft.queries.r6(graft.scoring.Trainer.probability(calib)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val h2 = half2.map(t => (t.customer_id, t.ts_micros)).toSet
+    out.foreach { case (cid, ts, kind, score) =>
+      if (h2.contains((cid, ts))) {
+        assert(kind == "nb_platt" && score == batchP((cid, ts)), s"v2 row ($cid,$ts)")
+      } else assert(kind == "logistic")
+    }
+    assert(out.count(o => o._3 == "nb_platt") == half2.size)
+  }
 }
