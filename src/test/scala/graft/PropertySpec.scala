@@ -390,4 +390,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // random "documents": words (with digits), PII-shaped fragments,
+  // punctuation, repeated runs — the adversarial surface for the
+  // round-12 curation operators
+  private val docTextGen: Gen[String] = {
+    val word = Gen.oneOf("the", "cat", "ab1", "x", "12", "payment", "risk")
+    val pii = Gen.oneOf("a@b.co", "10.0.0.1", "555-123-4567", "123456789012",
+      "55-12", "1.2.3", "12345678")
+    val tok = Gen.frequency(6 -> word, 2 -> pii, 1 -> Gen.const("!!"))
+    for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, tok)
+      dup <- Gen.choose(0, 3) // inject a repeated run to exercise dup-5
+    } yield (toks ++ Seq.fill(dup)(toks.take(6)).flatten).mkString(" ")
+  }
+
+  test("Pii.redact is idempotent and count-consistent on random PII-laced text") {
+    import graft.scale.Pii
+    val docs = samples(docTextGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = Pii.redact(col("text"))
+    val counts = Pii.patterns.map { case (n, p, _) =>
+      Pii.countOf(col("text"), p).as(s"c_$n") }
+    val out = docs.select((col("doc_id") +: once.as("r1") +:
+        Pii.redact(once).as("r2") +: counts) :+
+        Pii.countOf(once, Pii.emailPattern).as("left_email"): _*)
+      .collect()
+    out.foreach { r =>
+      // replacement tokens are inert: a second pass changes nothing
+      assert(r.getString(1) == r.getString(2), s"not idempotent: ${r.getString(1)}")
+      // redaction consumed every email the counter saw
+      assert(r.getLong(7) == 0L, s"email survived redaction: ${r.getString(1)}")
+      // counts are non-negative (pattern sanity on arbitrary text)
+      (3 to 6).foreach(i => assert(r.getLong(i) >= 0L))
+    }
+  }
+
+  test("gopherRepetition fractions respect their bounds on random repeated text") {
+    import graft.scale.TextOps
+    val docs = samples(docTextGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.gopherRepetition(docs, col("doc_id"), col("text")).collect()
+    assert(out.length == 120)
+    out.foreach { r =>
+      val (n, t2, t3, t4, d5) = (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      // dup-5 coverage is an interval union over n_tokens positions
+      assert(d5 >= 0.0 && d5 <= 1.0, s"dup5 $d5 out of [0,1] at n=$n")
+      // top-gram char mass is non-negative; bounded by (count x len) over
+      // word chars, which can exceed 1 only through OVERLAP of the gram
+      // with itself (e.g. "a b a b": 4 x 2 chars over 8) — never negative
+      Seq(t2, t3, t4).foreach(f => assert(f >= 0.0, s"negative mass $f"))
+      if (n < 2) assert(t2 == 0.0 && t3 == 0.0 && t4 == 0.0 && d5 == 0.0)
+      if (n < 5) assert(d5 == 0.0, "no 5-grams -> no dup coverage")
+    }
+  }
 }
