@@ -1899,6 +1899,46 @@ FROM events"""
         .groupBy(col("rate"), col("rounds"), col("n_val"), col("val_auc"))
         .agg((count(col("r2")) + 1).as("rank"))
     },
+    // the q230 joblib-lifecycle gate for the SERVED pair: fit the q241
+    // NB + Platt chain, export through ModelStore.nbPlattRows, write/
+    // read parquet, rebuild via ServedModel, and prove the rebuilt
+    // serving column agrees with the fitted chain on EVERY eval row
+    // (n_agree = n_scored — the oracle emits equality, so any disk or
+    // rebuild drift hash-fails). Output = the re-exported rows (4 dp).
+    "q250_nb_platt_store" -> { (s, dir) =>
+      import graft.scoring.{ModelStore, Models, Trainer}
+      import graft.streaming.ServedModel
+      val fs = Seq("hb", "dowi", "vb")
+      val f = eventFeatures(s, dir)
+      val train = f.where(col("event_id") % 5 =!= 0)
+      val nb = Models.fitNaiveBayes(train, fs, col("y"))
+      val scored = f.where(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("y"), r6(nb.delta).as("d4"))
+        .localCheckpoint() // calibrator GD passes
+      val m = Trainer.fitLogistic(scored.where(col("event_id") % 10 === 0),
+        Seq("d4"), col("y"), iters = 8, lr = 0.5)
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_q250_models").toString
+      ModelStore.table(s, ServedModel.withManifest(
+          ModelStore.nbPlattRows("nbp", 1L, nb, m)))
+        .write.mode("overwrite").parquet(storeDir)
+      val rows2 = ModelStore.rowsOf(s.read.parquet(storeDir), "nbp", 1L)
+      val built = ServedModel.of(rows2)
+      // the fitted pair's serving chain, in ServedModel's operation order
+      val fittedP = r6(lit(1.0) / (lit(1.0) + exp(-(lit(m.intercept) +
+        ((r6(nb.delta) - lit(m.means.head)) / lit(m.stds.head)) *
+          lit(m.weights.head)))))
+      val parity = f.where(col("event_id") % 10 === 5)
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(built.score === fittedP, 1L).otherwise(0L)).as("n_agree"))
+      val (nb2, cal2) = ModelStore.nbPlattOf(ServedModel.body(rows2))
+      import s.implicits._
+      ModelStore.nbPlattRows("nbp", 1L, nb2, cal2).toDF()
+        .select(col("model_id"), col("kind"), col("part"), col("idx"),
+          col("k"), r6(col("v1")).as("v1"), r6(col("v2")).as("v2"),
+          r6(col("v3")).as("v3"), col("c1"), col("c2"))
+        .crossJoin(broadcast(parity))
+    },
     "q233_calibration" -> { (s, dir) =>
       val fs = Seq("hb", "dowi", "vb")
       val f = eventFeatures(s, dir)
@@ -4952,6 +4992,67 @@ SELECT e.event_id, e.y, e.d4,
   round(1.0/(1.0 + exp(-(i.b + (e.d4 - s.m)/s.sd*i.w))) + 5e-11, 4) AS risk_score
 FROM sc e CROSS JOIN i8 i CROSS JOIN s0 s
 WHERE e.event_id % 10 = 5"""
+    },
+    "q250_nb_platt_store" -> locally {
+      // the q241 fit replay, emitted as the ModelStore.nbPlattRows
+      // layout after the engine's disk round trip; n_agree = n_scored
+      // asserts the rebuilt serving column's exact parity in-engine
+      val fs = Seq("hb", "dowi", "vb")
+      val gd = (1 to 8).map { k =>
+        val p = s"1.0/(1.0 + exp(-(i.b + d.x*i.w)))"
+        s"""i$k AS MATERIALIZED (SELECT
+  i.w - 0.5*avg(($p - d.y) * d.x) AS w,
+  i.b - 0.5*avg($p - d.y) AS b
+  FROM dc d, i${k - 1} i GROUP BY i.w, i.b)"""
+      }.mkString(",\n")
+      def rr(e: String) = s"round($e + 5e-11, 4)"
+      val likeRows = fs.zipWithIndex.map { case (f, fi) =>
+        s"""SELECT 'nbp' AS model_id, 'nb_platt' AS kind, 'like' AS part,
+  CAST($fi * 1000000 + rn - 1 AS BIGINT) AS idx, CAST('$f' AS VARCHAR) AS k,
+  ${rr("c1v")} AS v1, ${rr("c0v")} AS v2, CAST(NULL AS DOUBLE) AS v3,
+  CAST(v AS BIGINT) AS c1, CAST($fi AS BIGINT) AS c2,
+  mc.n AS n_scored, mc.n AS n_agree
+FROM (SELECT v, c1 AS c1v, c0 AS c0v,
+      row_number() OVER (ORDER BY v) AS rn FROM l_$f) CROSS JOIN mc"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f AS ($featSql),
+tr AS (SELECT * FROM f WHERE event_id % 5 <> 0),
+te AS (SELECT * FROM f WHERE event_id % 5 = 0),
+pr AS (SELECT CAST(sum(y) AS DOUBLE) AS n1, CAST(count(*) - sum(y) AS DOUBLE) AS n0 FROM tr),
+${fs.map(nbLike).mkString(",\n")},
+scd AS (
+  SELECT te.event_id, te.y,
+    ln(pr.n1/pr.n0) + ${fs.map(f => nbTerm(f)).mkString("\n      + ")} AS delta
+  FROM te
+  CROSS JOIN pr ${fs.map(f => s"CROSS JOIN k_$f").mkString(" ")}
+  ${fs.map(f => s"LEFT JOIN l_$f ON te.$f = l_$f.v").mkString("\n  ")}),
+sc AS MATERIALIZED (
+  SELECT event_id, CAST(y AS BIGINT) AS y, round(delta + 5e-11, 4) AS d4 FROM scd),
+cal AS MATERIALIZED (SELECT event_id, y::DOUBLE AS y, d4 FROM sc WHERE event_id % 10 = 0),
+s0 AS MATERIALIZED (SELECT avg(d4) AS m,
+  coalesce(nullif(stddev_pop(d4), 0.0), 1.0) AS sd FROM cal),
+dc AS MATERIALIZED (SELECT (d4 - m)/sd AS x, y FROM cal, s0),
+i0 AS (SELECT 0.0 AS w, 0.0 AS b),
+$gd,
+mc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f WHERE event_id % 10 = 5)
+SELECT CAST('nbp' AS VARCHAR) AS model_id, CAST('nb_platt' AS VARCHAR) AS kind,
+  CAST('prior' AS VARCHAR) AS part, CAST(0 AS BIGINT) AS idx,
+  CAST(NULL AS VARCHAR) AS k, ${rr("pr.n1")} AS v1, ${rr("pr.n0")} AS v2,
+  CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS BIGINT) AS c1,
+  CAST(NULL AS BIGINT) AS c2, mc.n AS n_scored, mc.n AS n_agree
+FROM pr CROSS JOIN mc
+UNION ALL
+SELECT 'nbp', 'nb_platt', 'cal_meta', CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+  ${rr("i.b")}, CAST(0.5 AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(8 AS BIGINT), CAST(NULL AS BIGINT), mc.n, mc.n
+FROM i8 i CROSS JOIN mc
+UNION ALL
+SELECT 'nbp', 'nb_platt', 'cal_feature', CAST(0 AS BIGINT), CAST('d4' AS VARCHAR),
+  ${rr("s.m")}, ${rr("s.sd")}, ${rr("i.w")},
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mc.n, mc.n
+FROM i8 i CROSS JOIN s0 s CROSS JOIN mc
+UNION ALL
+$likeRows"""
     },
     "q233_calibration" -> {
       // NB likelihood-table replay (the q167 machinery), then sklearn's
