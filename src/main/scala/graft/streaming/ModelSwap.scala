@@ -196,23 +196,33 @@ final class HotSwapScorer(storePath: String, modelId: String)
     extends Serializable {
 
   @transient @volatile private var cached: (Long, ServedModel.Built) = _
+  @volatile private var pinned: Option[Long] = None
 
   def currentVersion: Option[Long] = Option(cached).map(_._1)
   def currentKind: Option[String] = Option(cached).map(_._2.kind)
 
-  /** Resolve latest → serving form, with the torn-read fallback: any
-    * read/rebuild failure (including a manifest-count mismatch from a
-    * half-visible append) keeps the cached version serving this batch.
+  /** Pin serving to one stored version (the rollback lever: a bad
+    * promotion is undone by pinning the last good version — no store
+    * rewrite, next batch serves it). `unpin()` resumes latest-wins.
+    */
+  def pin(version: Long): Unit = { pinned = Some(version) }
+  def unpin(): Unit = { pinned = None }
+
+  /** Resolve pinned-or-latest → serving form, with the torn-read
+    * fallback: any read/rebuild failure (including a manifest-count
+    * mismatch from a half-visible append) keeps the cached version
+    * serving this batch.
     */
   def resolve(spark: SparkSession): (Long, ServedModel.Built) = {
     val c = cached
     try {
       val store = spark.read.parquet(storePath)
-      val latest = ModelStore.latestVersion(store, modelId).getOrElse(
-        throw new IllegalStateException(
-          s"HotSwapScorer: no versions of '$modelId' in $storePath"))
-      if (c == null || c._1 != latest)
-        cached = (latest, ServedModel.of(ModelStore.rowsOf(store, modelId, latest)))
+      val want = pinned.getOrElse(
+        ModelStore.latestVersion(store, modelId).getOrElse(
+          throw new IllegalStateException(
+            s"HotSwapScorer: no versions of '$modelId' in $storePath")))
+      if (c == null || c._1 != want)
+        cached = (want, ServedModel.of(ModelStore.rowsOf(store, modelId, want)))
       cached
     } catch { case NonFatal(_) if c != null => c }
   }

@@ -1325,4 +1325,32 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(out.count(o => o._3 == "nb_platt") == half2.size)
   }
+
+  test("hot-swap pin/unpin: rollback serves the pinned version, unpin resumes latest-wins") {
+    import spark.implicits._
+    import graft.scoring.{AdaBoost, ModelStore, Trainer}
+    import graft.streaming.{HotSwapScorer, ServedModel}
+    val v1 = Trainer.LogisticModel(Seq("txn_count_1h"), Seq(0.0), Seq(1.0),
+      Seq(0.5), 0.1, 1, 0.5)
+    val v2 = Seq(AdaBoost.Round("txn_count_1h", 2.0, 0, 1, 0.3, 2.3333, 0.8473))
+    val store = java.nio.file.Files.createTempDirectory("pinstore")
+      .resolve("models").toString
+    ModelStore.table(spark, ServedModel.withManifest(
+        ModelStore.logisticRows("m", 1L, v1))).write.parquet(store)
+    ModelStore.table(spark, ServedModel.withManifest(
+        ModelStore.adaBoostRows("m", 2L, v2)))
+      .write.mode("append").parquet(store)
+    val swap = new HotSwapScorer(store, "m")
+    // latest-wins by default
+    assert(swap.resolve(spark)._1 == 2L && swap.currentKind == Some("adaboost"))
+    // rollback: pin the last good version — next resolve serves it
+    swap.pin(1L)
+    assert(swap.resolve(spark)._1 == 1L && swap.currentKind == Some("logistic"))
+    // unpin: back to latest
+    swap.unpin()
+    assert(swap.resolve(spark)._1 == 2L && swap.currentKind == Some("adaboost"))
+    // pin to a version that never existed: rebuild fails, cached serves
+    swap.pin(99L)
+    assert(swap.resolve(spark)._1 == 2L, "bad pin must keep the cached version serving")
+  }
 }
