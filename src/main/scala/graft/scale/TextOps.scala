@@ -381,12 +381,22 @@ object TextOps {
     * `('0x'||substr(md5('hng:'||g),1,8))::UBIGINT % B` in ANSI SQL.
     */
   def hashedNgramFeatures(docs: DataFrame, id: Column, text: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    hashedNgramFeatures(docs, id, text, buckets, Nil)
+
+  /** As above, with `keep` columns of `docs` carried through unchanged —
+    * the serving paths use it to keep source/flag columns next to the
+    * bucket frequencies without a post-featurization join (a
+    * stream-stream join is exactly what a stateless scorer must avoid).
+    */
+  def hashedNgramFeatures(docs: DataFrame, id: Column, text: Column,
+      buckets: Int, keep: Seq[String]): DataFrame = {
     require(buckets >= 2 && buckets <= 1024,
       s"hashedNgramFeatures: buckets must be in [2,1024], got $buckets")
     val toks = coalesce(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),
       array().cast("array<string>"))
-    val base = docs.select(id.as("doc_id"), toks.as("toks"))
+    val base = docs.select(id.as("doc_id") +: keep.map(col) :+
+      toks.as("toks"): _*)
     val bigrams = when(size(col("toks")) >= 2,
         transform(sequence(lit(1), size(col("toks")) - 1),
           i => array_join(slice(col("toks"), i, lit(2)), " ")))
@@ -401,7 +411,7 @@ object TextOps {
       when(col("ng") > 0,
         size(filter(col("hs"), h => h === b)).cast("double") / col("ng"))
         .otherwise(lit(0.0)).as(s"f$b"))
-    withH.select(col("doc_id") +: fcols: _*)
+    withH.select(col("doc_id") +: keep.map(col) ++: fcols: _*)
   }
 
   /** Composable (pure-DataFrame) twin of [[trigramDiversity]] — same

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import graft.scale.{Pii, TextOps}
+import graft.scoring.Trainer
+
+/** One sourced corpus document on the wire. */
+case class SourcedDoc(doc_id: Long, source: String, text: String)
+
+/** Per-doc stateless curation flags (the same expressions the batch
+  * gates compile to: q74 heuristic, q245 PII battery, q242 learned
+  * quality).
+  */
+case class FlaggedDoc(source: String, ntok: Long, heuristic: Boolean,
+    pii: Boolean, quality: Boolean)
+
+/** Running per-source curation totals since stream start. */
+case class CurationTotals(source: String, n_docs: Long, n_tokens: Long,
+    heuristic_kept: Long, pii_docs: Long, quality_kept: Long,
+    survivors: Long)
+
+/** Live curation dashboard state — the streaming twin of the q249
+  * funnel report: per SOURCE, running totals of docs/token mass and how
+  * many pass each stateless gate (heuristic, learned quality) plus the
+  * PII incidence. `survivors` counts heuristic ∧ quality (PII does not
+  * drop a doc — the scrub redacts it; its count is the incidence the
+  * q246 rollup reports). The perplexity stage needs a corpus-global
+  * per-source rank and stays batch-only by design (q248).
+  *
+  * State per source is ONE totals row (7 scalars), so the processor is
+  * O(1) per event and state grows with the number of SOURCES — the
+  * shape a 100 TB ingest dashboard needs; the flags themselves are pure
+  * projections computed before the keyed exchange.
+  */
+class CurationCounterProcessor
+    extends StatefulProcessor[String, FlaggedDoc, CurationTotals] {
+  @transient private var st: ValueState[CurationTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CurationTotals]("totals",
+      Encoders.product[CurationTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[FlaggedDoc],
+      timerValues: TimerValues): Iterator[CurationTotals] = {
+    var t = if (st.exists()) st.get()
+      else CurationTotals(key, 0L, 0L, 0L, 0L, 0L, 0L)
+    rows.foreach { d =>
+      def i(b: Boolean) = if (b) 1L else 0L
+      t = t.copy(
+        n_docs = t.n_docs + 1L,
+        n_tokens = t.n_tokens + d.ntok,
+        heuristic_kept = t.heuristic_kept + i(d.heuristic),
+        pii_docs = t.pii_docs + i(d.pii),
+        quality_kept = t.quality_kept + i(d.quality),
+        survivors = t.survivors + i(d.heuristic && d.quality))
+    }
+    st.update(t)
+    Iterator.single(t)
+  }
+}
+
+object CurationCounters {
+
+  /** The stateless flag projection: heuristic keep (q74), PII presence
+    * (q245 battery), learned-quality keep (q242 margin > 0 at the 4 dp
+    * serving grain). One narrow map — the hashed featurizer carries
+    * source/flags through, so no post-featurization join.
+    */
+  def flaggedDocs(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
+      buckets: Int): Dataset[FlaggedDoc] = {
+    val t = col("text")
+    val pre = docs.toDF()
+      .withColumn("__ntok", TextOps.nTokens(t))
+      .withColumn("__h",
+        !(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05))
+      .withColumn("__pii", Pii.patterns.map { case (_, p, _) =>
+        Pii.countOf(t, p) }.reduce(_ + _) > 0)
+    val f = TextOps.hashedNgramFeatures(pre, col("doc_id"), col("text"),
+      buckets, keep = Seq("source", "__ntok", "__h", "__pii"))
+    val missing = model.features.filterNot(f.columns.contains)
+    require(missing.isEmpty,
+      s"CurationCounters: model features absent from the stream: $missing")
+    implicit val enc: Encoder[FlaggedDoc] = Encoders.product[FlaggedDoc]
+    // null text ⇒ zero tokens, no flags (the q74/q245 null semantics)
+    f.select(col("source"), coalesce(col("__ntok"), lit(0L)).as("ntok"),
+        coalesce(col("__h"), lit(false)).as("heuristic"),
+        coalesce(col("__pii"), lit(false)).as("pii"),
+        (graft.queries.r6(Trainer.margin(model)) > 0).as("quality"))
+      .as[FlaggedDoc]
+  }
+
+  /** Running totals per source, updated every micro-batch. */
+  def totals(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
+      buckets: Int): Dataset[CurationTotals] = {
+    implicit val enc: Encoder[CurationTotals] = Encoders.product[CurationTotals]
+    flaggedDocs(docs, model, buckets)
+      .groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new CurationCounterProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -1353,4 +1353,65 @@ class StreamingSpec extends AnyFunSuite {
     swap.pin(99L)
     assert(swap.resolve(spark)._1 == 2L, "bad pin must keep the cached version serving")
   }
+
+  test("curation counters: per-source running totals across micro-batches == batch flag aggregation") {
+    import spark.implicits._
+    import graft.scale.{Splits, TextOps}
+    import graft.streaming.{CurationCounters, SourcedDoc}
+    val B = 16
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = col("text")
+    val y = when(TextOps.nTokens(t) < 20, 0L)
+      .when(TextOps.stopwordRatio(t) < 0.05, 0L).otherwise(1L)
+    val f = TextOps.hashedNgramFeatures(docsB, col("doc_id"), col("text"), B)
+      .join(docsB.select(col("doc_id"), y.as("y")), "doc_id")
+    val m = graft.scoring.Trainer.fitLogistic(
+      f.where(Splits.bucket(col("doc_id"), "hq", 5) =!= 0),
+      (0 until B).map(b => s"f$b"), col("y"), iters = 6, lr = 0.5)
+
+    val docs = docsB.select(col("doc_id"), col("source"), col("text"))
+      .as[SourcedDoc].collect().sortBy(_.doc_id)
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SourcedDoc]
+    val query = CurationCounters.totals(input.toDS(), m, B)
+      .toDF().writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      input.addData(half1.toIndexedSeq); query.processAllAvailable()
+      // mid-stream: totals cover exactly the first half
+      val mid = spark.table("funnel").groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n")).agg(sum(col("n"))).head().getLong(0)
+      assert(mid == half1.length, s"mid-stream doc total $mid != ${half1.length}")
+      input.addData(half2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    // latest emitted totals per source (update mode: last row wins)
+    val streamed = spark.table("funnel")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n_docs").desc)))
+      .where(col("rn") === 1).drop("rn")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val batch = CurationCounters.flaggedDocs(docsB
+        .select(col("doc_id"), col("source"), col("text")).as[SourcedDoc], m, B)
+      .toDF().groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(when(col("heuristic"), 1L).otherwise(0L)).as("hk"),
+        sum(when(col("pii"), 1L).otherwise(0L)).as("pd"),
+        sum(when(col("quality"), 1L).otherwise(0L)).as("qk"),
+        sum(when(col("heuristic") && col("quality"), 1L).otherwise(0L)).as("sv"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (src, v) =>
+      assert(streamed(src) == v, s"source $src: ${streamed(src)} != $v")
+    }
+    // the gates discriminate on this corpus (not vacuous counters)
+    assert(batch.values.exists(v => v._6 > 0) &&
+      batch.values.exists(v => v._6 < v._1))
+  }
 }
