@@ -236,6 +236,23 @@ object GlobalOrder {
     }.drop(BKT)
   }
 
+  /** `df` + `rn` = 1-based row number WITHIN each `partNames` group under
+    * the total order `order` — the distributed twin of
+    * `row_number().over(Window.partitionBy(partNames).orderBy(order))`,
+    * but scale-safe when the partition key is low-cardinality (a
+    * per-source or per-class rank over a corpus would otherwise funnel
+    * each group through ONE task; Spark never subdivides a window
+    * partition). A row number is the inclusive running count of 1s under
+    * a total order, so this is [[withCumSumsBy]] with `lit(1L)`:
+    * the order-aligned range bucketing subdivides every group across
+    * tasks and the per-(group, bucket) offsets restore the global rank
+    * exactly. The result is bit-identical to the single-task window
+    * (ties: same total-order contract).
+    */
+  def withRowNumberBy(df: DataFrame, partNames: Seq[String],
+      order: Seq[Column], rn: String, sampleMod: Int = 64): DataFrame =
+    withCumSumsBy(df, partNames, order, Seq((lit(1L), rn)), sampleMod)
+
   /** Exact SQL `NTILE(k)` bucket from a global row number and total count:
     * the first `n % k` buckets get `n div k + 1` rows, the rest `n div k`.
     */

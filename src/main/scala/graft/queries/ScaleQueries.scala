@@ -130,18 +130,20 @@ sig AS (SELECT doc_id,
     // rank, doc_id tie-break), report kept/dropped token mass and the
     // quality lift. One source-partitioned window + one aggregate.
     "q248_perplexity_filter" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val lm = TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
         .select(col("doc_id"), r6(col("lm_score")).as("lm"))
       val d = docs.select(col("doc_id"), col("source"),
           TextOps.nTokens(col("text")).as("ntok"))
         .join(lm, Seq("doc_id"), "left")
-      val ranked = d
-        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
-          .orderBy(col("lm").desc_nulls_last, col("doc_id"))))
-        .withColumn("nsrc",
-          count(lit(1)).over(Window.partitionBy(col("source"))))
+      // per-source rank via the partitioned two-pass GlobalOrder (a
+      // Window.partitionBy(source) would funnel each source — >60% of a
+      // Common-Crawl-scale corpus — through ONE task); the per-source
+      // doc counts are a tiny groupBy broadcast back onto the rank
+      val ranked = graft.ops.GlobalOrder.withRowNumberBy(d, Seq("source"),
+          Seq(col("lm").desc_nulls_last, col("doc_id")), "rk")
+        .join(broadcast(d.groupBy(col("source"))
+          .agg(count(lit(1)).as("nsrc"))), Seq("source"))
       val kept = col("lm").isNotNull && col("rk") <= ceil(col("nsrc") * 0.7)
       ranked.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
@@ -158,7 +160,6 @@ sig AS (SELECT doc_id,
     // curation run publishes; every stage is the already-gated operator,
     // joined doc-keyed, one source window for the perplexity rank.
     "q249_curation_funnel" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val t = col("text")
       val base = docs.select(col("doc_id"), col("source"),
@@ -168,12 +169,14 @@ sig AS (SELECT doc_id,
         .select(col("doc_id"), col("gopher_flag"))
       val lm = TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
         .select(col("doc_id"), r6(col("lm_score")).as("lm"))
-      val ranked = base
+      val joined = base
         .join(rep, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
-        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
-          .orderBy(col("lm").desc_nulls_last, col("doc_id"))))
-        .withColumn("nsrc",
-          count(lit(1)).over(Window.partitionBy(col("source"))))
+      // same scale shape as q248: partitioned two-pass per-source rank +
+      // broadcast per-source counts, never a single-task source window
+      val ranked = graft.ops.GlobalOrder.withRowNumberBy(joined,
+          Seq("source"), Seq(col("lm").desc_nulls_last, col("doc_id")), "rk")
+        .join(broadcast(joined.groupBy(col("source"))
+          .agg(count(lit(1)).as("nsrc"))), Seq("source"))
       val s1 = col("h")
       val s2 = s1 && !coalesce(col("gopher_flag"), lit(false))
       val s3 = s2 && col("lm").isNotNull &&
@@ -234,16 +237,16 @@ sig AS (SELECT doc_id,
     },
     // per-source quality caps (RefinedWeb-style curation): keep the top-k
     // highest-quality docs per source, report the kept/total mass and
-    // quality lift per source. Ranking is one window PARTITIONED BY
-    // source (the natural corpus key — parallel across domains at any
+    // quality lift per source. Ranking is the partitioned two-pass
+    // GlobalOrder per-source rank (a Window.partitionBy(source) funnels
+    // each source through ONE task — sources are few and huge at corpus
     // scale); quality is pre-rounded so the order is engine-identical.
     "q173_source_caps" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val k = 50
       val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         r6(TextOps.qualityScore(col("text"))).as("q"))
-      d.withColumn("rk", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("q").desc, col("doc_id"))))
+      graft.ops.GlobalOrder.withRowNumberBy(d, Seq("source"),
+          Seq(col("q").desc, col("doc_id")), "rk")
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_kept"),

@@ -505,6 +505,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("per-source doc ranks never funnel a source through one task") {
+    // q173/q248/q249 rank documents WITHIN source; sources are few and
+    // huge (Common-Crawl-skewed: one source can be >60% of a corpus), so
+    // a Window.partitionBy(source) would sort hundreds of millions of
+    // rows in ONE task. The rank must come from the two-pass GlobalOrder
+    // machinery: every surviving window is sub-partitioned by the
+    // order-aligned bucket (or keyed per-doc), never by source alone.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case w: WindowExec => Seq(w)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
+    }
+    for (q <- Seq("q173_source_caps", "q248_perplexity_filter",
+        "q249_curation_funnel")) {
+      val out = graft.queries.ScaleQueries.defs(q)(spark, sf)
+      out.collect()
+      val bad = windows(out.queryExecution.executedPlan).filter { w =>
+        w.partitionSpec.isEmpty ||
+          w.partitionSpec.forall(_.references.map(_.name).toSet == Set("source"))
+      }
+      assert(bad.isEmpty, s"$q has a per-source single-task window:\n" +
+        bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+  }
+
   test("target-correlation and ANOVA screens rank via a broadcast triangular join") {
     // the 15-feature moment collection is ONE aggregate (all corr/F
     // inputs are parallel agg columns — the melt is 15 rows); the final
