@@ -30,6 +30,22 @@ object ModelQueries extends QueryPack {
       col("value"),
       (col("event_type") === "error").cast("long").as("y"))
 
+  /** Fixed per-query scratch dir under java.io.tmpdir, recursively
+    * cleared on each call — repeated bench/verify invocations of the
+    * store-lifecycle gates reuse ONE directory instead of leaking a
+    * fresh createTempDirectory per run.
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), name)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p.toString
+  }
+
   private val featSql =
     """SELECT event_id, hour(ts) AS hb,
   (epoch_us(ts) // 86400000000) % 7 AS dowi,
@@ -1510,8 +1526,7 @@ FROM events"""
           ModelStore.boostedTreesRows("btr", 1, btrM) ++
           ModelStore.deepTreeRows("dt", 1, dtM) ++
           ModelStore.deepTreeRows("bft", 1, bftM.tree)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q230_models").toString
+      val path = scratchDir("graft_q230_models")
       ModelStore.table(s, exported).write.mode("overwrite").parquet(path)
       val back = s.read.parquet(path)
       def slice(id: String) = ModelStore.rowsOf(back, id, 1)
@@ -1917,8 +1932,7 @@ FROM events"""
         .localCheckpoint() // calibrator GD passes
       val m = Trainer.fitLogistic(scored.where(col("event_id") % 10 === 0),
         Seq("d4"), col("y"), iters = 8, lr = 0.5)
-      val storeDir = java.nio.file.Files
-        .createTempDirectory("graft_q250_models").toString
+      val storeDir = scratchDir("graft_q250_models")
       ModelStore.table(s, ServedModel.withManifest(
           ModelStore.nbPlattRows("nbp", 1L, nb, m)))
         .write.mode("overwrite").parquet(storeDir)
@@ -1937,6 +1951,49 @@ FROM events"""
         .select(col("model_id"), col("kind"), col("part"), col("idx"),
           col("k"), r6(col("v1")).as("v1"), r6(col("v2")).as("v2"),
           r6(col("v3")).as("v3"), col("c1"), col("c2"))
+        .crossJoin(broadcast(parity))
+    },
+    // the joblib-lifecycle gate for the FOREST family — the reference
+    // retrainer reloads its RandomForest members like every other dump
+    // (models/advanced_models.py:228-231,252; feedback_system.py:
+    // 308-388): fit a 3-member depth-2 deterministic forest (the q198/
+    // q204 md5-subsample + rotated-feature-subset recipe), promote it
+    // through ModelStore.publish (the canonical write path — the
+    // torn-read manifest row is emitted BY DEFAULT), read back, rebuild
+    // via ServedModel ("forest" kind), and prove the rebuilt majority-
+    // vote column agrees with the fitted Forest.votesDeep chain on
+    // EVERY held-out row (the oracle emits equality, so disk or rebuild
+    // drift hash-fails). Output = the re-exported member/split layout +
+    // parity counts + the manifest-row count of the published slice.
+    "q251_forest_store" -> { (s, dir) =>
+      import graft.scoring.{Forest, ModelStore}
+      import graft.streaming.ServedModel
+      val allF = Seq("value", "hb", "dowi")
+      val f = eventFeatures(s, dir)
+        .withColumn("vb5", graft.scale.Splits.bucket(col("event_id"), "rf", 5))
+        .localCheckpoint() // one fused pass per level + parity pass
+      val train = f.where(col("vb5") =!= 0)
+      def member(t: Int) =
+        graft.scale.Splits.bucket(col("event_id"), s"rf$t", 3) =!= 0
+      def featsOf(t: Int) = allF.patch(t % allF.size, Nil, 1)
+      val forest = Forest.fitDeep(train, allF, col("y"),
+        trees = 3, maxDepth = 2, member, featsOf)
+      val storeDir = scratchDir("graft_q251_models")
+      ModelStore.publish(s, storeDir, ModelStore.forestRows("rf", 1L, forest))
+      val rows2 = ModelStore.rowsOf(s.read.parquet(storeDir), "rf", 1L)
+      val built = ServedModel.of(rows2)
+      val parity = f.where(col("vb5") === 0)
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(Forest.votesDeep(forest).cast("double") === built.score,
+            1L).otherwise(0L)).as("n_agree"))
+        .withColumn("n_manifest",
+          lit(rows2.count(_.kind == "manifest").toLong))
+      import s.implicits._
+      ModelStore.forestRows("rf", 1L,
+          ModelStore.forestOf(ServedModel.body(rows2))).toDF()
+        .select(col("model_id"), col("kind"), col("part"), col("idx"),
+          col("k"), col("k2"), r6(col("v1")).as("v1"), col("v2"),
+          col("c1"), col("c2"), col("c3"), col("c4"))
         .crossJoin(broadcast(parity))
     },
     "q233_calibration" -> { (s, dir) =>
@@ -5053,6 +5110,67 @@ SELECT 'nbp', 'nb_platt', 'cal_feature', CAST(0 AS BIGINT), CAST('d4' AS VARCHAR
 FROM i8 i CROSS JOIN s0 s CROSS JOIN mc
 UNION ALL
 $likeRows"""
+    },
+    "q251_forest_store" -> locally {
+      // per-tree replay of the 3-member depth-2 forest fit (the q204
+      // machinery), emitted as the ModelStore.forestRows layout after
+      // the engine's publish → read → rebuild round trip; n_agree =
+      // n_scored asserts the rebuilt vote column's exact parity
+      // in-engine, n_manifest = 1 asserts the default write carries the
+      // torn-read manifest row
+      val allF = gbFeatures
+      val trees = 3
+      val depth = 2
+      def featsOf(t: Int) = allF.patch(t % allF.size, Nil, 1)
+      val treeCtes = (0 until trees).map { t =>
+        s"""f_t${t}r0 AS MATERIALIZED (
+  SELECT * FROM trn
+  WHERE ('0x' || substr(md5('rf$t:' || event_id), 1, 8))::UBIGINT % 3 <> 0),
+${deepTreeCtes(depth, featsOf(t), s"t$t")},
+sp_t$t AS (
+  SELECT 0 AS plen, '' AS path, b.* FROM b_t${t}r0 b
+  UNION ALL SELECT 1, 'l', b.* FROM b_t${t}l b
+  UNION ALL SELECT 1, 'r', b.* FROM b_t${t}r b),
+spn_t$t AS (SELECT *, row_number() OVER (ORDER BY plen, path) - 1 AS rn
+  FROM sp_t$t)"""
+      }.mkString(",\n")
+      val metaRow =
+        s"""SELECT CAST('rf' AS VARCHAR) AS model_id, CAST('forest' AS VARCHAR) AS kind,
+  CAST('meta' AS VARCHAR) AS part, CAST(0 AS BIGINT) AS idx,
+  CAST(NULL AS VARCHAR) AS k, CAST(NULL AS VARCHAR) AS k2,
+  CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+  CAST($trees AS BIGINT) AS c1, CAST(NULL AS BIGINT) AS c2,
+  CAST(NULL AS BIGINT) AS c3, CAST(NULL AS BIGINT) AS c4,
+  mc.n AS n_scored, mc.n AS n_agree, CAST(1 AS BIGINT) AS n_manifest
+FROM mc"""
+      val memberRows = (0 until trees).map { t =>
+        s"""SELECT 'rf', 'forest', 'member', CAST($t AS BIGINT),
+  CAST('${featsOf(t).mkString(",")}' AS VARCHAR), CAST(NULL AS VARCHAR),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(st.n AS BIGINT), st.pos, CAST($depth AS BIGINT),
+  CAST(NULL AS BIGINT), mc.n, mc.n, CAST(1 AS BIGINT)
+FROM st_t${t}r0 st, mc"""
+      }.mkString("\nUNION ALL\n")
+      val splitRows = (0 until trees).map { t =>
+        s"""SELECT 'rf', 'forest', 'split', CAST($t * 1000000 + rn AS BIGINT),
+  CAST(path AS VARCHAR), sp.feature,
+  round(sp.threshold + 5e-11, 4), sp.gini,
+  sp.n_left, sp.pos_left, sp.n_right, sp.pos_right,
+  mc.n, mc.n, CAST(1 AS BIGINT)
+FROM spn_t$t sp, mc"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH fb AS ($featSql),
+fp AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5('rf:' || event_id), 1, 8))::UBIGINT % 5 AS vb5
+  FROM fb),
+trn AS MATERIALIZED (SELECT * FROM fp WHERE vb5 <> 0),
+$treeCtes,
+mc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fp WHERE vb5 = 0)
+$metaRow
+UNION ALL
+$memberRows
+UNION ALL
+$splitRows"""
     },
     "q233_calibration" -> {
       // NB likelihood-table replay (the q167 machinery), then sklearn's

@@ -393,6 +393,14 @@ object TextOps {
       buckets: Int, keep: Seq[String]): DataFrame = {
     require(buckets >= 2 && buckets <= 1024,
       s"hashedNgramFeatures: buckets must be in [2,1024], got $buckets")
+    // keep columns share the projection with the generated names — a
+    // collision would yield a silent duplicate/ambiguous column
+    val reserved = Set("doc_id", "toks", "grams", "hs", "ng") ++
+      (0 until buckets).map(b => s"f$b")
+    val clash = keep.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"hashedNgramFeatures: keep columns $clash collide with the " +
+        s"generated doc_id/toks/grams/hs/ng/f0..f${buckets - 1} names")
     val toks = coalesce(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),
       array().cast("array<string>"))
     val base = docs.select(id.as("doc_id") +: keep.map(col) :+

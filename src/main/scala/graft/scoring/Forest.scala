@@ -29,6 +29,15 @@ object Forest {
   final case class FTree(tree: Int, feats: Seq[String],
       root: Split, left: Split, right: Split) {
     def depth2: Depth2 = Depth2(root, left, right)
+    /** Path-keyed form of this member — [[Trees.predict]] over the
+      * converted [[Trees.DeepTree]] emits the same literal chain as the
+      * Depth2 form (identical splits, identical leaf majorities), so a
+      * depth-2 forest persists through [[graft.scoring.ModelStore
+      * .forestRows]] and serves bit-identically.
+      */
+    def deep: DeepFTree = DeepFTree(tree, feats, Trees.DeepTree(2,
+      root.n, root.posLeft + root.posRight,
+      Map("" -> root, "l" -> left, "r" -> right)))
   }
 
   /** Fit `trees` members. `member(t)` selects tree t's training rows

@@ -195,6 +195,103 @@ object ModelStore {
         Seq(cf.v3.get), meta.v1.get, meta.c1.get.toInt, meta.v2.get))
   }
 
+  // ---- deterministic forests (depth-2 and deep members) ----
+
+  /** Persist a fitted forest — the reference retrainer reloads its
+    * RandomForest members like every other joblib dump
+    * (`models/advanced_models.py:228-231, 252`; reload lifecycle
+    * `feedback/feedback_system.py:308-388`). Layout: one `meta` row
+    * (member count), one `member` row per tree (its feature subset,
+    * training-slice class counts and depth), and the member's path-keyed
+    * splits in the `tree` layout with the member index packed into the
+    * high `idx` digits (the `nb_platt` like-row convention). Depth-2
+    * forests persist via [[Forest.FTree.deep]].
+    */
+  def forestRows(id: String, ver: Long,
+      forest: Seq[Forest.DeepFTree]): Seq[ModelRow] = {
+    require(forest.nonEmpty, "ModelStore.forestRows: empty forest")
+    require(forest.map(_.tree) == forest.indices.map(identity),
+      s"ModelStore.forestRows: member indices must be 0..n-1 in order, " +
+        s"got ${forest.map(_.tree)}")
+    forest.flatMap(_.feats).foreach(f => require(!f.contains(","),
+      s"ModelStore.forestRows: feature name '$f' contains a comma"))
+    row(id, ver, "forest", "meta", c1 = Some(forest.size.toLong)) +:
+      forest.flatMap { ft =>
+        val m = ft.model
+        require(m.splits.size < 1000000,
+          s"ModelStore.forestRows: member ${ft.tree} has ${m.splits.size} splits")
+        row(id, ver, "forest", "member", idx = ft.tree.toLong,
+          k = Some(ft.feats.mkString(",")), c1 = Some(m.n), c2 = Some(m.pos),
+          c3 = Some(m.maxDepth.toLong)) +:
+          m.splits.toSeq.sortBy { case (p, _) => (p.length, p) }.zipWithIndex
+            .map { case ((p, sp), i) =>
+              row(id, ver, "forest", "split",
+                idx = ft.tree.toLong * 1000000L + i, k = Some(p),
+                k2 = Some(sp.feature), v1 = Some(sp.threshold),
+                v2 = Some(sp.gini), c1 = Some(sp.nLeft), c2 = Some(sp.posLeft),
+                c3 = Some(sp.nRight), c4 = Some(sp.posRight))
+            }
+      }
+  }
+
+  def forestOf(rows: Seq[ModelRow]): Seq[Forest.DeepFTree] = {
+    val meta = one(rows, "forest", "meta")
+    val members = parts(rows, "forest", "member")
+    require(members.size == meta.c1.get,
+      s"ModelStore.forestOf: meta declares ${meta.c1.get} members, " +
+        s"slice holds ${members.size}")
+    val byTree = parts(rows, "forest", "split").groupBy(_.idx / 1000000L)
+    members.map { mr =>
+      val t = mr.idx
+      val splits = byTree.getOrElse(t, Nil).map(r => r.k.get ->
+        Trees.Split(r.k2.get, r.v1.get, r.v2.get, r.c1.get, r.c2.get,
+          r.c3.get, r.c4.get)).toMap
+      Forest.DeepFTree(t.toInt, mr.k.get.split(",", -1).toSeq,
+        Trees.DeepTree(mr.c3.get.toInt, mr.c1.get, mr.c2.get, splits))
+    }
+  }
+
+  // ---- torn-read manifest + the canonical write path ----
+
+  /** Append ONE `manifest/count` row recording how many rows the
+    * version writes. A parquet append is not atomic — a concurrent
+    * reader can see `max(version)` move while some of the version's row
+    * files are still invisible; the manifest lets a reader reject such
+    * a partial slice instead of silently building a truncated model.
+    * (Best-effort by construction: a torn read that hides the manifest
+    * row itself degrades to the un-guarded contract.)
+    */
+  def withManifest(rows: Seq[ModelRow]): Seq[ModelRow] = {
+    require(rows.nonEmpty, "ModelStore.withManifest: empty model")
+    val h = rows.head
+    require(rows.forall(r => r.model_id == h.model_id && r.version == h.version),
+      "ModelStore.withManifest: rows span multiple (model_id, version)")
+    rows :+ ModelRow(h.model_id, h.version, "manifest", "count",
+      0L, None, None, None, None, None, None, Some(rows.size.toLong),
+      None, None, None)
+  }
+
+  /** Strip (and, when present, enforce) the manifest row: the returned
+    * body is what the family `*Of` readers consume. Lenient on legacy
+    * manifest-less slices.
+    */
+  def body(rows: Seq[ModelRow]): Seq[ModelRow] = {
+    val (mans, rest) = rows.partition(_.kind == "manifest")
+    mans.foreach(m => require(m.c1.contains(rest.size.toLong),
+      s"ModelStore: torn read — manifest declares ${m.c1.getOrElse(-1L)} " +
+        s"rows, slice holds ${rest.size}"))
+    rest
+  }
+
+  /** THE canonical promotion write: manifest-guard the version's rows
+    * and append them to the store path. Every default write carries the
+    * torn-read manifest — callers hand-assembling `table(...).write`
+    * get the unguarded legacy contract only by opting out.
+    */
+  def publish(spark: SparkSession, path: String,
+      rows: Seq[ModelRow]): Unit =
+    table(spark, withManifest(rows)).write.mode("append").parquet(path)
+
   // ---- path-keyed deep trees (level-wise and best-first) ----
 
   def deepTreeRows(id: String, ver: Long, m: Trees.DeepTree): Seq[ModelRow] =

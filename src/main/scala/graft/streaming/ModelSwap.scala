@@ -35,9 +35,16 @@ final class HotSwapLogistic(storePath: String, modelId: String)
   // (version, rebuilt model) — foreachBatch bodies run on the driver
   // sequentially per query, but volatile keeps multi-query sharing safe
   @transient @volatile private var cached: (Long, Trainer.LogisticModel) = _
+  @volatile private var failStreak: Int = 0
 
   /** The version currently serving, if any batch has resolved one. */
   def currentVersion: Option[Long] = Option(cached).map(_._1)
+
+  /** Consecutive resolve failures absorbed by the cached model — 0 in
+    * steady state; a growing streak distinguishes a persistently broken
+    * store from a transient torn read.
+    */
+  def consecutiveFailures: Int = failStreak
 
   /** Resolve the latest stored version, rebuilding the model only when
     * the version moved since the last batch. Torn-read protection: a
@@ -60,8 +67,19 @@ final class HotSwapLogistic(storePath: String, modelId: String)
           ServedModel.body(ModelStore.rowsOf(store, modelId, latest)))
         cached = (latest, m)
       }
+      failStreak = 0
       cached
-    } catch { case NonFatal(_) if c != null => c }
+    } catch {
+      case NonFatal(e) if c != null =>
+        // keep serving the cached version, but NEVER silently: a
+        // persistently broken store (vs a transient torn read) must
+        // show in the logs and in the streak counter
+        failStreak += 1
+        ModelSwap.log.warn(
+          s"HotSwapLogistic($modelId): resolve failed ($failStreak " +
+            s"consecutive); serving cached version ${c._1}", e)
+        c
+    }
   }
 
   /** foreachBatch body: score the micro-batch with the latest stored
@@ -106,34 +124,19 @@ object ServedModel {
     */
   final case class Built(kind: String, features: Seq[String], score: Column)
 
-  /** Opt-in torn-read guard: append ONE `manifest/count` row recording
-    * how many rows the version writes. A parquet append is not atomic —
-    * a concurrent reader can see the version's max(version) move while
-    * some of its row files are still invisible; the manifest lets
-    * [[of]] reject such a partial slice instead of silently building a
-    * truncated model. (Best-effort by construction: a torn read that
-    * hides the manifest row itself degrades to the un-guarded contract.)
+  /** Torn-read manifest guard — now lives on the store itself
+    * ([[ModelStore.withManifest]]; [[ModelStore.publish]] is the
+    * canonical write path and emits it by default). Kept here as
+    * forwarding aliases for existing callers.
     */
-  def withManifest(rows: Seq[ModelStore.ModelRow]): Seq[ModelStore.ModelRow] = {
-    require(rows.nonEmpty, "ServedModel.withManifest: empty model")
-    val h = rows.head
-    require(rows.forall(r => r.model_id == h.model_id && r.version == h.version),
-      "ServedModel.withManifest: rows span multiple (model_id, version)")
-    rows :+ ModelStore.ModelRow(h.model_id, h.version, "manifest", "count",
-      0L, None, None, None, None, None, None, Some(rows.size.toLong),
-      None, None, None)
-  }
+  def withManifest(rows: Seq[ModelStore.ModelRow]): Seq[ModelStore.ModelRow] =
+    ModelStore.withManifest(rows)
 
   /** Strip (and, when present, enforce) the manifest row: the returned
     * body is what the family `*Of` readers consume.
     */
-  def body(rows: Seq[ModelStore.ModelRow]): Seq[ModelStore.ModelRow] = {
-    val (mans, rest) = rows.partition(_.kind == "manifest")
-    mans.foreach(m => require(m.c1.contains(rest.size.toLong),
-      s"ServedModel: torn read — manifest declares ${m.c1.getOrElse(-1L)} " +
-        s"rows, slice holds ${rest.size}"))
-    rest
-  }
+  def body(rows: Seq[ModelStore.ModelRow]): Seq[ModelStore.ModelRow] =
+    ModelStore.body(rows)
 
   /** Rebuild one (model_id, version) slice into its serving form,
     * dispatching on the stored `kind`.
@@ -165,6 +168,14 @@ object ServedModel {
         val m = ModelStore.deepTreeOf(b)
         Built("tree", m.splits.values.map(_.feature).toSeq.distinct.sorted,
           Trees.predict(m).cast("double"))
+      case "forest" =>
+        // majority-vote count (0..trees), the forest's native decision
+        // value — bit-identical to the batch Forest.votesDeep chain
+        // (and, through FTree.deep, to the depth-2 Forest.votes form)
+        val f = ModelStore.forestOf(b)
+        Built("forest",
+          f.flatMap(_.model.splits.values.map(_.feature)).distinct.sorted,
+          graft.scoring.Forest.votesDeep(f).cast("double"))
       case "nb_platt" =>
         // the q241 served pair: NB log-odds -> 4 dp rounding (the grain
         // the calibrator was FIT on) -> standardized Platt sigmoid, all
@@ -197,9 +208,17 @@ final class HotSwapScorer(storePath: String, modelId: String)
 
   @transient @volatile private var cached: (Long, ServedModel.Built) = _
   @volatile private var pinned: Option[Long] = None
+  @volatile private var failStreak: Int = 0
 
   def currentVersion: Option[Long] = Option(cached).map(_._1)
   def currentKind: Option[String] = Option(cached).map(_._2.kind)
+
+  /** Consecutive resolve failures absorbed by the cached model — 0 in
+    * steady state; a growing streak distinguishes a persistently broken
+    * store (or a pin to a version that does not exist) from a transient
+    * torn read.
+    */
+  def consecutiveFailures: Int = failStreak
 
   /** Pin serving to one stored version (the rollback lever: a bad
     * promotion is undone by pinning the last good version — no store
@@ -223,8 +242,17 @@ final class HotSwapScorer(storePath: String, modelId: String)
             s"HotSwapScorer: no versions of '$modelId' in $storePath")))
       if (c == null || c._1 != want)
         cached = (want, ServedModel.of(ModelStore.rowsOf(store, modelId, want)))
+      failStreak = 0
       cached
-    } catch { case NonFatal(_) if c != null => c }
+    } catch {
+      case NonFatal(e) if c != null =>
+        failStreak += 1
+        ModelSwap.log.warn(
+          s"HotSwapScorer($modelId): resolve failed ($failStreak " +
+            s"consecutive${pinned.fold("")(v => s", pinned to $v")}); " +
+            s"serving cached version ${c._1} (${c._2.kind})", e)
+        c
+    }
   }
 
   /** foreachBatch body: score with the latest resolvable version.
@@ -240,4 +268,13 @@ final class HotSwapScorer(storePath: String, modelId: String)
       .withColumn("model_kind", lit(m.kind))
       .withColumn("model_score", m.score)
   }
+}
+
+/** Shared slf4j logger for the hot-swap wrappers (slf4j ships on
+  * Spark's classpath; the wrappers log through it so suppressed resolve
+  * failures land in the same sink as the engine's own warnings).
+  */
+private[streaming] object ModelSwap {
+  val log: org.slf4j.Logger =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.ModelSwap")
 }

@@ -60,6 +60,10 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("loadavg: reads a non-negative 1-min load on Linux") {
+    // loadavg() returns -1 where /proc/loadavg does not exist — only
+    // assert the read on Linux-like hosts
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/proc/loadavg")))
     assert(loadavg() >= 0.0)
   }
 }

@@ -774,4 +774,88 @@ class ModelsSpec extends AnyFunSuite {
       assert(got == twin)
     }
   }
+
+  test("ServedModel forest: stored members rebuild and serve the exact vote count") {
+    import spark.implicits._
+    import graft.scoring.{Forest, ModelStore, Trees}
+    import graft.streaming.ServedModel
+    val df = Seq((1.0, 10.0), (2.5, 300.0), (4.0, 900.0), (0.0, 50.0))
+      .toDF("f1", "f2")
+    def scores(c: Column): Seq[Double] =
+      df.select(c.cast("double").as("s")).collect().toSeq.map(_.getDouble(0))
+    // 2 hand-built members: one full depth-2, one root-only (a pure
+    // child pruned the level) — the layout must carry BOTH shapes
+    val t0 = Forest.DeepFTree(0, Seq("f1", "f2"), Trees.DeepTree(2, 4, 2, Map(
+      "" -> Trees.Split("f1", 2.0, 0.4, 2, 2, 2, 0),
+      "l" -> Trees.Split("f2", 100.0, 0.1, 1, 1, 1, 1))))
+    val t1 = Forest.DeepFTree(1, Seq("f2"), Trees.DeepTree(2, 4, 1, Map(
+      "" -> Trees.Split("f2", 150.0, 0.3, 2, 0, 2, 1))))
+    val forest = Seq(t0, t1)
+    val rows = ModelStore.forestRows("m", 1, forest)
+    // in-memory round trip: rebuilt members == the fitted case classes
+    assert(ModelStore.forestOf(rows) == forest)
+    for (slice <- Seq(rows, ModelStore.withManifest(rows))) {
+      val built = ServedModel.of(slice)
+      assert(built.kind == "forest" && built.features == Seq("f1", "f2"))
+      assert(scores(built.score) == scores(Forest.votesDeep(forest)),
+        "vote parity")
+    }
+    // depth-2 FTree members persist through .deep bit-identically
+    val ft = Forest.FTree(0, Seq("f1", "f2"),
+      Trees.Split("f1", 2.0, 0.4, 2, 2, 2, 0),
+      Trees.Split("f2", 100.0, 0.1, 1, 1, 1, 1),
+      Trees.Split("f2", 500.0, 0.2, 1, 0, 1, 1))
+    assert(scores(Trees.predict(ft.deep.model)) ==
+      scores(Trees.predict(ft.depth2)), "FTree.deep predict parity")
+    // member indices must arrive 0..n-1 in order
+    assert(intercept[IllegalArgumentException] {
+      ModelStore.forestRows("m", 1, Seq(t1))
+    }.getMessage.contains("member indices"))
+    // meta/member count mismatch -> loud reject (a torn slice that lost
+    // a whole member but kept the manifest-less layout)
+    assert(intercept[IllegalArgumentException] {
+      ModelStore.forestOf(rows.filterNot(r =>
+        r.part == "member" && r.idx == 1L))
+    }.getMessage.contains("members"))
+  }
+
+  test("ModelStore.publish: every family's default write carries the torn-read manifest") {
+    import graft.scoring.{AdaBoost, Boosting, Forest, ModelStore, Trainer, Trees}
+    import graft.streaming.ServedModel
+    val lr = Trainer.LogisticModel(Seq("f1"), Seq(1.5), Seq(0.8),
+      Seq(0.5), 0.1, 6, 0.5)
+    val ab = Seq(AdaBoost.Round("f1", 2.0, 0, 1, 0.3, 2.3333, 0.8473))
+    val bst = Boosting.Model(0.4, 0.5,
+      Seq(Boosting.Stump("f2", 100.0, -0.1, 0.2)))
+    val btr = Boosting.TreeModel(0.25, 0.5, Seq(
+      Boosting.TreeRound("f1", 2.0, "f2", 100.0, "f2", 500.0,
+        0.1, -0.2, 0.3, -0.4)))
+    val dt = Trees.DeepTree(2, 4, 2, Map(
+      "" -> Trees.Split("f1", 2.0, 0.4, 2, 2, 2, 0)))
+    val fo = Seq(
+      Forest.DeepFTree(0, Seq("f1"), dt),
+      Forest.DeepFTree(1, Seq("f1"), dt))
+    val families = Seq[(String, Seq[ModelStore.ModelRow])](
+      ("logistic", ModelStore.logisticRows("m", 1, lr)),
+      ("adaboost", ModelStore.adaBoostRows("m", 1, ab)),
+      ("boost_stumps", ModelStore.boostingRows("m", 1, bst)),
+      ("boost_trees", ModelStore.boostedTreesRows("m", 1, btr)),
+      ("tree", ModelStore.deepTreeRows("m", 1, dt)),
+      ("forest", ModelStore.forestRows("m", 1, fo)))
+    val dir = java.nio.file.Files.createTempDirectory("pubstore")
+    for ((kind, rows) <- families) {
+      val store = dir.resolve(kind).toString
+      ModelStore.publish(spark, store, rows)
+      val back = ModelStore.rowsOf(spark.read.parquet(store), "m", 1L)
+      val mans = back.filter(_.kind == "manifest")
+      assert(mans.size == 1 && mans.head.c1.contains(rows.size.toLong),
+        s"$kind publish must carry exactly one manifest row")
+      assert(ServedModel.of(back).kind == kind)
+      // a second publish appends the next version cleanly
+      val v2 = rows.map(_.copy(version = 2L))
+      ModelStore.publish(spark, store, v2)
+      assert(ModelStore.latestVersion(
+        spark.read.parquet(store), "m").contains(2L), kind)
+    }
+  }
 }

@@ -1352,6 +1352,77 @@ class StreamingSpec extends AnyFunSuite {
     // pin to a version that never existed: rebuild fails, cached serves
     swap.pin(99L)
     assert(swap.resolve(spark)._1 == 2L, "bad pin must keep the cached version serving")
+    // ...and the absorbed failure is counted, not silent
+    assert(swap.consecutiveFailures == 1)
+    swap.unpin()
+    assert(swap.resolve(spark)._1 == 2L && swap.consecutiveFailures == 0)
+  }
+
+  test("hot-swap into forest: a published forest promotes mid-stream and serves the exact vote count") {
+    import spark.implicits._
+    import graft.scoring.{AdaBoost, Forest, ModelStore, Trees}
+    import graft.streaming.HotSwapScorer
+    // v1: a SAMME stump ensemble; v2: a 2-member depth-2 forest written
+    // through ModelStore.publish (manifest emitted by default) — the
+    // reference retrainer reloads its RandomForest members like every
+    // other dump (models/advanced_models.py:228-231,252)
+    val ab = Seq(
+      AdaBoost.Round("txn_count_1h", 2.0, 0, 1, 0.3, 2.3333, 0.8473))
+    val fo = Seq(
+      Forest.DeepFTree(0, Seq("txn_count_1h", "txn_amount_sum_1h"),
+        Trees.DeepTree(2, 10, 4, Map(
+          "" -> Trees.Split("txn_count_1h", 2.0, 0.4, 6, 4, 4, 0),
+          "l" -> Trees.Split("txn_amount_sum_1h", 250.0, 0.1, 3, 3, 3, 1)))),
+      Forest.DeepFTree(1, Seq("txn_amount_sum_1h"),
+        Trees.DeepTree(2, 10, 3, Map(
+          "" -> Trees.Split("txn_amount_sum_1h", 400.0, 0.3, 5, 1, 5, 2)))))
+    val store = java.nio.file.Files.createTempDirectory("foreststore")
+      .resolve("models").toString
+    ModelStore.publish(spark, store, ModelStore.adaBoostRows("m", 1L, ab))
+    val swap = new HotSwapScorer(store, "m")
+
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        col("amount"), col("merchant_id"), col("ip_address"), col("transaction_id"))
+      .as[StreamTxn].collect().sortBy(t => (t.ts_micros, t.transaction_id))
+    val (half1, half2) = tx.splitAt(tx.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamTxn]
+    val out = collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+    val query = StreamingFeatures.customerFeatures(input.toDS()).toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= swap.scoreBatch(b)
+          .select(col("customer_id"), col("ts_micros"), col("model_kind"),
+            col("model_score"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        ()
+      }
+      .start()
+    try {
+      input.addData(half1.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentKind == Some("adaboost"))
+      ModelStore.publish(spark, store, ModelStore.forestRows("m", 2L, fo))
+      input.addData(half2.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(2L) && swap.currentKind == Some("forest"))
+    } finally query.stop()
+    // batch twin: v2 rows carry the exact majority-vote count
+    val batchVotes = CoreFeatures.customerFeatures(
+        Tables.transactions(spark, "/root/testdata/sf0.001"))
+      .select(col("customer_id"), unix_micros(col("event_timestamp")).as("ts_micros"),
+        Forest.votesDeep(fo).cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val v1Keys = half1.map(t => (t.customer_id, t.ts_micros)).toSet
+    assert(out.size == tx.length)
+    out.foreach { case (cid, ts, kind, score) =>
+      if (!v1Keys.contains((cid, ts))) {
+        assert(kind == "forest" && score == batchVotes((cid, ts)),
+          s"forest row ($cid,$ts)")
+      } else assert(kind == "adaboost")
+    }
+    // votes span more than one value on this corpus (not a constant column)
+    assert(out.filter(_._3 == "forest").map(_._4).distinct.size > 1)
   }
 
   test("curation counters: per-source running totals across micro-batches == batch flag aggregation") {
