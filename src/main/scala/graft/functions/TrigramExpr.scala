@@ -43,7 +43,8 @@ object TrigramKernel {
 
   // Java regex \s set (ASCII-only); UTF-8 continuation bytes are >= 0x80,
   // so byte-level matching equals the regexp_replace('\s+', ' ') contract.
-  private def isWs(b: Byte): Boolean =
+  // (shared with the frozen-LM scorer, which normalizes identically)
+  private[functions] def isWs(b: Byte): Boolean =
     b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
       b == 0x0b.toByte || b == '\f'.toByte || b == '\r'.toByte
 

@@ -193,6 +193,26 @@ sig AS (SELECT doc_id,
         r6(sum(when(s3, col("ntok")).otherwise(0L)).cast("double") /
           sum(col("ntok"))).as("survival_rate"))
     },
+    // the perplexity gate FROZEN for serving (the deployed form of the
+    // q248 filter): fit the corpus-trigram LM into an O(1)-lookup
+    // kernel + one keep-threshold per source (min kept 4 dp score under
+    // the GlobalOrder rank), then re-score the corpus through the
+    // frozen projection and report the threshold-semantics keeps. Any
+    // divergence between the frozen kernel and the batch LM chain (or
+    // between the two rank machineries) hash-fails against the oracle's
+    // independent replay.
+    "q252_perplexity_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"), col("text"), TextOps.nTokens(col("text")).as("ntok"))
+      val gate = graft.scale.Perplexity.fitGate(docs)
+      val kept = gate.keep(col("source"), col("text"))
+      docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        min(gate.threshold(col("source"))).as("threshold"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("ntok")).otherwise(0L)).as("kept_tokens"),
+        r6(avg(gate.lmScore(col("text")))).as("avg_lm"))
+    },
     // exact duplicate-SPAN dedup (the C4/RefinedWeb exact-substring pass
     // next to the fuzzy MinHash family, C4's any-repeat rule at k=8
     // tokens): per doc, how many positional 8-gram spans repeat anywhere
@@ -1143,6 +1163,33 @@ SELECT source, count(*) AS n_docs,
   round(avg(CASE WHEN kept THEN lm END) + 5e-11, 4) AS kept_avg_lm,
   round(avg(lm) + 5e-11, 4) AS all_avg_lm
 FROM k GROUP BY 1""",
+    "q252_perplexity_gate" ->
+      """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+x AS (SELECT doc_id, substr(t, i, 3) AS tri
+      FROM b, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+c AS (SELECT tri, count(*) AS c FROM x GROUP BY 1),
+tt AS (SELECT sum(c)::DOUBLE AS tt FROM c),
+lm AS (SELECT x.doc_id, round(avg(ln(c.c::DOUBLE / tt.tt)) + 5e-11, 4) AS lm
+       FROM x JOIN c USING (tri) CROSS JOIN tt GROUP BY 1),
+d AS (SELECT doc_id, source,
+        len(regexp_extract_all(text, '\S+'))::BIGINT AS ntok
+      FROM documents),
+r AS (SELECT d.doc_id, d.source, d.ntok, lm.lm,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY lm.lm DESC NULLS LAST, d.doc_id) AS rk,
+        count(*) OVER (PARTITION BY d.source) AS nsrc
+      FROM d LEFT JOIN lm ON d.doc_id = lm.doc_id),
+th AS (SELECT source, min(lm) AS threshold FROM r
+       WHERE lm IS NOT NULL AND rk <= ceil(nsrc * 0.7) GROUP BY 1),
+g AS (SELECT r.source, r.ntok, r.lm, th.threshold,
+        (r.lm IS NOT NULL AND th.threshold IS NOT NULL
+          AND r.lm >= th.threshold) AS kept
+      FROM r LEFT JOIN th ON r.source = th.source)
+SELECT source, count(*) AS n_docs, min(threshold) AS threshold,
+  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  sum(CASE WHEN kept THEN ntok ELSE 0 END)::BIGINT AS kept_tokens,
+  round(avg(lm) + 5e-11, 4) AS avg_lm
+FROM g GROUP BY 1""",
     "q175_ann_recall" -> {
       s"""WITH qp AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 ex0 AS (SELECT qp.query_id, e.vec_id AS nbr_id,

@@ -129,6 +129,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("frozen TrigramLm kernel scores bit-identically to the batch LM chain") {
+    import graft.scale.Perplexity
+    // hand corpus: the frozen map must reproduce the exact per-instance
+    // ln(c/tt) means, skip unseen trigrams (inner-join semantics), and
+    // go NULL on no-trigram texts
+    val docs = Seq((1L, "aaaa"), (2L, "aaab")).toDF("doc_id", "text")
+    val lm = Perplexity.fitLm(docs, col("text"))
+    val got = docs.select(col("doc_id"),
+        Perplexity.lmScore(lm, col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == (math.log(0.75) + math.log(0.75)) / 2)
+    assert(got(2L) == (math.log(0.75) + math.log(0.25)) / 2)
+    val extra = Seq((3L, "ab"), (4L, "xyzw"), (5L, "aaxyz"), (6L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Perplexity.lmScore(lm, col("text")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(extra(3L).isEmpty, "under 3 chars -> NULL")
+    assert(extra(4L).isEmpty, "all trigrams unseen -> NULL")
+    // 'aaxyz': only the unseen trigrams skip; no seen trigram -> NULL
+    assert(extra(5L).isEmpty)
+    assert(extra(6L).isEmpty, "null text -> NULL")
+    // whitespace collapse + lowercase match the batch normalization
+    val ws = Seq((7L, "AA  A"), (8L, "aa a")).toDF("doc_id", "text")
+      .select(col("doc_id"), Perplexity.lmScore(lm, col("text")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(ws(7L) == ws(8L), "'AA  A' normalizes to 'aa a'")
+
+    // corpus-wide: frozen kernel == batch trigramLmScore on every doc
+    // (raw doubles, not just the 4 dp grain)
+    val corpus = Tables.documents(spark, sf)
+    val flm = Perplexity.fitLm(corpus, col("text"))
+    val frozen = corpus.select(col("doc_id"),
+      Perplexity.lmScore(flm, col("text")).as("f"))
+    val batch = TextOps.trigramLmScore(corpus, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("lm_score").as("b"))
+    val joined = frozen.join(batch, Seq("doc_id"), "left")
+    assert(joined.where(!(col("f") <=> col("b"))).count() == 0,
+      "frozen kernel diverges from the batch LM chain")
+    assert(joined.where(col("f").isNotNull).count() > 0)
+  }
+
   test("hard negatives: ranked within different-label vectors only") {
     val docs = Seq(
       (0L, 1L, Array(1f, 0f, 0f)),  // query, label 1

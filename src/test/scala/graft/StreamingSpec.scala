@@ -1427,7 +1427,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("curation counters: per-source running totals across micro-batches == batch flag aggregation") {
     import spark.implicits._
-    import graft.scale.{Splits, TextOps}
+    import graft.scale.{Perplexity, Splits, TextOps}
     import graft.streaming.{CurationCounters, SourcedDoc}
     val B = 16
     val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -1439,13 +1439,17 @@ class StreamingSpec extends AnyFunSuite {
     val m = graft.scoring.Trainer.fitLogistic(
       f.where(Splits.bucket(col("doc_id"), "hq", 5) =!= 0),
       (0 until B).map(b => s"f$b"), col("y"), iters = 6, lr = 0.5)
+    // batch-fit the frozen perplexity gate (q252): the stream only
+    // serves the frozen LM kernel + per-source threshold literals
+    val gate = Perplexity.fitGate(
+      docsB.select(col("doc_id"), col("source"), col("text")))
 
     val docs = docsB.select(col("doc_id"), col("source"), col("text"))
       .as[SourcedDoc].collect().sortBy(_.doc_id)
     val (half1, half2) = docs.splitAt(docs.length / 2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[SourcedDoc]
-    val query = CurationCounters.totals(input.toDS(), m, B)
+    val query = CurationCounters.totals(input.toDS(), m, B, gate)
       .toDF().writeStream.format("memory").queryName("funnel")
       .outputMode("update").start()
     try {
@@ -1465,24 +1469,47 @@ class StreamingSpec extends AnyFunSuite {
       .where(col("rn") === 1).drop("rn")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6)))).toMap
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    val sv = col("heuristic") && col("quality") && col("perplexity")
     val batch = CurationCounters.flaggedDocs(docsB
-        .select(col("doc_id"), col("source"), col("text")).as[SourcedDoc], m, B)
+        .select(col("doc_id"), col("source"), col("text")).as[SourcedDoc],
+        m, B, gate)
       .toDF().groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
         sum(when(col("heuristic"), 1L).otherwise(0L)).as("hk"),
         sum(when(col("pii"), 1L).otherwise(0L)).as("pd"),
         sum(when(col("quality"), 1L).otherwise(0L)).as("qk"),
-        sum(when(col("heuristic") && col("quality"), 1L).otherwise(0L)).as("sv"))
+        sum(when(col("perplexity"), 1L).otherwise(0L)).as("pk"),
+        sum(when(sv, 1L).otherwise(0L)).as("sv"),
+        sum(when(sv, col("ntok")).otherwise(0L)).as("svt"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6)))).toMap
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (src, v) =>
       assert(streamed(src) == v, s"source $src: ${streamed(src)} != $v")
     }
-    // the gates discriminate on this corpus (not vacuous counters)
-    assert(batch.values.exists(v => v._6 > 0) &&
-      batch.values.exists(v => v._6 < v._1))
+    // every gate (including the frozen perplexity cut) discriminates on
+    // this corpus, survivors exist, and survivor token mass is a real
+    // sub-mass (not vacuous counters)
+    assert(batch.values.exists(v => v._7 > 0) &&
+      batch.values.exists(v => v._7 < v._1))
+    assert(batch.values.exists(v => v._6 > 0 && v._6 < v._1),
+      "perplexity gate must discriminate")
+    assert(batch.values.exists(v => v._8 > 0 && v._8 < v._2),
+      "survivor token mass must be a strict sub-mass")
+
+    // frozen-gate serving == the batch q248-style threshold keep set,
+    // doc by doc (the streaming-perplexity parity contract)
+    val lmBatch = TextOps.trigramLmScore(docsB, col("doc_id"), col("text"))
+      .select(col("doc_id"), graft.queries.r6(col("lm_score")).as("lm"))
+    val thCol = gate.threshold(col("source"))
+    val mismatch = docsB.select(col("doc_id"), col("source"), col("text"))
+      .join(lmBatch, Seq("doc_id"), "left")
+      .select(gate.keep(col("source"), col("text")).as("served"),
+        (col("lm").isNotNull && thCol.isNotNull &&
+          col("lm") >= thCol).as("batchKeep"))
+      .where(col("served") =!= col("batchKeep")).count()
+    assert(mismatch == 0L, s"$mismatch docs diverge between frozen and batch keep")
   }
 }
