@@ -43,6 +43,34 @@ object ScaleQueries extends QueryPack {
         .otherwise(lit("")))
   }
 
+  /** Deterministic LINE fixture for the Gopher duplicate-line rules
+    * (q253): three overlapping text windows as base lines, plus
+    * doc_id-gated repeats of the first two and one unique tail line —
+    * mods 3/4/8/5 interleave so docs span 0–3 duplicate lines and both
+    * flag outcomes. Empty windows (short texts) become empty lines the
+    * operator excludes, identically in both engines.
+    */
+  private def linedAugmented = {
+    val id = col("doc_id")
+    val l0 = substring(col("text"), 1, 60)
+    val l1 = substring(col("text"), 31, 60)
+    val l2 = substring(col("text"), 61, 60)
+    concat(l0, lit("\n"), l1, lit("\n"), l2,
+      when(id % 3 === 0, concat(lit("\n"), l0)).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit("\n"), l1)).otherwise(lit("")),
+      when(id % 8 === 0, concat(lit("\n"), l1)).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("\nref "), (id % 100).cast("string")))
+        .otherwise(lit("")))
+  }
+
+  /** The oracle twin of [[linedAugmented]]. */
+  private val linedAugmentedSql =
+    """substr(text, 1, 60) || chr(10) || substr(text, 31, 60) || chr(10) || substr(text, 61, 60)
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || substr(text, 1, 60) ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || substr(text, 31, 60) ELSE '' END
+    || CASE WHEN doc_id % 8 = 0 THEN chr(10) || substr(text, 31, 60) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || (doc_id % 100)::VARCHAR ELSE '' END"""
+
   /** The oracle twin of [[piiAugmented]] (DuckDB string arithmetic). */
   private val piiAugmentedSql =
     """text
@@ -124,6 +152,16 @@ sig AS (SELECT doc_id,
     // the paper's published thresholds as the flag.
     "q247_doc_repetition" -> { (s, dir) =>
       TextOps.gopherRepetition(docsSpread(s, dir), col("doc_id"), col("text"))
+    },
+    // Gopher duplicate-LINE rules (the table-A1 half q247 skips — the
+    // synthetic corpus has no line structure, so the gate runs on text
+    // LINED from doc_id arithmetic, the q245 fixture technique: the
+    // oracle rebuilds the identical lines, making the dup-line math
+    // hash-checkable while the operator stays generic).
+    "q253_line_repetition" -> { (s, dir) =>
+      TextOps.gopherLineStats(
+        docsSpread(s, dir).select(col("doc_id"), linedAugmented.as("text")),
+        col("doc_id"), col("text"))
     },
     // CCNet-style per-source perplexity filter: score every doc with the
     // q131 corpus-trigram LM, keep the top 70% per source (rounded score
@@ -1163,6 +1201,25 @@ SELECT source, count(*) AS n_docs,
   round(avg(CASE WHEN kept THEN lm END) + 5e-11, 4) AS kept_avg_lm,
   round(avg(lm) + 5e-11, 4) AS all_avg_lm
 FROM k GROUP BY 1""",
+    "q253_line_repetition" ->
+      s"""WITH a AS (SELECT doc_id, $linedAugmentedSql AS t FROM documents),
+l AS (SELECT doc_id, ln FROM (
+    SELECT doc_id, unnest(string_split(t, chr(10))) AS ln FROM a)
+  WHERE length(ln) > 0),
+g AS (SELECT doc_id, ln, count(*) AS c, length(ln)::BIGINT AS len
+      FROM l GROUP BY 1, 2),
+d AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+        sum(c * len)::BIGINT AS line_chars,
+        sum(c - 1)::BIGINT AS dup_lines,
+        sum((c - 1) * len)::BIGINT AS dup_chars
+      FROM g GROUP BY 1),
+f AS (SELECT a.doc_id, coalesce(d.n_lines, 0) AS n_lines,
+        round(coalesce(d.dup_lines::DOUBLE / d.n_lines, 0.0) + 5e-11, 4) AS dup_line_frac,
+        round(coalesce(d.dup_chars::DOUBLE / d.line_chars, 0.0) + 5e-11, 4) AS dup_line_char_frac
+      FROM a LEFT JOIN d ON a.doc_id = d.doc_id)
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+  (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20) AS line_flag
+FROM f""",
     "q252_perplexity_gate" ->
       """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
 x AS (SELECT doc_id, substr(t, i, 3) AS tri

@@ -313,6 +313,46 @@ object TextOps {
         col("top4_char_frac") > 0.16 || col("dup5_token_frac") > 0.15)
   }
 
+  /** The Gopher duplicate-LINE rules (Rae et al. 2021, table A1 — the
+    * line-level half [[gopherRepetition]] skips on line-less corpora):
+    * per document, the fraction of line instances that are repeats of
+    * an earlier identical line and the fraction of line characters
+    * those repeats carry, with the paper's cut-offs (duplicate-line
+    * fraction > 0.30, duplicate-line character fraction > 0.20) on the
+    * ROUNDED fractions. Lines are newline-separated; empty lines are
+    * excluded (they are formatting, not content — the C4/Gopher
+    * preprocessing convention). A repeat convention: a distinct line
+    * with `c` occurrences of length `L` contributes `c-1` duplicate
+    * instances and `(c-1)·L` duplicate characters.
+    *
+    * Scale shape: one explode + one (doc, line) aggregation + one
+    * doc-keyed rollup — every exchange keyed by doc_id (or finer),
+    * embarrassingly parallel across documents; no corpus-wide state.
+    */
+  def gopherLineStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = filter(split(coalesce(text, lit("")), "\n"),
+      l => length(l) > 0)
+    val base = docs.select(id.as("doc_id"), lines.as("ls"))
+    val grouped = base
+      .select(col("doc_id"), explode(col("ls")).as("line"))
+      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), length(col("line")).cast("long").as("len"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_lines"),
+        sum(col("c") * col("len")).as("line_chars"),
+        sum(col("c") - 1L).as("dup_lines"),
+        sum((col("c") - 1L) * col("len")).as("dup_chars"))
+    def frac(num: Column, den: Column): Column =
+      graft.queries.r6(coalesce(num.cast("double") / den, lit(0.0)))
+    base.select(col("doc_id")).join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        frac(col("dup_lines"), col("n_lines")).as("dup_line_frac"),
+        frac(col("dup_chars"), col("line_chars")).as("dup_line_char_frac"))
+      .withColumn("line_flag",
+        col("dup_line_frac") > 0.30 || col("dup_line_char_frac") > 0.20)
+  }
+
   /** Corpus-trigram language-model score: the mean log-probability of a
     * document's character trigrams under the corpus trigram distribution
     * — the SQL-exact miniature of the perplexity filter LLM pipelines

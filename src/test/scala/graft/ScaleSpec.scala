@@ -129,6 +129,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("gopherLineStats: duplicate-line fractions and flags match hand-computed fixtures") {
+    val docs = Seq(
+      // 4 lines: "abc" x3 (len 3) + "defgh" (len 5); dups = 2 instances,
+      // dup chars = 6 of 14 -> frac 0.5 > 0.30 flags
+      (1L, "abc\nabc\ndefgh\nabc"),
+      // 3 distinct lines, no dups -> 0.0, no flag
+      (2L, "one\ntwo\nthree"),
+      // empty lines excluded: 2 real lines, one dup pair -> frac 0.5;
+      // chars 3 of 6 -> 0.5
+      (3L, "xyz\n\n\nxyz"),
+      // char-frac-only flag: "aaaaaaaaaa" x2 (10 chars) + 8 distinct
+      // 1-char lines -> dup_line_frac = 1/10 = 0.1 (no), dup chars
+      // 10/28 = 0.3571 > 0.20 flags
+      (4L, "aaaaaaaaaa\naaaaaaaaaa\nb\nc\nd\ne\nf\ng\nh\ni"),
+      (5L, ""),       // no lines
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherLineStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((4L, 0.5, graft.scoring.KMeansOps.r6d(6.0 / 14), true)))
+    assert(out(2L) == ((3L, 0.0, 0.0, false)))
+    assert(out(3L) == ((2L, 0.5, 0.5, true)))
+    assert(out(4L) == ((10L, 0.1, graft.scoring.KMeansOps.r6d(10.0 / 28), true)))
+    assert(out(5L) == ((0L, 0.0, 0.0, false)))
+    assert(out(6L) == ((0L, 0.0, 0.0, false)))
+  }
+
   test("frozen TrigramLm kernel scores bit-identically to the batch LM chain") {
     import graft.scale.Perplexity
     // hand corpus: the frozen map must reproduce the exact per-instance
