@@ -61,6 +61,29 @@ object Bench {
       .split(' ').head.toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Load gate for a DEFINITIVE close: poll until the 1-min load drops
+    * to `max` or the wait budget runs out — three clean round-12 runs
+    * spread 418→497 s purely with ambient load, so a committed artifact
+    * must record that it STARTED quiet, not just stamp the contention.
+    * A -1 sample (no /proc) passes — the gate cannot measure there.
+    * `load`/`sleep` injectable for the spec.
+    */
+  def waitForLoad(max: Double, waitSecs: Int, pollSecs: Int = 10,
+      load: () => Double = () => loadavg(),
+      sleep: Long => Unit = Thread.sleep): Boolean = {
+    var waited = 0
+    while (waited <= waitSecs) {
+      val l = load()
+      if (l < 0 || l <= max) return true
+      System.err.println(
+        s"[bench] 1-min load ${"%.2f".format(l)} > gate $max; waiting " +
+          s"($waited/${waitSecs}s)")
+      sleep(pollSecs * 1000L)
+      waited += pollSecs
+    }
+    false
+  }
+
   def main(args: Array[String]): Unit = {
     // bench-serialization guard: a concurrent Spark/sbt JVM steals cores
     // and poisons the medians (the repo's documented contamination rule —
@@ -124,6 +147,20 @@ object Bench {
       busy.foreach(b => System.err.println(s"[bench]   $b"))
       System.err.println("[bench] stop them (or set SPARK_GRAFT_BENCH_FORCE=1 to override)")
       sys.exit(2)
+    }
+    // definitive-close load gate (opt-in, so a driver-orchestrated run
+    // is unaffected): with SPARK_GRAFT_BENCH_MAX_LOAD set, wait for the
+    // 1-min load to drop under it (up to SPARK_GRAFT_BENCH_LOAD_WAIT
+    // seconds, default 600) and refuse to start otherwise — a committed
+    // artifact then carries proof it began on a quiet machine.
+    val loadGate = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD").map(_.toDouble)
+    loadGate.foreach { maxL =>
+      val waitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "600").toInt
+      if (!waitForLoad(maxL, waitS)) {
+        System.err.println(s"[bench] REFUSING to start: 1-min load stayed " +
+          s"above $maxL for ${waitS}s — a definitive artifact must start quiet")
+        sys.exit(3)
+      }
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -218,7 +255,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2.med).filter(_ >= 0).sum
     val loads = repLoads.map(f2).mkString("[", ",", "]") // per rep round
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"retried":$retr,"loadavg":$loads,"retry_loadavg":${f2(loadavg())},"sf":"$sfDir","reps":$reps}"""
+    val gateJson = loadGate.map(g => f2(g)).getOrElse("null")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"retried":$retr,"loadavg":$loads,"retry_loadavg":${f2(loadavg())},"load_gate":$gateJson,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // the driver's captured tail truncates long JSON lines (BENCH_r06
     // kept only q36-q99) — also write the full per-query artifact to a

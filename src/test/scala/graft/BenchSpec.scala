@@ -1,6 +1,6 @@
 package graft
 
-import graft.Bench.{QBench, adopt, loadavg, runInterleaved, spreadExceeds}
+import graft.Bench.{QBench, adopt, loadavg, runInterleaved, spreadExceeds, waitForLoad}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench's self-adjudication rule: a forced-contention measurement
@@ -57,6 +57,22 @@ class BenchSpec extends AnyFunSuite {
     assert(m("q3") == QBench(2.1, 2.0, 2.2))
     // input order preserved for the artifact
     assert(out.map(_._1) == Seq("q1", "q2", "q3"))
+  }
+
+  test("waitForLoad: passes when quiet or unmeasurable, waits out a spike, refuses a persistent load") {
+    // quiet at first sample: no sleep at all
+    var slept = 0L
+    assert(waitForLoad(2.0, 60, 10, () => 1.5, slept += _))
+    assert(slept == 0L)
+    // unmeasurable (-1, no /proc): gate passes
+    assert(waitForLoad(2.0, 60, 10, () => -1.0, _ => ()))
+    // spike that clears on the third poll
+    val samples = Iterator(9.0, 5.0, 1.9, 1.8)
+    var polls = 0
+    assert(waitForLoad(2.0, 60, 10, () => { polls += 1; samples.next() }, _ => ()))
+    assert(polls == 3)
+    // persistent load: refuses after the wait budget
+    assert(!waitForLoad(2.0, 30, 10, () => 8.0, _ => ()))
   }
 
   test("loadavg: reads a non-negative 1-min load on Linux") {
