@@ -174,6 +174,7 @@ sig AS (SELECT doc_id,
       val d = docs.select(col("doc_id"), col("source"),
           TextOps.nTokens(col("text")).as("ntok"))
         .join(lm, Seq("doc_id"), "left")
+        .localCheckpoint() // rank input: probe + local + totals passes
       // per-source rank via the partitioned two-pass GlobalOrder (a
       // Window.partitionBy(source) would funnel each source — >60% of a
       // Common-Crawl-scale corpus — through ONE task); the per-source
@@ -209,6 +210,7 @@ sig AS (SELECT doc_id,
         .select(col("doc_id"), r6(col("lm_score")).as("lm"))
       val joined = base
         .join(rep, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+        .localCheckpoint() // rank input: probe + local + totals passes
       // same scale shape as q248: partitioned two-pass per-source rank +
       // broadcast per-source counts, never a single-task source window
       val ranked = graft.ops.GlobalOrder.withRowNumberBy(joined,
@@ -302,7 +304,8 @@ sig AS (SELECT doc_id,
     "q173_source_caps" -> { (s, dir) =>
       val k = 50
       val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        r6(TextOps.qualityScore(col("text"))).as("q"))
+          r6(TextOps.qualityScore(col("text"))).as("q"))
+        .localCheckpoint() // regex battery once, not per rank pass
       graft.ops.GlobalOrder.withRowNumberBy(d, Seq("source"),
           Seq(col("q").desc, col("doc_id")), "rk")
         .groupBy(col("source")).agg(

@@ -98,7 +98,8 @@ object Perplexity {
       s"Perplexity.fitGate: keepFrac must be in (0, 1], got $keepFrac")
     val lm = fitLm(docs, col("text"))
     val scored = docs.select(col("doc_id"), col("source"),
-      graft.queries.r6(lmScore(lm, col("text"))).as("lm"))
+        graft.queries.r6(lmScore(lm, col("text"))).as("lm"))
+      .localCheckpoint() // scored once: rank probe + local + totals + nsrc
     val ranked = graft.ops.GlobalOrder.withRowNumberBy(scored, Seq("source"),
         Seq(col("lm").desc_nulls_last, col("doc_id")), "rk")
       .join(broadcast(scored.groupBy(col("source"))
