@@ -325,32 +325,38 @@ object TextOps {
     * with `c` occurrences of length `L` contributes `c-1` duplicate
     * instances and `(c-1)·L` duplicate characters.
     *
-    * Scale shape: one explode + one (doc, line) aggregation + one
-    * doc-keyed rollup — every exchange keyed by doc_id (or finer),
-    * embarrassingly parallel across documents; no corpus-wide state.
+    * Scale shape: a PURE per-row projection — the c−1 convention makes
+    * both numerators set differences (`dup instances = #lines −
+    * #distinct lines`; `dup chars = Σ line chars − Σ distinct-line
+    * chars`), so the whole battery is array arithmetic on the split
+    * text: no explode, no shuffle, no state. That also makes the gate
+    * directly servable on a document STREAM, like the PII scrub and
+    * the hashed-quality scorer.
     */
-  def gopherLineStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val lines = filter(split(coalesce(text, lit("")), "\n"),
+  def gopherLineStats(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id") +: lineStatsCols(text): _*)
+
+  /** The [[gopherLineStats]] battery as bare projection columns
+    * (n_lines, dup_line_frac, dup_line_char_frac, line_flag) — the
+    * stream-side form.
+    */
+  def lineStatsCols(text: Column): Seq[Column] = {
+    val ls = filter(split(coalesce(text, lit("")), "\n"),
       l => length(l) > 0)
-    val base = docs.select(id.as("doc_id"), lines.as("ls"))
-    val grouped = base
-      .select(col("doc_id"), explode(col("ls")).as("line"))
-      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("c"), length(col("line")).cast("long").as("len"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_lines"),
-        sum(col("c") * col("len")).as("line_chars"),
-        sum(col("c") - 1L).as("dup_lines"),
-        sum((col("c") - 1L) * col("len")).as("dup_chars"))
+    def chars(a: Column): Column =
+      aggregate(a, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    val n = size(ls).cast("long")
+    val dupN = (size(ls) - size(array_distinct(ls))).cast("long")
+    val allChars = chars(ls)
+    val dupChars = allChars - chars(array_distinct(ls))
     def frac(num: Column, den: Column): Column =
-      graft.queries.r6(coalesce(num.cast("double") / den, lit(0.0)))
-    base.select(col("doc_id")).join(grouped, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        frac(col("dup_lines"), col("n_lines")).as("dup_line_frac"),
-        frac(col("dup_chars"), col("line_chars")).as("dup_line_char_frac"))
-      .withColumn("line_flag",
-        col("dup_line_frac") > 0.30 || col("dup_line_char_frac") > 0.20)
+      graft.queries.r6(coalesce(num.cast("double") /
+        when(den > 0, den), lit(0.0)))
+    val df = frac(dupN, n)
+    val dcf = frac(dupChars, allChars)
+    Seq(n.as("n_lines"), df.as("dup_line_frac"),
+      dcf.as("dup_line_char_frac"),
+      (df > 0.30 || dcf > 0.20).as("line_flag"))
   }
 
   /** Corpus-trigram language-model score: the mean log-probability of a

@@ -36,6 +36,17 @@ object DocQuality {
       .withColumn("hq_keep", col("hq_margin") > 0)
   }
 
+  /** The q253 Gopher duplicate-line rules served on the document
+    * stream: the battery is array arithmetic on the split text (set
+    * differences under the c−1 repeat convention — see
+    * [[graft.scale.TextOps.lineStatsCols]]), so the streaming form IS
+    * the batch column set, a stateless narrow projection. Batch==stream
+    * parity in StreamingSpec.
+    */
+  def lineFlaggedDocs(docs: Dataset[QualityDoc]): DataFrame =
+    docs.toDF().select(col("doc_id") +:
+      TextOps.lineStatsCols(col("text")): _*)
+
   /** The q245 PII scrub served on the document stream: per-detector
     * counts + the redacted text, as the same stateless codegen regexp
     * projection the batch operator compiles to — an ingest-side scrub

@@ -1255,6 +1255,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(Pii.patterns.size == 4)
   }
 
+  test("duplicate-line rules served on the doc stream == batch battery") {
+    import spark.implicits._
+    import graft.streaming.{DocQuality, QualityDoc}
+    val docs = Seq(
+      QualityDoc(1L, "abc\nabc\ndefgh\nabc"), // dup frac 0.5 -> flags
+      QualityDoc(2L, "one\ntwo\nthree"),      // no dups
+      QualityDoc(3L, "xyz\n\n\nxyz"),         // empty lines excluded
+      QualityDoc(4L, ""))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.lineFlaggedDocs(input.toDS())
+      .writeStream.format("memory").queryName("lines").outputMode("append").start()
+    try {
+      input.addData(docs.take(2)); query.processAllAvailable()
+      input.addData(docs.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("lines").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // the batch operator (q253's gate) on the same rows — the stream
+    // serves the identical projection, so equality is bitwise
+    val batch = graft.scale.TextOps.gopherLineStats(
+        docs.toDF(), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch && streamed.size == 4)
+    assert(streamed(1L) == Seq(4L, 0.5,
+      graft.scoring.KMeansOps.r6d(6.0 / 14), true))
+    assert(streamed(2L).last == false && streamed(4L).head == 0L)
+  }
+
   test("hot-swap to nb_platt: the served calibrated pair promotes mid-stream like any family") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
