@@ -169,11 +169,15 @@ sig AS (SELECT doc_id,
     // quality lift. One source-partitioned window + one aggregate.
     "q248_perplexity_filter" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val lm = TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
-        .select(col("doc_id"), r6(col("lm_score")).as("lm"))
+      // LM scores through the FROZEN kernel (raw-bitwise-equal to the
+      // explode+join+avg chain, ScaleSpec): the fit is one vocab-sized
+      // aggregation and scoring a per-row projection — the join of the
+      // full exploded trigram table back to the count table (a
+      // corpus×doc-length shuffle at 100 TB) never happens
+      val flm = graft.scale.Perplexity.fitLm(docs, col("text"))
       val d = docs.select(col("doc_id"), col("source"),
-          TextOps.nTokens(col("text")).as("ntok"))
-        .join(lm, Seq("doc_id"), "left")
+          TextOps.nTokens(col("text")).as("ntok"),
+          r6(graft.scale.Perplexity.lmScore(flm, col("text"))).as("lm"))
         .localCheckpoint() // rank input: probe + local + totals passes
       // per-source rank via the partitioned two-pass GlobalOrder (a
       // Window.partitionBy(source) would funnel each source — >60% of a
@@ -201,15 +205,16 @@ sig AS (SELECT doc_id,
     "q249_curation_funnel" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val t = col("text")
+      // frozen-kernel LM scores, as in q248 — no exploded-table join
+      val flm = graft.scale.Perplexity.fitLm(docs, col("text"))
       val base = docs.select(col("doc_id"), col("source"),
         TextOps.nTokens(t).as("ntok"),
-        (!(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05)).as("h"))
+        (!(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05)).as("h"),
+        r6(graft.scale.Perplexity.lmScore(flm, t)).as("lm"))
       val rep = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
         .select(col("doc_id"), col("gopher_flag"))
-      val lm = TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
-        .select(col("doc_id"), r6(col("lm_score")).as("lm"))
       val joined = base
-        .join(rep, Seq("doc_id"), "left").join(lm, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
         .localCheckpoint() // rank input: probe + local + totals passes
       // same scale shape as q248: partitioned two-pass per-source rank +
       // broadcast per-source counts, never a single-task source window
