@@ -536,6 +536,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-line rules are a pure projection: zero exchanges in the q253 plan") {
+    // the c-1 convention makes both numerators set differences on the
+    // split-lines array, so the whole battery must compile to scan +
+    // project — any shuffle here means the explode+groupBy shape crept
+    // back in and the gate stopped being stream-servable
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def exchanges(p: SparkPlan): Seq[Exchange] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case e: Exchange => Seq(e)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(exchanges) ++ p.subqueries.flatMap(exchanges)
+    }
+    val out = graft.queries.ScaleQueries.defs("q253_line_repetition")(spark, sf)
+    out.collect()
+    val ex = exchanges(out.queryExecution.executedPlan)
+    assert(ex.isEmpty, "q253 must be shuffle-free:\n" +
+      ex.map(_.simpleStringWithNodeId()).mkString("\n"))
+  }
+
   test("target-correlation and ANOVA screens rank via a broadcast triangular join") {
     // the 15-feature moment collection is ONE aggregate (all corr/F
     // inputs are parallel agg columns — the melt is 15 rows); the final
