@@ -240,22 +240,51 @@ object TextOps {
     * published cut-offs — top-2-gram > 0.20, top-3 > 0.18, top-4 > 0.16,
     * dup-5-gram coverage > 0.15 — on the ROUNDED fractions so the flag
     * is engine-identical at the threshold boundary. (The paper's
-    * duplicate-LINE rules need line structure this corpus lacks;
+    * duplicate-LINE rules live in [[gopherLineStats]];
     * [[repetitionStats]] carries the unigram/dup-word siblings.)
     *
-    * Char-mass convention matches [[repetitionStats]]: a gram's mass is
-    * its token characters times its count (separators excluded), over
-    * total word characters; the max is deterministic under count ties
-    * without a gram tie-break.
-    *
-    * Scale shape: one tagged explode + one (doc, gram) aggregation for
-    * the three top-mass orders, one positional explode + (doc, span)
-    * count window + doc-keyed union window for the coverage — every
-    * exchange is keyed by doc_id (or finer), so the operator is
-    * embarrassingly parallel across documents at any corpus size; no
-    * all-pairs, no corpus-wide state.
+    * Scale shape: ONE narrow projection — the whole battery reduces to
+    * six exact integers per row, computed in one pass by the
+    * [[graft.functions.GopherStats]] codegen kernel (no explode, no
+    * (doc, gram) shuffle, no positional window), then the shared
+    * rounded-fraction column math. [[gopherRepetitionComposable]] is
+    * the explode-based twin the property test pins it against — same
+    * integers, same fractions, bit-for-bit. Being a projection also
+    * makes the gate directly servable on a document STREAM.
     */
-  def gopherRepetition(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def gopherRepetition(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id") +: gopherCols(text): _*)
+
+  /** The [[gopherRepetition]] battery as bare projection columns — the
+    * stream-side form.
+    */
+  def gopherCols(text: Column): Seq[Column] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val g = ColumnBridge.column(
+      graft.functions.GopherStats(ColumnBridge.expression(text)))
+    // when(denom > 0, ...) nulls a zero denominator instead of tripping
+    // ANSI divide-by-zero (the explode form never divided there — its
+    // mass was already NULL on gram-less docs)
+    def frac(mass: Column, denom: Column): Column =
+      graft.queries.r6(coalesce(
+        mass.cast("double") / when(denom > 0, denom), lit(0.0)))
+    val f2 = frac(g.getItem(2), g.getItem(1))
+    val f3 = frac(g.getItem(3), g.getItem(1))
+    val f4 = frac(g.getItem(4), g.getItem(1))
+    val f5 = frac(g.getItem(5), g.getItem(0))
+    Seq(coalesce(g.getItem(0), lit(0L)).as("n_tokens"),
+      f2.as("top2_char_frac"), f3.as("top3_char_frac"),
+      f4.as("top4_char_frac"), f5.as("dup5_token_frac"),
+      (f2 > 0.20 || f3 > 0.18 || f4 > 0.16 || f5 > 0.15).as("gopher_flag"))
+  }
+
+  /** Explode-based twin of [[gopherRepetition]] — same battery via a
+    * tagged explode + (doc, gram) aggregation + positional union
+    * window, all doc-keyed; kept as the property-test cross-check of
+    * the one-pass kernel (the [[trigramDiversityComposable]] pattern).
+    */
+  def gopherRepetitionComposable(docs: DataFrame, id: Column,
+      text: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 5
     val toks = coalesce(regexp_extract_all(lower(text), lit("\\S+"), lit(0)),

@@ -10,31 +10,35 @@ import graft.scoring.Trainer
 case class SourcedDoc(doc_id: Long, source: String, text: String)
 
 /** Per-doc stateless curation flags (the same expressions the batch
-  * gates compile to: q74 heuristic, q245 PII battery, q242 learned
-  * quality, q252 frozen per-source perplexity gate).
+  * gates compile to: q74 heuristic, q247 Gopher repetition battery,
+  * q245 PII battery, q242 learned quality, q252 frozen per-source
+  * perplexity gate).
   */
 case class FlaggedDoc(source: String, ntok: Long, heuristic: Boolean,
-    pii: Boolean, quality: Boolean, perplexity: Boolean)
+    gopher: Boolean, pii: Boolean, quality: Boolean, perplexity: Boolean)
 
 /** Running per-source curation totals since stream start. */
 case class CurationTotals(source: String, n_docs: Long, n_tokens: Long,
-    heuristic_kept: Long, pii_docs: Long, quality_kept: Long,
-    perplexity_kept: Long, survivors: Long, survivor_tokens: Long)
+    heuristic_kept: Long, gopher_kept: Long, pii_docs: Long,
+    quality_kept: Long, perplexity_kept: Long, survivors: Long,
+    survivor_tokens: Long)
 
 /** Live curation dashboard state — the streaming twin of the q249
   * funnel report: per SOURCE, running totals of docs/token mass and how
-  * many pass each stateless gate (heuristic, learned quality, frozen
-  * perplexity) plus the PII incidence. `survivors` counts
-  * heuristic ∧ quality ∧ perplexity — the full three-gate funnel, live
-  * (the perplexity stage serves through the batch-fit
-  * [[graft.scale.Perplexity.Gate]]: frozen LM kernel + per-source
-  * threshold literals, so the corpus-global rank the batch fit needed
-  * never runs on the stream). PII does not drop a doc — the scrub
-  * redacts it; its count is the incidence the q246 rollup reports.
-  * `survivor_tokens` is the surviving token mass — the number a mixture
-  * budgeter (q195) actually consumes.
+  * many pass each stateless gate (heuristic, Gopher repetition,
+  * learned quality, frozen perplexity) plus the PII incidence.
+  * `survivors` counts heuristic ∧ ¬gopher ∧ quality ∧ perplexity — the
+  * full gate battery, live: the q249 funnel's three stages (the Gopher
+  * battery is a pure projection since the one-pass kernel) PLUS the
+  * q242 learned filter, with the perplexity stage served through the
+  * batch-fit [[graft.scale.Perplexity.Gate]] (frozen LM kernel +
+  * per-source threshold literals, so the corpus-global rank the batch
+  * fit needed never runs on the stream). PII does not drop a doc — the
+  * scrub redacts it; its count is the incidence the q246 rollup
+  * reports. `survivor_tokens` is the surviving token mass — the number
+  * a mixture budgeter (q195) actually consumes.
   *
-  * State per source is ONE totals row (9 scalars), so the processor is
+  * State per source is ONE totals row (10 scalars), so the processor is
   * O(1) per event and state grows with the number of SOURCES — the
   * shape a 100 TB ingest dashboard needs; the flags themselves are pure
   * projections computed before the keyed exchange.
@@ -50,14 +54,15 @@ class CurationCounterProcessor
   override def handleInputRows(key: String, rows: Iterator[FlaggedDoc],
       timerValues: TimerValues): Iterator[CurationTotals] = {
     var t = if (st.exists()) st.get()
-      else CurationTotals(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      else CurationTotals(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
     rows.foreach { d =>
       def i(b: Boolean) = if (b) 1L else 0L
-      val survives = d.heuristic && d.quality && d.perplexity
+      val survives = d.heuristic && !d.gopher && d.quality && d.perplexity
       t = t.copy(
         n_docs = t.n_docs + 1L,
         n_tokens = t.n_tokens + d.ntok,
         heuristic_kept = t.heuristic_kept + i(d.heuristic),
+        gopher_kept = t.gopher_kept + i(!d.gopher),
         pii_docs = t.pii_docs + i(d.pii),
         quality_kept = t.quality_kept + i(d.quality),
         perplexity_kept = t.perplexity_kept + i(d.perplexity),
@@ -71,8 +76,9 @@ class CurationCounterProcessor
 
 object CurationCounters {
 
-  /** The stateless flag projection: heuristic keep (q74), PII presence
-    * (q245 battery), learned-quality keep (q242 margin > 0 at the 4 dp
+  /** The stateless flag projection: heuristic keep (q74), Gopher
+    * repetition flag (q247 kernel battery), PII presence (q245
+    * battery), learned-quality keep (q242 margin > 0 at the 4 dp
     * serving grain), frozen perplexity keep (q252 gate). One narrow
     * map — the hashed featurizer carries source/flags through, so no
     * post-featurization join.
@@ -86,9 +92,10 @@ object CurationCounters {
         !(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05))
       .withColumn("__pii", Pii.patterns.map { case (_, p, _) =>
         Pii.countOf(t, p) }.reduce(_ + _) > 0)
+      .withColumn("__g", TextOps.gopherCols(t).last)
       .withColumn("__lmk", gate.keep(col("source"), t))
     val f = TextOps.hashedNgramFeatures(pre, col("doc_id"), col("text"),
-      buckets, keep = Seq("source", "__ntok", "__h", "__pii", "__lmk"))
+      buckets, keep = Seq("source", "__ntok", "__h", "__g", "__pii", "__lmk"))
     val missing = model.features.filterNot(f.columns.contains)
     require(missing.isEmpty,
       s"CurationCounters: model features absent from the stream: $missing")
@@ -96,6 +103,7 @@ object CurationCounters {
     // null text ⇒ zero tokens, no flags (the q74/q245 null semantics)
     f.select(col("source"), coalesce(col("__ntok"), lit(0L)).as("ntok"),
         coalesce(col("__h"), lit(false)).as("heuristic"),
+        coalesce(col("__g"), lit(false)).as("gopher"),
         coalesce(col("__pii"), lit(false)).as("pii"),
         (graft.queries.r6(Trainer.margin(model)) > 0).as("quality"),
         coalesce(col("__lmk"), lit(false)).as("perplexity"))

@@ -36,6 +36,16 @@ object DocQuality {
       .withColumn("hq_keep", col("hq_margin") > 0)
   }
 
+  /** The q247 Gopher repetition battery served on the document stream:
+    * the one-pass [[graft.functions.GopherStats]] kernel makes the
+    * whole battery a stateless narrow projection (see
+    * [[graft.scale.TextOps.gopherCols]]), so the stream serves the
+    * exact batch columns. Batch==stream parity in StreamingSpec.
+    */
+  def repetitionFlaggedDocs(docs: Dataset[QualityDoc]): DataFrame =
+    docs.toDF().select(col("doc_id") +:
+      TextOps.gopherCols(col("text")): _*)
+
   /** The q253 Gopher duplicate-line rules served on the document
     * stream: the battery is array arithmetic on the split text (set
     * differences under the c−1 repeat convention — see

@@ -157,6 +157,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(6L) == ((0L, 0.0, 0.0, false)))
   }
 
+  test("gopher kernel == explode-based battery on every corpus doc and edge fixtures") {
+    // one-pass GopherStats vs the tagged-explode/window twin, column by
+    // column (fractions already rounded — equality is exact)
+    def both(df: org.apache.spark.sql.DataFrame): Unit = {
+      val a = TextOps.gopherRepetition(df, col("doc_id"), col("text"))
+      val b = TextOps.gopherRepetitionComposable(df, col("doc_id"), col("text"))
+      val cols = Seq("n_tokens", "top2_char_frac", "top3_char_frac",
+        "top4_char_frac", "dup5_token_frac", "gopher_flag")
+      val bb = b.select(col("doc_id") +: cols.map(c => col(c).as(s"__b_$c")): _*)
+      val j = a.join(bb, Seq("doc_id"))
+      val bad = j.where(cols.map(c =>
+        !(col(c) <=> col(s"__b_$c"))).reduce(_ || _)).count()
+      assert(bad == 0, s"$bad docs diverge between kernel and explode form")
+      assert(j.count() == df.count())
+    }
+    both(Tables.documents(spark, sf))
+    // edges: null text, empty, 1 token, unicode tokens + multi-space,
+    // all-duplicate doc
+    both(Seq(
+      (1L, null.asInstanceOf[String]), (2L, ""), (3L, "one"),
+      (4L, "café naïve CAFÉ naïve café  naïve"),
+      (5L, "a b a b a b a b a b a b")
+    ).toDF("doc_id", "text"))
+  }
+
   test("frozen TrigramLm kernel scores bit-identically to the batch LM chain") {
     import graft.scale.Perplexity
     // hand corpus: the frozen map must reproduce the exact per-instance

@@ -1255,6 +1255,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(Pii.patterns.size == 4)
   }
 
+  test("gopher repetition battery served on the doc stream == batch operator") {
+    import spark.implicits._
+    import graft.streaming.{DocQuality, QualityDoc}
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = docsB.select(col("doc_id"), col("text"))
+      .as[QualityDoc].collect().sortBy(_.doc_id)
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.repetitionFlaggedDocs(input.toDS())
+      .writeStream.format("memory").queryName("gopher").outputMode("append").start()
+    try {
+      input.addData(h1.toIndexedSeq); query.processAllAvailable()
+      input.addData(h2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("gopher").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // batch twin = the q247 operator itself (same projection columns)
+    val batch = graft.scale.TextOps.gopherRepetition(
+        docsB, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch && streamed.size == docs.length)
+  }
+
   test("duplicate-line rules served on the doc stream == batch battery") {
     import spark.implicits._
     import graft.streaming.{DocQuality, QualityDoc}
@@ -1491,41 +1515,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
 
     // latest emitted totals per source (update mode: last row wins)
+    def nine(r: org.apache.spark.sql.Row) =
+      (1 to 9).map(r.getLong).toList
     val streamed = spark.table("funnel")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("n_docs").desc)))
       .where(col("rn") === 1).drop("rn")
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
-    val sv = col("heuristic") && col("quality") && col("perplexity")
+      .collect().map(r => r.getString(0) -> nine(r)).toMap
+    val sv = col("heuristic") && !col("gopher") && col("quality") &&
+      col("perplexity")
     val batch = CurationCounters.flaggedDocs(docsB
         .select(col("doc_id"), col("source"), col("text")).as[SourcedDoc],
         m, B, gate)
       .toDF().groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
         sum(when(col("heuristic"), 1L).otherwise(0L)).as("hk"),
+        sum(when(!col("gopher"), 1L).otherwise(0L)).as("gk"),
         sum(when(col("pii"), 1L).otherwise(0L)).as("pd"),
         sum(when(col("quality"), 1L).otherwise(0L)).as("qk"),
         sum(when(col("perplexity"), 1L).otherwise(0L)).as("pk"),
         sum(when(sv, 1L).otherwise(0L)).as("sv"),
         sum(when(sv, col("ntok")).otherwise(0L)).as("svt"))
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+      .collect().map(r => r.getString(0) -> nine(r)).toMap
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (src, v) =>
       assert(streamed(src) == v, s"source $src: ${streamed(src)} != $v")
     }
-    // every gate (including the frozen perplexity cut) discriminates on
-    // this corpus, survivors exist, and survivor token mass is a real
-    // sub-mass (not vacuous counters)
-    assert(batch.values.exists(v => v._7 > 0) &&
-      batch.values.exists(v => v._7 < v._1))
-    assert(batch.values.exists(v => v._6 > 0 && v._6 < v._1),
+    // gates discriminate on this corpus, survivors exist, and survivor
+    // token mass is a real sub-mass (not vacuous counters)
+    def tot(i: Int) = batch.values.map(_(i)).sum
+    assert(tot(7) > 0 && tot(7) < tot(0), "survivors")
+    assert(batch.values.exists(v => v(6) > 0 && v(6) < v(0)),
       "perplexity gate must discriminate")
-    assert(batch.values.exists(v => v._8 > 0 && v._8 < v._2),
+    assert(tot(8) > 0 && tot(8) < tot(1),
       "survivor token mass must be a strict sub-mass")
 
     // frozen-gate serving == the batch q248-style threshold keep set,
