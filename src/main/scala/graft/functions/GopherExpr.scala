@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass Gopher repetition statistics: `gopher_stats(text)` returns
-  * the SIX exact integers the Rae et al. table-A1 word-n-gram battery
-  * reduces to — `[n_tokens, word_chars, top2_chars, top3_chars,
-  * top4_chars, dup5_tokens]` — computed per row, so the whole battery
+  * the EIGHT exact integers the Rae et al. table-A1 word-n-gram battery
+  * (and its unigram/dup-word siblings) reduces to — `[n_tokens,
+  * word_chars, top2_chars, top3_chars, top4_chars, dup5_tokens,
+  * n_distinct_tokens, top1_chars]` — computed per row, so the battery
   * becomes a narrow projection instead of a tagged explode + (doc,
   * gram) aggregation + positional window (three doc-keyed exchanges).
   * All quantities are integer counts over the lowercased
@@ -52,7 +53,8 @@ case class GopherStats(child: Expression) extends UnaryExpression {
 
 object GopherKernel {
 
-  /** `[n_tokens, word_chars, top2, top3, top4, dup5_tokens]`. */
+  /** `[n_tokens, word_chars, top2, top3, top4, dup5_tokens,
+    * n_distinct, top1]`. */
   def compute(t: UTF8String): ArrayData = {
     val bytes = t.toLowerCase.getBytes
     val nB = bytes.length
@@ -84,21 +86,37 @@ object GopherKernel {
     var wordChars = 0L
     i = 0
     while (i < nTok) { wordChars += cps(i); i += 1 }
-    val out = new Array[Long](6)
+    val out = new Array[Long](8)
     out(0) = nTok.toLong
     out(1) = wordChars
-    if (nTok >= 2) {
+    if (nTok >= 1) {
       // intern tokens to ids: gram identity = token-id sequence
       val ids = new Array[Int](nTok)
+      val idCps = new Array[Int](nTok)
       val intern = new java.util.HashMap[String, Integer](nTok * 2)
       i = 0
       while (i < nTok) {
         val s = new String(bytes, starts(i), ends(i) - starts(i), "UTF-8")
         val cur = intern.get(s)
-        if (cur == null) { ids(i) = intern.size; intern.put(s, ids(i)) }
-        else ids(i) = cur.intValue()
+        if (cur == null) {
+          ids(i) = intern.size; idCps(ids(i)) = cps(i)
+          intern.put(s, ids(i))
+        } else ids(i) = cur.intValue()
         i += 1
       }
+      // unigram stats: distinct count + heaviest token char mass
+      out(6) = intern.size.toLong
+      val idCount = new Array[Long](intern.size)
+      i = 0
+      while (i < nTok) { idCount(ids(i)) += 1L; i += 1 }
+      var top1 = 0L
+      i = 0
+      while (i < intern.size) {
+        val mass = idCount(i) * idCps(i)
+        if (mass > top1) top1 = mass
+        i += 1
+      }
+      out(7) = top1
       // n = 2..4: per distinct gram, count + token char mass; top = max
       var n = 2
       while (n <= 4 && nTok >= n) {

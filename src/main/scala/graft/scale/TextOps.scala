@@ -207,6 +207,32 @@ object TextOps {
     * no row.
     */
   def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // one-pass kernel (indices: 0 n_tokens, 1 word_chars, 2 top2,
+    // 6 n_distinct, 7 top1) — scan+filter+project, no explode/shuffle;
+    // [[repetitionStatsComposable]] is the pinned explode twin. The
+    // where() preserves the composable contract: token-less docs emit
+    // no row (and guards the ANSI divisions).
+    val g = ColumnBridge.column(
+      graft.functions.GopherStats(ColumnBridge.expression(text)))
+    docs.select(id.as("doc_id"), g.as("__g"))
+      .where(col("__g").getItem(0) > 0)
+      .select(col("doc_id"),
+        col("__g").getItem(0).as("n_words"),
+        col("__g").getItem(6).as("n_distinct_words"),
+        ((col("__g").getItem(0) - col("__g").getItem(6)).cast("double") /
+          col("__g").getItem(0)).as("dup_word_frac"),
+        (col("__g").getItem(7).cast("double") / col("__g").getItem(1))
+          .as("top_unigram_char_frac"),
+        (col("__g").getItem(2).cast("double") / col("__g").getItem(1))
+          .as("top_bigram_char_frac"))
+  }
+
+  /** Explode-based twin of [[repetitionStats]] — kept as the
+    * property-test cross-check of the one-pass kernel.
+    */
+  def repetitionStatsComposable(docs: DataFrame, id: Column,
+      text: Column): DataFrame = {
     val base = docs.select(id.as("doc_id"),
       regexp_extract_all(lower(text), lit("\\S+"), lit(0)).as("toks"))
     val uni = base.select(col("doc_id"), explode(col("toks")).as("w"))

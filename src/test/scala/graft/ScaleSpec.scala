@@ -172,14 +172,28 @@ class ScaleSpec extends AnyFunSuite {
       assert(bad == 0, s"$bad docs diverge between kernel and explode form")
       assert(j.count() == df.count())
     }
-    both(Tables.documents(spark, sf))
-    // edges: null text, empty, 1 token, unicode tokens + multi-space,
-    // all-duplicate doc
-    both(Seq(
+    // the unigram/dup-word sibling rides the same kernel slots
+    def bothRep(df: org.apache.spark.sql.DataFrame): Unit = {
+      val a = TextOps.repetitionStats(df, col("doc_id"), col("text"))
+      val b = TextOps.repetitionStatsComposable(df, col("doc_id"), col("text"))
+      val cols = Seq("n_words", "n_distinct_words", "dup_word_frac",
+        "top_unigram_char_frac", "top_bigram_char_frac")
+      val bb = b.select(col("doc_id") +: cols.map(c => col(c).as(s"__b_$c")): _*)
+      val j = a.join(bb, Seq("doc_id"), "full")
+      val bad = j.where(cols.map(c =>
+        !(col(c) <=> col(s"__b_$c"))).reduce(_ || _) ||
+        col("n_words").isNull || col("__b_n_words").isNull).count()
+      assert(bad == 0, s"$bad docs diverge between kernel and explode repetitionStats")
+    }
+    val edges = Seq(
       (1L, null.asInstanceOf[String]), (2L, ""), (3L, "one"),
       (4L, "café naïve CAFÉ naïve café  naïve"),
       (5L, "a b a b a b a b a b a b")
-    ).toDF("doc_id", "text"))
+    ).toDF("doc_id", "text")
+    both(Tables.documents(spark, sf))
+    both(edges)
+    bothRep(Tables.documents(spark, sf))
+    bothRep(edges)
   }
 
   test("frozen TrigramLm kernel scores bit-identically to the batch LM chain") {
