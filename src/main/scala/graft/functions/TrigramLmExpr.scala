@@ -34,6 +34,15 @@ final class TrigramLm private (keys: Array[Long], vals: Array[Double])
   /** Entries stored (for bound checks / introspection). */
   def size: Int = vals.count(!_.isNaN)
 
+  /** Stored entries as (packed code-point key, logp), key-sorted — the
+    * [[graft.scoring.ModelStore]] serialization view; logps round-trip
+    * IEEE-exact through parquet, so [[TrigramLm.fromLogps]] rebuilds a
+    * bitwise-identical scorer.
+    */
+  def entries: Seq[(Long, Double)] =
+    keys.indices.collect { case i if keys(i) != -1L => (keys(i), vals(i)) }
+      .sortBy(_._1)
+
   private def logpOf(key: Long): Double = {
     var h = key ^ (key >>> 33)
     h *= 0xff51afd7ed558ccdL
@@ -123,22 +132,33 @@ object TrigramLm {
     * column's exact IEEE operation.
     */
   def fromCounts(entries: Seq[(String, Long)], total: Long): TrigramLm = {
-    require(entries.nonEmpty, "TrigramLm: empty count table")
+    val tt = total.toDouble
+    build(entries.map { case (tri, c) =>
+      (packKey(tri), math.log(c.toDouble / tt)) })
+  }
+
+  /** Rebuild from stored (packed key, logp) rows — the ModelStore
+    * round trip; logps are taken verbatim (no recount), so the rebuilt
+    * scorer is bitwise-identical to the exported one.
+    */
+  def fromLogps(entries: Seq[(Long, Double)]): TrigramLm = build(entries)
+
+  private def build(entries: Seq[(Long, Double)]): TrigramLm = {
+    require(entries.nonEmpty, "TrigramLm: empty table")
     var cap = 8
     while (cap < entries.size * 2) cap <<= 1
     val keys = Array.fill(cap)(-1L)
     val vals = Array.fill(cap)(Double.NaN)
     val mask = cap - 1
-    val tt = total.toDouble
-    entries.foreach { case (tri, c) =>
-      val key = packKey(tri)
+    entries.foreach { case (key, logp) =>
+      require(key >= 0, s"TrigramLm: negative packed key $key")
       var h = key ^ (key >>> 33)
       h *= 0xff51afd7ed558ccdL
       h ^= h >>> 33
       var idx = (h & mask).toInt
       while (keys(idx) != -1L && keys(idx) != key) idx = (idx + 1) & mask
       keys(idx) = key
-      vals(idx) = math.log(c.toDouble / tt)
+      vals(idx) = logp
     }
     new TrigramLm(keys, vals)
   }

@@ -30,22 +30,6 @@ object ModelQueries extends QueryPack {
       col("value"),
       (col("event_type") === "error").cast("long").as("y"))
 
-  /** Fixed per-query scratch dir under java.io.tmpdir, recursively
-    * cleared on each call — repeated bench/verify invocations of the
-    * store-lifecycle gates reuse ONE directory instead of leaking a
-    * fresh createTempDirectory per run.
-    */
-  private def scratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), name)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    p.toString
-  }
-
   private val featSql =
     """SELECT event_id, hour(ts) AS hb,
   (epoch_us(ts) // 86400000000) % 7 AS dowi,

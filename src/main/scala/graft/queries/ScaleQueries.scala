@@ -258,6 +258,39 @@ sig AS (SELECT doc_id,
         sum(when(kept, col("ntok")).otherwise(0L)).as("kept_tokens"),
         r6(avg(gate.lmScore(col("text")))).as("avg_lm"))
     },
+    // the promotion lifecycle for the CURATION stack (the q230/q250/q251
+    // gate applied to the perplexity gate): fit the q252 gate, publish
+    // it through ModelStore.perplexityGateRows (manifest by default),
+    // read back, rebuild via ServedModel ("perplexity_gate" kind), and
+    // prove the served keep column agrees with the fitted gate on EVERY
+    // doc. Output = the re-exported meta + threshold rows (the lm slice
+    // is vocab-sized — its row count gates it) + parity counts.
+    "q254_gate_store" -> { (s, dir) =>
+      import graft.scoring.ModelStore
+      import graft.streaming.ServedModel
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val gate = graft.scale.Perplexity.fitGate(docs)
+      val storeDir = scratchDir("graft_q254_gate")
+      ModelStore.publish(s, storeDir,
+        ModelStore.perplexityGateRows("cur", 1L, gate))
+      val rows2 = ModelStore.rowsOf(s.read.parquet(storeDir), "cur", 1L)
+      val built = ServedModel.of(rows2)
+      val parity = docs.agg(count(lit(1)).as("n_scored"),
+          sum(when(gate.keep(col("source"), col("text")).cast("double")
+            === built.score, 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("n_manifest",
+          lit(rows2.count(_.kind == "manifest").toLong))
+      import s.implicits._
+      val reexp = ModelStore.perplexityGateRows("cur", 1L,
+        ModelStore.perplexityGateOf(ServedModel.body(rows2)))
+      val nLm = reexp.count(_.part == "lm").toLong
+      reexp.filterNot(_.part == "lm").toDF()
+        .select(col("model_id"), col("kind"), col("part"), col("idx"),
+          col("k"), r6(col("v1")).as("v1"), col("c2"))
+        .withColumn("n_lm_rows", lit(nLm))
+        .crossJoin(broadcast(parity))
+    },
     // exact duplicate-SPAN dedup (the C4/RefinedWeb exact-substring pass
     // next to the fuzzy MinHash family, C4's any-repeat rule at k=8
     // tokens): per doc, how many positional 8-gram spans repeat anywhere
@@ -1209,6 +1242,36 @@ SELECT source, count(*) AS n_docs,
   round(avg(CASE WHEN kept THEN lm END) + 5e-11, 4) AS kept_avg_lm,
   round(avg(lm) + 5e-11, 4) AS all_avg_lm
 FROM k GROUP BY 1""",
+    "q254_gate_store" ->
+      """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+x AS (SELECT doc_id, substr(t, i, 3) AS tri
+      FROM b, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+c AS (SELECT tri, count(*) AS c FROM x GROUP BY 1),
+tt AS (SELECT sum(c)::DOUBLE AS tt FROM c),
+lm AS (SELECT x.doc_id, round(avg(ln(c.c::DOUBLE / tt.tt)) + 5e-11, 4) AS lm
+       FROM x JOIN c USING (tri) CROSS JOIN tt GROUP BY 1),
+d AS (SELECT doc_id, source FROM documents),
+r AS (SELECT d.doc_id, d.source, lm.lm,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY lm.lm DESC NULLS LAST, d.doc_id) AS rk,
+        count(*) OVER (PARTITION BY d.source) AS nsrc
+      FROM d LEFT JOIN lm ON d.doc_id = lm.doc_id),
+th AS (SELECT source, min(lm) AS threshold FROM r
+       WHERE lm IS NOT NULL AND rk <= ceil(nsrc * 0.7) GROUP BY 1),
+nv AS (SELECT count(*)::BIGINT AS n FROM c),
+nt AS (SELECT count(*)::BIGINT AS n FROM th),
+mc AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT CAST('cur' AS VARCHAR) AS model_id,
+  CAST('perplexity_gate' AS VARCHAR) AS kind, CAST('meta' AS VARCHAR) AS part,
+  CAST(0 AS BIGINT) AS idx, CAST(NULL AS VARCHAR) AS k,
+  CAST(0.7 AS DOUBLE) AS v1, nt.n AS c2, nv.n AS n_lm_rows,
+  mc.n AS n_scored, mc.n AS n_agree, CAST(1 AS BIGINT) AS n_manifest
+FROM nv, nt, mc
+UNION ALL
+SELECT 'cur', 'perplexity_gate', 'th',
+  CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT), source,
+  threshold, CAST(NULL AS BIGINT), nv.n, mc.n, mc.n, CAST(1 AS BIGINT)
+FROM th, nv, mc""",
     "q253_line_repetition" ->
       s"""WITH a AS (SELECT doc_id, $linedAugmentedSql AS t FROM documents),
 l AS (SELECT doc_id, ln FROM (

@@ -57,4 +57,20 @@ package object queries {
     * must apply the same `+ 0.0` after its round().
     */
   def r6z(c: Column): Column = rnd(c + lit(5e-11), 1e4) + lit(0.0)
+
+  /** Fixed per-query scratch dir under java.io.tmpdir, recursively
+    * cleared on each call — repeated bench/verify invocations of the
+    * store-lifecycle gates reuse ONE directory instead of leaking a
+    * fresh createTempDirectory per run.
+    */
+  private[queries] def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), name)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p.toString
+  }
 }

@@ -251,6 +251,46 @@ object ModelStore {
     }
   }
 
+  // ---- frozen perplexity gate (the curation stack's served model) ----
+
+  /** Persist a fitted [[graft.scale.Perplexity.Gate]] — the curation
+    * twin of the fraud models' promotion lifecycle: a nightly refit
+    * gate publishes like any estimator and the live funnel picks it up
+    * at the next micro-batch. Layout: one `meta` row (keep fraction +
+    * the two part counts), one `lm` row per stored trigram (packed
+    * code-point key in `c1`, logp VERBATIM in `v1` — IEEE-exact through
+    * parquet, so the rebuilt scorer is bitwise-identical), one `th` row
+    * per source threshold. The lm slice is character-trigram-vocabulary
+    * sized (alphabet³ bound), never corpus-sized.
+    */
+  def perplexityGateRows(id: String, ver: Long,
+      g: graft.scale.Perplexity.Gate): Seq[ModelRow] = {
+    val lms = g.lm.entries
+    val ths = g.thresholds.toSeq.sortBy(_._1)
+    row(id, ver, "perplexity_gate", "meta", v1 = Some(g.keepFrac),
+      c1 = Some(lms.size.toLong), c2 = Some(ths.size.toLong)) +:
+      (lms.zipWithIndex.map { case ((key, logp), i) =>
+        row(id, ver, "perplexity_gate", "lm", idx = i.toLong,
+          v1 = Some(logp), c1 = Some(key))
+      } ++ ths.zipWithIndex.map { case ((src, th), i) =>
+        row(id, ver, "perplexity_gate", "th", idx = i.toLong,
+          k = Some(src), v1 = Some(th))
+      })
+  }
+
+  def perplexityGateOf(rows: Seq[ModelRow]): graft.scale.Perplexity.Gate = {
+    val meta = one(rows, "perplexity_gate", "meta")
+    val lms = parts(rows, "perplexity_gate", "lm")
+    val ths = parts(rows, "perplexity_gate", "th")
+    require(lms.size == meta.c1.get && ths.size == meta.c2.get,
+      s"ModelStore.perplexityGateOf: meta declares ${meta.c1.get} lm + " +
+        s"${meta.c2.get} th rows, slice holds ${lms.size} + ${ths.size}")
+    graft.scale.Perplexity.Gate(
+      graft.functions.TrigramLm.fromLogps(
+        lms.map(r => (r.c1.get, r.v1.get))),
+      ths.map(r => r.k.get -> r.v1.get).toMap, meta.v1.get)
+  }
+
   // ---- torn-read manifest + the canonical write path ----
 
   /** Append ONE `manifest/count` row recording how many rows the

@@ -168,6 +168,14 @@ object ServedModel {
         val m = ModelStore.deepTreeOf(b)
         Built("tree", m.splits.values.map(_.feature).toSeq.distinct.sorted,
           Trees.predict(m).cast("double"))
+      case "perplexity_gate" =>
+        // the curation gate served like any promoted model: score = the
+        // keep decision as 0.0/1.0, bitwise-equal to the batch
+        // Perplexity.Gate.keep column (the stored logps round-trip
+        // IEEE-exact, thresholds are 4 dp literals)
+        val g = ModelStore.perplexityGateOf(b)
+        Built("perplexity_gate", Seq("source", "text"),
+          g.keep(col("source"), col("text")).cast("double"))
       case "forest" =>
         // majority-vote count (0..trees), the forest's native decision
         // value — bit-identical to the batch Forest.votesDeep chain

@@ -819,6 +819,46 @@ class ModelsSpec extends AnyFunSuite {
     }.getMessage.contains("members"))
   }
 
+  test("perplexity gate store: the frozen LM + thresholds round-trip and serve bitwise") {
+    import spark.implicits._
+    import graft.functions.TrigramLm
+    import graft.scale.Perplexity
+    import graft.scoring.ModelStore
+    import graft.streaming.ServedModel
+    // corpus-fitted gate (real logps, multiple sources)
+    val docs = Seq(
+      (1L, "web", "abcd abcd abcd"), (2L, "web", "abcxyz"),
+      (3L, "web", "zzzz"), (4L, "wiki", "abcd efgh"),
+      (5L, "wiki", "qqq"), (6L, "wiki", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val g = Perplexity.fitGate(docs)
+    val rows = ModelStore.perplexityGateRows("cur", 1, g)
+    val g2 = ModelStore.perplexityGateOf(rows)
+    // field-exact round trip: logps verbatim, thresholds, keepFrac
+    assert(g2.lm.entries == g.lm.entries)
+    assert(g2.thresholds == g.thresholds && g2.keepFrac == g.keepFrac)
+    // served column == the fitted gate's keep, doc by doc (both slices)
+    for (slice <- Seq(rows, ModelStore.withManifest(rows))) {
+      val built = ServedModel.of(slice)
+      assert(built.kind == "perplexity_gate" &&
+        built.features == Seq("source", "text"))
+      val bad = docs.select(
+          (built.score =!= g.keep(col("source"), col("text")).cast("double"))
+            .as("d"))
+        .where(col("d")).count()
+      assert(bad == 0, "served gate diverges from the fitted one")
+    }
+    // lost lm row -> loud meta-count reject
+    assert(intercept[IllegalArgumentException] {
+      ModelStore.perplexityGateOf(rows.filterNot(r =>
+        r.part == "lm" && r.idx == 0L))
+    }.getMessage.contains("meta declares"))
+    // fromLogps rejects corrupt negative keys
+    assert(intercept[IllegalArgumentException] {
+      TrigramLm.fromLogps(Seq((-1L, -0.5)))
+    }.getMessage.contains("negative packed key"))
+  }
+
   test("ModelStore.publish: every family's default write carries the torn-read manifest") {
     import graft.scoring.{AdaBoost, Boosting, Forest, ModelStore, Trainer, Trees}
     import graft.streaming.ServedModel
@@ -835,13 +875,17 @@ class ModelsSpec extends AnyFunSuite {
     val fo = Seq(
       Forest.DeepFTree(0, Seq("f1"), dt),
       Forest.DeepFTree(1, Seq("f1"), dt))
+    val pg = graft.scale.Perplexity.Gate(
+      graft.functions.TrigramLm.fromCounts(Seq(("abc", 2L), ("bcd", 1L)), 3L),
+      Map("web" -> -1.0, "wiki" -> -0.5), 0.7)
     val families = Seq[(String, Seq[ModelStore.ModelRow])](
       ("logistic", ModelStore.logisticRows("m", 1, lr)),
       ("adaboost", ModelStore.adaBoostRows("m", 1, ab)),
       ("boost_stumps", ModelStore.boostingRows("m", 1, bst)),
       ("boost_trees", ModelStore.boostedTreesRows("m", 1, btr)),
       ("tree", ModelStore.deepTreeRows("m", 1, dt)),
-      ("forest", ModelStore.forestRows("m", 1, fo)))
+      ("forest", ModelStore.forestRows("m", 1, fo)),
+      ("perplexity_gate", ModelStore.perplexityGateRows("m", 1, pg)))
     val dir = java.nio.file.Files.createTempDirectory("pubstore")
     for ((kind, rows) <- families) {
       val store = dir.resolve(kind).toString

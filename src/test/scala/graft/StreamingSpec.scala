@@ -1255,6 +1255,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(Pii.patterns.size == 4)
   }
 
+  test("hot-swap into a refit perplexity gate: the curation model promotes mid-stream") {
+    import spark.implicits._
+    import graft.scale.Perplexity
+    import graft.scoring.ModelStore
+    import graft.streaming.{HotSwapScorer, SourcedDoc}
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    // v1: the standard 70% gate; v2: a "refit" stricter 40% gate — the
+    // nightly-recut scenario (same LM, tighter thresholds)
+    val g1 = Perplexity.fitGate(docsB, keepFrac = 0.7)
+    val g2 = Perplexity.fitGate(docsB, keepFrac = 0.4)
+    val store = java.nio.file.Files.createTempDirectory("gatestore")
+      .resolve("models").toString
+    ModelStore.publish(spark, store,
+      ModelStore.perplexityGateRows("cur", 1L, g1))
+    val swap = new HotSwapScorer(store, "cur")
+    val docs = docsB.as[SourcedDoc].collect().sortBy(_.doc_id)
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SourcedDoc]
+    val out = collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val query = input.toDS().toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= swap.scoreBatch(b)
+          .select(col("doc_id"), col("model_version"), col("model_score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }.start()
+    try {
+      input.addData(h1.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentKind == Some("perplexity_gate") &&
+        swap.currentVersion == Some(1L))
+      ModelStore.publish(spark, store,
+        ModelStore.perplexityGateRows("cur", 2L, g2))
+      input.addData(h2.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(2L))
+    } finally query.stop()
+    // every row carries its serving gate's exact batch keep decision
+    def keeps(g: Perplexity.Gate) = docsB.select(col("doc_id"),
+        g.keep(col("source"), col("text")).cast("double").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (k1, k2) = (keeps(g1), keeps(g2))
+    assert(out.size == docs.length)
+    out.foreach { case (id, ver, s) =>
+      assert(s == (if (ver == 1L) k1(id) else k2(id)), s"doc $id v$ver")
+    }
+    // the recut is visibly stricter on the second half
+    val v2Kept = out.filter(_._2 == 2L).map(_._3).sum
+    val v1WouldKeep = h2.map(d => k1(d.doc_id)).sum
+    assert(v2Kept < v1WouldKeep, "40% gate must keep fewer docs than the 70% gate")
+  }
+
   test("gopher repetition battery served on the doc stream == batch operator") {
     import spark.implicits._
     import graft.streaming.{DocQuality, QualityDoc}
