@@ -118,9 +118,11 @@ object ServedModel {
     *
     * `score` semantics are the family's native decision value (all
     * DoubleType): logistic margin, AdaBoost signed vote, boosting F(x),
-    * deep-tree majority class as 0.0/1.0 — each bit-identical to the
-    * batch scorer it wraps (`Trainer.margin` / `AdaBoost.voteScore` /
-    * `Boosting.score` / `Boosting.scoreTrees` / `Trees.predict`).
+    * deep-tree majority class as 0.0/1.0, forest majority-vote count,
+    * perplexity-gate keep as 0.0/1.0 — each bit-identical to the batch
+    * scorer it wraps (`Trainer.margin` / `AdaBoost.voteScore` /
+    * `Boosting.score` / `Boosting.scoreTrees` / `Trees.predict` /
+    * `Forest.votesDeep` / `Perplexity.Gate.keep`).
     */
   final case class Built(kind: String, features: Seq[String], score: Column)
 
