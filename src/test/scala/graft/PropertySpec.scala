@@ -446,4 +446,82 @@ class PropertySpec extends AnyFunSuite {
       if (n < 5) assert(d5 == 0.0, "no 5-grams -> no dup coverage")
     }
   }
+
+  // random multi-byte docs over a tiny token alphabet — maximal repeat
+  // density, so the gram maps, interval unions, and line dedup all
+  // exercise their collision paths
+  private val repeatDocGen: Gen[String] = Gen.choose(0, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("aa", "b", "ccc", "二二", "É", "aa"))
+      .map(_.mkString(" ")))
+
+  test("gopher one-pass kernel == explode battery on random repeat-dense docs") {
+    val docs = samples(repeatDocGen, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .localCheckpoint()
+    val cols = Seq("n_tokens", "top2_char_frac", "top3_char_frac",
+      "top4_char_frac", "dup5_token_frac", "gopher_flag")
+    val a = graft.scale.TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
+    val b = graft.scale.TextOps.gopherRepetitionComposable(
+        docs, col("doc_id"), col("text"))
+      .select(col("doc_id") +: cols.map(c => col(c).as(s"__b_$c")): _*)
+    val bad = a.join(b, Seq("doc_id"))
+      .where(cols.map(c => !(col(c) <=> col(s"__b_$c"))).reduce(_ || _))
+    assert(bad.count() == 0,
+      s"kernel/explode divergence:\n${bad.collect().take(3).mkString("\n")}")
+  }
+
+  test("line stats == brute-force line dedup on random multi-line docs") {
+    val lineGen = Gen.oneOf("aa bb", "cc", "二 行", "", "aa bb")
+    val docGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val docs = samples(docGen, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.scale.TextOps.gopherLineStats(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for ((id, text) <- docs) {
+      val ls = text.split("\n", -1).filter(_.nonEmpty).toSeq
+      val n = ls.size.toLong
+      val dupN = n - ls.distinct.size
+      val chars = ls.map(_.length).sum.toLong
+      val dupChars = chars - ls.distinct.map(_.length).sum
+      def f(num: Long, den: Long) =
+        graft.scoring.KMeansOps.r6d(if (den > 0) num.toDouble / den else 0.0)
+      assert(got(id) == ((n, f(dupN, n), f(dupChars, chars))), s"doc $id [$text]")
+    }
+  }
+
+  test("frozen TrigramLm == per-doc mean logp brute force on random corpora") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val corpus = samples(repeatDocGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val lm = graft.scale.Perplexity.fitLm(df, col("text"))
+    // brute-force reference: trigram counts over the normalized corpus,
+    // then per-doc mean ln(c/tt) over its trigrams (all present by
+    // construction — the LM was fit on the same corpus)
+    def tris(s: String): Seq[String] = {
+      val t = s.toLowerCase.replaceAll("\\s+", " ")
+      val cps = t.codePoints().toArray
+      if (cps.length < 3) Nil
+      else cps.sliding(3).map(a => new String(a, 0, 3)).toSeq
+    }
+    val counts = corpus.flatMap(d => tris(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tt = counts.values.sum.toDouble
+    for ((id, text) <- corpus) {
+      val ts = tris(text)
+      val expect =
+        if (ts.isEmpty) None
+        else Some(ts.map(g => math.log(counts(g) / tt)).sum / ts.size)
+      val got = Option(lm.score(UTF8String.fromString(text))).filterNot(_.isNaN)
+      (expect, got) match {
+        case (None, None) =>
+        case (Some(e), Some(g)) =>
+          assert(math.abs(e - g) < 1e-12, s"doc $id [$text]: $e vs $g")
+        case other => fail(s"doc $id [$text]: $other")
+      }
+    }
+  }
 }
