@@ -856,6 +856,19 @@ sig AS (SELECT doc_id,
           nlist = 8, nprobe = 3, iters = 0)
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
           r6(col("cos")).as("cos"))
+    },
+    // SemDeDup (Abbas et al. 2023): k-means-partitioned semantic dedup —
+    // pairwise cosine ONLY between cluster-mates (Σ|c|², never n²), prune
+    // everything with a lower-id mate above τ in rounded cosine. Unlike
+    // q59, the Lloyd refinement IS oracle-gated here: every centroid
+    // coordinate re-rounds through the engine quantum between iterations
+    // (the q170-kmeans discipline), so both engines replay the identical
+    // centroid matrix.
+    "q255_semdedup" -> { (s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), k = 8, iters = 1,
+          tau = 0.30)
+        .select(col("vec_id"), col("cluster_id"), col("cluster_n"),
+          col("n_prev_dups"), col("max_prev_cos"), col("kept"))
     })
 
   /** LSH config for q56; the oracle embeds the identical md5-derived
@@ -1631,6 +1644,43 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q255_semdedup" ->
+      """WITH c0 AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+c1 AS (
+  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, round(avg(embedding[pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM a1, unnest(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid),
+a2 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+p AS (
+  SELECT b.vec_id,
+    round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+      / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
+      / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) + 5e-11, 4) AS cos
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+d AS (
+  SELECT vec_id, count(*) AS n_prev_dups, max(cos) AS max_prev_cos
+  FROM p WHERE cos >= 0.30 GROUP BY 1),
+n AS (SELECT cid, count(*) AS cluster_n FROM a2 GROUP BY 1)
+SELECT a.vec_id, a.cid::BIGINT AS cluster_id, n.cluster_n,
+  coalesce(d.n_prev_dups, 0) AS n_prev_dups, d.max_prev_cos,
+  d.n_prev_dups IS NULL AS kept
+FROM a2 a JOIN n USING (cid) LEFT JOIN d ON a.vec_id = d.vec_id""",
     "q73_contamination" ->
       """WITH b AS (
   SELECT doc_id,

@@ -3,6 +3,7 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -222,6 +223,68 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** [[ivfAssign]] with each refined centroid coordinate re-rounded
+    * through the engine quantum (`graft.queries.r6`) before it re-enters
+    * the distance arithmetic — the q170-kmeans discipline that keeps an
+    * unrolled Lloyd chain replayable by a DuckDB oracle despite the two
+    * engines' different partial-sum orders inside `avg`. Seed = the `k`
+    * lowest-id vectors (exact float→double, nothing to round).
+    */
+  def lloydAssignRounded(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("ce"))
+    (0 until iters).foreach { _ =>
+      centroids = assign(corpus, centroids)
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(graft.queries.r6(avg(col("col"))).as("v"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("ce"))
+    }
+    assign(corpus, centroids)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * pruning with the pair space PARTITIONED by a k-means coarse
+    * quantizer — exact cosine is computed only between cluster-mates, so
+    * the cost is Σ|cluster|² instead of n² (the paper's point: k grows
+    * with the corpus, cluster size stays bounded). Deterministic keep
+    * rule (the reproducible variant of the paper's random representative):
+    * a vector is pruned iff some LOWER-id cluster-mate sits above `tau`
+    * in 4 dp-rounded cosine, so the lowest id of every semantic group
+    * always survives. The within-cluster join is an equi-join on the
+    * cluster id — never all-pairs — and the k-row size table broadcasts.
+    *
+    * Output: one row per vector — cluster_id, cluster_n, n_prev_dups
+    * (above-`tau` lower-id mates), max_prev_cos (4 dp, NULL when kept),
+    * kept.
+    */
+  def semDedup(corpus: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    val assigned = lloydAssignRounded(corpus, k, iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val side = assigned.select(col("cid"), col("vec_id"), col("embedding").as("e"))
+    val pairs = side.as("x").join(side.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"),
+        // divide by the SMALLER id's norm first — left-associated like
+        // the oracle's sequential unnest sums
+        graft.queries.r6(cosine(col("x.e"), col("y.e"))).as("cos"))
+    val dups = pairs.where(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_prev_dups"), max(col("cos")).as("max_prev_cos"))
+    val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(broadcast(sizes), "cid")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        col("cluster_n"),
+        coalesce(col("n_prev_dups"), lit(0L)).as("n_prev_dups"),
+        col("max_prev_cos"),
+        col("n_prev_dups").isNull.as("kept"))
   }
 
   /** IVF-probed approximate top-k (recall vs [[cosineTopK]] is asserted

@@ -289,6 +289,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.2)
   }
 
+  test("semDedup: hand fixture — seed quantizer split, keep-lowest-id rule, cluster partition") {
+    // two obvious axes: seeds v0=[1,0] / v1=[0,1] (k=2, iters=0 → pure
+    // seed assignment, hand-checkable); v2/v3 near-dups of the seeds,
+    // v4 at cos 0.8 to v0 (below τ=0.9 → kept), v5 anti-parallel (kept)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.8f, 0.6f)), (5L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, k = 2, iters = 0, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 6, "partition: every vector exactly once")
+    assert(out.filter(_._2.getBoolean(5)).keySet == Set(0L, 1L, 4L, 5L))
+    // cluster membership from the seed quantizer: {0,2,4} / {1,3,5}
+    assert(Set(0L, 2L, 4L).map(out(_).getLong(1)).size == 1)
+    assert(Set(1L, 3L, 5L).map(out(_).getLong(1)).size == 1)
+    assert(out.values.forall(_.getLong(2) == 3L), "both clusters size 3")
+    // the near-dups each have exactly one above-τ lower-id mate (the seed)
+    assert(out(2L).getLong(3) == 1L && out(3L).getLong(3) == 1L)
+    assert(math.abs(out(2L).getDouble(4) - 0.9939) < 1e-3)
+    // kept rows carry NULL max_prev_cos and zero prior dups
+    assert(out(0L).isNullAt(4) && out(0L).getLong(3) == 0L)
+    // refined variant still partitions and always keeps each cluster's min id
+    val ref = Similarity.semDedup(vecs, k = 2, iters = 1, tau = 0.9)
+      .collect()
+    assert(ref.length == 6)
+    val minIds = ref.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).min).toSet
+    assert(ref.filter(r => minIds.contains(r.getLong(0))).forall(_.getBoolean(5)),
+      "lowest id of every cluster survives")
+  }
+
   test("text ops: token counts and quality bounds") {
     val docs = Seq((1L, "The cat and the dog. 42 foo!")).toDF("doc_id", "text")
     val r = docs.select(
