@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.scale.{Bpe, Dedup, Pii, Similarity, Splits, TextOps}
+import graft.scale.{Bpe, Dedup, Dsir, Pii, Similarity, Splits, TextOps}
 import graft.tables.Tables
 import org.apache.spark.sql.functions._
 
@@ -857,6 +857,30 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"), col("rank").cast("long").as("rank"),
           r6(col("cos")).as("cos"))
     },
+    // DSIR importance resampling (Xie et al. 2023): score every doc by
+    // hashed-unigram log importance weight against the q74-kept quality
+    // slice (add-one-smoothed 64-bucket multinomials), keep the top 50%
+    // per source. The model is ONE corpus aggregation down to 64 rows;
+    // per-doc scoring re-joins the broadcast weight table; the per-source
+    // rank is the partitioned two-pass GlobalOrder (q248's scale shape).
+    "q256_dsir" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val t = col("text")
+      val tgt = !(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05)
+      val per = Dsir.weights(docs, col("doc_id"), t, tgt, buckets = 64)
+      val full = docs.select(col("doc_id"), col("source"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(r6(col("dsir_w")), lit(0.0)).as("score"))
+        .localCheckpoint() // rank input: probe + local + totals passes
+      val ranked = graft.ops.GlobalOrder.withRowNumberBy(full, Seq("source"),
+          Seq(col("score").desc, col("doc_id")), "rk")
+        .join(broadcast(full.groupBy(col("source"))
+          .agg(count(lit(1)).as("nsrc"))), Seq("source"))
+      ranked.select(col("doc_id"), col("source"), col("n_toks"),
+        col("score"), (col("rk") <= ceil(col("nsrc") * 0.5)).as("kept"))
+    },
     // SemDeDup (Abbas et al. 2023): k-means-partitioned semantic dedup —
     // pairwise cosine ONLY between cluster-mates (Σ|c|², never n²), prune
     // everything with a lower-id mate above τ in rounded cosine. Unlike
@@ -1644,6 +1668,30 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q256_dsir" ->
+      """WITH tok AS (
+  SELECT d.doc_id, d.source, t.tok,
+    CASE WHEN len(regexp_extract_all(d.text, '\S+')) >= 20
+      AND len(regexp_extract_all(lower(d.text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+          / greatest(len(regexp_extract_all(d.text, '\S+')), 1) >= 0.05
+    THEN 1 ELSE 0 END AS tgt
+  FROM documents d, unnest(regexp_extract_all(lower(d.text), '\S+')) AS t(tok)),
+tb AS MATERIALIZED (
+  SELECT doc_id, source, tgt,
+    ('0x' || substr(md5('dsir:' || tok), 1, 8))::UBIGINT % 64 AS b
+  FROM tok),
+st AS (SELECT b, count(*) AS cr, sum(tgt) AS ct FROM tb GROUP BY 1),
+tt AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM st),
+w AS (SELECT b, ln((ct + 1)::DOUBLE / (tt + 64)) - ln((cr + 1)::DOUBLE / (tr + 64)) AS w
+      FROM st, tt),
+ds AS (SELECT tb.doc_id, count(*) AS n_toks, round(sum(w.w) + 5e-11, 4) AS score
+       FROM tb JOIN w USING (b) GROUP BY 1),
+f AS (SELECT d.doc_id, d.source, coalesce(ds.n_toks, 0) AS n_toks,
+        coalesce(ds.score, 0.0) AS score
+      FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+        count(*) OVER (PARTITION BY source) AS nsrc FROM f)
+SELECT doc_id, source, n_toks, score, rk <= ceil(nsrc * 0.5) AS kept FROM r""",
     "q255_semdedup" ->
       """WITH c0 AS (
   SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),

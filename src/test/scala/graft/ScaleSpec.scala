@@ -320,6 +320,32 @@ class ScaleSpec extends AnyFunSuite {
       "lowest id of every cluster survives")
   }
 
+  test("Dsir.weights: hand-computed smoothed log importance weights") {
+    import graft.scale.Dsir
+    val docs = Seq((1L, "Aa aa bb", true), (2L, "bb cc", false),
+      (3L, "cc", true), (4L, "", false))
+      .toDF("doc_id", "text", "tgt")
+    val B = 4
+    val out = Dsir.weights(docs, col("doc_id"), col("text"), col("tgt"), B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replay the model with the column expression's driver twin
+    val toks = Map(1L -> Seq("aa", "aa", "bb"), 2L -> Seq("bb", "cc"), 3L -> Seq("cc"))
+    val tgt = Set(1L, 3L)
+    val b = (t: String) => Splits.bucketLocal("dsir", t, B)
+    val all = toks.toSeq.flatMap { case (d, ts) => ts.map(t => (d, b(t))) }
+    val cr = all.groupBy(_._2).view.mapValues(_.size).toMap
+    val ct = all.filter(p => tgt(p._1)).groupBy(_._2).view.mapValues(_.size).toMap
+    val (tr, tt) = (all.size, all.count(p => tgt(p._1)))
+    def w(bk: Long) = math.log((ct.getOrElse(bk, 0) + 1).toDouble / (tt + B)) -
+      math.log((cr.getOrElse(bk, 0) + 1).toDouble / (tr + B))
+    toks.foreach { case (d, ts) =>
+      assert(out(d)._1 == ts.size.toLong, s"doc $d token count")
+      assert(math.abs(out(d)._2 - ts.map(t => w(b(t))).sum) < 1e-12, s"doc $d weight")
+    }
+    // token-less docs are absent (callers left-join and default to 0)
+    assert(!out.contains(4L))
+  }
+
   test("text ops: token counts and quality bounds") {
     val docs = Seq((1L, "The cat and the dog. 42 foo!")).toDF("doc_id", "text")
     val r = docs.select(
