@@ -881,6 +881,21 @@ sig AS (SELECT doc_id,
       ranked.select(col("doc_id"), col("source"), col("n_toks"),
         col("score"), (col("rk") <= ceil(col("nsrc") * 0.5)).as("kept"))
     },
+    // product-quantization ADC search (Jégou et al. 2011): 8 subspaces ×
+    // 16-centroid codebooks compress each 64-float vector to 8 codes; a
+    // query sums lookup-table entries instead of touching vectors — the
+    // memory-compressed ANN regime (8 bytes/vector). Codebooks are the
+    // q59-style deterministic seed quantizer, so the whole chain is
+    // oracle-exact; ranking is over rounded ADC (code-sharing candidates
+    // have EQUAL true distance — raw float sums would leave the tie to
+    // summation order).
+    "q257_pq_adc" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), k = 10,
+          dim = 64, m = 8, ksub = 16)
+        .select(col("query_id"), col("nbr_id"),
+          col("rank").cast("long").as("rank"), col("adc"))
+    },
     // SemDeDup (Abbas et al. 2023): k-means-partitioned semantic dedup —
     // pairwise cosine ONLY between cluster-mates (Σ|c|², never n²), prune
     // everything with a lower-id mate above τ in rounded cosine. Unlike
@@ -1668,6 +1683,31 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q257_pq_adc" ->
+      """WITH seeds AS (
+  SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e FROM embeddings ORDER BY vec_id LIMIT 16),
+cent AS MATERIALIZED (
+  SELECT t.m, s.c, s.e[t.m*8+1 : t.m*8+8] AS ce
+  FROM seeds s, unnest(range(0, 8)) AS t(m)),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT v.vec_id, ct.m, ct.c,
+      row_number() OVER (PARTITION BY v.vec_id, ct.m ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(v.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) ASC,
+        ct.c ASC) AS rn
+    FROM embeddings v CROSS JOIN cent ct) WHERE rn = 1),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, ct.m, ct.c,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(q.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) AS ld
+  FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 10),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS nbr_id, round(sum(l.ld) + 5e-11, 4) AS adc
+  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.c
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2),
+r AS (SELECT query_id, nbr_id, adc,
+  row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rank FROM adc)
+SELECT query_id, nbr_id, rank, adc FROM r WHERE rank <= 10""",
     "q256_dsir" ->
       """WITH tok AS (
   SELECT d.doc_id, d.source, t.tok,

@@ -225,6 +225,55 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** Product-quantization ADC search (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector splits into
+    * `m` subspaces of `dim/m` coordinates, each subspace gets a `ksub`-
+    * centroid codebook (deterministic seed quantizer — the `ksub`
+    * lowest-id vectors' subvectors, the q59 discipline that keeps the
+    * chain oracle-exact), and every corpus vector compresses to `m`
+    * small codes. A query scans CODES, not vectors: one `m`×`ksub`
+    * lookup table of query-to-centroid distances per query, then each
+    * candidate's asymmetric distance is the sum of `m` table entries —
+    * the memory-bound regime where 64 floats become 8 bytes per vector.
+    *
+    * Ranking is over the 4 dp-rounded ADC (ties → nbr id): two vectors
+    * sharing every code have EQUAL true distance, and raw float sums
+    * would leave that tie to summation order.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             dim: Int, m: Int, ksub: Int): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val sub = (e: Column, mm: Column) => slice(e, mm * lit(dsub) + lit(1), lit(dsub))
+    val cent = corpus.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id").cast("int").as("c"),
+        col("embedding").cast("array<double>").as("e"))
+      .select(explode(array((0 until m).map(lit): _*)).as("m"), col("c"),
+        sub(col("e"), col("m")).as("ce"))
+    // code = argmin_c ||subvector − centroid||² (tie → lowest c); the
+    // min-struct aggregate is the shuffle-free argmax idiom
+    val codes = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("m"), col("c"),
+        sqDist(sub(col("embedding"), col("m")), col("ce")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("c"))).getField("c").as("code"))
+    val lut = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("m").as("lm"), col("c").as("lc"),
+        sqDist(sub(col("qe"), col("m")), col("ce")).as("ld"))
+    val adc = codes
+      .join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("lc") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(graft.queries.r6(sum(col("ld"))).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
+  }
+
   /** [[ivfAssign]] with each refined centroid coordinate re-rounded
     * through the engine quantum (`graft.queries.r6`) before it re-enters
     * the distance arithmetic — the q170-kmeans discipline that keeps an

@@ -289,6 +289,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.2)
   }
 
+  test("pqTopK: deterministic, exact-code candidates rank first, recall floor vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(emb, queries, 10, dim = 64, m = 8, ksub = 16)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq2 = Similarity.pqTopK(emb, queries, 10, dim = 64, m = 8, ksub = 16)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == pq2, "PQ search must be deterministic")
+    val exact = Similarity.euclidTopK(emb, queries, 10)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    info(s"pq recall@10 (m=8, ksub=16) = $recall")
+    assert(recall >= 0.05)
+    // a query that IS a seed vector has ADC 0 to itself excluded; its
+    // codebook-mate (same codes) must appear before any farther candidate
+    val full = Similarity.pqTopK(emb, queries, 10, dim = 64, m = 8, ksub = 16)
+      .collect()
+    assert(full.forall(_.getDouble(3) >= 0.0), "ADC is a sum of squared distances")
+    assert(full.groupBy(_.getLong(0)).values
+      .forall(rs => rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq ==
+        rs.map(_.getDouble(3)).sorted.toSeq), "rank order follows ADC")
+  }
+
   test("semDedup: hand fixture — seed quantizer split, keep-lowest-id rule, cluster partition") {
     // two obvious axes: seeds v0=[1,0] / v1=[0,1] (k=2, iters=0 → pure
     // seed assignment, hand-checkable); v2/v3 near-dups of the seeds,
