@@ -896,6 +896,18 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // IVF-PQ composed (the FAISS IndexIVFPQ shape): coarse seed quantizer
+    // routes each query to 3 of 8 inverted lists; candidates inside them
+    // are scanned by asymmetric distance over RESIDUAL codes (vector −
+    // coarse centroid, 8×16 codebooks) with a per-probed-list lookup
+    // table. The full two-level chain is deterministic and oracle-exact.
+    "q258_ivfpq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10), k = 10,
+          dim = 64, m = 8, ksub = 16, nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("nbr_id"),
+          col("rank").cast("long").as("rank"), col("adc"))
+    },
     // SemDeDup (Abbas et al. 2023): k-means-partitioned semantic dedup —
     // pairwise cosine ONLY between cluster-mates (Σ|c|², never n²), prune
     // everything with a lower-id mate above τ in rounded cosine. Unlike
@@ -1683,6 +1695,54 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q258_ivfpq" ->
+      """WITH coarse AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+asg AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN coarse c) WHERE rn = 1),
+res AS MATERIALIZED (
+  SELECT a.vec_id, a.cid,
+    list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - c.ce[i]) AS r
+  FROM asg a JOIN coarse c USING (cid)),
+rseed AS (
+  SELECT vec_id::INT AS c, r AS e FROM res
+  WHERE vec_id NOT IN (SELECT cid FROM coarse)
+  ORDER BY vec_id LIMIT 16),
+rcent AS MATERIALIZED (
+  SELECT t.m, s.c, s.e[t.m*8+1 : t.m*8+8] AS rce
+  FROM rseed s, unnest(range(0, 8)) AS t(m)),
+codes AS MATERIALIZED (
+  SELECT vec_id, cid, m, c AS code FROM (
+    SELECT v.vec_id, v.cid, ct.m, ct.c,
+      row_number() OVER (PARTITION BY v.vec_id, ct.m ORDER BY
+        (SELECT sum((x - y)*(x - y)) FROM (SELECT unnest(v.r[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.rce) AS y)) ASC,
+        ct.c ASC) AS rn
+    FROM res v CROSS JOIN rcent ct) WHERE rn = 1),
+probes AS MATERIALIZED (
+  SELECT query_id, pcid, qr FROM (
+    SELECT q.vec_id AS query_id, c.cid AS pcid,
+      list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE - c.ce[i]) AS qr,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(q.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 10) WHERE rn <= 3),
+lut AS MATERIALIZED (
+  SELECT p.query_id, p.pcid, ct.m, ct.c,
+    (SELECT sum((x - y)*(x - y)) FROM (SELECT unnest(p.qr[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.rce) AS y)) AS ld
+  FROM probes p CROSS JOIN rcent ct),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS nbr_id, round(sum(l.ld) + 5e-11, 4) AS adc
+  FROM codes cd JOIN lut l ON cd.cid = l.pcid AND cd.m = l.m AND cd.code = l.c
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2),
+r AS (SELECT query_id, nbr_id, adc,
+  row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rank FROM adc)
+SELECT query_id, nbr_id, rank, adc FROM r WHERE rank <= 10""",
     "q257_pq_adc" ->
       """WITH seeds AS (
   SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e FROM embeddings ORDER BY vec_id LIMIT 16),

@@ -274,6 +274,68 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
   }
 
+  /** IVF-PQ (the FAISS `IndexIVFPQ` composition): the [[ivfAssign]]
+    * coarse quantizer routes the search to `nprobe` inverted lists, and
+    * within them candidates are scanned by [[pqTopK]]-style asymmetric
+    * distance over RESIDUAL codes (vector − its coarse centroid) — the
+    * residual's smaller dynamic range is what lets 8 codes carry a
+    * useful distance at corpus scale. Both quantizers are the
+    * deterministic seed form (first `nlist` vectors / first `ksub`
+    * residuals), keeping the whole chain oracle-exact; the per-query
+    * lookup table is built per PROBED LIST because the query residual
+    * differs per list. Ranking over rounded ADC as in [[pqTopK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                dim: Int, m: Int, ksub: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val sub = (e: Column, mm: Column) => slice(e, mm * lit(dsub) + lit(1), lit(dsub))
+    val coarse = corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("ce"))
+    val residual = (e: Column, ce: Column) =>
+      zip_with(e, ce, (a, b) => a.cast("double") - b)
+    val res = assign(corpus, coarse).join(broadcast(coarse), "cid")
+      .select(col("vec_id"), col("cid"),
+        residual(col("embedding"), col("ce")).as("r"))
+    // skip the coarse seeds themselves: their residuals are exact zeros
+    // and would fill the codebook with duplicate centroids
+    val rcent = res
+      .join(broadcast(coarse.select(col("cid").cast("long").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id").cast("int").as("c"), col("r").as("e"))
+      .select(explode(array((0 until m).map(lit): _*)).as("m"), col("c"),
+        sub(col("e"), col("m")).as("rce"))
+    val codes = res.crossJoin(broadcast(rcent))
+      .select(col("vec_id"), col("cid"), col("m"), col("c"),
+        sqDist(sub(col("r"), col("m")), col("rce")).as("d2"))
+      .groupBy(col("vec_id"), col("cid"), col("m"))
+      .agg(min(struct(col("d2"), col("c"))).getField("c").as("code"))
+    // probed lists per query (q59 shape), each carrying the query's
+    // per-list residual for the lookup table
+    val qd2 = sqDist(col("qe"), col("ce"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("pcid").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(coarse.select(col("cid").as("pcid"), col("ce"))))
+      .select(col("query_id"), col("pcid"), qd2.as("d2"),
+        residual(col("qe"), col("ce")).as("qr"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+    val lut = probes.crossJoin(broadcast(rcent))
+      .select(col("query_id"), col("pcid"), col("m").as("lm"), col("c").as("lc"),
+        sqDist(sub(col("qr"), col("m")), col("rce")).as("ld"))
+    val adc = codes
+      .join(broadcast(lut),
+        col("cid") === col("pcid") && col("m") === col("lm") &&
+          col("code") === col("lc") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(graft.queries.r6(sum(col("ld"))).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
+  }
+
   /** [[ivfAssign]] with each refined centroid coordinate re-rounded
     * through the engine quantum (`graft.queries.r6`) before it re-enters
     * the distance arithmetic — the q170-kmeans discipline that keeps an

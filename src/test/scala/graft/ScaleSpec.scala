@@ -315,6 +315,32 @@ class ScaleSpec extends AnyFunSuite {
         rs.map(_.getDouble(3)).sorted.toSeq), "rank order follows ADC")
   }
 
+  test("ivfPqTopK: deterministic, probes bound the candidate set, nonzero recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 5)
+    def run() = Similarity.ivfPqTopK(emb, queries, 10,
+      dim = 64, m = 8, ksub = 16, nlist = 8, nprobe = 3)
+    val a = run().select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = run().select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "IVF-PQ search must be deterministic")
+    // candidates must come from the probed inverted lists only: with
+    // nprobe = nlist the candidate pool is the whole corpus, so the
+    // narrow-probe result is a subset of each query's wide-probe pool
+    val wide = Similarity.ivfPqTopK(emb, queries, Int.MaxValue,
+        dim = 64, m = 8, ksub = 16, nlist = 8, nprobe = 8)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.subsetOf(wide))
+    val exact = Similarity.euclidTopK(emb, queries, 10)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(a).size.toDouble / exact.size
+    info(s"ivfpq recall@10 (nprobe=3/8, m=8, ksub=16) = $recall")
+    assert(recall > 0.0)
+  }
+
   test("semDedup: hand fixture — seed quantizer split, keep-lowest-id rule, cluster partition") {
     // two obvious axes: seeds v0=[1,0] / v1=[0,1] (k=2, iters=0 → pure
     // seed assignment, hand-checkable); v2/v3 near-dups of the seeds,
