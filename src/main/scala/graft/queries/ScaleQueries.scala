@@ -896,6 +896,17 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // matryoshka truncation sweep (Kusupati et al. 2022): recall@10 of
+    // exact prefix-dimension search (d = 8/16/32) vs the full 64 dims —
+    // the dimension-budget dial an embedding deployment reads before
+    // shipping truncated vectors (4–8× memory/bandwidth). One generic
+    // plan over the exploded dim set; per-(query, d) hit counts.
+    "q259_matryoshka" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.truncatedRecall(emb, emb.where(col("vec_id") < 10), k = 10,
+          dims = Seq(8, 16, 32), fullDim = 64)
+        .select(col("query_id"), col("d"), col("n_hits"), col("recall"))
+    },
     // IVF-PQ composed (the FAISS IndexIVFPQ shape): coarse seed quantizer
     // routes each query to 3 of 8 inverted lists; candidates inside them
     // are scanned by asymmetric distance over RESIDUAL codes (vector −
@@ -1695,6 +1706,25 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q259_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+dd AS (SELECT unnest([8, 16, 32, 64]) AS d),
+s AS (
+  SELECT q.query_id, e.vec_id AS nbr_id, dd.d,
+    (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe[1:dd.d]) AS x, unnest(e.embedding[1:dd.d]) AS y))
+    / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe[1:dd.d]) AS x)))
+    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding[1:dd.d]) AS y))) AS cos
+  FROM embeddings e CROSS JOIN q CROSS JOIN dd WHERE e.vec_id != q.query_id),
+tk AS MATERIALIZED (
+  SELECT query_id, nbr_id, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, d ORDER BY cos DESC, nbr_id ASC) AS rk FROM s)
+  WHERE rk <= 10),
+f AS (SELECT query_id, nbr_id FROM tk WHERE d = 64)
+SELECT t.query_id, t.d::BIGINT AS d,
+  CAST(sum(CASE WHEN f.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  round(sum(CASE WHEN f.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 + 5e-11, 4) AS recall
+FROM tk t LEFT JOIN f ON t.query_id = f.query_id AND t.nbr_id = f.nbr_id
+GROUP BY 1, 2""",
     "q258_ivfpq" ->
       """WITH coarse AS (
   SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),

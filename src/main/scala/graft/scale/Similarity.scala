@@ -336,6 +336,40 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
   }
 
+  /** Matryoshka / truncated-dimension recall sweep (Kusupati et al.
+    * 2022, arXiv:2205.13147): exact cosine top-k at each PREFIX dimension
+    * in `dims`, scored against the full-`fullDim` top-k — the QA report
+    * that tells an ANN deployment how many leading coordinates it can
+    * keep (4× memory/bandwidth at d=16 of 64) before recall collapses.
+    * One generic plan: the candidate×query grid explodes over the dim
+    * set, slices both vectors to the prefix, and ranks per (query, d);
+    * recall joins each truncated list against the full-dim list.
+    */
+  def truncatedRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                      dims: Seq[Int], fullDim: Int): DataFrame = {
+    val dimsAll = (dims :+ fullDim).distinct
+    val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))))
+      .where(col("nbr_id") =!= col("query_id"))
+      .withColumn("d", explode(array(dimsAll.map(lit): _*)))
+      .select(col("query_id"), col("nbr_id"), col("d"),
+        cosine(slice(col("qe"), lit(1), col("d")),
+          slice(col("ce"), lit(1), col("d"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"), col("d"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val full = topk.where(col("d") === fullDim)
+      .select(col("query_id").as("fq"), col("nbr_id").as("fn"))
+    topk.join(full, col("query_id") === col("fq") && col("nbr_id") === col("fn"),
+        "left")
+      .groupBy(col("query_id"), col("d"))
+      .agg(sum(when(col("fn").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("query_id"), col("d").cast("long").as("d"), col("n_hits"),
+        graft.queries.r6(col("n_hits").cast("double") / k).as("recall"))
+  }
+
   /** [[ivfAssign]] with each refined centroid coordinate re-rounded
     * through the engine quantum (`graft.queries.r6`) before it re-enters
     * the distance arithmetic — the q170-kmeans discipline that keeps an

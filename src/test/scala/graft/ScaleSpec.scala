@@ -341,6 +341,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall > 0.0)
   }
 
+  test("truncatedRecall: full dim is exact recall 1, coarser prefixes lose recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.truncatedRecall(emb, emb.where(col("vec_id") < 5),
+        k = 10, dims = Seq(8, 32), fullDim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.size == 15, "one row per (query, d)")
+    (0L until 5L).foreach(q => assert(out((q, 64L)) == 1.0, s"full-dim recall q$q"))
+    assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
+    val avg8 = (0L until 5L).map(q => out((q, 8L))).sum / 5
+    val avg32 = (0L until 5L).map(q => out((q, 32L))).sum / 5
+    info(s"avg recall@10: d=8 $avg8, d=32 $avg32")
+    assert(avg32 >= avg8, "longer prefix cannot lose recall on average here")
+  }
+
   test("semDedup: hand fixture — seed quantizer split, keep-lowest-id rule, cluster partition") {
     // two obvious axes: seeds v0=[1,0] / v1=[0,1] (k=2, iters=0 → pure
     // seed assignment, hand-checkable); v2/v3 near-dups of the seeds,
