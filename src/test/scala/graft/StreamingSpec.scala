@@ -476,6 +476,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.count(_._1) == batch.values.toSet.size)
   }
 
+  test("near-dup gate: stream flags against a frozen index == batch twin; planted copies caught") {
+    import spark.implicits._
+    import graft.streaming.{NearDupGate, QualityDoc}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = NearDupGate.buildIndex(
+      corpus.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text")).persist()
+    // incoming delta: held-out docs + planted exact copies of index docs
+    val held = corpus.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).as[QualityDoc].collect()
+    val planted = corpus.where(col("doc_id") % 10 =!= 0)
+      .orderBy(col("doc_id")).limit(3)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .as[QualityDoc].collect()
+    val delta = (held ++ planted).sortBy(_.doc_id)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5))).toMap
+    val batch = asMap(NearDupGate.flagged(delta.toSeq.toDS(), index).collect())
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val q = NearDupGate.flagged(input.toDS(), index)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = asMap(spark.table("neardup").collect())
+    assert(got.size == delta.length)
+    assert(got == batch, "batch==stream parity across a micro-batch boundary")
+    // exact copies of index docs: hamming 0, flagged, nonzero candidates
+    planted.foreach { d =>
+      val (n, h, _, f) = got(d.doc_id)
+      assert(n > 0 && h == 0 && f, s"planted copy ${d.doc_id}")
+    }
+    index.unpersist()
+  }
+
   test("markov sequence scorer: streamed NLLs equal the batch model across a batch boundary") {
     import spark.implicits._
     val txDf = Tables.transactions(spark, "/root/testdata/sf0.001")
