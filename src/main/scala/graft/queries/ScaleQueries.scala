@@ -896,6 +896,27 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // the batch twin of the streaming near-dup gate (NearDupGate):
+    // yesterday's corpus (doc_id % 10 != 0) is the frozen simhash band
+    // index; today's delta is checked candidate-by-candidate — banded
+    // equi-join, per-doc min hamming + lowest-id best match, flag at
+    // hamming <= 3 (lossless by pigeonhole over 4x8-bit bands). The
+    // stream serves the IDENTICAL function (StreamingSpec parity); this
+    // gate pins it to the DuckDB oracle.
+    "q260_neardup_delta" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{NearDupGate, QualityDoc}
+      val docs = Tables.documents(s, dir)
+      val index = NearDupGate.buildIndex(
+        docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).as[QualityDoc]
+      NearDupGate.flagged(delta, index, maxHamming = 3)
+        .select(col("doc_id"), col("simhash"),
+          col("n_cands").cast("long").as("n_cands"),
+          col("min_hamming").cast("long").as("min_hamming"),
+          col("match_id"), col("is_neardup"))
+    },
     // matryoshka truncation sweep (Kusupati et al. 2022): recall@10 of
     // exact prefix-dimension search (d = 8/16/32) vs the full 64 dims —
     // the dimension-budget dial an embedding deployment reads before
@@ -1706,6 +1727,37 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q260_neardup_delta" -> {
+      val sums = (0 until 32).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fpExpr = (0 until 32).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      val bandMatch = (0 until 4).map { b =>
+        s"((d.simhash >> ${b * 8}) & 255) = ((i.simhash >> ${b * 8}) & 255)"
+      }.mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM t),
+fp AS MATERIALIZED (SELECT doc_id, ($fpExpr)::BIGINT AS simhash
+  FROM (SELECT doc_id, $sums FROM h GROUP BY doc_id)),
+idx AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 10 != 0),
+dlt AS MATERIALIZED (
+  SELECT d.doc_id, f.simhash FROM documents d LEFT JOIN fp f USING (doc_id)
+  WHERE d.doc_id % 10 = 0),
+cand AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, i.doc_id AS iid,
+    bit_count(xor(d.simhash, i.simhash))::BIGINT AS ham
+  FROM dlt d JOIN idx i ON $bandMatch),
+best AS (SELECT doc_id, iid, ham FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ham, iid) AS rn FROM cand)
+  WHERE rn = 1),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_cands FROM cand GROUP BY 1)
+SELECT d.doc_id, d.simhash, coalesce(a.n_cands, 0) AS n_cands,
+  b.ham AS min_hamming, b.iid AS match_id,
+  coalesce(b.ham <= 3, false) AS is_neardup
+FROM dlt d LEFT JOIN agg a USING (doc_id) LEFT JOIN best b USING (doc_id)"""
+    },
     "q259_matryoshka" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 dd AS (SELECT unnest([8, 16, 32, 64]) AS d),

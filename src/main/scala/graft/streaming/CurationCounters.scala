@@ -12,31 +12,35 @@ case class SourcedDoc(doc_id: Long, source: String, text: String)
 /** Per-doc stateless curation flags (the same expressions the batch
   * gates compile to: q74 heuristic, q247 Gopher repetition battery,
   * q245 PII battery, q242 learned quality, q252 frozen per-source
-  * perplexity gate).
+  * perplexity gate, q260 frozen-index near-dup gate).
   */
 case class FlaggedDoc(source: String, ntok: Long, heuristic: Boolean,
-    gopher: Boolean, pii: Boolean, quality: Boolean, perplexity: Boolean)
+    gopher: Boolean, pii: Boolean, quality: Boolean, perplexity: Boolean,
+    neardup: Boolean)
 
 /** Running per-source curation totals since stream start. */
 case class CurationTotals(source: String, n_docs: Long, n_tokens: Long,
     heuristic_kept: Long, gopher_kept: Long, pii_docs: Long,
-    quality_kept: Long, perplexity_kept: Long, survivors: Long,
-    survivor_tokens: Long)
+    quality_kept: Long, perplexity_kept: Long, neardup_docs: Long,
+    survivors: Long, survivor_tokens: Long)
 
 /** Live curation dashboard state — the streaming twin of the q249
   * funnel report: per SOURCE, running totals of docs/token mass and how
   * many pass each stateless gate (heuristic, Gopher repetition,
   * learned quality, frozen perplexity) plus the PII incidence.
-  * `survivors` counts heuristic ∧ ¬gopher ∧ quality ∧ perplexity — the
-  * full gate battery, live: the q249 funnel's three stages (the Gopher
-  * battery is a pure projection since the one-pass kernel) PLUS the
-  * q242 learned filter, with the perplexity stage served through the
-  * batch-fit [[graft.scale.Perplexity.Gate]] (frozen LM kernel +
-  * per-source threshold literals, so the corpus-global rank the batch
-  * fit needed never runs on the stream). PII does not drop a doc — the
-  * scrub redacts it; its count is the incidence the q246 rollup
-  * reports. `survivor_tokens` is the surviving token mass — the number
-  * a mixture budgeter (q195) actually consumes.
+  * `survivors` counts heuristic ∧ ¬gopher ∧ quality ∧ perplexity ∧
+  * ¬neardup — the full gate battery, live: the q249 funnel's three
+  * stages (the Gopher battery is a pure projection since the one-pass
+  * kernel) PLUS the q242 learned filter, the perplexity stage served
+  * through the batch-fit [[graft.scale.Perplexity.Gate]] (frozen LM
+  * kernel + per-source threshold literals, so the corpus-global rank
+  * the batch fit needed never runs on the stream), and — when a frozen
+  * [[NearDupGate]] index is supplied — the q260 near-dup gate (a doc
+  * already in yesterday's corpus contributes no new training mass).
+  * PII does not drop a doc — the scrub redacts it; its count is the
+  * incidence the q246 rollup reports. `survivor_tokens` is the
+  * surviving token mass — the number a mixture budgeter (q195)
+  * actually consumes.
   *
   * State per source is ONE totals row (10 scalars), so the processor is
   * O(1) per event and state grows with the number of SOURCES — the
@@ -54,10 +58,13 @@ class CurationCounterProcessor
   override def handleInputRows(key: String, rows: Iterator[FlaggedDoc],
       timerValues: TimerValues): Iterator[CurationTotals] = {
     var t = if (st.exists()) st.get()
-      else CurationTotals(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      else CurationTotals(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
     rows.foreach { d =>
       def i(b: Boolean) = if (b) 1L else 0L
-      val survives = d.heuristic && !d.gopher && d.quality && d.perplexity
+      // near-dup joins survival: a doc already in the frozen corpus
+      // contributes no new training mass
+      val survives = d.heuristic && !d.gopher && d.quality &&
+        d.perplexity && !d.neardup
       t = t.copy(
         n_docs = t.n_docs + 1L,
         n_tokens = t.n_tokens + d.ntok,
@@ -66,6 +73,7 @@ class CurationCounterProcessor
         pii_docs = t.pii_docs + i(d.pii),
         quality_kept = t.quality_kept + i(d.quality),
         perplexity_kept = t.perplexity_kept + i(d.perplexity),
+        neardup_docs = t.neardup_docs + i(d.neardup),
         survivors = t.survivors + i(survives),
         survivor_tokens = t.survivor_tokens + (if (survives) d.ntok else 0L))
     }
@@ -84,9 +92,10 @@ object CurationCounters {
     * post-featurization join.
     */
   def flaggedDocs(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
-      buckets: Int, gate: Perplexity.Gate): Dataset[FlaggedDoc] = {
+      buckets: Int, gate: Perplexity.Gate,
+      dupIndex: Option[org.apache.spark.sql.DataFrame] = None): Dataset[FlaggedDoc] = {
     val t = col("text")
-    val pre = docs.toDF()
+    val pre0 = docs.toDF()
       .withColumn("__ntok", TextOps.nTokens(t))
       .withColumn("__h",
         !(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05))
@@ -94,8 +103,17 @@ object CurationCounters {
         Pii.countOf(t, p) }.reduce(_ + _) > 0)
       .withColumn("__g", TextOps.gopherCols(t).last)
       .withColumn("__lmk", gate.keep(col("source"), t))
+    // near-dup vs the frozen corpus index (q260 gate) — stream-static
+    // band joins BEFORE the keyed exchange, like every other flag
+    val pre = dupIndex match {
+      case Some(ix) => NearDupGate.withFlags(pre0, ix, maxHamming = 3)
+        .withColumn("__nd", col("is_neardup"))
+        .drop("simhash", "n_cands", "min_hamming", "match_id", "is_neardup")
+      case None => pre0.withColumn("__nd", lit(false))
+    }
     val f = TextOps.hashedNgramFeatures(pre, col("doc_id"), col("text"),
-      buckets, keep = Seq("source", "__ntok", "__h", "__g", "__pii", "__lmk"))
+      buckets,
+      keep = Seq("source", "__ntok", "__h", "__g", "__pii", "__lmk", "__nd"))
     val missing = model.features.filterNot(f.columns.contains)
     require(missing.isEmpty,
       s"CurationCounters: model features absent from the stream: $missing")
@@ -106,15 +124,17 @@ object CurationCounters {
         coalesce(col("__g"), lit(false)).as("gopher"),
         coalesce(col("__pii"), lit(false)).as("pii"),
         (graft.queries.r6(Trainer.margin(model)) > 0).as("quality"),
-        coalesce(col("__lmk"), lit(false)).as("perplexity"))
+        coalesce(col("__lmk"), lit(false)).as("perplexity"),
+        coalesce(col("__nd"), lit(false)).as("neardup"))
       .as[FlaggedDoc]
   }
 
   /** Running totals per source, updated every micro-batch. */
   def totals(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
-      buckets: Int, gate: Perplexity.Gate): Dataset[CurationTotals] = {
+      buckets: Int, gate: Perplexity.Gate,
+      dupIndex: Option[org.apache.spark.sql.DataFrame] = None): Dataset[CurationTotals] = {
     implicit val enc: Encoder[CurationTotals] = Encoders.product[CurationTotals]
-    flaggedDocs(docs, model, buckets, gate)
+    flaggedDocs(docs, model, buckets, gate, dupIndex)
       .groupByKey(_.source)(Encoders.STRING)
       .transformWithState(new CurationCounterProcessor,
         TimeMode.None(), OutputMode.Update())

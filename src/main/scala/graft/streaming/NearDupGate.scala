@@ -51,26 +51,23 @@ object NearDupGate {
         col("doc_id").as("id"))).as("cands"))
   }
 
-  /** Flag a document stream against the index: per doc, the number of
-    * banded candidates, the minimum hamming distance among them (NULL
-    * when no candidate), the lowest-id best match, and the gate decision
-    * `is_neardup = min_hamming ≤ maxHamming`. Works identically on a
-    * batch frame (batch==stream parity is the StreamingSpec gate).
+  /** Append the gate columns (simhash, n_cands, min_hamming, match_id,
+    * is_neardup) to ANY frame carrying a `text` column — the composition
+    * point the curation counters use; every input column passes through.
     */
-  def flagged(docs: Dataset[QualityDoc], index: DataFrame,
-              maxHamming: Int = 3): DataFrame = {
+  def withFlags(df: DataFrame, index: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val fp = ColumnBridge.column(graft.functions.SimHash32(
       ColumnBridge.expression(col("text"))))
-    var cur = docs.toDF().select(col("doc_id"), fp.as("simhash"))
+    var cur = df.withColumn("simhash", fp)
     (0 until Bands).foreach { b =>
       val side = index.where(col("band") === b)
-        .select(col("key").as(s"k$b"), col("cands").as(s"c$b"))
+        .select(col("key").as(s"__k$b"), col("cands").as(s"__c$b"))
       cur = cur.join(side,
-        bandKey(col("simhash"), b) === col(s"k$b"), "left")
+        bandKey(col("simhash"), b) === col(s"__k$b"), "left")
     }
     val merged = array_distinct(concat(
-      (0 until Bands).map(b => coalesce(col(s"c$b"),
+      (0 until Bands).map(b => coalesce(col(s"__c$b"),
         array().cast("array<struct<fp:long,id:bigint>>"))): _*))
     val ham = (c: Column) =>
       bit_count(c.getField("fp").bitwiseXOR(col("simhash")))
@@ -82,11 +79,26 @@ object NearDupGate {
         ham(c) < acc.getField("h") ||
           (ham(c) === acc.getField("h") && c.getField("id") < acc.getField("i")),
         struct(ham(c).as("h"), c.getField("id").as("i"))).otherwise(acc))
-    cur.select(col("doc_id"), col("simhash"),
-        coalesce(size(merged), lit(0)).as("n_cands"), best.as("b"))
-      .select(col("doc_id"), col("simhash"), col("n_cands"),
-        when(col("b.h") < 33, col("b.h")).as("min_hamming"),
-        when(col("b.h") < 33, col("b.i")).as("match_id"),
-        coalesce(col("b.h") <= maxHamming, lit(false)).as("is_neardup"))
+    cur.withColumn("__n", coalesce(size(merged), lit(0)))
+      .withColumn("__b", best)
+      .drop((0 until Bands).flatMap(b => Seq(s"__k$b", s"__c$b")): _*)
+      .withColumn("n_cands", col("__n"))
+      .withColumn("min_hamming", when(col("__b.h") < 33, col("__b.h")))
+      .withColumn("match_id", when(col("__b.h") < 33, col("__b.i")))
+      .withColumn("is_neardup",
+        coalesce(col("__b.h") <= maxHamming, lit(false)))
+      .drop("__n", "__b")
   }
+
+  /** Flag a document stream against the index: per doc, the number of
+    * banded candidates, the minimum hamming distance among them (NULL
+    * when no candidate), the lowest-id best match, and the gate decision
+    * `is_neardup = min_hamming ≤ maxHamming`. Works identically on a
+    * batch frame (batch==stream parity is the StreamingSpec gate).
+    */
+  def flagged(docs: Dataset[QualityDoc], index: DataFrame,
+              maxHamming: Int = 3): DataFrame =
+    withFlags(docs.toDF().select(col("doc_id"), col("text")), index, maxHamming)
+      .select(col("doc_id"), col("simhash"), col("n_cands"),
+        col("min_hamming"), col("match_id"), col("is_neardup"))
 }

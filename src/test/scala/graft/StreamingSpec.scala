@@ -1574,7 +1574,7 @@ class StreamingSpec extends AnyFunSuite {
   test("curation counters: per-source running totals across micro-batches == batch flag aggregation") {
     import spark.implicits._
     import graft.scale.{Perplexity, Splits, TextOps}
-    import graft.streaming.{CurationCounters, SourcedDoc}
+    import graft.streaming.{CurationCounters, NearDupGate, SourcedDoc}
     val B = 16
     val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
     val t = col("text")
@@ -1589,13 +1589,23 @@ class StreamingSpec extends AnyFunSuite {
     // serves the frozen LM kernel + per-source threshold literals
     val gate = Perplexity.fitGate(
       docsB.select(col("doc_id"), col("source"), col("text")))
+    // frozen near-dup index over yesterday's corpus (doc_id % 10 != 0);
+    // the stream is today's delta plus planted copies of indexed docs
+    val index = NearDupGate.buildIndex(
+      docsB.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text")).persist()
 
-    val docs = docsB.select(col("doc_id"), col("source"), col("text"))
-      .as[SourcedDoc].collect().sortBy(_.doc_id)
+    val delta = docsB.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[SourcedDoc].collect()
+    val planted = docsB.where(col("doc_id") % 10 =!= 0)
+      .orderBy(col("doc_id")).limit(3)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("source"), col("text"))
+      .as[SourcedDoc].collect()
+    val docs = (delta ++ planted).sortBy(_.doc_id)
     val (half1, half2) = docs.splitAt(docs.length / 2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[SourcedDoc]
-    val query = CurationCounters.totals(input.toDS(), m, B, gate)
+    val query = CurationCounters.totals(input.toDS(), m, B, gate, Some(index))
       .toDF().writeStream.format("memory").queryName("funnel")
       .outputMode("update").start()
     try {
@@ -1608,19 +1618,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
 
     // latest emitted totals per source (update mode: last row wins)
-    def nine(r: org.apache.spark.sql.Row) =
-      (1 to 9).map(r.getLong).toList
+    def ten(r: org.apache.spark.sql.Row) =
+      (1 to 10).map(r.getLong).toList
     val streamed = spark.table("funnel")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("n_docs").desc)))
       .where(col("rn") === 1).drop("rn")
-      .collect().map(r => r.getString(0) -> nine(r)).toMap
+      .collect().map(r => r.getString(0) -> ten(r)).toMap
     val sv = col("heuristic") && !col("gopher") && col("quality") &&
-      col("perplexity")
-    val batch = CurationCounters.flaggedDocs(docsB
-        .select(col("doc_id"), col("source"), col("text")).as[SourcedDoc],
-        m, B, gate)
+      col("perplexity") && !col("neardup")
+    val batch = CurationCounters.flaggedDocs(docs.toSeq.toDS(),
+        m, B, gate, Some(index))
       .toDF().groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
         sum(when(col("heuristic"), 1L).otherwise(0L)).as("hk"),
@@ -1628,9 +1637,10 @@ class StreamingSpec extends AnyFunSuite {
         sum(when(col("pii"), 1L).otherwise(0L)).as("pd"),
         sum(when(col("quality"), 1L).otherwise(0L)).as("qk"),
         sum(when(col("perplexity"), 1L).otherwise(0L)).as("pk"),
+        sum(when(col("neardup"), 1L).otherwise(0L)).as("nd"),
         sum(when(sv, 1L).otherwise(0L)).as("sv"),
         sum(when(sv, col("ntok")).otherwise(0L)).as("svt"))
-      .collect().map(r => r.getString(0) -> nine(r)).toMap
+      .collect().map(r => r.getString(0) -> ten(r)).toMap
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (src, v) =>
       assert(streamed(src) == v, s"source $src: ${streamed(src)} != $v")
@@ -1638,11 +1648,14 @@ class StreamingSpec extends AnyFunSuite {
     // gates discriminate on this corpus, survivors exist, and survivor
     // token mass is a real sub-mass (not vacuous counters)
     def tot(i: Int) = batch.values.map(_(i)).sum
-    assert(tot(7) > 0 && tot(7) < tot(0), "survivors")
+    assert(tot(8) > 0 && tot(8) < tot(0), "survivors")
     assert(batch.values.exists(v => v(6) > 0 && v(6) < v(0)),
       "perplexity gate must discriminate")
-    assert(tot(8) > 0 && tot(8) < tot(1),
+    assert(tot(9) > 0 && tot(9) < tot(1),
       "survivor token mass must be a strict sub-mass")
+    // the planted copies of indexed docs are caught by the live gate
+    assert(tot(7) >= planted.length, "near-dup incidence covers planted copies")
+    index.unpersist()
 
     // frozen-gate serving == the batch q248-style threshold keep set,
     // doc by doc (the streaming-perplexity parity contract)
