@@ -864,7 +864,7 @@ sig AS (SELECT doc_id,
     // per-doc scoring re-joins the broadcast weight table; the per-source
     // rank is the partitioned two-pass GlobalOrder (q248's scale shape).
     "q256_dsir" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = docsSpread(s, dir) // tokenization is CPU-bound; spread
       val t = col("text")
       val tgt = !(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05)
       val per = Dsir.weights(docs, col("doc_id"), t, tgt, buckets = 64)
@@ -906,9 +906,12 @@ sig AS (SELECT doc_id,
     "q260_neardup_delta" -> { (s, dir) =>
       import s.implicits._
       import graft.streaming.{NearDupGate, QualityDoc}
-      val docs = Tables.documents(s, dir)
+      val docs = docsSpread(s, dir) // simhash is CPU-bound; spread the split
+      // the flag side joins the index once PER BAND — checkpoint it or
+      // the whole simhash+group subtree recomputes four times
       val index = NearDupGate.buildIndex(
         docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
+        .localCheckpoint()
       val delta = docs.where(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text")).as[QualityDoc]
       NearDupGate.flagged(delta, index, maxHamming = 3)

@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Print the formatted physical plan of registered queries (plan-audit
+  * companion to [[Timing]]; not part of the driver contract).
+  */
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { q =>
+      println(s"== $q")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
