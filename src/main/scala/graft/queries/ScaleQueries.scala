@@ -896,6 +896,50 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // dedup-aware mixture rebudget: the q195 DoReMi-style solver run on
+    // DEDUPED token mass — exact dedup (q28's min-id canonicals) changes
+    // which source binds and how large the feasible budget is, the
+    // decision a curation run re-makes after every cleaning pass. Both
+    // budgets reported; the binding test stays exact integer
+    // cross-multiplication on the deduped masses.
+    "q261_dedup_budget" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val keepF = Dedup.exactGroups(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), (col("doc_id") === col("canonical_id")).as("keep"))
+      val base = docs.join(keepF, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(TextOps.nTokens(col("text"))).as("tokens_raw"),
+          sum(when(col("keep"), TextOps.nTokens(col("text")))
+            .otherwise(0L)).as("tokens_dedup"))
+        .withColumn("wraw", expr("substring(source, 4)").cast("long") % 4 + 1)
+        .localCheckpoint() // model-size rows feeding two budget solves
+      val sw = base.agg(sum(col("wraw")).as("sw"))
+      val withR = base.crossJoin(broadcast(sw))
+        .withColumn("ratio_raw",
+          col("tokens_raw").cast("double") * col("sw") / col("wraw"))
+        .withColumn("ratio_dd",
+          col("tokens_dedup").cast("double") * col("sw") / col("wraw"))
+      val tmins = withR.agg(min(col("ratio_raw")).as("t_raw"),
+        min(col("ratio_dd")).as("t_dd"))
+      val peers = base.select(col("tokens_dedup").as("t2"), col("wraw").as("w2"))
+      val binding = withR.crossJoin(broadcast(peers))
+        .groupBy(col("source"), col("tokens_raw"), col("tokens_dedup"),
+          col("wraw"), col("sw"))
+        .agg(max(when(col("t2") * col("wraw") < col("tokens_dedup") * col("w2"),
+          1).otherwise(0)).as("beat"))
+      binding.crossJoin(broadcast(tmins)).select(
+        col("source"), col("tokens_raw"), col("tokens_dedup"),
+        r6(lit(1.0) - col("tokens_dedup").cast("double") / col("tokens_raw"))
+          .as("dup_token_frac"),
+        r6(col("wraw").cast("double") / col("sw")).as("weight"),
+        r6(col("t_raw")).as("budget_raw"),
+        r6(col("t_dd")).as("budget_dedup"),
+        r6(col("wraw") * col("t_dd") / col("sw")).as("sampled_dedup"),
+        when(col("tokens_dedup") > 0,
+          r6(col("wraw") * col("t_dd") / col("sw") / col("tokens_dedup")))
+          .as("rate_dedup"),
+        (col("beat") === 0).as("binding_dedup"))
+    },
     // the batch twin of the streaming near-dup gate (NearDupGate):
     // yesterday's corpus (doc_id % 10 != 0) is the frozen simhash band
     // index; today's delta is checked candidate-by-candidate — banded
@@ -1730,6 +1774,36 @@ s AS (
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10""",
+    "q261_dedup_budget" ->
+      """WITH k AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok,
+    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM documents),
+b AS MATERIALIZED (
+  SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens_raw,
+    CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT) AS tokens_dedup,
+    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS wraw
+  FROM k GROUP BY source),
+sw AS (SELECT CAST(sum(wraw) AS BIGINT) AS sw FROM b),
+r AS (SELECT b.*, sw.sw,
+    CAST(tokens_raw AS DOUBLE) * sw.sw / wraw AS ratio_raw,
+    CAST(tokens_dedup AS DOUBLE) * sw.sw / wraw AS ratio_dd
+  FROM b, sw),
+t AS (SELECT min(ratio_raw) AS t_raw, min(ratio_dd) AS t_dd FROM r),
+bd AS (SELECT r.source, r.tokens_raw, r.tokens_dedup, r.wraw, r.sw,
+    max(CASE WHEN p.tokens_dedup * r.wraw < r.tokens_dedup * p.wraw THEN 1 ELSE 0 END) AS beat
+  FROM r, b p GROUP BY 1, 2, 3, 4, 5)
+SELECT bd.source, bd.tokens_raw, bd.tokens_dedup,
+  round(1.0 - CAST(bd.tokens_dedup AS DOUBLE) / bd.tokens_raw + 5e-11, 4) AS dup_token_frac,
+  round(CAST(bd.wraw AS DOUBLE) / bd.sw + 5e-11, 4) AS weight,
+  round(t.t_raw + 5e-11, 4) AS budget_raw,
+  round(t.t_dd + 5e-11, 4) AS budget_dedup,
+  round(bd.wraw * t.t_dd / bd.sw + 5e-11, 4) AS sampled_dedup,
+  CASE WHEN bd.tokens_dedup > 0
+    THEN round(bd.wraw * t.t_dd / bd.sw / bd.tokens_dedup + 5e-11, 4) END AS rate_dedup,
+  bd.beat = 0 AS binding_dedup
+FROM bd, t""",
     "q260_neardup_delta" -> {
       val sums = (0 until 32).map { j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
