@@ -524,7 +524,7 @@ class PlanSpec extends AnyFunSuite {
       self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
     }
     for (q <- Seq("q173_source_caps", "q248_perplexity_filter",
-        "q249_curation_funnel")) {
+        "q249_curation_funnel", "q256_dsir")) {
       val out = graft.queries.ScaleQueries.defs(q)(spark, sf)
       out.collect()
       val bad = windows(out.queryExecution.executedPlan).filter { w =>
@@ -534,6 +534,24 @@ class PlanSpec extends AnyFunSuite {
       assert(bad.isEmpty, s"$q has a per-source single-task window:\n" +
         bad.map(_.simpleStringWithNodeId()).mkString("\n"))
     }
+  }
+
+  test("semDedup pairs join on the cluster id; PQ/IVF-PQ/near-dup stay broadcast-shaped") {
+    // the pair space must be an equi-join on cid (Σ|c|², never an n²
+    // product); the ANN code/LUT sides and the banded dedup index are
+    // model-size frames that must broadcast — a CartesianProduct (the
+    // SHUFFLED kind; the intended broadcast-cross of tiny centroid
+    // frames plans as BroadcastNestedLoop) anywhere is the n² smell
+    for (q <- Seq("q255_semdedup", "q257_pq_adc", "q258_ivfpq",
+        "q260_neardup_delta", "q261_dedup_budget")) {
+      val p = plan(graft.queries.ScaleQueries.defs(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q should broadcast its model side:\n$p")
+    }
+    // the near-dup gate's four band joins are all broadcast hash joins
+    val pnd = plan(graft.queries.ScaleQueries.defs("q260_neardup_delta")(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(pnd).length
+    assert(bhj >= 4, s"expected the 4 band joins broadcast, got $bhj:\n$pnd")
   }
 
   test("duplicate-line rules are a pure projection: zero exchanges in the q253 plan") {
