@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   *   3. exact dedup       — fingerprint groups, keep the canonical
   *   4. near-dup groups   — MinHash-LSH components, keep min-id doc
   *   5. decontamination   — drop docs sharing word n-grams with probes
+  *   6. semantic dedup    — optional SemDeDup over the survivors'
+  *                          embeddings (cluster-partitioned cosine)
   *
   * Every step is a lazy DataFrame transform — Catalyst plans the whole
   * funnel as one job, and each gate's predicate is a column on the
@@ -30,15 +32,25 @@ object CorpusPipeline {
       maxTopBigramCharFrac: Double = 1.0,
       shingleN: Int = 3,
       neardupTau: Double = 0.5,
-      decontamN: Int = 5)
+      decontamN: Int = 5,
+      semK: Int = 8,
+      semIters: Int = 1,
+      semTau: Double = 0.30)
 
   /** Curated corpus: the input frame plus `stage` ("kept" or the first
     * gate that rejected the doc) and `canonical_id`. Docs rejected by an
     * earlier gate are not re-judged by later ones (first reason wins, so
     * funnel counts add up).
+    *
+    * With `embeddings` supplied (vec_id-keyed, vec_id == doc_id), a
+    * final SemDeDup stage runs over the docs that SURVIVED every text
+    * gate — the paper's placement: semantic dedup after cleaning, so a
+    * heuristically-dead doc can never claim a semantic group's keep
+    * slot. Docs without an embedding pass the stage untouched.
     */
   def curate(docs: DataFrame, probes: Option[DataFrame], id: Column, text: Column,
-             cfg: Config = Config()): DataFrame = {
+             cfg: Config = Config(),
+             embeddings: Option[DataFrame] = None): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
     val quality = base.select(col("doc_id"),
       TextOps.nTokens(col("text")).as("n_tokens"),
@@ -85,7 +97,7 @@ object CorpusPipeline {
       .select(col("doc_id"),
         coalesce(col("kept_canonical"), col("near_canonical")).as("near_canonical"))
 
-    pre
+    val textStages = pre
       .join(nearKept, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("stage",
@@ -94,6 +106,25 @@ object CorpusPipeline {
             "near_dup")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .otherwise("kept")))
+
+    val staged = embeddings match {
+      case None => textStages
+      case Some(emb) =>
+        // SemDeDup over the text-gate survivors only: the cluster-mate
+        // pair space (Σ|c|²) never pays for docs already dead, and a
+        // dead lower-id doc cannot shadow the group's surviving copy
+        val semIn = textStages.where(col("stage") === "kept")
+          .select(col("doc_id").as("vec_id"))
+          .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        val sem = Similarity.semDedup(semIn, cfg.semK, cfg.semIters, cfg.semTau)
+          .select(col("vec_id").as("doc_id"), col("kept").as("__semkept"))
+        textStages.join(sem, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(col("stage") === "kept" &&
+              !coalesce(col("__semkept"), lit(true)), "semantic_dup")
+              .otherwise(col("stage")))
+    }
+    staged
       .select(col("doc_id"), col("n_tokens"), col("stage"),
         (col("stage") === "kept").as("keep"),
         coalesce(col("near_canonical"), col("canonical_id"), col("doc_id"))

@@ -341,6 +341,49 @@ object Soak {
       graft.scale.TextOps.trigramLmScore(docs, col("doc_id"), col("text"))
         .write.format("noop").mode("overwrite").save())
 
+    // round-13 ANN/dedup family at k-fold vectors/docs. SemDeDup's
+    // honest scaling grows the CLUSTER COUNT with the corpus (the
+    // paper's k ∝ n) so per-cluster pair work stays bounded — cluster
+    // count k*8 here; PQ/IVF-PQ scan 8 codes per vector (row-linear,
+    // codebooks stay 128 rows); the matryoshka sweep is 4 exact scans;
+    // the near-dup gate is one simhash kernel pass + banded grouping +
+    // 4 broadcast joins on the delta.
+    import graft.scale.Similarity
+    val q10 = vecs.where(col("vec_id") < 10)
+    time(s"semdedup-${k}x-vectors") {
+      Similarity.semDedup(vecs, k = 8 * k, iters = 1, tau = 0.30)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"pq-adc-${k}x-vectors") {
+      Similarity.pqTopK(vecs, q10, 10, dim = 64, m = 8, ksub = 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"ivfpq-${k}x-vectors") {
+      Similarity.ivfPqTopK(vecs, q10, 10, dim = 64, m = 8, ksub = 16,
+          nlist = 8 * k, nprobe = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"matryoshka-${k}x-vectors") {
+      Similarity.truncatedRecall(vecs, q10, 10, Seq(8, 32), 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"neardup-gate-${k}x-docs") {
+      val ix = graft.streaming.NearDupGate.buildIndex(
+        docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
+        .localCheckpoint()
+      import spark.implicits._
+      graft.streaming.NearDupGate.flagged(
+          docs.where(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("text"))
+            .as[graft.streaming.QualityDoc], ix)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"dsir-${k}x-docs") {
+      graft.scale.Dsir.weights(docs, col("doc_id"), col("text"),
+          graft.scale.TextOps.nTokens(col("text")) >= 20, buckets = 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     spark.stop()
   }
 }

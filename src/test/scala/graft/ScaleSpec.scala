@@ -591,6 +591,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(canon(2L) == 2L && canon(3L) == 2L, canon) // lowest KEPT member
   }
 
+  test("CorpusPipeline.curate: optional SemDeDup stage prunes survivors only") {
+    import graft.scale.CorpusPipeline
+    // docs 1/2/3 pass every text gate with distinct texts; 4 is too
+    // short. Embeddings: 2 is a semantic twin of 1 (cos ≈ 1); 3 is
+    // orthogonal; 4's twin-of-1 embedding must NOT matter (dead doc);
+    // 5 has no embedding row at all... doc 3 also has none — untouched.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "red orange yellow green blue indigo violet cyan magenta white black gray"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
+      (4L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // k = 1: both surviving embeddings share one cluster (k = 2 would
+    // seed each of the two survivors as its own singleton cluster)
+    val cfg = CorpusPipeline.Config(semK = 1, semIters = 0, semTau = 0.9)
+    val cur = CorpusPipeline.curate(docs, None, col("doc_id"), col("text"),
+      cfg, embeddings = Some(emb))
+    val stages = cur.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(stages(1L) == "kept", stages)           // group's lowest survivor
+    assert(stages(2L) == "semantic_dup", stages)   // twin of kept doc 1
+    assert(stages(3L) == "kept", stages)           // no embedding: untouched
+    assert(stages(4L) == "too_short", stages)      // earlier gate wins
+    // without embeddings the stage never fires (back-compat)
+    val cur0 = CorpusPipeline.curate(docs, None, col("doc_id"), col("text"), cfg)
+    assert(!cur0.collect().exists(_.getString(2) == "semantic_dup"))
+  }
+
   test("incrementalDedup: delta doc matches its index twin; novel doc stays unmatched") {
     val index = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
