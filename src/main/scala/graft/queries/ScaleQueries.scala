@@ -896,6 +896,55 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // supervised language ID (the learned upgrade of q30's marker
+    // heuristic): hashed char-trigram naive Bayes — model = classes×64
+    // integers (one corpus aggregation, broadcast everywhere), test-side
+    // argmax on the rounded posterior, confusion matrix on the md5-20%
+    // hold-out. fastText-shaped (Joulin et al. 2016), vocabulary-free.
+    "q263_lang_nb" -> { (s, dir) =>
+      graft.scale.LangId.nbConfusion(docsSpread(s, dir), col("doc_id"),
+          col("text"), col("lang"),
+          Splits.bucket(col("doc_id"), "lid", 5) =!= 0, buckets = 64)
+        .select(col("lang"), col("pred"), col("n_docs"))
+    },
+    // per-gate marginal attribution over the q249 funnel battery: for
+    // each source, the docs/tokens dropped by EXACTLY one gate (the mass
+    // that gate alone is responsible for — what relaxing it would buy)
+    // vs the multi-gate overlap. Same flags, same scale shape as q249;
+    // one extra conditional-sum aggregation.
+    "q262_gate_attribution" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val t = col("text")
+      val flm = graft.scale.Perplexity.fitLm(docs, col("text"))
+      val base = docs.select(col("doc_id"), col("source"),
+        TextOps.nTokens(t).as("ntok"),
+        (!(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05)).as("h"),
+        r6(graft.scale.Perplexity.lmScore(flm, t)).as("lm"))
+      val rep = TextOps.gopherRepetition(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("gopher_flag"))
+      val joined = base.join(rep, Seq("doc_id"), "left")
+        .localCheckpoint() // rank input: probe + local + totals passes
+      val ranked = graft.ops.GlobalOrder.withRowNumberBy(joined,
+          Seq("source"), Seq(col("lm").desc_nulls_last, col("doc_id")), "rk")
+        .join(broadcast(joined.groupBy(col("source"))
+          .agg(count(lit(1)).as("nsrc"))), Seq("source"))
+      val fh = !col("h")
+      val fg = coalesce(col("gopher_flag"), lit(false))
+      val fp = !(col("lm").isNotNull && col("rk") <= ceil(col("nsrc") * 0.7))
+      val nf = fh.cast("int") + fg.cast("int") + fp.cast("int")
+      def only(f: org.apache.spark.sql.Column) = f && nf === 1
+      ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(nf === 0, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(only(fh), 1L).otherwise(0L)).as("only_heuristic_docs"),
+        sum(when(only(fh), col("ntok")).otherwise(0L)).as("only_heuristic_tokens"),
+        sum(when(only(fg), 1L).otherwise(0L)).as("only_repetition_docs"),
+        sum(when(only(fg), col("ntok")).otherwise(0L)).as("only_repetition_tokens"),
+        sum(when(only(fp), 1L).otherwise(0L)).as("only_perplexity_docs"),
+        sum(when(only(fp), col("ntok")).otherwise(0L)).as("only_perplexity_tokens"),
+        sum(when(nf >= 2, 1L).otherwise(0L)).as("overlap_docs"),
+        sum(when(nf >= 2, col("ntok")).otherwise(0L)).as("overlap_tokens"))
+    },
     // dedup-aware mixture rebudget: the q195 DoReMi-style solver run on
     // DEDUPED token mass — exact dedup (q28's min-id canonicals) changes
     // which source binds and how large the feasible budget is, the
@@ -1361,6 +1410,73 @@ SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
   sum(CASE WHEN s3 THEN ntok ELSE 0 END)::BIGINT AS tokens_final,
   round(sum(CASE WHEN s3 THEN ntok ELSE 0 END)::DOUBLE / sum(ntok) + 5e-11, 4) AS survival_rate
 FROM k GROUP BY 1""",
+    "q263_lang_nb" ->
+      """WITH base AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('lid:' || doc_id), 1, 8))::UBIGINT % 5 != 0 AS tr,
+    lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents),
+tri AS MATERIALIZED (
+  SELECT doc_id, lang, tr,
+    ('0x' || substr(md5('lidb:' || substr(t, i, 3)), 1, 8))::UBIGINT % 64 AS b
+  FROM base, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+cnt AS MATERIALIZED (SELECT lang, b, count(*) AS c FROM tri WHERE tr GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+pri AS (SELECT lang, count(*) AS n FROM base WHERE tr GROUP BY 1),
+nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pri),
+model AS (SELECT tot.lang AS cand, tot.tc, ln(pri.n::DOUBLE / nn.nn) AS logprior
+  FROM tot JOIN pri USING (lang) CROSS JOIN nn),
+sc AS (SELECT t.doc_id, t.lang, m.cand, m.logprior,
+    sum(ln((coalesce(c.c, 0) + 1)::DOUBLE / (m.tc + 64))) AS ll
+  FROM tri t CROSS JOIN model m
+    LEFT JOIN cnt c ON c.lang = m.cand AND c.b = t.b
+  WHERE NOT t.tr
+  GROUP BY 1, 2, 3, 4),
+p AS (SELECT lang, cand AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY round(logprior + ll + 5e-11, 4) DESC, cand ASC) AS rn FROM sc)
+  WHERE rn = 1)
+SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2""",
+    "q262_gate_attribution" ->
+      s"""WITH $gopherCtesSql,
+hb AS (SELECT doc_id, source,
+  len(regexp_extract_all(text, '\\S+'))::BIGINT AS ntok,
+  NOT (len(regexp_extract_all(text, '\\S+')) < 20
+    OR len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\\S+')), 1) < 0.05) AS h
+  FROM documents),
+lmb AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
+lmx AS (SELECT doc_id, substr(t, i, 3) AS tri
+        FROM lmb, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+lmc AS (SELECT tri, count(*) AS c FROM lmx GROUP BY 1),
+lmtt AS (SELECT sum(c)::DOUBLE AS tt FROM lmc),
+lm AS (SELECT lmx.doc_id, round(avg(ln(lmc.c::DOUBLE / lmtt.tt)) + 5e-11, 4) AS lm
+       FROM lmx JOIN lmc USING (tri) CROSS JOIN lmtt GROUP BY 1),
+gfl AS (SELECT doc_id, $gopherFlagSql AS gflag FROM grf),
+r AS (SELECT hb.doc_id, hb.source, hb.ntok, hb.h, gfl.gflag, lm.lm,
+        row_number() OVER (PARTITION BY hb.source
+          ORDER BY lm.lm DESC NULLS LAST, hb.doc_id) AS rk,
+        count(*) OVER (PARTITION BY hb.source) AS nsrc
+      FROM hb LEFT JOIN gfl ON hb.doc_id = gfl.doc_id
+        LEFT JOIN lm ON hb.doc_id = lm.doc_id),
+m AS (SELECT *,
+        (CASE WHEN NOT h THEN 1 ELSE 0 END
+         + CASE WHEN coalesce(gflag, false) THEN 1 ELSE 0 END
+         + CASE WHEN NOT (lm IS NOT NULL AND rk <= ceil(nsrc * 0.7)) THEN 1 ELSE 0 END) AS nf,
+        NOT h AS fh, coalesce(gflag, false) AS fg,
+        NOT (lm IS NOT NULL AND rk <= ceil(nsrc * 0.7)) AS fp
+      FROM r)
+SELECT source, count(*) AS n_docs,
+  sum(CASE WHEN nf = 0 THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+  sum(CASE WHEN fh AND nf = 1 THEN 1 ELSE 0 END)::BIGINT AS only_heuristic_docs,
+  sum(CASE WHEN fh AND nf = 1 THEN ntok ELSE 0 END)::BIGINT AS only_heuristic_tokens,
+  sum(CASE WHEN fg AND nf = 1 THEN 1 ELSE 0 END)::BIGINT AS only_repetition_docs,
+  sum(CASE WHEN fg AND nf = 1 THEN ntok ELSE 0 END)::BIGINT AS only_repetition_tokens,
+  sum(CASE WHEN fp AND nf = 1 THEN 1 ELSE 0 END)::BIGINT AS only_perplexity_docs,
+  sum(CASE WHEN fp AND nf = 1 THEN ntok ELSE 0 END)::BIGINT AS only_perplexity_tokens,
+  sum(CASE WHEN nf >= 2 THEN 1 ELSE 0 END)::BIGINT AS overlap_docs,
+  sum(CASE WHEN nf >= 2 THEN ntok ELSE 0 END)::BIGINT AS overlap_tokens
+FROM m GROUP BY 1""",
     "q248_perplexity_filter" ->
       """WITH b AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
 x AS (SELECT doc_id, substr(t, i, 3) AS tri

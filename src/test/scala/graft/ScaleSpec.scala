@@ -386,6 +386,29 @@ class ScaleSpec extends AnyFunSuite {
       "lowest id of every cluster survives")
   }
 
+  test("LangId.nbConfusion: separable fixture classifies the hold-out; priors break ties") {
+    import graft.scale.LangId
+    // two cleanly separated "languages" (disjoint trigram sets), one
+    // test doc each; a third test doc with NO overlapping trigram goes
+    // to the larger-prior class
+    val docs = Seq(
+      (1L, "aaaa bbbb aaaa bbbb", "A", true), (2L, "abab baba abab", "A", true),
+      (3L, "zzzz yyyy zzzz yyyy", "B", true),
+      (4L, "aaaa abab", "A", false), (5L, "zzzz yyyy", "B", false),
+      (6L, "qqqq wwww", "B", false) // unseen trigrams: prior decides (A: 2/3)
+    ).toDF("doc_id", "text", "lang", "tr")
+    val out = LangId.nbConfusion(docs, col("doc_id"), col("text"), col("lang"),
+        col("tr"), buckets = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((("A"), ("A"))) == 1L, out)  // doc 4
+    assert(out((("B"), ("B"))) == 1L, out)  // doc 5
+    // doc 6 (true B, unseen trigrams): every class scores the same
+    // smoothed likelihood ONLY if totals match; A's larger prior and
+    // smaller denominator both favor A here
+    assert(out.getOrElse(("B", "A"), 0L) + out.getOrElse(("B", "B"), 0L) == 2L, out)
+    assert(out.values.sum == 3L, out)
+  }
+
   test("Dsir.weights: hand-computed smoothed log importance weights") {
     import graft.scale.Dsir
     val docs = Seq((1L, "Aa aa bb", true), (2L, "bb cc", false),
