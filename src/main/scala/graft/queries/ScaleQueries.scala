@@ -901,9 +901,17 @@ sig AS (SELECT doc_id,
     // integers (one corpus aggregation, broadcast everywhere), test-side
     // argmax on the rounded posterior, confusion matrix on the md5-20%
     // hold-out. fastText-shaped (Joulin et al. 2016), vocabulary-free.
+    // The synthetic corpus draws the SAME token distribution for every
+    // lang value (measured: NB ≈ chance), so — the q245/q253 fixture
+    // technique — the text is augmented with a deterministic per-lang
+    // marker the oracle rebuilds identically, making the gate test
+    // DISCRIMINATION (learned markers win the hold-out), not just
+    // mechanics.
     "q263_lang_nb" -> { (s, dir) =>
+      val marked = concat(col("text"), lit(" "), col("lang"),
+        lit(" "), col("lang"), lit(" "), col("lang"))
       graft.scale.LangId.nbConfusion(docsSpread(s, dir), col("doc_id"),
-          col("text"), col("lang"),
+          marked, col("lang"),
           Splits.bucket(col("doc_id"), "lid", 5) =!= 0, buckets = 64)
         .select(col("lang"), col("pred"), col("n_docs"))
     },
@@ -1414,7 +1422,8 @@ FROM k GROUP BY 1""",
       """WITH base AS (
   SELECT doc_id, lang,
     ('0x' || substr(md5('lid:' || doc_id), 1, 8))::UBIGINT % 5 != 0 AS tr,
-    lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+    lower(regexp_replace(text || ' ' || lang || ' ' || lang || ' ' || lang,
+      '\s+', ' ', 'g')) AS t
   FROM documents),
 tri AS MATERIALIZED (
   SELECT doc_id, lang, tr,
