@@ -19,18 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object LangId {
 
-  /** Confusion matrix (true lang, predicted, n_docs) over the test
-    * slice. Test docs shorter than 3 normalized chars carry no trigram
-    * and are absent (the q131 convention).
+  /** The normalized trigram array (q131 normalization; empty for <3
+    * normalized chars).
     */
-  def nbConfusion(docs: DataFrame, id: Column, text: Column, label: Column,
-                  train: Column, buckets: Int = 64): DataFrame = {
+  private def triArray(text: Column): Column = {
+    val t = lower(regexp_replace(text, "\\s+", " "))
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-test-doc predictions (doc_id, lang, pred) — the batch scorer
+    * the confusion matrix and the frozen serving path both pin to.
+    */
+  def nbPredictions(docs: DataFrame, id: Column, text: Column, label: Column,
+                    train: Column, buckets: Int = 64): DataFrame = {
     val base = docs.select(id.as("doc_id"), label.as("lang"), train.as("tr"),
-      lower(regexp_replace(text, "\\s+", " ")).as("t"))
-    val tris = base.select(col("doc_id"), col("lang"), col("tr"),
-        explode(when(length(col("t")) >= 3,
-            expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
-          .otherwise(array().cast("array<string>"))).as("tri"))
+      triArray(text).as("ta"))
+    val tris = base
+      .select(col("doc_id"), col("lang"), col("tr"), explode(col("ta")).as("tri"))
       .select(col("doc_id"), col("lang"), col("tr"),
         Splits.bucket(col("tri"), "lidb", buckets).as("b"))
     val cnt = tris.where(col("tr")).groupBy(col("lang"), col("b"))
@@ -53,7 +60,87 @@ object LangId {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("cand").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .groupBy(col("lang"), col("cand").as("pred"))
+      .select(col("doc_id"), col("lang"), col("cand").as("pred"))
+  }
+
+  /** Confusion matrix (true lang, predicted, n_docs) over the test
+    * slice. Test docs shorter than 3 normalized chars carry no trigram
+    * and are absent (the q131 convention).
+    */
+  def nbConfusion(docs: DataFrame, id: Column, text: Column, label: Column,
+                  train: Column, buckets: Int = 64): DataFrame =
+    nbPredictions(docs, id, text, label, train, buckets)
+      .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** A FROZEN lang-NB: per class its log prior and the B smoothed
+    * bucket log-likelihoods — `classes × (B+1)` doubles, the
+    * broadcast-anywhere serving form. `wOf(b)` covers EVERY bucket
+    * (missing train count → the add-one default), so serving an unseen
+    * trigram is exact: its md5 bucket is computed at serve time and the
+    * bucket weight already encodes the smoothing.
+    */
+  final case class LangNb(buckets: Int, classes: Seq[LangNb.Cls]) {
+    require(classes.nonEmpty, "LangNb: no classes")
+
+    /** Per-class 4 dp posterior of `text` (same arithmetic as the batch
+      * scorer: logprior + Σ_trigram ln-weight of its bucket).
+      */
+    def scoreOf(cls: LangNb.Cls, text: Column): Column =
+      graft.queries.r6(aggregate(triArray(text), lit(cls.logprior),
+        (acc, tri) => acc + element_at(typedLit(cls.w),
+          Splits.bucket(tri, "lidb", buckets).cast("int") + 1)))
+
+    /** Predicted language as a pure projection (NULL when the text has
+      * no trigram — the batch scorer's missing-row semantics). Ties on
+      * the rounded posterior go to the lexicographically smallest
+      * class, matching the batch rank's (score DESC, cand ASC).
+      */
+    def predict(text: Column): Column = {
+      val ordered = classes.sortBy(_.lang)
+      val best = ordered.tail.foldLeft(
+        struct(scoreOf(ordered.head, text).as("s"),
+          lit(ordered.head.lang).as("l"))) { (acc, c) =>
+        val sc = scoreOf(c, text)
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(c.lang).as("l")))
+          .otherwise(acc)
+      }
+      when(size(triArray(text)) > 0, best.getField("l"))
+    }
+  }
+
+  object LangNb {
+    final case class Cls(lang: String, logprior: Double, w: Seq[Double])
+  }
+
+  /** Fit the frozen form: ONE corpus aggregation down to classes×B
+    * counts, collected bounded (`maxClasses`, the NB-cardinality-guard
+    * pattern) into the literal serving tables.
+    */
+  def fit(docs: DataFrame, id: Column, text: Column, label: Column,
+          train: Column, buckets: Int = 64, maxClasses: Int = 1000): LangNb = {
+    val base = docs.where(train).select(label.as("lang"), triArray(text).as("ta"))
+    val cnt = base.select(col("lang"), explode(col("ta")).as("tri"))
+      .select(col("lang"), Splits.bucket(col("tri"), "lidb", buckets).as("b"))
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .limit(maxClasses * buckets + 1).collect()
+    require(cnt.length <= maxClasses * buckets,
+      s"LangId.fit: more than $maxClasses classes; refusing the driver collect")
+    val pri = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .limit(maxClasses + 1).collect()
+    require(pri.length <= maxClasses,
+      s"LangId.fit: more than $maxClasses classes; refusing the driver collect")
+    val nn = pri.iterator.map(_.getLong(1)).sum.toDouble
+    val byCls = cnt.groupBy(_.getString(0))
+    val classes = pri.toSeq.sortBy(_.getString(0)).map { p =>
+      val lang = p.getString(0)
+      val bs = byCls.getOrElse(lang, Array.empty)
+        .map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+      val tc = bs.valuesIterator.sum
+      val w = (0 until buckets).map(b =>
+        math.log((bs.getOrElse(b, 0L) + 1).toDouble / (tc + buckets)))
+      LangNb.Cls(lang, math.log(p.getLong(1).toDouble / nn), w)
+    }
+    LangNb(buckets, classes)
   }
 }

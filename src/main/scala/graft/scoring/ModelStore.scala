@@ -291,6 +291,45 @@ object ModelStore {
       ths.map(r => r.k.get -> r.v1.get).toMap, meta.v1.get)
   }
 
+  // ---- frozen lang-NB (LangId.LangNb) ----
+
+  /** Persist the frozen language-ID NB: one meta row (buckets + class
+    * count), per class a prior row and B weight rows (logps round-trip
+    * IEEE-exact through parquet, so [[langNbOf]] rebuilds a bitwise-
+    * identical scorer).
+    */
+  def langNbRows(id: String, ver: Long,
+      m: graft.scale.LangId.LangNb): Seq[ModelRow] = {
+    val cls = m.classes.sortBy(_.lang)
+    row(id, ver, "lang_nb", "meta", c1 = Some(m.buckets.toLong),
+      c2 = Some(cls.size.toLong)) +:
+      (cls.zipWithIndex.map { case (c, i) =>
+        row(id, ver, "lang_nb", "pri", idx = i.toLong, k = Some(c.lang),
+          v1 = Some(c.logprior))
+      } ++ cls.zipWithIndex.flatMap { case (c, i) =>
+        c.w.zipWithIndex.map { case (w, b) =>
+          row(id, ver, "lang_nb", "w", idx = i.toLong * m.buckets + b,
+            k = Some(c.lang), c1 = Some(b.toLong), v1 = Some(w))
+        }
+      })
+  }
+
+  def langNbOf(rows: Seq[ModelRow]): graft.scale.LangId.LangNb = {
+    val meta = one(rows, "lang_nb", "meta")
+    val (buckets, nCls) = (meta.c1.get.toInt, meta.c2.get.toInt)
+    val pris = parts(rows, "lang_nb", "pri")
+    val ws = parts(rows, "lang_nb", "w").groupBy(_.k.get)
+    require(pris.size == nCls && ws.size == nCls &&
+      ws.valuesIterator.forall(_.size == buckets),
+      s"ModelStore.langNbOf: meta declares $nCls classes x $buckets " +
+        s"buckets, slice holds ${pris.size} priors / ${ws.size} weight groups")
+    graft.scale.LangId.LangNb(buckets,
+      pris.sortBy(_.idx).map { p =>
+        graft.scale.LangId.LangNb.Cls(p.k.get, p.v1.get,
+          ws(p.k.get).sortBy(_.c1.get).map(_.v1.get))
+      })
+  }
+
   // ---- torn-read manifest + the canonical write path ----
 
   /** Append ONE `manifest/count` row recording how many rows the

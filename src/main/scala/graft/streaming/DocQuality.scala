@@ -57,6 +57,18 @@ object DocQuality {
     docs.toDF().select(col("doc_id") +:
       TextOps.lineStatsCols(col("text")): _*)
 
+  /** The q263 frozen lang-NB served on the document stream: per-class
+    * posterior = logprior + a fold over the trigram array against the
+    * class's 64 bucket-weight literals (classes×65 doubles total), so
+    * tagging is a stateless narrow projection — NULL for trigram-less
+    * docs (the batch scorer's missing-row semantics). Batch==stream
+    * parity pinned in StreamingSpec; the batch twin is pinned against
+    * `LangId.nbPredictions` in ScaleSpec.
+    */
+  def langTaggedDocs(docs: Dataset[QualityDoc],
+      m: graft.scale.LangId.LangNb): DataFrame =
+    docs.toDF().select(col("doc_id"), m.predict(col("text")).as("pred_lang"))
+
   /** The q245 PII scrub served on the document stream: per-detector
     * counts + the redacted text, as the same stateless codegen regexp
     * projection the batch operator compiles to — an ingest-side scrub

@@ -409,6 +409,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.values.sum == 3L, out)
   }
 
+  test("LangId frozen serving == batch nbPredictions doc by doc; store round-trip bitwise") {
+    import graft.scale.{LangId, Splits}
+    val docs = Tables.documents(spark, sf)
+    val tr = Splits.bucket(col("doc_id"), "lid", 5) =!= 0
+    val m = LangId.fit(docs, col("doc_id"), col("text"), col("lang"), tr)
+    val batch = LangId.nbPredictions(docs, col("doc_id"), col("text"),
+        col("lang"), tr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val served = docs.where(!tr)
+      .select(col("doc_id"), m.predict(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(served.size >= batch.size)
+    batch.foreach { case (id, p) =>
+      assert(served(id) == p, s"doc $id: served ${served(id)} != batch $p")
+    }
+    // trigram-less served docs are NULL, mirroring the batch absence
+    served.filterNot(kv => batch.contains(kv._1)).foreach { case (id, p) =>
+      assert(p == null, s"doc $id should be NULL (no trigrams)")
+    }
+    // ModelStore round-trip: weights/priors bitwise, manifest on publish
+    import graft.scoring.ModelStore
+    val rows = ModelStore.langNbRows("lid", 3L, m)
+    val back = ModelStore.langNbOf(ModelStore.body(
+      ModelStore.withManifest(rows)))
+    assert(back == m, "lang_nb store round trip must be bitwise")
+  }
+
   test("Dsir.weights: hand-computed smoothed log importance weights") {
     import graft.scale.Dsir
     val docs = Seq((1L, "Aa aa bb", true), (2L, "bb cc", false),

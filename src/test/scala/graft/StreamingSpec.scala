@@ -1401,6 +1401,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(2L).last == false && streamed(4L).head == 0L)
   }
 
+  test("frozen lang-NB served on the doc stream == batch predict across a batch boundary") {
+    import spark.implicits._
+    import graft.streaming.{DocQuality, QualityDoc}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = graft.scale.LangId.fit(corpus, col("doc_id"), col("text"),
+      col("lang"), graft.scale.Splits.bucket(col("doc_id"), "lid", 5) =!= 0)
+    val docs = corpus.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text")).as[QualityDoc].collect()
+      .sortBy(_.doc_id) :+ QualityDoc(999999L, "ab") // trigram-less -> NULL
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.langTaggedDocs(input.toDS(), m)
+      .writeStream.format("memory").queryName("langtag").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    def m2(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val streamed = m2(spark.table("langtag").collect())
+    val batch = m2(DocQuality.langTaggedDocs(docs.toSeq.toDS(), m).collect())
+    assert(streamed.size == docs.length)
+    assert(streamed == batch, "batch==stream parity")
+    assert(streamed(999999L) == null, "trigram-less doc tags NULL")
+    assert(streamed.values.filter(_ != null).toSet.subsetOf(
+      m.classes.map(_.lang).toSet))
+  }
+
   test("hot-swap to nb_platt: the served calibrated pair promotes mid-stream like any family") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.intDiv
