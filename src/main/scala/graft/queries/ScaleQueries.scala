@@ -896,6 +896,17 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // cross-doc line dedup (the CCNet/RefinedWeb boilerplate-line strip
+    // that runs BEFORE document-level dedup): lines appearing in >= 2
+    // distinct docs are shared; per doc, shared line instances + the
+    // char mass they carry + the flag at 0.30 rounded shared-char
+    // fraction. Same lined fixture as q253 — its 'ref N' lines and the
+    // corpus's exact-dup texts provide genuine cross-doc repeats.
+    "q264_line_dedup" -> { (s, dir) =>
+      TextOps.crossDocLineReport(
+        docsSpread(s, dir).select(col("doc_id"), linedAugmented.as("text")),
+        col("doc_id"), col("text"))
+    },
     // supervised language ID (the learned upgrade of q30's marker
     // heuristic): hashed char-trigram naive Bayes — model = classes×64
     // integers (one corpus aggregation, broadcast everywhere), test-side
@@ -1418,6 +1429,26 @@ SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
   sum(CASE WHEN s3 THEN ntok ELSE 0 END)::BIGINT AS tokens_final,
   round(sum(CASE WHEN s3 THEN ntok ELSE 0 END)::DOUBLE / sum(ntok) + 5e-11, 4) AS survival_rate
 FROM k GROUP BY 1""",
+    "q264_line_dedup" ->
+      s"""WITH a AS (SELECT doc_id, $linedAugmentedSql AS t FROM documents),
+l AS MATERIALIZED (
+  SELECT doc_id, ln FROM a, unnest(string_split(t, chr(10))) AS u(ln)
+  WHERE length(ln) > 0),
+c AS (SELECT ln, count(DISTINCT doc_id) AS ndocs FROM l GROUP BY 1),
+d AS (SELECT l.doc_id, count(*) AS n_lines,
+    sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared_lines,
+    sum(length(l.ln)) AS line_chars,
+    sum(CASE WHEN c.ndocs >= 2 THEN length(l.ln) ELSE 0 END) AS shared_chars
+  FROM l JOIN c USING (ln) GROUP BY 1)
+SELECT a.doc_id,
+  coalesce(d.n_lines, 0)::BIGINT AS n_lines,
+  coalesce(d.n_shared_lines, 0)::BIGINT AS n_shared_lines,
+  CASE WHEN d.line_chars > 0
+    THEN round(d.shared_chars::DOUBLE / d.line_chars + 5e-11, 4) END AS shared_char_frac,
+  coalesce(CASE WHEN d.line_chars > 0
+    THEN round(d.shared_chars::DOUBLE / d.line_chars + 5e-11, 4) END >= 0.30,
+    false) AS boilerplate_flag
+FROM a LEFT JOIN d USING (doc_id)""",
     "q263_lang_nb" ->
       """WITH base AS (
   SELECT doc_id, lang,

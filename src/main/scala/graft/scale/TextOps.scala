@@ -368,6 +368,48 @@ object TextOps {
         col("top4_char_frac") > 0.16 || col("dup5_token_frac") > 0.15)
   }
 
+  /** CROSS-document line dedup report — the corpus-level sibling of the
+    * within-doc [[gopherLineStats]] and the line-granular member of the
+    * dedup family (the CCNet/RefinedWeb stage that strips navigation
+    * chrome, cookie banners, and license footers BEFORE document-level
+    * dedup ever sees them): a line is SHARED when it appears in at
+    * least `minDocs` distinct documents; per document the report gives
+    * its line count, how many of its line instances sit on shared
+    * lines, the character mass they carry, and a boilerplate flag at
+    * `flagFrac` of the ROUNDED shared-char fraction. Empty lines are
+    * excluded (the [[gopherLineStats]] convention).
+    *
+    * Scale shape: one line explode, ONE corpus-wide line-keyed count
+    * (the only big exchange — hash-keyed, never all-pairs), an
+    * equi-join back on the line, and a doc-keyed reduce — the q240
+    * duplicate-span shape at line granularity.
+    */
+  def crossDocLineReport(docs: DataFrame, id: Column, text: Column,
+      minDocs: Int = 2, flagFrac: Double = 0.30): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"))
+    val lines = base.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), "\n")).as("line"))
+      .where(length(col("line")) > 0)
+    val byLine = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val shared = col("ndocs") >= minDocs
+    val per = lines.join(byLine, "line")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(shared, 1L).otherwise(0L)).as("n_shared_lines"),
+        sum(length(col("line")).cast("long")).as("line_chars"),
+        sum(when(shared, length(col("line")).cast("long")).otherwise(0L))
+          .as("shared_chars"))
+    val frac = when(col("line_chars") > 0, graft.queries.r6(
+      col("shared_chars").cast("double") / col("line_chars")))
+    base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_shared_lines"), lit(0L)).as("n_shared_lines"),
+        frac.as("shared_char_frac"),
+        coalesce(frac >= flagFrac, lit(false)).as("boilerplate_flag"))
+  }
+
   /** The Gopher duplicate-LINE rules (Rae et al. 2021, table A1 — the
     * line-level half [[gopherRepetition]] skips on line-less corpora):
     * per document, the fraction of line instances that are repeats of

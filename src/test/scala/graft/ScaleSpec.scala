@@ -409,6 +409,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.values.sum == 3L, out)
   }
 
+  test("crossDocLineReport: shared-line counting, within-doc repeats don't count, flag at 0.30") {
+    val docs = Seq(
+      (1L, "shared banner\nunique one\nshared banner"), // within-doc repeat of a SHARED line
+      (2L, "shared banner\nunique two much longer line here"),
+      (3L, "solo\nsolo\nsolo"),                          // within-doc only: NOT shared
+      (4L, ""), (5L, "\n\n")                             // no nonempty lines
+    ).toDF("doc_id", "text")
+    val out = TextOps.crossDocLineReport(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getBoolean(4))).toMap
+    // doc 1: 3 lines, both "shared banner" (13-char) instances shared
+    // -> 26 of 36 line chars
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L)
+    assert(math.abs(out(1L)._3 - graft.scoring.KMeansOps.r6d(26.0 / 36)) < 1e-12)
+    assert(out(1L)._4, "0.722 >= 0.30 flags")
+    // doc 2: 1 of 2 lines shared; 13 of 45 chars -> 0.2889 under the cut
+    assert(out(2L)._2 == 1L && !out(2L)._4)
+    // doc 3: a line repeated within ONE doc is not cross-doc shared
+    assert(out(3L) == ((3L, 0L, 0.0, false)), out(3L))
+    // docs without a nonempty line: zero counts, NULL fraction, no flag
+    assert(out(4L) == ((0L, 0L, -1.0, false)) && out(5L) == ((0L, 0L, -1.0, false)))
+  }
+
   test("LangId frozen serving == batch nbPredictions doc by doc; store round-trip bitwise") {
     import graft.scale.{LangId, Splits}
     val docs = Tables.documents(spark, sf)
