@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
 object LangId {
 
   /** The normalized trigram array (q131 normalization; empty for <3
-    * normalized chars).
+    * normalized chars). The normalized string is bound ONCE through a
+    * 1-element-array lambda — referencing it directly from the inner
+    * `transform` would re-run the regex normalization per ELEMENT,
+    * turning a 500-char doc into 500 regex passes (measured: 29 s vs
+    * 2 s at sf0.1 for q263).
     */
-  private def triArray(text: Column): Column = {
-    val t = lower(regexp_replace(text, "\\s+", " "))
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def triArray(text: Column): Column =
+    flatten(transform(
+      array(lower(regexp_replace(text, "\\s+", " "))),
+      t => when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))))
 
   /** Per-test-doc predictions (doc_id, lang, pred) — the batch scorer
     * the confusion matrix and the frozen serving path both pin to.
@@ -83,29 +87,37 @@ object LangId {
   final case class LangNb(buckets: Int, classes: Seq[LangNb.Cls]) {
     require(classes.nonEmpty, "LangNb: no classes")
 
+    private def scoreOfArr(cls: LangNb.Cls, ta: Column): Column =
+      graft.queries.r6(aggregate(ta, lit(cls.logprior),
+        (acc, tri) => acc + element_at(typedLit(cls.w),
+          Splits.bucket(tri, "lidb", buckets).cast("int") + 1)))
+
     /** Per-class 4 dp posterior of `text` (same arithmetic as the batch
       * scorer: logprior + Σ_trigram ln-weight of its bucket).
       */
     def scoreOf(cls: LangNb.Cls, text: Column): Column =
-      graft.queries.r6(aggregate(triArray(text), lit(cls.logprior),
-        (acc, tri) => acc + element_at(typedLit(cls.w),
-          Splits.bucket(tri, "lidb", buckets).cast("int") + 1)))
+      scoreOfArr(cls, triArray(text))
 
     /** Predicted language as a pure projection (NULL when the text has
       * no trigram — the batch scorer's missing-row semantics). Ties on
       * the rounded posterior go to the lexicographically smallest
-      * class, matching the batch rank's (score DESC, cand ASC).
+      * class, matching the batch rank's (score DESC, cand ASC). The
+      * trigram array is computed ONCE per row (bound through a
+      * 1-element-array lambda), not once per class.
       */
     def predict(text: Column): Column = {
       val ordered = classes.sortBy(_.lang)
-      val best = ordered.tail.foldLeft(
-        struct(scoreOf(ordered.head, text).as("s"),
-          lit(ordered.head.lang).as("l"))) { (acc, c) =>
-        val sc = scoreOf(c, text)
-        when(sc > acc.getField("s"), struct(sc.as("s"), lit(c.lang).as("l")))
-          .otherwise(acc)
-      }
-      when(size(triArray(text)) > 0, best.getField("l"))
+      val perRow = transform(array(triArray(text)), ta => {
+        val best = ordered.tail.foldLeft(
+          struct(scoreOfArr(ordered.head, ta).as("s"),
+            lit(ordered.head.lang).as("l"))) { (acc, c) =>
+          val sc = scoreOfArr(c, ta)
+          when(sc > acc.getField("s"), struct(sc.as("s"), lit(c.lang).as("l")))
+            .otherwise(acc)
+        }
+        when(size(ta) > 0, best.getField("l"))
+      })
+      element_at(perRow, 1)
     }
   }
 
