@@ -1055,6 +1055,19 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // incremental SemDeDup — the delta-vs-frozen-corpus member of the
+    // semantic family, completing the dedup matrix's incremental column
+    // (exact/minhash→q154, simhash→q260, semantic→here): yesterday's
+    // corpus clusters once, delta vectors place into the frozen
+    // centroids and compare against that one cluster's INDEX members
+    // only — Σ|delta_c|·|index_c|, never delta×corpus.
+    "q265_semdedup_delta" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semDedupDelta(emb.where(col("vec_id") % 10 =!= 0),
+          emb.where(col("vec_id") % 10 === 0), k = 8, iters = 1, tau = 0.30)
+        .select(col("vec_id"), col("cluster_id"), col("n_index_mates"),
+          col("n_dups"), col("best_cos"), col("best_match_id"), col("kept"))
+    },
     // SemDeDup (Abbas et al. 2023): k-means-partitioned semantic dedup —
     // pairwise cosine ONLY between cluster-mates (Σ|c|², never n²), prune
     // everything with a lower-id mate above τ in rounded cosine. Unlike
@@ -1429,6 +1442,55 @@ SELECT source, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
   sum(CASE WHEN s3 THEN ntok ELSE 0 END)::BIGINT AS tokens_final,
   round(sum(CASE WHEN s3 THEN ntok ELSE 0 END)::DOUBLE / sum(ntok) + 5e-11, 4) AS survival_rate
 FROM k GROUP BY 1""",
+    "q265_semdedup_delta" ->
+      """WITH idx AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 0),
+dlt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+c0 AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM idx ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM idx e CROSS JOIN c0 c) WHERE rn = 1),
+c1 AS (
+  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, round(avg(embedding[pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM a1, unnest(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid),
+ai AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM idx e CROSS JOIN c1 c) WHERE rn = 1),
+adt AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM dlt e CROSS JOIN c1 c) WHERE rn = 1),
+p AS MATERIALIZED (
+  SELECT d.vec_id, i.vec_id AS iid,
+    round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(d.embedding) AS x, unnest(i.embedding) AS y))
+      / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(d.embedding) AS x)))
+      / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(i.embedding) AS y))) + 5e-11, 4) AS cos
+  FROM adt d JOIN ai i ON d.cid = i.cid),
+per AS (SELECT vec_id, count(*) AS n_index_mates,
+    CAST(sum(CASE WHEN cos >= 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+  FROM p GROUP BY 1),
+best AS (SELECT vec_id, cos AS best_cos, iid AS best_match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, iid ASC) AS rn FROM p)
+  WHERE rn = 1)
+SELECT d.vec_id, d.cid::BIGINT AS cluster_id,
+  coalesce(per.n_index_mates, 0) AS n_index_mates,
+  coalesce(per.n_dups, 0) AS n_dups,
+  best.best_cos, best.best_match_id,
+  coalesce(per.n_dups, 0) = 0 AS kept
+FROM adt d LEFT JOIN per USING (vec_id) LEFT JOIN best USING (vec_id)""",
     "q264_line_dedup" ->
       s"""WITH a AS (SELECT doc_id, $linedAugmentedSql AS t FROM documents),
 l AS MATERIALIZED (

@@ -377,7 +377,14 @@ object Similarity {
     * engines' different partial-sum orders inside `avg`. Seed = the `k`
     * lowest-id vectors (exact float→double, nothing to round).
     */
-  def lloydAssignRounded(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def lloydAssignRounded(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(corpus, lloydCentroidsRounded(corpus, k, iters))
+
+  /** The rounded-Lloyd centroid frame (cid, ce) itself — the frozen
+    * quantizer an incremental pass re-uses to place DELTA vectors into
+    * yesterday's clusters ([[semDedupDelta]]).
+    */
+  def lloydCentroidsRounded(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     var centroids = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast("int").as("cid"),
         col("embedding").cast("array<double>").as("ce"))
@@ -390,7 +397,47 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           s => s.getField("v")).as("ce"))
     }
-    assign(corpus, centroids)
+    centroids
+  }
+
+  /** Incremental SemDeDup — the delta-vs-frozen-corpus member of the
+    * semantic family, completing the dedup matrix's incremental column
+    * (exact→q154, minhash→q154, simhash→q260, semantic→here): cluster
+    * YESTERDAY's corpus once (rounded Lloyd), place each delta vector
+    * into its nearest frozen centroid, and compare it against the INDEX
+    * members of that one cluster only — Σ|delta_c|·|index_c|, never
+    * delta×corpus. A delta vector with any index mate at or above `tau`
+    * (4 dp cosine) is a known vector and contributes no new mass.
+    *
+    * Output per delta vector: cluster_id, n_index_mates, n_dups,
+    * best_cos/best_match_id (highest rounded cosine, lowest id on
+    * ties; NULL when the cluster holds no index member), kept.
+    */
+  def semDedupDelta(index: DataFrame, delta: DataFrame, k: Int, iters: Int,
+                    tau: Double): DataFrame = {
+    val cent = lloydCentroidsRounded(index, k, iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ai = assign(index, cent)
+      .select(col("cid"), col("vec_id").as("iid"), col("embedding").as("ie"))
+    val ad = assign(delta, cent)
+    val pairs = ad.join(ai, Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("iid"),
+        // divide by the DELTA side's norm first (left-associated)
+        graft.queries.r6(cosine(col("embedding"), col("ie"))).as("cos"))
+    val per = pairs.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_index_mates"),
+        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_dups"),
+        // max struct on (cos, -iid): ties on the rounded cosine resolve
+        // to the LOWEST index id
+        max(struct(col("cos"), (-col("iid")).as("ni"))).as("b"))
+    ad.select(col("vec_id"), col("cid").cast("long").as("cluster_id"))
+      .join(per, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("n_index_mates"), lit(0L)).as("n_index_mates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("b.cos").as("best_cos"),
+        (-col("b.ni")).as("best_match_id"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("kept"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup

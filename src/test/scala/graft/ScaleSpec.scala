@@ -355,6 +355,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(avg32 >= avg8, "longer prefix cannot lose recall on average here")
   }
 
+  test("semDedupDelta: delta places into frozen clusters, matches index mates only") {
+    // index seeds v0=[1,0] / v1=[0,1] (k=2, iters=0); index mates v2/v3.
+    // delta: v10 twin of v0 (dup), v11 anti-parallel to v1's cluster
+    // mates (kept), v12 orthogonal-ish (kept, but still has mates)
+    val index = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq(
+      (10L, Array(0.99f, 0.01f)), (11L, Array(-0.2f, -1.0f)),
+      (12L, Array(0.6f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupDelta(index, delta, k = 2, iters = 0, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3, "every delta vector decided exactly once")
+    // v10 -> cluster of v0: mates {0, 2}, both above 0.9 -> dup of v0
+    assert(out(10L).getLong(2) == 2L && out(10L).getLong(3) == 2L)
+    assert(out(10L).getLong(5) == 0L && !out(10L).getBoolean(6))
+    // v11 -> v1's cluster: mates {1, 3}, cosines negative -> kept
+    assert(out(11L).getLong(2) == 2L && out(11L).getLong(3) == 0L)
+    assert(out(11L).getBoolean(6))
+    // v12: has mates, best below tau -> kept with a reported best match
+    assert(out(12L).getLong(2) == 2L && out(12L).getBoolean(6))
+    assert(!out(12L).isNullAt(4) && out(12L).getDouble(4) < 0.9)
+  }
+
   test("semDedup: hand fixture — seed quantizer split, keep-lowest-id rule, cluster partition") {
     // two obvious axes: seeds v0=[1,0] / v1=[0,1] (k=2, iters=0 → pure
     // seed assignment, hand-checkable); v2/v3 near-dups of the seeds,
