@@ -98,6 +98,21 @@ object LangId {
     def scoreOf(cls: LangNb.Cls, text: Column): Column =
       scoreOfArr(cls, triArray(text))
 
+    private def bestOf(text: Column, labelOf: Int => Column): Column = {
+      val ordered = classes.sortBy(_.lang)
+      val perRow = transform(array(triArray(text)), ta => {
+        val best = ordered.zipWithIndex.tail.foldLeft(
+          struct(scoreOfArr(ordered.head, ta).as("s"), labelOf(0).as("l"))) {
+          case (acc, (c, i)) =>
+            val sc = scoreOfArr(c, ta)
+            when(sc > acc.getField("s"), struct(sc.as("s"), labelOf(i).as("l")))
+              .otherwise(acc)
+        }
+        when(size(ta) > 0, best.getField("l"))
+      })
+      element_at(perRow, 1)
+    }
+
     /** Predicted language as a pure projection (NULL when the text has
       * no trigram — the batch scorer's missing-row semantics). Ties on
       * the rounded posterior go to the lexicographically smallest
@@ -107,18 +122,16 @@ object LangId {
       */
     def predict(text: Column): Column = {
       val ordered = classes.sortBy(_.lang)
-      val perRow = transform(array(triArray(text)), ta => {
-        val best = ordered.tail.foldLeft(
-          struct(scoreOfArr(ordered.head, ta).as("s"),
-            lit(ordered.head.lang).as("l"))) { (acc, c) =>
-          val sc = scoreOfArr(c, ta)
-          when(sc > acc.getField("s"), struct(sc.as("s"), lit(c.lang).as("l")))
-            .otherwise(acc)
-        }
-        when(size(ta) > 0, best.getField("l"))
-      })
-      element_at(perRow, 1)
+      bestOf(text, i => lit(ordered(i).lang))
     }
+
+    /** [[predict]] as the class's INDEX in the lex-sorted class list,
+      * DoubleType — the `ServedModel` score contract (the argmax index
+      * is the classifier's native decision value; NULL for trigram-less
+      * docs as in [[predict]]).
+      */
+    def predictIndex(text: Column): Column =
+      bestOf(text, i => lit(i.toDouble))
   }
 
   object LangNb {

@@ -119,10 +119,11 @@ object ServedModel {
     * `score` semantics are the family's native decision value (all
     * DoubleType): logistic margin, AdaBoost signed vote, boosting F(x),
     * deep-tree majority class as 0.0/1.0, forest majority-vote count,
-    * perplexity-gate keep as 0.0/1.0 — each bit-identical to the batch
-    * scorer it wraps (`Trainer.margin` / `AdaBoost.voteScore` /
-    * `Boosting.score` / `Boosting.scoreTrees` / `Trees.predict` /
-    * `Forest.votesDeep` / `Perplexity.Gate.keep`).
+    * perplexity-gate keep as 0.0/1.0, lang-NB predicted-class index —
+    * each bit-identical to the batch scorer it wraps (`Trainer.margin` /
+    * `AdaBoost.voteScore` / `Boosting.score` / `Boosting.scoreTrees` /
+    * `Trees.predict` / `Forest.votesDeep` / `Perplexity.Gate.keep` /
+    * `LangId.LangNb.predictIndex`).
     */
   final case class Built(kind: String, features: Seq[String], score: Column)
 
@@ -186,6 +187,13 @@ object ServedModel {
         Built("forest",
           f.flatMap(_.model.splits.values.map(_.feature)).distinct.sorted,
           graft.scoring.Forest.votesDeep(f).cast("double"))
+      case "lang_nb" =>
+        // the frozen lang tagger served like any promoted model: score =
+        // the predicted class's INDEX in the lex-sorted class list (the
+        // argmax's native decision value), NULL for trigram-less docs —
+        // bit-identical to LangNb.predict's label through the shared fold
+        val m = ModelStore.langNbOf(b)
+        Built("lang_nb", Seq("text"), m.predictIndex(col("text")))
       case "nb_platt" =>
         // the q241 served pair: NB log-odds -> 4 dp rounding (the grain
         // the calibrator was FIT on) -> standardized Platt sigmoid, all

@@ -485,6 +485,18 @@ class ScaleSpec extends AnyFunSuite {
     val back = ModelStore.langNbOf(ModelStore.body(
       ModelStore.withManifest(rows)))
     assert(back == m, "lang_nb store round trip must be bitwise")
+    // ServedModel dispatch: the zoo serves the tagger as the predicted
+    // class's index — label-consistent with predict, doc by doc
+    val built = graft.streaming.ServedModel.of(ModelStore.withManifest(rows))
+    assert(built.kind == "lang_nb" && built.features == Seq("text"))
+    val ordered = m.classes.map(_.lang).sorted
+    val both = docs.where(!tr)
+      .select(m.predict(col("text")).as("p"), built.score.as("s"))
+      .collect()
+    both.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(ordered(r.getDouble(1).toInt) == r.getString(0))
+    }
   }
 
   test("Dsir.weights: hand-computed smoothed log importance weights") {
