@@ -785,6 +785,37 @@ sig AS (SELECT doc_id,
       Dedup.neardupGroups(docsSpread(s, dir), col("doc_id"), col("text"),
         n = 3, tau = 0.5)
     },
+    // graded retrieval QA for the approximate path (the q175 recall
+    // gate's ranked sibling): per probe, NDCG@10 of the LSH list with
+    // binary gains from the exact top-10, and MRR of the exact nearest
+    // neighbor — position-aware quality, where recall alone cannot see
+    // that the true neighbor sits last
+    "q266_ann_ndcg" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+      val ann = Similarity.lshTopK(emb, probes, k = 10,
+          planes = lshPlanes, dim = lshDim)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+      val idcg = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+      val hit = exact.select(col("query_id"), col("nbr_id"), lit(1).as("hit"))
+      val top1 = exact.where(col("rank") === 1)
+        .select(col("query_id"), col("nbr_id").as("top1"))
+      val d = ann.join(hit, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_ann"),
+          sum(when(col("hit") === 1,
+            lit(1.0) / log(2.0, col("rank").cast("double") + 1.0))
+            .otherwise(0.0)).as("dcg"))
+      val m = ann.join(broadcast(top1), "query_id")
+        .where(col("nbr_id") === col("top1"))
+        .groupBy(col("query_id")).agg(min(col("rank")).as("r1"))
+      d.join(broadcast(m), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_ann"),
+          r6(col("dcg") / lit(idcg)).as("ndcg"),
+          r6(coalesce(lit(1.0) / col("r1"), lit(0.0))).as("mrr"))
+    },
     "q67_hash_split" -> { (s, dir) =>
       // deterministic train/valid/test assignment (scale/Splits): salted
       // md5 bucket — narrow, no RNG state, reproducible on any engine and
@@ -1963,6 +1994,41 @@ s AS (SELECT q.query_id, c.vec_id AS nbr_id,
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos+ 5e-11, 4) AS cos FROM r WHERE rank <= 10"""
+    },
+    "q266_ann_ndcg" -> {
+      val bucket = lshBucketSql
+      s"""WITH c AS (SELECT vec_id, embedding, ($bucket)::BIGINT AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM c WHERE vec_id < 10),
+s AS (SELECT q.query_id, c.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(c.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(c.embedding) AS y))) AS cos
+      FROM c JOIN q USING (bucket) WHERE c.vec_id != q.query_id),
+ann AS MATERIALIZED (SELECT query_id, nbr_id, rank FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
+  WHERE rank <= 10),
+es AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+ex AS MATERIALIZED (SELECT query_id, nbr_id, rank FROM (
+    SELECT query_id, nbr_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM es)
+  WHERE rank <= 10),
+idcg AS (SELECT sum(1.0 / log2(i + 1)) AS v FROM unnest(range(1, 11)) AS t(i)),
+d AS (SELECT a.query_id, count(*) AS n_ann,
+    sum(CASE WHEN x.nbr_id IS NOT NULL THEN 1.0 / log2(a.rank + 1) ELSE 0 END) AS dcg
+  FROM ann a LEFT JOIN ex x ON a.query_id = x.query_id AND a.nbr_id = x.nbr_id
+  GROUP BY 1),
+m AS (SELECT a.query_id, min(a.rank) AS r1
+  FROM ann a JOIN ex x ON a.query_id = x.query_id AND a.nbr_id = x.nbr_id AND x.rank = 1
+  GROUP BY 1)
+SELECT d.query_id, d.n_ann::BIGINT AS n_ann,
+  round(d.dcg / idcg.v + 5e-11, 4) AS ndcg,
+  round(coalesce(1.0 / m.r1, 0.0) + 5e-11, 4) AS mrr
+FROM d CROSS JOIN idcg LEFT JOIN m ON d.query_id = m.query_id"""
     },
     "q59_ann_ivf" ->
       """WITH cent AS (
