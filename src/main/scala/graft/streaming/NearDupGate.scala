@@ -56,6 +56,13 @@ object NearDupGate {
     * point the curation counters use; every input column passes through.
     */
   def withFlags(df: DataFrame, index: DataFrame, maxHamming: Int): DataFrame = {
+    val produced = Seq("simhash", "n_cands", "min_hamming", "match_id",
+      "is_neardup") ++
+      (0 until Bands).flatMap(b => Seq(s"__k$b", s"__c$b")) ++ Seq("__n", "__b")
+    val clash = df.columns.toSeq.intersect(produced)
+    require(clash.isEmpty,
+      s"NearDupGate.withFlags: input columns collide with the gate's " +
+        s"output/internal names: ${clash.mkString(", ")}")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val fp = ColumnBridge.column(graft.functions.SimHash32(
       ColumnBridge.expression(col("text"))))
