@@ -367,19 +367,22 @@ object Soak {
       Similarity.truncatedRecall(vecs, q10, 10, Seq(8, 32), 64)
         .write.format("noop").mode("overwrite").save()
     }
+    // the replicated frame sits on the crossJoin's few partitions —
+    // spread before the CPU-bound kernels, as the queries do
+    val docsSpread = docs.repartition(spark.sparkContext.defaultParallelism)
     time(s"neardup-gate-${k}x-docs") {
       val ix = graft.streaming.NearDupGate.buildIndex(
-        docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
+        docsSpread.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"))
         .localCheckpoint()
       import spark.implicits._
       graft.streaming.NearDupGate.flagged(
-          docs.where(col("doc_id") % 10 === 0)
+          docsSpread.where(col("doc_id") % 10 === 0)
             .select(col("doc_id"), col("text"))
             .as[graft.streaming.QualityDoc], ix)
         .write.format("noop").mode("overwrite").save()
     }
     time(s"dsir-${k}x-docs") {
-      graft.scale.Dsir.weights(docs, col("doc_id"), col("text"),
+      graft.scale.Dsir.weights(docsSpread, col("doc_id"), col("text"),
           graft.scale.TextOps.nTokens(col("text")) >= 20, buckets = 64)
         .write.format("noop").mode("overwrite").save()
     }
