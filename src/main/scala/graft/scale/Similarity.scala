@@ -216,6 +216,12 @@ object Similarity {
     (assign(corpus, centroids), centroids)
   }
 
+  /** Nearest-centroid assignment against a (cid, ce) frame — shared by
+    * the IVF/SemDeDup family and the frozen semantic gate's index build.
+    */
+  def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assign(corpus, centroids)
+
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = sqDist(col("embedding"), col("ce"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.scale.Similarity
+
+/** One embedding on the wire (the semantic gate's stream row shape). */
+case class EmbDoc(vec_id: Long, embedding: Array[Float])
+
+/** Streaming SEMANTIC near-dup gate — the embedding-space member of the
+  * live gate battery (text exact → [[DedupProcessor]], text simhash →
+  * [[NearDupGate]], semantic → here), serving the q265 incremental-
+  * SemDeDup semantics on an embedding stream:
+  *
+  *   - the rounded-Lloyd quantizer freezes to LITERALS (k × dim doubles
+  *     — model-sized, broadcast with the plan), so cluster placement is
+  *     a pure per-row fold, no join;
+  *   - yesterday's corpus, pre-assigned and GROUPED per cluster, is ONE
+  *     stream-static 1:1 equi-join on the cluster id;
+  *   - the within-cluster scan is a per-row fold over that cluster's
+  *     member structs (best rounded cosine, lowest id on ties) —
+  *     Σ|cluster| work per incoming vector, never corpus-wide.
+  *
+  * Output is bitwise-identical to [[graft.scale.Similarity.semDedupDelta]]
+  * on the same split (the StreamingSpec gate): same seed quantizer, same
+  * rounded centroid matrix, same 4 dp cosines, same tie rules.
+  */
+object SemanticGate {
+
+  /** The frozen coarse quantizer: (cid, coordinates) literals. */
+  final case class Quantizer(centroids: Seq[(Int, Seq[Double])]) {
+    require(centroids.nonEmpty, "SemanticGate.Quantizer: no centroids")
+
+    /** Nearest-centroid id as a pure projection (ties → lowest cid,
+      * the assignment window's order).
+      */
+    def cid(embedding: Column): Column = {
+      val ordered = centroids.sortBy(_._1)
+      ordered.tail.foldLeft(
+        struct(Similarity.sqDist(embedding, typedLit(ordered.head._2)).as("d"),
+          lit(ordered.head._1).as("c"))) { case (acc, (id, ce)) =>
+        val d = Similarity.sqDist(embedding, typedLit(ce))
+        when(d < acc.getField("d"), struct(d.as("d"), lit(id).as("c")))
+          .otherwise(acc)
+      }.getField("c")
+    }
+  }
+
+  /** Freeze the quantizer (bounded collect — k rows) and build the
+    * per-cluster member index over yesterday's corpus: one row per
+    * cluster carrying its (id, embedding) structs.
+    */
+  def fit(index: DataFrame, k: Int, iters: Int): (Quantizer, DataFrame) = {
+    val cent = Similarity.lloydCentroidsRounded(index, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = Quantizer(cent.collect().map(r =>
+      r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq)
+    val members = Similarity.assignTo(index, cent)
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("e"))).as("cands"))
+    (q, members)
+  }
+
+  /** Flag an embedding stream against the frozen index: per vector its
+    * cluster, index-mate count, above-`tau` dup count, the best match
+    * (highest 4 dp cosine, lowest id on ties; NULL without mates), and
+    * the keep decision. Works identically on a batch frame.
+    */
+  def flagged(docs: Dataset[EmbDoc], q: Quantizer, members: DataFrame,
+              tau: Double): DataFrame = {
+    val cur = docs.toDF()
+      .withColumn("cluster_id", q.cid(col("embedding")).cast("long"))
+      .join(members.select(col("cid").cast("long").as("cluster_id"),
+        col("cands")), Seq("cluster_id"), "left")
+    val cands = coalesce(col("cands"),
+      array().cast("array<struct<id:bigint,e:array<double>>>"))
+    val cos = (c: Column) =>
+      graft.queries.r6(Similarity.cosine(col("embedding"), c.getField("e")))
+    // fold to (best rounded cosine, lowest id at it); cosine ≥ -1 so the
+    // -2 seed never survives a nonempty candidate list
+    val best = aggregate(cands,
+      struct(lit(-2.0).as("s"), lit(Long.MaxValue).as("i")),
+      (acc, c) => when(
+        cos(c) > acc.getField("s") ||
+          (cos(c) === acc.getField("s") && c.getField("id") < acc.getField("i")),
+        struct(cos(c).as("s"), c.getField("id").as("i"))).otherwise(acc))
+    val nDups = size(filter(cands, c => cos(c) >= tau)).cast("long")
+    cur.select(col("vec_id"), col("cluster_id"),
+        size(cands).cast("long").as("n_index_mates"),
+        nDups.as("n_dups"), best.as("b"))
+      .select(col("vec_id"), col("cluster_id"), col("n_index_mates"),
+        col("n_dups"),
+        when(col("n_index_mates") > 0, col("b.s")).as("best_cos"),
+        when(col("n_index_mates") > 0, col("b.i")).as("best_match_id"),
+        (col("n_dups") === 0L).as("kept"))
+  }
+}

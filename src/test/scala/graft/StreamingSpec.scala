@@ -517,6 +517,42 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("semantic gate: stream flags against the frozen embedding index == semDedupDelta") {
+    import spark.implicits._
+    import graft.streaming.{EmbDoc, SemanticGate}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val index = emb.where(col("vec_id") % 10 =!= 0)
+    val delta = emb.where(col("vec_id") % 10 === 0)
+    val (q, members) = SemanticGate.fit(index, k = 8, iters = 1)
+    members.persist()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6))).toMap
+    // the q265 batch operator is the ground truth — the gate must be
+    // bitwise-identical on the same split
+    val batch = asMap(graft.scale.Similarity
+      .semDedupDelta(index, delta, k = 8, iters = 1, tau = 0.30).collect())
+    val docs = delta.select(col("vec_id"), col("embedding"))
+      .as[EmbDoc].collect().sortBy(_.vec_id)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EmbDoc]
+    val query = SemanticGate.flagged(input.toDS(), q, members, tau = 0.30)
+      .writeStream.format("memory").queryName("semgate").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toIndexedSeq); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = asMap(spark.table("semgate").collect())
+    assert(streamed.size == docs.length)
+    assert(streamed == batch, "gate == q265 semDedupDelta, bitwise")
+    // the gate discriminates on this corpus (some dups, some kept)
+    assert(streamed.values.exists(!_._6) && streamed.values.exists(_._6))
+    members.unpersist()
+  }
+
   test("markov sequence scorer: streamed NLLs equal the batch model across a batch boundary") {
     import spark.implicits._
     val txDf = Tables.transactions(spark, "/root/testdata/sf0.001")
