@@ -71,6 +71,52 @@ object ScaleQueries extends QueryPack {
     || CASE WHEN doc_id % 8 = 0 THEN chr(10) || substr(text, 31, 60) ELSE '' END
     || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ref ' || (doc_id % 100)::VARCHAR ELSE '' END"""
 
+  /** Deterministic fixture for the C4 cleaning battery (q267): the
+    * corpus has no natural lines, terminal punctuation, or rule markers
+    * (verified: zero hits at every SF), so the gate runs on text built
+    * from doc_id arithmetic — three windowed base lines with id-gated
+    * punctuation, one always-kept filler sentence, and id-gated rule
+    * triggers (word-count stub, javascript boilerplate, lorem ipsum,
+    * code brace, bad word). Mods 2/3/7/13/17/19 interleave so docs hit
+    * every rule and both keep outcomes; the oracle rebuilds the
+    * identical string.
+    */
+  private def c4Augmented = {
+    val id = col("doc_id")
+    concat(
+      substring(col("text"), 1, 60), lit("."),
+      lit("\n"), substring(col("text"), 31, 60),
+      lit("\n"), substring(col("text"), 61, 60),
+      when(id % 2 === 0, lit("!")).otherwise(lit("")),
+      lit("\nthe quick brown fox jumps over the lazy dog again."),
+      when(id % 3 === 0, lit("\na short stub line.")).otherwise(lit("")),
+      when(id % 7 === 0,
+        lit("\nplease enable javascript to view this page now."))
+        .otherwise(lit("")),
+      when(id % 13 === 0,
+        lit("\nlorem ipsum dolor sit amet placeholder text here."))
+        .otherwise(lit("")),
+      when(id % 17 === 0,
+        lit("\ncall function f() { return x; } to begin now."))
+        .otherwise(lit("")),
+      when(id % 19 === 0,
+        lit("\nwin the casino jackpot bonus offers right here now."))
+        .otherwise(lit("")))
+  }
+
+  /** The oracle twin of [[c4Augmented]]. */
+  private val c4AugmentedSql =
+    """substr(text, 1, 60) || '.'
+    || chr(10) || substr(text, 31, 60)
+    || chr(10) || substr(text, 61, 60)
+    || CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END
+    || chr(10) || 'the quick brown fox jumps over the lazy dog again.'
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'a short stub line.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'please enable javascript to view this page now.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet placeholder text here.' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'call function f() { return x; } to begin now.' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'win the casino jackpot bonus offers right here now.' ELSE '' END"""
+
   /** The oracle twin of [[piiAugmented]] (DuckDB string arithmetic). */
   private val piiAugmentedSql =
     """text
@@ -815,6 +861,78 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("n_ann"),
           r6(col("dcg") / lit(idcg)).as("ndcg"),
           r6(coalesce(lit(1.0) / col("r1"), lit(0.0))).as("mrr"))
+    },
+    // C4 cleaning battery (Raffel et al. 2020 §2.2): line rules
+    // (terminal punctuation, >=5 words, no javascript boilerplate) +
+    // doc rules (>=3 kept lines, no lorem ipsum, no code brace, no bad
+    // word), rolled up per source. The battery itself is a PURE
+    // projection (scale/C4.scala, PlanSpec-gated zero-exchange before
+    // the rollup) on the doc_id-arithmetic line fixture the oracle
+    // rebuilds identically.
+    "q267_c4_rules" -> { (s, dir) =>
+      val d = docsSpread(s, dir).select(
+        col("doc_id") +: col("source") +: graft.scale.C4.statsCols(c4Augmented): _*)
+      d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("c4_kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(col("n_lines")).as("lines_total"),
+        sum(col("n_kept_lines")).as("lines_kept"),
+        sum(when(col("c4_kept"), col("kept_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(col("has_lorem"), 1L).otherwise(0L)).as("docs_lorem"),
+        sum(when(col("has_brace"), 1L).otherwise(0L)).as("docs_brace"),
+        sum(when(col("has_badword"), 1L).otherwise(0L)).as("docs_badword"),
+        r6(sum(when(col("c4_kept"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("keep_rate"))
+    },
+    // Okapi BM25 top-10 retrieval over the corpus inverted index
+    // (scale/Retrieval.scala): eval queries = docs 0..7, each query its
+    // distinct token set. Scores are float sums, so ranking happens on
+    // the ROUNDED score (engine quantum, doc tie-break) via the
+    // partitioned two-pass GlobalOrder — never a single-task per-query
+    // window over corpus-scale candidate lists.
+    "q268_bm25" -> { (s, dir) =>
+      val pairs = graft.scale.Retrieval.bm25Pairs(docsSpread(s, dir),
+        col("doc_id"), col("text"), col("doc_id") < 8)
+      val rounded = pairs.select(col("query_id"),
+        col("doc_id").as("nbr_id"), r6(col("bm25")).as("bm25"))
+      graft.ops.GlobalOrder.withRowNumberBy(rounded, Seq("query_id"),
+          Seq(col("bm25").desc, col("nbr_id")), "rank")
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("nbr_id"), col("rank"), col("bm25"))
+    },
+    // per-source unigram KL divergence vs the corpus distribution — the
+    // mixture-QA number a pretraining budgeter watches (a source whose
+    // language distribution drifts from the corpus is over- or
+    // under-represented in the mix). Term-keyed joins + source-keyed
+    // aggregation; source and corpus totals are tiny broadcasts.
+    "q269_source_kl" -> { (s, dir) =>
+      TextOps.sourceUnigramKl(docsSpread(s, dir), col("source"), col("text"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          r6(col("kl")).as("kl"))
+    },
+    // hybrid retrieval: BM25 lexical ranks fused with exact-cosine
+    // embedding ranks by reciprocal-rank fusion (c=60, the q143
+    // combiner) — the standard lexical + two-tower ensemble, joined on
+    // the shared doc/vec id space. Both top-10 lists and the fused rank
+    // go through the scale-safe machinery.
+    "q270_hybrid_rrf" -> { (s, dir) =>
+      val pairs = graft.scale.Retrieval.bm25Pairs(docsSpread(s, dir),
+        col("doc_id"), col("text"), col("doc_id") < 8)
+      val lex = graft.ops.GlobalOrder.withRowNumberBy(
+          pairs.select(col("query_id"), col("doc_id").as("nbr_id"),
+            r6(col("bm25")).as("score")),
+          Seq("query_id"), Seq(col("score").desc, col("nbr_id")), "rank")
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8), k = 10)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+      val fused = Similarity.rrf(Seq(lex, sem), c = 60)
+      graft.ops.GlobalOrder.withRowNumberBy(fused, Seq("query_id"),
+          Seq(r6(col("rrf_score")).desc, col("nbr_id")), "fused_rank")
+        .where(col("fused_rank") <= 10)
+        .select(col("query_id"), col("nbr_id"), col("n_lists"),
+          col("fused_rank"), r6(col("rrf_score")).as("rrf_score"))
     },
     "q67_hash_split" -> { (s, dir) =>
       // deterministic train/valid/test assignment (scale/Splits): salted
@@ -2589,6 +2707,107 @@ s AS (SELECT q.query_id, e.vec_id AS nbr_id,
 r AS (SELECT query_id, nbr_id, cos,
         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM s)
 SELECT query_id, nbr_id, rank, round(cos + 5e-11, 4) AS cos FROM r WHERE rank <= 5""",
+    "q267_c4_rules" ->
+      s"""WITH a AS (SELECT doc_id, source, $c4AugmentedSql AS t FROM documents),
+l AS (SELECT doc_id, ln FROM (
+    SELECT doc_id, unnest(string_split(t, chr(10))) AS ln FROM a)
+  WHERE length(ln) > 0),
+k AS (SELECT doc_id, ln FROM l
+  WHERE regexp_matches(ln, '[.!?"]$$')
+    AND len(regexp_extract_all(ln, '\\S+')) >= 5
+    AND NOT contains(lower(ln), 'javascript')),
+ld AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM l GROUP BY 1),
+kd AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         sum(length(ln))::BIGINT AS kept_chars FROM k GROUP BY 1),
+d AS (SELECT a.doc_id, a.source,
+        coalesce(ld.n_lines, 0) AS n_lines,
+        coalesce(kd.n_kept, 0) AS n_kept,
+        coalesce(kd.kept_chars, 0) AS kept_chars,
+        contains(lower(t), 'lorem ipsum') AS has_lorem,
+        contains(t, '{') AS has_brace,
+        (contains(lower(t), 'jackpot') OR contains(lower(t), 'casino')) AS has_badword
+      FROM a LEFT JOIN ld ON a.doc_id = ld.doc_id
+        LEFT JOIN kd ON a.doc_id = kd.doc_id),
+f AS (SELECT *,
+        (n_kept >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_badword) AS kept
+      FROM d)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS docs_kept,
+  sum(n_lines)::BIGINT AS lines_total,
+  sum(n_kept)::BIGINT AS lines_kept,
+  sum(CASE WHEN kept THEN kept_chars ELSE 0 END)::BIGINT AS kept_chars,
+  sum(CASE WHEN has_lorem THEN 1 ELSE 0 END)::BIGINT AS docs_lorem,
+  sum(CASE WHEN has_brace THEN 1 ELSE 0 END)::BIGINT AS docs_brace,
+  sum(CASE WHEN has_badword THEN 1 ELSE 0 END)::BIGINT AS docs_badword,
+  round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS keep_rate
+FROM f GROUP BY 1""",
+    "q268_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl),
+qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 8),
+s AS (SELECT qt.query_id, tf.doc_id AS nbr_id,
+        sum(ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+            * ((tf.tfc * (1.2 + 1.0))
+               / (tf.tfc + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.len::DOUBLE / st.avgdl))))) AS bm25
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfr ON tf.term = dfr.term
+        JOIN qt ON tf.term = qt.term
+        CROSS JOIN st
+      WHERE tf.doc_id != qt.query_id
+      GROUP BY 1, 2),
+r AS (SELECT query_id, nbr_id, round(bm25 + 5e-11, 4) AS bm25 FROM s),
+rk AS (SELECT query_id, nbr_id, bm25,
+        row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, nbr_id ASC) AS rank FROM r)
+SELECT query_id, nbr_id, rank, bm25 FROM rk WHERE rank <= 10""",
+    "q269_source_kl" ->
+      """WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+cs AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+ts AS (SELECT source, sum(c)::BIGINT AS ts FROM cs GROUP BY 1),
+cc AS (SELECT term, sum(c)::BIGINT AS cc FROM cs GROUP BY 1),
+tc AS (SELECT sum(cc)::BIGINT AS tc FROM cc)
+SELECT cs.source, max(ts.ts)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+  round(sum((cs.c::DOUBLE / ts.ts) * ln((cs.c::DOUBLE / ts.ts) / (cc.cc::DOUBLE / tc.tc))) + 5e-11, 4) AS kl
+FROM cs JOIN ts ON cs.source = ts.source JOIN cc ON cs.term = cc.term CROSS JOIN tc
+GROUP BY 1""",
+    "q270_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl),
+qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 8),
+s AS (SELECT qt.query_id, tf.doc_id AS nbr_id,
+        sum(ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+            * ((tf.tfc * (1.2 + 1.0))
+               / (tf.tfc + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.len::DOUBLE / st.avgdl))))) AS bm25
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfr ON tf.term = dfr.term
+        JOIN qt ON tf.term = qt.term
+        CROSS JOIN st
+      WHERE tf.doc_id != qt.query_id
+      GROUP BY 1, 2),
+lex AS (SELECT query_id, nbr_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, nbr_id ASC) AS rank
+      FROM (SELECT query_id, nbr_id, round(bm25 + 5e-11, 4) AS bm25 FROM s)),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+sem AS (SELECT query_id, nbr_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM sc),
+u AS (SELECT query_id, nbr_id, 1.0/(60 + rank) AS contrib FROM lex WHERE rank <= 10
+      UNION ALL SELECT query_id, nbr_id, 1.0/(60 + rank) FROM sem WHERE rank <= 10),
+f AS (SELECT query_id, nbr_id, sum(contrib) AS rrf_score, count(*) AS n_lists FROM u GROUP BY 1, 2),
+rk AS (SELECT query_id, nbr_id, n_lists, rrf_score,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY round(rrf_score + 5e-11, 4) DESC, nbr_id ASC) AS fused_rank FROM f)
+SELECT query_id, nbr_id, n_lists, fused_rank, round(rrf_score + 5e-11, 4) AS rrf_score
+FROM rk WHERE fused_rank <= 10""",
     "q35_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 s AS (SELECT q.query_id, e.vec_id AS nbr_id,

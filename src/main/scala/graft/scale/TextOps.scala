@@ -565,6 +565,36 @@ object TextOps {
     withH.select(col("doc_id") +: keep.map(col) ++: fcols: _*)
   }
 
+  /** Per-group unigram KL divergence vs the whole-corpus distribution:
+    * KL(P_g || P_corpus) = Σ_t p_g(t) · ln(p_g(t)/p_c(t)) over the
+    * group's terms (p_c > 0 wherever p_g > 0 since the corpus contains
+    * every group). The mixture-QA number a pretraining budgeter watches:
+    * a source whose language distribution drifts from the corpus is
+    * over- or under-represented in the mix.
+    *
+    * Scale shape: one tokenization pass → (group, term) counts; corpus
+    * term counts are a term-keyed rollup of the SAME aggregate (no
+    * second scan); group totals and the corpus total are tiny
+    * broadcasts. Emits (group, n_tokens, vocab, kl) with `kl` RAW —
+    * callers round to the engine quantum.
+    */
+  def sourceUnigramKl(docs: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(group.as("source"),
+      explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0))).as("term"))
+    val cs = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val ts = cs.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val cc = cs.groupBy(col("term")).agg(sum(col("c")).as("cc"))
+    val tc = cc.agg(sum(col("cc")).as("tc"))
+    val p = col("c").cast("double") / col("ts")
+    val q = col("cc").cast("double") / col("tc")
+    cs.join(broadcast(ts), "source").join(cc, "term").crossJoin(broadcast(tc))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(p * log(p / q)).as("kl"))
+  }
+
   /** Composable (pure-DataFrame) twin of [[trigramDiversity]] — same
     * values via transform + array_distinct; kept as the cross-check.
     */

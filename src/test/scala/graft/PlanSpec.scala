@@ -591,4 +591,55 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("WindowExec"), s"$q must stay window-free:\n$p")
     }
   }
+
+  test("C4 battery is a pure projection: zero exchanges before the rollup") {
+    // every rule is arithmetic on the split-lines array of one row —
+    // any shuffle means the stats stopped being stream-servable
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def exchanges(p: SparkPlan): Seq[Exchange] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case e: Exchange => Seq(e)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(exchanges) ++ p.subqueries.flatMap(exchanges)
+    }
+    val out = graft.scale.C4.lineStats(
+      Tables.documents(spark, sf), col("doc_id"), col("text"))
+    out.collect()
+    val ex = exchanges(out.queryExecution.executedPlan)
+    assert(ex.isEmpty, "C4.lineStats must be shuffle-free:\n" +
+      ex.map(_.simpleStringWithNodeId()).mkString("\n"))
+  }
+
+  test("BM25 ranks never funnel a query through one task; postings probe broadcasts") {
+    // per-query candidate lists are corpus-scale (a common query term
+    // matches most documents), so the top-k must come from the two-pass
+    // GlobalOrder machinery, never row_number over partitionBy(query_id)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case w: WindowExec => Seq(w)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
+    }
+    val out = graft.queries.ScaleQueries.defs("q268_bm25")(spark, sf)
+    out.collect()
+    val bad = windows(out.queryExecution.executedPlan).filter { w =>
+      w.partitionSpec.isEmpty ||
+        w.partitionSpec.forall(_.references.map(_.name).toSet == Set("query_id"))
+    }
+    assert(bad.isEmpty, "q268 has a per-query single-task window:\n" +
+      bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term probe and stats should broadcast:\n$p")
+  }
 }

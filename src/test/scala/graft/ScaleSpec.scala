@@ -983,4 +983,83 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(5) == ((0L, 0.0, 0.0, 0.0, 0.0, false)))
     assert(out(6) == ((0L, 0.0, 0.0, 0.0, 0.0, false)))
   }
+
+  test("C4 line rules: kept lines, doc flags and keep decision on hand fixtures") {
+    import graft.scale.C4
+    val goodDoc = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\nlambda mu nu xi omicron?"
+    val docs = Seq(
+      // l1 kept (terminal, 6 words); l2 no terminal punct -> dropped;
+      // l3 terminal but 2 words -> dropped; l4 kept (5 words, '!')
+      (1L, "this line has five words here.\nno terminal punct line\nshort one.\nanother good line with words!"),
+      (2L, goodDoc),                                               // 3 kept -> doc kept
+      (3L, goodDoc + "\nlorem ipsum dolor sit amet."),             // lorem -> dropped
+      (4L, goodDoc + "\nvar x = { a: 1 };"),                       // brace -> dropped
+      (5L, goodDoc + "\nbig casino wins await you tonight."),      // bad word -> dropped
+      // javascript is a LINE rule: the line drops, the doc survives
+      (6L, goodDoc + "\nplease enable javascript to continue viewing."),
+      (7L, ""),
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = C4.lineStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    val keptChars1 = "this line has five words here.".length.toLong +
+      "another good line with words!".length
+    assert(out(1L) == ((4L, 2L, keptChars1, false, false, false, false)))
+    val goodChars = goodDoc.split("\n").map(_.length.toLong).sum
+    assert(out(2L) == ((3L, 3L, goodChars, false, false, false, true)))
+    assert(out(3L) == ((4L, 4L, goodChars + "lorem ipsum dolor sit amet.".length,
+      true, false, false, false)))
+    assert(out(4L)._5 && !out(4L)._7, "brace doc dropped")
+    assert(out(4L)._2 == 3L, "brace line has no terminal punct -> not kept")
+    assert(out(5L)._6 && !out(5L)._7, "bad-word doc dropped")
+    assert(out(6L) == ((4L, 3L, goodChars, false, false, false, true)),
+      "javascript drops the LINE, not the doc")
+    assert(out(7L) == ((0L, 0L, 0L, false, false, false, false)))
+    assert(out(8L) == ((0L, 0L, 0L, false, false, false, false)))
+  }
+
+  test("BM25: pair scores match the Okapi formula computed by hand") {
+    import graft.scale.Retrieval
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana durian")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25Pairs(docs, col("doc_id"), col("text"),
+        col("doc_id") === 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // N=3, avgdl = 8/3; df: apple 2, banana 2; query 0 = {apple, banana}
+    val avgdl = 8.0 / 3
+    def idf(df: Long) = math.log((3L - df + 0.5) / (df + 0.5) + 1.0)
+    def tfp(tfc: Long, len: Long) = (tfc * (1.2 + 1.0)) /
+      (tfc + 1.2 * ((1.0 - 0.75) + 0.75 * (len.toDouble / avgdl)))
+    val d1 = idf(2) * tfp(1, 2) // doc1: apple tf=1, len=2
+    val d2 = idf(2) * tfp(2, 3) // doc2: banana tf=2, len=3
+    assert(out.keySet == Set((0L, 1L), (0L, 2L)), "self excluded, 2 candidates")
+    assert(math.abs(out((0L, 1L)) - d1) < 1e-12, s"${out((0L, 1L))} vs $d1")
+    assert(math.abs(out((0L, 2L)) - d2) < 1e-12, s"${out((0L, 2L))} vs $d2")
+  }
+
+  test("source unigram KL matches the hand-computed two-source fixture") {
+    val docs = Seq(("A", "a a b"), ("B", "b c")).toDF("source", "text")
+    val out = TextOps.sourceUnigramKl(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // corpus: a 2, b 2, c 1 of 5
+    val klA = (2.0 / 3) * math.log((2.0 / 3) / (2.0 / 5)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (2.0 / 5))
+    val klB = (1.0 / 2) * math.log((1.0 / 2) / (2.0 / 5)) +
+      (1.0 / 2) * math.log((1.0 / 2) / (1.0 / 5))
+    assert(out("A")._1 == 3L && out("A")._2 == 2L)
+    assert(out("B")._1 == 2L && out("B")._2 == 2L)
+    assert(math.abs(out("A")._3 - klA) < 1e-12)
+    assert(math.abs(out("B")._3 - klB) < 1e-12)
+    // KL is non-negative and zero iff the source IS the corpus
+    val one = TextOps.sourceUnigramKl(
+      Seq(("X", "a b c")).toDF("source", "text"), col("source"), col("text"))
+      .collect()
+    assert(math.abs(one.head.getDouble(3)) < 1e-15)
+  }
 }
