@@ -895,6 +895,7 @@ sig AS (SELECT doc_id,
         col("doc_id"), col("text"), col("doc_id") < 8)
       val rounded = pairs.select(col("query_id"),
         col("doc_id").as("nbr_id"), r6(col("bm25")).as("bm25"))
+        .localCheckpoint() // rank input: probe + local + totals passes
       graft.ops.GlobalOrder.withRowNumberBy(rounded, Seq("query_id"),
           Seq(col("bm25").desc, col("nbr_id")), "rank")
         .where(col("rank") <= 10)
@@ -920,14 +921,17 @@ sig AS (SELECT doc_id,
         col("doc_id"), col("text"), col("doc_id") < 8)
       val lex = graft.ops.GlobalOrder.withRowNumberBy(
           pairs.select(col("query_id"), col("doc_id").as("nbr_id"),
-            r6(col("bm25")).as("score")),
+            r6(col("bm25")).as("score"))
+            .localCheckpoint(), // rank input: probe + local + totals passes
           Seq("query_id"), Seq(col("score").desc, col("nbr_id")), "rank")
         .where(col("rank") <= 10)
         .select(col("query_id"), col("nbr_id"), col("rank"))
       val emb = Tables.embeddings(s, dir)
       val sem = Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8), k = 10)
         .select(col("query_id"), col("nbr_id"), col("rank"))
-      val fused = Similarity.rrf(Seq(lex, sem), c = 60)
+      // the fused frame re-runs BOTH rank chains per GlobalOrder pass
+      // otherwise; it is eval-set-sized (<= 2 * 10 * |queries| rows)
+      val fused = Similarity.rrf(Seq(lex, sem), c = 60).localCheckpoint()
       graft.ops.GlobalOrder.withRowNumberBy(fused, Seq("query_id"),
           Seq(r6(col("rrf_score")).desc, col("nbr_id")), "fused_rank")
         .where(col("fused_rank") <= 10)

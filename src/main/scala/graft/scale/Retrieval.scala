@@ -34,13 +34,20 @@ object Retrieval {
     * variant); tf part = tfc·(k1+1) / (tfc + k1·(1 − b + b·len/avgdl)).
     */
   def bm25Pairs(docs: DataFrame, id: Column, text: Column, isQuery: Column,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      materializeIndex: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("t"), isQuery.as("is_q"))
     val toks = base.select(col("doc_id"), col("is_q"),
       explode(regexp_extract_all(lower(col("t")), lit("\\S+"), lit(0))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tfc"), first(col("is_q")).as("is_q"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    // tokenize ONCE: the (doc, term, tfc) index is what df/dl/stats/the
+    // query term sets all derive from, and four lazy subtrees would each
+    // re-run the corpus explode. Materializing it is not a test crutch —
+    // it IS the inverted-index build a production retrieval system
+    // persists to storage; swap `materializeIndex` for a parquet
+    // write/read at real scale.
+    val tf = materializeIndex(toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tfc"), first(col("is_q")).as("is_q")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tfc")).as("len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
@@ -49,9 +56,16 @@ object Retrieval {
     val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfPart = (col("tfc") * lit(k1 + 1.0)) /
       (col("tfc") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / col("avgdl"))))
-    tf.join(dl, "doc_id").join(df, "term").crossJoin(broadcast(stats))
-      .join(broadcast(qterms), Seq("term"))
+    // probe FIRST: only postings of query terms flow into the dl/df
+    // joins (at corpus scale the candidate set is what the query
+    // touches, not the index); df restricted to query terms is
+    // eval-set-sized and broadcasts, so the only candidate shuffle
+    // left is the doc-keyed length join + the final (query, doc) agg
+    val cand = tf.join(broadcast(qterms), Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
+    val dfq = df.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+    cand.join(broadcast(dfq), Seq("term"))
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(idf * tfPart).as("bm25"))
   }
