@@ -69,6 +69,17 @@ object DocQuality {
       m: graft.scale.LangId.LangNb): DataFrame =
     docs.toDF().select(col("doc_id"), m.predict(col("text")).as("pred_lang"))
 
+  /** The q267 C4 cleaning battery served on the document stream: every
+    * rule is arithmetic on the split-lines array of one row (see
+    * [[graft.scale.C4.statsCols]]), so the streaming form IS the batch
+    * column set — a stateless narrow projection, no state store, no
+    * join. Batch==stream parity in StreamingSpec.
+    */
+  def c4FlaggedDocs(docs: Dataset[QualityDoc],
+      badWords: Seq[String] = graft.scale.C4.defaultBadWords): DataFrame =
+    docs.toDF().select(col("doc_id") +:
+      graft.scale.C4.statsCols(col("text"), badWords): _*)
+
   /** The q245 PII scrub served on the document stream: per-detector
     * counts + the redacted text, as the same stateless codegen regexp
     * projection the batch operator compiles to — an ingest-side scrub

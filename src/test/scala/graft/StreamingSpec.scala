@@ -1437,6 +1437,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(2L).last == false && streamed(4L).head == 0L)
   }
 
+  test("C4 battery served on the doc stream == batch battery across a batch boundary") {
+    import spark.implicits._
+    import graft.streaming.{DocQuality, QualityDoc}
+    val goodDoc = "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\nlambda mu nu xi omicron?"
+    val docs = Seq(
+      QualityDoc(1L, goodDoc),                                          // kept
+      QualityDoc(2L, goodDoc + "\nlorem ipsum dolor sit amet."),        // doc rule
+      QualityDoc(3L, goodDoc + "\nplease enable javascript to stay."),  // line rule only
+      QualityDoc(4L, "too few kept lines here.\nno punct"),
+      QualityDoc(5L, ""))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.c4FlaggedDocs(input.toDS())
+      .writeStream.format("memory").queryName("c4gate").outputMode("append").start()
+    try {
+      input.addData(docs.take(2)); query.processAllAvailable()
+      input.addData(docs.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("c4gate").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // batch twin = the q267 operator itself (same projection columns)
+    val batch = graft.scale.C4.lineStats(docs.toDF(), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch && streamed.size == docs.length)
+    assert(streamed(1L).last == true, "clean 3-kept-line doc survives")
+    assert(streamed(2L).last == false, "lorem ipsum drops the doc")
+    assert(streamed(3L).last == true, "javascript drops the LINE, doc survives")
+    assert(streamed(4L).last == false && streamed(5L).last == false)
+  }
+
   test("frozen lang-NB served on the doc stream == batch predict across a batch boundary") {
     import spark.implicits._
     import graft.streaming.{DocQuality, QualityDoc}
