@@ -938,6 +938,51 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"), col("n_lists"),
           col("fused_rank"), r6(col("rrf_score")).as("rrf_score"))
     },
+    // index-pruning QA (the q175 recall gate's lexical sibling):
+    // impact-ordered posting truncation keeps each term's top-128
+    // postings by tf — a query term then touches at most 128 candidates
+    // no matter how common the term — and the gate reports recall@10 of
+    // the pruned index against the exact one. ONE shared token index;
+    // both rank chains ride the scale-safe GlobalOrder (per-term for
+    // the truncation, per-query for the top-k).
+    "q271_bm25_truncated" -> { (s, dir) =>
+      val tf = graft.scale.Retrieval.tokenIndex(docsSpread(s, dir),
+        col("doc_id"), col("text"), col("doc_id") < 8)
+      def top10(pairs: org.apache.spark.sql.DataFrame) =
+        graft.ops.GlobalOrder.withRowNumberBy(
+            pairs.select(col("query_id"), col("doc_id").as("nbr_id"),
+              r6(col("bm25")).as("bm25"))
+              .localCheckpoint(), // rank input: probe + local + totals passes
+            Seq("query_id"), Seq(col("bm25").desc, col("nbr_id")), "rank")
+          .where(col("rank") <= 10)
+      val exact = top10(graft.scale.Retrieval.bm25PairsFromIndex(tf))
+        .select(col("query_id"), col("nbr_id"))
+      val approx = top10(graft.scale.Retrieval.bm25PairsFromIndex(tf,
+          pruneTo = Some(128)))
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    },
+    // temperature-based mixture sampling (the multilingual/multi-source
+    // sampling rule): p_i ∝ n_i^α with α=0.3 flattens the source
+    // distribution; under a fixed token budget the report shows each
+    // source's sampling share and effective epochs (how many times its
+    // corpus is replayed — the over-sampling a budgeter watches for
+    // small sources). One source-keyed aggregate + a 1-row broadcast.
+    "q272_mixture_temperature" -> { (s, dir) =>
+      val nTok = pow(col("n_tokens").cast("double"), 0.3)
+      val m = docsSpread(s, dir).groupBy(col("source"))
+        .agg(sum(TextOps.nTokens(col("text"))).as("n_tokens"))
+      val tot = m.agg(sum(pow(col("n_tokens").cast("double"), 0.3)).as("z"))
+      m.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          r6(nTok / col("z")).as("p_sample"),
+          r6((lit(10000000L) * (nTok / col("z"))) / col("n_tokens")).as("epochs"))
+    },
     "q67_hash_split" -> { (s, dir) =>
       // deterministic train/valid/test assignment (scale/Splits): salted
       // md5 bucket — narrow, no RNG state, reproducible on any engine and
@@ -2812,6 +2857,55 @@ rk AS (SELECT query_id, nbr_id, n_lists, rrf_score,
           ORDER BY round(rrf_score + 5e-11, 4) DESC, nbr_id ASC) AS fused_rank FROM f)
 SELECT query_id, nbr_id, n_lists, fused_rank, round(rrf_score + 5e-11, 4) AS rrf_score
 FROM rk WHERE fused_rank <= 10""",
+    "q271_bm25_truncated" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl),
+qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 8),
+pr AS (SELECT doc_id, term, tfc,
+        row_number() OVER (PARTITION BY term ORDER BY tfc DESC, doc_id ASC) AS pr FROM tf),
+sx AS (SELECT qt.query_id, tf.doc_id AS nbr_id,
+        sum(ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+            * ((tf.tfc * (1.2 + 1.0))
+               / (tf.tfc + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.len::DOUBLE / st.avgdl))))) AS bm25
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfr ON tf.term = dfr.term
+        JOIN qt ON tf.term = qt.term
+        CROSS JOIN st
+      WHERE tf.doc_id != qt.query_id
+      GROUP BY 1, 2),
+rex AS (SELECT query_id, nbr_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY round(bm25 + 5e-11, 4) DESC, nbr_id ASC) AS rank
+      FROM sx),
+sa AS (SELECT qt.query_id, pr.doc_id AS nbr_id,
+        sum(ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+            * ((pr.tfc * (1.2 + 1.0))
+               / (pr.tfc + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.len::DOUBLE / st.avgdl))))) AS bm25
+      FROM pr JOIN dl ON pr.doc_id = dl.doc_id
+        JOIN dfr ON pr.term = dfr.term
+        JOIN qt ON pr.term = qt.term
+        CROSS JOIN st
+      WHERE pr.pr <= 128 AND pr.doc_id != qt.query_id
+      GROUP BY 1, 2),
+ra AS (SELECT query_id, nbr_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY round(bm25 + 5e-11, 4) DESC, nbr_id ASC) AS rank
+      FROM sa)
+SELECT rex.query_id, count(*)::BIGINT AS n_exact,
+  sum(CASE WHEN ra.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+  round(sum(CASE WHEN ra.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS recall
+FROM rex LEFT JOIN ra ON rex.query_id = ra.query_id AND rex.nbr_id = ra.nbr_id AND ra.rank <= 10
+WHERE rex.rank <= 10
+GROUP BY 1""",
+    "q272_mixture_temperature" ->
+      """WITH m AS (SELECT source, sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1),
+z AS (SELECT sum(pow(n_tokens::DOUBLE, 0.3)) AS z FROM m)
+SELECT source, n_tokens,
+  round(pow(n_tokens::DOUBLE, 0.3) / z.z + 5e-11, 4) AS p_sample,
+  round((10000000 * (pow(n_tokens::DOUBLE, 0.3) / z.z)) / n_tokens + 5e-11, 4) AS epochs
+FROM m CROSS JOIN z""",
     "q35_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 s AS (SELECT q.query_id, e.vec_id AS nbr_id,

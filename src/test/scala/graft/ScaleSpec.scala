@@ -1062,4 +1062,30 @@ class ScaleSpec extends AnyFunSuite {
       .collect()
     assert(math.abs(one.head.getDouble(3)) < 1e-15)
   }
+
+  test("BM25 posting truncation: huge m is exact, m=1 keeps one posting per term") {
+    import graft.scale.Retrieval
+    val docs = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "apple cherry cherry"),
+      (2L, "banana banana durian apple"),
+      (3L, "cherry durian banana apple apple")
+    ).toDF("doc_id", "text")
+    val tf = Retrieval.tokenIndex(docs, col("doc_id"), col("text"),
+      col("doc_id") === 0L)
+    def pairs(p: Option[Int]) =
+      Retrieval.bm25PairsFromIndex(tf, pruneTo = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(None)
+    assert(pairs(Some(100)) == exact, "m beyond every posting list is exact")
+    val m1 = pairs(Some(1))
+    // every surviving contribution exists in the exact score set and a
+    // pruned doc's score never exceeds its exact score
+    assert(m1.keySet.subsetOf(exact.keySet))
+    m1.foreach { case (k, v) => assert(v <= exact(k) + 1e-12, s"$k") }
+    // m=1 keeps the max-tf posting (doc tie-break): banana -> doc 2
+    // (tf 2); apple -> doc 0 (tf 2, the query itself) so no candidate
+    // survives via apple; cherry -> doc 1 (tf 2)
+    assert(m1.contains((0L, 2L)) && m1.contains((0L, 1L)))
+  }
 }
