@@ -983,6 +983,33 @@ sig AS (SELECT doc_id,
           r6(nTok / col("z")).as("p_sample"),
           r6((lit(10000000L) * (nTok / col("z"))) / col("n_tokens")).as("epochs"))
     },
+    // the standing-query (prospective-search / alerting) lifecycle gate:
+    // fit ONE standing BM25 query (doc 3's 16 rarest terms + frozen
+    // corpus stats), publish -> read -> rebuild -> serve through the
+    // promotion machinery, and roll the served per-row scores up per
+    // source. Any divergence between the store round trip, the kind
+    // dispatch, or the frozen O(topTerms) projection and the oracle's
+    // independent replay of the fit+score chain hash-fails.
+    "q273_bm25_standing" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = graft.scale.Retrieval.fitStanding(docs, col("doc_id"),
+        col("text"), col("doc_id") === 3L, topTerms = 16).head
+      val path = scratchDir("graft_q273_models")
+      graft.scoring.ModelStore.publish(s, path,
+        graft.scoring.ModelStore.bm25QueryRows("standing", 1L, m))
+      val store = s.read.parquet(path)
+      val served = graft.streaming.ServedModel.of(
+        graft.scoring.ModelStore.rowsOf(store, "standing", 1L))
+      val nman = store.where(col("kind") === "manifest").count()
+      docsSpread(s, dir).where(col("doc_id") =!= 3L)
+        .select(col("source"), r6(served.score).as("s4"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("s4") > 4.0, 1L).otherwise(0L)).as("n_alerts"),
+          r6(avg(col("s4"))).as("avg_score"),
+          max(col("s4")).as("max_score"))
+        .withColumn("n_manifest", lit(nman))
+    },
     "q67_hash_split" -> { (s, dir) =>
       // deterministic train/valid/test assignment (scale/Splits): salted
       // md5 bucket — narrow, no RNG state, reproducible on any engine and
@@ -2898,6 +2925,35 @@ SELECT rex.query_id, count(*)::BIGINT AS n_exact,
 FROM rex LEFT JOIN ra ON rex.query_id = ra.query_id AND rex.nbr_id = ra.nbr_id AND ra.rank <= 10
 WHERE rex.rank <= 10
 GROUP BY 1""",
+    "q273_bm25_standing" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl),
+top AS (SELECT term, df FROM (
+    SELECT t.term, dfr.df,
+      row_number() OVER (ORDER BY dfr.df ASC, t.term ASC) AS r
+    FROM (SELECT DISTINCT term FROM tf WHERE doc_id = 3) t
+      JOIN dfr ON t.term = dfr.term)
+  WHERE r <= 16),
+w AS (SELECT term, ln((st.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM top CROSS JOIN st),
+sc AS (SELECT tf.doc_id,
+        sum(w.idf * ((tf.tfc * (1.2 + 1.0))
+            / (tf.tfc + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.len::DOUBLE / st.avgdl))))) AS sco
+      FROM tf JOIN w ON tf.term = w.term
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      WHERE tf.doc_id != 3 GROUP BY 1),
+d AS (SELECT doc.doc_id, doc.source, round(coalesce(sc.sco, 0.0) + 5e-11, 4) AS s4
+      FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+      WHERE doc.doc_id != 3)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN s4 > 4.0 THEN 1 ELSE 0 END)::BIGINT AS n_alerts,
+  round(avg(s4) + 5e-11, 4) AS avg_score,
+  max(s4) AS max_score,
+  1::BIGINT AS n_manifest
+FROM d GROUP BY 1""",
     "q272_mixture_temperature" ->
       """WITH m AS (SELECT source, sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
   FROM documents GROUP BY 1),

@@ -97,4 +97,81 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       materializeIndex: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
     bm25PairsFromIndex(tokenIndex(docs, id, text, isQuery, materializeIndex), k1, b)
+
+  /** A STANDING BM25 query frozen for serving — the prospective-search /
+    * alerting pattern: the query's pruned term set with per-term idf
+    * weights plus the corpus stats, so an INCOMING document scores as a
+    * pure per-row projection (tokenize, count the ≤topTerms query terms,
+    * fold the weighted tf parts) — no index, no join, no state. The
+    * model is O(topTerms) literals; contributions fold in SORTED term
+    * order, so the served score is deterministic; parity with the batch
+    * [[bm25PairsFromIndex]] sum holds at the 4 dp engine quantum (the
+    * batch groupBy sums in arbitrary order).
+    *
+    * Query-term pruning (keep the topTerms RAREST terms — lowest df,
+    * term tie-break) is the standard standing-query lever: common terms
+    * contribute little idf mass but dominate matching cost.
+    */
+  final case class StandingBm25(queryId: Long, terms: Seq[(String, Double)],
+      avgdl: Double, k1: Double, b: Double) {
+    require(terms.nonEmpty, "StandingBm25: empty query term set")
+    require(terms.map(_._1).distinct.size == terms.size,
+      "StandingBm25: duplicate query terms")
+
+    /** The served score column: Σ_t idf_t · tfPart(tf_t(text), len(text)).
+      * Absent terms contribute an exact 0.0 (the batch inner join's
+      * semantics — scores are nonnegative, so adding 0.0 is bitwise
+      * identity). The tokenizer appears once per term, but the whole
+      * score is a single lambda scope over ONE token array (a transform
+      * over a 1-element array binds it), so the regexp runs once per row
+      * regardless of topTerms.
+      */
+    def score(text: Column): Column = {
+      val toks = regexp_extract_all(lower(coalesce(text, lit(""))),
+        lit("\\S+"), lit(0))
+      element_at(transform(array(toks), tk => {
+        val len = size(tk).cast("double")
+        val norm = len / lit(avgdl)
+        terms.sortBy(_._1).map { case (t, w) =>
+          val tfc = size(filter(tk, x => x === lit(t)))
+          when(tfc > 0,
+            lit(w) * ((tfc * lit(k1 + 1.0)) /
+              (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * norm))))
+            .otherwise(lit(0.0))
+        }.reduceLeft(_ + _)
+      }), 1)
+    }
+  }
+
+  /** Fit standing queries: one [[StandingBm25]] per `isQuery` document —
+    * corpus stats (N, avgdl) and per-term df from ONE token-index build,
+    * the query term sets collected driver-side (bounded by the eval
+    * set's vocabulary, the same cardinality class as a model fit), each
+    * pruned to its `topTerms` rarest terms.
+    */
+  def fitStanding(docs: DataFrame, id: Column, text: Column, isQuery: Column,
+      topTerms: Int = 16, k1: Double = 1.2, b: Double = 0.75,
+      materializeIndex: DataFrame => DataFrame = _.localCheckpoint()): Seq[StandingBm25] = {
+    val tf = tokenIndex(docs, id, text, isQuery, materializeIndex)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tfc")).as("len"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val Array(st) = dl.agg(count(lit(1)).as("n"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avgdl")).collect()
+    val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    val qrows = tf.where(col("is_q"))
+      .select(col("doc_id").as("query_id"), col("term"))
+      .join(df, "term")
+      .select(col("query_id"), col("term"), col("df"))
+      .collect()
+    qrows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (qid, rs) =>
+      val pruned = rs.map(r => (r.getString(1), r.getLong(2)))
+        .sortBy { case (t, d) => (d, t) }.take(topTerms)
+      // canonical term order (the store's serialization order, so a
+      // fit -> publish -> rebuild round trip is field-exact)
+      val weighted = pruned.map { case (t, d) =>
+        (t, math.log((n - d + 0.5) / (d + 0.5) + 1.0))
+      }.toSeq.sortBy(_._1)
+      StandingBm25(qid, weighted, avgdl, k1, b)
+    }
+  }
 }

@@ -291,6 +291,34 @@ object ModelStore {
       ths.map(r => r.k.get -> r.v1.get).toMap, meta.v1.get)
   }
 
+  // ---- standing BM25 query (Retrieval.StandingBm25) ----
+
+  /** Persist a frozen standing BM25 query: one meta row (avgdl/k1/b +
+    * query id + term count) plus per-term idf rows in term order (idfs
+    * round-trip IEEE-exact through parquet, so [[bm25QueryOf]] rebuilds
+    * a bitwise-identical scorer).
+    */
+  def bm25QueryRows(id: String, ver: Long,
+      m: graft.scale.Retrieval.StandingBm25): Seq[ModelRow] = {
+    val ts = m.terms.sortBy(_._1)
+    row(id, ver, "bm25_query", "meta", v1 = Some(m.avgdl), v2 = Some(m.k1),
+      v3 = Some(m.b), c1 = Some(m.queryId), c2 = Some(ts.size.toLong)) +:
+      ts.zipWithIndex.map { case ((t, w), i) =>
+        row(id, ver, "bm25_query", "term", idx = i.toLong, k = Some(t),
+          v1 = Some(w))
+      }
+  }
+
+  def bm25QueryOf(rows: Seq[ModelRow]): graft.scale.Retrieval.StandingBm25 = {
+    val meta = one(rows, "bm25_query", "meta")
+    val ts = parts(rows, "bm25_query", "term")
+    require(ts.size == meta.c2.get,
+      s"ModelStore.bm25QueryOf: meta declares ${meta.c2.get} term rows, " +
+        s"slice holds ${ts.size}")
+    graft.scale.Retrieval.StandingBm25(meta.c1.get,
+      ts.map(r => (r.k.get, r.v1.get)), meta.v1.get, meta.v2.get, meta.v3.get)
+  }
+
   // ---- frozen lang-NB (LangId.LangNb) ----
 
   /** Persist the frozen language-ID NB: one meta row (buckets + class

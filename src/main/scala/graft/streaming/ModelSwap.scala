@@ -187,6 +187,13 @@ object ServedModel {
         Built("forest",
           f.flatMap(_.model.splits.values.map(_.feature)).distinct.sorted,
           graft.scoring.Forest.votesDeep(f).cast("double"))
+      case "bm25_query" =>
+        // a standing retrieval query served like any promoted model: the
+        // prospective-search / alerting pattern — score = the frozen
+        // query's BM25 over the row's text, a pure O(topTerms) fold per
+        // row (deterministic sorted-term summation), no index, no join
+        val m = ModelStore.bm25QueryOf(b)
+        Built("bm25_query", Seq("text"), m.score(col("text")))
       case "lang_nb" =>
         // the frozen lang tagger served like any promoted model: score =
         // the predicted class's INDEX in the lex-sorted class list (the

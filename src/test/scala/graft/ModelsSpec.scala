@@ -859,6 +859,58 @@ class ModelsSpec extends AnyFunSuite {
     }.getMessage.contains("negative packed key"))
   }
 
+  test("standing BM25 store: terms + stats round-trip and the served score is the fitted one") {
+    import spark.implicits._
+    import graft.scale.Retrieval
+    import graft.scoring.ModelStore
+    import graft.streaming.ServedModel
+    val docs = Seq(
+      (0L, "apple banana apple cherry kiwi"),
+      (1L, "apple cherry cherry mango"),
+      (2L, "banana banana durian apple"),
+      (3L, "cherry durian banana apple apple plum")
+    ).toDF("doc_id", "text")
+    val m = Retrieval.fitStanding(docs, col("doc_id"), col("text"),
+      col("doc_id") === 0L, topTerms = 3).head
+    assert(m.queryId == 0L && m.terms.size == 3)
+    // rarest-first pruning: kiwi (df 1) and banana/cherry (df 3) beat
+    // apple (df 4)
+    assert(m.terms.map(_._1).toSet == Set("kiwi", "banana", "cherry"))
+    val rows = ModelStore.bm25QueryRows("standing", 1, m)
+    val m2 = ModelStore.bm25QueryOf(rows)
+    assert(m2 == m, "field-exact round trip")
+    // served column == the fitted scorer, doc by doc, BITWISE (the
+    // rebuilt literals are the same doubles)
+    for (slice <- Seq(rows, ModelStore.withManifest(rows))) {
+      val built = ServedModel.of(slice)
+      assert(built.kind == "bm25_query" && built.features == Seq("text"))
+      val bad = docs.select(
+          (built.score =!= m.score(col("text"))).as("d"))
+        .where(col("d")).count()
+      assert(bad == 0, "served standing query diverges from the fitted one")
+    }
+    // parity with the batch inverted-index sum at the engine quantum:
+    // the query doc has <= topTerms distinct terms when topTerms is
+    // large, so the standing score must equal the batch pair score
+    val full = Retrieval.fitStanding(docs, col("doc_id"), col("text"),
+      col("doc_id") === 0L, topTerms = 100).head
+    val batch = Retrieval.bm25Pairs(docs, col("doc_id"), col("text"),
+        col("doc_id") === 0L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val servedAll = docs.where(col("doc_id") =!= 0L)
+      .select(col("doc_id"), full.score(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    batch.foreach { case (d, v) =>
+      assert(graft.scoring.KMeansOps.r6d(servedAll(d)) ==
+        graft.scoring.KMeansOps.r6d(v), s"doc $d")
+    }
+    // lost term row -> loud meta-count reject
+    assert(intercept[IllegalArgumentException] {
+      ModelStore.bm25QueryOf(rows.filterNot(r =>
+        r.part == "term" && r.idx == 0L))
+    }.getMessage.contains("meta declares"))
+  }
+
   test("ModelStore.publish: every family's default write carries the torn-read manifest") {
     import graft.scoring.{AdaBoost, Boosting, Forest, ModelStore, Trainer, Trees}
     import graft.streaming.ServedModel
@@ -885,7 +937,10 @@ class ModelsSpec extends AnyFunSuite {
       ("boost_trees", ModelStore.boostedTreesRows("m", 1, btr)),
       ("tree", ModelStore.deepTreeRows("m", 1, dt)),
       ("forest", ModelStore.forestRows("m", 1, fo)),
-      ("perplexity_gate", ModelStore.perplexityGateRows("m", 1, pg)))
+      ("perplexity_gate", ModelStore.perplexityGateRows("m", 1, pg)),
+      ("bm25_query", ModelStore.bm25QueryRows("m", 1,
+        graft.scale.Retrieval.StandingBm25(3L,
+          Seq(("apple", 1.2), ("zeta", 0.5)), 10.0, 1.2, 0.75))))
     val dir = java.nio.file.Files.createTempDirectory("pubstore")
     for ((kind, rows) <- families) {
       val store = dir.resolve(kind).toString

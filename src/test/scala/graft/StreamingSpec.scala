@@ -1384,6 +1384,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2Kept < v1WouldKeep, "40% gate must keep fewer docs than the 70% gate")
   }
 
+  test("standing BM25 query hot-swaps mid-stream: refit v2 serves the second half exactly") {
+    import spark.implicits._
+    import graft.scale.Retrieval
+    import graft.scoring.ModelStore
+    import graft.streaming.{HotSwapScorer, QualityDoc}
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
+    // v1: doc 3's standing query at 16 terms; v2: the nightly refit at
+    // 8 terms (query-term pruning tightened) — same alerting stream
+    val m1 = Retrieval.fitStanding(docsB, col("doc_id"), col("text"),
+      col("doc_id") === 3L, topTerms = 16).head
+    val m2 = Retrieval.fitStanding(docsB, col("doc_id"), col("text"),
+      col("doc_id") === 3L, topTerms = 8).head
+    assert(m2.terms.size < m1.terms.size)
+    val store = java.nio.file.Files.createTempDirectory("sbstore")
+      .resolve("models").toString
+    ModelStore.publish(spark, store, ModelStore.bm25QueryRows("alert", 1L, m1))
+    val swap = new HotSwapScorer(store, "alert")
+    val docs = docsB.select(col("doc_id"), col("text"))
+      .as[QualityDoc].collect().sortBy(_.doc_id)
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val out = collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val query = input.toDS().toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= swap.scoreBatch(b)
+          .select(col("doc_id"), col("model_version"), col("model_score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }.start()
+    try {
+      input.addData(h1.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentKind == Some("bm25_query") &&
+        swap.currentVersion == Some(1L))
+      ModelStore.publish(spark, store, ModelStore.bm25QueryRows("alert", 2L, m2))
+      input.addData(h2.toIndexedSeq); query.processAllAvailable()
+      assert(swap.currentVersion == Some(2L))
+    } finally query.stop()
+    // every row carries its serving version's exact batch score, BITWISE
+    def scores(m: Retrieval.StandingBm25) = docsB
+      .select(col("doc_id"), m.score(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (s1, s2) = (scores(m1), scores(m2))
+    assert(out.size == docs.length)
+    out.foreach { case (id, ver, s) =>
+      assert(s == (if (ver == 1L) s1(id) else s2(id)), s"doc $id v$ver")
+    }
+    // the pruned v2 query can only lose contribution mass
+    h2.foreach(d => assert(s2(d.doc_id) <= s1(d.doc_id) + 1e-12, d.doc_id))
+  }
+
   test("gopher repetition battery served on the doc stream == batch operator") {
     import spark.implicits._
     import graft.streaming.{DocQuality, QualityDoc}
