@@ -1010,6 +1010,29 @@ sig AS (SELECT doc_id,
           max(col("s4")).as("max_score"))
         .withColumn("n_manifest", lit(nman))
     },
+    // RAG-style document chunking: fixed 64-token windows at stride 48
+    // (16-token overlap), each chunk fingerprinted — the table an
+    // embedding/retrieval pipeline actually indexes. Pure per-doc array
+    // arithmetic + ONE explode whose output IS the product (the chunk
+    // table); no shuffle, no state — at 100 TB the chunker is a map.
+    "q274_chunking" -> { (s, dir) =>
+      val w = 64
+      val stride = 48
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val ntok = size(toks)
+      docsSpread(s, dir)
+        .select(col("doc_id"), toks.as("toks"), ntok.as("ntok"))
+        .select(col("doc_id"), col("toks"), col("ntok"),
+          explode(when(col("ntok") > 0,
+            sequence(lit(1), col("ntok"), lit(stride)))
+            .otherwise(array().cast("array<int>"))).as("start"))
+        .select(col("doc_id"),
+          ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+          col("start").cast("long").as("start"),
+          least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
+          substring(md5(concat_ws(" ",
+            slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp"))
+    },
     "q67_hash_split" -> { (s, dir) =>
       // deterministic train/valid/test assignment (scale/Splits): salted
       // md5 bucket — narrow, no RNG state, reproducible on any engine and
@@ -2954,6 +2977,17 @@ SELECT source, count(*)::BIGINT AS n_docs,
   max(s4) AS max_score,
   1::BIGINT AS n_manifest
 FROM d GROUP BY 1""",
+    "q274_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+x AS (SELECT doc_id, toks, len(toks) AS ntok,
+        unnest(range(1, greatest(len(toks), 0) + 1, 48)) AS s
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+  ((s - 1) // 48)::BIGINT AS chunk_id,
+  s::BIGINT AS start,
+  least(64, ntok - s + 1)::BIGINT AS chunk_tokens,
+  substr(md5(array_to_string(toks[s : s + 63], ' ')), 1, 16) AS chunk_fp
+FROM x""",
     "q272_mixture_temperature" ->
       """WITH m AS (SELECT source, sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
   FROM documents GROUP BY 1),

@@ -151,6 +151,7 @@ object Retrieval {
     */
   def fitStanding(docs: DataFrame, id: Column, text: Column, isQuery: Column,
       topTerms: Int = 16, k1: Double = 1.2, b: Double = 0.75,
+      maxQueryTermRows: Int = 1000000,
       materializeIndex: DataFrame => DataFrame = _.localCheckpoint()): Seq[StandingBm25] = {
     val tf = tokenIndex(docs, id, text, isQuery, materializeIndex)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tfc")).as("len"))
@@ -158,11 +159,18 @@ object Retrieval {
     val Array(st) = dl.agg(count(lit(1)).as("n"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avgdl")).collect()
     val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    // the collect is bounded IN the query (the Models.scala discipline):
+    // an isQuery predicate that accidentally selects corpus-scale docs
+    // fails loudly instead of pulling the corpus onto the driver
     val qrows = tf.where(col("is_q"))
       .select(col("doc_id").as("query_id"), col("term"))
       .join(df, "term")
       .select(col("query_id"), col("term"), col("df"))
+      .limit(maxQueryTermRows + 1)
       .collect()
+    require(qrows.length <= maxQueryTermRows,
+      s"fitStanding: isQuery selects more than $maxQueryTermRows " +
+        "(query, term) rows — standing queries are an EVAL set, not a corpus")
     qrows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (qid, rs) =>
       val pruned = rs.map(r => (r.getString(1), r.getLong(2)))
         .sortBy { case (t, d) => (d, t) }.take(topTerms)
