@@ -55,7 +55,8 @@ object C4 {
     val lt = lower(coalesce(text, lit("")))
     val hasLorem = lt.contains("lorem ipsum")
     val hasBrace = coalesce(text, lit("")).contains("{")
-    val hasBad = badWords.map(w => lt.contains(w.toLowerCase)).reduce(_ || _)
+    val hasBad = badWords.map(w => lt.contains(w.toLowerCase))
+      .foldLeft(lit(false))(_ || _) // empty lexicon = no doc flagged
     val nKept = size(kept).cast("long")
     Seq(
       size(ls).cast("long").as("n_lines"),
