@@ -1033,6 +1033,36 @@ sig AS (SELECT doc_id,
           substring(md5(concat_ws(" ",
             slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp"))
     },
+    // chunk-grain exact dedup: a chunk whose fingerprint appears more
+    // than once in the corpus is redundant embedding/indexing work —
+    // the RAG-side twin of the q28 exact-dedup report. fp-keyed
+    // aggregation + join back (the q240 duplicate-span shape), rolled
+    // up per source.
+    "q275_chunk_dedup" -> { (s, dir) =>
+      val w = 64
+      val stride = 48
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val chunks = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), toks.as("toks"),
+          size(toks).as("ntok"))
+        .select(col("doc_id"), col("source"), col("toks"), col("ntok"),
+          explode(when(col("ntok") > 0,
+            sequence(lit(1), col("ntok"), lit(stride)))
+            .otherwise(array().cast("array<int>"))).as("start"))
+        .select(col("doc_id"), col("source"),
+          least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("start"), lit(w)))).as("fp"))
+        .localCheckpoint() // chunk build feeds the count AND the join back
+      val cnt = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      chunks.join(cnt, "fp")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("chunk_tokens") === w, 1L).otherwise(0L)).as("full_chunks"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_instances"),
+          sum(when(col("c") > 1, col("chunk_tokens")).otherwise(0L)).as("dup_tokens"),
+          r6(sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("dup_rate"))
+    },
     "q67_hash_split" -> { (s, dir) =>
       // deterministic train/valid/test assignment (scale/Splits): salted
       // md5 bucket — narrow, no RNG state, reproducible on any engine and
@@ -2977,6 +3007,23 @@ SELECT source, count(*)::BIGINT AS n_docs,
   max(s4) AS max_score,
   1::BIGINT AS n_manifest
 FROM d GROUP BY 1""",
+    "q275_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+x AS (SELECT doc_id, source, toks, len(toks) AS ntok,
+        unnest(range(1, greatest(len(toks), 0) + 1, 48)) AS s
+      FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, source,
+        least(64, ntok - s + 1)::BIGINT AS ct,
+        md5(array_to_string(toks[s : s + 63], ' ')) AS fp
+      FROM x),
+n AS (SELECT fp, count(*) AS c FROM c GROUP BY 1)
+SELECT source, count(*)::BIGINT AS n_chunks,
+  sum(CASE WHEN ct = 64 THEN 1 ELSE 0 END)::BIGINT AS full_chunks,
+  sum(CASE WHEN n.c > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_instances,
+  sum(CASE WHEN n.c > 1 THEN ct ELSE 0 END)::BIGINT AS dup_tokens,
+  round(sum(CASE WHEN n.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS dup_rate
+FROM c JOIN n ON c.fp = n.fp
+GROUP BY 1""",
     "q274_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
 x AS (SELECT doc_id, toks, len(toks) AS ntok,

@@ -80,6 +80,30 @@ object DocQuality {
     docs.toDF().select(col("doc_id") +:
       graft.scale.C4.statsCols(col("text"), badWords): _*)
 
+  /** The q274 chunker on the document stream: fixed `w`-token windows at
+    * `stride`, each fingerprinted — a stateless flatMap (the explode's
+    * output IS the chunk table), so an ingest pipeline emits
+    * embedding-ready chunks at the wire. Batch==stream parity in
+    * StreamingSpec.
+    */
+  def chunkedDocs(docs: Dataset[QualityDoc], w: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val toks = regexp_extract_all(lower(coalesce(col("text"), lit(""))),
+      lit("\\S+"), lit(0))
+    docs.toDF()
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("ntok"))
+      .select(col("doc_id"), col("toks"), col("ntok"),
+        explode(when(col("ntok") > 0,
+          sequence(lit(1), col("ntok"), lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
+        substring(md5(concat_ws(" ",
+          slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp"))
+  }
+
   /** The q245 PII scrub served on the document stream: per-detector
     * counts + the redacted text, as the same stateless codegen regexp
     * projection the batch operator compiles to — an ingest-side scrub

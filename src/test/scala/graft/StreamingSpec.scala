@@ -1384,6 +1384,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2Kept < v1WouldKeep, "40% gate must keep fewer docs than the 70% gate")
   }
 
+  test("chunker served on the doc stream == batch chunk table across a batch boundary") {
+    import spark.implicits._
+    import graft.streaming.{DocQuality, QualityDoc}
+    val docsB = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = docsB.select(col("doc_id"), col("text"))
+      .as[QualityDoc].collect().sortBy(_.doc_id)
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.chunkedDocs(input.toDS())
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      input.addData(h1.toIndexedSeq); query.processAllAvailable()
+      input.addData(h2.toIndexedSeq); query.processAllAvailable()
+    } finally query.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4)))
+    val streamed = spark.table("chunks").collect().map(key).toMap
+    val batch = DocQuality.chunkedDocs(docs.toSeq.toDS()).collect().map(key).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    // a doc longer than one window produces overlapping chunks whose
+    // starts step by the stride
+    val multi = streamed.keys.groupBy(_._1).filter(_._2.size > 1)
+    assert(multi.nonEmpty, "fixture must contain multi-chunk docs")
+    multi.foreach { case (d, ks) =>
+      val starts = ks.toSeq.map(k => streamed(k)._1).sorted
+      assert(starts == (1L to starts.max by 48L).toSeq, s"doc $d")
+    }
+  }
+
   test("standing BM25 query hot-swaps mid-stream: refit v2 serves the second half exactly") {
     import spark.implicits._
     import graft.scale.Retrieval
