@@ -1016,22 +1016,7 @@ sig AS (SELECT doc_id,
     // arithmetic + ONE explode whose output IS the product (the chunk
     // table); no shuffle, no state — at 100 TB the chunker is a map.
     "q274_chunking" -> { (s, dir) =>
-      val w = 64
-      val stride = 48
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val ntok = size(toks)
-      docsSpread(s, dir)
-        .select(col("doc_id"), toks.as("toks"), ntok.as("ntok"))
-        .select(col("doc_id"), col("toks"), col("ntok"),
-          explode(when(col("ntok") > 0,
-            sequence(lit(1), col("ntok"), lit(stride)))
-            .otherwise(array().cast("array<int>"))).as("start"))
-        .select(col("doc_id"),
-          ((col("start") - 1) / stride).cast("long").as("chunk_id"),
-          col("start").cast("long").as("start"),
-          least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
-          substring(md5(concat_ws(" ",
-            slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp"))
+      TextOps.chunks(docsSpread(s, dir), col("doc_id"), col("text"))
     },
     // chunk-grain exact dedup: a chunk whose fingerprint appears more
     // than once in the corpus is redundant embedding/indexing work —
@@ -1039,25 +1024,14 @@ sig AS (SELECT doc_id,
     // aggregation + join back (the q240 duplicate-span shape), rolled
     // up per source.
     "q275_chunk_dedup" -> { (s, dir) =>
-      val w = 64
-      val stride = 48
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val chunks = docsSpread(s, dir)
-        .select(col("doc_id"), col("source"), toks.as("toks"),
-          size(toks).as("ntok"))
-        .select(col("doc_id"), col("source"), col("toks"), col("ntok"),
-          explode(when(col("ntok") > 0,
-            sequence(lit(1), col("ntok"), lit(stride)))
-            .otherwise(array().cast("array<int>"))).as("start"))
-        .select(col("doc_id"), col("source"),
-          least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
-          md5(concat_ws(" ", slice(col("toks"), col("start"), lit(w)))).as("fp"))
+      val chunks = TextOps.chunks(docsSpread(s, dir), col("doc_id"),
+          col("text"), keep = Seq("source"))
         .localCheckpoint() // chunk build feeds the count AND the join back
-      val cnt = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-      chunks.join(cnt, "fp")
+      val cnt = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("c"))
+      chunks.join(cnt, "chunk_fp")
         .groupBy(col("source")).agg(
           count(lit(1)).as("n_chunks"),
-          sum(when(col("chunk_tokens") === w, 1L).otherwise(0L)).as("full_chunks"),
+          sum(when(col("chunk_tokens") === 64, 1L).otherwise(0L)).as("full_chunks"),
           sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_instances"),
           sum(when(col("c") > 1, col("chunk_tokens")).otherwise(0L)).as("dup_tokens"),
           r6(sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double") /
@@ -3014,7 +2988,7 @@ x AS (SELECT doc_id, source, toks, len(toks) AS ntok,
       FROM t WHERE len(toks) > 0),
 c AS (SELECT doc_id, source,
         least(64, ntok - s + 1)::BIGINT AS ct,
-        md5(array_to_string(toks[s : s + 63], ' ')) AS fp
+        substr(md5(array_to_string(toks[s : s + 63], ' ')), 1, 16) AS fp
       FROM x),
 n AS (SELECT fp, count(*) AS c FROM c GROUP BY 1)
 SELECT source, count(*)::BIGINT AS n_chunks,

@@ -565,6 +565,34 @@ object TextOps {
     withH.select(col("doc_id") +: keep.map(col) ++: fcols: _*)
   }
 
+  /** RAG-style chunk table: fixed `w`-token windows at `stride`, each
+    * fingerprinted (first 16 md5 hex chars of the space-joined window) —
+    * the table an embedding/retrieval pipeline indexes. Pure per-doc
+    * array arithmetic + ONE explode whose output IS the product; no
+    * shuffle, the chunker is a map at any scale (and therefore serves
+    * on a stream as a stateless flatMap — `DocQuality.chunkedDocs`).
+    * `keep` carries extra columns (e.g. source) through the explode.
+    */
+  def chunks(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      w: Int = 64, stride: Int = 48,
+      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    require(w > 0 && stride > 0, s"chunks: w=$w, stride=$stride must be positive")
+    val toks = regexp_extract_all(lower(coalesce(text, lit(""))),
+      lit("\\S+"), lit(0))
+    docs.select(id.as("doc_id") +: keep.map(col) ++:
+        Seq(toks.as("toks"), size(toks).as("ntok")): _*)
+      .select(col("doc_id") +: keep.map(col) ++: Seq(col("toks"), col("ntok"),
+        explode(when(col("ntok") > 0,
+          sequence(lit(1), col("ntok"), lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start")): _*)
+      .select(col("doc_id") +: keep.map(col) ++: Seq(
+        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
+        substring(md5(concat_ws(" ",
+          slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp")): _*)
+  }
+
   /** Per-group unigram KL divergence vs the whole-corpus distribution:
     * KL(P_g || P_corpus) = Σ_t p_g(t) · ln(p_g(t)/p_c(t)) over the
     * group's terms (p_c > 0 wherever p_g > 0 since the corpus contains

@@ -87,22 +87,8 @@ object DocQuality {
     * StreamingSpec.
     */
   def chunkedDocs(docs: Dataset[QualityDoc], w: Int = 64,
-      stride: Int = 48): DataFrame = {
-    val toks = regexp_extract_all(lower(coalesce(col("text"), lit(""))),
-      lit("\\S+"), lit(0))
-    docs.toDF()
-      .select(col("doc_id"), toks.as("toks"), size(toks).as("ntok"))
-      .select(col("doc_id"), col("toks"), col("ntok"),
-        explode(when(col("ntok") > 0,
-          sequence(lit(1), col("ntok"), lit(stride)))
-          .otherwise(array().cast("array<int>"))).as("start"))
-      .select(col("doc_id"),
-        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
-        col("start").cast("long").as("start"),
-        least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
-        substring(md5(concat_ws(" ",
-          slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp"))
-  }
+      stride: Int = 48): DataFrame =
+    TextOps.chunks(docs.toDF(), col("doc_id"), col("text"), w, stride)
 
   /** The q245 PII scrub served on the document stream: per-detector
     * counts + the redacted text, as the same stateless codegen regexp
