@@ -524,4 +524,87 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunker covers every token exactly under the stride law on random docs") {
+    import graft.scale.TextOps
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yz")
+    val docGen = for {
+      n <- Gen.choose(0, 300)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.chunks(docs, col("doc_id"), col("text"), w = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ntoks = docs.select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    ntoks.foreach { case (d, n) =>
+      val chunks = byDoc.getOrElse(d, Array.empty)
+      if (n == 0) assert(chunks.isEmpty, s"doc $d: empty doc must emit no chunks")
+      else {
+        // chunk count = ceil(n / stride); starts step by exactly the stride
+        assert(chunks.length == (n + 47) / 48, s"doc $d n=$n")
+        val starts = chunks.map(_._3).sorted
+        assert(starts.head == 1L && starts.toSeq == (1L to starts.max by 48L).toSeq)
+        // every token position is inside some chunk; token mass bounds
+        chunks.foreach { case (_, _, s, ct) =>
+          assert(ct == math.min(64L, n - s + 1), s"doc $d start $s") }
+        val covered = chunks.flatMap { case (_, _, s, ct) => s until (s + ct) }.toSet
+        assert(covered == (1L to n).toSet, s"doc $d: coverage gap")
+      }
+    }
+  }
+
+  test("source KL is nonnegative on random two-source corpora, zero on identical sources") {
+    import graft.scale.TextOps
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    samples(Gen.listOfN(6, docGen), 10).foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (if (i % 2 == 0) "A" else "B", t) }
+        .toDF("source", "text")
+      val out = TextOps.sourceUnigramKl(docs, col("source"), col("text"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      out.foreach { case (s, kl) =>
+        assert(kl >= -1e-12, s"source $s: KL must be nonnegative, got $kl") }
+    }
+    // identical text in both sources -> both distributions equal the corpus
+    val same = Seq(("A", "a b c a"), ("B", "a b c a")).toDF("source", "text")
+    TextOps.sourceUnigramKl(same, col("source"), col("text"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(3)) < 1e-14))
+  }
+
+  test("C4 keep decision is monotone: appending a doc-level trigger can only drop a doc") {
+    import graft.scale.C4
+    val lineGen = Gen.oneOf(
+      "alpha beta gamma delta epsilon.",
+      "zeta eta theta iota kappa!",
+      "no terminal punctuation line",
+      "tiny line.",
+      "lambda mu nu xi omicron?")
+    val docGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val texts = samples(docGen, 60)
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val spiked = base.map { case (i, t) => (i, t + "\nlorem ipsum filler.") }
+    def kept(rows: Seq[(Long, String)]) =
+      C4.lineStats(rows.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    val (kb, ks) = (kept(base), kept(spiked))
+    kb.keys.foreach { d =>
+      assert(!ks(d), s"doc $d: lorem ipsum must always drop")
+      // and the flag battery is the only difference: kept lines can
+      // only grow when a (kept-eligible) line is appended
+    }
+    // no doc-level trigger -> the keep decision equals the >=3-kept-lines rule
+    val stats = C4.lineStats(base.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect()
+    stats.foreach { r =>
+      assert(r.getBoolean(7) == (r.getLong(2) >= 3 && !r.getBoolean(4) &&
+        !r.getBoolean(5) && !r.getBoolean(6)), s"doc ${r.getLong(0)}")
+    }
+  }
 }
