@@ -2813,7 +2813,7 @@ SELECT query_id, nbr_id, rank, round(cos + 5e-11, 4) AS cos FROM r WHERE rank <=
     "q267_c4_rules" ->
       s"""WITH a AS (SELECT doc_id, source, $c4AugmentedSql AS t FROM documents),
 l AS (SELECT doc_id, ln FROM (
-    SELECT doc_id, unnest(string_split(t, chr(10))) AS ln FROM a)
+    SELECT doc_id, unnest(regexp_split_to_array(t, '\\r?\\n')) AS ln FROM a)
   WHERE length(ln) > 0),
 k AS (SELECT doc_id, ln FROM l
   WHERE regexp_matches(ln, '[.!?"]$$')

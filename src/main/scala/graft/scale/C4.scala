@@ -35,8 +35,13 @@ object C4 {
     */
   val defaultBadWords: Seq[String] = Seq("jackpot", "casino")
 
+  // split on \r?\n: a CRLF corpus would otherwise leave a trailing \r on
+  // every line, and Java-regex `$` in lineKept matches just BEFORE a final
+  // line terminator while RE2-class engines (the oracle) do not — the
+  // cross-engine divergence ADVICE r13 flagged. Stripping the \r at the
+  // split makes `$` a true end-of-string anchor on both engines.
   private def nonEmptyLines(text: Column): Column =
-    filter(split(coalesce(text, lit("")), "\n"), l => length(l) > 0)
+    filter(split(coalesce(text, lit("")), "\r?\n"), l => length(l) > 0)
 
   /** The line-survival predicate, usable inside a lambda. */
   private def lineKept(l: Column): Column =

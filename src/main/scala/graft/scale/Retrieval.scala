@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** UTF-8 byte order (unsigned, shorter-prefix-first) — the collation
+    * DuckDB's default BINARY string comparison uses. JVM `String`
+    * ordering compares UTF-16 code UNITS, which diverges from UTF-8 byte
+    * order for supplementary-plane characters, so any driver-side term
+    * sort that an oracle replays must use this ordering (ASCII corpora
+    * are unaffected; the ADVICE-r13 q273 finding).
+    */
+  private[scale] val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    var r = 0
+    while (r == 0 && i < x.length && i < y.length) {
+      r = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else x.length - y.length
+  }
+
   /** One-pass (doc_id, term, tfc, is_q) token index build — the frame
     * everything else derives from. `materializeIndex` defaults to a
     * localCheckpoint so the corpus explode runs once.
@@ -132,7 +150,9 @@ object Retrieval {
       element_at(transform(array(toks), tk => {
         val len = size(tk).cast("double")
         val norm = len / lit(avgdl)
-        terms.sortBy(_._1).map { case (t, w) =>
+        // UTF-8 byte order: the float fold order is part of the served
+        // score's bit contract and must match the oracle's collation
+        terms.sortBy(_._1)(utf8Order).map { case (t, w) =>
           val tfc = size(filter(tk, x => x === lit(t)))
           when(tfc > 0,
             lit(w) * ((tfc * lit(k1 + 1.0)) /
@@ -172,13 +192,17 @@ object Retrieval {
       s"fitStanding: isQuery selects more than $maxQueryTermRows " +
         "(query, term) rows — standing queries are an EVAL set, not a corpus")
     qrows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (qid, rs) =>
+      // (df, term-in-UTF-8-byte-order): the term tie-break must match the
+      // oracle's DuckDB BINARY collation, not JVM UTF-16 unit order
       val pruned = rs.map(r => (r.getString(1), r.getLong(2)))
-        .sortBy { case (t, d) => (d, t) }.take(topTerms)
+        .sortBy { case (t, d) => (d, t) }(
+          Ordering.Tuple2(Ordering.Long, utf8Order)).take(topTerms)
       // canonical term order (the store's serialization order, so a
-      // fit -> publish -> rebuild round trip is field-exact)
+      // fit -> publish -> rebuild round trip is field-exact) — UTF-8 byte
+      // order for the same cross-engine reason
       val weighted = pruned.map { case (t, d) =>
         (t, math.log((n - d + 0.5) / (d + 0.5) + 1.0))
-      }.toSeq.sortBy(_._1)
+      }.toSeq.sortBy(_._1)(utf8Order)
       StandingBm25(qid, weighted, avgdl, k1, b)
     }
   }

@@ -1,7 +1,6 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,10 +9,12 @@ import org.apache.spark.storage.StorageLevel
   * Brute-force exact top-k is the correctness baseline: broadcast the
   * (small) query set, compute cosine with the native codegen'd vector
   * kernels ([[graft.functions.ArrayDot]] — a fused primitive loop, vs the
-  * interpreted per-element lambdas of `aggregate(zip_with(...))`), take
-  * per-query top-k with one window. The scale path buckets the corpus
-  * with random-hyperplane LSH so the per-query scan touches only
-  * colliding buckets.
+  * interpreted per-element lambdas of `aggregate(zip_with(...))`), rank
+  * per query through the partitioned two-pass
+  * [[graft.ops.GlobalOrder.withRowNumberBy]] (never a single-task
+  * per-query window over corpus-scale candidate lists). The scale path
+  * buckets the corpus with random-hyperplane LSH so the per-query scan
+  * touches only colliding buckets.
   */
 object Similarity {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -32,28 +33,50 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
+  /** Per-query top-k rank via the partitioned two-pass
+    * [[graft.ops.GlobalOrder.withRowNumberBy]] — never
+    * `row_number().over(Window.partitionBy(query_id))`, whose per-query
+    * candidate list is CORPUS-scale for the exact twins (and
+    * corpus/buckets for LSH/IVF): a single task would sort a
+    * corpus-sized list per query at 100×. Same total order and tie
+    * contract, so ranks are bit-identical to the single-task window
+    * (the q268 BM25 rank's scale shape, extended to the whole ANN
+    * family per VERDICT r13). `materialize` pins the scored frame once
+    * (the rank runs a boundary probe + local + totals pass over its
+    * child); pass `identity` when the child is a cheap model-sized
+    * frame not worth checkpointing.
+    */
+  private def topKByQuery(scored: DataFrame, order: Seq[Column], k: Int,
+      partNames: Seq[String] = Seq("query_id"),
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
+    graft.ops.GlobalOrder.withRowNumberBy(materialize(scored), partNames,
+        order, "rank")
+      .where(col("rank") <= k)
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by corpus id.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("ce"))
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k,
+      materialize = materialize)
   }
 
   /** Exact squared-euclidean top-k (the metric twin of [[cosineTopK]] —
     * same broadcast-scored shape, ascending distance).
     */
-  def euclidTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def euclidTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("ce"))
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), sqDist(col("qe"), col("ce")).as("d2"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByQuery(scored, Seq(col("d2").asc, col("nbr_id").asc), k,
+      materialize = materialize)
   }
 
   /** Reciprocal-rank fusion of ranked candidate lists:
@@ -83,8 +106,7 @@ object Similarity {
         col("label").as("ql"), col("embedding").as("qe"))))
       .where(col("nbr_id") =!= col("query_id") && col("nl") =!= col("ql"))
       .select(col("query_id"), col("nbr_id"), cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine >= tau.
@@ -224,10 +246,19 @@ object Similarity {
 
   private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = sqDist(col("embedding"), col("ce"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    // argmin as a min-struct aggregate, not a per-vector window: the
+    // broadcast crossJoin leaves each vector's k candidate rows
+    // CONTIGUOUS in its input partition, so the partial (map-side)
+    // aggregate collapses them to ONE row per vector before any
+    // exchange — the window form shuffled all n·k rows. Struct
+    // comparison is (d2, cid) lexicographic: exactly the window's
+    // (d2 asc, cid asc) rank-1 tie rule. `first(embedding)` is
+    // deterministic — every candidate row carries the same vector.
     corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"), d2.as("d2"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        min(struct(col("d2"), col("cid"))).getField("cid").as("cid"))
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
@@ -274,9 +305,7 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(graft.queries.r6(sum(col("ld"))).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByQuery(adc, Seq(col("adc").asc, col("vec_id").asc), k)
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
   }
 
@@ -319,14 +348,19 @@ object Similarity {
       .groupBy(col("vec_id"), col("cid"), col("m"))
       .agg(min(struct(col("d2"), col("c"))).getField("c").as("code"))
     // probed lists per query (q59 shape), each carrying the query's
-    // per-list residual for the lookup table
+    // per-list residual for the lookup table. The probe rank also rides
+    // GlobalOrder: nlist is model-sized here but grows as sqrt(corpus)
+    // in production, and the PlanSpec gate asserts NO query-partitioned
+    // window anywhere in the family; identity materialize — the
+    // queries×nlist child is cheap to recompute.
     val qd2 = sqDist(col("qe"), col("ce"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("pcid").asc)
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(coarse.select(col("cid").as("pcid"), col("ce"))))
-      .select(col("query_id"), col("pcid"), qd2.as("d2"),
-        residual(col("qe"), col("ce")).as("qr"))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+    val probes = topKByQuery(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(coarse.select(col("cid").as("pcid"), col("ce"))))
+        .select(col("query_id"), col("pcid"), qd2.as("d2"),
+          residual(col("qe"), col("ce")).as("qr")),
+      Seq(col("d2").asc, col("pcid").asc), nprobe,
+      materialize = identity).drop("rank")
     val lut = probes.crossJoin(broadcast(rcent))
       .select(col("query_id"), col("pcid"), col("m").as("lm"), col("c").as("lc"),
         sqDist(sub(col("qr"), col("m")), col("rce")).as("ld"))
@@ -336,9 +370,7 @@ object Similarity {
           col("code") === col("lc") && col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(graft.queries.r6(sum(col("ld"))).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByQuery(adc, Seq(col("adc").asc, col("vec_id").asc), k)
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
   }
 
@@ -361,10 +393,8 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("d"),
         cosine(slice(col("qe"), lit(1), col("d")),
           slice(col("ce"), lit(1), col("d"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"), col("d"))
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    val topk = scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val topk = topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k,
+        partNames = Seq("query_id", "d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val full = topk.where(col("d") === fullDim)
       .select(col("query_id").as("fq"), col("nbr_id").as("fn"))
@@ -492,18 +522,17 @@ object Similarity {
               nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
     val (assigned, centroids) = ivfAssign(corpus, nlist, iters)
     val qd2 = sqDist(col("qe"), col("ce"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cid").asc)
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qe"), col("cid"), qd2.as("d2"))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+    val probes = topKByQuery(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qe"), col("cid"), qd2.as("d2")),
+      Seq(col("d2").asc, col("cid").asc), nprobe, materialize = identity)
       .select(col("query_id"), col("qe"), col("cid"))
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nbr_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k)
   }
 
   /** Random-hyperplane LSH signature: bit p is the sign of the projection
@@ -563,7 +592,6 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k)
   }
 }

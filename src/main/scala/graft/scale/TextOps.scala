@@ -577,6 +577,11 @@ object TextOps {
       w: Int = 64, stride: Int = 48,
       keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(w > 0 && stride > 0, s"chunks: w=$w, stride=$stride must be positive")
+    // stride > w would silently skip tokens between windows while the
+    // docstring (and the PropertySpec stride law) promise full coverage —
+    // a misconfigured chunker must fail loudly, not drop training tokens
+    require(stride <= w,
+      s"chunks: stride=$stride > w=$w leaves token-coverage gaps between windows")
     val toks = regexp_extract_all(lower(coalesce(text, lit(""))),
       lit("\\S+"), lit(0))
     docs.select(id.as("doc_id") +: keep.map(col) ++:
@@ -605,12 +610,21 @@ object TextOps {
     * second scan); group totals and the corpus total are tiny
     * broadcasts. Emits (group, n_tokens, vocab, kl) with `kl` RAW —
     * callers round to the engine quantum.
+    *
+    * `materialize` pins the (source, term) counts once (default
+    * localCheckpoint — the [[graft.scale.Retrieval.tokenIndex]]
+    * discipline): ts/cc/tc and the final join are four consumers of the
+    * same aggregate, and relying on Catalyst exchange reuse alone would
+    * re-run the corpus explode if AQE re-plans any consumer.
     */
   def sourceUnigramKl(docs: org.apache.spark.sql.DataFrame, group: Column,
-      text: Column): org.apache.spark.sql.DataFrame = {
+      text: Column,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint()): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(group.as("source"),
       explode(regexp_extract_all(lower(text), lit("\\S+"), lit(0))).as("term"))
-    val cs = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val cs = materialize(
+      toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c")))
     val ts = cs.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     val cc = cs.groupBy(col("term")).agg(sum(col("c")).as("cc"))
     val tc = cc.agg(sum(col("cc")).as("tc"))

@@ -642,4 +642,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"query-term probe and stats should broadcast:\n$p")
   }
+
+  test("ANN top-k family never funnels a query through one task") {
+    // the VERDICT-r13 demand: the exact twins' per-query candidate list
+    // is the WHOLE corpus, LSH/IVF's is corpus/buckets — a
+    // row_number().over(Window.partitionBy(query_id)) would sort a
+    // corpus-scale list in ONE task per query at 100×. Every rank in
+    // the family (probe selection included) must ride the two-pass
+    // GlobalOrder: no surviving window partitioned by query_id alone
+    // (or by (query_id, d) alone for the Matryoshka sweep), and none
+    // with an empty partition spec.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case w: WindowExec => Seq(w)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
+    }
+    for (q <- Seq("q35_ann_cosine", "q56_ann_lsh", "q59_ann_ivf",
+        "q132_hard_negatives", "q257_pq_adc", "q258_ivfpq",
+        "q259_matryoshka", "q266_ann_ndcg")) {
+      val out = graft.queries.ScaleQueries.defs(q)(spark, sf)
+      out.collect()
+      val bad = windows(out.queryExecution.executedPlan).filter { w =>
+        val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        w.partitionSpec.isEmpty || refs == Set("query_id") ||
+          refs == Set("query_id", "d")
+      }
+      assert(bad.isEmpty, s"$q has a per-query single-task window:\n" +
+        bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+  }
 }

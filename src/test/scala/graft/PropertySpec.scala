@@ -555,6 +555,11 @@ class PropertySpec extends AnyFunSuite {
         assert(covered == (1L to n).toSet, s"doc $d: coverage gap")
       }
     }
+    // the stride law only holds for stride <= w; a gapping config must
+    // fail loudly (ADVICE r13), not silently drop tokens between windows
+    intercept[IllegalArgumentException] {
+      TextOps.chunks(docs, col("doc_id"), col("text"), w = 8, stride = 9)
+    }
   }
 
   test("source KL is nonnegative on random two-source corpora, zero on identical sources") {

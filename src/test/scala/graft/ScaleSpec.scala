@@ -247,8 +247,8 @@ class ScaleSpec extends AnyFunSuite {
       (3L, 2L, Array(0f, 1f, 0f))       // label 2, far
     ).toDF("vec_id", "label", "embedding")
     val out = Similarity.hardNegatives(docs, docs.where(col("vec_id") === 0), k = 2)
-      .collect().map(r => (r.getLong(1), r.getInt(3)))
-    assert(out.toSeq == Seq((2L, 1), (3L, 2))) // label-1 vec 1 never appears
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L))) // label-1 vec 1 never appears
   }
 
   test("rrf: agreement across rankers outscores a single top rank") {
@@ -311,7 +311,7 @@ class ScaleSpec extends AnyFunSuite {
       .collect()
     assert(full.forall(_.getDouble(3) >= 0.0), "ADC is a sum of squared distances")
     assert(full.groupBy(_.getLong(0)).values
-      .forall(rs => rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq ==
+      .forall(rs => rs.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq ==
         rs.map(_.getDouble(3)).sorted.toSeq), "rank order follows ADC")
   }
 
@@ -998,7 +998,11 @@ class ScaleSpec extends AnyFunSuite {
       // javascript is a LINE rule: the line drops, the doc survives
       (6L, goodDoc + "\nplease enable javascript to continue viewing."),
       (7L, ""),
-      (8L, null.asInstanceOf[String])
+      (8L, null.asInstanceOf[String]),
+      // CRLF corpus: the \r must strip at the split — otherwise Java's
+      // `$` matches before the trailing \r while RE2 engines do not
+      // (ADVICE r13), and the \r would also inflate kept_chars
+      (9L, goodDoc.replace("\n", "\r\n"))
     ).toDF("doc_id", "text")
     val out = C4.lineStats(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
@@ -1018,6 +1022,7 @@ class ScaleSpec extends AnyFunSuite {
       "javascript drops the LINE, not the doc")
     assert(out(7L) == ((0L, 0L, 0L, false, false, false, false)))
     assert(out(8L) == ((0L, 0L, 0L, false, false, false, false)))
+    assert(out(9L) == out(2L), "CRLF doc behaves exactly like its LF twin")
   }
 
   test("BM25: pair scores match the Okapi formula computed by hand") {
