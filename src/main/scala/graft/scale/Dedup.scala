@@ -417,6 +417,19 @@ object Dedup {
       .where(col("simhash").isNotNull)
   }
 
+  /** 64-bit SimHash ([[graft.functions.SimHash64]] kernel) — the widened
+    * fingerprint corpus-scale banding needs (16-bit band keys over 64
+    * bits give 65k buckets/band). Top 32 bits equal [[simhash]]'s
+    * fingerprint by construction.
+    */
+  def simhash64(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fp = ColumnBridge.column(graft.functions.SimHash64(
+      ColumnBridge.expression(text)))
+    docs.select(id.as("doc_id"), fp.as("simhash"))
+      .where(col("simhash").isNotNull)
+  }
+
   /** Composable (pure-DataFrame) SimHash twin: explode tokens, 32
     * conditional sums, fold the sign vector. Same values as [[simhash]];
     * costs a token-count-shaped exchange.

@@ -93,7 +93,8 @@ object CurationCounters {
     */
   def flaggedDocs(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
       buckets: Int, gate: Perplexity.Gate,
-      dupIndex: Option[org.apache.spark.sql.DataFrame] = None): Dataset[FlaggedDoc] = {
+      dupIndex: Option[org.apache.spark.sql.DataFrame] = None,
+      dupCfg: NearDupGate.Config = NearDupGate.Config()): Dataset[FlaggedDoc] = {
     val t = col("text")
     val pre0 = docs.toDF()
       .withColumn("__ntok", TextOps.nTokens(t))
@@ -106,7 +107,7 @@ object CurationCounters {
     // near-dup vs the frozen corpus index (q260 gate) — stream-static
     // band joins BEFORE the keyed exchange, like every other flag
     val pre = dupIndex match {
-      case Some(ix) => NearDupGate.withFlags(pre0, ix, maxHamming = 3)
+      case Some(ix) => NearDupGate.withFlags(pre0, ix, maxHamming = 3, dupCfg)
         .withColumn("__nd", col("is_neardup"))
         .drop("simhash", "n_cands", "min_hamming", "match_id", "is_neardup")
       case None => pre0.withColumn("__nd", lit(false))
@@ -132,9 +133,10 @@ object CurationCounters {
   /** Running totals per source, updated every micro-batch. */
   def totals(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
       buckets: Int, gate: Perplexity.Gate,
-      dupIndex: Option[org.apache.spark.sql.DataFrame] = None): Dataset[CurationTotals] = {
+      dupIndex: Option[org.apache.spark.sql.DataFrame] = None,
+      dupCfg: NearDupGate.Config = NearDupGate.Config()): Dataset[CurationTotals] = {
     implicit val enc: Encoder[CurationTotals] = Encoders.product[CurationTotals]
-    flaggedDocs(docs, model, buckets, gate, dupIndex)
+    flaggedDocs(docs, model, buckets, gate, dupIndex, dupCfg)
       .groupByKey(_.source)(Encoders.STRING)
       .transformWithState(new CurationCounterProcessor,
         TimeMode.None(), OutputMode.Update())

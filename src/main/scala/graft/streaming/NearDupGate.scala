@@ -11,39 +11,78 @@ import graft.scale.Dedup
   * crawl-delta pipeline runs (the batch twin is `Dedup.incrementalDedup`,
   * q154).
   *
-  * The index is the 32-bit one-pass simhash kernel fingerprint, banded
-  * into 4×8-bit keys and GROUPED per (band, key) into candidate lists —
-  * so the stream side is four stream-static equi-joins (each 1:1 after
-  * the grouping) plus a per-row fold over the merged candidates: no
-  * stream-side state, no aggregation, append-safe, composable with the
-  * curation counter processor. Pigeonhole: hamming ≤ 3 over 4 bands
-  * leaves at least one band intact, so the banding misses nothing at
-  * the default threshold.
+  * The index is a one-pass simhash kernel fingerprint, banded into
+  * `bands`×`bandBits`-bit keys and GROUPED per (band, key) into candidate
+  * lists — so the stream side is `bands` stream-static equi-joins (each
+  * 1:1 after the grouping) plus a per-row fold over the merged
+  * candidates: no stream-side state, no aggregation, append-safe,
+  * composable with the curation counter processor. Pigeonhole: hamming ≤
+  * `bands`−1 leaves at least one band intact, so the banding misses
+  * nothing at any `maxHamming < bands` (enforced).
   *
-  * Scale notes: candidate-list size per (band, key) grows with corpus
-  * over 2⁸ buckets per band — at corpora where that row outgrows a task,
-  * widen the fingerprint and the band key together (the kernel
-  * generalizes; 64-bit/16-bit banding gives 65k buckets). The static
-  * side is re-read per micro-batch; persist the index DataFrame.
+  * Scale: the banding is a [[NearDupGate.Config]] — candidate-list size
+  * per (band, key) grows with corpus over 2^bandBits buckets per band, so
+  * when a (band, key) row outgrows a task, widen the fingerprint and the
+  * band key together: `Config.wide64` runs the 64-bit kernel with 16-bit
+  * keys (65k buckets/band, 256× the default's spread) at the same
+  * `bands`=4 pigeonhole. The default `Config()` is the 32-bit 4×8 layout
+  * (q260's frozen contract). The static side is re-read per micro-batch;
+  * persist the index DataFrame.
   */
 object NearDupGate {
   val Bands = 4
   val BandBits = 8
 
-  private def bandKey(fp: Column, b: Int): Column =
-    shiftright(fp, b * BandBits).bitwiseAND(lit((1 << BandBits) - 1))
+  /** Banding layout: `bands`·`bandBits` must tile the fingerprint width
+    * exactly (every bit in exactly one band — the pigeonhole argument
+    * needs the partition). `wide` switches to the 64-bit kernel
+    * ([[graft.functions.SimHash64]]).
+    */
+  final case class Config(bands: Int = Bands, bandBits: Int = BandBits,
+      wide: Boolean = false) {
+    val bits: Int = if (wide) 64 else 32
+    require(bands >= 2 && bandBits >= 1,
+      s"NearDupGate.Config: need >=2 bands of >=1 bit, got $bands x $bandBits")
+    require(bands * bandBits == bits,
+      s"NearDupGate.Config: $bands bands x $bandBits bits must tile the " +
+        s"$bits-bit fingerprint exactly")
+
+    /** One above any possible hamming distance — the fold seed. */
+    private[streaming] def hamSentinel: Int = bits + 1
+  }
+
+  /** The corpus-scale layout the scaladoc prescribes: 64-bit
+    * fingerprints, 4×16-bit banding, 65 536 buckets per band.
+    */
+  val wide64: Config = Config(bands = 4, bandBits = 16, wide = true)
+
+  private def bandKey(fp: Column, b: Int, cfg: Config): Column =
+    shiftright(fp, b * cfg.bandBits)
+      .bitwiseAND(lit((1L << cfg.bandBits) - 1L))
+
+  private def fpOf(text: Column, cfg: Config): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    if (cfg.wide)
+      ColumnBridge.column(graft.functions.SimHash64(
+        ColumnBridge.expression(text)))
+    else
+      ColumnBridge.column(graft.functions.SimHash32(
+        ColumnBridge.expression(text)))
+  }
 
   /** Band-grouped candidate index over the frozen corpus: one row per
     * (band, key) carrying the (simhash, doc_id) structs that hash there.
     * Token-less docs carry no fingerprint and are absent (as in the
     * batch simhash operator).
     */
-  def buildIndex(corpus: DataFrame, id: Column, text: Column): DataFrame = {
-    val fps = Dedup.simhash(corpus, id, text)
+  def buildIndex(corpus: DataFrame, id: Column, text: Column,
+      cfg: Config = Config()): DataFrame = {
+    val fps = if (cfg.wide) Dedup.simhash64(corpus, id, text)
+      else Dedup.simhash(corpus, id, text)
     fps.select(col("simhash"), col("doc_id"),
-        explode(array((0 until Bands).map(b =>
+        explode(array((0 until cfg.bands).map(b =>
           struct(lit(b).as("band"),
-            bandKey(col("simhash"), b).as("key"))): _*)).as("e"))
+            bandKey(col("simhash"), b, cfg).as("key"))): _*)).as("e"))
       .select(col("e.band").as("band"), col("e.key").as("key"),
         col("simhash"), col("doc_id"))
       .groupBy(col("band"), col("key"))
@@ -54,24 +93,27 @@ object NearDupGate {
   /** Append the gate columns (simhash, n_cands, min_hamming, match_id,
     * is_neardup) to ANY frame carrying a `text` column — the composition
     * point the curation counters use; every input column passes through.
+    * `cfg` must match the one the index was built with (the band keys
+    * are its function).
     */
-  def withFlags(df: DataFrame, index: DataFrame, maxHamming: Int): DataFrame = {
+  def withFlags(df: DataFrame, index: DataFrame, maxHamming: Int,
+      cfg: Config = Config()): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < cfg.bands,
+      s"NearDupGate.withFlags: maxHamming $maxHamming needs < ${cfg.bands} " +
+        "bands intact for the pigeonhole guarantee — raise bands or lower the threshold")
     val produced = Seq("simhash", "n_cands", "min_hamming", "match_id",
       "is_neardup") ++
-      (0 until Bands).flatMap(b => Seq(s"__k$b", s"__c$b")) ++ Seq("__n", "__b")
+      (0 until cfg.bands).flatMap(b => Seq(s"__k$b", s"__c$b")) ++ Seq("__n", "__b")
     val clash = df.columns.toSeq.intersect(produced)
     require(clash.isEmpty,
       s"NearDupGate.withFlags: input columns collide with the gate's " +
         s"output/internal names: ${clash.mkString(", ")}")
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val fp = ColumnBridge.column(graft.functions.SimHash32(
-      ColumnBridge.expression(col("text"))))
-    var cur = df.withColumn("simhash", fp)
-    (0 until Bands).foreach { b =>
+    var cur = df.withColumn("simhash", fpOf(col("text"), cfg))
+    (0 until cfg.bands).foreach { b =>
       val side = index.where(col("band") === b)
         .select(col("key").as(s"__k$b"), col("cands").as(s"__c$b"))
       cur = cur.join(side,
-        bandKey(col("simhash"), b) === col(s"__k$b"), "left")
+        bandKey(col("simhash"), b, cfg) === col(s"__k$b"), "left")
     }
     // a pair matching in several bands must count ONCE: keep each
     // candidate only at its FIRST matching band (∀ b' < b: band b'
@@ -79,29 +121,37 @@ object NearDupGate {
     // per-element bit test instead of O(n²) struct comparisons (the
     // distinct form measured 1470 s at 10× band density; this one 3 s)
     val empty = array().cast("array<struct<fp:long,id:bigint>>")
-    val merged = concat((0 until Bands).map { b =>
+    val merged = concat((0 until cfg.bands).map { b =>
       val base = coalesce(col(s"__c$b"), empty)
       if (b == 0) base
       else filter(base, c => (0 until b).map(bp =>
-        bandKey(c.getField("fp"), bp) =!= bandKey(col("simhash"), bp))
+        bandKey(c.getField("fp"), bp, cfg) =!= bandKey(col("simhash"), bp, cfg))
         .reduce(_ && _))
     }: _*)
-    val ham = (c: Column) =>
-      bit_count(c.getField("fp").bitwiseXOR(col("simhash")))
-    // fold to (min hamming, lowest id at that hamming); 33 > any 32-bit
-    // distance, so the seed never survives a nonempty candidate list
-    val best = aggregate(merged,
-      struct(lit(33).as("h"), lit(Long.MaxValue).as("i")),
+    // hoist the hamming metric: ONE bit_count per candidate into a
+    // (h, id) struct, then fold over the pairs — the raw fold evaluated
+    // the xor/bit_count 2–3× per candidate (condition + both struct
+    // branches), the VERDICT-r13 constant-factor note
+    val pairs = transform(merged, c => struct(
+      bit_count(c.getField("fp").bitwiseXOR(col("simhash"))).as("h"),
+      c.getField("id").as("i")))
+    // fold to (min hamming, lowest id at that hamming); the sentinel
+    // exceeds any possible distance, so it never survives a nonempty list
+    val best = aggregate(pairs,
+      struct(lit(cfg.hamSentinel).as("h"), lit(Long.MaxValue).as("i")),
       (acc, c) => when(
-        ham(c) < acc.getField("h") ||
-          (ham(c) === acc.getField("h") && c.getField("id") < acc.getField("i")),
-        struct(ham(c).as("h"), c.getField("id").as("i"))).otherwise(acc))
+        c.getField("h") < acc.getField("h") ||
+          (c.getField("h") === acc.getField("h") &&
+            c.getField("i") < acc.getField("i")),
+        c).otherwise(acc))
     cur.withColumn("__n", coalesce(size(merged), lit(0)))
       .withColumn("__b", best)
-      .drop((0 until Bands).flatMap(b => Seq(s"__k$b", s"__c$b")): _*)
+      .drop((0 until cfg.bands).flatMap(b => Seq(s"__k$b", s"__c$b")): _*)
       .withColumn("n_cands", col("__n"))
-      .withColumn("min_hamming", when(col("__b.h") < 33, col("__b.h")))
-      .withColumn("match_id", when(col("__b.h") < 33, col("__b.i")))
+      .withColumn("min_hamming",
+        when(col("__b.h") < cfg.hamSentinel, col("__b.h")))
+      .withColumn("match_id",
+        when(col("__b.h") < cfg.hamSentinel, col("__b.i")))
       .withColumn("is_neardup",
         coalesce(col("__b.h") <= maxHamming, lit(false)))
       .drop("__n", "__b")
@@ -114,8 +164,9 @@ object NearDupGate {
     * batch frame (batch==stream parity is the StreamingSpec gate).
     */
   def flagged(docs: Dataset[QualityDoc], index: DataFrame,
-              maxHamming: Int = 3): DataFrame =
-    withFlags(docs.toDF().select(col("doc_id"), col("text")), index, maxHamming)
+              maxHamming: Int = 3, cfg: Config = Config()): DataFrame =
+    withFlags(docs.toDF().select(col("doc_id"), col("text")), index,
+        maxHamming, cfg)
       .select(col("doc_id"), col("simhash"), col("n_cands"),
         col("min_hamming"), col("match_id"), col("is_neardup"))
 }

@@ -79,6 +79,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(wfp(3L) == wfp(4L))
   }
 
+  test("simhash64: top 32 bits equal the 32-bit fingerprint; same token/null semantics") {
+    val docs = Tables.documents(spark, sf)
+    val fp32 = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp64 = Dedup.simhash64(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bits 32..63 vote on md5 bytes 0..3 — exactly the 32-bit kernel's
+    // hash — so the identity holds by construction on every doc
+    assert(fp64.keySet == fp32.keySet)
+    fp64.foreach { case (id, f) => assert((f >>> 32) == fp32(id), s"doc $id") }
+    // the low 32 bits carry real signal (md5 bytes 4..7), not a copy
+    assert(fp64.exists { case (id, f) => (f & 0xffffffffL) != fp32(id) })
+    val edge = Seq((1L, "  \t\n "), (2L, "one token")).toDF("doc_id", "text")
+    assert(Dedup.simhash64(edge, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("two simhash32 calls share one codegen stage (freshName regression)") {
     graft.functions.GraftFunctions.register(spark)
     // fallback disabled: a Janino redefinition error fails the query

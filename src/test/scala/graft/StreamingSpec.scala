@@ -517,6 +517,56 @@ class StreamingSpec extends AnyFunSuite {
     index.unpersist()
   }
 
+  test("near-dup gate wide64: brute-force parity, tighter candidate rows, config guards") {
+    import spark.implicits._
+    import graft.streaming.{NearDupGate, QualityDoc}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ixDocs = corpus.where(col("doc_id") % 10 =!= 0)
+    val cfg = NearDupGate.wide64
+    val ix32 = NearDupGate.buildIndex(ixDocs, col("doc_id"), col("text")).persist()
+    val ix64 = NearDupGate.buildIndex(ixDocs, col("doc_id"), col("text"), cfg).persist()
+    // the parameterization's point: 16-bit keys spread the same corpus
+    // over 256x the buckets, so the largest (band, key) candidate row
+    // SHRINKS — the corpus/1024 growth the r13 verdict flagged
+    val max32 = ix32.agg(max(size(col("cands")))).head.getInt(0)
+    val max64 = ix64.agg(max(size(col("cands")))).head.getInt(0)
+    info(s"max candidate row: 4x8 -> $max32, wide64 -> $max64")
+    assert(max64 < max32, s"wide64 must shrink the largest cell ($max64 vs $max32)")
+    // brute-force ground truth over the full index (64-bit hamming):
+    // pigeonhole guarantees every pair at hamming <= bands-1 surfaces,
+    // so the gate decision must equal the exhaustive scan's
+    val held = corpus.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).as[QualityDoc].collect()
+    val planted = ixDocs.orderBy(col("doc_id")).limit(3)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .as[QualityDoc].collect()
+    val delta = (held ++ planted).sortBy(_.doc_id)
+    val got = NearDupGate.flagged(delta.toSeq.toDS(), ix64, maxHamming = 3, cfg)
+      .collect().map(r => r.getLong(0) -> (
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(5))).toMap
+    val ixFp = graft.scale.Dedup.simhash64(ixDocs, col("doc_id"), col("text"))
+      .collect().map(_.getLong(1))
+    val deltaFp = graft.scale.Dedup.simhash64(delta.toSeq.toDS().toDF(),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    deltaFp.foreach { case (id, fp) =>
+      val brute = ixFp.map(f => java.lang.Long.bitCount(f ^ fp)).min
+      val (h, flag) = got(id)
+      assert(flag == (brute <= 3), s"doc $id: gate $flag vs brute min $brute")
+      if (flag) assert(h == brute, s"doc $id: banded min $h vs brute $brute")
+    }
+    assert(planted.forall(d => got(d.doc_id)._2), "planted copies caught")
+    // layout guards: the banding must tile the fingerprint, and the
+    // threshold must leave a band intact (the pigeonhole contract)
+    intercept[IllegalArgumentException] {
+      NearDupGate.Config(bands = 4, bandBits = 8, wide = true)
+    }
+    intercept[IllegalArgumentException] {
+      NearDupGate.flagged(delta.toSeq.toDS(), ix64, maxHamming = 4, cfg).collect()
+    }
+    ix32.unpersist(); ix64.unpersist()
+  }
+
   test("semantic gate: stream flags against the frozen embedding index == semDedupDelta") {
     import spark.implicits._
     import graft.streaming.{EmbDoc, SemanticGate}
