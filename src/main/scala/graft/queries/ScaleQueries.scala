@@ -1178,6 +1178,41 @@ sig AS (SELECT doc_id,
           Splits.bucket(col("doc_id"), "lid", 5) =!= 0, buckets = 64)
         .select(col("lang"), col("pred"), col("n_docs"))
     },
+    // CCNet's FIRST filter joins the funnel (VERDICT-r13 gap 3): the
+    // q263-fitted lang classifier gates the WHOLE corpus (train slice
+    // included — a funnel gates everything, not just the hold-out), and
+    // only target-language docs spend the later gates' budget. Per
+    // source: docs/tokens, lang-gate keeps, how many of those carry the
+    // TRUE target label (gate precision mass), and the
+    // lang-then-heuristic survivors — the q249 funnel's head stages with
+    // the new first gate. Same marker fixture as q263 so the gate tests
+    // DISCRIMINATION; model = one corpus aggregation, broadcast; gate =
+    // per-doc argmax over classes rows (doc-keyed, bounded); rollup =
+    // one source-keyed aggregation.
+    "q276_lang_funnel" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val marked = concat(col("text"), lit(" "), col("lang"),
+        lit(" "), col("lang"), lit(" "), col("lang"))
+      val pred = graft.scale.LangId.nbPredictionsAll(docs, col("doc_id"),
+          marked, col("lang"),
+          Splits.bucket(col("doc_id"), "lid", 5) =!= 0, buckets = 64)
+        .select(col("doc_id"), col("pred"))
+      val t = col("text")
+      val base = docs.select(col("doc_id"), col("source"), col("lang"),
+        TextOps.nTokens(t).as("ntok"),
+        (!(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05)).as("h"))
+      val lk = col("pred").isin("en", "de", "es")
+      base.join(pred, Seq("doc_id"), "left")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(when(lk, 1L).otherwise(0L)).as("lang_kept_docs"),
+          sum(when(lk && col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("lang_correct_docs"),
+          sum(when(lk && col("h"), 1L).otherwise(0L)).as("survivors"),
+          sum(when(lk && col("h"), col("ntok")).otherwise(0L))
+            .as("survivor_tokens"))
+    },
     // per-gate marginal attribution over the q249 funnel battery: for
     // each source, the docs/tokens dropped by EXACTLY one gate (the mass
     // that gate alone is responsible for — what relaxing it would buy)
@@ -1791,6 +1826,48 @@ p AS (SELECT lang, cand AS pred FROM (
       ORDER BY round(logprior + ll + 5e-11, 4) DESC, cand ASC) AS rn FROM sc)
   WHERE rn = 1)
 SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2""",
+    "q276_lang_funnel" ->
+      """WITH base AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('lid:' || doc_id), 1, 8))::UBIGINT % 5 != 0 AS tr,
+    lower(regexp_replace(text || ' ' || lang || ' ' || lang || ' ' || lang,
+      '\s+', ' ', 'g')) AS t
+  FROM documents),
+tri AS MATERIALIZED (
+  SELECT doc_id, lang, tr,
+    ('0x' || substr(md5('lidb:' || substr(t, i, 3)), 1, 8))::UBIGINT % 64 AS b
+  FROM base, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+cnt AS MATERIALIZED (SELECT lang, b, count(*) AS c FROM tri WHERE tr GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+pri AS (SELECT lang, count(*) AS n FROM base WHERE tr GROUP BY 1),
+nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pri),
+model AS (SELECT tot.lang AS cand, tot.tc, ln(pri.n::DOUBLE / nn.nn) AS logprior
+  FROM tot JOIN pri USING (lang) CROSS JOIN nn),
+sc AS (SELECT t.doc_id, m.cand, m.logprior,
+    sum(ln((coalesce(c.c, 0) + 1)::DOUBLE / (m.tc + 64))) AS ll
+  FROM tri t CROSS JOIN model m
+    LEFT JOIN cnt c ON c.lang = m.cand AND c.b = t.b
+  GROUP BY 1, 2, 3),
+p AS (SELECT doc_id, cand AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY round(logprior + ll + 5e-11, 4) DESC, cand ASC) AS rn FROM sc)
+  WHERE rn = 1),
+hb AS (SELECT doc_id, source, lang,
+  len(regexp_extract_all(text, '\S+'))::BIGINT AS ntok,
+  NOT (len(regexp_extract_all(text, '\S+')) < 20
+    OR len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+      / greatest(len(regexp_extract_all(text, '\S+')), 1) < 0.05) AS h
+  FROM documents),
+j AS (SELECT hb.*, p.pred,
+    coalesce(p.pred IN ('en', 'de', 'es'), FALSE) AS lk
+  FROM hb LEFT JOIN p USING (doc_id))
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(ntok)::BIGINT AS n_tokens,
+  sum(CASE WHEN lk THEN 1 ELSE 0 END)::BIGINT AS lang_kept_docs,
+  sum(CASE WHEN lk AND pred = lang THEN 1 ELSE 0 END)::BIGINT AS lang_correct_docs,
+  sum(CASE WHEN lk AND h THEN 1 ELSE 0 END)::BIGINT AS survivors,
+  sum(CASE WHEN lk AND h THEN ntok ELSE 0 END)::BIGINT AS survivor_tokens
+FROM j GROUP BY 1""",
     "q262_gate_attribution" ->
       s"""WITH $gopherCtesSql,
 hb AS (SELECT doc_id, source,

@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   * scale operators, so a pipeline user calls `curate` instead of wiring
   * eight queries by hand:
   *
+  *   0. language gate     — optional: keep docs a frozen classifier
+  *                          places in the target-language set (CCNet's
+  *                          FIRST filter — a pure projection)
   *   1. quality gate      — length + stopword-ratio screen (TextOps)
   *   2. repetition gate   — Gopher dup-word / top-gram char-mass cuts
   *   3. exact dedup       — fingerprint groups, keep the canonical
@@ -47,10 +50,16 @@ object CorpusPipeline {
     * gate — the paper's placement: semantic dedup after cleaning, so a
     * heuristically-dead doc can never claim a semantic group's keep
     * slot. Docs without an embedding pass the stage untouched.
+    *
+    * `langKeep` (text column → boolean keep, e.g.
+    * `t => langNb.predict(t).isin("en", "de")`) runs FIRST — CCNet's
+    * placement: every later gate's budget is spent only on
+    * target-language docs. NULL keep (unidentifiable text) drops.
     */
   def curate(docs: DataFrame, probes: Option[DataFrame], id: Column, text: Column,
              cfg: Config = Config(),
-             embeddings: Option[DataFrame] = None): DataFrame = {
+             embeddings: Option[DataFrame] = None,
+             langKeep: Option[Column => Column] = None): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("text"))
     val quality = base.select(col("doc_id"),
       TextOps.nTokens(col("text")).as("n_tokens"),
@@ -68,12 +77,15 @@ object CorpusPipeline {
         .select(col("doc_id"), col("contaminated"))
     }.getOrElse(base.select(col("doc_id"), lit(false).as("contaminated")))
 
+    val langOk = langKeep.map(f => coalesce(f(col("text")), lit(false)))
+      .getOrElse(lit(true))
     val pre = base
       .join(quality, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
       .join(exact, Seq("doc_id"), "left")
       .withColumn("pre_stage",
-        when(col("n_tokens") < cfg.minTokens, "too_short")
+        when(!langOk, "wrong_lang")
+          .when(col("n_tokens") < cfg.minTokens, "too_short")
           .when(col("stop_ratio") < cfg.minStopwordRatio, "low_stopword")
           .when(coalesce(col("dup_word_frac"), lit(0.0)) > cfg.maxDupWordFrac,
             "repetitive")

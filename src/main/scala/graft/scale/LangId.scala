@@ -37,7 +37,20 @@ object LangId {
     * the confusion matrix and the frozen serving path both pin to.
     */
   def nbPredictions(docs: DataFrame, id: Column, text: Column, label: Column,
-                    train: Column, buckets: Int = 64): DataFrame = {
+                    train: Column, buckets: Int = 64): DataFrame =
+    nbScored(docs, id, text, label, train, buckets, allDocs = false)
+
+  /** Predictions over EVERY doc (train slice included) with the
+    * train-slice-fitted model — the funnel/serving form: a curation
+    * pipeline gates the WHOLE corpus, not just the hold-out. Same
+    * model, same rounded argmax, same tie rule as [[nbPredictions]].
+    */
+  def nbPredictionsAll(docs: DataFrame, id: Column, text: Column, label: Column,
+                       train: Column, buckets: Int = 64): DataFrame =
+    nbScored(docs, id, text, label, train, buckets, allDocs = true)
+
+  private def nbScored(docs: DataFrame, id: Column, text: Column, label: Column,
+                       train: Column, buckets: Int, allDocs: Boolean): DataFrame = {
     val base = docs.select(id.as("doc_id"), label.as("lang"), train.as("tr"),
       triArray(text).as("ta"))
     val tris = base
@@ -52,7 +65,7 @@ object LangId {
     val model = tot.join(pri, "lang").crossJoin(broadcast(nn))
       .select(col("lang").as("cand"), col("tc"),
         log(col("n").cast("double") / col("nn")).as("logprior"))
-    val scored = tris.where(!col("tr"))
+    val scored = (if (allDocs) tris else tris.where(!col("tr")))
       .crossJoin(broadcast(model))
       .join(broadcast(cnt.select(col("lang").as("cand"), col("b"), col("c"))),
         Seq("cand", "b"), "left")

@@ -10,39 +10,42 @@ import graft.scoring.Trainer
 case class SourcedDoc(doc_id: Long, source: String, text: String)
 
 /** Per-doc stateless curation flags (the same expressions the batch
-  * gates compile to: q74 heuristic, q247 Gopher repetition battery,
-  * q245 PII battery, q242 learned quality, q252 frozen per-source
-  * perplexity gate, q260 frozen-index near-dup gate).
+  * gates compile to: frozen lang-ID keep (q276/CCNet's first filter),
+  * q74 heuristic, q247 Gopher repetition battery, q245 PII battery,
+  * q242 learned quality, q252 frozen per-source perplexity gate, q260
+  * frozen-index near-dup gate).
   */
-case class FlaggedDoc(source: String, ntok: Long, heuristic: Boolean,
-    gopher: Boolean, pii: Boolean, quality: Boolean, perplexity: Boolean,
-    neardup: Boolean)
+case class FlaggedDoc(source: String, ntok: Long, lang: Boolean,
+    heuristic: Boolean, gopher: Boolean, pii: Boolean, quality: Boolean,
+    perplexity: Boolean, neardup: Boolean)
 
 /** Running per-source curation totals since stream start. */
 case class CurationTotals(source: String, n_docs: Long, n_tokens: Long,
-    heuristic_kept: Long, gopher_kept: Long, pii_docs: Long,
+    lang_kept: Long, heuristic_kept: Long, gopher_kept: Long, pii_docs: Long,
     quality_kept: Long, perplexity_kept: Long, neardup_docs: Long,
     survivors: Long, survivor_tokens: Long)
 
 /** Live curation dashboard state — the streaming twin of the q249
   * funnel report: per SOURCE, running totals of docs/token mass and how
-  * many pass each stateless gate (heuristic, Gopher repetition,
-  * learned quality, frozen perplexity) plus the PII incidence.
-  * `survivors` counts heuristic ∧ ¬gopher ∧ quality ∧ perplexity ∧
-  * ¬neardup — the full gate battery, live: the q249 funnel's three
-  * stages (the Gopher battery is a pure projection since the one-pass
-  * kernel) PLUS the q242 learned filter, the perplexity stage served
-  * through the batch-fit [[graft.scale.Perplexity.Gate]] (frozen LM
-  * kernel + per-source threshold literals, so the corpus-global rank
-  * the batch fit needed never runs on the stream), and — when a frozen
-  * [[NearDupGate]] index is supplied — the q260 near-dup gate (a doc
-  * already in yesterday's corpus contributes no new training mass).
-  * PII does not drop a doc — the scrub redacts it; its count is the
-  * incidence the q246 rollup reports. `survivor_tokens` is the
-  * surviving token mass — the number a mixture budgeter (q195)
-  * actually consumes.
+  * many pass each stateless gate (target language, heuristic, Gopher
+  * repetition, learned quality, frozen perplexity) plus the PII
+  * incidence. `survivors` counts lang ∧ heuristic ∧ ¬gopher ∧ quality ∧
+  * perplexity ∧ ¬neardup — the full gate battery, live: CCNet's FIRST
+  * filter (keep docs the frozen [[graft.scale.LangId.LangNb]] classifies
+  * into the target-language set — a pure projection when supplied), the
+  * q249 funnel's three stages (the Gopher battery is a pure projection
+  * since the one-pass kernel), the q242 learned filter, the perplexity
+  * stage served through the batch-fit [[graft.scale.Perplexity.Gate]]
+  * (frozen LM kernel + per-source threshold literals, so the
+  * corpus-global rank the batch fit needed never runs on the stream),
+  * and — when a frozen [[NearDupGate]] index is supplied — the q260
+  * near-dup gate (a doc already in yesterday's corpus contributes no
+  * new training mass). PII does not drop a doc — the scrub redacts it;
+  * its count is the incidence the q246 rollup reports.
+  * `survivor_tokens` is the surviving token mass — the number a mixture
+  * budgeter (q195) actually consumes.
   *
-  * State per source is ONE totals row (10 scalars), so the processor is
+  * State per source is ONE totals row (11 scalars), so the processor is
   * O(1) per event and state grows with the number of SOURCES — the
   * shape a 100 TB ingest dashboard needs; the flags themselves are pure
   * projections computed before the keyed exchange.
@@ -58,16 +61,18 @@ class CurationCounterProcessor
   override def handleInputRows(key: String, rows: Iterator[FlaggedDoc],
       timerValues: TimerValues): Iterator[CurationTotals] = {
     var t = if (st.exists()) st.get()
-      else CurationTotals(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      else CurationTotals(key, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
     rows.foreach { d =>
       def i(b: Boolean) = if (b) 1L else 0L
       // near-dup joins survival: a doc already in the frozen corpus
-      // contributes no new training mass
-      val survives = d.heuristic && !d.gopher && d.quality &&
+      // contributes no new training mass; lang joins it as the FIRST
+      // gate (CCNet: keep target-language docs before anything else)
+      val survives = d.lang && d.heuristic && !d.gopher && d.quality &&
         d.perplexity && !d.neardup
       t = t.copy(
         n_docs = t.n_docs + 1L,
         n_tokens = t.n_tokens + d.ntok,
+        lang_kept = t.lang_kept + i(d.lang),
         heuristic_kept = t.heuristic_kept + i(d.heuristic),
         gopher_kept = t.gopher_kept + i(!d.gopher),
         pii_docs = t.pii_docs + i(d.pii),
@@ -84,7 +89,9 @@ class CurationCounterProcessor
 
 object CurationCounters {
 
-  /** The stateless flag projection: heuristic keep (q74), Gopher
+  /** The stateless flag projection: target-language keep (frozen
+    * [[graft.scale.LangId.LangNb]] prediction ∈ `langGate`'s target
+    * set; absent gate = all docs pass), heuristic keep (q74), Gopher
     * repetition flag (q247 kernel battery), PII presence (q245
     * battery), learned-quality keep (q242 margin > 0 at the 4 dp
     * serving grain), frozen perplexity keep (q252 gate). One narrow
@@ -94,10 +101,19 @@ object CurationCounters {
   def flaggedDocs(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
       buckets: Int, gate: Perplexity.Gate,
       dupIndex: Option[org.apache.spark.sql.DataFrame] = None,
-      dupCfg: NearDupGate.Config = NearDupGate.Config()): Dataset[FlaggedDoc] = {
+      dupCfg: NearDupGate.Config = NearDupGate.Config(),
+      langGate: Option[(graft.scale.LangId.LangNb, Seq[String])] = None): Dataset[FlaggedDoc] = {
     val t = col("text")
+    val langKeep = langGate match {
+      // NULL prediction (no trigram) is not in the target set — dropped,
+      // like any other unidentifiable doc under CCNet's first filter
+      case Some((nb, targets)) =>
+        coalesce(nb.predict(t).isin(targets: _*), lit(false))
+      case None => lit(true)
+    }
     val pre0 = docs.toDF()
       .withColumn("__ntok", TextOps.nTokens(t))
+      .withColumn("__lang", langKeep)
       .withColumn("__h",
         !(TextOps.nTokens(t) < 20 || TextOps.stopwordRatio(t) < 0.05))
       .withColumn("__pii", Pii.patterns.map { case (_, p, _) =>
@@ -114,13 +130,14 @@ object CurationCounters {
     }
     val f = TextOps.hashedNgramFeatures(pre, col("doc_id"), col("text"),
       buckets,
-      keep = Seq("source", "__ntok", "__h", "__g", "__pii", "__lmk", "__nd"))
+      keep = Seq("source", "__ntok", "__lang", "__h", "__g", "__pii", "__lmk", "__nd"))
     val missing = model.features.filterNot(f.columns.contains)
     require(missing.isEmpty,
       s"CurationCounters: model features absent from the stream: $missing")
     implicit val enc: Encoder[FlaggedDoc] = Encoders.product[FlaggedDoc]
     // null text ⇒ zero tokens, no flags (the q74/q245 null semantics)
     f.select(col("source"), coalesce(col("__ntok"), lit(0L)).as("ntok"),
+        coalesce(col("__lang"), lit(false)).as("lang"),
         coalesce(col("__h"), lit(false)).as("heuristic"),
         coalesce(col("__g"), lit(false)).as("gopher"),
         coalesce(col("__pii"), lit(false)).as("pii"),
@@ -134,9 +151,10 @@ object CurationCounters {
   def totals(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
       buckets: Int, gate: Perplexity.Gate,
       dupIndex: Option[org.apache.spark.sql.DataFrame] = None,
-      dupCfg: NearDupGate.Config = NearDupGate.Config()): Dataset[CurationTotals] = {
+      dupCfg: NearDupGate.Config = NearDupGate.Config(),
+      langGate: Option[(graft.scale.LangId.LangNb, Seq[String])] = None): Dataset[CurationTotals] = {
     implicit val enc: Encoder[CurationTotals] = Encoders.product[CurationTotals]
-    flaggedDocs(docs, model, buckets, gate, dupIndex, dupCfg)
+    flaggedDocs(docs, model, buckets, gate, dupIndex, dupCfg, langGate)
       .groupByKey(_.source)(Encoders.STRING)
       .transformWithState(new CurationCounterProcessor,
         TimeMode.None(), OutputMode.Update())

@@ -693,6 +693,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(rep.values.sum == 6 && rep("kept") == 1)
   }
 
+  test("CorpusPipeline.curate: language gate runs first; a wrong-lang doc never claims a keep slot") {
+    import graft.scale.CorpusPipeline
+    // a fake frozen classifier (the gate contract is any text->bool
+    // column): target language == contains " the "
+    val docs = Seq(
+      (1L, "here the alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "bonjour le monde ici sans marqueur anglais du tout vraiment rien"), // wrong lang
+      (3L, "courte"),                                     // wrong lang AND too short
+      (4L, "here the alpha beta gamma delta epsilon zeta eta theta iota nu")    // near dup of 1
+    ).toDF("doc_id", "text")
+    val gate: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => t.contains(" the ")
+    val cur = CorpusPipeline.curate(docs, None, col("doc_id"), col("text"),
+      CorpusPipeline.Config(shingleN = 1, neardupTau = 0.8), langKeep = Some(gate))
+    val stages = cur.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(stages(1L) == "kept", stages)
+    assert(stages(2L) == "wrong_lang", stages)
+    assert(stages(3L) == "wrong_lang", stages) // lang wins over too_short (first gate)
+    assert(stages(4L) == "near_dup", stages)
+    // without the gate, behavior is unchanged (back-compat: no wrong_lang)
+    val cur0 = CorpusPipeline.curate(docs, None, col("doc_id"), col("text"),
+      CorpusPipeline.Config(shingleN = 1, neardupTau = 0.8))
+    val s0 = cur0.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!s0.values.exists(_ == "wrong_lang") && s0(2L) == "kept")
+    assert(s0(3L) == "too_short")
+  }
+
   test("CorpusPipeline.curate: canonical re-points to the lowest KEPT near-dup member") {
     import graft.scale.CorpusPipeline
     // doc 1: min-id member of the near-dup group but REPETITIVE (Gopher

@@ -1816,22 +1816,31 @@ class StreamingSpec extends AnyFunSuite {
     val gate = Perplexity.fitGate(
       docsB.select(col("doc_id"), col("source"), col("text")))
     // frozen near-dup index over yesterday's corpus (doc_id % 10 != 0);
-    // the stream is today's delta plus planted copies of indexed docs
+    // the stream is today's delta plus planted copies of indexed docs.
+    // Texts stream MARKED (the q263/q276 fixture) so the frozen lang
+    // gate — CCNet's first filter, new in r14 — actually discriminates.
+    val marked = concat(col("text"), lit(" "), col("lang"),
+      lit(" "), col("lang"), lit(" "), col("lang"))
     val index = NearDupGate.buildIndex(
-      docsB.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text")).persist()
+      docsB.where(col("doc_id") % 10 =!= 0), col("doc_id"), marked).persist()
+    val langNb = graft.scale.LangId.fit(docsB, col("doc_id"), marked,
+      col("lang"), Splits.bucket(col("doc_id"), "lid", 5) =!= 0, buckets = 64)
+    val langGate = Some((langNb, Seq("en", "de", "es")))
 
     val delta = docsB.where(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), marked.as("text"))
       .as[SourcedDoc].collect()
     val planted = docsB.where(col("doc_id") % 10 =!= 0)
       .orderBy(col("doc_id")).limit(3)
-      .select((col("doc_id") + 100000L).as("doc_id"), col("source"), col("text"))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+        marked.as("text"))
       .as[SourcedDoc].collect()
     val docs = (delta ++ planted).sortBy(_.doc_id)
     val (half1, half2) = docs.splitAt(docs.length / 2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[SourcedDoc]
-    val query = CurationCounters.totals(input.toDS(), m, B, gate, Some(index))
+    val query = CurationCounters.totals(input.toDS(), m, B, gate, Some(index),
+        langGate = langGate)
       .toDF().writeStream.format("memory").queryName("funnel")
       .outputMode("update").start()
     try {
@@ -1844,20 +1853,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
 
     // latest emitted totals per source (update mode: last row wins)
-    def ten(r: org.apache.spark.sql.Row) =
-      (1 to 10).map(r.getLong).toList
+    def eleven(r: org.apache.spark.sql.Row) =
+      (1 to 11).map(r.getLong).toList
     val streamed = spark.table("funnel")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("n_docs").desc)))
       .where(col("rn") === 1).drop("rn")
-      .collect().map(r => r.getString(0) -> ten(r)).toMap
-    val sv = col("heuristic") && !col("gopher") && col("quality") &&
-      col("perplexity") && !col("neardup")
+      .collect().map(r => r.getString(0) -> eleven(r)).toMap
+    val sv = col("lang") && col("heuristic") && !col("gopher") &&
+      col("quality") && col("perplexity") && !col("neardup")
     val batch = CurationCounters.flaggedDocs(docs.toSeq.toDS(),
-        m, B, gate, Some(index))
+        m, B, gate, Some(index), langGate = langGate)
       .toDF().groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(when(col("lang"), 1L).otherwise(0L)).as("lk"),
         sum(when(col("heuristic"), 1L).otherwise(0L)).as("hk"),
         sum(when(!col("gopher"), 1L).otherwise(0L)).as("gk"),
         sum(when(col("pii"), 1L).otherwise(0L)).as("pd"),
@@ -1866,7 +1876,7 @@ class StreamingSpec extends AnyFunSuite {
         sum(when(col("neardup"), 1L).otherwise(0L)).as("nd"),
         sum(when(sv, 1L).otherwise(0L)).as("sv"),
         sum(when(sv, col("ntok")).otherwise(0L)).as("svt"))
-      .collect().map(r => r.getString(0) -> ten(r)).toMap
+      .collect().map(r => r.getString(0) -> eleven(r)).toMap
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (src, v) =>
       assert(streamed(src) == v, s"source $src: ${streamed(src)} != $v")
@@ -1874,13 +1884,16 @@ class StreamingSpec extends AnyFunSuite {
     // gates discriminate on this corpus, survivors exist, and survivor
     // token mass is a real sub-mass (not vacuous counters)
     def tot(i: Int) = batch.values.map(_(i)).sum
-    assert(tot(8) > 0 && tot(8) < tot(0), "survivors")
-    assert(batch.values.exists(v => v(6) > 0 && v(6) < v(0)),
+    assert(tot(9) > 0 && tot(9) < tot(0), "survivors")
+    // the lang gate discriminates: a strict sub-mass keeps (the marked
+    // corpus carries en/de/es targets AND fr/zh rejects)
+    assert(tot(2) > 0 && tot(2) < tot(0), "lang gate must discriminate")
+    assert(batch.values.exists(v => v(7) > 0 && v(7) < v(0)),
       "perplexity gate must discriminate")
-    assert(tot(9) > 0 && tot(9) < tot(1),
+    assert(tot(10) > 0 && tot(10) < tot(1),
       "survivor token mass must be a strict sub-mass")
     // the planted copies of indexed docs are caught by the live gate
-    assert(tot(7) >= planted.length, "near-dup incidence covers planted copies")
+    assert(tot(8) >= planted.length, "near-dup incidence covers planted copies")
     index.unpersist()
 
     // frozen-gate serving == the batch q248-style threshold keep set,
