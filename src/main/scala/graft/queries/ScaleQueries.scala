@@ -1148,6 +1148,35 @@ sig AS (SELECT doc_id,
         .select(col("query_id"), col("nbr_id"),
           col("rank").cast("long").as("rank"), col("adc"))
     },
+    // trained-vs-seed PQ codebook QA (VERDICT-r13 item 4): per probe,
+    // recall@10 against the exact euclid top-10 for BOTH quantizers —
+    // the seed codebooks (q257) and the per-subspace rounded-Lloyd
+    // trained ones (one fused chain over all 8 subspaces; every refined
+    // coordinate re-rounds through the engine quantum, so the oracle
+    // replays the identical codebook matrix). The number a deployment
+    // reads before paying for codebook training.
+    "q277_pq_trained" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val exact = Similarity.euclidTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("nbr_id"))
+      val seed = Similarity.pqTopK(emb, probes, k = 10,
+          dim = 64, m = 8, ksub = 16)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("sh"))
+      val trained = Similarity.pqTopKTrained(emb, probes, k = 10,
+          dim = 64, m = 8, ksub = 16, iters = 1)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("th"))
+      exact.join(seed, Seq("query_id", "nbr_id"), "left")
+        .join(trained, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("sh"), lit(0L))).as("seed_hits"),
+          sum(coalesce(col("th"), lit(0L))).as("trained_hits"),
+          r6(sum(coalesce(col("sh"), lit(0L))).cast("double") / count(lit(1)))
+            .as("seed_recall"),
+          r6(sum(coalesce(col("th"), lit(0L))).cast("double") / count(lit(1)))
+            .as("trained_recall"))
+    },
     // cross-doc line dedup (the CCNet/RefinedWeb boilerplate-line strip
     // that runs BEFORE document-level dedup): lines appearing in >= 2
     // distinct docs are shared; per doc, shared line instances + the
@@ -2509,6 +2538,72 @@ adc AS (
 r AS (SELECT query_id, nbr_id, adc,
   row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rank FROM adc)
 SELECT query_id, nbr_id, rank, adc FROM r WHERE rank <= 10""",
+    "q277_pq_trained" ->
+      """WITH seeds AS (
+  SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e FROM embeddings ORDER BY vec_id LIMIT 16),
+cent0 AS MATERIALIZED (
+  SELECT t.m, s.c, s.e[t.m*8+1 : t.m*8+8] AS ce
+  FROM seeds s, unnest(range(0, 8)) AS t(m)),
+codes0 AS MATERIALIZED (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT v.vec_id, ct.m, ct.c,
+      row_number() OVER (PARTITION BY v.vec_id, ct.m ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(v.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) ASC,
+        ct.c ASC) AS rn
+    FROM embeddings v CROSS JOIN cent0 ct) WHERE rn = 1),
+cent1 AS MATERIALIZED (
+  SELECT m, code AS c, list(v ORDER BY pos) AS ce FROM (
+    SELECT cd.m, cd.code, t.pos,
+      round(avg(v.embedding[cd.m*8 + t.pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM codes0 cd JOIN embeddings v USING (vec_id),
+      unnest(range(1, 9)) AS t(pos)
+    GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+codes1 AS MATERIALIZED (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT v.vec_id, ct.m, ct.c,
+      row_number() OVER (PARTITION BY v.vec_id, ct.m ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(v.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) ASC,
+        ct.c ASC) AS rn
+    FROM embeddings v CROSS JOIN cent1 ct) WHERE rn = 1),
+lut0 AS (
+  SELECT q.vec_id AS query_id, ct.m, ct.c,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(q.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) AS ld
+  FROM embeddings q CROSS JOIN cent0 ct WHERE q.vec_id < 10),
+lut1 AS (
+  SELECT q.vec_id AS query_id, ct.m, ct.c,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(q.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) AS ld
+  FROM embeddings q CROSS JOIN cent1 ct WHERE q.vec_id < 10),
+stop AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT a.query_id, a.nbr_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc ASC, a.nbr_id ASC) AS rank
+    FROM (SELECT l.query_id, cd.vec_id AS nbr_id, round(sum(l.ld) + 5e-11, 4) AS adc
+          FROM codes0 cd JOIN lut0 l ON cd.m = l.m AND cd.code = l.c
+          WHERE cd.vec_id != l.query_id GROUP BY 1, 2) a)
+  WHERE rank <= 10),
+ttop AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT a.query_id, a.nbr_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc ASC, a.nbr_id ASC) AS rank
+    FROM (SELECT l.query_id, cd.vec_id AS nbr_id, round(sum(l.ld) + 5e-11, 4) AS adc
+          FROM codes1 cd JOIN lut1 l ON cd.m = l.m AND cd.code = l.c
+          WHERE cd.vec_id != l.query_id GROUP BY 1, 2) a)
+  WHERE rank <= 10),
+ex AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y::DOUBLE)*(x::DOUBLE - y::DOUBLE)) FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) ASC,
+        e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+    WHERE e.vec_id != q.vec_id)
+  WHERE rank <= 10)
+SELECT ex.query_id, count(*)::BIGINT AS n_exact,
+  CAST(sum(CASE WHEN s.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS seed_hits,
+  CAST(sum(CASE WHEN t.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS trained_hits,
+  round(sum(CASE WHEN s.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS seed_recall,
+  round(sum(CASE WHEN t.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS trained_recall
+FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
+  LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
+GROUP BY 1""",
     "q256_dsir" ->
       """WITH tok AS (
   SELECT d.doc_id, d.source, t.tok,

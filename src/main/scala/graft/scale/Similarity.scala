@@ -280,13 +280,84 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              dim: Int, m: Int, ksub: Int): DataFrame = {
     require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    pqAdcTopK(corpus, queries, k, dim, m,
+      pqSeedCodebooks(corpus, dim, m, ksub))
+  }
+
+  /** The deterministic seed codebooks (m, c, ce): subspace slices of the
+    * `ksub` lowest-id vectors — the q59 discipline that keeps the chain
+    * oracle-exact without training.
+    */
+  private def pqSeedCodebooks(corpus: DataFrame, dim: Int, m: Int,
+      ksub: Int): DataFrame = {
     val dsub = dim / m
     val sub = (e: Column, mm: Column) => slice(e, mm * lit(dsub) + lit(1), lit(dsub))
-    val cent = corpus.orderBy(col("vec_id")).limit(ksub)
+    corpus.orderBy(col("vec_id")).limit(ksub)
       .select(col("vec_id").cast("int").as("c"),
         col("embedding").cast("array<double>").as("e"))
       .select(explode(array((0 until m).map(lit): _*)).as("m"), col("c"),
         sub(col("e"), col("m")).as("ce"))
+  }
+
+  /** TRAINED per-subspace codebooks: the seed codebooks refined by
+    * `iters` Lloyd steps with every centroid coordinate re-rounded
+    * through the engine quantum (the q170/q255 discipline, so a DuckDB
+    * oracle replays the identical codebook matrix) — the production
+    * quantizer Jégou et al. §III train, vs the seed shortcut. ALL `m`
+    * subspaces ride ONE fused chain: the subspace id is a key column, so
+    * each Lloyd step is one broadcast-assign (map-side-combined argmin)
+    * plus one (m, c, pos)-keyed mean, not m separate job chains. A
+    * centroid that attracts no points drops out (standard Lloyd death).
+    */
+  def pqCodebooksTrained(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    require(dim % m == 0,
+      s"pqCodebooksTrained: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val sub = (e: Column, mm: Column) => slice(e, mm * lit(dsub) + lit(1), lit(dsub))
+    val pts = corpus.select(col("vec_id"),
+        explode(array((0 until m).map(mm =>
+          struct(lit(mm).as("m"),
+            sub(col("embedding"), lit(mm)).as("sv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("vec_id"),
+        col("e.sv").cast("array<double>").as("sv"))
+    var cent = pqSeedCodebooks(corpus, dim, m, ksub)
+    (0 until iters).foreach { _ =>
+      val assigned = pts.join(broadcast(cent), Seq("m"))
+        .select(col("m"), col("vec_id"), col("sv"),
+          sqDist(col("sv"), col("ce")).as("d2"), col("c"))
+        .groupBy(col("m"), col("vec_id"))
+        .agg(first(col("sv")).as("sv"),
+          min(struct(col("d2"), col("c"))).getField("c").as("c"))
+      cent = assigned.select(col("m"), col("c"), posexplode(col("sv")))
+        .groupBy(col("m"), col("c"), col("pos"))
+        .agg(graft.queries.r6(avg(col("col"))).as("v"))
+        .groupBy(col("m"), col("c"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("ce"))
+    }
+    cent
+  }
+
+  /** [[pqTopK]] with TRAINED codebooks ([[pqCodebooksTrained]]) — same
+    * ADC machinery, better-fitting cells; q277 reports the recall the
+    * training buys over the seed quantizer.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"pqTopKTrained: dim $dim not divisible into $m subspaces")
+    pqAdcTopK(corpus, queries, k, dim, m,
+      pqCodebooksTrained(corpus, dim, m, ksub, iters))
+  }
+
+  /** The shared ADC search over a (m, c, ce) codebook frame: encode the
+    * corpus, build the per-query lookup table, sum rounded asymmetric
+    * distances, rank via the two-pass GlobalOrder.
+    */
+  private def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, m: Int, cent: DataFrame): DataFrame = {
+    val dsub = dim / m
+    val sub = (e: Column, mm: Column) => slice(e, mm * lit(dsub) + lit(1), lit(dsub))
     // code = argmin_c ||subvector − centroid||² (tie → lowest c); the
     // min-struct aggregate is the shuffle-free argmax idiom
     val codes = corpus.select(col("vec_id"), col("embedding"))

@@ -332,6 +332,32 @@ class ScaleSpec extends AnyFunSuite {
         rs.map(_.getDouble(3)).sorted.toSeq), "rank order follows ADC")
   }
 
+  test("pqTopKTrained: rounded-Lloyd codebooks are deterministic and lift mean recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.euclidTopK(emb, queries, 10)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select(col("query_id"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(s).size.toDouble / exact.size
+    }
+    val seed = recall(Similarity.pqTopK(emb, queries, 10, dim = 64, m = 8, ksub = 16))
+    def trained() =
+      Similarity.pqTopKTrained(emb, queries, 10, dim = 64, m = 8, ksub = 16, iters = 1)
+    val t1 = trained().select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t2 = trained().select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t1 == t2, "trained-PQ search must be deterministic (rounded centroids)")
+    val tr = exact.intersect(t1).size.toDouble / exact.size
+    info(s"recall@10: seed $seed, trained $tr")
+    // one Lloyd step fits the cells to the data — mean recall must not
+    // drop (and does lift on this corpus: 0.28 -> 0.34 at sf0.01)
+    assert(tr >= seed, s"training must not lose recall: $tr < $seed")
+  }
+
   test("ivfPqTopK: deterministic, probes bound the candidate set, nonzero recall") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 5)
