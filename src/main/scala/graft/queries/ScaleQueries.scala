@@ -1396,6 +1396,18 @@ sig AS (SELECT doc_id,
           tau = 0.30)
         .select(col("vec_id"), col("cluster_id"), col("cluster_n"),
           col("n_prev_dups"), col("max_prev_cos"), col("kept"))
+    },
+    // cross-modal dedup consensus (VERDICT-r13 "multimodal" gap): the
+    // text-space near-dup verdict (banded simhash, complete at hamming
+    // <= 3 by pigeonhole) joined against the embedding-space verdict
+    // (q255 SemDeDup prune) over the paired documents ⋈ embeddings
+    // corpus — per source, the agreement/conflict matrix a pipeline
+    // reads before trusting either gate alone. The oracle's text side
+    // is a brute-force n² hamming scan (equal to the banded set at the
+    // threshold); the Spark side stays band-keyed equi-joins.
+    "q278_crossmodal" -> { (s, dir) =>
+      graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
+        Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"))
     })
 
   /** LSH config for q56; the oracle embeds the identical md5-derived
@@ -2665,6 +2677,66 @@ SELECT a.vec_id, a.cid::BIGINT AS cluster_id, n.cluster_n,
   coalesce(d.n_prev_dups, 0) AS n_prev_dups, d.max_prev_cos,
   d.n_prev_dups IS NULL AS kept
 FROM a2 a JOIN n USING (cid) LEFT JOIN d ON a.vec_id = d.vec_id""",
+    "q278_crossmodal" -> {
+      val sums = (0 until 32).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fpExpr = (0 until 32).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM t),
+sgn AS (SELECT doc_id,
+    $sums
+  FROM h GROUP BY doc_id),
+fp AS MATERIALIZED (SELECT doc_id, ($fpExpr)::BIGINT AS simhash FROM sgn),
+tp AS (SELECT b.doc_id FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 GROUP BY 1),
+c0 AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+c1 AS (
+  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, round(avg(embedding[pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM a1, unnest(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid),
+a2 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+p AS (
+  SELECT b.vec_id,
+    round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+      / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
+      / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) + 5e-11, 4) AS cos
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+d AS (SELECT vec_id FROM p WHERE cos >= 0.30 GROUP BY 1),
+sdv AS (SELECT a2.vec_id AS doc_id, (d.vec_id IS NOT NULL) AS sd
+  FROM a2 LEFT JOIN d ON a2.vec_id = d.vec_id),
+j AS (SELECT doc.doc_id, doc.source,
+    (tp.doc_id IS NOT NULL) AS td, sdv.sd
+  FROM documents doc LEFT JOIN tp ON doc.doc_id = tp.doc_id
+    LEFT JOIN sdv ON doc.doc_id = sdv.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN sd IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_paired,
+  sum(CASE WHEN sd IS NOT NULL AND td AND sd THEN 1 ELSE 0 END)::BIGINT AS both_dup,
+  sum(CASE WHEN sd IS NOT NULL AND td AND NOT sd THEN 1 ELSE 0 END)::BIGINT AS text_only,
+  sum(CASE WHEN sd IS NOT NULL AND NOT td AND sd THEN 1 ELSE 0 END)::BIGINT AS sem_only,
+  sum(CASE WHEN sd IS NOT NULL AND NOT td AND NOT sd THEN 1 ELSE 0 END)::BIGINT AS neither,
+  round(sum(CASE WHEN sd IS NOT NULL AND td = sd THEN 1 ELSE 0 END)::DOUBLE
+    / greatest(sum(CASE WHEN sd IS NOT NULL THEN 1 ELSE 0 END), 1) + 5e-11, 4) AS agree_rate
+FROM j GROUP BY 1"""
+    },
     "q73_contamination" ->
       """WITH b AS (
   SELECT doc_id,

@@ -72,6 +72,66 @@ object Multimodal {
     }
   }
 
+  /** Cross-modal dedup CONSENSUS — the QA a paired text+embedding
+    * pipeline runs before trusting either near-dup gate alone
+    * (VERDICT-r13 gap 1): per source, the agreement/conflict matrix of
+    *
+    *   - the TEXT verdict: the doc has a LOWER-id simhash near-dup at
+    *     `maxHamming` — found through the 4×8 banded self-join (complete
+    *     at any threshold < 4 by pigeonhole, so the scale-shaped
+    *     equi-join equals the oracle's brute-force n² scan), and
+    *   - the SEMANTIC verdict: [[Similarity.semDedup]]'s prune flag (a
+    *     lower-id cluster-mate at cosine ≥ `tau`).
+    *
+    * A text_only doc is boilerplate-similar prose with novel meaning; a
+    * sem_only doc is a paraphrase the lexical gate cannot see; the two
+    * columns are exactly the mass each gate would wrongly keep if run
+    * alone. Only PAIRED docs (an embedding exists for the doc id) are
+    * judged; `n_docs` counts everything so the unpaired mass stays
+    * visible. Multi-band candidate duplicates need no dedup — the text
+    * flag is an EXISTS, and the per-pair hamming filter precedes the
+    * doc-keyed rollup.
+    */
+  def dedupConsensus(docs: DataFrame, embeddings: DataFrame,
+      id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column,
+      maxHamming: Int = 3, k: Int = 8, iters: Int = 1,
+      tau: Double = 0.30): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"dedupConsensus: maxHamming $maxHamming needs an intact band (< 4)")
+    val fps = Dedup.simhash(docs, id, text)
+    val banded = fps.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*)).as("e"))
+      .select(col("e.band").as("band"), col("e.key").as("key"),
+        col("doc_id"), col("simhash"))
+    val textDup = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("b.doc_id").as("doc_id"))
+      .groupBy(col("doc_id")).agg(lit(true).as("td"))
+    val semDup = Similarity.semDedup(embeddings, k, iters, tau)
+      .select(col("vec_id").as("doc_id"), (!col("kept")).as("sd"))
+    val td = coalesce(col("td"), lit(false))
+    val sd = col("sd") // null marks an unpaired doc
+    docs.select(id.as("doc_id"), source.as("source"))
+      .join(textDup, Seq("doc_id"), "left")
+      .join(semDup, Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(sd.isNotNull, 1L).otherwise(0L)).as("n_paired"),
+        sum(when(sd.isNotNull && td && sd, 1L).otherwise(0L)).as("both_dup"),
+        sum(when(sd.isNotNull && td && !sd, 1L).otherwise(0L)).as("text_only"),
+        sum(when(sd.isNotNull && !td && sd, 1L).otherwise(0L)).as("sem_only"),
+        sum(when(sd.isNotNull && !td && !sd, 1L).otherwise(0L)).as("neither"),
+        graft.queries.r6(
+          sum(when(sd.isNotNull && (td === sd), 1L).otherwise(0L)).cast("double") /
+            greatest(sum(when(sd.isNotNull, 1L).otherwise(0L)), lit(1L)))
+          .as("agree_rate"))
+  }
+
   /** Batched "decode + feature extract": one pass per partition, decoding
     * each payload once. STUB decoder: byte statistics + 256-byte frame
     * count stand in for pixel/sample features.

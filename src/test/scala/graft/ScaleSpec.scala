@@ -805,6 +805,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(!cur0.collect().exists(_.getString(2) == "semantic_dup"))
   }
 
+  test("dedupConsensus: text-only and sem-only conflicts land in the right cells") {
+    import graft.scale.Multimodal
+    // the two modalities DELIBERATELY disagree: docs 1/2 share text
+    // (simhash hamming 0) but carry orthogonal embeddings; docs 3/4 are
+    // lexically disjoint paraphrase stand-ins with identical embeddings;
+    // doc 5 has no embedding row (unpaired mass)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (3L, "one two three four five six", "s1"),
+      (4L, "red orange yellow green blue indigo", "s1"),
+      (5L, "unpaired doc with no embedding row here", "s2")
+    ).toDF("doc_id", "text", "source")
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.6f, 0.8f)), (4L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    // k = 1: one cluster holds all four embeddings, so the semantic
+    // verdict sees every pair; tau = 0.9 passes only the identical pair
+    val out = Multimodal.dedupConsensus(docs, emb, col("doc_id"), col("text"),
+        col("source"), maxHamming = 3, k = 1, iters = 0, tau = 0.9)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    // doc 2: text dup of 1, not semantic (orthogonal) -> text_only
+    // doc 4: semantic dup of 3, not textual -> sem_only
+    // docs 1/3: neither (lowest ids keep their groups)
+    assert(out("s1") == ((4L, 4L, 0L, 1L, 1L, 2L, 0.5)), out("s1"))
+    // the unpaired doc counts in n_docs but is never judged
+    assert(out("s2") == ((1L, 0L, 0L, 0L, 0L, 0L, 0.0)), out("s2"))
+  }
+
   test("incrementalDedup: delta doc matches its index twin; novel doc stays unmatched") {
     val index = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
