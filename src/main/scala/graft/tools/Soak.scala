@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
 object Soak {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg: comma-separated name prefixes — run only those
+    // sections (dev loop for re-measuring one family without the ~20 min
+    // full soak)
+    val only: String => Boolean =
+      if (args.length > 1) { val ps = args(1).split(','); n => ps.exists(n.startsWith) }
+      else _ => true
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,7 +30,7 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def time(name: String)(f: => Unit): Unit = {
+    def time(name: String)(f: => Unit): Unit = if (only(name)) {
       val t0 = System.nanoTime()
       f
       println(f"$name ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -385,6 +391,36 @@ object Soak {
       graft.scale.Dsir.weights(docsSpread, col("doc_id"), col("text"),
           graft.scale.TextOps.nTokens(col("text")) >= 20, buckets = 64)
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // round-14: MEASURE the frozen-index candidate rows at k-fold corpus
+    // instead of reasoning about them (VERDICT-r13 item 8). Each
+    // NearDupGate (band, key) cell is one collect_list row a task must
+    // hold; each SemanticGate cluster row likewise. The wide64 layout's
+    // 65k buckets/band should cut the max cell by ~256x at the same
+    // corpus; cand struct = (fp, id) = 16 B, member struct = 8 B id +
+    // 64 x 8 B coordinates = 520 B.
+    time(s"neardup-index-cells-${k}x-docs") {
+      def cells(cfg: graft.streaming.NearDupGate.Config, label: String): Unit = {
+        val st = graft.streaming.NearDupGate
+          .buildIndex(docsSpread, col("doc_id"), col("text"), cfg)
+          .agg(count(lit(1)).as("cells"), max(size(col("cands"))).as("mx"),
+            avg(size(col("cands"))).as("av")).head()
+        println(f"  $label: ${st.getLong(0)} cells, max ${st.getInt(1)} " +
+          f"rows/cell (~${st.getInt(1) * 16 / 1024} KiB), avg ${st.getDouble(2)}%.1f")
+      }
+      cells(graft.streaming.NearDupGate.Config(), "32-bit 4x8")
+      cells(graft.streaming.NearDupGate.wide64, "64-bit 4x16")
+    }
+    time(s"semgate-index-${k}x-vectors") {
+      // k ∝ corpus (the SemDeDup contract): 8*k clusters at k-fold
+      // vectors keeps expected members/cluster constant — the max row
+      // printed is the skew the maxClusterSize guard would enforce
+      val (_, members) = graft.streaming.SemanticGate.fit(vecs, k = 8 * k, iters = 1)
+      val st = members.agg(count(lit(1)).as("cl"),
+        max(size(col("cands"))).as("mx"), avg(size(col("cands"))).as("av")).head()
+      println(f"  ${st.getLong(0)} clusters, max ${st.getInt(1)} members/row " +
+        f"(~${st.getInt(1) * 520 / 1024} KiB), avg ${st.getDouble(2)}%.1f")
     }
 
     spark.stop()
