@@ -1408,6 +1408,43 @@ sig AS (SELECT doc_id,
     "q278_crossmodal" -> { (s, dir) =>
       graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
         Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"))
+    },
+    // two-stage retrieval QA (the FAISS re-rank serving shape): PQ ADC
+    // shortlists 100 candidates per probe, exact squared-euclidean
+    // re-ranks them to 10; per probe, recall@10 of the raw ADC top-10
+    // vs the re-ranked top-10 against the exact top-10. Re-rank recall
+    // provably dominates (exact rank within a superset <= global rank);
+    // the shortlist broadcasts so the exact kernel never scans the
+    // corpus per query.
+    "q280_pq_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val exact = Similarity.euclidTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("nbr_id"))
+      val pq = Similarity.pqTopK(emb, probes, k = 10, dim = 64, m = 8, ksub = 16)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("ph"))
+      val rr = Similarity.pqRerankTopK(emb, probes, k = 10, shortlist = 100,
+          dim = 64, m = 8, ksub = 16)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("rh"))
+      exact.join(pq, Seq("query_id", "nbr_id"), "left")
+        .join(rr, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("ph"), lit(0L))).as("pq_hits"),
+          sum(coalesce(col("rh"), lit(0L))).as("rerank_hits"),
+          r6(sum(coalesce(col("ph"), lit(0L))).cast("double") / count(lit(1)))
+            .as("pq_recall"),
+          r6(sum(coalesce(col("rh"), lit(0L))).cast("double") / count(lit(1)))
+            .as("rerank_recall"))
+    },
+    // the Gopher QUALITY rules (Rae et al. 2021 table A1 — the
+    // non-repetition half the engine was missing): word-count and
+    // mean-word-length bounds, #/ellipsis symbol ratios, bullet and
+    // ellipsis line fractions, alphabetic-word fraction, stop-word
+    // presence — per doc, as ONE pure projection (PlanSpec-gated
+    // shuffle-free, stream-servable like the repetition kernel).
+    "q279_gopher_quality" -> { (s, dir) =>
+      TextOps.gopherQuality(docsSpread(s, dir), col("doc_id"), col("text"))
     })
 
   /** LSH config for q56; the oracle embeds the identical md5-derived
@@ -2616,6 +2653,97 @@ SELECT ex.query_id, count(*)::BIGINT AS n_exact,
 FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
   LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
 GROUP BY 1""",
+    "q280_pq_rerank" ->
+      """WITH seeds AS (
+  SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e FROM embeddings ORDER BY vec_id LIMIT 16),
+cent AS MATERIALIZED (
+  SELECT t.m, s.c, s.e[t.m*8+1 : t.m*8+8] AS ce
+  FROM seeds s, unnest(range(0, 8)) AS t(m)),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT v.vec_id, ct.m, ct.c,
+      row_number() OVER (PARTITION BY v.vec_id, ct.m ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(v.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) ASC,
+        ct.c ASC) AS rn
+    FROM embeddings v CROSS JOIN cent ct) WHERE rn = 1),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, ct.m, ct.c,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(q.embedding[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.ce) AS y)) AS ld
+  FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 10),
+pqr AS MATERIALIZED (SELECT query_id, nbr_id, rank FROM (
+    SELECT a.query_id, a.nbr_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc ASC, a.nbr_id ASC) AS rank
+    FROM (SELECT l.query_id, cd.vec_id AS nbr_id, round(sum(l.ld) + 5e-11, 4) AS adc
+          FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.c
+          WHERE cd.vec_id != l.query_id GROUP BY 1, 2) a)
+  WHERE rank <= 100),
+rr AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT s.query_id, s.nbr_id,
+      row_number() OVER (PARTITION BY s.query_id ORDER BY
+        (SELECT sum((x::DOUBLE - y::DOUBLE)*(x::DOUBLE - y::DOUBLE)) FROM (SELECT unnest(q.embedding) AS x, unnest(v.embedding) AS y)) ASC,
+        s.nbr_id ASC) AS rank
+    FROM pqr s JOIN embeddings v ON s.nbr_id = v.vec_id
+      JOIN embeddings q ON s.query_id = q.vec_id) WHERE rank <= 10),
+ex AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y::DOUBLE)*(x::DOUBLE - y::DOUBLE)) FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) ASC,
+        e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+    WHERE e.vec_id != q.vec_id)
+  WHERE rank <= 10)
+SELECT ex.query_id, count(*)::BIGINT AS n_exact,
+  CAST(sum(CASE WHEN p.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits,
+  CAST(sum(CASE WHEN r.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rerank_hits,
+  round(sum(CASE WHEN p.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS pq_recall,
+  round(sum(CASE WHEN r.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS rerank_recall
+FROM ex
+  LEFT JOIN (SELECT query_id, nbr_id FROM pqr WHERE rank <= 10) p
+    ON ex.query_id = p.query_id AND ex.nbr_id = p.nbr_id
+  LEFT JOIN rr r ON ex.query_id = r.query_id AND ex.nbr_id = r.nbr_id
+GROUP BY 1""",
+    "q279_gopher_quality" ->
+      """WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+    regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '\r?\n'),
+      x -> length(x) > 0) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    round(coalesce(length(array_to_string(toks, ''))::DOUBLE
+      / (CASE WHEN len(toks) > 0 THEN len(toks) END), 0) + 5e-11, 4) AS mean_word_len,
+    round(coalesce((length(t) - length(replace(t, '#', '')))::DOUBLE
+      / (CASE WHEN len(toks) > 0 THEN len(toks) END), 0) + 5e-11, 4) AS hash_ratio,
+    round(coalesce(((length(t) - length(replace(t, '...', ''))) / 3
+        + (length(t) - length(replace(t, chr(8230), ''))))::DOUBLE
+      / (CASE WHEN len(toks) > 0 THEN len(toks) END), 0) + 5e-11, 4) AS ellipsis_ratio,
+    round(coalesce(len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
+        OR starts_with(ltrim(x), '* ') OR starts_with(ltrim(x), chr(8226))))::DOUBLE
+      / (CASE WHEN len(ls) > 0 THEN len(ls) END), 0) + 5e-11, 4) AS bullet_line_frac,
+    round(coalesce(len(list_filter(ls, x -> ends_with(x, '...')
+        OR ends_with(x, chr(8230))))::DOUBLE
+      / (CASE WHEN len(ls) > 0 THEN len(ls) END), 0) + 5e-11, 4) AS ellipsis_line_frac,
+    round(coalesce(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+      / (CASE WHEN len(toks) > 0 THEN len(toks) END), 0) + 5e-11, 4) AS alpha_word_frac,
+    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+      + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)::BIGINT AS n_stopwords
+  FROM b)
+SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stopwords,
+  (n_words < 50 OR n_words > 100000
+    OR mean_word_len < 3.0 OR mean_word_len > 10.0
+    OR hash_ratio > 0.1 OR ellipsis_ratio > 0.1
+    OR bullet_line_frac > 0.9 OR ellipsis_line_frac > 0.3
+    OR alpha_word_frac < 0.8 OR n_stopwords < 2) AS gopher_quality_flag
+FROM m""",
     "q256_dsir" ->
       """WITH tok AS (
   SELECT d.doc_id, d.source, t.tok,

@@ -350,6 +350,29 @@ object Similarity {
       pqCodebooksTrained(corpus, dim, m, ksub, iters))
   }
 
+  /** Two-stage retrieval (the production ANN serving shape — FAISS's
+    * re-rank pattern): a cheap PQ ADC pass shortlists `shortlist`
+    * candidates per query, then EXACT squared-euclidean re-ranks the
+    * shortlist down to `k`. The shortlist frame is eval-set-sized
+    * (|queries|·shortlist rows) and BROADCASTS against the corpus, so
+    * the exact kernel runs on shortlist rows only — never corpus-wide.
+    * Guarantee: any true neighbor the shortlist contains is recovered
+    * (exact rank within a superset ≤ global rank), so re-rank recall
+    * dominates the raw ADC top-k's (the q280 gate's assertion).
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, dim: Int, m: Int, ksub: Int): DataFrame = {
+    require(shortlist >= k, s"pqRerankTopK: shortlist $shortlist < k $k")
+    val short = pqTopK(corpus, queries, shortlist, dim, m, ksub)
+      .select(col("query_id"), col("nbr_id"))
+    val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("ce"))
+      .join(broadcast(short), Seq("nbr_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"), sqDist(col("qe"), col("ce")).as("d2"))
+    topKByQuery(scored, Seq(col("d2").asc, col("nbr_id").asc), k)
+  }
+
   /** The shared ADC search over a (m, c, ce) codebook frame: encode the
     * corpus, build the per-query lookup table, sum rounded asymmetric
     * distances, rank via the two-pass GlobalOrder.

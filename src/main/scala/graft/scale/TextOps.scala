@@ -456,6 +456,79 @@ object TextOps {
       (df > 0.30 || dcf > 0.20).as("line_flag"))
   }
 
+  /** The Gopher QUALITY rules (Rae et al. 2021, table A1 — the
+    * non-repetition half; [[gopherRepetition]]/[[gopherLineStats]] carry
+    * the repetition rules): a document survives iff
+    *
+    *   - word count in [50, 100 000] and mean word length in [3, 10],
+    *   - symbol-to-word ratio ≤ 0.1 for both `#` and ellipsis
+    *     (`...` counted non-overlapping leftmost, plus `…`),
+    *   - ≤ 90% of lines start with a bullet (`- `, `* `, `•`) and
+    *     ≤ 30% end with an ellipsis,
+    *   - ≥ 80% of words contain an alphabetic character,
+    *   - at least 2 DISTINCT members of the paper's stop-word set
+    *     {the, be, to, of, and, that, have, with} appear as exact
+    *     lowercase whitespace tokens.
+    *
+    * All fractions round through the engine quantum before the
+    * threshold compare so the flag is engine-identical at the boundary.
+    * Scale shape: a PURE per-row projection (split + filter + aggregate
+    * over one row's arrays — no explode, no shuffle), so the battery is
+    * directly servable on a document stream like the repetition kernel.
+    * Lines split on `\r?\n` (the C4 CRLF convention).
+    */
+  def gopherQuality(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame =
+    docs.select(id.as("doc_id") +: gopherQualityCols(text): _*)
+
+  /** [[gopherQuality]] as bare projection columns — the stream-side form. */
+  def gopherQualityCols(text: Column): Seq[Column] = {
+    val t = coalesce(text, lit(""))
+    val toks = regexp_extract_all(lower(t), lit("\\S+"), lit(0))
+    val nWords = size(toks).cast("long")
+    val wordChars = length(array_join(toks, "")).cast("long")
+    def frac(num: Column, den: Column): Column =
+      graft.queries.r6(coalesce(num.cast("double") /
+        when(den > 0, den), lit(0.0)))
+    val meanLen = frac(wordChars, nWords)
+    // single-char symbol counts via translate (length delta); the
+    // three-char ellipsis via regexp_replace — leftmost non-overlapping,
+    // the same count SQL replace() produces
+    val nHash = (length(t) - length(translate(t, "#", ""))).cast("long")
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+      (length(t) - length(translate(t, "…", "")))).cast("long")
+    val hashRatio = frac(nHash, nWords)
+    val ellRatio = frac(nEll, nWords)
+    val ls = filter(split(t, "\r?\n"), l => length(l) > 0)
+    val nLines = size(ls).cast("long")
+    val bullet = (l: Column) => {
+      val lt = ltrim(l)
+      lt.startsWith("- ") || lt.startsWith("* ") || lt.startsWith("•")
+    }
+    val endsEll = (l: Column) => l.endsWith("...") || l.endsWith("…")
+    val bulletFrac = frac(size(filter(ls, bullet)).cast("long"), nLines)
+    val ellLineFrac = frac(size(filter(ls, endsEll)).cast("long"), nLines)
+    val alphaFrac = frac(
+      size(filter(toks, w => w.rlike("[a-z]"))).cast("long"), nWords)
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stops.map(s =>
+      when(array_contains(toks, s), 1L).otherwise(0L)).reduce(_ + _)
+    Seq(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      hashRatio.as("hash_ratio"),
+      ellRatio.as("ellipsis_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellLineFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      nStop.as("n_stopwords"),
+      (nWords < 50 || nWords > 100000 ||
+        meanLen < 3.0 || meanLen > 10.0 ||
+        hashRatio > 0.1 || ellRatio > 0.1 ||
+        bulletFrac > 0.9 || ellLineFrac > 0.3 ||
+        alphaFrac < 0.8 || nStop < 2).as("gopher_quality_flag"))
+  }
+
   /** Corpus-trigram language-model score: the mean log-probability of a
     * document's character trigrams under the corpus trigram distribution
     * — the SQL-exact miniature of the perplexity filter LLM pipelines

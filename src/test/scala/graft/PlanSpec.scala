@@ -612,6 +612,13 @@ class PlanSpec extends AnyFunSuite {
     val ex = exchanges(out.queryExecution.executedPlan)
     assert(ex.isEmpty, "C4.lineStats must be shuffle-free:\n" +
       ex.map(_.simpleStringWithNodeId()).mkString("\n"))
+    // the Gopher quality battery (q279) makes the same promise
+    val gq = graft.scale.TextOps.gopherQuality(
+      Tables.documents(spark, sf), col("doc_id"), col("text"))
+    gq.collect()
+    val gx = exchanges(gq.queryExecution.executedPlan)
+    assert(gx.isEmpty, "gopherQuality must be shuffle-free:\n" +
+      gx.map(_.simpleStringWithNodeId()).mkString("\n"))
   }
 
   test("BM25 ranks never funnel a query through one task; postings probe broadcasts") {

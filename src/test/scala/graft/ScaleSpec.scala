@@ -358,6 +358,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(tr >= seed, s"training must not lose recall: $tr < $seed")
   }
 
+  test("pqRerankTopK: re-rank recall dominates raw ADC recall, per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]) =
+      df.select(col("query_id"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(exact)
+        .groupBy(_._1).view.mapValues(_.size).toMap.withDefaultValue(0)
+    val exact = Similarity.euclidTopK(emb, queries, 10)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = hits(Similarity.pqTopK(emb, queries, 10, dim = 64, m = 8, ksub = 16), exact)
+    val rr = hits(Similarity.pqRerankTopK(emb, queries, 10, shortlist = 100,
+      dim = 64, m = 8, ksub = 16), exact)
+    // exact rank within a shortlist superset <= global rank, so every
+    // true neighbor the shortlist holds is recovered: per-query dominance
+    // is a THEOREM here, not a corpus accident
+    (0L until 10L).foreach(q => assert(rr(q) >= pq(q), s"query $q: ${rr(q)} < ${pq(q)}"))
+    assert(rr.values.sum > pq.values.sum, "re-rank must recover real recall on this corpus")
+    info(s"recall@10 sum: pq ${pq.values.sum}/100, rerank ${rr.values.sum}/100")
+  }
+
   test("ivfPqTopK: deterministic, probes bound the candidate set, nonzero recall") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 5)
@@ -1125,6 +1146,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(7L) == ((0L, 0L, 0L, false, false, false, false)))
     assert(out(8L) == ((0L, 0L, 0L, false, false, false, false)))
     assert(out(9L) == out(2L), "CRLF doc behaves exactly like its LF twin")
+  }
+
+  test("Gopher quality rules: each bound trips its flag; clean doc survives") {
+    val good = ("alpha beta gamma delta epsilon " * 10) + "the of and that"
+    val docs = Seq(
+      (1L, good),                                              // survives
+      (2L, "the of and that tiny"),                            // < 50 words
+      (3L, good + " " + ("pneumonoultramicroscopics " * 40)),  // mean len > 10
+      (4L, good + " " + ("# " * 20)),                          // hash ratio
+      (5L, good + " " + ("word... " * 20)),                    // ellipsis ratio
+      (6L, (1 to 10).map(i => s"- bullet item $i alpha beta").mkString("\n")),
+      (7L, (1 to 10).map(i =>
+        if (i <= 4) s"line $i trails off..." else s"line $i ends firmly")
+        .mkString("\n") + " " + good),                         // 40% ellipsis lines
+      (8L, good + " " + ("12345 " * 20)),                      // alpha frac < 0.8
+      (9L, "alpha beta gamma delta epsilon " * 10),            // no stop words
+      (10L, "")                                                // empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long) = out(id).getBoolean(9)
+    assert(!flag(1L), "clean doc survives")
+    assert(out(1L).getLong(1) == 54 && out(1L).getLong(8) == 4)
+    assert(flag(2L) && out(2L).getLong(1) < 50)
+    assert(flag(3L) && out(3L).getDouble(2) > 10.0, "mean word length")
+    assert(flag(4L) && out(4L).getDouble(3) > 0.1, "hash ratio")
+    assert(flag(5L) && out(5L).getDouble(4) > 0.1, "ellipsis ratio")
+    assert(flag(6L) && out(6L).getDouble(5) > 0.9, "bullet lines")
+    assert(flag(7L) && out(7L).getDouble(6) > 0.3 && out(7L).getDouble(6) < 0.5,
+      "ellipsis lines")
+    assert(flag(8L) && out(8L).getDouble(7) < 0.8, "alpha word fraction")
+    assert(flag(9L) && out(9L).getLong(8) == 0, "stop words")
+    assert(flag(10L) && out(10L).getLong(1) == 0L && out(10L).getDouble(2) == 0.0)
   }
 
   test("BM25: pair scores match the Okapi formula computed by hand") {
