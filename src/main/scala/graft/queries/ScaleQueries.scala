@@ -20,6 +20,26 @@ object ScaleQueries extends QueryPack {
   private def docsSpread(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
 
+  /** Corpus + deterministic exact-dup fixture (the q253 technique): every
+    * 25th doc mirrored under a 'mirror' source at doc_id + 1,000,000.
+    * The small-SF corpus carries no natural exact dups (verified: zero
+    * groups at sf0.01), so the dup-mass/leakage gates would be vacuous
+    * without planted copies; at sf0.1 the 8 natural groups join in. The
+    * oracle rebuilds the identical union ([[mirroredDocsSql]]).
+    */
+  private def mirroredDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+    d.unionByName(d.where(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        lit("mirror").as("source")))
+  }
+
+  /** The oracle twin of [[mirroredDocs]] (a FROM-able derived table). */
+  private val mirroredDocsSql =
+    """(SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror' FROM documents WHERE doc_id % 25 = 0)"""
+
   /** Deterministic PII fixture: the synthetic corpus carries no natural
     * emails/phones/IPs/digit runs (verified: zero regex hits at every
     * SF), so the PII queries gate the scrub battery on text AUGMENTED
@@ -1409,6 +1429,95 @@ sig AS (SELECT doc_id,
       graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
         Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"))
     },
+    // duplicate-mass curve: per exact-dup GROUP SIZE, how many groups /
+    // docs / tokens sit there and the token mass dedup would delete
+    // (every copy past the canonical) — the "how duplicated is my
+    // corpus" histogram a dedup budget starts from. One fingerprint
+    // aggregation + one size-keyed rollup; members of a group share
+    // identical text, so per-group token math is closed-form.
+    // (the small-SF corpus has no natural exact dups, so — the q253
+    // fixture technique — every 25th doc is mirrored under a 'mirror'
+    // source, deterministically rebuilt by the oracle; at sf0.1 the 8
+    // natural dup groups join the planted ones)
+    "q282_dup_mass" -> { (s, dir) =>
+      val g = mirroredDocs(s, dir).select(md5(col("text")).as("fp"),
+          TextOps.nTokens(col("text")).as("ntok"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("group_size"), max(col("ntok")).as("ntok"))
+      g.groupBy(col("group_size")).agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"),
+          sum(col("ntok") * col("group_size")).as("n_tokens"),
+          sum(col("ntok") * (col("group_size") - 1)).as("excess_tokens"))
+        .select(col("group_size"), col("n_groups"), col("n_docs"),
+          col("n_tokens"), col("excess_tokens"))
+    },
+    // cross-source contamination matrix: per unordered source pair, the
+    // content fingerprints BOTH sources carry and the cross-source doc
+    // pair count — where exact-dup mass leaks between provenances (the
+    // QA that decides whether per-source dedup budgets can be trusted
+    // independently). (fp, source) pre-aggregation, then one fp-keyed
+    // equi-join — never all-pairs over docs.
+    "q283_source_leakage" -> { (s, dir) =>
+      val d = mirroredDocs(s, dir)
+        .select(md5(col("text")).as("fp"), col("source"))
+        .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("c"))
+      d.as("a").join(d.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_fps"),
+          sum(col("a.c") * col("b.c")).as("doc_pairs"))
+    },
+    // curriculum ordering by reference-LM perplexity (the easy->hard
+    // schedule curriculum pretraining consumes): rank each source's docs
+    // by the corpus trigram-LM score and cut them into 4 exact NTILE
+    // phases — per (source, phase), docs / token mass / mean score. The
+    // rank is the partitioned two-pass GlobalOrder and the phase is the
+    // closed-form ntileOf over (rank, source count): no single-task
+    // source window anywhere (q173's scale contract).
+    "q281_curriculum" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val t = col("text")
+      val flm = graft.scale.Perplexity.fitLm(docs, col("text"))
+      val base = docs.select(col("doc_id"), col("source"),
+          TextOps.nTokens(t).as("ntok"),
+          r6(graft.scale.Perplexity.lmScore(flm, t)).as("lm"))
+        .localCheckpoint() // rank input: probe + local + totals passes
+      val ranked = graft.ops.GlobalOrder.withRowNumberBy(base, Seq("source"),
+          Seq(col("lm").desc_nulls_last, col("doc_id")), "rk")
+        .join(broadcast(base.groupBy(col("source"))
+          .agg(count(lit(1)).as("nsrc"))), Seq("source"))
+      ranked.select(col("source"), col("ntok"), col("lm"),
+          graft.ops.GlobalOrder.ntileOf(col("rk"), col("nsrc"), 4).as("phase"))
+        .groupBy(col("source"), col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          r6(avg(col("lm"))).as("avg_lm"))
+        .select(col("source"), col("phase").cast("long").as("phase"),
+          col("n_docs"), col("n_tokens"), col("avg_lm"))
+    },
+    // the wide64 near-dup gate (q260's corpus-scale layout), oracle-gated:
+    // 64-bit simhash kernel fingerprints, 4x16-bit banding (65k buckets
+    // per band — the per-(band,key) row growth fix the r13 verdict
+    // demanded), flags today's delta against yesterday's frozen index.
+    // Spark side: band-keyed equi-joins; oracle side: brute-force banded
+    // scan — identical candidate sets by construction.
+    "q284_neardup_wide" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{NearDupGate, QualityDoc}
+      val docs = docsSpread(s, dir)
+      val cfg = NearDupGate.wide64
+      val index = NearDupGate.buildIndex(
+        docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"), cfg)
+        .localCheckpoint()
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).as[QualityDoc]
+      NearDupGate.flagged(delta, index, maxHamming = 3, cfg)
+        .select(col("doc_id"), col("simhash"),
+          col("n_cands").cast("long").as("n_cands"),
+          col("min_hamming").cast("long").as("min_hamming"),
+          col("match_id"), col("is_neardup"))
+    },
     // two-stage retrieval QA (the FAISS re-rank serving shape): PQ ADC
     // shortlists 100 candidates per probe, exact squared-euclidean
     // re-ranks them to 10; per probe, recall@10 of the raw ADC top-10
@@ -2653,6 +2762,83 @@ SELECT ex.query_id, count(*)::BIGINT AS n_exact,
 FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
   LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
 GROUP BY 1""",
+    "q282_dup_mass" ->
+      s"""WITH g AS (
+  SELECT md5(text) AS fp, count(*)::BIGINT AS group_size,
+    max(len(regexp_extract_all(text, '\\S+')))::BIGINT AS ntok
+  FROM $mirroredDocsSql GROUP BY 1)
+SELECT group_size, count(*)::BIGINT AS n_groups,
+  sum(group_size)::BIGINT AS n_docs,
+  sum(ntok * group_size)::BIGINT AS n_tokens,
+  sum(ntok * (group_size - 1))::BIGINT AS excess_tokens
+FROM g GROUP BY 1""",
+    "q283_source_leakage" ->
+      s"""WITH d AS (
+  SELECT md5(text) AS fp, source, count(*)::BIGINT AS c
+  FROM $mirroredDocsSql GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+  count(*)::BIGINT AS shared_fps,
+  sum(a.c * b.c)::BIGINT AS doc_pairs
+FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2""",
+    "q281_curriculum" ->
+      """WITH lmb AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+lmx AS (SELECT doc_id, substr(t, i, 3) AS tri
+        FROM lmb, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+lmc AS (SELECT tri, count(*) AS c FROM lmx GROUP BY 1),
+lmtt AS (SELECT sum(c)::DOUBLE AS tt FROM lmc),
+lm AS (SELECT lmx.doc_id, round(avg(ln(lmc.c::DOUBLE / lmtt.tt)) + 5e-11, 4) AS lm
+       FROM lmx JOIN lmc USING (tri) CROSS JOIN lmtt GROUP BY 1),
+b AS (SELECT d.doc_id, d.source,
+        len(regexp_extract_all(d.text, '\S+'))::BIGINT AS ntok, lm.lm
+      FROM documents d LEFT JOIN lm USING (doc_id)),
+r AS (SELECT *, ntile(4) OVER (PARTITION BY source
+        ORDER BY lm DESC NULLS LAST, doc_id) AS phase FROM b)
+SELECT source, phase::BIGINT AS phase, count(*)::BIGINT AS n_docs,
+  sum(ntok)::BIGINT AS n_tokens, round(avg(lm) + 5e-11, 4) AS avg_lm
+FROM r GROUP BY 1, 2""",
+    "q284_neardup_wide" -> {
+      // 64-bit token hash from md5 bytes 0..7: the UNSIGNED form (fpu)
+      // drives banding and xor — logical shifts there equal Spark's
+      // arithmetic-shift-plus-mask — while the signed output fingerprint
+      // maps bit 63 to the -2^63 term (Java long wrap)
+      val sums = (0 until 64).map { j =>
+        val half = if (j >= 32) s"(hi >> ${j - 32})" else s"(lo >> $j)"
+        s"sum(CASE WHEN $half & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fpuExpr = (0 until 64).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${java.lang.Long.toUnsignedString(1L << j)}::UBIGINT ELSE 0::UBIGINT END"
+      }.mkString(" + ")
+      val fpExpr = (0 until 63).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ") + " + CASE WHEN s63 > 0 THEN -9223372036854775808 ELSE 0 END"
+      val bandMatch = (0 until 4).map { b =>
+        s"((d.fpu >> ${b * 16}) & 65535) = ((i.fpu >> ${b * 16}) & 65535)"
+      }.mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS hi,
+    ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS lo
+  FROM t),
+fp AS MATERIALIZED (SELECT doc_id, ($fpuExpr) AS fpu, ($fpExpr)::BIGINT AS simhash
+  FROM (SELECT doc_id, $sums FROM h GROUP BY doc_id)),
+idx AS (SELECT doc_id, fpu FROM fp WHERE doc_id % 10 != 0),
+dlt AS MATERIALIZED (
+  SELECT d.doc_id, f.fpu, f.simhash FROM documents d LEFT JOIN fp f USING (doc_id)
+  WHERE d.doc_id % 10 = 0),
+cand AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, i.doc_id AS iid,
+    bit_count(xor(d.fpu, i.fpu))::BIGINT AS ham
+  FROM dlt d JOIN idx i ON $bandMatch),
+best AS (SELECT doc_id, iid, ham FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ham, iid) AS rn FROM cand)
+  WHERE rn = 1),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_cands FROM cand GROUP BY 1)
+SELECT d.doc_id, d.simhash, coalesce(a.n_cands, 0) AS n_cands,
+  b.ham AS min_hamming, b.iid AS match_id,
+  coalesce(b.ham <= 3, false) AS is_neardup
+FROM dlt d LEFT JOIN agg a USING (doc_id) LEFT JOIN best b USING (doc_id)"""
+    },
     "q280_pq_rerank" ->
       """WITH seeds AS (
   SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e FROM embeddings ORDER BY vec_id LIMIT 16),
