@@ -1429,6 +1429,46 @@ sig AS (SELECT doc_id,
       graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
         Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"))
     },
+    // RAG retrieval at the CHUNK grain — the serving granularity of a
+    // retrieval-augmented pipeline (a long doc matches on one passage,
+    // not its whole body): the q274 chunker emits chunk text, chunks
+    // join the inverted index under surrogate ids (1e6 + doc*1000 +
+    // chunk), docs 0..3 stand as queries, and the q268 BM25 dataflow +
+    // GlobalOrder rank return the top-5 CHUNKS per query (query docs
+    // excluded from the retrieved side).
+    "q286_chunk_bm25" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val ch = TextOps.chunks(docs, col("doc_id"), col("text"), emitText = true)
+        .select((lit(1000000L) + col("doc_id") * 1000L + col("chunk_id")).as("cid"),
+          col("chunk_text").as("t"), lit(false).as("isq"))
+      val qs = docs.where(col("doc_id") < 4)
+        .select(col("doc_id").as("cid"), col("text").as("t"), lit(true).as("isq"))
+      val pairs = graft.scale.Retrieval.bm25Pairs(ch.unionByName(qs),
+        col("cid"), col("t"), col("isq"))
+      val rounded = pairs.where(col("doc_id") >= 1000000L)
+        .select(col("query_id"), col("doc_id").as("chunk_id"),
+          r6(col("bm25")).as("bm25"))
+        .localCheckpoint() // rank input: probe + local + totals passes
+      graft.ops.GlobalOrder.withRowNumberBy(rounded, Seq("query_id"),
+          Seq(col("bm25").desc, col("chunk_id")), "rank")
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("chunk_id"), col("rank"), col("bm25"))
+    },
+    // vector-corpus health screen: per label, the embedding-norm
+    // distribution — zero vectors break cosine, collapsed norms signal
+    // an encoder fault, and norm drift between labels is the first
+    // symptom of a mixed-encoder corpus. One narrow kernel projection +
+    // one label-keyed aggregate.
+    "q285_embedding_norms" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      emb.select(col("label"), Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          r6(min(col("nrm"))).as("min_norm"),
+          r6(max(col("nrm"))).as("max_norm"),
+          r6(avg(col("nrm"))).as("avg_norm"))
+    },
     // duplicate-mass curve: per exact-dup GROUP SIZE, how many groups /
     // docs / tokens sit there and the token mass dedup would delete
     // (every copy past the canonical) — the "how duplicated is my
@@ -2762,6 +2802,47 @@ SELECT ex.query_id, count(*)::BIGINT AS n_exact,
 FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
   LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
 GROUP BY 1""",
+    "q286_chunk_bm25" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+x AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 0) + 1, 48)) AS s
+      FROM t0 WHERE len(toks) > 0),
+corpus AS (
+  SELECT (1000000 + doc_id * 1000 + ((s - 1) / 48)::BIGINT)::BIGINT AS did,
+    array_to_string(toks[s : s + 63], ' ') AS txt
+  FROM x
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id < 4),
+toks AS (SELECT did, unnest(regexp_extract_all(lower(txt), '\S+')) AS term FROM corpus),
+tf AS (SELECT did, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+dl AS (SELECT did, count(*) AS len FROM toks GROUP BY 1),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(len)::DOUBLE / count(*) AS avgdl FROM dl),
+qt AS (SELECT did AS query_id, term FROM tf WHERE did < 4),
+s AS (SELECT qt.query_id, tf.did AS chunk_id,
+        sum(ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+            * ((tf.tfc * (1.2 + 1.0))
+               / (tf.tfc + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.len::DOUBLE / st.avgdl))))) AS bm25
+      FROM tf JOIN dl ON tf.did = dl.did
+        JOIN dfr ON tf.term = dfr.term
+        JOIN qt ON tf.term = qt.term
+        CROSS JOIN st
+      WHERE tf.did != qt.query_id AND tf.did >= 1000000
+      GROUP BY 1, 2),
+r AS (SELECT query_id, chunk_id, round(bm25 + 5e-11, 4) AS bm25 FROM s),
+rk AS (SELECT query_id, chunk_id, bm25,
+        row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, chunk_id ASC) AS rank FROM r)
+SELECT query_id, chunk_id, rank, bm25 FROM rk WHERE rank <= 5""",
+    "q285_embedding_norms" ->
+      """WITH n AS (
+  SELECT label,
+    sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(embedding) AS x))) AS nrm
+  FROM embeddings)
+SELECT label, count(*)::BIGINT AS n_vecs,
+  sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+  round(min(nrm) + 5e-11, 4) AS min_norm,
+  round(max(nrm) + 5e-11, 4) AS max_norm,
+  round(avg(nrm) + 5e-11, 4) AS avg_norm
+FROM n GROUP BY 1""",
     "q282_dup_mass" ->
       s"""WITH g AS (
   SELECT md5(text) AS fp, count(*)::BIGINT AS group_size,

@@ -648,7 +648,8 @@ object TextOps {
     */
   def chunks(docs: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       w: Int = 64, stride: Int = 48,
-      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      keep: Seq[String] = Nil,
+      emitText: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(w > 0 && stride > 0, s"chunks: w=$w, stride=$stride must be positive")
     // stride > w would silently skip tokens between windows while the
     // docstring (and the PropertySpec stride law) promise full coverage —
@@ -663,12 +664,19 @@ object TextOps {
         explode(when(col("ntok") > 0,
           sequence(lit(1), col("ntok"), lit(stride)))
           .otherwise(array().cast("array<int>"))).as("start")): _*)
-      .select(col("doc_id") +: keep.map(col) ++: Seq(
+      .select(col("doc_id") +: keep.map(col) ++: (Seq(
         ((col("start") - 1) / stride).cast("long").as("chunk_id"),
         col("start").cast("long").as("start"),
         least(lit(w), col("ntok") - col("start") + 1).cast("long").as("chunk_tokens"),
         substring(md5(concat_ws(" ",
-          slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp")): _*)
+          slice(col("toks"), col("start"), lit(w)))), 1, 16).as("chunk_fp")) ++
+        // opt-in: the chunk's space-joined token text — the retrieval/
+        // embedding input (off by default: the fingerprint table stays
+        // narrow and q274's schema frozen)
+        (if (emitText)
+          Seq(concat_ws(" ", slice(col("toks"), col("start"), lit(w)))
+            .as("chunk_text"))
+        else Nil)): _*)
   }
 
   /** Per-group unigram KL divergence vs the whole-corpus distribution:

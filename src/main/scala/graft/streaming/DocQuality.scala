@@ -80,6 +80,17 @@ object DocQuality {
     docs.toDF().select(col("doc_id") +:
       graft.scale.C4.statsCols(col("text"), badWords): _*)
 
+  /** The q279 Gopher QUALITY rules (word/length bounds, symbol ratios,
+    * bullet/ellipsis line fractions, alphabetic fraction, stop words)
+    * served on the document stream: the battery is pure per-row array
+    * arithmetic (see [[graft.scale.TextOps.gopherQualityCols]]), so the
+    * streaming form IS the batch column set — a stateless narrow
+    * projection. Batch==stream parity in StreamingSpec.
+    */
+  def qualityRuleFlaggedDocs(docs: Dataset[QualityDoc]): DataFrame =
+    docs.toDF().select(col("doc_id") +:
+      TextOps.gopherQualityCols(col("text")): _*)
+
   /** The q274 chunker on the document stream: fixed `w`-token windows at
     * `stride`, each fingerprinted — a stateless flatMap (the explode's
     * output IS the chunk table), so an ingest pipeline emits

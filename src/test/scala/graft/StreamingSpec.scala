@@ -1598,6 +1598,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(4L).last == false && streamed(5L).last == false)
   }
 
+  test("Gopher quality rules served on the doc stream == batch battery across a batch boundary") {
+    import spark.implicits._
+    import graft.streaming.{DocQuality, QualityDoc}
+    val good = ("alpha beta gamma delta epsilon " * 10) + "the of and that"
+    val docs = Seq(
+      QualityDoc(1L, good),                              // survives every rule
+      QualityDoc(2L, "the of and that tiny"),            // word-count bound
+      QualityDoc(3L, good + " " + ("12345 " * 20)),      // alpha fraction
+      QualityDoc(4L, "alpha beta gamma delta epsilon " * 10), // no stop words
+      QualityDoc(5L, ""))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QualityDoc]
+    val query = DocQuality.qualityRuleFlaggedDocs(input.toDS())
+      .writeStream.format("memory").queryName("gq").outputMode("append").start()
+    try {
+      input.addData(docs.take(2)); query.processAllAvailable()
+      input.addData(docs.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("gq").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // batch twin = the q279 operator itself (same projection columns)
+    val batch = graft.scale.TextOps.gopherQuality(
+        docs.toDF(), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch && streamed.size == docs.length)
+    assert(streamed(1L).last == false, "clean doc is NOT flagged")
+    assert(Seq(2L, 3L, 4L, 5L).forall(streamed(_).last == true))
+  }
+
   test("frozen lang-NB served on the doc stream == batch predict across a batch boundary") {
     import spark.implicits._
     import graft.streaming.{DocQuality, QualityDoc}
