@@ -1429,6 +1429,29 @@ sig AS (SELECT doc_id,
       graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
         Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"))
     },
+    // FUZZY train/eval contamination (the near-dup upgrade of q73's
+    // exact screen): an eval doc within simhash hamming 3 of any train
+    // doc leaks paraphrased training text the exact fingerprint cannot
+    // see. Banded cross-split equi-join (complete by pigeonhole), per
+    // (source, split) leak incidence — the audit an eval suite runs
+    // before trusting its numbers.
+    "q287_fuzzy_contamination" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val split = Splits.assign(Splits.bucket(col("doc_id")))
+      val rep = graft.scale.Dedup.fuzzyContamination(
+        docs.select(col("doc_id"), col("text"), split.as("sp")),
+        col("doc_id"), col("text"), col("sp") =!= "train")
+      docs.select(col("doc_id"), col("source"), split.as("split"))
+        .where(col("split") =!= "train")
+        .join(rep.select(col("eval_id").as("doc_id"), col("leaked")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(coalesce(col("leaked"), lit(false)), 1L).otherwise(0L))
+            .as("n_leaked"),
+          r6(sum(when(coalesce(col("leaked"), lit(false)), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("leak_rate"))
+    },
     // RAG retrieval at the CHUNK grain — the serving granularity of a
     // retrieval-augmented pipeline (a long doc matches on one passage,
     // not its whole body): the q274 chunker emits chunk text, chunks
@@ -2802,6 +2825,39 @@ SELECT ex.query_id, count(*)::BIGINT AS n_exact,
 FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
   LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
 GROUP BY 1""",
+    "q287_fuzzy_contamination" -> {
+      val sums = (0 until 32).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fpExpr = (0 until 32).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      val bandMatch = (0 until 4).map { b =>
+        s"((e.simhash >> ${b * 8}) & 255) = ((t.simhash >> ${b * 8}) & 255)"
+      }.mkString(" OR ")
+      s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM tk),
+fp AS MATERIALIZED (SELECT doc_id, ($fpExpr)::BIGINT AS simhash
+  FROM (SELECT doc_id, $sums FROM h GROUP BY doc_id)),
+b AS (SELECT doc_id, source,
+    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 < 90 THEN 'valid'
+         ELSE 'test' END AS split
+  FROM documents),
+ev AS MATERIALIZED (SELECT b.doc_id, b.source, b.split, f.simhash
+  FROM b LEFT JOIN fp f USING (doc_id) WHERE b.split != 'train'),
+tr AS (SELECT f.doc_id, f.simhash FROM fp f JOIN b USING (doc_id)
+  WHERE b.split = 'train'),
+cand AS (SELECT DISTINCT e.doc_id, t.doc_id AS tid,
+    bit_count(xor(e.simhash, t.simhash)) AS ham
+  FROM ev e JOIN tr t ON $bandMatch),
+m AS (SELECT doc_id, min(ham) AS mh FROM cand GROUP BY 1)
+SELECT ev.source, ev.split, count(*)::BIGINT AS n_eval,
+  sum(CASE WHEN m.mh <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+  round(sum(CASE WHEN m.mh <= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS leak_rate
+FROM ev LEFT JOIN m ON ev.doc_id = m.doc_id
+GROUP BY 1, 2"""
+    },
     "q286_chunk_bm25" ->
       """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
 x AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 0) + 1, 48)) AS s

@@ -430,6 +430,49 @@ object Dedup {
       .where(col("simhash").isNotNull)
   }
 
+  /** FUZZY train/eval contamination — the near-dup upgrade of the exact
+    * fingerprint screen (q73): an eval doc within simhash `maxHamming`
+    * of ANY train doc leaks paraphrased training text the exact hash
+    * cannot see (the leakage mode LLM eval suites actually suffer).
+    * Banded candidate generation (the q260 layout: 4×8-bit keys,
+    * complete at `maxHamming` < 4 by pigeonhole) keeps the cross-split
+    * compare a band-keyed equi-join — never eval × train. Per eval doc
+    * WITH at least one banded train candidate: the distinct candidate
+    * count, min hamming (lowest train id on ties), and the leak flag;
+    * token-less docs carry no fingerprint and are absent (join back
+    * from the full eval set for a report).
+    */
+  def fuzzyContamination(docs: DataFrame, id: Column, text: Column,
+      isEval: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"fuzzyContamination: maxHamming $maxHamming needs an intact band (< 4)")
+    val base = docs.select(id.as("doc_id"), isEval.as("__ev"), text.as("__t"))
+    val fps = simhash(base, col("doc_id"), col("__t"))
+      .join(base.select(col("doc_id"), col("__ev")), Seq("doc_id"))
+    def banded(df: DataFrame, idName: String, fpName: String) =
+      df.select(col("doc_id").as(idName), col("simhash").as(fpName))
+        .select(col(idName), col(fpName),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(col(fpName), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+            .as("e"))
+        .select(col("e.band").as("band"), col("e.key").as("key"),
+          col(idName), col(fpName))
+    val ev = banded(fps.where(col("__ev")), "eval_id", "efp")
+    val tr = banded(fps.where(!col("__ev")), "train_id", "tfp")
+    // a pair matching several bands counts once (the q260 convention)
+    val cand = ev.join(tr, Seq("band", "key"))
+      .select(col("eval_id"), col("train_id"),
+        bit_count(col("efp").bitwiseXOR(col("tfp"))).as("ham"))
+      .distinct()
+    cand.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        min(struct(col("ham"), col("train_id"))).as("b"))
+      .select(col("eval_id"), col("n_cands"),
+        col("b.ham").as("min_hamming"),
+        col("b.train_id").as("match_id"),
+        (col("b.ham") <= maxHamming).as("leaked"))
+  }
+
   /** Composable (pure-DataFrame) SimHash twin: explode tokens, 32
     * conditional sums, fold the sign vector. Same values as [[simhash]];
     * costs a token-count-shaped exchange.

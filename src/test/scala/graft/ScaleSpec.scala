@@ -858,6 +858,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(out("s2") == ((1L, 0L, 0L, 0L, 0L, 0L, 0.0)), out("s2"))
   }
 
+  test("fuzzyContamination: eval twin of a train doc leaks; disjoint eval doc does not") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", false), // train
+      (2L, "completely unrelated training content about spark engines", false),
+      (10L, "the quick brown fox jumps over the lazy dog today", true), // leaked twin
+      (11L, "zz yy xx ww vv uu tt ss rr qq", true),                     // novel
+      (12L, "   ", true)                                                // token-less
+    ).toDF("doc_id", "text", "ev")
+    val out = Dedup.fuzzyContamination(docs, col("doc_id"), col("text"), col("ev"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(10L)._2 == 0 && out(10L)._3 == 1L && out(10L)._4,
+      s"exact twin leaks at hamming 0: ${out.get(10L)}")
+    assert(!out.get(11L).exists(_._4), "novel doc must not leak")
+    assert(!out.contains(12L), "token-less docs carry no fingerprint")
+  }
+
   test("incrementalDedup: delta doc matches its index twin; novel doc stays unmatched") {
     val index = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
