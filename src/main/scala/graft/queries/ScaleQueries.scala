@@ -1429,6 +1429,31 @@ sig AS (SELECT doc_id,
       graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
         Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"))
     },
+    // incremental CHUNK-grain novelty (the sub-document dedup a daily
+    // crawl runs after doc-level gates: a doc whose fingerprint is novel
+    // but whose chunks all sit in yesterday's index adds no training
+    // mass): both sides chunked by the q274 chunker, the frozen index =
+    // distinct chunk fps of yesterday's corpus, delta chunks probe it
+    // with ONE fp-keyed join. Per delta doc: chunks, known chunks,
+    // novel rate, and the novel-token estimate (stride overlap makes
+    // token mass an estimate — the chunker's documented accounting).
+    "q288_chunk_novelty" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val idx = TextOps.chunks(docs.where(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"))
+        .select(col("chunk_fp").as("kfp")).distinct()
+        .withColumn("known", lit(true))
+      TextOps.chunks(docs.where(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"))
+        .join(idx, col("chunk_fp") === col("kfp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+          r6(lit(1.0) - sum(when(col("known"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("novel_rate"),
+          sum(when(col("known").isNull, col("chunk_tokens")).otherwise(0L))
+            .as("novel_tokens"))
+    },
     // FUZZY train/eval contamination (the near-dup upgrade of q73's
     // exact screen): an eval doc within simhash hamming 3 of any train
     // doc leaks paraphrased training text the exact fingerprint cannot
@@ -2825,6 +2850,24 @@ SELECT ex.query_id, count(*)::BIGINT AS n_exact,
 FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
   LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
 GROUP BY 1""",
+    "q288_chunk_novelty" ->
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+x AS (SELECT doc_id, toks, len(toks) AS ntok,
+        unnest(range(1, greatest(len(toks), 0) + 1, 48)) AS s
+      FROM t0 WHERE len(toks) > 0),
+c AS (SELECT doc_id,
+        least(64, ntok - s + 1)::BIGINT AS ct,
+        substr(md5(array_to_string(toks[s : s + 63], ' ')), 1, 16) AS fp
+      FROM x),
+idx AS (SELECT DISTINCT fp FROM c WHERE doc_id % 10 != 0),
+d AS (SELECT c.doc_id, c.ct, idx.fp IS NOT NULL AS known
+      FROM c LEFT JOIN idx ON c.fp = idx.fp
+      WHERE c.doc_id % 10 = 0)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+  sum(CASE WHEN known THEN 1 ELSE 0 END)::BIGINT AS n_known,
+  round(1.0 - sum(CASE WHEN known THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS novel_rate,
+  sum(CASE WHEN NOT known THEN ct ELSE 0 END)::BIGINT AS novel_tokens
+FROM d GROUP BY 1""",
     "q287_fuzzy_contamination" -> {
       val sums = (0 until 32).map { j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
