@@ -1429,6 +1429,28 @@ sig AS (SELECT doc_id,
       graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
         Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"))
     },
+    // corpus-adaptive stopword discovery: the top-32 terms by DOCUMENT
+    // frequency — the list a language-agnostic quality heuristic (q74's
+    // stopword ratio, Gopher's stop-word rule) needs when the corpus
+    // language is unknown. df from one token-index pass; the GLOBAL
+    // top-k rank rides GlobalOrder.withRowNumber (vocabulary-scale
+    // input — a bare Window.orderBy would funnel it through one task);
+    // the df tie-break sorts the term's UTF-8 BYTES so the rank matches
+    // DuckDB's binary collation on any corpus, not just ASCII.
+    "q289_df_stopwords" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val tf = graft.scale.Retrieval.tokenIndex(docs, col("doc_id"),
+        col("text"), lit(false))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .localCheckpoint() // rank input: probe + local + totals passes
+      graft.ops.GlobalOrder.withRowNumber(dfT,
+          Seq(col("df").desc, encode(col("term"), "utf-8").asc), "rank")
+        .where(col("rank") <= 32)
+        .crossJoin(broadcast(Tables.documents(s, dir)
+          .agg(count(lit(1)).as("n_docs"))))
+        .select(col("term"), col("df"), col("rank"),
+          r6(col("df").cast("double") / col("n_docs")).as("df_frac"))
+    },
     // incremental CHUNK-grain novelty (the sub-document dedup a daily
     // crawl runs after doc-level gates: a doc whose fingerprint is novel
     // but whose chunks all sit in yesterday's index adds no training
@@ -2850,6 +2872,14 @@ SELECT ex.query_id, count(*)::BIGINT AS n_exact,
 FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
   LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
 GROUP BY 1""",
+    "q289_df_stopwords" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+r AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rank FROM d)
+SELECT term, df, rank, round(df::DOUBLE / n.n_docs + 5e-11, 4) AS df_frac
+FROM r CROSS JOIN n WHERE rank <= 32""",
     "q288_chunk_novelty" ->
       """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
 x AS (SELECT doc_id, toks, len(toks) AS ntok,

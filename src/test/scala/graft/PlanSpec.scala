@@ -524,7 +524,7 @@ class PlanSpec extends AnyFunSuite {
       self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
     }
     for (q <- Seq("q173_source_caps", "q248_perplexity_filter",
-        "q249_curation_funnel", "q256_dsir")) {
+        "q249_curation_funnel", "q256_dsir", "q281_curriculum")) {
       val out = graft.queries.ScaleQueries.defs(q)(spark, sf)
       out.collect()
       val bad = windows(out.queryExecution.executedPlan).filter { w =>
@@ -636,18 +636,20 @@ class PlanSpec extends AnyFunSuite {
       }
       self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
     }
-    val out = graft.queries.ScaleQueries.defs("q268_bm25")(spark, sf)
-    out.collect()
-    val bad = windows(out.queryExecution.executedPlan).filter { w =>
-      w.partitionSpec.isEmpty ||
-        w.partitionSpec.forall(_.references.map(_.name).toSet == Set("query_id"))
+    for (qn <- Seq("q268_bm25", "q286_chunk_bm25")) {
+      val out = graft.queries.ScaleQueries.defs(qn)(spark, sf)
+      out.collect()
+      val bad = windows(out.queryExecution.executedPlan).filter { w =>
+        w.partitionSpec.isEmpty ||
+          w.partitionSpec.forall(_.references.map(_.name).toSet == Set("query_id"))
+      }
+      assert(bad.isEmpty, s"$qn has a per-query single-task window:\n" +
+        bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$qn query-term probe and stats should broadcast:\n$p")
     }
-    assert(bad.isEmpty, "q268 has a per-query single-task window:\n" +
-      bad.map(_.simpleStringWithNodeId()).mkString("\n"))
-    val p = out.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin"),
-      s"query-term probe and stats should broadcast:\n$p")
   }
 
   test("ANN top-k family never funnels a query through one task") {
