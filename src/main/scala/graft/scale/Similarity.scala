@@ -10,11 +10,12 @@ import org.apache.spark.storage.StorageLevel
   * (small) query set, compute cosine with the native codegen'd vector
   * kernels ([[graft.functions.ArrayDot]] — a fused primitive loop, vs the
   * interpreted per-element lambdas of `aggregate(zip_with(...))`), rank
-  * per query through the partitioned two-pass
-  * [[graft.ops.GlobalOrder.withRowNumberBy]] (never a single-task
-  * per-query window over corpus-scale candidate lists). The scale path
-  * buckets the corpus with random-hyperplane LSH so the per-query scan
-  * touches only colliding buckets.
+  * per query through the bounded native [[graft.functions.TopKAgg]]
+  * (map-side-combined k-row buffers — never a single-task per-query
+  * window over corpus-scale candidate lists, and never an exchange of
+  * the full candidate set). The scale path buckets the corpus with
+  * random-hyperplane LSH so the per-query scan touches only colliding
+  * buckets.
   */
 object Similarity {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -33,50 +34,61 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
-  /** Per-query top-k rank via the partitioned two-pass
-    * [[graft.ops.GlobalOrder.withRowNumberBy]] — never
+  /** Per-query top-k via the bounded native
+    * [[graft.functions.TopKAgg]] — never
     * `row_number().over(Window.partitionBy(query_id))`, whose per-query
     * candidate list is CORPUS-scale for the exact twins (and
     * corpus/buckets for LSH/IVF): a single task would sort a
-    * corpus-sized list per query at 100×. Same total order and tie
-    * contract, so ranks are bit-identical to the single-task window
-    * (the q268 BM25 rank's scale shape, extended to the whole ANN
-    * family per VERDICT r13). `materialize` pins the scored frame once
-    * (the rank runs a boundary probe + local + totals pass over its
-    * child); pass `identity` when the child is a cheap model-sized
-    * frame not worth checkpointing.
+    * corpus-sized list per query at 100×. The aggregate's PARTIAL
+    * buffers are bounded by k, so the corpus-scale candidate set
+    * collapses map-side and the exchange carries |queries|·k rows at
+    * any data scale — strictly tighter than the two-pass GlobalOrder
+    * rank (which exchanges every candidate to rank rows it then drops);
+    * a rejected candidate costs ONE comparison against the buffer tail.
+    * The packed struct orders by (metric asc — desc encodes as
+    * negation, bit-consistent for doubles under Double.compare — then
+    * `idCol` asc), so rank = 1 + array position is bit-identical to the
+    * single-task window and the oracles' row_number. Emits
+    * (part…, idCol, metric, payload…, rank:long).
     */
-  private def topKByQuery(scored: DataFrame, order: Seq[Column], k: Int,
-      partNames: Seq[String] = Seq("query_id"),
-      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame =
-    graft.ops.GlobalOrder.withRowNumberBy(materialize(scored), partNames,
-        order, "rank")
-      .where(col("rank") <= k)
+  private def topKByQuery(scored: DataFrame, metric: String, asc: Boolean,
+      idCol: String, k: Int, partNames: Seq[String] = Seq("query_id"),
+      payload: Seq[String] = Nil): DataFrame = {
+    val key = if (asc) col(metric) else -col(metric)
+    val packed = struct(key.as("__o") +: col(idCol).as("__i") +:
+      col(metric).as("__m") +: payload.map(col): _*)
+    val agg = column(graft.functions.TopKAgg(expression(packed), k)
+      .toAggregateExpression())
+    scored.groupBy(partNames.map(col): _*).agg(agg.as("__tk"))
+      .select(partNames.map(col) :+
+        posexplode(col("__tk")).as(Seq("__p", "__e")): _*)
+      .select(partNames.map(col) ++ Seq(
+        col("__e").getField("__i").as(idCol),
+        col("__e").getField("__m").as(metric)) ++
+        payload.map(p => col("__e").getField(p).as(p)) :+
+        (col("__p").cast("long") + 1L).as("rank"): _*)
+  }
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by corpus id.
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("ce"))
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), cosine(col("qe"), col("ce")).as("cos"))
-    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k,
-      materialize = materialize)
+    topKByQuery(scored, "cos", asc = false, "nbr_id", k)
   }
 
   /** Exact squared-euclidean top-k (the metric twin of [[cosineTopK]] —
     * same broadcast-scored shape, ascending distance).
     */
-  def euclidTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+  def euclidTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("ce"))
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), sqDist(col("qe"), col("ce")).as("d2"))
-    topKByQuery(scored, Seq(col("d2").asc, col("nbr_id").asc), k,
-      materialize = materialize)
+    topKByQuery(scored, "d2", asc = true, "nbr_id", k)
   }
 
   /** Reciprocal-rank fusion of ranked candidate lists:
@@ -106,7 +118,7 @@ object Similarity {
         col("label").as("ql"), col("embedding").as("qe"))))
       .where(col("nbr_id") =!= col("query_id") && col("nl") =!= col("ql"))
       .select(col("query_id"), col("nbr_id"), cosine(col("qe"), col("ce")).as("cos"))
-    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k)
+    topKByQuery(scored, "cos", asc = false, "nbr_id", k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (i<j) with cosine >= tau.
@@ -370,7 +382,7 @@ object Similarity {
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qe"))), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"), sqDist(col("qe"), col("ce")).as("d2"))
-    topKByQuery(scored, Seq(col("d2").asc, col("nbr_id").asc), k)
+    topKByQuery(scored, "d2", asc = true, "nbr_id", k)
   }
 
   /** The shared ADC search over a (m, c, ce) codebook frame: encode the
@@ -399,7 +411,7 @@ object Similarity {
           col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(graft.queries.r6(sum(col("ld"))).as("adc"))
-    topKByQuery(adc, Seq(col("adc").asc, col("vec_id").asc), k)
+    topKByQuery(adc, "adc", asc = true, "vec_id", k)
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
   }
 
@@ -443,18 +455,16 @@ object Similarity {
       .agg(min(struct(col("d2"), col("c"))).getField("c").as("code"))
     // probed lists per query (q59 shape), each carrying the query's
     // per-list residual for the lookup table. The probe rank also rides
-    // GlobalOrder: nlist is model-sized here but grows as sqrt(corpus)
-    // in production, and the PlanSpec gate asserts NO query-partitioned
-    // window anywhere in the family; identity materialize — the
-    // queries×nlist child is cheap to recompute.
+    // the bounded aggregate: nlist is model-sized here but grows as
+    // sqrt(corpus) in production, and the PlanSpec gate asserts NO
+    // query-partitioned window anywhere in the family.
     val qd2 = sqDist(col("qe"), col("ce"))
     val probes = topKByQuery(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         .crossJoin(broadcast(coarse.select(col("cid").as("pcid"), col("ce"))))
         .select(col("query_id"), col("pcid"), qd2.as("d2"),
           residual(col("qe"), col("ce")).as("qr")),
-      Seq(col("d2").asc, col("pcid").asc), nprobe,
-      materialize = identity).drop("rank")
+      "d2", asc = true, "pcid", nprobe, payload = Seq("qr")).drop("rank")
     val lut = probes.crossJoin(broadcast(rcent))
       .select(col("query_id"), col("pcid"), col("m").as("lm"), col("c").as("lc"),
         sqDist(sub(col("qr"), col("m")), col("rce")).as("ld"))
@@ -464,7 +474,7 @@ object Similarity {
           col("code") === col("lc") && col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(graft.queries.r6(sum(col("ld"))).as("adc"))
-    topKByQuery(adc, Seq(col("adc").asc, col("vec_id").asc), k)
+    topKByQuery(adc, "adc", asc = true, "vec_id", k)
       .select(col("query_id"), col("vec_id").as("nbr_id"), col("rank"), col("adc"))
   }
 
@@ -487,7 +497,7 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("d"),
         cosine(slice(col("qe"), lit(1), col("d")),
           slice(col("ce"), lit(1), col("d"))).as("cos"))
-    val topk = topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k,
+    val topk = topKByQuery(scored, "cos", asc = false, "nbr_id", k,
         partNames = Seq("query_id", "d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val full = topk.where(col("d") === fullDim)
@@ -620,13 +630,13 @@ object Similarity {
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
         .crossJoin(broadcast(centroids))
         .select(col("query_id"), col("qe"), col("cid"), qd2.as("d2")),
-      Seq(col("d2").asc, col("cid").asc), nprobe, materialize = identity)
+      "d2", asc = true, "cid", nprobe, payload = Seq("qe"))
       .select(col("query_id"), col("qe"), col("cid"))
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nbr_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k)
+    topKByQuery(scored, "cos", asc = false, "nbr_id", k)
   }
 
   /** Random-hyperplane LSH signature: bit p is the sign of the projection
@@ -686,6 +696,6 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), cosine(col("qe"), col("ce")).as("cos"))
-    topKByQuery(scored, Seq(col("cos").desc, col("nbr_id").asc), k)
+    topKByQuery(scored, "cos", asc = false, "nbr_id", k)
   }
 }

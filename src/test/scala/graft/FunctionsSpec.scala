@@ -51,6 +51,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg.where(col("native") =!= col("builtin")).count() == 0)
   }
 
+  test("top_k bounded aggregate == sorted-list truth across partitions; k bound holds") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import spark.implicits._
+    // deterministic pseudo-random scores over 8 groups x 500 candidates,
+    // spread over 4 partitions so merge() genuinely runs
+    val rows = for (g <- 0 until 8; i <- 0 until 500) yield {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"tk:$g:$i".getBytes("UTF-8"))
+          .take(7).map("%02x".format(_)).mkString, 16)
+      (g.toLong, i.toLong, (h % 1000L).toDouble / 10.0) // ties guaranteed
+    }
+    val df = rows.toDF("g", "id", "score").repartition(4)
+    def topk(k: Int) = {
+      val packed = struct((-col("score")).as("__o"), col("id").as("__i"),
+        col("score").as("__m"))
+      df.groupBy(col("g"))
+        .agg(column(graft.functions.TopKAgg(expression(packed), k)
+          .toAggregateExpression()).as("tk"))
+        .select(col("g"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("g"), col("e.__i").as("id"), col("e.__m").as("score"),
+          (col("p") + 1).as("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    }
+    // truth: per group, sort by (score desc, id asc), take k
+    val truth = rows.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, id, s) => (-s, id) }).toMap
+    val got = topk(10).groupBy(_._1)
+    (0L until 8L).foreach { g =>
+      val exp = truth(g).take(10).zipWithIndex
+        .map { case ((_, id, s), i) => (g, id, s, i + 1) }
+      assert(got(g).sortBy(_._4).toSeq == exp.toSeq, s"group $g")
+    }
+    // k above the group size returns everything, still sorted
+    val all = topk(100000)
+    assert(all.length == 8 * 500)
+    // determinism under re-execution
+    assert(topk(10).toSeq.sorted == topk(10).toSeq.sorted)
+  }
+
   test("gini_agg native aggregate equals the relational and HOF forms") {
     GraftFunctions.register(spark)
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
