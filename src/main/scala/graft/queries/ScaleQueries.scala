@@ -907,18 +907,18 @@ sig AS (SELECT doc_id,
     // Okapi BM25 top-10 retrieval over the corpus inverted index
     // (scale/Retrieval.scala): eval queries = docs 0..7, each query its
     // distinct token set. Scores are float sums, so ranking happens on
-    // the ROUNDED score (engine quantum, doc tie-break) via the
-    // partitioned two-pass GlobalOrder — never a single-task per-query
-    // window over corpus-scale candidate lists.
+    // the ROUNDED score (engine quantum, doc tie-break) via the bounded
+    // native TopK aggregate — never a single-task per-query window (or
+    // a full-candidate exchange) over corpus-scale candidate lists.
     "q268_bm25" -> { (s, dir) =>
       val pairs = graft.scale.Retrieval.bm25Pairs(docsSpread(s, dir),
         col("doc_id"), col("text"), col("doc_id") < 8)
-      val rounded = pairs.select(col("query_id"),
-        col("doc_id").as("nbr_id"), r6(col("bm25")).as("bm25"))
-        .localCheckpoint() // rank input: probe + local + totals passes
-      graft.ops.GlobalOrder.withRowNumberBy(rounded, Seq("query_id"),
-          Seq(col("bm25").desc, col("nbr_id")), "rank")
-        .where(col("rank") <= 10)
+      // bounded top-k: the native aggregate collapses each query's
+      // corpus-scale candidate list map-side (one pass, no checkpoint)
+      graft.ops.TopK.byGroup(
+          pairs.select(col("query_id"), col("doc_id").as("nbr_id"),
+            r6(col("bm25")).as("bm25")),
+          Seq("query_id"), "bm25", asc = false, "nbr_id", 10)
         .select(col("query_id"), col("nbr_id"), col("rank"), col("bm25"))
     },
     // per-source unigram KL divergence vs the corpus distribution — the
@@ -939,42 +939,37 @@ sig AS (SELECT doc_id,
     "q270_hybrid_rrf" -> { (s, dir) =>
       val pairs = graft.scale.Retrieval.bm25Pairs(docsSpread(s, dir),
         col("doc_id"), col("text"), col("doc_id") < 8)
-      val lex = graft.ops.GlobalOrder.withRowNumberBy(
+      val lex = graft.ops.TopK.byGroup(
           pairs.select(col("query_id"), col("doc_id").as("nbr_id"),
-            r6(col("bm25")).as("score"))
-            .localCheckpoint(), // rank input: probe + local + totals passes
-          Seq("query_id"), Seq(col("score").desc, col("nbr_id")), "rank")
-        .where(col("rank") <= 10)
+            r6(col("bm25")).as("score")),
+          Seq("query_id"), "score", asc = false, "nbr_id", 10)
         .select(col("query_id"), col("nbr_id"), col("rank"))
       val emb = Tables.embeddings(s, dir)
       val sem = Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8), k = 10)
         .select(col("query_id"), col("nbr_id"), col("rank"))
-      // the fused frame re-runs BOTH rank chains per GlobalOrder pass
-      // otherwise; it is eval-set-sized (<= 2 * 10 * |queries| rows)
-      val fused = Similarity.rrf(Seq(lex, sem), c = 60).localCheckpoint()
-      graft.ops.GlobalOrder.withRowNumberBy(fused, Seq("query_id"),
-          Seq(r6(col("rrf_score")).desc, col("nbr_id")), "fused_rank")
-        .where(col("fused_rank") <= 10)
+      val fused = Similarity.rrf(Seq(lex, sem), c = 60)
         .select(col("query_id"), col("nbr_id"), col("n_lists"),
-          col("fused_rank"), r6(col("rrf_score")).as("rrf_score"))
+          r6(col("rrf_score")).as("rrf_score"))
+      graft.ops.TopK.byGroup(fused, Seq("query_id"), "rrf_score",
+          asc = false, "nbr_id", 10, payload = Seq("n_lists"))
+        .select(col("query_id"), col("nbr_id"), col("n_lists"),
+          col("rank").as("fused_rank"), col("rrf_score"))
     },
     // index-pruning QA (the q175 recall gate's lexical sibling):
     // impact-ordered posting truncation keeps each term's top-128
     // postings by tf — a query term then touches at most 128 candidates
     // no matter how common the term — and the gate reports recall@10 of
     // the pruned index against the exact one. ONE shared token index;
-    // both rank chains ride the scale-safe GlobalOrder (per-term for
+    // both bounded ranks ride the native TopK aggregate (per-term for
     // the truncation, per-query for the top-k).
     "q271_bm25_truncated" -> { (s, dir) =>
       val tf = graft.scale.Retrieval.tokenIndex(docsSpread(s, dir),
         col("doc_id"), col("text"), col("doc_id") < 8)
       def top10(pairs: org.apache.spark.sql.DataFrame) =
-        graft.ops.GlobalOrder.withRowNumberBy(
+        graft.ops.TopK.byGroup(
             pairs.select(col("query_id"), col("doc_id").as("nbr_id"),
-              r6(col("bm25")).as("bm25"))
-              .localCheckpoint(), // rank input: probe + local + totals passes
-            Seq("query_id"), Seq(col("bm25").desc, col("nbr_id")), "rank")
-          .where(col("rank") <= 10)
+              r6(col("bm25")).as("bm25")),
+            Seq("query_id"), "bm25", asc = false, "nbr_id", 10)
       val exact = top10(graft.scale.Retrieval.bm25PairsFromIndex(tf))
         .select(col("query_id"), col("nbr_id"))
       val approx = top10(graft.scale.Retrieval.bm25PairsFromIndex(tf,
@@ -1518,10 +1513,8 @@ sig AS (SELECT doc_id,
       val rounded = pairs.where(col("doc_id") >= 1000000L)
         .select(col("query_id"), col("doc_id").as("chunk_id"),
           r6(col("bm25")).as("bm25"))
-        .localCheckpoint() // rank input: probe + local + totals passes
-      graft.ops.GlobalOrder.withRowNumberBy(rounded, Seq("query_id"),
-          Seq(col("bm25").desc, col("chunk_id")), "rank")
-        .where(col("rank") <= 5)
+      graft.ops.TopK.byGroup(rounded, Seq("query_id"), "bm25",
+          asc = false, "chunk_id", 5)
         .select(col("query_id"), col("chunk_id"), col("rank"), col("bm25"))
     },
     // vector-corpus health screen: per label, the embedding-norm

@@ -78,10 +78,11 @@ object Retrieval {
     * true top-k accrue score across many moderate postings; the q271
     * gate exists precisely to measure that choice.) df / lengths /
     * corpus stats stay EXACT (index metadata, not postings); a pruned
-    * doc simply loses that term's contribution. The per-term rank is
-    * the partitioned two-pass GlobalOrder (a posting list is
+    * doc simply loses that term's contribution. The per-term top-m is
+    * the bounded native [[graft.ops.TopK]] aggregate (a posting list is
     * corpus-scale for a common term — `Window.partitionBy(term)` would
-    * funnel it through one task).
+    * funnel it through one task, and a full rank would exchange every
+    * posting).
     */
   def bm25PairsFromIndex(tf: DataFrame, k1: Double = 1.2, b: Double = 0.75,
       pruneTo: Option[Int] = None): DataFrame = {
@@ -94,10 +95,14 @@ object Retrieval {
     val tfPart = (col("tfc") * lit(k1 + 1.0)) /
       (col("tfc") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / col("avgdl"))))
     val postings = pruneTo match {
+      // top-m postings per term IS a bounded top-k: the native TopKAgg
+      // collapses each term's corpus-scale posting list map-side and
+      // shuffles |terms|·m rows (the GlobalOrder two-pass rank it
+      // replaces exchanged every posting to rank rows it then dropped)
       case Some(m) =>
-        graft.ops.GlobalOrder.withRowNumberBy(tf, Seq("term"),
-            Seq(col("tfc").desc, col("doc_id")), "__pr")
-          .where(col("__pr") <= m).drop("__pr")
+        graft.ops.TopK.byGroup(tf, Seq("term"), "tfc", asc = false,
+            "doc_id", m, payload = Seq("is_q"))
+          .drop("rank")
       case None => tf
     }
     val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

@@ -53,21 +53,8 @@ object Similarity {
     */
   private def topKByQuery(scored: DataFrame, metric: String, asc: Boolean,
       idCol: String, k: Int, partNames: Seq[String] = Seq("query_id"),
-      payload: Seq[String] = Nil): DataFrame = {
-    val key = if (asc) col(metric) else -col(metric)
-    val packed = struct(key.as("__o") +: col(idCol).as("__i") +:
-      col(metric).as("__m") +: payload.map(col): _*)
-    val agg = column(graft.functions.TopKAgg(expression(packed), k)
-      .toAggregateExpression())
-    scored.groupBy(partNames.map(col): _*).agg(agg.as("__tk"))
-      .select(partNames.map(col) :+
-        posexplode(col("__tk")).as(Seq("__p", "__e")): _*)
-      .select(partNames.map(col) ++ Seq(
-        col("__e").getField("__i").as(idCol),
-        col("__e").getField("__m").as(metric)) ++
-        payload.map(p => col("__e").getField(p).as(p)) :+
-        (col("__p").cast("long") + 1L).as("rank"): _*)
-  }
+      payload: Seq[String] = Nil): DataFrame =
+    graft.ops.TopK.byGroup(scored, partNames, metric, asc, idCol, k, payload)
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ties broken by corpus id.
