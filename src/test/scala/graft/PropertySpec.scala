@@ -562,6 +562,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopK.byGroup == sort-take truth on random groups, ties, and ks") {
+    // heavy ties (scores quantized to 12 values), random group sizes,
+    // random k per trial — the bounded aggregate must match the sorted
+    // truth exactly under the (score desc, id asc) total order
+    val rowGen = for {
+      g <- Gen.choose(0L, 4L)
+      id <- Gen.choose(0L, 10000L)
+      s <- Gen.choose(0, 11).map(_ / 3.0)
+    } yield (g, id, s)
+    samples(Gen.zip(Gen.choose(1, 15), Gen.listOfN(300, rowGen)), 8)
+      .foreach { case (k, rows0) =>
+        val rows = rows0.distinctBy(r => (r._1, r._2)) // unique id per group
+        val df = rows.toDF("g", "id", "score").repartition(4)
+        val got = graft.ops.TopK.byGroup(df, Seq("g"), "score",
+            asc = false, "id", k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .groupBy(_._1)
+        rows.groupBy(_._1).foreach { case (g, members) =>
+          val exp = members.sortBy { case (_, id, s) => (-s, id) }.take(k)
+            .zipWithIndex.map { case ((_, id, s), i) => (g, id, s, i + 1L) }
+          assert(got.getOrElse(g, Array.empty).sortBy(_._4).toSeq == exp,
+            s"k=$k group $g")
+        }
+      }
+  }
+
   test("source KL is nonnegative on random two-source corpora, zero on identical sources") {
     import graft.scale.TextOps
     val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
