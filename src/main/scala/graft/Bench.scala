@@ -55,10 +55,15 @@ object Bench {
     * stamped per rep round so the artifact carries the ambient-load
     * context each rep ran under.
     */
-  def loadavg(): Double =
+  def loadavg(): Double = loadavgField(0)
+
+  /** Any of the three /proc/loadavg fields (0 = 1-min, 1 = 5-min,
+    * 2 = 15-min), or -1 outside Linux.
+    */
+  def loadavgField(i: Int): Double =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-      .split(' ').head.toDouble
+      .split(' ')(i).toDouble
     catch { case _: Throwable => -1.0 }
 
   /** Load gate for a DEFINITIVE close: poll until the 1-min load drops
@@ -153,15 +158,24 @@ object Bench {
     // 1-min load to drop under it (up to SPARK_GRAFT_BENCH_LOAD_WAIT
     // seconds, default 600) and refuse to start otherwise — a committed
     // artifact then carries proof it began on a quiet machine.
+    // The gate covers the 1-min AND 5-min averages: the round-14 close
+    // started at loadavg [1.26, 6.33, 5.93] — the 1-min gate passed a
+    // machine that had just been saturated and the shared-query total
+    // read +19% vs the prior round's quiet close. Gating max(1m, 5m)
+    // forces the post-marathon settle the round-13 note prescribed by
+    // hand.
     val loadGate = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD").map(_.toDouble)
     loadGate.foreach { maxL =>
       val waitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "600").toInt
-      if (!waitForLoad(maxL, waitS)) {
-        System.err.println(s"[bench] REFUSING to start: 1-min load stayed " +
-          s"above $maxL for ${waitS}s — a definitive artifact must start quiet")
+      val both = () => math.max(loadavgField(0), loadavgField(1))
+      if (!waitForLoad(maxL, waitS, load = both)) {
+        System.err.println(s"[bench] REFUSING to start: 1-or-5-min load " +
+          s"stayed above $maxL for ${waitS}s — a definitive artifact must " +
+          "start quiet")
         sys.exit(3)
       }
     }
+    val startLoad = (0 to 2).map(loadavgField)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -256,7 +270,12 @@ object Bench {
     val total = results.map(_._2.med).filter(_ >= 0).sum
     val loads = repLoads.map(f2).mkString("[", ",", "]") // per rep round
     val gateJson = loadGate.map(g => f2(g)).getOrElse("null")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"retried":$retr,"loadavg":$loads,"retry_loadavg":${f2(loadavg())},"load_gate":$gateJson,"sf":"$sfDir","reps":$reps}"""
+    val startL = startLoad.map(f2).mkString("[", ",", "]")
+    // fit_memo: q230's eight model fits memoize per (query, sfDir,
+    // corpus fingerprint) — rep 1 pays the trainers, later reps price
+    // only the store lifecycle (the intended artifact); stamped here so
+    // a reader of the JSON knows the rep-1-vs-rep-2 gap is by design
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"retried":$retr,"loadavg":$loads,"start_loadavg":$startL,"retry_loadavg":${f2(loadavg())},"load_gate":$gateJson,"fit_memo":"q230 rep 1 pays model fits; reps >= 2 price the store lifecycle only","sf":"$sfDir","reps":$reps}"""
     println(line)
     // the driver's captured tail truncates long JSON lines (BENCH_r06
     // kept only q36-q99) — also write the full per-query artifact to a
