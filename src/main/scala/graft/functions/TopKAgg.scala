@@ -50,8 +50,13 @@ case class TopKAgg(
   override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
     mutable.ArrayBuffer.empty
 
+  // mirror InternalRow.copyValue: every buffered value must be detached
+  // from the reused input-row buffer, including a TOP-LEVEL array/map
+  // child (struct children are covered by InternalRow.copy's deep copy)
   private def copyOf(v: Any): Any = v match {
     case r: InternalRow => r.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
     case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
     case x => x
   }

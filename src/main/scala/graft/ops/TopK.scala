@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Public face of the bounded native top-k
   * ([[graft.functions.TopKAgg]]): the k best rows per group under
@@ -16,17 +17,52 @@ import org.apache.spark.sql.functions._
   * [[GlobalOrder.withRowNumberBy]] remains the tool when the FULL rank
   * is consumed (fraction cuts, NTILE phases, running sums).
   *
-  * `asc = false` encodes the key by numeric negation — bit-consistent
-  * for doubles/longs under the SQL total order; `idCol` must be unique
-  * within a group so payload fields never enter the comparison.
+  * KEY CONTRACT (loud, not silent): `asc = false` encodes the order
+  * key by numeric negation, which is exact for every FINITE NON-NULL
+  * metric (the rounded doubles and ids every current caller feeds).
+  * The two inputs where negation diverges from `desc` raise at eval
+  * time instead of mis-ranking: NaN (−NaN == NaN, so a NaN metric
+  * would sort LAST under the negated ascending order instead of FIRST
+  * as under `desc` — reachable, e.g. cosine of a zero-norm embedding)
+  * and a NULL metric (the interpreted struct ordering is NULLS FIRST
+  * ascending, vs `desc`'s NULLS LAST). Long.MinValue negation would
+  * overflow and also raises. −0.0 needs no guard: it negates to +0.0,
+  * and Spark's SQL total order compares the two zeros equal, so ranks
+  * are unaffected.
   */
 object TopK {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
+  /** The descending-order key: negation with loud guards for the
+    * values negation cannot order like `desc` (NaN / NULL / the
+    * unnegatable Long.MinValue). Guards compile to one codegen branch
+    * per row; the raise carries the metric name.
+    */
+  private def descKey(df: DataFrame, metric: String): Column = {
+    val m = col(metric)
+    def fail(why: String): Column = raise_error(lit(
+      s"TopK.byGroup: $why '$metric' cannot ride the negated descending " +
+        "key (it would rank differently from row_number().over(desc)) — " +
+        "filter or normalize the metric first"))
+    val guarded = df.schema(metric).dataType match {
+      case DoubleType | FloatType =>
+        when(m.isNull, fail("NULL metric"))
+          .when(isnan(m), fail("NaN metric"))
+          .otherwise(m)
+      case LongType | IntegerType | ShortType | ByteType =>
+        when(m.isNull, fail("NULL metric"))
+          .when(m === lit(Long.MinValue), fail("Long.MinValue metric"))
+          .otherwise(m)
+      case _ =>
+        when(m.isNull, fail("NULL metric")).otherwise(m)
+    }
+    -guarded
+  }
+
   def byGroup(df: DataFrame, partNames: Seq[String], metric: String,
       asc: Boolean, idCol: String, k: Int,
       payload: Seq[String] = Nil): DataFrame = {
-    val key: Column = if (asc) col(metric) else -col(metric)
+    val key: Column = if (asc) col(metric) else descKey(df, metric)
     val packed = struct(key.as("__o") +: col(idCol).as("__i") +:
       col(metric).as("__m") +: payload.map(col): _*)
     val agg = column(graft.functions.TopKAgg(expression(packed), k)

@@ -91,6 +91,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(topk(10).toSeq.sorted == topk(10).toSeq.sorted)
   }
 
+  test("TopK.byGroup desc key contract: NaN and NULL metrics raise loudly; -0.0 ranks like 0.0") {
+    import spark.implicits._
+    // NaN under desc would silently rank LAST instead of FIRST via the
+    // negated key — the guard turns the divergence into an error
+    val nan = Seq((1L, 1L, 1.0), (1L, 2L, Double.NaN)).toDF("g", "id", "m")
+    val eNan = intercept[Exception] {
+      graft.ops.TopK.byGroup(nan, Seq("g"), "m", asc = false, "id", 2).collect()
+    }
+    assert(eNan.getMessage != null && eNan.getMessage.contains("NaN"))
+    val nul = Seq((1L, 1L, Some(1.0)), (1L, 2L, None)).toDF("g", "id", "m")
+    val eNul = intercept[Exception] {
+      graft.ops.TopK.byGroup(nul, Seq("g"), "m", asc = false, "id", 2).collect()
+    }
+    assert(eNul.getMessage != null && eNul.getMessage.contains("NULL"))
+    // -0.0 negates to +0.0 but the SQL total order treats the zeros as
+    // equal, so ranks match the window form (id tie-break decides)
+    val z = Seq((1L, 5L, -0.0), (1L, 3L, 0.0), (1L, 4L, 1.0)).toDF("g", "id", "m")
+    val got = graft.ops.TopK.byGroup(z, Seq("g"), "m", asc = false, "id", 3)
+      .orderBy(col("rank")).collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((4L, 1L), (3L, 2L), (5L, 3L)))
+    // Long.MinValue cannot negate — loud, not wrapped
+    val lm = Seq((1L, 1L, 5L), (1L, 2L, Long.MinValue)).toDF("g", "id", "m")
+    val eLm = intercept[Exception] {
+      graft.ops.TopK.byGroup(lm, Seq("g"), "m", asc = false, "id", 2).collect()
+    }
+    assert(eLm.getMessage != null && eLm.getMessage.contains("Long.MinValue"))
+  }
+
   test("gini_agg native aggregate equals the relational and HOF forms") {
     GraftFunctions.register(spark)
     val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
