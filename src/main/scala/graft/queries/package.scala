@@ -71,9 +71,33 @@ package object queries {
     */
   private val fitMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
+  /** Cheap corpus fingerprint (xor of per-file size/mtime stamps under
+    * the sf dir): keying the memo on it means a REGENERATED corpus at
+    * the same path invalidates every cached fit instead of silently
+    * serving stale models. Walking the handful of parquet dirs costs
+    * ~ms — noise next to any fit it guards.
+    */
+  private def dirStamp(sfDir: String): String =
+    try {
+      val p = java.nio.file.Paths.get(sfDir)
+      if (!java.nio.file.Files.exists(p)) "absent"
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => f.toString.hashCode.toLong * 1000003L ^
+            java.nio.file.Files.size(f) * 31L ^
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .foldLeft(0L)(_ ^ _)
+        java.lang.Long.toHexString(s)
+      }
+    } catch { case _: Throwable => "unknown" }
+
   private[queries] def fitOnce[T <: AnyRef](key: String, sfDir: String)(
       fit: => T): T =
-    fitMemo.computeIfAbsent(s"$key@$sfDir", _ => fit).asInstanceOf[T]
+    fitMemo.computeIfAbsent(s"$key@$sfDir#${dirStamp(sfDir)}",
+      _ => fit).asInstanceOf[T]
 
   /** Fixed per-query scratch dir under java.io.tmpdir, recursively
     * cleared on each call — repeated bench/verify invocations of the

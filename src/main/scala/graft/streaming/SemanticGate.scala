@@ -69,8 +69,10 @@ object SemanticGate {
       .agg(collect_list(struct(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("e"))).as("cands"))
     maxClusterSize.foreach { bound =>
-      val worst = members.select(max(size(col("cands"))).as("m"))
-        .head.getInt(0)
+      // max() over an EMPTY member index is NULL — treat as worst = 0
+      // (an empty embeddings frame is a legal, trivially-bounded index)
+      val row = members.select(max(size(col("cands"))).as("m")).head
+      val worst = if (row.isNullAt(0)) 0 else row.getInt(0)
       require(worst <= bound,
         s"SemanticGate.fit: largest cluster holds $worst members " +
           s"(> $bound) — raise k so per-cluster rows stay task-sized")
