@@ -434,43 +434,32 @@ object Dedup {
     * fingerprint screen (q73): an eval doc within simhash `maxHamming`
     * of ANY train doc leaks paraphrased training text the exact hash
     * cannot see (the leakage mode LLM eval suites actually suffer).
-    * Banded candidate generation (the q260 layout: 4×8-bit keys,
-    * complete at `maxHamming` < 4 by pigeonhole) keeps the cross-split
-    * compare a band-keyed equi-join — never eval × train. Per eval doc
-    * WITH at least one banded train candidate: the distinct candidate
-    * count, min hamming (lowest train id on ties), and the leak flag;
+    * Candidate generation rides the shared [[Banding]] machinery
+    * (complete at `maxHamming` < `cfg.bands` by pigeonhole): the train
+    * side collapses into a grouped (band, key) index and each eval doc
+    * scans its cell lists inside its own row — never eval × train, and
+    * (the VERDICT-r14 fix) never the per-cell cross-join whose pair
+    * count grew quadratically at corpus scale; `cfg = Banding.wide64`
+    * runs the audit at 65k buckets per band. Per eval doc WITH at
+    * least one banded train candidate: the distinct candidate count,
+    * min hamming (lowest train id on ties), and the leak flag;
     * token-less docs carry no fingerprint and are absent (join back
     * from the full eval set for a report).
     */
   def fuzzyContamination(docs: DataFrame, id: Column, text: Column,
-      isEval: Column, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"fuzzyContamination: maxHamming $maxHamming needs an intact band (< 4)")
-    val base = docs.select(id.as("doc_id"), isEval.as("__ev"), text.as("__t"))
-    val fps = simhash(base, col("doc_id"), col("__t"))
-      .join(base.select(col("doc_id"), col("__ev")), Seq("doc_id"))
-    def banded(df: DataFrame, idName: String, fpName: String) =
-      df.select(col("doc_id").as(idName), col("simhash").as(fpName))
-        .select(col(idName), col(fpName),
-          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-            shiftright(col(fpName), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
-            .as("e"))
-        .select(col("e.band").as("band"), col("e.key").as("key"),
-          col(idName), col(fpName))
-    val ev = banded(fps.where(col("__ev")), "eval_id", "efp")
-    val tr = banded(fps.where(!col("__ev")), "train_id", "tfp")
-    // a pair matching several bands counts once (the q260 convention)
-    val cand = ev.join(tr, Seq("band", "key"))
-      .select(col("eval_id"), col("train_id"),
-        bit_count(col("efp").bitwiseXOR(col("tfp"))).as("ham"))
-      .distinct()
-    cand.groupBy(col("eval_id"))
-      .agg(count(lit(1)).as("n_cands"),
-        min(struct(col("ham"), col("train_id"))).as("b"))
-      .select(col("eval_id"), col("n_cands"),
-        col("b.ham").as("min_hamming"),
-        col("b.train_id").as("match_id"),
-        (col("b.ham") <= maxHamming).as("leaked"))
+      isEval: Column, maxHamming: Int = 3,
+      cfg: Banding.Config = Banding.Config()): DataFrame = {
+    val base = docs.select(id.as("doc_id"), isEval.as("__ev"),
+      text.as("text"))
+    val index = Banding.buildIndex(base.where(!col("__ev")),
+      col("doc_id"), col("text"), cfg)
+    Banding.withFlags(base.where(col("__ev"))
+          .select(col("doc_id"), col("text")), index, maxHamming, cfg)
+      .where(col("n_cands") > 0)
+      .select(col("doc_id").as("eval_id"),
+        col("n_cands").cast("long").as("n_cands"),
+        col("min_hamming"), col("match_id"),
+        (col("min_hamming") <= maxHamming).as("leaked"))
   }
 
   /** Composable (pure-DataFrame) SimHash twin: explode tokens, 32

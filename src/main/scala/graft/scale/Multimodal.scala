@@ -77,9 +77,10 @@ object Multimodal {
     * (VERDICT-r13 gap 1): per source, the agreement/conflict matrix of
     *
     *   - the TEXT verdict: the doc has a LOWER-id simhash near-dup at
-    *     `maxHamming` — found through the 4×8 banded self-join (complete
-    *     at any threshold < 4 by pigeonhole, so the scale-shaped
-    *     equi-join equals the oracle's brute-force n² scan), and
+    *     `maxHamming` — found through the shared [[Banding]] grouped
+    *     index (complete at any threshold < `cfg.bands` by pigeonhole,
+    *     so the scale-shaped fold equals the oracle's brute-force n²
+    *     scan), and
     *   - the SEMANTIC verdict: [[Similarity.semDedup]]'s prune flag (a
     *     lower-id cluster-mate at cosine ≥ `tau`).
     *
@@ -88,35 +89,34 @@ object Multimodal {
     * columns are exactly the mass each gate would wrongly keep if run
     * alone. Only PAIRED docs (an embedding exists for the doc id) are
     * judged; `n_docs` counts everything so the unpaired mass stays
-    * visible. Multi-band candidate duplicates need no dedup — the text
-    * flag is an EXISTS, and the per-pair hamming filter precedes the
-    * doc-keyed rollup.
+    * visible.
+    *
+    * Scale (the VERDICT-r14 fix): the text verdict rides
+    * [[Banding.withFlags]] with `lowerIdThan = doc_id` — each doc scans
+    * its (band, key) cell lists inside its own row (work linear in cell
+    * size per probe, candidate pairs never materialize in an exchange),
+    * replacing the round-14 banded SELF-join whose per-cell pair count
+    * grew quadratically. `cfg = Banding.wide64` runs the audit at the
+    * 65k-buckets-per-band layout a corpus-scale run needs.
     */
   def dedupConsensus(docs: DataFrame, embeddings: DataFrame,
       id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
       source: org.apache.spark.sql.Column,
       maxHamming: Int = 3, k: Int = 8, iters: Int = 1,
-      tau: Double = 0.30): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      s"dedupConsensus: maxHamming $maxHamming needs an intact band (< 4)")
-    val fps = Dedup.simhash(docs, id, text)
-    val banded = fps.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*)).as("e"))
-      .select(col("e.band").as("band"), col("e.key").as("key"),
-        col("doc_id"), col("simhash"))
-    val textDup = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
-      .select(col("b.doc_id").as("doc_id"))
-      .groupBy(col("doc_id")).agg(lit(true).as("td"))
+      tau: Double = 0.30, cfg: Banding.Config = Banding.Config()): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("text"),
+      source.as("source"))
+    val index = Banding.buildIndex(base, col("doc_id"), col("text"), cfg)
+    val textDup = Banding.withFlags(
+        base.select(col("doc_id"), col("text")), index, maxHamming, cfg,
+        lowerIdThan = Some("doc_id"))
+      .where(col("is_neardup"))
+      .select(col("doc_id"), lit(true).as("td"))
     val semDup = Similarity.semDedup(embeddings, k, iters, tau)
       .select(col("vec_id").as("doc_id"), (!col("kept")).as("sd"))
     val td = coalesce(col("td"), lit(false))
     val sd = col("sd") // null marks an unpaired doc
-    docs.select(id.as("doc_id"), source.as("source"))
+    base.select(col("doc_id"), col("source"))
       .join(textDup, Seq("doc_id"), "left")
       .join(semDup, Seq("doc_id"), "left")
       .groupBy(col("source")).agg(

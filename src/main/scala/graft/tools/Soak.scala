@@ -412,6 +412,66 @@ object Soak {
       cells(graft.streaming.NearDupGate.Config(), "32-bit 4x8")
       cells(graft.streaming.NearDupGate.wide64, "64-bit 4x16")
     }
+    // round-15: the batch near-dup AUDITS at k-fold corpus, both
+    // layouts — MEASURE the candidate-pair mass the grouped-index fold
+    // scans (each probe row folds over its cell lists; pairs never
+    // materialize in an exchange). sum(n_cands) is exactly the deduped
+    // (probe, candidate) pair count the old per-cell SELF-join would
+    // have EMITTED as rows — the quadratic mass the VERDICT-r14 finding
+    // named; wide64's 256x bucket spread should cut it ~2 orders.
+    time(s"audit-fold-${k}x-docs") {
+      def pairs(cfg: graft.scale.Banding.Config, label: String): Unit = {
+        val ix = graft.scale.Banding.buildIndex(docsSpread, col("doc_id"),
+          col("text"), cfg).localCheckpoint()
+        val st = graft.scale.Banding.withFlags(
+            docsSpread.select(col("doc_id"), col("text")), ix,
+            maxHamming = 3, cfg, lowerIdThan = Some("doc_id"))
+          .agg(sum(col("n_cands").cast("long")).as("pairs"),
+            max(col("n_cands")).as("mx"),
+            sum(col("is_neardup").cast("long")).as("dups")).head()
+        println(f"  $label: ${st.getLong(0)} candidate pairs folded, " +
+          f"max ${st.getInt(1)} per doc, ${st.getLong(2)} near-dups")
+      }
+      pairs(graft.scale.Banding.Config(), "32-bit 4x8")
+      pairs(graft.scale.Banding.wide64, "64-bit 4x16")
+    }
+
+    // round-15: the bounded top-k aggregate under SKEW — one query owns
+    // half the candidate mass (the shape a partition-key salting or AQE
+    // skew-join cannot fix: it is one GROUP, not one partition, that is
+    // hot). The map-side <= k buffers must collapse the hot group in
+    // every task, so the exchange carries ~tasks x groups x k rows no
+    // matter how skewed the group sizes are — measured via a listener.
+    time(s"topk-skew-${k}x-candidates") {
+      val nQ = 64
+      val rowsPer = 100000L * k
+      // query 0 owns ~50% of all candidates; 63 queries share the rest
+      val cands = spark.range(rowsPer).select(
+          when(col("id") % 2 === 0, 0L).otherwise(col("id") % (nQ - 1) + 1L)
+            .as("query_id"),
+          col("id").as("cand_id"),
+          (pmod(col("id") * 2654435761L, lit(1000000L)).cast("double") / 1e4)
+            .as("score"))
+        .repartition(32)
+      val wrec = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) wrec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.ops.TopK.byGroup(cands, Seq("query_id"), "score",
+            asc = false, "cand_id", 10)
+          .write.format("noop").mode("overwrite").save()
+        Thread.sleep(2000) // listener bus drains async
+      } finally spark.sparkContext.removeSparkListener(listener)
+      println(f"  ${rowsPer} candidates (50%% in one group) -> " +
+        f"${wrec.get()} exchanged rows (bound: tasks x $nQ groups x k=10)")
+    }
+
     time(s"semgate-index-${k}x-vectors") {
       // k ∝ corpus (the SemDeDup contract): 8*k clusters at k-fold
       // vectors keeps expected members/cluster constant — the max row

@@ -686,4 +686,40 @@ class PlanSpec extends AnyFunSuite {
         bad.map(_.simpleStringWithNodeId()).mkString("\n"))
     }
   }
+
+  test("banded near-dup audits ride the grouped-index fold — no doc-pair join survives") {
+    // the VERDICT-r14 demand: a (band, key) cell SELF/CROSS-join emits
+    // ~cell²/2 doc-pair rows — quadratic per cell at corpus scale. The
+    // audits must scan cell lists inside each probe's own row (the
+    // Banding.withFlags fold), so NO executed join may compare two
+    // doc_id attributes (the a.doc_id < b.doc_id pair-join signature).
+    // The semantic side's cluster-mate vec_id pair join is the accepted
+    // Σ|c|² SemDeDup shape and stays out of this assert's scope.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, LessThan}
+    def joins(p: SparkPlan): Seq[BaseJoinExec] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+        case j: BaseJoinExec => Seq(j)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(joins) ++ p.subqueries.flatMap(joins)
+    }
+    def docPairCmp(e: Expression): Boolean = e match {
+      case LessThan(a: AttributeReference, b: AttributeReference) =>
+        a.name == "doc_id" && b.name == "doc_id"
+      case other => other.children.exists(docPairCmp)
+    }
+    for (q <- Seq("q278_crossmodal", "q287_fuzzy_contamination",
+        "q290_crossmodal_wide", "q291_fuzzy_wide", "q293_crossmodal_pairs")) {
+      val out = graft.queries.ScaleQueries.defs(q)(spark, sf)
+      out.collect()
+      val bad = joins(out.queryExecution.executedPlan)
+        .filter(j => j.condition.exists(docPairCmp))
+      assert(bad.isEmpty, s"$q materializes banded doc pairs in a join:\n" +
+        bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+  }
 }
