@@ -414,13 +414,19 @@ object Similarity {
     * differs per list. Ranking over rounded ADC as in [[pqTopK]].
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                dim: Int, m: Int, ksub: Int, nlist: Int, nprobe: Int): DataFrame = {
+                dim: Int, m: Int, ksub: Int, nlist: Int, nprobe: Int,
+                coarseIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val sub = (e: Column, mm: Column) => slice(e, mm * lit(dsub) + lit(1), lit(dsub))
-    val coarse = corpus.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").cast("int").as("cid"),
-        col("embedding").cast("array<double>").as("ce"))
+    // coarseIters > 0 trains the coarse level (rounded Lloyd — the same
+    // replayable refinement q277 gave the PQ level); 0 keeps the q258
+    // seed contract
+    val coarse =
+      if (coarseIters > 0) lloydCentroidsRounded(corpus, nlist, coarseIters)
+      else corpus.orderBy(col("vec_id")).limit(nlist)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").cast("array<double>").as("ce"))
     val residual = (e: Column, ce: Column) =>
       zip_with(e, ce, (a, b) => a.cast("double") - b)
     val res = assign(corpus, coarse).join(broadcast(coarse), "cid")
@@ -588,13 +594,18 @@ object Similarity {
     val side = assigned.select(col("cid"), col("vec_id"), col("embedding").as("e"))
     val pairs = side.as("x").join(side.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"),
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("prev_id"),
         // divide by the SMALLER id's norm first — left-associated like
         // the oracle's sequential unnest sums
         graft.queries.r6(cosine(col("x.e"), col("y.e"))).as("cos"))
     val dups = pairs.where(col("cos") >= tau)
       .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_prev_dups"), max(col("cos")).as("max_prev_cos"))
+      .agg(count(lit(1)).as("n_prev_dups"), max(col("cos")).as("max_prev_cos"),
+        // the best mate itself (highest cos, LOWEST prev id on ties —
+        // negate inside the max-struct, un-negate after): the drill-down
+        // column q293's disagreement audit reports
+        (-max(struct(col("cos"), (-col("prev_id")).as("ni")))
+          .getField("ni")).as("best_prev_id"))
     val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
     assigned.select(col("vec_id"), col("cid"))
       .join(broadcast(sizes), "cid")
@@ -602,7 +613,7 @@ object Similarity {
       .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
         col("cluster_n"),
         coalesce(col("n_prev_dups"), lit(0L)).as("n_prev_dups"),
-        col("max_prev_cos"),
+        col("max_prev_cos"), col("best_prev_id"),
         col("n_prev_dups").isNull.as("kept"))
   }
 
@@ -612,6 +623,29 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
     val (assigned, centroids) = ivfAssign(corpus, nlist, iters)
+    ivfScan(assigned, centroids, queries, k, nprobe)
+  }
+
+  /** [[ivfTopK]] with a TRAINED coarse quantizer — the rounded-Lloyd
+    * refinement ([[lloydCentroidsRounded]], the q170/q255 discipline
+    * that keeps every refined coordinate DuckDB-replayable) in place of
+    * the seed/unrounded forms, completing the FAISS composition at the
+    * COARSE level the way q277 completed the PQ level (VERDICT-r14
+    * item 3). q292 reports the recall the coarse training buys over the
+    * q59 seed quantizer.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, coarseIters: Int): DataFrame = {
+    val centroids = lloydCentroidsRounded(corpus, nlist, coarseIters)
+    ivfScan(assign(corpus, centroids), centroids, queries, k, nprobe)
+  }
+
+  /** The shared IVF probe + in-list exact scan over a frozen
+    * (assigned, centroids) pair: probe rank and result rank both ride
+    * the bounded TopKAgg; the probe frame broadcasts.
+    */
+  private def ivfScan(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val qd2 = sqDist(col("qe"), col("ce"))
     val probes = topKByQuery(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -306,6 +306,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.2)
   }
 
+  test("ivfTopKTrained: rounded-Lloyd coarse quantizer is deterministic and holds recall vs the seed") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, queries, 10)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]) = exact.intersect(s).size.toDouble / exact.size
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seed = ids(Similarity.ivfTopK(emb, queries, 10, nlist = 8, nprobe = 3, iters = 0))
+    val t1 = ids(Similarity.ivfTopKTrained(emb, queries, 10, nlist = 8, nprobe = 3, coarseIters = 1))
+    val t2 = ids(Similarity.ivfTopKTrained(emb, queries, 10, nlist = 8, nprobe = 3, coarseIters = 1))
+    assert(t1 == t2, "trained-coarse IVF must be deterministic (rounded centroids)")
+    info(s"ivf recall@10: seed ${recall(seed)}, trained coarse ${recall(t1)}")
+    // one rounded-Lloyd step fits the coarse cells to the data — the
+    // q277 contract at the coarse level: recall must not drop
+    assert(recall(t1) >= recall(seed),
+      s"coarse training must not lose recall: ${recall(t1)} < ${recall(seed)}")
+    // the IVF-PQ composition accepts the trained coarse level too
+    val ivfpq1 = ids(Similarity.ivfPqTopK(emb, queries, 10, dim = 64, m = 8,
+      ksub = 16, nlist = 8, nprobe = 3, coarseIters = 1))
+    val ivfpq2 = ids(Similarity.ivfPqTopK(emb, queries, 10, dim = 64, m = 8,
+      ksub = 16, nlist = 8, nprobe = 3, coarseIters = 1))
+    assert(ivfpq1 == ivfpq2, "trained-coarse IVF-PQ must be deterministic")
+    assert(ivfpq1.nonEmpty)
+  }
+
   test("pqTopK: deterministic, exact-code candidates rank first, recall floor vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 5)
@@ -457,7 +485,7 @@ class ScaleSpec extends AnyFunSuite {
     val out = Similarity.semDedup(vecs, k = 2, iters = 0, tau = 0.9)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out.size == 6, "partition: every vector exactly once")
-    assert(out.filter(_._2.getBoolean(5)).keySet == Set(0L, 1L, 4L, 5L))
+    assert(out.filter(_._2.getBoolean(6)).keySet == Set(0L, 1L, 4L, 5L))
     // cluster membership from the seed quantizer: {0,2,4} / {1,3,5}
     assert(Set(0L, 2L, 4L).map(out(_).getLong(1)).size == 1)
     assert(Set(1L, 3L, 5L).map(out(_).getLong(1)).size == 1)
@@ -465,14 +493,16 @@ class ScaleSpec extends AnyFunSuite {
     // the near-dups each have exactly one above-τ lower-id mate (the seed)
     assert(out(2L).getLong(3) == 1L && out(3L).getLong(3) == 1L)
     assert(math.abs(out(2L).getDouble(4) - 0.9939) < 1e-3)
-    // kept rows carry NULL max_prev_cos and zero prior dups
-    assert(out(0L).isNullAt(4) && out(0L).getLong(3) == 0L)
+    // ... and best_prev_id names that mate (the q293 drill-down column)
+    assert(out(2L).getLong(5) == 0L && out(3L).getLong(5) == 1L)
+    // kept rows carry NULL max_prev_cos/best_prev_id and zero prior dups
+    assert(out(0L).isNullAt(4) && out(0L).isNullAt(5) && out(0L).getLong(3) == 0L)
     // refined variant still partitions and always keeps each cluster's min id
     val ref = Similarity.semDedup(vecs, k = 2, iters = 1, tau = 0.9)
       .collect()
     assert(ref.length == 6)
     val minIds = ref.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).min).toSet
-    assert(ref.filter(r => minIds.contains(r.getLong(0))).forall(_.getBoolean(5)),
+    assert(ref.filter(r => minIds.contains(r.getLong(0))).forall(_.getBoolean(6)),
       "lowest id of every cluster survives")
   }
 
@@ -873,6 +903,32 @@ class ScaleSpec extends AnyFunSuite {
       s"exact twin leaks at hamming 0: ${out.get(10L)}")
     assert(!out.get(11L).exists(_._4), "novel doc must not leak")
     assert(!out.contains(12L), "token-less docs carry no fingerprint")
+  }
+
+  test("banded audits are layout-independent at maxHamming <= 3 (pigeonhole): 4x16 == 8x8 over the 64-bit kernel") {
+    import graft.scale.{Banding, Multimodal}
+    // same 64-bit fingerprint, two different tilings that both leave a
+    // band intact at hamming <= 3 — verdicts must be IDENTICAL (the
+    // pigeonhole completeness claim, executed): consensus matrix and
+    // contamination flags over the real corpus
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val wide88 = Banding.Config(bands = 8, bandBits = 8, wide = true)
+    def consensus(cfg: Banding.Config) =
+      Multimodal.dedupConsensus(docs, emb, col("doc_id"), col("text"),
+          col("source"), cfg = cfg)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(consensus(Banding.wide64) == consensus(wide88))
+    val ev = col("doc_id") % 10 === 0
+    def leaks(cfg: Banding.Config) =
+      Dedup.fuzzyContamination(docs, col("doc_id"), col("text"), ev, cfg = cfg)
+        .select(col("eval_id"), col("leaked"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val l16 = leaks(Banding.wide64)
+    val l88 = leaks(wide88)
+    // candidate SETS differ across layouts (n_cands may differ); the
+    // at-threshold verdict cannot
+    assert(l16.keySet.filter(l16) == l88.keySet.filter(l88))
   }
 
   test("incrementalDedup: delta doc matches its index twin; novel doc stays unmatched") {
