@@ -147,6 +147,29 @@ object CurationCounters {
       .as[FlaggedDoc]
   }
 
+  /** Batch aggregation of [[flaggedDocs]] into the per-source
+    * [[CurationTotals]] columns — ONE definition of the totals
+    * semantics, shared by the q294 driver-gated battery funnel and the
+    * StreamingSpec parity test (which pins the streaming processor's
+    * running totals to exactly this frame on the same corpus).
+    */
+  def batchTotals(flags: Dataset[FlaggedDoc]): org.apache.spark.sql.DataFrame = {
+    val sv = col("lang") && col("heuristic") && !col("gopher") &&
+      col("quality") && col("perplexity") && !col("neardup")
+    flags.toDF().groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ntok")).as("n_tokens"),
+      sum(when(col("lang"), 1L).otherwise(0L)).as("lang_kept"),
+      sum(when(col("heuristic"), 1L).otherwise(0L)).as("heuristic_kept"),
+      sum(when(!col("gopher"), 1L).otherwise(0L)).as("gopher_kept"),
+      sum(when(col("pii"), 1L).otherwise(0L)).as("pii_docs"),
+      sum(when(col("quality"), 1L).otherwise(0L)).as("quality_kept"),
+      sum(when(col("perplexity"), 1L).otherwise(0L)).as("perplexity_kept"),
+      sum(when(col("neardup"), 1L).otherwise(0L)).as("neardup_docs"),
+      sum(when(sv, 1L).otherwise(0L)).as("survivors"),
+      sum(when(sv, col("ntok")).otherwise(0L)).as("survivor_tokens"))
+  }
+
   /** Running totals per source, updated every micro-batch. */
   def totals(docs: Dataset[SourcedDoc], model: Trainer.LogisticModel,
       buckets: Int, gate: Perplexity.Gate,

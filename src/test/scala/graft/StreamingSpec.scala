@@ -1890,21 +1890,13 @@ class StreamingSpec extends AnyFunSuite {
           .orderBy(col("n_docs").desc)))
       .where(col("rn") === 1).drop("rn")
       .collect().map(r => r.getString(0) -> eleven(r)).toMap
-    val sv = col("lang") && col("heuristic") && !col("gopher") &&
-      col("quality") && col("perplexity") && !col("neardup")
-    val batch = CurationCounters.flaggedDocs(docs.toSeq.toDS(),
-        m, B, gate, Some(index), langGate = langGate)
-      .toDF().groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
-        sum(when(col("lang"), 1L).otherwise(0L)).as("lk"),
-        sum(when(col("heuristic"), 1L).otherwise(0L)).as("hk"),
-        sum(when(!col("gopher"), 1L).otherwise(0L)).as("gk"),
-        sum(when(col("pii"), 1L).otherwise(0L)).as("pd"),
-        sum(when(col("quality"), 1L).otherwise(0L)).as("qk"),
-        sum(when(col("perplexity"), 1L).otherwise(0L)).as("pk"),
-        sum(when(col("neardup"), 1L).otherwise(0L)).as("nd"),
-        sum(when(sv, 1L).otherwise(0L)).as("sv"),
-        sum(when(sv, col("ntok")).otherwise(0L)).as("svt"))
+    // the batch side IS CurationCounters.batchTotals — the same frame
+    // the q294 driver-gated battery funnel hashes against its DuckDB
+    // oracle, so streamed == batchTotals here transitively pins the
+    // streaming processor's end-state to the q294 hash gate
+    val batch = CurationCounters.batchTotals(
+        CurationCounters.flaggedDocs(docs.toSeq.toDS(),
+          m, B, gate, Some(index), langGate = langGate))
       .collect().map(r => r.getString(0) -> eleven(r)).toMap
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (src, v) =>
