@@ -71,6 +71,15 @@ object GraftExtensions {
     (FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(text) - one-pass 32-bit SimHash over whitespace tokens; NULL when no tokens"),
       (es: Seq[Expression]) => SimHash32(es.head)),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - one-pass 64-bit SimHash over whitespace tokens (the wide64 banding fingerprint); NULL when no tokens"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    // the bounded native top-k (map-side <= k buffers): SQL surface of
+    // graft.ops.TopK — top_k(struct(orderKey, id, payload...), k) keeps
+    // the k SMALLEST structs under the total order, sorted ascending
+    (FunctionIdentifier("top_k"),
+      info("top_k", "top_k(value, k) - array of the group's k smallest values under the total order, sorted ascending; bounded (<= k) partial buffers"),
+      (es: Seq[Expression]) => TopKAgg(es(0), intLit("top_k", es(1), "k"))),
     // SURVEY §7.4's exact/approx twin selection as a FUNCTION: the builder
     // runs at analysis time with the active session's SQLConf, so one
     // query surface (`graft_distinct(x)`) resolves to exact

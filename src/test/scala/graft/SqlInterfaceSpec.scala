@@ -120,4 +120,36 @@ class SqlInterfaceSpec extends AnyFunSuite {
     }
     assert(math.abs(r.getLong(2).toDouble - r.getLong(3)) <= 0.05 * r.getLong(3))
   }
+
+  test("simhash64 via spark.sql matches the Dedup.simhash64 kernel column") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      "SELECT doc_id, simhash64(text) AS fp FROM docs_sql WHERE simhash64(text) IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val api = graft.scale.Dedup.simhash64(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql.nonEmpty && sql == api)
+    // top 32 bits == the 32-bit kernel by construction
+    val fp32 = spark.sql("SELECT doc_id, simhash32(text) AS fp FROM docs_sql WHERE simhash32(text) IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sql.foreach { case (id, fp) => assert((fp >>> 32) == fp32(id), s"doc $id") }
+  }
+
+  test("top_k via spark.sql matches sort_array + slice and the TopK.byGroup ranks") {
+    GraftFunctions.register(spark)
+    val tx = Tables.transactions(spark, "/root/testdata/sf0.001")
+    tx.createOrReplaceTempView("tx_sql")
+    val sql = spark.sql(
+      """SELECT customer_id,
+        |  top_k(struct(amount, transaction_id), 5) AS tk,
+        |  slice(sort_array(collect_list(struct(amount, transaction_id))), 1, 5) AS truth
+        |FROM tx_sql GROUP BY customer_id""".stripMargin)
+      .collect()
+    assert(sql.nonEmpty)
+    sql.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"customer ${r.get(0)}")
+    }
+  }
 }
