@@ -1503,8 +1503,17 @@ sig AS (SELECT doc_id,
     // excluded from the retrieved side).
     "q286_chunk_bm25" -> { (s, dir) =>
       val docs = docsSpread(s, dir)
+      // the surrogate packs chunk_id into 3 decimal digits: a doc with
+      // >= 1000 chunks (~48k+ tokens at w=64/stride=48) would ALIAS
+      // another doc's chunk ids — fail loudly instead of silently
+      // colliding (the oracle replays the same packing, so the gate
+      // could not catch it)
+      val chunkNo = when(col("chunk_id") >= 1000, raise_error(lit(
+        "q286: a doc has >= 1000 chunks - the 1e6+doc*1000+chunk " +
+          "surrogate would alias across docs; widen the multiplier")))
+        .otherwise(col("chunk_id"))
       val ch = TextOps.chunks(docs, col("doc_id"), col("text"), emitText = true)
-        .select((lit(1000000L) + col("doc_id") * 1000L + col("chunk_id")).as("cid"),
+        .select((lit(1000000L) + col("doc_id") * 1000L + chunkNo).as("cid"),
           col("chunk_text").as("t"), lit(false).as("isq"))
       val qs = docs.where(col("doc_id") < 4)
         .select(col("doc_id").as("cid"), col("text").as("t"), lit(true).as("isq"))
@@ -1620,6 +1629,177 @@ sig AS (SELECT doc_id,
           col("n_cands").cast("long").as("n_cands"),
           col("min_hamming").cast("long").as("min_hamming"),
           col("match_id"), col("is_neardup"))
+    },
+    // q278 at the CORPUS-SCALE layout (VERDICT-r14 item 2): the same
+    // cross-modal consensus matrix with the text verdict banded 4x16
+    // over the 64-bit kernel — 65k buckets/band, the spread the audit
+    // needs once cells outgrow tasks. Same grouped-index fold shape;
+    // only the fingerprint/layout changes, and the oracle's brute-force
+    // 64-bit hamming scan equals the banded set at hamming <= 3 by
+    // pigeonhole.
+    "q290_crossmodal_wide" -> { (s, dir) =>
+      graft.scale.Multimodal.dedupConsensus(docsSpread(s, dir),
+        Tables.embeddings(s, dir), col("doc_id"), col("text"), col("source"),
+        cfg = graft.scale.Banding.wide64)
+    },
+    // q287 at the CORPUS-SCALE layout (VERDICT-r14 item 2): fuzzy
+    // train/eval contamination over the 64-bit fingerprint, wide64
+    // banding. The leak verdict (exists train doc at hamming <= 3) is
+    // layout-independent by pigeonhole, so the oracle replays it as a
+    // brute-force 64-bit cross-split scan.
+    "q291_fuzzy_wide" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val split = Splits.assign(Splits.bucket(col("doc_id")))
+      val rep = graft.scale.Dedup.fuzzyContamination(
+        docs.select(col("doc_id"), col("text"), split.as("sp")),
+        col("doc_id"), col("text"), col("sp") =!= "train",
+        cfg = graft.scale.Banding.wide64)
+      docs.select(col("doc_id"), col("source"), split.as("split"))
+        .where(col("split") =!= "train")
+        .join(rep.select(col("eval_id").as("doc_id"), col("leaked")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(coalesce(col("leaked"), lit(false)), 1L).otherwise(0L))
+            .as("n_leaked"),
+          r6(sum(when(coalesce(col("leaked"), lit(false)), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("leak_rate"))
+    },
+    // trained-vs-seed COARSE quantizer QA (VERDICT-r14 item 3 — the
+    // coarse-level twin of q277's PQ-level report): per probe, recall@10
+    // against the exact cosine top-10 for the q59 seed IVF and for the
+    // rounded-Lloyd-trained coarse quantizer (1 refinement step, every
+    // coordinate re-rounded through the engine quantum so the oracle
+    // replays the identical centroid matrix). The number a deployment
+    // reads before paying for coarse training.
+    "q292_ivf_coarse" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("nbr_id"))
+      val seed = Similarity.ivfTopK(emb, probes, k = 10,
+          nlist = 8, nprobe = 3, iters = 0)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("sh"))
+      val trained = Similarity.ivfTopKTrained(emb, probes, k = 10,
+          nlist = 8, nprobe = 3, coarseIters = 1)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("th"))
+      exact.join(seed, Seq("query_id", "nbr_id"), "left")
+        .join(trained, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("sh"), lit(0L))).as("seed_hits"),
+          sum(coalesce(col("th"), lit(0L))).as("trained_hits"),
+          r6(sum(coalesce(col("sh"), lit(0L))).cast("double") / count(lit(1)))
+            .as("seed_recall"),
+          r6(sum(coalesce(col("th"), lit(0L))).cast("double") / count(lit(1)))
+            .as("trained_recall"))
+    },
+    // cross-modal consensus DRILL-DOWN (VERDICT-r14 item 6): q278
+    // reports per-source totals; this is the pair-grain audit a
+    // pipeline acts on — for each doc where the two gates DISAGREE, the
+    // doc, its best text match (lowest id at min hamming — only when
+    // the text gate fired: a sem_only doc has NO text match at the
+    // threshold, and banded min-hamming above it is layout-dependent),
+    // its best semantic mate (highest 4 dp cosine, lowest id on ties),
+    // and both verdicts, top-10 per (source, conflict kind) by match
+    // strength (closest hamming / highest cosine first). Ranks ride the
+    // bounded TopKAgg; joins are the q278 shapes — no new exchanges.
+    "q293_crossmodal_pairs" -> { (s, dir) =>
+      val base = docsSpread(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val cfg = graft.scale.Banding.Config()
+      val index = graft.scale.Banding.buildIndex(base, col("doc_id"),
+        col("text"), cfg)
+      val flags = graft.scale.Banding.withFlags(
+          base.select(col("doc_id"), col("text")), index, maxHamming = 3,
+          cfg, lowerIdThan = Some("doc_id"))
+        .select(col("doc_id"), col("is_neardup").as("td"),
+          col("min_hamming"), col("match_id"))
+      val sem = Similarity.semDedup(Tables.embeddings(s, dir), k = 8,
+          iters = 1, tau = 0.30)
+        .select(col("vec_id").as("doc_id"), (!col("kept")).as("sd"),
+          col("max_prev_cos"), col("best_prev_id"))
+      val dis = base.select(col("doc_id"), col("source"))
+        .join(flags, Seq("doc_id"))
+        .join(sem, Seq("doc_id")) // inner: paired docs only, as q278 judges
+        .where(col("td") =!= col("sd"))
+        .select(col("doc_id"), col("source"),
+          when(col("td"), lit("text_only")).otherwise(lit("sem_only"))
+            .as("kind"),
+          when(col("td"), col("min_hamming").cast("long")).as("text_hamming"),
+          when(col("td"), col("match_id")).as("text_match_id"),
+          col("max_prev_cos"), col("best_prev_id").as("sem_match_id"),
+          // one ascending strength key: closest text match first for
+          // text_only, highest cosine first for sem_only (4 dp values —
+          // negation exact)
+          when(col("td"), col("min_hamming").cast("double"))
+            .otherwise(-col("max_prev_cos")).as("strength"))
+      graft.ops.TopK.byGroup(dis, Seq("source", "kind"), "strength",
+          asc = true, "doc_id", 10,
+          payload = Seq("text_hamming", "text_match_id", "max_prev_cos",
+            "sem_match_id"))
+        .select(col("source"), col("kind"), col("rank"), col("doc_id"),
+          col("text_hamming"), col("text_match_id"),
+          col("max_prev_cos"), col("sem_match_id"))
+    },
+    // the FULL live-gate battery as a HASH-GATED batch funnel
+    // (VERDICT-r14 item 7): CurationCounters.flaggedDocs — the exact
+    // projection the streaming dashboard serves — run in batch over the
+    // delta slice of a marked + PII-planted corpus, aggregated by the
+    // shared batchTotals into the CurationTotals columns, against a
+    // DuckDB oracle that independently replays EVERY gate: the q276
+    // lang NB, the q74 heuristic, the q247 Gopher battery, the q245 PII
+    // battery, the q242 logistic-quality GD chain, the q252 frozen
+    // perplexity thresholds, and the q260 frozen near-dup index.
+    // StreamingSpec pins the streaming processor's running totals to
+    // batchTotals on the same corpus, so this one hash gate transitively
+    // gates the live funnel end-state. Fixtures: lang markers (q263) so
+    // the first gate discriminates; the q245 PII plants MINUS the %5
+    // phone clause (delta ids are multiples of 10, so a %5 plant would
+    // mark every delta doc and the incidence column would be vacuous);
+    // models fit on the full corpus, flags served on the
+    // doc_id % 10 == 0 delta (the q260 delta convention — an indexed
+    // doc would trivially near-dup itself).
+    "q294_battery_funnel" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.{CurationCounters, NearDupGate, SourcedDoc}
+      val B = 16
+      val id = col("doc_id")
+      val piiPlant = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+          lit("."), ((id + 13) % 256).cast("string"), lit(".25 host")))
+          .otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" acct "),
+          lpad((id % 1000000).cast("string"), 12, "0"), lit(" ref")))
+          .otherwise(lit("")))
+      val batt = concat(piiPlant, lit(" "), col("lang"),
+        lit(" "), col("lang"), lit(" "), col("lang"))
+      val corpus = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), batt.as("text"))
+        .localCheckpoint() // fits + serve: stats, 6 GD passes, lm, index
+      val t = col("text")
+      val y = when(TextOps.nTokens(t) < 20, 0L)
+        .when(TextOps.stopwordRatio(t) < 0.05, 0L).otherwise(1L)
+      val f = TextOps.hashedNgramFeatures(corpus, col("doc_id"), t, B)
+        .join(corpus.select(col("doc_id"), y.as("y")), "doc_id")
+        .localCheckpoint() // stats + 6 GD passes
+      val m = graft.scoring.Trainer.fitLogistic(
+        f.where(Splits.bucket(col("doc_id"), "hq", 5) =!= 0),
+        (0 until B).map(b => s"f$b"), col("y"), iters = 6, lr = 0.5)
+      val gate = graft.scale.Perplexity.fitGate(
+        corpus.select(col("doc_id"), col("source"), t))
+      val index = NearDupGate.buildIndex(
+        corpus.where(col("doc_id") % 10 =!= 0), col("doc_id"), t)
+      val langNb = graft.scale.LangId.fit(corpus, col("doc_id"), t,
+        col("lang"), Splits.bucket(col("doc_id"), "lid", 5) =!= 0,
+        buckets = 64)
+      val delta = corpus.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"), t).as[SourcedDoc]
+      CurationCounters.batchTotals(CurationCounters.flaggedDocs(
+        delta, m, B, gate, Some(index),
+        langGate = Some((langNb, Seq("en", "de", "es")))))
     },
     // two-stage retrieval QA (the FAISS re-rank serving shape): PQ ADC
     // shortlists 100 candidates per probe, exact squared-euclidean
@@ -3778,6 +3958,414 @@ SELECT source, n_tokens,
   round(pow(n_tokens::DOUBLE, 0.3) / z.z + 5e-11, 4) AS p_sample,
   round((10000000 * (pow(n_tokens::DOUBLE, 0.3) / z.z)) / n_tokens + 5e-11, 4) AS epochs
 FROM m CROSS JOIN z""",
+    "q290_crossmodal_wide" -> {
+      // 64-bit fp as in q284 (unsigned fpu drives the hamming xor); the
+      // text verdict is the brute-force 64-bit scan — equal to the
+      // wide64 banded candidate set at hamming <= 3 by pigeonhole
+      val sums = (0 until 64).map { j =>
+        val half = if (j >= 32) s"(hi >> ${j - 32})" else s"(lo >> $j)"
+        s"sum(CASE WHEN $half & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fpuExpr = (0 until 64).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${java.lang.Long.toUnsignedString(1L << j)}::UBIGINT ELSE 0::UBIGINT END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS hi,
+    ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS lo
+  FROM t),
+fp AS MATERIALIZED (SELECT doc_id, ($fpuExpr) AS fpu
+  FROM (SELECT doc_id, $sums FROM h GROUP BY doc_id)),
+tp AS (SELECT b.doc_id FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fpu, b.fpu)) <= 3 GROUP BY 1),
+c0 AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+c1 AS (
+  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, round(avg(embedding[pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM a1, unnest(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid),
+a2 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+p AS (
+  SELECT b.vec_id,
+    round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+      / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
+      / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) + 5e-11, 4) AS cos
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+d AS (SELECT vec_id FROM p WHERE cos >= 0.30 GROUP BY 1),
+sdv AS (SELECT a2.vec_id AS doc_id, (d.vec_id IS NOT NULL) AS sd
+  FROM a2 LEFT JOIN d ON a2.vec_id = d.vec_id),
+j AS (SELECT doc.doc_id, doc.source,
+    (tp.doc_id IS NOT NULL) AS td, sdv.sd
+  FROM documents doc LEFT JOIN tp ON doc.doc_id = tp.doc_id
+    LEFT JOIN sdv ON doc.doc_id = sdv.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN sd IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_paired,
+  sum(CASE WHEN sd IS NOT NULL AND td AND sd THEN 1 ELSE 0 END)::BIGINT AS both_dup,
+  sum(CASE WHEN sd IS NOT NULL AND td AND NOT sd THEN 1 ELSE 0 END)::BIGINT AS text_only,
+  sum(CASE WHEN sd IS NOT NULL AND NOT td AND sd THEN 1 ELSE 0 END)::BIGINT AS sem_only,
+  sum(CASE WHEN sd IS NOT NULL AND NOT td AND NOT sd THEN 1 ELSE 0 END)::BIGINT AS neither,
+  round(sum(CASE WHEN sd IS NOT NULL AND td = sd THEN 1 ELSE 0 END)::DOUBLE
+    / greatest(sum(CASE WHEN sd IS NOT NULL THEN 1 ELSE 0 END), 1) + 5e-11, 4) AS agree_rate
+FROM j GROUP BY 1"""
+    },
+    "q291_fuzzy_wide" -> {
+      val sums = (0 until 64).map { j =>
+        val half = if (j >= 32) s"(hi >> ${j - 32})" else s"(lo >> $j)"
+        s"sum(CASE WHEN $half & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fpuExpr = (0 until 64).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${java.lang.Long.toUnsignedString(1L << j)}::UBIGINT ELSE 0::UBIGINT END"
+      }.mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS hi,
+    ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS lo
+  FROM tk),
+fp AS MATERIALIZED (SELECT doc_id, ($fpuExpr) AS fpu
+  FROM (SELECT doc_id, $sums FROM h GROUP BY doc_id)),
+b AS (SELECT doc_id, source,
+    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::UBIGINT % 100 < 90 THEN 'valid'
+         ELSE 'test' END AS split
+  FROM documents),
+ev AS MATERIALIZED (SELECT b.doc_id, b.source, b.split, f.fpu
+  FROM b LEFT JOIN fp f USING (doc_id) WHERE b.split != 'train'),
+tr AS (SELECT f.doc_id, f.fpu FROM fp f JOIN b USING (doc_id)
+  WHERE b.split = 'train'),
+lk AS (SELECT DISTINCT e.doc_id
+  FROM ev e JOIN tr t ON bit_count(xor(e.fpu, t.fpu)) <= 3)
+SELECT ev.source, ev.split, count(*)::BIGINT AS n_eval,
+  sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+  round(sum(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS leak_rate
+FROM ev LEFT JOIN lk ON ev.doc_id = lk.doc_id
+GROUP BY 1, 2"""
+    },
+    "q292_ivf_coarse" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+exs AS (SELECT q.query_id, e.vec_id AS nbr_id,
+        (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(q.qe) AS x, unnest(e.embedding) AS y))
+        / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(q.qe) AS x)))
+        / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(e.embedding) AS y))) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+ex AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM exs)
+  WHERE rank <= 10),
+cent AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) AS d2
+  FROM embeddings e CROSS JOIN cent c),
+asg AS MATERIALIZED (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM a)
+  WHERE rn = 1),
+qd AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) AS d2
+  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+pr AS (
+  SELECT query_id, qe, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) AS rn FROM qd)
+  WHERE rn <= 3),
+ss AS (
+  SELECT p.query_id, a2.vec_id AS nbr_id,
+    (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(p.qe) AS x, unnest(a2.embedding) AS y))
+    / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(p.qe) AS x)))
+    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a2.embedding) AS y))) AS cos
+  FROM asg a2 JOIN pr p USING (cid) WHERE a2.vec_id != p.query_id),
+sr AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM ss)
+  WHERE rank <= 10),
+c1 AS (
+  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, round(avg(embedding[pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM asg, unnest(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid),
+a2t AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+qd2 AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+    (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) AS d2
+  FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id < 10),
+pr2 AS (
+  SELECT query_id, qe, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cid ASC) AS rn FROM qd2)
+  WHERE rn <= 3),
+ss2 AS (
+  SELECT p.query_id, a3.vec_id AS nbr_id,
+    (SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(p.qe) AS x, unnest(a3.embedding) AS y))
+    / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(p.qe) AS x)))
+    / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a3.embedding) AS y))) AS cos
+  FROM a2t a3 JOIN pr2 p USING (cid) WHERE a3.vec_id != p.query_id),
+trn AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank FROM ss2)
+  WHERE rank <= 10)
+SELECT ex.query_id, count(*)::BIGINT AS n_exact,
+  sum(CASE WHEN sr.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS seed_hits,
+  sum(CASE WHEN trn.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS trained_hits,
+  round(sum(CASE WHEN sr.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS seed_recall,
+  round(sum(CASE WHEN trn.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS trained_recall
+FROM ex
+  LEFT JOIN sr ON ex.query_id = sr.query_id AND ex.nbr_id = sr.nbr_id
+  LEFT JOIN trn ON ex.query_id = trn.query_id AND ex.nbr_id = trn.nbr_id
+GROUP BY 1""",
+    "q293_crossmodal_pairs" -> {
+      val sums = (0 until 32).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val fpExpr = (0 until 32).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM t),
+fp AS MATERIALIZED (SELECT doc_id, ($fpExpr)::BIGINT AS simhash
+  FROM (SELECT doc_id, $sums FROM h GROUP BY doc_id)),
+tp0 AS (SELECT b.doc_id, a.doc_id AS aid,
+    bit_count(xor(a.simhash, b.simhash)) AS hm
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id),
+tm AS (SELECT doc_id, hm AS mh, aid AS mid FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hm, aid) AS rn FROM tp0)
+  WHERE rn = 1),
+c0 AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+c1 AS (
+  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, round(avg(embedding[pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM a1, unnest(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid),
+a2 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+p AS (
+  SELECT b.vec_id, a.vec_id AS prev_id,
+    round((SELECT sum(x::DOUBLE*y::DOUBLE) FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+      / sqrt((SELECT sum(x::DOUBLE*x::DOUBLE) FROM (SELECT unnest(a.embedding) AS x)))
+      / sqrt((SELECT sum(y::DOUBLE*y::DOUBLE) FROM (SELECT unnest(b.embedding) AS y))) + 5e-11, 4) AS cos
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+sb AS (SELECT vec_id, cos AS max_prev_cos, prev_id AS sem_match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, prev_id ASC) AS rn
+    FROM p WHERE cos >= 0.30)
+  WHERE rn = 1),
+sdv AS (SELECT a2.vec_id AS doc_id, (sb.vec_id IS NOT NULL) AS sd,
+    sb.max_prev_cos, sb.sem_match_id
+  FROM a2 LEFT JOIN sb ON a2.vec_id = sb.vec_id),
+j AS (SELECT doc.doc_id, doc.source,
+    coalesce(tm.mh <= 3, FALSE) AS td, tm.mh, tm.mid,
+    s.sd, s.max_prev_cos, s.sem_match_id
+  FROM documents doc JOIN sdv s ON doc.doc_id = s.doc_id
+    LEFT JOIN tm ON doc.doc_id = tm.doc_id),
+dis AS (SELECT doc_id, source,
+    CASE WHEN td THEN 'text_only' ELSE 'sem_only' END AS kind,
+    (CASE WHEN td THEN mh END)::BIGINT AS text_hamming,
+    CASE WHEN td THEN mid END AS text_match_id,
+    max_prev_cos, sem_match_id,
+    CASE WHEN td THEN mh::DOUBLE ELSE -max_prev_cos END AS strength
+  FROM j WHERE td != sd),
+rk AS (SELECT *, row_number() OVER (PARTITION BY source, kind ORDER BY strength, doc_id) AS rank FROM dis)
+SELECT source, kind, rank, doc_id, text_hamming, text_match_id,
+  max_prev_cos, sem_match_id
+FROM rk WHERE rank <= 10"""
+    },
+    "q294_battery_funnel" -> locally {
+      // independent replay of EVERY live gate over the marked +
+      // PII-planted corpus: lang NB (q276), heuristic (q74), Gopher
+      // battery (q247 CTEs re-pointed at mdocs), PII battery (q245
+      // constants), logistic quality (q242's unrolled GD), frozen
+      // perplexity thresholds (q252), near-dup vs the %10!=0 index
+      // (brute-force 32-bit hamming — equal to the banded gate at
+      // hamming <= 3 by pigeonhole)
+      val B = 16
+      val iters = 6
+      val idx = 0 until B
+      val statSel = idx.map(i =>
+        s"avg(f$i) AS m$i, coalesce(nullif(stddev_pop(f$i), 0.0), 1.0) AS s$i")
+        .mkString(",\n    ")
+      val i0 = s"i0 AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS b)"
+      def marginOf(it: String, d: String) =
+        idx.map(i => s"$it.w$i * $d.x$i").mkString(" + ") + s" + $it.b"
+      val iterCtes = (1 to iters).map { k =>
+        val p = s"1.0/(1.0 + exp(-(${marginOf("i", "d")})))"
+        val upd = idx.map(i =>
+          s"i.w$i - 0.5*avg(($p - d.y) * d.x$i) AS w$i").mkString(",\n    ") +
+          s",\n    i.b - 0.5*avg($p - d.y) AS b"
+        val grp = idx.map(i => s"i.w$i").mkString(", ") + ", i.b"
+        s"i$k AS MATERIALIZED (SELECT $upd\n  FROM d, i${k - 1} i GROUP BY $grp)"
+      }.mkString(",\n")
+      val pfSel = idx.map(i =>
+        s"sum(CASE WHEN b = $i THEN 1 ELSE 0 END)::DOUBLE / count(*) AS f$i")
+        .mkString(",\n    ")
+      val featSel = idx.map(i => s"coalesce(pf.f$i, 0.0) AS f$i").mkString(", ")
+      val stdSel = idx.map(i => s"(t.f$i - m$i)/s$i AS x$i").mkString(", ")
+      val ndSums = (0 until 32).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val ndFpExpr = (0 until 32).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      val piiSum = Pii.patterns.map { case (_, p, _) =>
+        s"len(regexp_extract_all(text, '$p'))"
+      }.mkString(" + ")
+      val gopherOnMdocs = gopherCtesSql.replace("FROM documents", "FROM mdocs")
+      // the q245 plants minus the %5 phone clause (see the query body)
+      val piiPlantSql =
+        """text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id + 13) % 256)::VARCHAR || '.25 host' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' acct ' || lpad((doc_id % 1000000)::VARCHAR, 12, '0') || ' ref' ELSE '' END"""
+      s"""WITH mdocs AS MATERIALIZED (SELECT doc_id, source, lang,
+    $piiPlantSql || ' ' || lang || ' ' || lang || ' ' || lang AS text
+  FROM documents),
+lbase AS (SELECT doc_id, lang,
+    ('0x' || substr(md5('lid:' || doc_id), 1, 8))::UBIGINT % 5 != 0 AS tr,
+    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM mdocs),
+ltri AS MATERIALIZED (
+  SELECT doc_id, lang, tr,
+    ('0x' || substr(md5('lidb:' || substr(t, i, 3)), 1, 8))::UBIGINT % 64 AS b
+  FROM lbase, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+lcnt AS MATERIALIZED (SELECT lang, b, count(*) AS c FROM ltri WHERE tr GROUP BY 1, 2),
+ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM lcnt GROUP BY 1),
+lpri AS (SELECT lang, count(*) AS n FROM lbase WHERE tr GROUP BY 1),
+lnn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM lpri),
+lmodel AS (SELECT ltot.lang AS cand, ltot.tc, ln(lpri.n::DOUBLE / lnn.nn) AS logprior
+  FROM ltot JOIN lpri USING (lang) CROSS JOIN lnn),
+lsc AS (SELECT t.doc_id, m.cand, m.logprior,
+    sum(ln((coalesce(c.c, 0) + 1)::DOUBLE / (m.tc + 64))) AS ll
+  FROM ltri t CROSS JOIN lmodel m
+    LEFT JOIN lcnt c ON c.lang = m.cand AND c.b = t.b
+  GROUP BY 1, 2, 3),
+lp AS MATERIALIZED (SELECT doc_id, cand AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY round(logprior + ll + 5e-11, 4) DESC, cand ASC) AS rn FROM lsc)
+  WHERE rn = 1),
+tok AS (
+  SELECT doc_id,
+    coalesce(regexp_extract_all(lower(text), '\\S+'), CAST([] AS VARCHAR[])) AS toks
+  FROM mdocs),
+lab AS (
+  SELECT doc_id,
+    CASE WHEN len(regexp_extract_all(text, '\\S+')) < 20 THEN 0
+         WHEN len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+              / greatest(len(regexp_extract_all(text, '\\S+')), 1) < 0.05 THEN 0
+         ELSE 1 END AS y
+  FROM mdocs),
+qg1 AS (SELECT doc_id, unnest(toks) AS g FROM tok),
+qg2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM tok WHERE len(toks) >= 2)),
+bk AS (SELECT doc_id, ('0x' || substr(md5('hng:' || g), 1, 8))::UBIGINT % $B AS b
+  FROM (SELECT * FROM qg1 UNION ALL SELECT * FROM qg2)),
+pf AS (SELECT doc_id,
+    $pfSel
+  FROM bk GROUP BY doc_id),
+feats AS MATERIALIZED (
+  SELECT l.doc_id, CAST(l.y AS DOUBLE) AS y, $featSel
+  FROM lab l LEFT JOIN pf ON l.doc_id = pf.doc_id),
+qtr AS (SELECT * FROM feats
+  WHERE ('0x' || substr(md5('hq:' || doc_id), 1, 8))::UBIGINT % 5 <> 0),
+s AS MATERIALIZED (SELECT $statSel FROM qtr),
+d AS MATERIALIZED (SELECT ${idx.map(i => s"(f$i - m$i)/s$i AS x$i").mkString(", ")}, y FROM qtr, s),
+$i0,
+$iterCtes,
+da AS (SELECT t.doc_id, $stdSel FROM feats t, s),
+qsc AS MATERIALIZED (SELECT doc_id,
+  round(${marginOf(s"i$iters", "da")} + 5e-11, 4) AS s
+  FROM da, i$iters),
+lmb AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM mdocs),
+lmx AS (SELECT doc_id, substr(t, i, 3) AS tri
+        FROM lmb, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+lmc AS (SELECT tri, count(*) AS c FROM lmx GROUP BY 1),
+lmtt AS (SELECT sum(c)::DOUBLE AS tt FROM lmc),
+plm AS MATERIALIZED (
+  SELECT lmx.doc_id, round(avg(ln(lmc.c::DOUBLE / lmtt.tt)) + 5e-11, 4) AS lm
+  FROM lmx JOIN lmc USING (tri) CROSS JOIN lmtt GROUP BY 1),
+prk AS (SELECT d.doc_id, d.source, plm.lm,
+    row_number() OVER (PARTITION BY d.source
+      ORDER BY plm.lm DESC NULLS LAST, d.doc_id) AS rk,
+    count(*) OVER (PARTITION BY d.source) AS nsrc
+  FROM mdocs d LEFT JOIN plm ON d.doc_id = plm.doc_id),
+pth AS (SELECT source, min(lm) AS th FROM prk
+  WHERE lm IS NOT NULL AND rk <= ceil(nsrc * 0.7) GROUP BY 1),
+$gopherOnMdocs,
+gfl AS (SELECT doc_id, ($gopherFlagSql) AS gflag FROM grf),
+nt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM mdocs),
+nh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM nt),
+nfp AS MATERIALIZED (SELECT doc_id, ($ndFpExpr)::BIGINT AS simhash
+  FROM (SELECT doc_id, $ndSums FROM nh GROUP BY doc_id)),
+nd AS (SELECT DISTINCT dd.doc_id
+  FROM nfp dd JOIN nfp ii
+    ON dd.doc_id % 10 = 0 AND ii.doc_id % 10 != 0
+    AND bit_count(xor(dd.simhash, ii.simhash)) <= 3),
+hb AS (SELECT doc_id, source,
+    len(regexp_extract_all(text, '\\S+'))::BIGINT AS ntok,
+    NOT (len(regexp_extract_all(text, '\\S+')) < 20
+      OR len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+        / greatest(len(regexp_extract_all(text, '\\S+')), 1) < 0.05) AS h,
+    ($piiSum) > 0 AS pii
+  FROM mdocs),
+fl AS (SELECT hb.doc_id, hb.source, hb.ntok, hb.h, hb.pii,
+    coalesce(lp.pred IN ('en', 'de', 'es'), FALSE) AS lang,
+    coalesce(gfl.gflag, FALSE) AS gopher,
+    (qsc.s > 0) AS quality,
+    coalesce(plm2.lm IS NOT NULL AND pth.th IS NOT NULL AND plm2.lm >= pth.th, FALSE) AS perplexity,
+    (nd.doc_id IS NOT NULL) AS neardup
+  FROM hb
+    LEFT JOIN lp ON hb.doc_id = lp.doc_id
+    LEFT JOIN gfl ON hb.doc_id = gfl.doc_id
+    JOIN qsc ON hb.doc_id = qsc.doc_id
+    LEFT JOIN plm plm2 ON hb.doc_id = plm2.doc_id
+    LEFT JOIN pth ON hb.source = pth.source
+    LEFT JOIN nd ON hb.doc_id = nd.doc_id
+  WHERE hb.doc_id % 10 = 0),
+sv AS (SELECT *, (lang AND h AND NOT gopher AND quality AND perplexity
+    AND NOT neardup) AS surv FROM fl)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(ntok)::BIGINT AS n_tokens,
+  sum(CASE WHEN lang THEN 1 ELSE 0 END)::BIGINT AS lang_kept,
+  sum(CASE WHEN h THEN 1 ELSE 0 END)::BIGINT AS heuristic_kept,
+  sum(CASE WHEN NOT gopher THEN 1 ELSE 0 END)::BIGINT AS gopher_kept,
+  sum(CASE WHEN pii THEN 1 ELSE 0 END)::BIGINT AS pii_docs,
+  sum(CASE WHEN quality THEN 1 ELSE 0 END)::BIGINT AS quality_kept,
+  sum(CASE WHEN perplexity THEN 1 ELSE 0 END)::BIGINT AS perplexity_kept,
+  sum(CASE WHEN neardup THEN 1 ELSE 0 END)::BIGINT AS neardup_docs,
+  sum(CASE WHEN surv THEN 1 ELSE 0 END)::BIGINT AS survivors,
+  sum(CASE WHEN surv THEN ntok ELSE 0 END)::BIGINT AS survivor_tokens
+FROM sv GROUP BY 1"""
+    },
     "q35_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 s AS (SELECT q.query_id, e.vec_id AS nbr_id,
