@@ -446,13 +446,16 @@ object Soak {
       val nQ = 64
       val rowsPer = 100000L * k
       // query 0 owns ~50% of all candidates; 63 queries share the rest
+      // spark.range is already spread over the default parallelism and
+      // id % 2 == 0 puts hot-group rows in EVERY partition — no
+      // repartition, so the only exchange the listener sees is the
+      // aggregate's
       val cands = spark.range(rowsPer).select(
           when(col("id") % 2 === 0, 0L).otherwise(col("id") % (nQ - 1) + 1L)
             .as("query_id"),
           col("id").as("cand_id"),
           (pmod(col("id") * 2654435761L, lit(1000000L)).cast("double") / 1e4)
             .as("score"))
-        .repartition(32)
       val wrec = new java.util.concurrent.atomic.AtomicLong
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
