@@ -589,6 +589,72 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("Banding.withFlags == brute-force banded candidates on random corpora, both layouts, both audit forms") {
+    import graft.scale.{Banding, Dedup}
+    // short docs from a tiny word pool: near-identical token multisets
+    // produce close fingerprints, so candidates and sub-threshold
+    // hammings genuinely occur
+    val docGen = Gen.choose(4, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta")).map(_.mkString(" ")))
+    def bandKeys(fp: Long, cfg: Banding.Config): Seq[Long] =
+      (0 until cfg.bands).map(b =>
+        (fp >>> (b * cfg.bandBits)) & ((1L << cfg.bandBits) - 1L))
+    samples(Gen.listOfN(40, docGen), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (cfg <- Seq(Banding.Config(), Banding.wide64)) {
+        val fps = (if (cfg.wide) Dedup.simhash64(docs, col("doc_id"), col("text"))
+          else Dedup.simhash(docs, col("doc_id"), col("text")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // truth for a probe p against index I: docs sharing >= 1 band
+        // key; (min hamming, lowest id at it); neardup at <= 3
+        def truth(p: Long, index: Map[Long, Long]) = {
+          val pk = bandKeys(fps(p), cfg)
+          val cands = index.filter { case (i, fpi) =>
+            i != p && bandKeys(fpi, cfg).zip(pk).exists { case (a, b) => a == b } }
+          val best = cands.toSeq.map { case (i, fpi) =>
+            (java.lang.Long.bitCount(fps(p) ^ fpi), i) }.sorted.headOption
+          (cands.size, best.map(_._1), best.map(_._2),
+            best.exists(_._1 <= 3))
+        }
+        // delta-vs-frozen form (q260/q287 shape)
+        val idxDocs = docs.where(col("doc_id") % 3 =!= 0)
+        val idxIds = fps.keySet.filter(_ % 3 != 0)
+        val ix = Banding.buildIndex(idxDocs, col("doc_id"), col("text"), cfg)
+        // columns: doc_id, text, simhash, n_cands, min_hamming,
+        // match_id, is_neardup
+        val gotDelta = Banding.withFlags(
+            docs.where(col("doc_id") % 3 === 0), ix, maxHamming = 3, cfg)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4)),
+              if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6))))
+          .toMap
+        fps.keySet.filter(_ % 3 == 0).foreach { p =>
+          val (n, mh, mid, nd) = truth(p, fps.view.filterKeys(idxIds).toMap)
+          assert(gotDelta(p) == ((n, mh, mid, nd)),
+            s"cfg $cfg delta doc $p fp=${fps(p)} " +
+              s"spark=${gotDelta(p)} truth=${(n, mh, mid, nd)} " +
+              s"sparkMidFp=${gotDelta(p)._3.map(fps)} truthMidFp=${mid.map(fps)} " +
+              s"keysP=${bandKeys(fps(p), cfg)} " +
+              s"keysSparkMid=${gotDelta(p)._3.map(i => bandKeys(fps(i), cfg))} " +
+              s"keysTruthMid=${mid.map(i => bandKeys(fps(i), cfg))}")
+        }
+        // self-audit form (q278/q293 shape): lower ids only
+        val ixAll = Banding.buildIndex(docs, col("doc_id"), col("text"), cfg)
+        val gotSelf = Banding.withFlags(docs, ixAll, maxHamming = 3, cfg,
+            lowerIdThan = Some("doc_id"))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getInt(3), r.getBoolean(6)))).toMap
+        fps.keySet.foreach { p =>
+          val (n, _, _, nd) = truth(p,
+            fps.view.filterKeys(_ < p).toMap)
+          assert(gotSelf(p) == ((n, nd)), s"cfg $cfg self doc $p")
+        }
+      }
+    }
+  }
+
   test("source KL is nonnegative on random two-source corpora, zero on identical sources") {
     import graft.scale.TextOps
     val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
