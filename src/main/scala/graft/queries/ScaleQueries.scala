@@ -1801,6 +1801,62 @@ sig AS (SELECT doc_id,
         delta, m, B, gate, Some(index),
         langGate = Some((langNb, Seq("en", "de", "es")))))
     },
+    // the q289 discovery APPLIED as a gate (closing the loop the
+    // corpus-adaptive stop list exists for): per doc, the instance
+    // ratio of the learned top-32-df terms — q74's stopword-ratio
+    // heuristic with the LEARNED list in place of the hardcoded English
+    // one, usable on a corpus of unknown language; per source, the keep
+    // incidence at the q74 thresholds (ntok >= 20, ratio >= 0.05).
+    // Shapes: the q289 GlobalOrder rank for the 32-term list (never a
+    // bare global window), then one broadcast term join + doc/source
+    // rollups.
+    "q295_adaptive_stop_gate" -> { (s, dir) =>
+      val docs = docsSpread(s, dir)
+      val tf = graft.scale.Retrieval.tokenIndex(docs, col("doc_id"),
+        col("text"), lit(false))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .localCheckpoint() // rank input: probe + local + totals passes
+      val stops = graft.ops.GlobalOrder.withRowNumber(dfT,
+          Seq(col("df").desc, encode(col("term"), "utf-8").asc), "rank")
+        .where(col("rank") <= 32).select(col("term"))
+      val hits = tf.join(broadcast(stops), Seq("term"))
+        .groupBy(col("doc_id")).agg(sum(col("tfc")).as("stop_hits"))
+      val ar = r6(coalesce(col("stop_hits"), lit(0L)).cast("double") /
+        greatest(col("ntok"), lit(1L)))
+      val keep = col("ntok") >= 20 && col("ar") >= 0.05
+      docs.select(col("doc_id"), col("source"),
+          TextOps.nTokens(col("text")).as("ntok"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("source"), col("ntok"), ar.as("ar"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          r6(avg(col("ar"))).as("avg_ratio"),
+          sum(when(keep, col("ntok")).otherwise(0L)).as("kept_tokens"))
+    },
+    // media-grain exact dedup (the multimodal twin of q282's token
+    // accounting): identical PAYLOAD BYTES across the mirrored corpus,
+    // with the BYTES a storage dedup would reclaim — the number an
+    // object-store pipeline budgets, vs the token mass a training
+    // pipeline budgets. One payload-fingerprint aggregation + one
+    // fp-keyed join; the canonical is the global min doc id, so the
+    // 'mirror' source carries the duplicate byte mass.
+    "q296_media_dedup" -> { (s, dir) =>
+      val md = mirroredDocs(s, dir)
+      val m = graft.scale.Multimodal.mediaTable(md)
+        .select(col("doc_id"), md5(col("media")).as("fp"),
+          col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.origin").as("source"))
+      val canon = m.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+      m.join(canon, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+            .as("n_canonical"),
+          sum(col("n_bytes")).as("bytes_total"),
+          sum(when(col("doc_id") =!= col("canonical_id"), col("n_bytes"))
+            .otherwise(0L)).as("bytes_dup"))
+    },
     // two-stage retrieval QA (the FAISS re-rank serving shape): PQ ADC
     // shortlists 100 candidates per probe, exact squared-euclidean
     // re-ranks them to 10; per probe, recall@10 of the raw ADC top-10
@@ -4200,6 +4256,37 @@ SELECT source, kind, rank, doc_id, text_hamming, text_match_id,
   max_prev_cos, sem_match_id
 FROM rk WHERE rank <= 10"""
     },
+    "q295_adaptive_stop_gate" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+tfc AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT AS tfc FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1),
+st AS (SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rank FROM dfr)
+  WHERE rank <= 32),
+h AS (SELECT tfc.doc_id, sum(tfc.tfc)::BIGINT AS stop_hits
+  FROM tfc JOIN st USING (term) GROUP BY 1),
+pd AS (SELECT d.doc_id, d.source,
+    len(regexp_extract_all(d.text, '\S+'))::BIGINT AS ntok,
+    coalesce(h.stop_hits, 0) AS stop_hits
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id),
+pr AS (SELECT *, round(stop_hits::DOUBLE / greatest(ntok, 1) + 5e-11, 4) AS ar FROM pd)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN ntok >= 20 AND ar >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  round(avg(ar) + 5e-11, 4) AS avg_ratio,
+  sum(CASE WHEN ntok >= 20 AND ar >= 0.05 THEN ntok ELSE 0 END)::BIGINT AS kept_tokens
+FROM pr GROUP BY 1""",
+    "q296_media_dedup" ->
+      s"""WITH m AS (
+  SELECT doc_id, source, md5(text) AS fp,
+    octet_length(encode(text))::BIGINT AS n_bytes
+  FROM $mirroredDocsSql),
+c AS (SELECT fp, min(doc_id) AS canonical_id FROM m GROUP BY 1)
+SELECT m.source, count(*)::BIGINT AS n_media,
+  sum(CASE WHEN m.doc_id = c.canonical_id THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+  sum(m.n_bytes)::BIGINT AS bytes_total,
+  sum(CASE WHEN m.doc_id != c.canonical_id THEN m.n_bytes ELSE 0 END)::BIGINT AS bytes_dup
+FROM m JOIN c USING (fp)
+GROUP BY 1""",
     "q294_battery_funnel" -> locally {
       // independent replay of EVERY live gate over the marked +
       // PII-planted corpus: lang NB (q276), heuristic (q74), Gopher
