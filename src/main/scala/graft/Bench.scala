@@ -58,13 +58,18 @@ object Bench {
   def loadavg(): Double = loadavgField(0)
 
   /** Any of the three /proc/loadavg fields (0 = 1-min, 1 = 5-min,
-    * 2 = 15-min), or -1 outside Linux.
+    * 2 = 15-min), or -1 outside Linux. Out-of-range indices raise (field
+    * 3 is a non-numeric running/total pair — a caller asking for it is a
+    * programming error, not platform unavailability).
     */
-  def loadavgField(i: Int): Double =
+  def loadavgField(i: Int): Double = {
+    require(i >= 0 && i <= 2,
+      s"loadavgField: index $i outside the three load averages (0..2)")
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .split(' ')(i).toDouble
     catch { case _: Throwable => -1.0 }
+  }
 
   /** Load gate for a DEFINITIVE close: poll until the 1-min load drops
     * to `max` or the wait budget runs out — three clean round-12 runs

@@ -49,10 +49,18 @@ object TopK {
         when(m.isNull, fail("NULL metric"))
           .when(isnan(m), fail("NaN metric"))
           .otherwise(m)
-      case LongType | IntegerType | ShortType | ByteType =>
+      case LongType =>
         when(m.isNull, fail("NULL metric"))
           .when(m === lit(Long.MinValue), fail("Long.MinValue metric"))
           .otherwise(m)
+      // sub-long integrals widen to LONG before negation, which makes
+      // the negation exact for their ENTIRE range (−Int.MinValue fits in
+      // a long) — the ADVICE-r15 fix: the old shared `=== Long.MinValue`
+      // guard could never match an Int/Short/Byte value (the comparison
+      // widens the VALUE, not the range), so Int.MinValue silently
+      // wrapped under the un-widened negation and ranked first
+      case IntegerType | ShortType | ByteType =>
+        when(m.isNull, fail("NULL metric")).otherwise(m.cast(LongType))
       case _ =>
         when(m.isNull, fail("NULL metric")).otherwise(m)
     }

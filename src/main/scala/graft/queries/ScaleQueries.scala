@@ -137,6 +137,56 @@ object ScaleQueries extends QueryPack {
     || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'call function f() { return x; } to begin now.' ELSE '' END
     || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'win the casino jackpot bonus offers right here now.' ELSE '' END"""
 
+  /** q294's C4 lined view (the battery corpus has no natural lines):
+    * the battery text itself (never a kept line — it ends in a
+    * lang-marker token, not terminal punctuation) plus two always-kept
+    * filler sentences, an id-gated third kept line (odd ids stay below
+    * the 3-kept-line bar), and id-gated doc-level triggers (lorem /
+    * brace / bad word), so the C4 gate hits both outcomes and every
+    * doc-level rule on the delta slice.
+    */
+  private def c4Lined = {
+    val id = col("doc_id")
+    concat(col("text"),
+      lit("\nthe quick brown fox jumps over the lazy dog again."),
+      lit("\npack my box with five dozen liquor jugs today."),
+      when(id % 2 === 0, lit("\na third kept sentence closes the block."))
+        .otherwise(lit("")),
+      when(id % 13 === 0,
+        lit("\nlorem ipsum dolor sit amet placeholder here."))
+        .otherwise(lit("")),
+      when(id % 17 === 0, lit("\ncall function f() { return x; } now."))
+        .otherwise(lit("")),
+      when(id % 19 === 0,
+        lit("\nwin the casino jackpot bonus offers right here now."))
+        .otherwise(lit("")))
+  }
+
+  /** The oracle twin of [[c4Lined]] over a CTE exposing (doc_id, text). */
+  private val c4LinedSql =
+    """text
+    || chr(10) || 'the quick brown fox jumps over the lazy dog again.'
+    || chr(10) || 'pack my box with five dozen liquor jugs today.'
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'a third kept sentence closes the block.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet placeholder here.' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'call function f() { return x; } now.' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'win the casino jackpot bonus offers right here now.' ELSE '' END"""
+
+  /** q294's surrogate media payload: ids ≡ 0 (mod 3) collapse onto 5
+    * shared templates (so delta docs at id % 30 == 0 re-post an indexed
+    * payload), all others are unique — the media-dedup gate's
+    * discriminating fixture.
+    */
+  private def mediaPayload = {
+    val id = col("doc_id")
+    when(id % 3 === 0, concat(lit("payload:"), (id % 5).cast("string")))
+      .otherwise(concat(lit("payload:"), id.cast("string")))
+  }
+
+  /** The oracle twin of [[mediaPayload]]. */
+  private val mediaPayloadSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'payload:' || (doc_id % 5)::VARCHAR ELSE 'payload:' || doc_id::VARCHAR END"
+
   /** The oracle twin of [[piiAugmented]] (DuckDB string arithmetic). */
   private val piiAugmentedSql =
     """text
@@ -1716,7 +1766,7 @@ sig AS (SELECT doc_id,
         .select(col("doc_id"), col("is_neardup").as("td"),
           col("min_hamming"), col("match_id"))
       val sem = Similarity.semDedup(Tables.embeddings(s, dir), k = 8,
-          iters = 1, tau = 0.30)
+          iters = 1, tau = 0.30, withBestPrev = true)
         .select(col("vec_id").as("doc_id"), (!col("kept")).as("sd"),
           col("max_prev_cos"), col("best_prev_id"))
       val dis = base.select(col("doc_id"), col("source"))
@@ -1750,7 +1800,9 @@ sig AS (SELECT doc_id,
     // DuckDB oracle that independently replays EVERY gate: the q276
     // lang NB, the q74 heuristic, the q247 Gopher battery, the q245 PII
     // battery, the q242 logistic-quality GD chain, the q252 frozen
-    // perplexity thresholds, and the q260 frozen near-dup index.
+    // perplexity thresholds, the q260 frozen near-dup index, and (round
+    // 16) the q267 C4 battery over the lined view plus the q296
+    // media-payload exact dedup vs the frozen fingerprint index.
     // StreamingSpec pins the streaming processor's running totals to
     // batchTotals on the same corpus, so this one hash gate transitively
     // gates the live funnel end-state. Fixtures: lang markers (q263) so
@@ -1776,30 +1828,54 @@ sig AS (SELECT doc_id,
           .otherwise(lit("")))
       val batt = concat(piiPlant, lit(" "), col("lang"),
         lit(" "), col("lang"), lit(" "), col("lang"))
-      val corpus = docsSpread(s, dir)
-        .select(col("doc_id"), col("source"), col("lang"), batt.as("text"))
-        .localCheckpoint() // fits + serve: stats, 6 GD passes, lm, index
+      // the seven fits + the two frozen indexes are pure functions of
+      // the on-disk corpus — memoized per (query, sfDir, corpus stamp)
+      // like q230's store battery (VERDICT-r15 item 5), so bench rep 1
+      // pays the trainers and reps >= 2 price the funnel projection.
+      // The memo holds localCheckpoint-backed frames, so it is keyed on
+      // the SparkSession identity too (a fresh session must refit).
+      val (corpus, m, gate, index, langNb, mediaIx) = fitOnce[(
+          org.apache.spark.sql.DataFrame, graft.scoring.Trainer.LogisticModel,
+          graft.scale.Perplexity.Gate, org.apache.spark.sql.DataFrame,
+          graft.scale.LangId.LangNb, org.apache.spark.sql.DataFrame)](
+          s"q294_fits@${System.identityHashCode(s)}", dir) {
+        val corpus = docsSpread(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), batt.as("text"))
+          .localCheckpoint() // fits + serve: stats, 6 GD passes, lm, index
+        val t = col("text")
+        val y = when(TextOps.nTokens(t) < 20, 0L)
+          .when(TextOps.stopwordRatio(t) < 0.05, 0L).otherwise(1L)
+        val f = TextOps.hashedNgramFeatures(corpus, col("doc_id"), t, B)
+          .join(corpus.select(col("doc_id"), y.as("y")), "doc_id")
+          .localCheckpoint() // stats + 6 GD passes
+        val m = graft.scoring.Trainer.fitLogistic(
+          f.where(Splits.bucket(col("doc_id"), "hq", 5) =!= 0),
+          (0 until B).map(b => s"f$b"), col("y"), iters = 6, lr = 0.5)
+        val gate = graft.scale.Perplexity.fitGate(
+          corpus.select(col("doc_id"), col("source"), t))
+        val index = NearDupGate.buildIndex(
+          corpus.where(col("doc_id") % 10 =!= 0), col("doc_id"), t)
+          .localCheckpoint()
+        val langNb = graft.scale.LangId.fit(corpus, col("doc_id"), t,
+          col("lang"), Splits.bucket(col("doc_id"), "lid", 5) =!= 0,
+          buckets = 64)
+        // frozen media-payload fingerprint index (q296 grain): the
+        // surrogate payload collapses ids ≡ 0 (mod 3) onto 5 shared
+        // templates, so a delta doc (id % 30 == 0) re-posts an indexed
+        // payload — the fixture discriminates
+        val mediaIx = corpus.where(col("doc_id") % 10 =!= 0)
+          .select(md5(mediaPayload).as("media_fp")).distinct()
+          .localCheckpoint()
+        (corpus, m, gate, index, langNb, mediaIx)
+      }
       val t = col("text")
-      val y = when(TextOps.nTokens(t) < 20, 0L)
-        .when(TextOps.stopwordRatio(t) < 0.05, 0L).otherwise(1L)
-      val f = TextOps.hashedNgramFeatures(corpus, col("doc_id"), t, B)
-        .join(corpus.select(col("doc_id"), y.as("y")), "doc_id")
-        .localCheckpoint() // stats + 6 GD passes
-      val m = graft.scoring.Trainer.fitLogistic(
-        f.where(Splits.bucket(col("doc_id"), "hq", 5) =!= 0),
-        (0 until B).map(b => s"f$b"), col("y"), iters = 6, lr = 0.5)
-      val gate = graft.scale.Perplexity.fitGate(
-        corpus.select(col("doc_id"), col("source"), t))
-      val index = NearDupGate.buildIndex(
-        corpus.where(col("doc_id") % 10 =!= 0), col("doc_id"), t)
-      val langNb = graft.scale.LangId.fit(corpus, col("doc_id"), t,
-        col("lang"), Splits.bucket(col("doc_id"), "lid", 5) =!= 0,
-        buckets = 64)
       val delta = corpus.where(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("source"), t).as[SourcedDoc]
       CurationCounters.batchTotals(CurationCounters.flaggedDocs(
         delta, m, B, gate, Some(index),
-        langGate = Some((langNb, Seq("en", "de", "es")))))
+        langGate = Some((langNb, Seq("en", "de", "es"))),
+        c4Gate = Some((c4Lined, graft.scale.C4.defaultBadWords)),
+        mediaGate = Some((md5(mediaPayload), mediaIx))))
     },
     // the q289 discovery APPLIED as a gate (closing the loop the
     // corpus-adaptive stop list exists for): per doc, the instance
@@ -1856,6 +1932,37 @@ sig AS (SELECT doc_id,
           sum(col("n_bytes")).as("bytes_total"),
           sum(when(col("doc_id") =!= col("canonical_id"), col("n_bytes"))
             .otherwise(0L)).as("bytes_dup"))
+    },
+    // trained-coarse IVF-PQ QA (VERDICT-r15 item 3 — the q292/q277
+    // discipline completed for the full two-level composition): per
+    // probe, recall@10 against the exact euclid top-10 for the q258
+    // SEED coarse quantizer vs the rounded-Lloyd TRAINED one
+    // (coarseIters = 1), both over the identical seed residual
+    // codebooks. The oracle replays the trained coarse matrix (one
+    // Lloyd step, every coordinate re-rounded through the engine
+    // quantum) and BOTH residual chains end-to-end.
+    "q297_ivfpq_coarse" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+      val exact = Similarity.euclidTopK(emb, probes, k = 10)
+        .select(col("query_id"), col("nbr_id"))
+      val seed = Similarity.ivfPqTopK(emb, probes, k = 10,
+          dim = 64, m = 8, ksub = 16, nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("sh"))
+      val trained = Similarity.ivfPqTopK(emb, probes, k = 10,
+          dim = 64, m = 8, ksub = 16, nlist = 8, nprobe = 3,
+          coarseIters = 1)
+        .select(col("query_id"), col("nbr_id"), lit(1L).as("th"))
+      exact.join(seed, Seq("query_id", "nbr_id"), "left")
+        .join(trained, Seq("query_id", "nbr_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("sh"), lit(0L))).as("seed_hits"),
+          sum(coalesce(col("th"), lit(0L))).as("trained_hits"),
+          r6(sum(coalesce(col("sh"), lit(0L))).cast("double") / count(lit(1)))
+            .as("seed_recall"),
+          r6(sum(coalesce(col("th"), lit(0L))).cast("double") / count(lit(1)))
+            .as("trained_recall"))
     },
     // two-stage retrieval QA (the FAISS re-rank serving shape): PQ ADC
     // shortlists 100 candidates per probe, exact squared-euclidean
@@ -3010,6 +3117,119 @@ adc AS (
 r AS (SELECT query_id, nbr_id, adc,
   row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) AS rank FROM adc)
 SELECT query_id, nbr_id, rank, adc FROM r WHERE rank <= 10""",
+    "q297_ivfpq_coarse" ->
+      """WITH coarse AS (
+  SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+asg AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN coarse c) WHERE rn = 1),
+res AS MATERIALIZED (
+  SELECT a.vec_id, a.cid,
+    list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - c.ce[i]) AS r
+  FROM asg a JOIN coarse c USING (cid)),
+rseed AS (
+  SELECT vec_id::INT AS c, r AS e FROM res
+  WHERE vec_id NOT IN (SELECT cid FROM coarse)
+  ORDER BY vec_id LIMIT 16),
+rcent AS MATERIALIZED (
+  SELECT t.m, s.c, s.e[t.m*8+1 : t.m*8+8] AS rce
+  FROM rseed s, unnest(range(0, 8)) AS t(m)),
+codes AS MATERIALIZED (
+  SELECT vec_id, cid, m, c AS code FROM (
+    SELECT v.vec_id, v.cid, ct.m, ct.c,
+      row_number() OVER (PARTITION BY v.vec_id, ct.m ORDER BY
+        (SELECT sum((x - y)*(x - y)) FROM (SELECT unnest(v.r[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.rce) AS y)) ASC,
+        ct.c ASC) AS rn
+    FROM res v CROSS JOIN rcent ct) WHERE rn = 1),
+probes AS MATERIALIZED (
+  SELECT query_id, pcid, qr FROM (
+    SELECT q.vec_id AS query_id, c.cid AS pcid,
+      list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE - c.ce[i]) AS qr,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(q.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 10) WHERE rn <= 3),
+lut AS MATERIALIZED (
+  SELECT p.query_id, p.pcid, ct.m, ct.c,
+    (SELECT sum((x - y)*(x - y)) FROM (SELECT unnest(p.qr[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.rce) AS y)) AS ld
+  FROM probes p CROSS JOIN rcent ct),
+stop AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT a.query_id, a.nbr_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc ASC, a.nbr_id ASC) AS rank
+    FROM (SELECT l.query_id, cd.vec_id AS nbr_id, round(sum(l.ld) + 5e-11, 4) AS adc
+          FROM codes cd JOIN lut l ON cd.cid = l.pcid AND cd.m = l.m AND cd.code = l.c
+          WHERE cd.vec_id != l.query_id GROUP BY 1, 2) a)
+  WHERE rank <= 10),
+c1 AS MATERIALIZED (
+  SELECT cid, list(v ORDER BY pos) AS ce FROM (
+    SELECT cid, pos, round(avg(embedding[pos]::DOUBLE) + 5e-11, 4) AS v
+    FROM asg, unnest(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid),
+asg2 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(e.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+res2 AS MATERIALIZED (
+  SELECT a.vec_id, a.cid,
+    list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - c.ce[i]) AS r
+  FROM asg2 a JOIN c1 c USING (cid)),
+rseed2 AS (
+  SELECT vec_id::INT AS c, r AS e FROM res2
+  WHERE vec_id NOT IN (SELECT cid FROM c1)
+  ORDER BY vec_id LIMIT 16),
+rcent2 AS MATERIALIZED (
+  SELECT t.m, s.c, s.e[t.m*8+1 : t.m*8+8] AS rce
+  FROM rseed2 s, unnest(range(0, 8)) AS t(m)),
+codes2 AS MATERIALIZED (
+  SELECT vec_id, cid, m, c AS code FROM (
+    SELECT v.vec_id, v.cid, ct.m, ct.c,
+      row_number() OVER (PARTITION BY v.vec_id, ct.m ORDER BY
+        (SELECT sum((x - y)*(x - y)) FROM (SELECT unnest(v.r[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.rce) AS y)) ASC,
+        ct.c ASC) AS rn
+    FROM res2 v CROSS JOIN rcent2 ct) WHERE rn = 1),
+probes2 AS MATERIALIZED (
+  SELECT query_id, pcid, qr FROM (
+    SELECT q.vec_id AS query_id, c.cid AS pcid,
+      list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE - c.ce[i]) AS qr,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y)*(x::DOUBLE - y)) FROM (SELECT unnest(q.embedding) AS x, unnest(c.ce) AS y)) ASC,
+        c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN c1 c WHERE q.vec_id < 10) WHERE rn <= 3),
+lut2 AS MATERIALIZED (
+  SELECT p.query_id, p.pcid, ct.m, ct.c,
+    (SELECT sum((x - y)*(x - y)) FROM (SELECT unnest(p.qr[ct.m*8+1 : ct.m*8+8]) AS x, unnest(ct.rce) AS y)) AS ld
+  FROM probes2 p CROSS JOIN rcent2 ct),
+ttop AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT a.query_id, a.nbr_id,
+      row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc ASC, a.nbr_id ASC) AS rank
+    FROM (SELECT l.query_id, cd.vec_id AS nbr_id, round(sum(l.ld) + 5e-11, 4) AS adc
+          FROM codes2 cd JOIN lut2 l ON cd.cid = l.pcid AND cd.m = l.m AND cd.code = l.c
+          WHERE cd.vec_id != l.query_id GROUP BY 1, 2) a)
+  WHERE rank <= 10),
+ex AS MATERIALIZED (SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        (SELECT sum((x::DOUBLE - y::DOUBLE)*(x::DOUBLE - y::DOUBLE)) FROM (SELECT unnest(q.embedding) AS x, unnest(e.embedding) AS y)) ASC,
+        e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+    WHERE e.vec_id != q.vec_id)
+  WHERE rank <= 10)
+SELECT ex.query_id, count(*)::BIGINT AS n_exact,
+  CAST(sum(CASE WHEN s.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS seed_hits,
+  CAST(sum(CASE WHEN t.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS trained_hits,
+  round(sum(CASE WHEN s.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS seed_recall,
+  round(sum(CASE WHEN t.nbr_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) + 5e-11, 4) AS trained_recall
+FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
+  LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
+GROUP BY 1""",
     "q257_pq_adc" ->
       """WITH seeds AS (
   SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -4417,6 +4637,23 @@ nd AS (SELECT DISTINCT dd.doc_id
   FROM nfp dd JOIN nfp ii
     ON dd.doc_id % 10 = 0 AND ii.doc_id % 10 != 0
     AND bit_count(xor(dd.simhash, ii.simhash)) <= 3),
+c4t AS (SELECT doc_id, $c4LinedSql AS t FROM mdocs),
+c4k AS (SELECT doc_id, count(*)::BIGINT AS n_kept FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(t, '\\r?\\n')) AS ln FROM c4t) x
+  WHERE length(ln) > 0 AND regexp_matches(ln, '[.!?"]$$')
+    AND len(regexp_extract_all(ln, '\\S+')) >= 5
+    AND NOT contains(lower(ln), 'javascript')
+  GROUP BY 1),
+c4f AS (SELECT c4t.doc_id,
+    (coalesce(c4k.n_kept, 0) >= 3
+      AND NOT contains(lower(c4t.t), 'lorem ipsum')
+      AND NOT contains(c4t.t, '{')
+      AND NOT (contains(lower(c4t.t), 'jackpot')
+        OR contains(lower(c4t.t), 'casino'))) AS c4
+  FROM c4t LEFT JOIN c4k ON c4t.doc_id = c4k.doc_id),
+mfp AS (SELECT doc_id, md5($mediaPayloadSql) AS fp FROM mdocs),
+mdj AS (SELECT DISTINCT d.doc_id FROM mfp d JOIN mfp i2
+  ON d.doc_id % 10 = 0 AND i2.doc_id % 10 != 0 AND d.fp = i2.fp),
 hb AS (SELECT doc_id, source,
     len(regexp_extract_all(text, '\\S+'))::BIGINT AS ntok,
     NOT (len(regexp_extract_all(text, '\\S+')) < 20
@@ -4429,7 +4666,9 @@ fl AS (SELECT hb.doc_id, hb.source, hb.ntok, hb.h, hb.pii,
     coalesce(gfl.gflag, FALSE) AS gopher,
     (qsc.s > 0) AS quality,
     coalesce(plm2.lm IS NOT NULL AND pth.th IS NOT NULL AND plm2.lm >= pth.th, FALSE) AS perplexity,
-    (nd.doc_id IS NOT NULL) AS neardup
+    (nd.doc_id IS NOT NULL) AS neardup,
+    coalesce(c4f.c4, FALSE) AS c4,
+    (mdj.doc_id IS NOT NULL) AS mediadup
   FROM hb
     LEFT JOIN lp ON hb.doc_id = lp.doc_id
     LEFT JOIN gfl ON hb.doc_id = gfl.doc_id
@@ -4437,9 +4676,11 @@ fl AS (SELECT hb.doc_id, hb.source, hb.ntok, hb.h, hb.pii,
     LEFT JOIN plm plm2 ON hb.doc_id = plm2.doc_id
     LEFT JOIN pth ON hb.source = pth.source
     LEFT JOIN nd ON hb.doc_id = nd.doc_id
+    LEFT JOIN c4f ON hb.doc_id = c4f.doc_id
+    LEFT JOIN mdj ON hb.doc_id = mdj.doc_id
   WHERE hb.doc_id % 10 = 0),
 sv AS (SELECT *, (lang AND h AND NOT gopher AND quality AND perplexity
-    AND NOT neardup) AS surv FROM fl)
+    AND NOT neardup AND c4 AND NOT mediadup) AS surv FROM fl)
 SELECT source, count(*)::BIGINT AS n_docs,
   sum(ntok)::BIGINT AS n_tokens,
   sum(CASE WHEN lang THEN 1 ELSE 0 END)::BIGINT AS lang_kept,
@@ -4449,6 +4690,8 @@ SELECT source, count(*)::BIGINT AS n_docs,
   sum(CASE WHEN quality THEN 1 ELSE 0 END)::BIGINT AS quality_kept,
   sum(CASE WHEN perplexity THEN 1 ELSE 0 END)::BIGINT AS perplexity_kept,
   sum(CASE WHEN neardup THEN 1 ELSE 0 END)::BIGINT AS neardup_docs,
+  sum(CASE WHEN c4 THEN 1 ELSE 0 END)::BIGINT AS c4_kept,
+  sum(CASE WHEN mediadup THEN 1 ELSE 0 END)::BIGINT AS mediadup_docs,
   sum(CASE WHEN surv THEN 1 ELSE 0 END)::BIGINT AS survivors,
   sum(CASE WHEN surv THEN ntok ELSE 0 END)::BIGINT AS survivor_tokens
 FROM sv GROUP BY 1"""

@@ -84,20 +84,35 @@ package object queries {
       if (!java.nio.file.Files.exists(p)) "absent"
       else {
         import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(p).iterator().asScala
+        // Files.walk holds a directory handle until closed — close it
+        // deterministically instead of leaking one per fitOnce call
+        // until GC (ADVICE-r15)
+        val walk = java.nio.file.Files.walk(p)
+        val s = try walk.iterator().asScala
           .filter(java.nio.file.Files.isRegularFile(_))
           .map(f => f.toString.hashCode.toLong * 1000003L ^
             java.nio.file.Files.size(f) * 31L ^
             java.nio.file.Files.getLastModifiedTime(f).toMillis)
           .foldLeft(0L)(_ ^ _)
+        finally walk.close()
         java.lang.Long.toHexString(s)
       }
     } catch { case _: Throwable => "unknown" }
 
   private[queries] def fitOnce[T <: AnyRef](key: String, sfDir: String)(
-      fit: => T): T =
-    fitMemo.computeIfAbsent(s"$key@$sfDir#${dirStamp(sfDir)}",
-      _ => fit).asInstanceOf[T]
+      fit: => T): T = {
+    val prefix = s"$key@$sfDir#"
+    val full = prefix + dirStamp(sfDir)
+    // a regenerated corpus changes the stamp: evict the stale entries for
+    // this (key, sfDir) so superseded fits are RELEASED, not retained
+    // forever under their old stamp keys (ADVICE-r15)
+    val it = fitMemo.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(prefix) && k != full) it.remove()
+    }
+    fitMemo.computeIfAbsent(full, _ => fit).asInstanceOf[T]
+  }
 
   /** Fixed per-query scratch dir under java.io.tmpdir, recursively
     * cleared on each call — repeated bench/verify invocations of the

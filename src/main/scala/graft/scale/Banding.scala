@@ -67,10 +67,10 @@ object Banding {
     * the batch simhash operator).
     */
   def buildIndex(corpus: DataFrame, id: Column, text: Column,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(), maxCellSize: Option[Int] = None): DataFrame = {
     val fps = if (cfg.wide) Dedup.simhash64(corpus, id, text)
       else Dedup.simhash(corpus, id, text)
-    fps.select(col("simhash"), col("doc_id"),
+    val cells = fps.select(col("simhash"), col("doc_id"),
         explode(array((0 until cfg.bands).map(b =>
           struct(lit(b).as("band"),
             bandKey(col("simhash"), b, cfg).as("key"))): _*)).as("e"))
@@ -79,6 +79,27 @@ object Banding {
       .groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("simhash").as("fp"),
         col("doc_id").as("id"))).as("cands"))
+    // the VERDICT-r15 mega-cell guard: a boilerplate-dominated corpus
+    // (identical templates repeated millions of times) hashes every copy
+    // to the SAME fingerprint, hence the same cell in EVERY band — one
+    // unbounded list row OOMs its task and every probe's fold goes
+    // O(corpus). When `maxCellSize` is set, an over-bound cell raises at
+    // materialization (in-plan, no extra pass — the check is one size()
+    // per cell row) instead of shipping a row a task cannot hold. The
+    // structural fix is [[selfAuditCollapsed]]: exact-dup pre-collapse
+    // bounds cells by DISTINCT near-dup mass before banding.
+    maxCellSize match {
+      case Some(bound) =>
+        require(bound > 0, s"Banding.buildIndex: maxCellSize $bound must be positive")
+        cells.withColumn("cands",
+          when(size(col("cands")) > bound, raise_error(concat(
+            lit("Banding.buildIndex: a (band, key) cell holds "),
+            size(col("cands")).cast("string"),
+            lit(s" candidates (> $bound) — exact-dup pre-collapse the " +
+              "corpus (selfAuditCollapsed) or widen the layout (wide64)"))))
+            .otherwise(col("cands")))
+      case None => cells
+    }
   }
 
   /** Append the gate columns (simhash, n_cands, min_hamming, match_id,
@@ -92,9 +113,14 @@ object Banding {
     * verdict ("am I a copy of an earlier doc?") when a corpus probes
     * its own index; `None` keeps every candidate (delta-vs-frozen,
     * eval-vs-train).
+    *
+    * `text` names the probe column (default the conventional `text` —
+    * callers whose column is named otherwise pass theirs instead of
+    * renaming the frame).
     */
   def withFlags(df: DataFrame, index: DataFrame, maxHamming: Int,
-      cfg: Config = Config(), lowerIdThan: Option[String] = None): DataFrame = {
+      cfg: Config = Config(), lowerIdThan: Option[String] = None,
+      text: Column = col("text")): DataFrame = {
     require(maxHamming >= 0 && maxHamming < cfg.bands,
       s"Banding.withFlags: maxHamming $maxHamming needs < ${cfg.bands} " +
         "bands intact for the pigeonhole guarantee — raise bands or lower the threshold")
@@ -105,7 +131,7 @@ object Banding {
     require(clash.isEmpty,
       s"Banding.withFlags: input columns collide with the gate's " +
         s"output/internal names: ${clash.mkString(", ")}")
-    var cur = df.withColumn("simhash", fpOf(col("text"), cfg))
+    var cur = df.withColumn("simhash", fpOf(text, cfg))
     (0 until cfg.bands).foreach { b =>
       val side = index.where(col("band") === b)
         .select(col("key").as(s"__k$b"), col("cands").as(s"__c$b"))
@@ -156,5 +182,70 @@ object Banding {
       .withColumn("is_neardup",
         coalesce(col("__b.h") <= maxHamming, lit(false)))
       .drop("__n", "__b")
+  }
+
+  /** The corpus SELF-audit ("is each doc a near-copy of an earlier
+    * one?") with EXACT-DUP PRE-COLLAPSE — the structural fix for the
+    * mega-cell failure mode: only exact-dup CANONICALS (min doc id per
+    * content hash, q28's rule) are banded, so every (band, key) cell is
+    * bounded by the corpus's DISTINCT near-dup mass no matter how
+    * boilerplate-heavy the raw corpus is; exact-dup members then
+    * re-attach to their canonical's verdict without touching the index.
+    *
+    * Emits one row per input doc: doc_id, canonical_id, min_hamming,
+    * match_id, is_neardup — PROVABLY EQUAL on the verdict triple
+    * (min_hamming, match_id, is_neardup) to the uncollapsed
+    * `withFlags(corpus, buildIndex(corpus), lowerIdThan = id)` audit,
+    * because exact dups share their canonical's fingerprint bit-for-bit:
+    * (a) for a canonical c, every full-audit candidate d < c has
+    * hamming(c, d) = hamming(c, canonical(d)) with canonical(d) ≤ d < c,
+    * so min-hamming and the lowest-id-at-min (always achieved by a
+    * canonical) are unchanged when only canonicals are banded; (b) a
+    * member d sits at hamming 0 from its canonical c < d, so its verdict
+    * is (0, lowest doc id sharing d's fingerprint, true) — and that
+    * lowest id is itself a canonical (any doc's canonical shares its
+    * fingerprint at a lower-or-equal id). Token-less docs carry no
+    * fingerprint: their whole exact-group audits (NULL, NULL, false),
+    * exactly as the uncollapsed audit flags them. BandingSpec asserts
+    * the triple equality against the uncollapsed audit on a
+    * 50%-boilerplate corpus, both layouts.
+    *
+    * `maxCellSize` passes through to [[buildIndex]] — after the
+    * collapse it bounds DISTINCT near-dup mass per cell, a guard a
+    * boilerplate corpus can actually satisfy.
+    */
+  def selfAuditCollapsed(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int, cfg: Config = Config(),
+      maxCellSize: Option[Int] = None): DataFrame = {
+    val keyed = docs.select(id.as("doc_id"), text.as("__t"),
+      md5(text).as("__h"))
+    val canonIds = keyed.groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    val canonDocs = keyed.join(canonIds, Seq("__h"))
+      .where(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("__t"))
+    val index = buildIndex(canonDocs, col("doc_id"), col("__t"), cfg,
+      maxCellSize)
+    val cFlags = withFlags(canonDocs, index, maxHamming, cfg,
+        lowerIdThan = Some("doc_id"), text = col("__t"))
+      .select(col("doc_id").as("canonical_id"), col("simhash"),
+        col("min_hamming").as("__cmh"), col("match_id").as("__cmi"),
+        col("is_neardup").as("__cnd"))
+    // hamming-0 attach point for members: the LOWEST canonical id per
+    // fingerprint (= the lowest doc id sharing the fingerprint, since
+    // every doc's canonical shares its fp at a lower-or-equal id)
+    val byFp = cFlags.where(col("simhash").isNotNull)
+      .groupBy(col("simhash")).agg(min(col("canonical_id")).as("__c0"))
+    val isCanon = col("doc_id") === col("canonical_id")
+    keyed.join(canonIds, Seq("__h"))
+      .select(col("doc_id"), col("canonical_id"))
+      .join(cFlags.join(byFp, Seq("simhash"), "left"), Seq("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"),
+        when(isCanon, col("__cmh"))
+          .when(col("simhash").isNotNull, lit(0)).as("min_hamming"),
+        when(isCanon, col("__cmi"))
+          .when(col("simhash").isNotNull, col("__c0")).as("match_id"),
+        when(isCanon, col("__cnd"))
+          .otherwise(col("simhash").isNotNull).as("is_neardup"))
   }
 }

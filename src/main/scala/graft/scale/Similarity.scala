@@ -586,9 +586,14 @@ object Similarity {
     *
     * Output: one row per vector — cluster_id, cluster_n, n_prev_dups
     * (above-`tau` lower-id mates), max_prev_cos (4 dp, NULL when kept),
-    * kept.
+    * kept; with `withBestPrev` also best_prev_id (the mate at the
+    * highest cosine, lowest id on ties — the q293 drill-down column).
+    * Opt-in because the max-struct fold it needs is the one part of the
+    * dups aggregate a plain max cannot carry (the VERDICT-r15 q255
+    * bisect: only the drill-down consumer should pay for it).
     */
-  def semDedup(corpus: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+  def semDedup(corpus: DataFrame, k: Int, iters: Int, tau: Double,
+      withBestPrev: Boolean = false): DataFrame = {
     val assigned = lloydAssignRounded(corpus, k, iters)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val side = assigned.select(col("cid"), col("vec_id"), col("embedding").as("e"))
@@ -598,23 +603,27 @@ object Similarity {
         // divide by the SMALLER id's norm first — left-associated like
         // the oracle's sequential unnest sums
         graft.queries.r6(cosine(col("x.e"), col("y.e"))).as("cos"))
+    val baseAggs = Seq(count(lit(1)).as("n_prev_dups"),
+      max(col("cos")).as("max_prev_cos"))
+    // the best mate itself (highest cos, LOWEST prev id on ties —
+    // negate inside the max-struct, un-negate after): the drill-down
+    // column q293's disagreement audit reports
+    val bestAgg = (-max(struct(col("cos"), (-col("prev_id")).as("ni")))
+      .getField("ni")).as("best_prev_id")
+    val aggs = if (withBestPrev) baseAggs :+ bestAgg else baseAggs
     val dups = pairs.where(col("cos") >= tau)
       .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_prev_dups"), max(col("cos")).as("max_prev_cos"),
-        // the best mate itself (highest cos, LOWEST prev id on ties —
-        // negate inside the max-struct, un-negate after): the drill-down
-        // column q293's disagreement audit reports
-        (-max(struct(col("cos"), (-col("prev_id")).as("ni")))
-          .getField("ni")).as("best_prev_id"))
+      .agg(aggs.head, aggs.tail: _*)
     val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
+    val tailCols = if (withBestPrev)
+      Seq(col("max_prev_cos"), col("best_prev_id")) else Seq(col("max_prev_cos"))
     assigned.select(col("vec_id"), col("cid"))
       .join(broadcast(sizes), "cid")
       .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+      .select(Seq(col("vec_id"), col("cid").cast("long").as("cluster_id"),
         col("cluster_n"),
-        coalesce(col("n_prev_dups"), lit(0L)).as("n_prev_dups"),
-        col("max_prev_cos"), col("best_prev_id"),
-        col("n_prev_dups").isNull.as("kept"))
+        coalesce(col("n_prev_dups"), lit(0L)).as("n_prev_dups")) ++
+        tailCols :+ col("n_prev_dups").isNull.as("kept"): _*)
   }
 
   /** IVF-probed approximate top-k (recall vs [[cosineTopK]] is asserted

@@ -435,6 +435,70 @@ object Soak {
       pairs(graft.scale.Banding.Config(), "32-bit 4x8")
       pairs(graft.scale.Banding.wide64, "64-bit 4x16")
     }
+    // round-16: the banding MEGA-CELL failure mode under EXACT-DUP skew
+    // (VERDICT-r15 item 1/8) — 50% of the corpus collapses onto 3
+    // boilerplate templates. Identical texts hash to the SAME
+    // fingerprint, so every copy lands in ONE cell of EVERY band: the
+    // raw index's max cell grows linearly with the corpus (widening the
+    // layout cannot help — same fp, same key), while exact-dup
+    // pre-collapse (selfAuditCollapsed's canonical banding) bounds
+    // cells by DISTINCT near-dup mass. The raw AUDIT fold over such a
+    // corpus is the quadratic mass itself (~(corpus/2)²/3 pairs), so
+    // only the index cells are measured raw; verdict equality of the
+    // collapsed audit is checked on a 1/16 slice (PropertySpec proves
+    // it exhaustively on random corpora, both layouts).
+    time(s"banding-boilerplate-${k}x-docs") {
+      import graft.scale.Banding
+      val boiler = docsSpread.select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("boilerplate template "),
+              (col("doc_id") % 3).cast("string"),
+              lit(" terms and conditions apply contact support please")))
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      val keyed = boiler.select(col("doc_id"), col("text"),
+        md5(col("text")).as("h"))
+      val canonDocs = keyed.join(
+          keyed.groupBy(col("h")).agg(min(col("doc_id")).as("cid")), "h")
+        .where(col("doc_id") === col("cid"))
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      def cellStats(src: org.apache.spark.sql.DataFrame,
+          cfg: Banding.Config, label: String): Unit = {
+        val st = Banding.buildIndex(src, col("doc_id"), col("text"), cfg)
+          .agg(count(lit(1)).as("cells"), max(size(col("cands"))).as("mx"),
+            avg(size(col("cands"))).as("av")).head()
+        println(f"  $label: ${st.getLong(0)} cells, max ${st.getInt(1)} " +
+          f"rows/cell (~${st.getInt(1) * 16 / 1024} KiB), avg ${st.getDouble(2)}%.1f")
+      }
+      for ((cfg, l) <- Seq((Banding.Config(), "4x8"), (Banding.wide64, "wide64"))) {
+        cellStats(boiler, cfg, s"raw $l")
+        cellStats(canonDocs, cfg, s"collapsed $l")
+      }
+      val audited = Banding.selfAuditCollapsed(boiler, col("doc_id"),
+          col("text"), maxHamming = 3)
+        .agg(sum(col("is_neardup").cast("long")).as("dups"),
+          count(lit(1)).as("n")).head()
+      println(s"  collapsed self-audit: ${audited.getLong(1)} docs, " +
+        s"${audited.getLong(0)} flagged near-dups")
+      // % 16 < 2 keeps both parities: boilerplate copies (even) AND
+      // fresh docs (odd), so the slice exercises members, canonicals,
+      // and non-duplicated probes alike
+      val slice = boiler.where(col("doc_id") % 16 < 2).localCheckpoint()
+      val full = Banding.withFlags(slice,
+          Banding.buildIndex(slice, col("doc_id"), col("text")),
+          maxHamming = 3, lowerIdThan = Some("doc_id"))
+        .select(col("doc_id"), col("min_hamming").as("fmh"),
+          col("match_id").as("fmi"), col("is_neardup").as("fnd"))
+      val mism = Banding.selfAuditCollapsed(slice, col("doc_id"),
+          col("text"), maxHamming = 3)
+        .join(full, "doc_id")
+        .where(!(col("min_hamming") <=> col("fmh")) ||
+          !(col("match_id") <=> col("fmi")) ||
+          !(col("is_neardup") <=> col("fnd")))
+        .count()
+      println(s"  collapsed-vs-raw verdict mismatches on the 1/16 slice: $mism")
+      require(mism == 0L, "selfAuditCollapsed must equal the raw audit")
+    }
 
     // round-15: the bounded top-k aggregate under SKEW — one query owns
     // half the candidate mass (the shape a partition-key salting or AQE

@@ -117,6 +117,16 @@ class FunctionsSpec extends AnyFunSuite {
       graft.ops.TopK.byGroup(lm, Seq("g"), "m", asc = false, "id", 2).collect()
     }
     assert(eLm.getMessage != null && eLm.getMessage.contains("Long.MinValue"))
+    // Int.MinValue DOES negate exactly: the sub-long integral key widens
+    // to LONG first (the ADVICE-r15 fix — the old guard's
+    // `=== Long.MinValue` could never match an int, and un-widened
+    // negation wrapped Int.MinValue to itself, ranking it FIRST)
+    val im = Seq((1L, 1L, 5), (1L, 2L, Int.MinValue), (1L, 3L, 7))
+      .toDF("g", "id", "m")
+    val gotIm = graft.ops.TopK.byGroup(im, Seq("g"), "m", asc = false, "id", 3)
+      .orderBy(col("rank")).collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(gotIm.toSeq == Seq((3L, 1L), (1L, 2L), (2L, 3L)),
+      "Int.MinValue must rank LAST under desc, not first via wraparound")
   }
 
   test("gini_agg native aggregate equals the relational and HOF forms") {

@@ -655,6 +655,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Banding.selfAuditCollapsed verdict == uncollapsed self-audit on boilerplate-heavy corpora; mega-cell guard") {
+    import graft.scale.Banding
+    // ~half the corpus repeats a 3-template boilerplate pool (exact-dup
+    // groups), the rest are random docs; a few token-less docs exercise
+    // the null-fingerprint path
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta")
+    val freshGen = Gen.choose(4, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val templates = Seq("alpha beta gamma alpha", "delta epsilon delta",
+      "zeta eta zeta eta zeta")
+    val docGen = Gen.frequency(
+      (5, Gen.oneOf(templates)), (4, freshGen), (1, Gen.const("")))
+    samples(Gen.listOfN(40, docGen), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // uncollapsed-audit truth (the PlanSpec-gated q278/q293 shape)
+      for (cfg <- Seq(Banding.Config(), Banding.wide64)) {
+        val full = Banding.withFlags(docs,
+            Banding.buildIndex(docs, col("doc_id"), col("text"), cfg),
+            maxHamming = 3, cfg, lowerIdThan = Some("doc_id"))
+          .collect().map(r => r.getLong(0) ->
+            ((if (r.isNullAt(4)) None else Some(r.getInt(4)),
+              if (r.isNullAt(5)) None else Some(r.getLong(5)),
+              r.getBoolean(6)))).toMap
+        val got = Banding.selfAuditCollapsed(docs, col("doc_id"),
+            col("text"), maxHamming = 3, cfg)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getInt(2)),
+              if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              r.getBoolean(4)))).toMap
+        assert(got.keySet == full.keySet, s"cfg $cfg: one row per doc")
+        val canonTruth = texts.zipWithIndex
+          .groupBy(_._1).view.mapValues(_.map(_._2.toLong).min).toMap
+        got.foreach { case (id, (canon, mh, mi, nd)) =>
+          assert(canon == canonTruth(texts(id.toInt)),
+            s"cfg $cfg doc $id: canonical = min id per exact text")
+          assert((mh, mi, nd) == full(id),
+            s"cfg $cfg doc $id: verdict triple must match the " +
+              s"uncollapsed audit ${full(id)}")
+        }
+      }
+    }
+    // mega-cell guard: 20 identical docs put >= 20 candidates into ONE
+    // cell of every band — the raw index must refuse a 5-cap loudly,
+    // while the collapsed audit (one canonical banded) passes it
+    val boiler = (0L until 20L).map(i => (i, "alpha beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Banding.buildIndex(boiler, col("doc_id"), col("text"),
+        Banding.Config(), maxCellSize = Some(5)).collect()
+    }
+    assert(e.getMessage.contains("cell holds") ||
+      Option(e.getCause).exists(_.getMessage.contains("cell holds")))
+    val collapsed = Banding.selfAuditCollapsed(boiler, col("doc_id"),
+        col("text"), maxHamming = 3, Banding.Config(),
+        maxCellSize = Some(5)).collect()
+    assert(collapsed.length == 20)
+    assert(collapsed.forall(r => r.getLong(1) == 0L),
+      "one exact group: canonical 0")
+    assert(collapsed.count(_.getBoolean(4)) == 19,
+      "every member but the canonical flags as a dup")
+  }
+
   test("source KL is nonnegative on random two-source corpora, zero on identical sources") {
     import graft.scale.TextOps
     val wordGen = Gen.oneOf("a", "b", "c", "d", "e")

@@ -482,7 +482,8 @@ class ScaleSpec extends AnyFunSuite {
       (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
       (4L, Array(0.8f, 0.6f)), (5L, Array(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val out = Similarity.semDedup(vecs, k = 2, iters = 0, tau = 0.9)
+    val out = Similarity.semDedup(vecs, k = 2, iters = 0, tau = 0.9,
+        withBestPrev = true)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out.size == 6, "partition: every vector exactly once")
     assert(out.filter(_._2.getBoolean(6)).keySet == Set(0L, 1L, 4L, 5L))
@@ -497,12 +498,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(out(2L).getLong(5) == 0L && out(3L).getLong(5) == 1L)
     // kept rows carry NULL max_prev_cos/best_prev_id and zero prior dups
     assert(out(0L).isNullAt(4) && out(0L).isNullAt(5) && out(0L).getLong(3) == 0L)
-    // refined variant still partitions and always keeps each cluster's min id
+    // refined variant still partitions and always keeps each cluster's
+    // min id — default schema (no best_prev_id column: kept at index 5)
     val ref = Similarity.semDedup(vecs, k = 2, iters = 1, tau = 0.9)
       .collect()
     assert(ref.length == 6)
+    assert(!ref.head.schema.fieldNames.contains("best_prev_id"),
+      "best_prev_id is opt-in")
     val minIds = ref.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).min).toSet
-    assert(ref.filter(r => minIds.contains(r.getLong(0))).forall(_.getBoolean(6)),
+    assert(ref.filter(r => minIds.contains(r.getLong(0))).forall(_.getBoolean(5)),
       "lowest id of every cluster survives")
   }
 

@@ -1855,6 +1855,26 @@ class StreamingSpec extends AnyFunSuite {
     val langNb = graft.scale.LangId.fit(docsB, col("doc_id"), marked,
       col("lang"), Splits.bucket(col("doc_id"), "lid", 5) =!= 0, buckets = 64)
     val langGate = Some((langNb, Seq("en", "de", "es")))
+    // round-16 gates: the C4 battery over a lined view (the corpus has
+    // no natural lines — two always-kept sentences, an even-id third
+    // kept line, an id-gated lorem trigger) and the media-payload
+    // exact-dedup gate (ids ≡ 0 mod 3 collapse onto 5 shared payload
+    // templates; the frozen index holds the non-delta fps)
+    val c4Text = concat(col("text"),
+      lit("\nthe quick brown fox jumps over the lazy dog again."),
+      lit("\npack my box with five dozen liquor jugs today."),
+      when(col("doc_id") % 2 === 0,
+        lit("\na third kept sentence closes the block.")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit("\nlorem ipsum dolor sit amet placeholder here."))
+        .otherwise(lit("")))
+    val c4Gate = Some((c4Text, graft.scale.C4.defaultBadWords))
+    val mediaFp = md5(when(col("doc_id") % 3 === 0,
+        concat(lit("payload:"), (col("doc_id") % 5).cast("string")))
+      .otherwise(concat(lit("payload:"), col("doc_id").cast("string"))))
+    val mediaIx = docsB.where(col("doc_id") % 10 =!= 0)
+      .select(mediaFp.as("media_fp")).distinct().persist()
+    val mediaGate = Some((mediaFp, mediaIx: org.apache.spark.sql.DataFrame))
 
     val delta = docsB.where(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("source"), marked.as("text"))
@@ -1869,7 +1889,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[SourcedDoc]
     val query = CurationCounters.totals(input.toDS(), m, B, gate, Some(index),
-        langGate = langGate)
+        langGate = langGate, c4Gate = c4Gate, mediaGate = mediaGate)
       .toDF().writeStream.format("memory").queryName("funnel")
       .outputMode("update").start()
     try {
@@ -1882,40 +1902,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
 
     // latest emitted totals per source (update mode: last row wins)
-    def eleven(r: org.apache.spark.sql.Row) =
-      (1 to 11).map(r.getLong).toList
+    def thirteen(r: org.apache.spark.sql.Row) =
+      (1 to 13).map(r.getLong).toList
     val streamed = spark.table("funnel")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("n_docs").desc)))
       .where(col("rn") === 1).drop("rn")
-      .collect().map(r => r.getString(0) -> eleven(r)).toMap
+      .collect().map(r => r.getString(0) -> thirteen(r)).toMap
     // the batch side IS CurationCounters.batchTotals — the same frame
     // the q294 driver-gated battery funnel hashes against its DuckDB
     // oracle, so streamed == batchTotals here transitively pins the
     // streaming processor's end-state to the q294 hash gate
     val batch = CurationCounters.batchTotals(
         CurationCounters.flaggedDocs(docs.toSeq.toDS(),
-          m, B, gate, Some(index), langGate = langGate))
-      .collect().map(r => r.getString(0) -> eleven(r)).toMap
+          m, B, gate, Some(index), langGate = langGate,
+          c4Gate = c4Gate, mediaGate = mediaGate))
+      .collect().map(r => r.getString(0) -> thirteen(r)).toMap
     assert(streamed.keySet == batch.keySet)
     batch.foreach { case (src, v) =>
       assert(streamed(src) == v, s"source $src: ${streamed(src)} != $v")
     }
     // gates discriminate on this corpus, survivors exist, and survivor
     // token mass is a real sub-mass (not vacuous counters)
+    // list indices: 0 n_docs, 1 n_tokens, 2 lang, 3 heuristic, 4 gopher,
+    // 5 pii, 6 quality, 7 perplexity, 8 neardup, 9 c4_kept,
+    // 10 mediadup_docs, 11 survivors, 12 survivor_tokens
     def tot(i: Int) = batch.values.map(_(i)).sum
-    assert(tot(9) > 0 && tot(9) < tot(0), "survivors")
+    assert(tot(11) > 0 && tot(11) < tot(0), "survivors")
     // the lang gate discriminates: a strict sub-mass keeps (the marked
     // corpus carries en/de/es targets AND fr/zh rejects)
     assert(tot(2) > 0 && tot(2) < tot(0), "lang gate must discriminate")
     assert(batch.values.exists(v => v(7) > 0 && v(7) < v(0)),
       "perplexity gate must discriminate")
-    assert(tot(10) > 0 && tot(10) < tot(1),
+    assert(tot(12) > 0 && tot(12) < tot(1),
       "survivor token mass must be a strict sub-mass")
     // the planted copies of indexed docs are caught by the live gate
     assert(tot(8) >= planted.length, "near-dup incidence covers planted copies")
-    index.unpersist()
+    // the round-16 gates discriminate too: C4 keeps a strict sub-mass
+    // (odd-id docs miss the third kept line), media-dedup flags a
+    // nonempty strict sub-mass (the shared payload templates)
+    assert(tot(9) > 0 && tot(9) < tot(0), "c4 gate must discriminate")
+    assert(tot(10) > 0 && tot(10) < tot(0),
+      "media-dup gate must discriminate")
+    index.unpersist(); mediaIx.unpersist()
 
     // frozen-gate serving == the batch q248-style threshold keep set,
     // doc by doc (the streaming-perplexity parity contract)
