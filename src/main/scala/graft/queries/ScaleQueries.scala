@@ -1964,6 +1964,25 @@ sig AS (SELECT doc_id,
           r6(sum(coalesce(col("th"), lit(0L))).cast("double") / count(lit(1)))
             .as("trained_recall"))
     },
+    // the exact-dup pre-collapsed SELF-audit as an oracle-gated query
+    // (VERDICT-r15 item 1's API, hash-gated end-to-end): over the
+    // mirrored corpus (the q296 exact-dup fixture — the raw corpus has
+    // no natural exact dups at sf0.01), Banding.selfAuditCollapsed
+    // bands only min-id canonicals and re-attaches members; the oracle
+    // replays canonicalization + a brute-force 32-bit hamming scan.
+    // min_hamming/match_id are reported ONLY where the gate fires
+    // (<= 3): there banding is complete by pigeonhole, so the banded
+    // values equal brute force for ANY layout; above the threshold they
+    // are layout-dependent and stay NULL (the q293 discipline).
+    "q298_collapsed_audit" -> { (s, dir) =>
+      graft.scale.Banding.selfAuditCollapsed(mirroredDocs(s, dir),
+          col("doc_id"), col("text"), maxHamming = 3)
+        .select(col("doc_id"), col("canonical_id"),
+          col("is_neardup").as("is_dup"),
+          when(col("is_neardup"), col("min_hamming").cast("long"))
+            .as("nd_hamming"),
+          when(col("is_neardup"), col("match_id")).as("nd_match"))
+    },
     // two-stage retrieval QA (the FAISS re-rank serving shape): PQ ADC
     // shortlists 100 candidates per probe, exact squared-euclidean
     // re-ranks them to 10; per probe, recall@10 of the raw ADC top-10
@@ -3230,6 +3249,36 @@ SELECT ex.query_id, count(*)::BIGINT AS n_exact,
 FROM ex LEFT JOIN stop s ON ex.query_id = s.query_id AND ex.nbr_id = s.nbr_id
   LEFT JOIN ttop t ON ex.query_id = t.query_id AND ex.nbr_id = t.nbr_id
 GROUP BY 1""",
+    "q298_collapsed_audit" -> locally {
+      // brute-force replay of the 32-bit simhash kernel (the q294 nd
+      // pattern) + exact canonicalization; complete vs the banded gate
+      // at hamming <= 3 by pigeonhole
+      val ndSums = (0 until 32).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n    ")
+      val ndFpExpr = (0 until 32).map { j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH m AS (SELECT doc_id, text FROM $mirroredDocsSql),
+can AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM m),
+nt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM m),
+nh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h FROM nt),
+nfp AS MATERIALIZED (SELECT doc_id, ($ndFpExpr)::BIGINT AS simhash
+  FROM (SELECT doc_id, $ndSums FROM nh GROUP BY doc_id)),
+bst AS (SELECT dd.doc_id,
+    min(bit_count(xor(dd.simhash, ii.simhash))) AS mh
+  FROM nfp dd JOIN nfp ii ON ii.doc_id < dd.doc_id GROUP BY 1),
+mi AS (SELECT dd.doc_id, bst.mh, min(ii.doc_id) AS mid
+  FROM nfp dd JOIN bst ON dd.doc_id = bst.doc_id
+    JOIN nfp ii ON ii.doc_id < dd.doc_id
+      AND bit_count(xor(dd.simhash, ii.simhash)) = bst.mh
+  GROUP BY 1, 2)
+SELECT c.doc_id, c.canonical_id,
+  coalesce(mi.mh <= 3, FALSE) AS is_dup,
+  CASE WHEN mi.mh <= 3 THEN mi.mh::BIGINT END AS nd_hamming,
+  CASE WHEN mi.mh <= 3 THEN mi.mid END AS nd_match
+FROM can c LEFT JOIN mi ON c.doc_id = mi.doc_id"""
+    },
     "q257_pq_adc" ->
       """WITH seeds AS (
   SELECT vec_id::INT AS c, embedding::DOUBLE[] AS e FROM embeddings ORDER BY vec_id LIMIT 16),

@@ -712,8 +712,11 @@ class PlanSpec extends AnyFunSuite {
         a.name == "doc_id" && b.name == "doc_id"
       case other => other.children.exists(docPairCmp)
     }
+    // q298 is the round-16 collapsed audit: its canonicalization joins
+    // are fp/canonical-keyed equi-joins, never a doc-pair comparison
     for (q <- Seq("q278_crossmodal", "q287_fuzzy_contamination",
-        "q290_crossmodal_wide", "q291_fuzzy_wide", "q293_crossmodal_pairs")) {
+        "q290_crossmodal_wide", "q291_fuzzy_wide", "q293_crossmodal_pairs",
+        "q298_collapsed_audit")) {
       val out = graft.queries.ScaleQueries.defs(q)(spark, sf)
       out.collect()
       val bad = joins(out.queryExecution.executedPlan)
