@@ -16,7 +16,18 @@ import sys
 
 def load(path):
     with open(path) as f:
-        return json.loads(f.read().strip())
+        art = json.loads(f.read().strip())
+    if "queries" in art:
+        return art
+    # driver-captured BENCH_r{N}.json wraps (or truncates) the bench
+    # line: accept {parsed: {...}} when the full line survived, refuse
+    # loudly otherwise instead of a KeyError downstream
+    parsed = art.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed
+    sys.exit(f"{path}: no per-query map in this artifact (driver-side "
+             "truncation?) — compare the matching full artifact instead, "
+             "e.g. `git show <sha>:bench_full.json > /tmp/a.json`")
 
 
 def main():
@@ -35,8 +46,12 @@ def main():
               f"n={len(art['queries'])}  "
               f"start_loadavg={art.get('start_loadavg')}  "
               f"load_gate={art.get('load_gate')}")
-    print(f"shared-{len(shared)} subtotal: A={sa:.1f}s  B={sb:.1f}s  "
-          f"delta={sb - sa:+.1f}s ({(sb / sa - 1) * 100:+.1f}%)")
+    if sa > 0:
+        print(f"shared-{len(shared)} subtotal: A={sa:.1f}s  B={sb:.1f}s  "
+              f"delta={sb - sa:+.1f}s ({(sb / sa - 1) * 100:+.1f}%)")
+    else:
+        print(f"shared-{len(shared)} subtotal: A={sa:.1f}s  B={sb:.1f}s "
+              "(no shared mass — artifacts are not comparable round-over-round)")
     if only_a:
         print(f"only in A ({len(only_a)}, {sum(qa[q] for q in only_a):.1f}s): "
               + ", ".join(only_a))

@@ -1832,13 +1832,14 @@ sig AS (SELECT doc_id,
       // the on-disk corpus — memoized per (query, sfDir, corpus stamp)
       // like q230's store battery (VERDICT-r15 item 5), so bench rep 1
       // pays the trainers and reps >= 2 price the funnel projection.
-      // The memo holds localCheckpoint-backed frames, so it is keyed on
-      // the SparkSession identity too (a fresh session must refit).
-      val (corpus, m, gate, index, langNb, mediaIx) = fitOnce[(
+      // The memo holds localCheckpoint-backed frames, so it rides the
+      // session-aware memo (keyed on applicationId; a fresh session
+      // evicts the dead session's entries and refits).
+      val (corpus, m, gate, index, langNb, mediaIx) = fitOnceSession[(
           org.apache.spark.sql.DataFrame, graft.scoring.Trainer.LogisticModel,
           graft.scale.Perplexity.Gate, org.apache.spark.sql.DataFrame,
           graft.scale.LangId.LangNb, org.apache.spark.sql.DataFrame)](
-          s"q294_fits@${System.identityHashCode(s)}", dir) {
+          "q294_fits", s, dir) {
         val corpus = docsSpread(s, dir)
           .select(col("doc_id"), col("source"), col("lang"), batt.as("text"))
           .localCheckpoint() // fits + serve: stats, 6 GD passes, lm, index

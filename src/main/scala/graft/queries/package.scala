@@ -114,6 +114,27 @@ package object queries {
     fitMemo.computeIfAbsent(full, _ => fit).asInstanceOf[T]
   }
 
+  /** [[fitOnce]] for fits whose cached value is BOUND TO A SPARKSESSION
+    * (localCheckpoint-backed frames, not just model literals — the q294
+    * exception to the model-sized-literal rule above): the memo key
+    * carries `applicationId` (unique per SparkContext, unlike an
+    * identity hash, so a later session can never collide into frames
+    * whose blocks belong to a stopped context), and entries for OTHER
+    * application ids under the same logical key are evicted up front —
+    * a restarted session refits instead of the dead session's entries
+    * accumulating for the process lifetime.
+    */
+  private[queries] def fitOnceSession[T <: AnyRef](key: String,
+      s: SparkSession, sfDir: String)(fit: => T): T = {
+    val appKey = s"$key!${s.sparkContext.applicationId}"
+    val it = fitMemo.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k.startsWith(s"$key!") && !k.startsWith(s"$appKey@")) it.remove()
+    }
+    fitOnce(appKey, sfDir)(fit)
+  }
+
   /** Fixed per-query scratch dir under java.io.tmpdir, recursively
     * cleared on each call — repeated bench/verify invocations of the
     * store-lifecycle gates reuse ONE directory instead of leaking a

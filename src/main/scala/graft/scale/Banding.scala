@@ -83,23 +83,32 @@ object Banding {
     // (identical templates repeated millions of times) hashes every copy
     // to the SAME fingerprint, hence the same cell in EVERY band — one
     // unbounded list row OOMs its task and every probe's fold goes
-    // O(corpus). When `maxCellSize` is set, an over-bound cell raises at
-    // materialization (in-plan, no extra pass — the check is one size()
-    // per cell row) instead of shipping a row a task cannot hold. The
-    // structural fix is [[selfAuditCollapsed]]: exact-dup pre-collapse
-    // bounds cells by DISTINCT near-dup mass before banding.
-    maxCellSize match {
-      case Some(bound) =>
-        require(bound > 0, s"Banding.buildIndex: maxCellSize $bound must be positive")
-        cells.withColumn("cands",
-          when(size(col("cands")) > bound, raise_error(concat(
-            lit("Banding.buildIndex: a (band, key) cell holds "),
-            size(col("cands")).cast("string"),
-            lit(s" candidates (> $bound) — exact-dup pre-collapse the " +
-              "corpus (selfAuditCollapsed) or widen the layout (wide64)"))))
-            .otherwise(col("cands")))
-      case None => cells
+    // O(corpus). When `maxCellSize` is set, the guard runs as an EAGER
+    // count-only aggregation at build time (the SemanticGate.fit
+    // pattern): partial counts are scalar-sized, so the check completes
+    // and raises BEFORE any collect_list buffer materializes — an
+    // in-plan size() check after the agg would OOM in the aggregation
+    // itself on the very corpus it guards. Opt-in, because the extra
+    // pass re-reads the corpus unless the caller persists; the default
+    // stays lazy. The structural fix is [[selfAuditCollapsed]]:
+    // exact-dup pre-collapse bounds cells by DISTINCT near-dup mass
+    // before banding.
+    maxCellSize.foreach { bound =>
+      require(bound > 0, s"Banding.buildIndex: maxCellSize $bound must be positive")
+      val row = fps.select(col("simhash"),
+          explode(array((0 until cfg.bands).map(b =>
+            struct(lit(b).as("band"),
+              bandKey(col("simhash"), b, cfg).as("key"))): _*)).as("e"))
+        .groupBy(col("e.band"), col("e.key"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n")).as("m")).head()
+      val worst = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(worst <= bound,
+        s"Banding.buildIndex: a (band, key) cell holds $worst candidates " +
+          s"(> $bound) — exact-dup pre-collapse the corpus " +
+          "(selfAuditCollapsed) or widen the layout (wide64)")
     }
+    cells
   }
 
   /** Append the gate columns (simhash, n_cands, min_hamming, match_id,
@@ -204,9 +213,11 @@ object Banding {
     * member d sits at hamming 0 from its canonical c < d, so its verdict
     * is (0, lowest doc id sharing d's fingerprint, true) — and that
     * lowest id is itself a canonical (any doc's canonical shares its
-    * fingerprint at a lower-or-equal id). Token-less docs carry no
-    * fingerprint: their whole exact-group audits (NULL, NULL, false),
-    * exactly as the uncollapsed audit flags them. BandingSpec asserts
+    * fingerprint at a lower-or-equal id). Token-less and SQL-NULL texts
+    * carry no fingerprint: their whole exact-group audits
+    * (NULL, NULL, false), exactly as the uncollapsed audit flags them
+    * (NULL texts group under a non-colliding sentinel hash so the
+    * one-row-per-doc contract survives the equi-joins). BandingSpec asserts
     * the triple equality against the uncollapsed audit on a
     * 50%-boilerplate corpus, both layouts.
     *
@@ -217,12 +228,24 @@ object Banding {
   def selfAuditCollapsed(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int, cfg: Config = Config(),
       maxCellSize: Option[Int] = None): DataFrame = {
+    // NULL-safe content hash: md5(NULL) is NULL and equi-joins drop
+    // NULL keys — without the sentinel a NULL-text doc would vanish
+    // from the output entirely, breaking the one-row-per-doc contract.
+    // The 4-char sentinel cannot collide with a 32-hex md5; NULL-text
+    // docs form one exact group whose audit is (NULL, NULL, false) on
+    // both the collapsed and raw paths (their canonical carries no
+    // fingerprint), matching q28's exactGroups, whose window
+    // partitioning also groups NULLs together.
     val keyed = docs.select(id.as("doc_id"), text.as("__t"),
-      md5(text).as("__h"))
+      coalesce(md5(text), lit("null")).as("__h"))
     val canonIds = keyed.groupBy(col("__h"))
       .agg(min(col("doc_id")).as("canonical_id"))
-    val canonDocs = keyed.join(canonIds, Seq("__h"))
-      .where(col("doc_id") === col("canonical_id"))
+    // ONE canonicalization join feeds both the canonical frame and the
+    // member re-attach (a second keyed ⋈ canonIds would re-hash the
+    // corpus); callers at corpus scale should checkpoint `docs` — this
+    // API adds no persistence of its own, like every sibling
+    val withCanon = keyed.join(canonIds, Seq("__h"))
+    val canonDocs = withCanon.where(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"), col("__t"))
     val index = buildIndex(canonDocs, col("doc_id"), col("__t"), cfg,
       maxCellSize)
@@ -237,8 +260,7 @@ object Banding {
     val byFp = cFlags.where(col("simhash").isNotNull)
       .groupBy(col("simhash")).agg(min(col("canonical_id")).as("__c0"))
     val isCanon = col("doc_id") === col("canonical_id")
-    keyed.join(canonIds, Seq("__h"))
-      .select(col("doc_id"), col("canonical_id"))
+    withCanon.select(col("doc_id"), col("canonical_id"))
       .join(cFlags.join(byFp, Seq("simhash"), "left"), Seq("canonical_id"))
       .select(col("doc_id"), col("canonical_id"),
         when(isCanon, col("__cmh"))

@@ -718,6 +718,23 @@ class PropertySpec extends AnyFunSuite {
       "one exact group: canonical 0")
     assert(collapsed.count(_.getBoolean(4)) == 19,
       "every member but the canonical flags as a dup")
+    // NULL-text docs keep their row (sentinel-hash exact group) with
+    // the (NULL, NULL, false) verdict the raw audit gives them — an
+    // un-coalesced md5 key would silently DROP them from the equi-joins
+    val withNull = Seq((0L, Option("alpha beta gamma alpha")),
+      (1L, None: Option[String]), (2L, Option("alpha beta gamma alpha")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val nulled = Banding.selfAuditCollapsed(withNull, col("doc_id"),
+        col("text"), maxHamming = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(nulled.size == 4, "one row per doc including NULL texts")
+    assert(nulled(1L).getLong(1) == 1L && nulled(3L).getLong(1) == 1L,
+      "NULL texts group under the sentinel: canonical = their min id")
+    assert(!nulled(1L).getBoolean(4) && nulled(1L).isNullAt(2) &&
+      nulled(1L).isNullAt(3), "NULL-text verdict is (NULL, NULL, false)")
+    assert(!nulled(3L).getBoolean(4) && nulled(3L).isNullAt(2))
+    assert(nulled(2L).getBoolean(4) && nulled(2L).getLong(3) == 0L &&
+      nulled(2L).getInt(2) == 0, "the real exact dup still flags")
   }
 
   test("source KL is nonnegative on random two-source corpora, zero on identical sources") {
