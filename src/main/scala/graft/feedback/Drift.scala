@@ -37,6 +37,31 @@ object Drift {
           (sum(col("yp")) * (sum(col("c")) - sum(col("yp"))))).as("auc"))
   }
 
+  /** [[auc]] for many tagged slices at once — ONE distinct-value
+    * aggregation and ONE grouped cumsum pipeline (GlobalOrder, scale-safe
+    * at any score cardinality) carry every tag's rank bookkeeping, where
+    * per-slice [[auc]] calls each paid a full bucket-shuffle pipeline
+    * over the same scored frame (guide §2.4 — the grid/fold/curve
+    * evaluators ran 4-12 of those per query). Per tag this is the
+    * identical rank-sum identity over the identical per-value counts:
+    * the cumulative counts are exact integers, so only the final
+    * double-sum association can differ from the solo form — callers
+    * round the AUC (r6) as they already did for the solo form. Tags with
+    * a single class emit NULL, as [[auc]] does. Output: (tag, auc).
+    */
+  def aucByTag(df: DataFrame, tag: Column, label: Column, score: Column): DataFrame = {
+    val perValue = df.select(tag.as("tag"), label.cast("int").as("y"), score.as("s"))
+      .groupBy(col("tag"), col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("yp"))
+    val cum = graft.ops.GlobalOrder.withCumSumsBy(perValue, Seq("tag"),
+      Seq(col("s").asc), Seq((col("c"), "cc")))
+    cum.groupBy(col("tag")).agg(
+      when(sum(col("yp")) > 0 && sum(col("yp")) < sum(col("c")),
+        (sum(col("yp") * (col("cc") - col("c") + (col("c") + 1) / 2.0)) -
+          sum(col("yp")) * (sum(col("yp")) + 1) / 2.0) /
+          (sum(col("yp")) * (sum(col("c")) - sum(col("yp"))))).as("auc"))
+  }
+
   /** Mid-rank AUC per group — segment-sliced model evaluation (the
     * fairness/stability view a single global AUC hides: a model can hold
     * 0.9 overall while collapsing to coin-flip inside one merchant

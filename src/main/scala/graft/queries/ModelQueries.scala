@@ -151,17 +151,24 @@ FROM events"""
       val m = graft.scoring.Boosting.fit(train, Seq("value", "hb", "dowi"),
         col("y"), rounds = 3, rate = 0.5)
       val nv = valid.agg(count(lit(1)).as("n_val"))
-      (1 to 3).map { t =>
-        val st = m.rounds(t - 1)
-        val staged = m.copy(rounds = m.rounds.take(t))
-        graft.feedback.Drift.auc(
-            valid.select(col("y"), graft.scoring.Boosting.score(staged).as("s")),
-            col("y") === 1L, col("s"))
-          .crossJoin(broadcast(nv))
-          .select(lit(t).as("round"), lit(st.feature).as("feature"),
-            r6(lit(st.threshold)).as("threshold"), col("n_val"),
-            r6(col("auc")).as("val_auc"))
-      }.reduce(_.unionByName(_))
+      // all 3 staged scores from ONE projection of the valid slice +
+      // ONE grouped rank pipeline (Drift.aucByTag) — the per-round form
+      // paid a full AUC pipeline each; per-tag values are bit-identical
+      // (midrank sums are exact half-integers)
+      val tagged = valid.select(col("y"), explode(array((1 to 3).map { t =>
+          struct(lit(t).as("tag"), graft.scoring.Boosting
+            .score(m.copy(rounds = m.rounds.take(t))).as("s"))
+        }: _*)).as("__e"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.s").as("s"))
+      val featOf = (1 to 3).foldLeft(lit(null).cast("string")) { (acc, t) =>
+        when(col("tag") === t, lit(m.rounds(t - 1).feature)).otherwise(acc) }
+      val thrOf = (1 to 3).foldLeft(lit(null).cast("double")) { (acc, t) =>
+        when(col("tag") === t, lit(m.rounds(t - 1).threshold)).otherwise(acc) }
+      graft.feedback.Drift.aucByTag(tagged, col("tag"), col("y") === 1L, col("s"))
+        .crossJoin(broadcast(nv))
+        .select(col("tag").as("round"), featOf.as("feature"),
+          r6(thrOf).as("threshold"), col("n_val"),
+          r6(col("auc")).as("val_auc"))
     },
     // threshold-sweep operating table (the reference's
     // precision_recall_curve/roc_curve slot, models/advanced_models.py:
@@ -260,21 +267,27 @@ FROM events"""
         .localCheckpoint() // meta GD passes + 4 AUC reads + vote acc
       val meta = graft.scoring.Trainer.fitLogistic(oof,
         Seq("m_nb", "m_stump", "m_lr"), col("y"), iters = 10, lr = 0.5)
-      def aucOf(c: String, out: String) =
-        graft.feedback.Drift.auc(oof, col("y") === 1L, col(c))
-          .select(r6(col("auc")).as(out))
-      val aucMeta = graft.feedback.Drift.auc(
-          oof.select(col("y"), graft.scoring.Trainer.margin(meta).as("sm")),
-          col("y") === 1L, col("sm"))
-        .select(r6(col("auc")).as("auc_stacked"))
+      // all four AUC reads (three OOF base columns + the stacked margin)
+      // from ONE projection of oof + ONE grouped rank pipeline instead
+      // of four — bit-identical per tag (exact half-integer midranks)
+      val tagged = oof.select(col("y"), explode(array(
+          struct(lit(0).as("tag"), col("m_nb").as("s")),
+          struct(lit(1).as("tag"), col("m_stump").as("s")),
+          struct(lit(2).as("tag"), col("m_lr").as("s")),
+          struct(lit(3).as("tag"),
+            graft.scoring.Trainer.margin(meta).as("s")))).as("__e"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.s").as("s"))
+      val aucsRow = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+          col("y") === 1L, col("s"))
+        .agg(r6(max(when(col("tag") === 0, col("auc")))).as("auc_nb"),
+          r6(max(when(col("tag") === 1, col("auc")))).as("auc_stump"),
+          r6(max(when(col("tag") === 2, col("auc")))).as("auc_lr"),
+          r6(max(when(col("tag") === 3, col("auc")))).as("auc_stacked"))
       val maj = ((col("m_nb") > 0).cast("int") + (col("m_stump") > 0.5).cast("int") +
         (col("m_lr") > 0).cast("int") >= 2).cast("long")
       val va = oof.agg(count(lit(1)).as("n"),
         r6(avg((maj === col("y")).cast("double"))).as("vote_acc"))
-      va.crossJoin(aucOf("m_nb", "auc_nb"))
-        .crossJoin(aucOf("m_stump", "auc_stump"))
-        .crossJoin(aucOf("m_lr", "auc_lr"))
-        .crossJoin(aucMeta)
+      va.crossJoin(aucsRow)
         .select(col("n"), col("auc_nb"), col("auc_stump"), col("auc_lr"),
           greatest(col("auc_nb"), col("auc_stump"), col("auc_lr"))
             .as("auc_best_single"),
@@ -302,15 +315,29 @@ FROM events"""
         .localCheckpoint() // four fits + four scoring passes read it
       val train = f.where(col("vb5") =!= 0)
       val valid = f.where(col("vb5") === 0)
-      def metricsOf(name: String, scored: org.apache.spark.sql.DataFrame) = {
-        val agg = scored.agg(count(lit(1)).as("n_val"),
+      // all four models' (score, pred) from ONE projection of the shared
+      // valid slice; confusion counts from ONE grouped aggregate and the
+      // four AUCs from ONE grouped rank pipeline (bit-identical per
+      // model — exact half-integer midranks) instead of a full AUC
+      // pipeline + aggregate per model
+      def metricsOfAll(scores: Seq[(String, Column, Column)]) = {
+        val tagged = valid.select(col("y"), explode(array(
+            scores.zipWithIndex.map { case ((_, sc, pred), i) =>
+              struct(lit(i).as("tag"), sc.as("s"), pred.cast("long").as("pred"))
+            }: _*)).as("__e"))
+          .select(col("__e.tag").as("tag"), col("y"),
+            col("__e.s").as("s"), col("__e.pred").as("pred"))
+        val agg = tagged.groupBy(col("tag")).agg(count(lit(1)).as("n_val"),
           sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
           sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
           sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
-        val aucDf = graft.feedback.Drift.auc(scored, col("y") === 1L, col("s"))
-          .select(r6(col("auc")).as("auc"))
-        agg.crossJoin(broadcast(aucDf)).select(
-          lit(name).as("model"), col("n_val"), col("auc"),
+        val aucDf = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+          col("y") === 1L, col("s")).select(col("tag").as("__t2"),
+          r6(col("auc")).as("auc"))
+        val nameOf = scores.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, ((n, _, _), i)) => when(col("tag") === i, lit(n)).otherwise(acc) }
+        agg.join(broadcast(aucDf), col("tag") === col("__t2")).select(
+          nameOf.as("model"), col("n_val"), col("auc"),
           r6((col("n_val") - col("fp") - col("fn")).cast("double") / col("n_val"))
             .as("accuracy"),
           r6(when(col("tp") + col("fp") > 0,
@@ -320,11 +347,12 @@ FROM events"""
           r6(when(col("tp") * 2 + col("fp") + col("fn") > 0,
             col("tp") * 2.0 / (col("tp") * 2 + col("fp") + col("fn")))).as("f1"))
       }
-      // naive Bayes (the q167 model) on the shared split; margin > 0
-      val nbScored = Models.naiveBayesDelta(
-          train, valid, Seq("hb", "dowi", "vb"), col("y"))
-        .select(col("y"), r6(col("delta")).as("s"))
-        .withColumn("pred", (col("s") > 0).cast("long"))
+      // naive Bayes (the q167 model) on the shared split; margin > 0.
+      // The collected literal-chain model (Models.fitNaiveBayes) is
+      // bit-identical to the join-form naiveBayesDelta (the q241 serving
+      // contract), and as a pure Column it rides the shared projection.
+      val nb = Models.fitNaiveBayes(train, Seq("hb", "dowi", "vb"), col("y"))
+      val sNb = r6(nb.delta)
       // best stump (q168 argmin); score = leaf positive rate
       val best = Models.stumpCandidates(train, sF, col("y"))
         .select(col("feature"), col("threshold"), r6(col("gini")).as("g"),
@@ -333,23 +361,20 @@ FROM events"""
       val leafRate = when(col(best.getString(0)).cast("double") <= best.getDouble(1),
         lit(best.getLong(4).toDouble / best.getLong(3)))
         .otherwise(lit(best.getLong(6).toDouble / best.getLong(5)))
-      val stScored = valid.select(col("y"), r6(leafRate).as("s"))
-        .withColumn("pred", (col("s") > 0.5).cast("long"))
+      val sSt = r6(leafRate)
       // logistic GD (train-slice standardization travels in the model)
       val lrM = graft.scoring.Trainer.fitLogistic(
         train, sF, col("y"), iters = 10, lr = 0.5)
-      val lrScored = valid.select(col("y"),
-          r6(graft.scoring.Trainer.margin(lrM)).as("s"))
-        .withColumn("pred", (col("s") > 0).cast("long"))
+      val sLr = r6(graft.scoring.Trainer.margin(lrM))
       // 3-round boosted chain (the q191 fit); additive score vs 0.5
       val gbM = graft.scoring.Boosting.fit(
         train, sF, col("y"), rounds = 3, rate = 0.5)
-      val gbScored = valid.select(col("y"),
-          r6(graft.scoring.Boosting.score(gbM)).as("s"))
-        .withColumn("pred", (col("s") > 0.5).cast("long"))
-      Seq(metricsOf("naive_bayes", nbScored), metricsOf("stump", stScored),
-        metricsOf("logistic", lrScored), metricsOf("boosted_stumps", gbScored))
-        .reduce(_.unionByName(_))
+      val sGb = r6(graft.scoring.Boosting.score(gbM))
+      metricsOfAll(Seq(
+        ("naive_bayes", sNb, sNb > 0),
+        ("stump", sSt, sSt > 0.5),
+        ("logistic", sLr, sLr > 0),
+        ("boosted_stumps", sGb, sGb > 0.5)))
     },
     // closed-form hyperparameter grid (the reference's AutoML surface,
     // models/advanced_models.py:309-339, minus the RNG tuner): a
@@ -371,16 +396,30 @@ FROM events"""
       val valid = f.where(col("vb5") === 0)
       val models = graft.scoring.Trainer.fitLogisticGrid(
         train, feats, col("y"), rates, checks)
-      val cells = (for { r <- rates; it <- checks } yield {
-        val m = models((r, it))
-        val scored = valid.select(col("y"),
-          graft.scoring.Trainer.margin(m).as("margin"))
-        val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
-        scored.agg(count(lit(1)).as("n_val")).crossJoin(auc)
-          .select(lit(r).as("lr") +: lit(it).as("iters") +: col("n_val") +:
-            r6(col("auc")).as("auc") +: r6(lit(m.intercept)).as("intercept") +:
-            feats.zip(m.weights).map { case (c, w) => r6(lit(w)).as(s"w_$c") }: _*)
-      }).reduce(_.unionByName(_))
+      // all 6 cells' margins from ONE projection of the valid slice +
+      // ONE grouped rank pipeline (bit-identical per cell — exact
+      // half-integer midrank sums) instead of a pipeline per cell
+      val grid = for { r <- rates; it <- checks } yield (r, it)
+      val tagged = valid.select(col("y"), explode(array(
+          grid.zipWithIndex.map { case ((r, it), i) =>
+            struct(lit(i).as("tag"), graft.scoring.Trainer
+              .margin(models((r, it))).as("margin"))
+          }: _*)).as("__e"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.margin").as("margin"))
+      val nv = valid.agg(count(lit(1)).as("n_val"))
+      def cellLit[T](f: ((Double, Int)) => T): Column =
+        grid.zipWithIndex.foldLeft(lit(null)) { case (acc, (c, i)) =>
+          when(col("tag") === i, lit(f(c))).otherwise(acc) }
+      val wOf = feats.indices.map(j =>
+        grid.zipWithIndex.foldLeft(lit(null).cast("double")) { case (acc, (c, i)) =>
+          when(col("tag") === i, lit(models(c).weights(j))).otherwise(acc) })
+      val cells = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+          col("y") === 1L, col("margin"))
+        .crossJoin(broadcast(nv))
+        .select(cellLit(_._1).as("lr") +: cellLit(_._2).as("iters") +:
+          col("n_val") +: r6(col("auc")).as("auc") +:
+          r6(cellLit(c => models(c).intercept)).as("intercept") +:
+          feats.zip(wOf).map { case (c, w) => r6(w).as(s"w_$c") }: _*)
       val better = cells.select(col("lr").as("__l2"), col("iters").as("__i2"),
         col("auc").as("__a2"))
       cells.join(better,
@@ -825,23 +864,34 @@ FROM events"""
       val valid = f.where(col("vb5") === 0)
       val models = graft.scoring.Trainer.fitLogisticGrid(train, feats, col("y"),
         trials.map(_._2).distinct, trials.map(_._3).distinct.sorted)
-      val cells = trials.map { case (t, lr, it) =>
-        val m = models((lr, it))
-        val scored = valid.select(col("y"),
-          graft.scoring.Trainer.margin(m).as("margin"))
-        val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
-        scored.agg(count(lit(1)).as("n_val")).crossJoin(auc)
-          .select(lit(t.toLong).as("trial") +: lit(lr).as("lr") +:
-            lit(it.toLong).as("iters") +: col("n_val") +:
-            // rank/argmax on the UNROUNDED auc: the midrank identity is
-            // exact half-integer arithmetic over one division, so the
-            // raw value is engine-identical (given identical margin
-            // ranks, which the rounded hash already requires) — and it
-            // discriminates trials the 4dp quantum would tie
-            col("auc").as("__ar") +:
-            r6(col("auc")).as("auc") +: r6(lit(m.intercept)).as("intercept") +:
-            feats.zip(m.weights).map { case (c, w) => r6(lit(w)).as(s"w_$c") }: _*)
-      }.reduce(_.unionByName(_)).localCheckpoint() // ranks + importances re-read
+      // all 6 trials' margins from ONE projection of the valid slice +
+      // ONE grouped rank pipeline instead of a pipeline per trial. The
+      // rank/argmax below stays on the UNROUNDED auc — safe because the
+      // midrank identity is exact half-integer arithmetic over one
+      // division, so the raw value is bit-identical fused or solo.
+      val tagged = valid.select(col("y"), explode(array(
+          trials.map { case (t, lr, it) =>
+            struct(lit(t).as("tag"), graft.scoring.Trainer
+              .margin(models((lr, it))).as("margin"))
+          }: _*)).as("__e"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.margin").as("margin"))
+      val nv = valid.agg(count(lit(1)).as("n_val"))
+      def trialLit(f: ((Int, Double, Int)) => Column): Column =
+        trials.foldLeft(lit(null)) { (acc, tr) =>
+          when(col("tag") === tr._1, f(tr)).otherwise(acc) }
+      val cells = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+          col("y") === 1L, col("margin"))
+        .crossJoin(broadcast(nv))
+        .select(col("tag").cast("long").as("trial") +:
+          trialLit(tr => lit(tr._2)).as("lr") +:
+          trialLit(tr => lit(tr._3.toLong)).as("iters") +: col("n_val") +:
+          col("auc").as("__ar") +:
+          r6(col("auc")).as("auc") +:
+          r6(trialLit(tr => lit(models((tr._2, tr._3)).intercept))).as("intercept") +:
+          feats.zipWithIndex.map { case (c, j) =>
+            r6(trialLit(tr => lit(models((tr._2, tr._3)).weights(j)))).as(s"w_$c")
+          }: _*)
+        .localCheckpoint() // ranks + importances re-read
       val keep = Seq("trial", "lr", "iters", "n_val", "auc", "intercept",
         "w_value", "w_hb", "w_dowi").map(col)
       val c2 = cells.select(col("trial").as("__t2"), col("lr").as("__l2"),
@@ -906,13 +956,17 @@ FROM events"""
       def rung(cands: Seq[Int], iters: Int): Seq[(Int, Option[Double])] = {
         val ms = graft.scoring.Trainer.fitLogisticGrid(train, feats, col("y"),
           cands.map(lrs).distinct, Seq(iters))
-        cands.map { t =>
-          val m = ms((lrs(t), iters))
-          val scored = valid.select(col("y"),
-            graft.scoring.Trainer.margin(m).as("margin"))
-          graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
-            .select(lit(t).as("t"), col("auc"))
-        }.reduce(_.unionByName(_)).collect()
+        // every candidate's margin from ONE projection of the valid
+        // slice + ONE grouped rank pipeline (bit-identical per
+        // candidate — exact half-integer midranks) instead of a full
+        // AUC pipeline per candidate
+        val tagged = valid.select(col("y"), explode(array(cands.map { t =>
+            struct(lit(t).as("tag"), graft.scoring.Trainer
+              .margin(ms((lrs(t), iters))).as("margin"))
+          }: _*)).as("__e"))
+          .select(col("__e.tag").as("tag"), col("y"), col("__e.margin").as("margin"))
+        graft.feedback.Drift.aucByTag(tagged, col("tag"),
+            col("y") === 1L, col("margin")).collect()
           .map(r => r.getInt(0) ->
             (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
       }
@@ -1721,24 +1775,31 @@ FROM events"""
         .join(donor, "__dk")
         .localCheckpoint() // base + 3 permuted AUC variants re-read it
       val nTest = pm.agg(count(lit(1)).as("n_test"))
-      val baseAuc = graft.feedback.Drift.auc(
-          pm.select(col("y"), graft.scoring.Trainer.margin(m).as("margin")),
-          col("y") === 1L, col("margin"))
+      // base + 3 permuted margins from ONE projection of pm (the
+      // permuted variant reads the donor column under the feature's
+      // name via marginOver — bit-identical to physically swapping the
+      // column) + ONE grouped rank pipeline instead of four
+      val donors = Map("value" -> "pv", "hb" -> "ph", "dowi" -> "pd")
+      val perms = Seq("value", "hb", "dowi")
+      def permMargin(p: String): Column = graft.scoring.Trainer.marginOver(m,
+        f => if (f == p) col(donors(p)) else col(f))
+      val tagged = pm.select(col("y"), explode(array(
+          struct(lit(0).as("tag"), graft.scoring.Trainer.margin(m).as("margin")) +:
+            perms.zipWithIndex.map { case (p, i) =>
+              struct(lit(i + 1).as("tag"), permMargin(p).as("margin")) }: _*)).as("__e"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.margin").as("margin"))
+      val aucs = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+        col("y") === 1L, col("margin")).localCheckpoint() // 4 rows, read twice
+      val baseAuc = aucs.where(col("tag") === 0)
         .select(r6(col("auc")).as("auc_base")).crossJoin(nTest)
-      val variants = Seq(
-        ("value", pm.select(col("y"), col("pv").as("value"), col("hb"), col("dowi"))),
-        ("hb", pm.select(col("y"), col("value"), col("ph").as("hb"), col("dowi"))),
-        ("dowi", pm.select(col("y"), col("value"), col("hb"), col("pd").as("dowi"))))
-      variants.map { case (name, v) =>
-        graft.feedback.Drift.auc(
-            v.select(col("y"), graft.scoring.Trainer.margin(m).as("margin")),
-            col("y") === 1L, col("margin"))
-          .select(r6(col("auc")).as("auc_perm"))
-          .crossJoin(broadcast(baseAuc))
-          .select(lit(name).as("feature"), col("n_test"), col("auc_base"),
-            col("auc_perm"),
-            r6(col("auc_base") - col("auc_perm")).as("importance"))
-      }.reduce(_.unionByName(_))
+      val nameOf = perms.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (p, i)) => when(col("tag") === i + 1, lit(p)).otherwise(acc) }
+      aucs.where(col("tag") > 0)
+        .select(nameOf.as("feature"), r6(col("auc")).as("auc_perm"))
+        .crossJoin(broadcast(baseAuc))
+        .select(col("feature"), col("n_test"), col("auc_base"),
+          col("auc_perm"),
+          r6(col("auc_base") - col("auc_perm")).as("importance"))
     },
     // sklearn learning_curve twin (the diagnostic the reference's
     // notebook runs next to its CV scores — model-zoo training with
@@ -1760,20 +1821,37 @@ FROM events"""
       val masks = sizes.map(t => col("fold") =!= 0 && col("fb") < t)
       val models = graft.scoring.Trainer.fitLogisticMasked(
         f, feats, col("y"), masks, iters = 6, lr = 0.5)
-      val hold = f.where(col("fold") === 0)
-      sizes.zip(masks).zip(models).map { case ((t, mk), m) =>
-        val tr = f.where(mk)
-        val sTr = tr.select(col("y"), graft.scoring.Trainer.margin(m).as("margin"))
-        val sVa = hold.select(col("y"), graft.scoring.Trainer.margin(m).as("margin"))
-        val aucT = graft.feedback.Drift.auc(sTr, col("y") === 1L, col("margin"))
-          .select(r6(col("auc")).as("auc_train"))
-        val aucV = graft.feedback.Drift.auc(sVa, col("y") === 1L, col("margin"))
-          .select(r6(col("auc")).as("auc_val"))
-        tr.agg(count(lit(1)).as("n_train"), sum(col("y")).as("n_pos_train"))
-          .crossJoin(aucT).crossJoin(aucV)
-          .select(lit(t / 100.0).as("train_frac"), col("n_train"),
-            col("n_pos_train"), col("auc_train"), col("auc_val"))
-      }.reduce(_.unionByName(_))
+      // all 8 (size × train/val) scored slices from ONE projection (tag
+      // 2i = size i's train slice under its mask, tag 2i+1 = the shared
+      // hold-out under size i's model) + ONE grouped rank pipeline —
+      // the per-size loop paid two full AUC pipelines per size;
+      // per-tag values are bit-identical (exact half-integer midranks)
+      val tagged = f.select(col("y"), explode(array(
+          sizes.indices.flatMap { i =>
+            val m = models(i)
+            Seq(struct(lit(2 * i).as("tag"),
+                graft.scoring.Trainer.margin(m).as("margin"),
+                masks(i).as("inc")),
+              struct(lit(2 * i + 1).as("tag"),
+                graft.scoring.Trainer.margin(m).as("margin"),
+                (col("fold") === 0).as("inc")))
+          }: _*)).as("__e"))
+        .where(col("__e.inc"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.margin").as("margin"))
+      val aucs = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+        col("y") === 1L, col("margin")).localCheckpoint() // 8 rows, read twice
+      val aucT = aucs.where(col("tag") % 2 === 0)
+        .select((col("tag") / 2).cast("int").as("i"), r6(col("auc")).as("auc_train"))
+      val aucV = aucs.where(col("tag") % 2 === 1)
+        .select(((col("tag") - 1) / 2).cast("int").as("i"), r6(col("auc")).as("auc_val"))
+      val counts = tagged.where(col("tag") % 2 === 0).groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_train"), sum(col("y")).as("n_pos_train"))
+        .select((col("tag") / 2).cast("int").as("i"), col("n_train"), col("n_pos_train"))
+      val fracOf = sizes.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (acc, (t, i)) => when(col("i") === i, lit(t / 100.0)).otherwise(acc) }
+      counts.join(broadcast(aucT), "i").join(broadcast(aucV), "i")
+        .select(fracOf.as("train_frac"), col("n_train"),
+          col("n_pos_train"), col("auc_train"), col("auc_val"))
     },
     // cross_val_score(cv=5, scoring='roc_auc') twin — the exact call the
     // reference makes at `feedback/feedback_system.py:343-344` and inside
@@ -1793,15 +1871,22 @@ FROM events"""
         .localCheckpoint()
       val models = graft.scoring.Trainer.fitLogisticCV(
         f, feats, col("y"), col("fold"), folds = 5, iters = 6, lr = 0.5)
-      val folds = models.zipWithIndex.map { case (m, k) =>
-        val scored = f.where(col("fold") === k)
-          .select(col("y"), graft.scoring.Trainer.margin(m).as("margin"))
-        val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
-        scored.agg(count(lit(1)).as("n_test"), sum(col("y")).as("n_pos"))
-          .crossJoin(auc)
-          .select(lit(k).as("fold"), col("n_test"), col("n_pos"),
-            r6(col("auc")).as("auc"))
-      }.reduce(_.unionByName(_)).localCheckpoint() // 5 rows; summary re-reads
+      // each row scores with ITS OWN fold's leave-out model, so all five
+      // held-out slices ride ONE projection + ONE grouped rank pipeline
+      // (bit-identical per fold — exact half-integer midrank sums)
+      // instead of a full AUC pipeline per fold
+      val marginCase = models.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (acc, (m, k)) =>
+          when(col("fold") === k, graft.scoring.Trainer.margin(m)).otherwise(acc) }
+      val scored = f.select(col("fold"), col("y"), marginCase.as("margin"))
+      val counts = scored.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_test"), sum(col("y")).as("n_pos"))
+      val aucs = graft.feedback.Drift.aucByTag(scored, col("fold"),
+        col("y") === 1L, col("margin"))
+      val folds = counts.join(broadcast(aucs), col("fold") === col("tag"))
+        .select(col("fold").cast("int").as("fold"), col("n_test"),
+          col("n_pos"), r6(col("auc")).as("auc"))
+        .localCheckpoint() // 5 rows; summary re-reads
       val summary = folds.agg(r6(avg(col("auc"))).as("cv_mean"),
         r6(stddev_pop(col("auc"))).as("cv_std"))
       folds.crossJoin(broadcast(summary))
@@ -1887,16 +1972,26 @@ FROM events"""
       val models = graft.scoring.Boosting.fitTreesGrid(train, feats,
         col("y"), rounds = T, rates = rates)
       val nv = valid.agg(count(lit(1)).as("n_val"))
-      val cells = (for (m <- models; t <- 1 to T) yield {
-        val staged = m.copy(rounds = m.rounds.take(t))
-        graft.feedback.Drift.auc(
-            valid.select(col("y"),
-              graft.scoring.Boosting.scoreTrees(staged).as("sv")),
-            col("y") === 1L, col("sv"))
-          .crossJoin(broadcast(nv))
-          .select(r6(lit(m.rate)).as("rate"), lit(t.toLong).as("rounds"),
-            col("n_val"), r6(col("auc")).as("val_auc"))
-      }).reduce(_.unionByName(_)).localCheckpoint() // 6-row leaderboard
+      // all 6 staged scores from ONE projection of the valid slice, then
+      // ONE grouped rank pipeline (Drift.aucByTag) instead of a full AUC
+      // pipeline per grid cell — same rounded values per cell
+      val grid = for (m <- models; t <- 1 to T) yield (m, t)
+      val taggedScores = valid.select(col("y"), explode(array(
+          grid.zipWithIndex.map { case ((m, t), i) =>
+            struct(lit(i).as("tag"), graft.scoring.Boosting
+              .scoreTrees(m.copy(rounds = m.rounds.take(t))).as("sv"))
+          }: _*)).as("__e"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.sv").as("sv"))
+      val rateOf = grid.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (acc, ((m, _), i)) => when(col("tag") === i, lit(m.rate)).otherwise(acc) }
+      val roundsOf = grid.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, ((_, t), i)) => when(col("tag") === i, lit(t.toLong)).otherwise(acc) }
+      val cells = graft.feedback.Drift.aucByTag(taggedScores, col("tag"),
+          col("y") === 1L, col("sv"))
+        .crossJoin(broadcast(nv))
+        .select(r6(rateOf).as("rate"), roundsOf.as("rounds"),
+          col("n_val"), r6(col("auc")).as("val_auc"))
+        .localCheckpoint() // 6-row leaderboard
       val o = cells.select(col("rate").as("r2"), col("rounds").as("t2"),
         col("val_auc").as("a2"))
       cells.join(o, col("a2") > col("val_auc") ||

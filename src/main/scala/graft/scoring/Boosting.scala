@@ -208,28 +208,42 @@ object Boosting {
         .agg(aggs.head, aggs.tail: _*)
         .localCheckpoint() // every rate's cumsum/argmax re-reads this
 
-    def candsFromAll(perAll: DataFrame, nPrior: Int,
-        residSum: (Column, Column, (Int, Int) => Column) => Column): DataFrame = {
+    // ONE GlobalOrder cumsum pipeline + ONE per-feature totals aggregate
+    // for ALL branches of a pass (guide §2.4 — the per-branch form ran a
+    // full bucket-shuffle/offset-join pipeline per (rate[, side]) slice,
+    // 3·|rates| pipelines per round, over the SAME checkpointed value
+    // table; the cumsum machinery is multi-column, and integral cumsums
+    // are per-column independent, so fusing every branch's count columns
+    // into one pipeline is bit-identical per branch while collapsing the
+    // pass to a single bucket shuffle + offset join at any scale).
+    // `cols` = every count column any branch of this pass consumes; the
+    // returned frame carries, per source column c, the cumulative
+    // `__cum_c` next to the per-feature total `__tot_c`.
+    def cumAndTotals(perAll: DataFrame, cols: Seq[String]): DataFrame = {
       val cum = graft.ops.GlobalOrder.withCumSumsBy(perAll, Seq("__feat"),
-        Seq(col("threshold")),
-        Seq(col("__cn") -> "nl", col("__csy") -> "syl") ++
-          (0 until nPrior).flatMap(r => (0 to 2).map(l =>
-            col(s"__c${r}_$l") -> s"cll${r}_$l")))
-      val totAggs = Seq(sum(col("__cn")).as("tn"), sum(col("__csy")).as("tsy")) ++
-        (0 until nPrior).flatMap(r => (0 to 2).map(l =>
-          sum(col(s"__c${r}_$l")).as(s"tcl${r}_$l")))
+        Seq(col("threshold")), cols.map(c => col(c) -> s"__cum_$c"))
+      val totAggs = cols.map(c => sum(col(c)).as(s"__tot_$c"))
       val tot = perAll.groupBy(col("__feat")).agg(totAggs.head, totAggs.tail: _*)
       cum.join(broadcast(tot), "__feat")
-        .select(col("__feat").as("feature"), col("threshold"), col("nl"), col("tn"),
-          residSum(col("syl"), col("nl"),
-            (r, l) => col(s"cll${r}_$l")).as("sl"),
-          residSum(col("tsy"), col("tn"),
-            (r, l) => col(s"tcl${r}_$l")).as("stot"))
+    }
+
+    // one branch's candidate table from the fused frame — the same
+    // expressions (same associativity) the per-branch pipeline produced,
+    // reading its own count columns: `cn`/`csy` the branch's row-count /
+    // label-sum columns, `cl(r, l)` its prior-round leaf-count columns
+    def candsOf(all: DataFrame, cn: String, csy: String,
+        cl: (Int, Int) => String,
+        residSum: (Column, Column, (Int, Int) => Column) => Column): DataFrame =
+      all.select(col("__feat").as("feature"), col("threshold"),
+          col(s"__cum_$cn").as("nl"), col(s"__tot_$cn").as("tn"),
+          residSum(col(s"__cum_$csy"), col(s"__cum_$cn"),
+            (r, l) => col(s"__cum_${cl(r, l)}")).as("sl"),
+          residSum(col(s"__tot_$csy"), col(s"__tot_$cn"),
+            (r, l) => col(s"__tot_${cl(r, l)}")).as("stot"))
         .where(col("nl") > 0 && col("nl") < col("tn"))
         .select(col("feature"), col("threshold"), col("nl"),
           (col("tn") - col("nl")).as("nr"),
           col("sl"), (col("stot") - col("sl")).as("sr"))
-    }
 
     // ONE action for ALL branches' argmaxes: each branch's candidate
     // pipeline is tagged and unioned, and the per-branch best split is
@@ -283,16 +297,14 @@ object Boosting {
           sum(when(col(s"__lf${k}_${r}_$l"), 1L).otherwise(0L))
             .as(s"__c${k}_${r}_$l"))))
       val perRoot = meltedCounts(leafFlags, rootAggs, leafFlagNames)
-      def rateSlice(src: DataFrame, cn: String, csy: String,
-          cName: (Int, Int) => String): DataFrame =
-        src.select(col("__feat") +: col("threshold") +:
-          (Seq(col(cn).as("__cn"), col(csy).as("__csy")) ++
-            (0 until nPrior).flatMap(r => (0 to 2).map(l =>
-              col(cName(r, l)).as(s"__c${r}_$l")))): _*)
+      // every rate's cumsums/totals from ONE fused pipeline over perRoot
+      val rootAll = cumAndTotals(perRoot,
+        Seq("__cn", "__csy") ++ rs.flatMap(k =>
+          (0 until nPrior).flatMap(r => (0 to 2).map(l => s"__c${k}_${r}_$l"))))
+        .localCheckpoint() // each rate's argmax slice re-reads it
       val rootBests = bestMany(rs.map(k => (k,
-        candsFromAll(
-          rateSlice(perRoot, "__cn", "__csy", (r, l) => s"__c${k}_${r}_$l"),
-          nPrior, residSumOf(k)), rates(k))))
+        candsOf(rootAll, "__cn", "__csy", (r, l) => s"__c${k}_${r}_$l",
+          residSumOf(k)), rates(k))))
       val sides = rs.map { k =>
         when(col(rootBests(k).feature).cast("double") <=
           lit(rootBests(k).threshold), 0).otherwise(1)
@@ -314,11 +326,15 @@ object Boosting {
       }
       val perC = meltedCounts(leafFlags ++ sideFlags, childAggs,
         leafFlagNames ++ rs.flatMap(k => Seq(s"__sd${k}_0", s"__sd${k}_1")))
+      // both children of every rate from ONE fused pipeline over perC
+      val childAll = cumAndTotals(perC, rs.flatMap(k => (0 to 1).flatMap(s =>
+          Seq(s"__cn${k}_$s", s"__csy${k}_$s") ++
+            (0 until nPrior).flatMap(r => (0 to 2).map(l =>
+              s"__c${k}_${r}_${l}_$s")))))
+        .localCheckpoint() // each (rate, side) argmax slice re-reads it
       val childBests = bestMany(rs.flatMap(k => (0 to 1).map(s =>
-        (k * 2 + s, candsFromAll(
-          rateSlice(perC, s"__cn${k}_$s", s"__csy${k}_$s",
-            (r, l) => s"__c${k}_${r}_${l}_$s"),
-          nPrior, residSumOf(k)), rates(k)))))
+        (k * 2 + s, candsOf(childAll, s"__cn${k}_$s", s"__csy${k}_$s",
+          (r, l) => s"__c${k}_${r}_${l}_$s", residSumOf(k)), rates(k)))))
       rs.foreach { k =>
         val lb = childBests(k * 2)
         val rb = childBests(k * 2 + 1)

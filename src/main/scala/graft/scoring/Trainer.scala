@@ -448,9 +448,16 @@ object Trainer {
     * monotone in the predicted probability, so ranking metrics (AUC) can
     * skip the sigmoid.
     */
-  def margin(m: LogisticModel): Column =
+  def margin(m: LogisticModel): Column = marginOver(m, col)
+
+  /** [[margin]] with each feature read through `in` (e.g. a permuted
+    * column under the feature's name) — same expression, same
+    * associativity, so substituted scores are bit-identical to scoring
+    * a frame with the columns physically swapped.
+    */
+  def marginOver(m: LogisticModel, in: String => Column): Column =
     m.features.zipWithIndex.map { case (f, i) =>
-      ((col(f).cast("double") - lit(m.means(i))) / lit(m.stds(i))) * lit(m.weights(i))
+      ((in(f).cast("double") - lit(m.means(i))) / lit(m.stds(i))) * lit(m.weights(i))
     }.foldLeft(lit(m.intercept))(_ + _)
 
   /** Predicted probability σ(margin). */

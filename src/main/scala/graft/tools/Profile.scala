@@ -22,12 +22,18 @@ object Profile {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val shufR = new AtomicLong; val shufW = new AtomicLong
-    val gcMs = new AtomicLong
+    val gcMs = new AtomicLong; val stageMs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        // scheduler-visible stage wall (submit -> complete): the gap
+        // between a query's wall and Σ stage wall is pure driver work
+        // (Catalyst/AQE planning, codegen, broadcast building)
+        for (t0 <- s.stageInfo.submissionTime; t1 <- s.stageInfo.completionTime)
+          stageMs.addAndGet(t1 - t0)
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
@@ -39,12 +45,19 @@ object Profile {
         }
       }
     })
+    // whole-stage-codegen compile cost (janino), cumulative across the
+    // JVM — per-query deltas attribute driver time to codegen
+    def compileMs: Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum // histogram of ms
+    def compileN: Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
     spark.range(10000000L).selectExpr("sum(id)").collect()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("PROFILE_REPS", "2").toInt
     for (q <- args.toSeq; rep <- 1 to reps) {
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
-      shufR.set(0); shufW.set(0); gcMs.set(0)
+      shufR.set(0); shufW.set(0); gcMs.set(0); stageMs.set(0)
+      val (c0, n0) = (compileMs, compileN)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -54,6 +67,8 @@ object Profile {
       println(f"$q rep$rep wall=$wall%.2fs jobs=${jobs.get} " +
         f"stages=${stages.get} tasks=${tasks.get} " +
         f"taskTime=${taskMs.get / 1000.0}%.1fs gc=${gcMs.get / 1000.0}%.1fs " +
+        f"stageWall=${stageMs.get / 1000.0}%.1fs " +
+        f"codegen=${(compileMs - c0) / 1000.0}%.1fs/${compileN - n0}%d " +
         f"shufR=${shufR.get / 1048576.0}%.1fMB shufW=${shufW.get / 1048576.0}%.1fMB")
     }
     spark.stop()
