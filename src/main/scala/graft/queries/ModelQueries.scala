@@ -1279,30 +1279,46 @@ FROM events"""
         iters = 6, lr = 0.5)
       val ma = graft.scoring.Trainer.fitLogistic(aug, feats, col("y"),
         iters = 6, lr = 0.5)
-      Seq(("baseline", base, mb), ("smote", aug, ma)).map {
-        case (variant, tr, mm) =>
-          val scored = valid.select(col("y"),
-            graft.scoring.Trainer.margin(mm).as("margin"))
-          val auc = graft.feedback.Drift.auc(scored, col("y") === 1L,
-            col("margin"))
-          val pred = (col("margin") > 0).cast("long")
-          val nTr = tr.agg(count(lit(1)).as("n_train"))
-          scored.agg(count(lit(1)).as("n_val"), sum(col("y")).as("__pos"),
-              sum(pred).as("__alerts"),
-              sum(when(col("y") === 1L && col("margin") > 0, 1L).otherwise(0L))
-                .as("__tp"),
-              sum((pred === col("y")).cast("long")).as("__ok"))
-            .crossJoin(auc).crossJoin(broadcast(nTr))
-            .select(lit(variant).as("variant") +: col("n_train") +:
-              col("n_val") +: r6(col("auc")).as("auc") +:
-              r6(col("__tp").cast("double") / col("__pos")).as("rec") +:
-              r6(when(col("__alerts") > 0,
-                col("__tp").cast("double") / col("__alerts"))).as("prec") +:
-              r6(col("__ok").cast("double") / col("n_val")).as("accuracy") +:
-              r6(lit(mm.intercept)).as("intercept") +:
-              feats.zip(mm.weights).map { case (c2, w) =>
-                r6(lit(w)).as(s"w_$c2") }: _*)
-      }.reduce(_.unionByName(_))
+      // both variants' margins from ONE projection of the shared valid
+      // slice; confusion counts from ONE grouped aggregate and both AUCs
+      // from ONE grouped rank pipeline (per-variant bit-identical —
+      // exact half-integer midranks)
+      val variants = Seq(("baseline", base, mb), ("smote", aug, ma))
+      val tagged = valid.select(col("y"), explode(array(
+          variants.zipWithIndex.map { case ((_, _, mm), i) =>
+            struct(lit(i).as("tag"),
+              graft.scoring.Trainer.margin(mm).as("margin"))
+          }: _*)).as("__e"))
+        .select(col("__e.tag").as("tag"), col("y"), col("__e.margin").as("margin"))
+      val pred = (col("margin") > 0).cast("long")
+      val aggs = tagged.groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_val"), sum(col("y")).as("__pos"),
+          sum(pred).as("__alerts"),
+          sum(when(col("y") === 1L && col("margin") > 0, 1L).otherwise(0L))
+            .as("__tp"),
+          sum((pred === col("y")).cast("long")).as("__ok"))
+      val aucs = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+        col("y") === 1L, col("margin")).select(col("tag").as("__t2"), col("auc"))
+      val nTrs = variants.map { case (_, tr, _) =>
+        tr.agg(count(lit(1)).as("n_train")) }
+      val nTr = nTrs.head.crossJoin(
+        nTrs(1).withColumnRenamed("n_train", "__ntr1"))
+      def varLit(f: Int => Column): Column =
+        variants.indices.foldLeft(lit(null)) { (acc, i) =>
+          when(col("tag") === i, f(i)).otherwise(acc) }
+      aggs.join(broadcast(aucs), col("tag") === col("__t2"))
+        .crossJoin(broadcast(nTr))
+        .select(varLit(i => lit(variants(i)._1)).as("variant") +:
+          when(col("tag") === 0, col("n_train")).otherwise(col("__ntr1"))
+            .as("n_train") +:
+          col("n_val") +: r6(col("auc")).as("auc") +:
+          r6(col("__tp").cast("double") / col("__pos")).as("rec") +:
+          r6(when(col("__alerts") > 0,
+            col("__tp").cast("double") / col("__alerts"))).as("prec") +:
+          r6(col("__ok").cast("double") / col("n_val")).as("accuracy") +:
+          r6(varLit(i => lit(variants(i)._3.intercept))).as("intercept") +:
+          feats.zipWithIndex.map { case (c2, j) =>
+            r6(varLit(i => lit(variants(i)._3.weights(j)))).as(s"w_$c2") }: _*)
     },
     // ADASYN (the reference's second prepare_data sampler,
     // models/advanced_models.py:398): density-ADAPTIVE oversampling —
@@ -2130,28 +2146,40 @@ FROM events"""
     }
     val ms = graft.scoring.Trainer.fitLogisticWeighted(train, feats, col("y"),
       pws, iters = 6, lr = 0.5)
-    val cells = pws.zip(ms).map { case (pw, m) =>
-      val scored = valid.select(col("y"),
-        graft.scoring.Trainer.margin(m).as("margin"))
-      val auc = graft.feedback.Drift.auc(scored, col("y") === 1L, col("margin"))
-      val pred = (col("margin") > 0).cast("long")
-      val p = col("__tp").cast("double") / col("__alerts")
-      val r = col("__tp").cast("double") / col("__pos")
-      scored.agg(count(lit(1)).as("n_val"), sum(col("y")).as("__pos"),
-          sum(pred).as("__alerts"),
-          sum(when(col("y") === 1L && col("margin") > 0, 1L).otherwise(0L))
-            .as("__tp"),
-          sum((pred === col("y")).cast("long")).as("__ok"))
-        .crossJoin(auc)
-        .select(lit(pw).as("pos_weight") +: col("n_val") +:
-          r6(col("auc")).as("auc") +: r6(r).as("rec") +:
-          r6(when(col("__alerts") > 0, p)).as("prec") +:
-          r6(col("__ok").cast("double") / col("n_val")).as("accuracy") +:
-          r6(when(col("__tp") > 0, lit(2.0) * p * r / (p + r))
-            .otherwise(lit(0.0))).as("f1") +:
-          r6(lit(m.intercept)).as("intercept") +:
-          feats.zip(m.weights).map { case (c2, w) => r6(lit(w)).as(s"w_$c2") }: _*)
-    }.reduce(_.unionByName(_))
+    // all settings' margins from ONE projection of the valid slice; the
+    // confusion counts from ONE grouped aggregate and the AUCs from ONE
+    // grouped rank pipeline (per-setting bit-identical — exact
+    // half-integer midranks) instead of an agg + AUC pipeline per setting
+    val tagged = valid.select(col("y"), explode(array(
+        ms.zipWithIndex.map { case (m, i) =>
+          struct(lit(i).as("tag"),
+            graft.scoring.Trainer.margin(m).as("margin"))
+        }: _*)).as("__e"))
+      .select(col("__e.tag").as("tag"), col("y"), col("__e.margin").as("margin"))
+    val pred = (col("margin") > 0).cast("long")
+    val aggs = tagged.groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_val"), sum(col("y")).as("__pos"),
+        sum(pred).as("__alerts"),
+        sum(when(col("y") === 1L && col("margin") > 0, 1L).otherwise(0L))
+          .as("__tp"),
+        sum((pred === col("y")).cast("long")).as("__ok"))
+    val aucs = graft.feedback.Drift.aucByTag(tagged, col("tag"),
+      col("y") === 1L, col("margin")).select(col("tag").as("__t2"), col("auc"))
+    val p = col("__tp").cast("double") / col("__alerts")
+    val r = col("__tp").cast("double") / col("__pos")
+    def settingLit(f: Int => Column): Column =
+      pws.indices.foldLeft(lit(null).cast("double")) { (acc, i) =>
+        when(col("tag") === i, f(i)).otherwise(acc) }
+    val cells = aggs.join(broadcast(aucs), col("tag") === col("__t2"))
+      .select(settingLit(i => lit(pws(i))).as("pos_weight") +: col("n_val") +:
+        r6(col("auc")).as("auc") +: r6(r).as("rec") +:
+        r6(when(col("__alerts") > 0, p)).as("prec") +:
+        r6(col("__ok").cast("double") / col("n_val")).as("accuracy") +:
+        r6(when(col("__tp") > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0))).as("f1") +:
+        r6(settingLit(i => lit(ms(i).intercept))).as("intercept") +:
+        feats.zipWithIndex.map { case (c2, j) =>
+          r6(settingLit(i => lit(ms(i).weights(j)))).as(s"w_$c2") }: _*)
     if (!withBest) cells.drop("f1")
     else {
       val better = cells.select(col("pos_weight").as("__p2"), col("f1").as("__f2"))

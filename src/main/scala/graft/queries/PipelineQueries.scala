@@ -53,16 +53,26 @@ object PipelineQueries extends QueryPack {
       val models = graft.scoring.Trainer.fitLogisticCV(
         train, lrFeatures, col("y"), col("fold"), cvFolds,
         iters = cvIters, lr = lrRate)
-      models.zipWithIndex.map { case (model, f) =>
-        val scored = train.where(col("fold") === f)
-          .select(col("y"), graft.scoring.Trainer.margin(model).as("margin"))
-        val auc = graft.feedback.Drift.auc(scored, col("y") === 1.0, col("margin"))
-        val out = lit(f).as("fold") +: col("n_test") +: r6(col("auc")).as("auc") +:
-          r6(lit(model.intercept)).as("intercept") +:
-          lrFeatures.zip(model.weights).map { case (c, w) =>
-            r6(lit(w)).as(s"w_$c") }
-        scored.agg(count(lit(1)).as("n_test")).crossJoin(auc).select(out: _*)
-      }.reduce(_.unionByName(_))
+      // every row scores with ITS OWN fold's leave-out model: one
+      // projection + ONE grouped rank pipeline (Drift.aucByTag, per-fold
+      // bit-identical — exact half-integer midranks) instead of a full
+      // AUC pipeline per fold
+      val marginCase = models.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (acc, (m, k)) =>
+          when(col("fold") === k, graft.scoring.Trainer.margin(m)).otherwise(acc) }
+      val scored = train.select(col("fold"), col("y"), marginCase.as("margin"))
+      val counts = scored.groupBy(col("fold")).agg(count(lit(1)).as("n_test"))
+      val aucs = graft.feedback.Drift.aucByTag(scored, col("fold"),
+        col("y") === 1.0, col("margin"))
+      val interceptOf = models.zipWithIndex.foldLeft(lit(null).cast("double")) {
+        case (acc, (m, k)) => when(col("fold") === k, lit(m.intercept)).otherwise(acc) }
+      val wOf = lrFeatures.indices.map(j =>
+        models.zipWithIndex.foldLeft(lit(null).cast("double")) {
+          case (acc, (m, k)) => when(col("fold") === k, lit(m.weights(j))).otherwise(acc) })
+      counts.join(broadcast(aucs), col("fold") === col("tag"))
+        .select(col("fold").cast("int").as("fold") +: col("n_test") +:
+          r6(col("auc")).as("auc") +: r6(interceptOf).as("intercept") +:
+          lrFeatures.zip(wOf).map { case (c, w) => r6(w).as(s"w_$c") }: _*)
     },
     // in-engine trainable model (models/advanced_models.py:1-533 twin):
     // deterministic full-batch logistic GD on the q36 PIT table, labels =
