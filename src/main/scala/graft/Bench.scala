@@ -186,6 +186,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor (default 1m serializes compute-dense small
+      // shuffles: the 72-column q37 feature pass ran on 2 post-shuffle
+      // partitions). Scale-neutral: with parallelismFirst (default on)
+      // the coalescing target is max(bytes/parallelism, FLOOR), so the
+      // floor only binds when a shuffle is smaller than parallelism×64k
+      // — at production scale the bytes/parallelism term dominates and
+      // this setting is inert. Env-overridable for cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -14,6 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same AQE coalescing floor as Bench (see the comment there) so the
+      // driver's correctness gate executes the plans the bench times
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -527,7 +527,10 @@ sig AS (SELECT doc_id,
     // corpus-trigram LM score: the perplexity-filter miniature (alien
     // text scores low under the corpus trigram distribution)
     "q131_trigram_lm" -> { (s, dir) =>
-      TextOps.trigramLmScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+      // widen: the trigram explode is the cost and runs twice (counts +
+      // score join) — on a one-split local scan it was fully serial
+      TextOps.trigramLmScore(widen(Tables.documents(s, dir)),
+          col("doc_id"), col("text"))
         .select(col("doc_id"), col("n_trigrams"), r6(col("lm_score")).as("lm_score"))
     },
     // hard-negative mining: top-5 most-similar DIFFERENT-label vectors

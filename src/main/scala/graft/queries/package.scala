@@ -58,6 +58,21 @@ package object queries {
     */
   def r6z(c: Column): Column = rnd(c + lit(5e-11), 1e4) + lit(0.0)
 
+  /** Spread an under-parallel input across the session's default
+    * parallelism before compute-dense per-row work (trigram explodes,
+    * regex batteries): a small parquet file arrives as ONE scan split,
+    * which serializes everything narrow above it on one core. No-op when
+    * the scan already carries >= defaultParallelism partitions (any real
+    * cluster corpus), so the round-robin exchange is only paid where it
+    * buys parallel compute. Row-order-free consumers only (aggregations
+    * / joins — the repo's query shapes), and round-robin repartition is
+    * deterministic under retry (spark.sql.execution.sortBeforeRepartition).
+    */
+  private[queries] def widen(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Per-process memo for DETERMINISTIC model fits keyed by
     * (query, sfDir): a bench rep of a store-lifecycle gate re-prices the
     * STORE (export → parquet → import → re-export → parity scan), not

@@ -8,6 +8,8 @@ object ExplainQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
